@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local imitation of the driver's correctness gate (dev tool only — the
+shipped library is the Scala code under src/). Runs each oracle SQL in
+DuckDB over the same parquet tables Verify used, then compares against the
+Verify parquet dumps: sorts columns by name, compares row-by-row values.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if hasattr(v, "isoformat"):
+        s = v.isoformat(sep=" ")
+        # normalize tz-aware (spark may write UTC-instant) to naive UTC
+        return s.replace("+00:00", "")
+    return v
+
+
+def rows_of(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [tuple(norm(r[i]) for i in order) for r in data]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = f"{out_dir}/{name}"
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        tbl = pq.read_table(files[0])
+        s_cols = tbl.column_names
+        s_rows = rows_of(s_cols, [list(r.values())
+                                  for r in tbl.to_pylist()])
+        try:
+            cur = con.execute(sql)
+            d_cols = [d[0] for d in cur.description]
+            d_rows = rows_of(d_cols, cur.fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: cols {sorted(s_cols)} vs {sorted(d_cols)}")
+            n_fail += 1
+            continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: {len(s_rows)} vs {len(d_rows)} rows")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows))
+               if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(s_rows)} rows differ; "
+                  f"first at {i}:\n  spark={a}\n  duck ={b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
