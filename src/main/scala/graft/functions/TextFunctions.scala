@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data pipeline operators
+  * (SURVEY.md §2.D north-star rows): tokenization, shingling, md5-based
+  * MinHash, SimHash, language-ID scoring, quality ratios, fingerprints.
+  *
+  * Everything here is built from native Catalyst expressions (split,
+  * higher-order functions, md5, regexp) — no UDFs — so whole-stage codegen
+  * applies and the exact same logic is expressible in the DuckDB oracle.
+  * Hashes are md5-prefix based rather than murmur3 precisely so the oracle
+  * can reproduce them engine-independently.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of lowercased trimmed text. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Word n-gram shingles (default 3) from a token array column named
+    * inline; empty array when the document is shorter than n tokens.
+    */
+  def shingles(toksCol: String, n: Int = 3): Column = expr(
+    s"""CASE WHEN size($toksCol) >= $n THEN
+          transform(sequence(1, size($toksCol) - ${n - 1}),
+            i -> concat_ws(' ', ${(0 until n).map(k => s"element_at($toksCol, i + $k)").mkString(", ")}))
+        ELSE array() END""")
+
+  /** One MinHash component: min over shingles of a salted md5 prefix.
+    * NULL for documents with no shingles (mirrors list_min([]) in DuckDB).
+    */
+  def minhash(shinglesCol: String, perm: Int): Column =
+    expr(s"array_min(transform($shinglesCol, x -> substring(md5(concat('$perm:', x)), 1, 16)))")
+
+  /** 16-bit SimHash: bit j is the majority vote over tokens of whether
+    * hex digit j of md5(token) has its high bit set. Deterministic and
+    * reproducible in SQL (no bit intrinsics needed).
+    */
+  def simhash16(toksCol: String): Column =
+    (1 to 16).map { j =>
+      expr(s"""CASE WHEN 2 * size(filter($toksCol, t -> substring(md5(t), $j, 1) >= '8'))
+                        > size($toksCol)
+               THEN ${1L << (j - 1)}L ELSE 0L END""")
+    }.reduce(_ + _)
+
+  /** Stopword lists for the n-gram language-ID heuristic. Tiny on purpose:
+    * they must be identically embedded in the oracle SQL.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh" -> Seq("de", "shi", "zai", "le", "wo", "you", "he", "ren"))
+
+  /** Language order used for deterministic argmax tie-breaking. */
+  val langOrder: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  /** Count of tokens present in `words`. */
+  def stopwordHits(toksCol: String, words: Seq[String]): Column =
+    expr(s"size(filter($toksCol, t -> t IN (${inList(words)})))")
+
+  /** The same expression as DuckDB SQL text (for oracle construction). */
+  def stopwordHitsSql(toksCol: String, words: Seq[String]): String =
+    s"len(list_filter($toksCol, t -> t IN (${inList(words)})))"
+
+  /** English-ish stopword ratio used by the quality score. */
+  val qualityStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "is", "in", "for", "on", "with")
+
+  /** Canonical fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+}

@@ -306,7 +306,7 @@ object CoreQueries {
         val w = Window.partitionBy($"p_brand")
           .orderBy($"p_retailprice".desc, $"p_partkey".asc)
         T(s, dir, "part")
-          .withColumn("rk", row_number().over(w))
+          .withColumn("rk", row_number().over(w).cast("long"))
           .filter($"rk" <= 3)
           .select($"p_brand", $"rk", $"p_partkey", $"p_retailprice")
           .orderBy($"p_brand", $"rk")

@@ -1,8 +1,227 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Deduplication operators (exact, MinHash+LSH, SimHash, n-gram Jaccard). */
+/** Deduplication operators for the training-data pipeline (SURVEY.md §2.D):
+  * exact (hash-groupBy), MinHash signatures + LSH band join, SimHash, and
+  * n-gram Jaccard via an inverted shingle index.
+  *
+  * The queries run over a derived corpus = documents ∪ exact copies (every
+  * 10th doc) ∪ near-copies (every 10th+1 doc with its first token dropped),
+  * built identically in Spark and the oracle SQL, so the operators have
+  * guaranteed duplicates to find at any SF.
+  *
+  * Scale notes (100 TB): all grouping/joining is on fixed-width md5
+  * prefixes, never on raw text (narrow shuffle rows); the inverted index
+  * caps shingle document-frequency to bound the quadratic candidate
+  * blowup on hot shingles — the standard LSH/inverted-index guard.
+  */
 object DedupQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  /** Derived corpus with guaranteed exact and near duplicates. */
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val exact = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val near = docs.filter($"doc_id" % 10 === 1)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        when(instr($"text", " ") > 0,
+          expr("substring(text, instr(text, ' ') + 1)"))
+          .otherwise($"text").as("text"))
+    docs.unionByName(exact).unionByName(near)
+  }
+
+  /** The same corpus as a DuckDB CTE body. */
+  val corpusSql: String = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             CASE WHEN instr(text, ' ') > 0
+                  THEN substr(text, instr(text, ' ') + 1) ELSE text END
+      FROM documents WHERE doc_id % 10 = 1"""
+
+  /** corpus → doc_id + 8-component MinHash signature (md5-salted). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var df = corpus(s, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("sh", shingles("toks"))
+    for (p <- 0 until 8) df = df.withColumn(s"mh$p", minhash("sh", p))
+    df.select($"doc_id" +: (0 until 8).map(p => col(s"mh$p")): _*)
+  }
+
+  private val minhashSqlCore: String = {
+    val mhCols = (0 until 8).map(p =>
+      s"list_min(list_transform(sh, x -> substr(md5('$p:' || x), 1, 16))) AS mh$p")
+      .mkString(",\n               ")
+    s"""
+      WITH corpus AS ($corpusSql),
+      tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM corpus),
+      shi AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                          ELSE [] END AS sh
+              FROM tok),
+      sig AS (SELECT doc_id,
+               $mhCols
+              FROM shi)"""
+  }
+
+  /** Max documents a shingle may appear in before the inverted index
+    * drops it (hot-key guard; identical in the oracle).
+    */
+  val maxShingleDf = 100
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Exact dedup: group by md5(text) — the shuffle key is 32 bytes no
+    // matter how large the document is.
+    QueryDef(
+      "d01_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        corpus(s, dir)
+          .groupBy(md5($"text").as("fp"))
+          .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+          .filter($"n_copies" > 1)
+          .select($"keeper", $"n_copies")
+          .orderBy($"keeper")
+      },
+      Some(s"""
+        WITH corpus AS ($corpusSql)
+        SELECT keeper, n_copies FROM (
+          SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+          FROM corpus GROUP BY md5(text)) t
+        WHERE n_copies > 1 ORDER BY keeper"""),
+      doc = "exact dedup via hash-groupBy"),
+
+    // ------------------------------------------------------------------
+    // MinHash signatures (8 permutations, md5-salted min over 3-shingles).
+    QueryDef(
+      "d02_minhash_signatures",
+      (s, dir) => minhashSignatures(s, dir).orderBy(col("doc_id")),
+      Some(s"""$minhashSqlCore
+        SELECT * FROM sig ORDER BY doc_id"""),
+      doc = "MinHash signature computation"),
+
+    // ------------------------------------------------------------------
+    // LSH candidate pairs: 4 bands × 2 rows; docs sharing any band are
+    // candidates. Join key = band value (fixed width), never the text.
+    QueryDef(
+      "d03_lsh_candidate_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val sig = minhashSignatures(s, dir)
+        val bands = sig.select($"doc_id", posexplode(array(
+          (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*
+        )).as(Seq("band", "bval"))).filter($"bval".isNotNull)
+        val a = bands.select($"doc_id".as("doc_a"), $"band", $"bval")
+        val b = bands.select($"doc_id".as("doc_b"), $"band", $"bval")
+        a.join(b, Seq("band", "bval"))
+          .filter($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b").distinct()
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""$minhashSqlCore,
+        bands AS (
+          SELECT doc_id, 0 AS band, mh0 || mh1 AS bval FROM sig
+          UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+          UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+          UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        WHERE a.bval IS NOT NULL
+        ORDER BY doc_a, doc_b"""),
+      doc = "MinHash-LSH band join for near-dup candidates"),
+
+    // ------------------------------------------------------------------
+    // SimHash: 16-bit signature per document.
+    QueryDef(
+      "d04_simhash",
+      (s, dir) => {
+        import s.implicits._
+        corpus(s, dir)
+          .withColumn("toks", tokens($"text"))
+          .select($"doc_id", simhash16("toks").as("simhash"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val terms = (1 to 16).map { j =>
+          s"""CASE WHEN 2 * len(list_filter(toks, t -> substr(md5(t), $j, 1) >= '8'))
+                        > len(toks) THEN ${1L << (j - 1)} ELSE 0 END"""
+        }.mkString(" + ")
+        s"""
+        WITH corpus AS ($corpusSql)
+        SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM corpus) t
+        ORDER BY doc_id"""
+      },
+      doc = "SimHash 16-bit signatures"),
+
+    // ------------------------------------------------------------------
+    // n-gram Jaccard near-dup pairs via inverted shingle index with a
+    // document-frequency cap on hot shingles.
+    QueryDef(
+      "d05_ngram_jaccard_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val sh = corpus(s, dir)
+          .withColumn("toks", tokens($"text"))
+          .select($"doc_id", explode(shingles("toks")).as("shingle"))
+          .distinct()
+        val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        val shingleDf = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        val inv = sh.join(shingleDf.filter($"df" <= maxShingleDf), Seq("shingle"))
+          .select($"doc_id", $"shingle")
+        val pairs = inv.as("a").join(inv.as("b"), Seq("shingle"))
+          .filter($"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
+          .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
+          .withColumn("jaccard",
+            $"shared".cast("double") / ($"n_a" + $"n_b" - $"shared"))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", $"shared", round($"jaccard", 6).as("jaccard"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""
+        WITH corpus AS ($corpusSql),
+        tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM corpus),
+        sh AS (SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                      ELSE [] END) AS shingle
+               FROM tok),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inv AS (SELECT shingle, doc_id FROM sh
+                WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                                  HAVING COUNT(*) <= $maxShingleDf)),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+                  FROM inv a JOIN inv b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared,
+               round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+        FROM pairs
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      doc = "n-gram Jaccard near-dup pairs (inverted index + DF cap)")
+  )
 }

@@ -1,9 +1,126 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
 
-/** Text-analysis operators (language ID, quality scoring, token counting,
-  * fingerprinting) — filled in incrementally; see functions.TextFunctions. */
+/** Text-analysis query surface over the `documents` table: token counting
+  * (whitespace + BPE-ish regex), quality scoring, n-gram language ID, and
+  * document fingerprinting (SURVEY.md §2.D north-star rows).
+  */
 object TextQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  // BPE-ish pre-tokenizer: letter runs | digit runs | single symbol.
+  private val bpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "t01_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+          .select(
+            $"doc_id",
+            length($"text").cast("long").as("n_chars"),
+            size($"toks").cast("long").as("n_ws_tokens"),
+            size(regexp_extract_all(lower($"text"), lit(bpeRegex), lit(0))).cast("long").as("n_bpe_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, length(text) AS n_chars,
+               len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(lower(text), '$bpeRegex')) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id"""),
+      doc = "token counting: whitespace + BPE-ish regex"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "t02_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+          .withColumn("n_toks", size($"toks").cast("long"))
+          .select(
+            $"doc_id",
+            $"n_toks",
+            (expr("CAST(aggregate(transform(toks, t -> length(t)), 0L, (acc, x) -> acc + x) AS DOUBLE)")
+              / $"n_toks").as("avg_token_len"),
+            (stopwordHits("toks", qualityStopwords).cast("double") / $"n_toks").as("stopword_ratio"),
+            (length(regexp_replace(lower($"text"), "[a-z0-9\\s]", "")).cast("double")
+              / length($"text")).as("punct_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, n_toks,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / n_toks AS avg_token_len,
+               CAST(${stopwordHitsSql("toks", qualityStopwords)} AS DOUBLE) / n_toks AS stopword_ratio,
+               CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                     len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_toks
+              FROM documents) t
+        ORDER BY doc_id"""),
+      doc = "quality scoring: length/stopword/punct ratios"),
+
+    // ------------------------------------------------------------------
+    // Language ID: argmax over per-language stopword hit counts, fixed
+    // tie-break order, 'und' when nothing matches. Confusion matrix vs
+    // the metadata lang column.
+    QueryDef(
+      "t03_langid_confusion",
+      (s, dir) => {
+        import s.implicits._
+        var df = Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+        for (l <- langOrder)
+          df = df.withColumn(s"s_$l", stopwordHits("toks", stopwords(l)))
+        val caseChain = langOrder.zipWithIndex.map { case (l, i) =>
+          val geAll = langOrder.drop(i + 1).map(o => s"s_$l >= s_$o") :+ s"s_$l > 0"
+          s"WHEN ${(langOrder.take(i).map(o => s"s_$l > s_$o") ++ geAll).mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        df.withColumn("predicted_lang", expr(s"CASE $caseChain ELSE 'und' END"))
+          .groupBy($"lang", $"predicted_lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"predicted_lang")
+      },
+      Some {
+        val scores = langOrder.map(l =>
+          s"${stopwordHitsSql("toks", stopwords(l))} AS s_$l").mkString(",\n                     ")
+        val caseChain = langOrder.zipWithIndex.map { case (l, i) =>
+          val geAll = langOrder.drop(i + 1).map(o => s"s_$l >= s_$o") :+ s"s_$l > 0"
+          s"WHEN ${(langOrder.take(i).map(o => s"s_$l > s_$o") ++ geAll).mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""
+        SELECT lang, predicted_lang, COUNT(*) AS n FROM (
+          SELECT lang, CASE $caseChain ELSE 'und' END AS predicted_lang FROM (
+            SELECT lang, $scores
+            FROM (SELECT lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                  FROM documents) t0) t1) t2
+        GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang"""
+      },
+      doc = "n-gram language-ID heuristic + confusion matrix"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "t04_fingerprint_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(fingerprint($"text")).as("n_fingerprints"),
+            countDistinct($"source").as("n_sources"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_fingerprints,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents"""),
+      doc = "document fingerprinting (md5 of normalized text)")
+  )
 }
