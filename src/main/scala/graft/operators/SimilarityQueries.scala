@@ -1,8 +1,181 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
-/** Embedding similarity search (brute-force cosine top-k, IVF buckets). */
+/** Embedding similarity search (SURVEY.md §2.D): brute-force cosine top-k
+  * as the baseline, IVF (inverted-file) bucketing as the scale path.
+  *
+  * Scale notes (100 TB): the query vector and the centroid table are tiny
+  * → broadcast; the fact side streams through codegen'd projections with
+  * no shuffle except the final top-k (TakeOrderedAndProject) / bucket agg.
+  * s03 demonstrates the codegen'd native expression (`vec_dot`).
+  */
 object SimilarityQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  private val dims = 64 // embedding width in the test tables
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // s01: brute-force cosine top-20 vs the vec_id=0 query vector,
+    // decimal-exact math → bit-identical to the oracle.
+    QueryDef(
+      "s01_cosine_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        emb.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(dotExact("embedding", "qv") /
+              (sqrt(dotExact("embedding", "embedding")) * sqrt(dotExact("qv", "qv"))), 9)
+              .as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(20)
+      },
+      Some(s"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+                  FROM embeddings e, q WHERE e.vec_id <> 0),
+        dots AS (SELECT vec_id,
+                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
+                        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nq
+                 FROM pairs GROUP BY vec_id)
+        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 20"""),
+      doc = "brute-force cosine top-k (exact decimal math)"),
+
+    // ------------------------------------------------------------------
+    // s02: IVF assignment — nearest of 8 centroids (vec_id 0..7) per
+    // vector; bucket histogram. Centroids broadcast; argmin via window.
+    QueryDef(
+      "s02_ivf_assign",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+        emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"cid", round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1)
+          .groupBy($"cid")
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy($"cid")
+      },
+      Some("""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+                  FROM embeddings e CROSS JOIN cents c),
+        dists AS (SELECT vec_id, cid,
+                         CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                  AS DECIMAL(38,18))) AS DOUBLE) AS dist2_raw
+                  FROM pairs GROUP BY vec_id, cid),
+        distsr AS (SELECT vec_id, cid, round(dist2_raw, 9) AS dist2 FROM dists),
+        assigned AS (SELECT vec_id, cid,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                                               ORDER BY dist2 ASC, cid ASC) AS rk
+                     FROM distsr)
+        SELECT cid, COUNT(*) AS n_vectors FROM assigned
+        WHERE rk = 1 GROUP BY cid ORDER BY cid"""),
+      doc = "IVF centroid assignment (broadcast centroids + window argmin)"),
+
+    // ------------------------------------------------------------------
+    // s03: cosine top-20 via the codegen'd native vec_dot expression.
+    // Sequential double accumulation differs from decimal sums at ~1e-16,
+    // so both sides round to 6 digits before comparing/ordering.
+    QueryDef(
+      "s03_cosine_topk_native",
+      (s, dir) => {
+        import s.implicits._
+        VectorExpressions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        emb.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(expr("vec_dot(embedding, qv)") /
+              (sqrt(expr("vec_dot(embedding, embedding)")) * sqrt(expr("vec_dot(qv, qv)"))), 6)
+              .as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(20)
+      },
+      Some("""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+                  FROM embeddings e, q WHERE e.vec_id <> 0),
+        dots AS (SELECT vec_id,
+                        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                        SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                        SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+                 FROM pairs GROUP BY vec_id)
+        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 20"""),
+      doc = "cosine top-k via custom codegen'd Catalyst expression"),
+
+    // ------------------------------------------------------------------
+    // s04: IVF probe — search only the query's bucket, top-5 by cosine.
+    QueryDef(
+      "s04_ivf_search",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"embedding", $"cid", round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1)
+          .select($"vec_id", $"embedding", $"cid")
+        // the query vector (vec_id 0) is its own centroid → bucket 0
+        val q = assigned.filter($"vec_id" === 0)
+          .select($"cid".as("qcid"), $"embedding".as("qv"))
+        assigned.join(broadcast(q), $"cid" === $"qcid")
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id",
+            round(dotExact("embedding", "qv") /
+              (sqrt(dotExact("embedding", "embedding")) * sqrt(dotExact("qv", "qv"))), 9)
+              .as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(5)
+      },
+      Some("""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        cpairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+                   FROM embeddings e CROSS JOIN cents c),
+        dists AS (SELECT vec_id, cid,
+                         CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                  AS DECIMAL(38,18))) AS DOUBLE) AS dist2_raw
+                  FROM cpairs GROUP BY vec_id, cid),
+        distsr AS (SELECT vec_id, cid, round(dist2_raw, 9) AS dist2 FROM dists),
+        assigned AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist2 ASC, cid ASC) AS rk
+                       FROM distsr) t WHERE rk = 1),
+        bucket AS (SELECT a.vec_id FROM assigned a
+                   WHERE a.cid = (SELECT cid FROM assigned WHERE vec_id = 0)
+                     AND a.vec_id <> 0),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+                  FROM embeddings e JOIN bucket b ON e.vec_id = b.vec_id, q),
+        dots AS (SELECT vec_id,
+                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
+                        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nq
+                 FROM pairs GROUP BY vec_id)
+        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 5"""),
+      doc = "IVF bucket-probed similarity search")
+  )
 }
