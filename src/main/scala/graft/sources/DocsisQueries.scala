@@ -1,8 +1,153 @@
 package graft.sources
 
 import graft.QueryDef
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
-/** DOCSIS reference-parity queries over fixture HNAP payloads. */
+/** Reference-parity queries: the HNAP parse pipeline (SURVEY.md §2.B) and
+  * the DOCSIS dashboard query shapes (§2.D) over fixture payloads. The
+  * oracles are golden VALUES tables hand-derived from the reference's
+  * parse code (FIXTURES.md §1), so the driver's DuckDB gate checks the
+  * full parse → nested-array → explode pipeline against expected values.
+  */
 object DocsisQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  private def parsed(s: org.apache.spark.sql.SparkSession) =
+    HnapParse.parse(DocsisFixtures.rawFrame(s))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "dx01_downstream_channels",
+      (s, _) => {
+        import s.implicits._
+        parsed(s)
+          .select($"modem_name", $"timestamp",
+            explode($"downstream_channels").as("ch"))
+          .select($"modem_name", $"timestamp", $"ch.channel_id",
+            $"ch.frequency", $"ch.modulation", $"ch.power", $"ch.snr",
+            $"ch.corrected_errors", $"ch.uncorrected_errors")
+          .orderBy($"timestamp", $"modem_name", $"channel_id")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 5,  CAST(CAST(483000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(3.4 AS DOUBLE) AS REAL),  CAST(CAST(43.1 AS DOUBLE) AS REAL), CAST(12 AS BIGINT),  CAST(0 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 6,  CAST(CAST(489000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(-1.2 AS DOUBLE) AS REAL), CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(7 AS BIGINT),   CAST(-42 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 33, CAST(CAST(722000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(2.9 AS DOUBLE) AS REAL),  CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(524 AS BIGINT), CAST(3 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:10', 48, CAST(CAST(850000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.0 AS DOUBLE) AS REAL),  CAST(CAST(20.0 AS DOUBLE) AS REAL), CAST(9 AS BIGINT),   CAST(1 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:10', 49, CAST(CAST(860000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.5 AS DOUBLE) AS REAL),  CAST(CAST(36.2 AS DOUBLE) AS REAL), CAST(11 AS BIGINT),  CAST(2 AS BIGINT)),
+          ('attic',  TIMESTAMP '2024-03-01 00:00:20', 5,  CAST(CAST(483000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(3.4 AS DOUBLE) AS REAL),  CAST(CAST(43.1 AS DOUBLE) AS REAL), CAST(12 AS BIGINT),  CAST(0 AS BIGINT)),
+          ('attic',  TIMESTAMP '2024-03-01 00:00:20', 6,  CAST(CAST(489000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(-1.2 AS DOUBLE) AS REAL), CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(7 AS BIGINT),   CAST(-42 AS BIGINT)),
+          ('attic',  TIMESTAMP '2024-03-01 00:00:20', 33, CAST(CAST(722000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(2.9 AS DOUBLE) AS REAL),  CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(524 AS BIGINT), CAST(3 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-02 00:00:40', 48, CAST(CAST(850000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.0 AS DOUBLE) AS REAL),  CAST(CAST(20.0 AS DOUBLE) AS REAL), CAST(9 AS BIGINT),   CAST(1 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-02 00:00:40', 49, CAST(CAST(860000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.5 AS DOUBLE) AS REAL),  CAST(CAST(36.2 AS DOUBLE) AS REAL), CAST(11 AS BIGINT),  CAST(2 AS BIGINT))
+        ) AS t(modem_name, timestamp, channel_id, frequency, modulation, power, snr, corrected_errors, uncorrected_errors)
+        ORDER BY timestamp, modem_name, channel_id"""),
+      doc = "HNAP downstream parse: splits, casts, MHz→Hz, OFDM PLC SNR fix, signed counters"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "dx02_upstream_channels",
+      (s, _) => {
+        import s.implicits._
+        parsed(s)
+          .select($"modem_name", $"timestamp",
+            explode($"upstream_channels").as("ch"))
+          .select($"modem_name", $"timestamp", $"ch.channel_id",
+            $"ch.frequency", $"ch.modulation", $"ch.power", $"ch.width")
+          .orderBy($"timestamp", $"modem_name", $"channel_id")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 1, CAST(CAST(35600000.0 AS DOUBLE) AS REAL), 'SC-QAM', CAST(CAST(46.5 AS DOUBLE) AS REAL), CAST(CAST(6400000.0 AS DOUBLE) AS REAL)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 9, CAST(CAST(29200000.0 AS DOUBLE) AS REAL), 'OFDMA',  CAST(CAST(41.0 AS DOUBLE) AS REAL), CAST(CAST(96000000.0 AS DOUBLE) AS REAL)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:10', 2, CAST(CAST(30800000.0 AS DOUBLE) AS REAL), 'SC-QAM', CAST(CAST(45.0 AS DOUBLE) AS REAL), CAST(CAST(3200000.0 AS DOUBLE) AS REAL)),
+          ('attic',  TIMESTAMP '2024-03-01 00:00:20', 2, CAST(CAST(30800000.0 AS DOUBLE) AS REAL), 'SC-QAM', CAST(CAST(45.0 AS DOUBLE) AS REAL), CAST(CAST(3200000.0 AS DOUBLE) AS REAL)),
+          ('MB8600', TIMESTAMP '2024-03-02 00:00:40', 1, CAST(CAST(35600000.0 AS DOUBLE) AS REAL), 'SC-QAM', CAST(CAST(46.5 AS DOUBLE) AS REAL), CAST(CAST(6400000.0 AS DOUBLE) AS REAL)),
+          ('MB8600', TIMESTAMP '2024-03-02 00:00:40', 9, CAST(CAST(29200000.0 AS DOUBLE) AS REAL), 'OFDMA',  CAST(CAST(41.0 AS DOUBLE) AS REAL), CAST(CAST(96000000.0 AS DOUBLE) AS REAL))
+        ) AS t(modem_name, timestamp, channel_id, frequency, modulation, power, width)
+        ORDER BY timestamp, modem_name, channel_id"""),
+      doc = "HNAP upstream parse: kHz→Hz width, MHz→Hz frequency"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "dx03_snapshots",
+      (s, _) => {
+        import s.implicits._
+        parsed(s)
+          .select($"modem_name", $"modem_config_filename", $"modem_uptime",
+            $"modem_version", $"modem_model",
+            size($"downstream_channels").cast("long").as("n_down"),
+            size($"upstream_channels").cast("long").as("n_up"),
+            $"scrape_latency", $"timestamp")
+          .orderBy($"timestamp")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('MB8600', 'cfg-8600-gold.bin', CAST(618125 AS BIGINT), '8600-19.3.18', 'MB8600', CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(CAST(0.125 AS DOUBLE) AS REAL),  TIMESTAMP '2024-03-01 00:00:00'),
+          ('MB8600', 'cfg-8600-gold.bin', CAST(13325 AS BIGINT),  '8600-19.3.18', 'MB8600', CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(CAST(0.25 AS DOUBLE) AS REAL),   TIMESTAMP '2024-03-01 00:00:10'),
+          ('attic',  'cfg-attic.bin',     CAST(45 AS BIGINT),     '8600-19.3.18', 'MB8600', CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(CAST(0.5 AS DOUBLE) AS REAL),    TIMESTAMP '2024-03-01 00:00:20'),
+          ('MB8600', 'cfg-8600-gold.bin', CAST(176430 AS BIGINT), '8600-19.3.18', 'MB8600', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(CAST(0.0625 AS DOUBLE) AS REAL), TIMESTAMP '2024-03-02 00:00:40')
+        ) AS t(modem_name, modem_config_filename, modem_uptime, modem_version, modem_model, n_down, n_up, scrape_latency, timestamp)
+        ORDER BY timestamp"""),
+      doc = "snapshot rows: uptime regex parse, config/version fields, non-OK filter"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "dx04_uptime_parse",
+      (s, _) => {
+        import s.implicits._
+        Seq("7 days 03h:42m:05s", "03h:42m:05s", "45s", "1 days ", "",
+          "12m:00s", "400 days 00h:00m:00s")
+          .toDF("uptime_str")
+          .select($"uptime_str", HnapParse.uptimeSeconds($"uptime_str").as("seconds"))
+          .orderBy($"uptime_str")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('',                     CAST(0 AS BIGINT)),
+          ('03h:42m:05s',          CAST(13325 AS BIGINT)),
+          ('1 days ',              CAST(86400 AS BIGINT)),
+          ('12m:00s',              CAST(720 AS BIGINT)),
+          ('400 days 00h:00m:00s', CAST(34560000 AS BIGINT)),
+          ('45s',                  CAST(45 AS BIGINT)),
+          ('7 days 03h:42m:05s',   CAST(618125 AS BIGINT))
+        ) AS t(uptime_str, seconds)
+        ORDER BY uptime_str"""),
+      doc = "uptime regex: all segments optional, missing → 0 (reference bug not replicated)"),
+
+    // ------------------------------------------------------------------
+    // The DOCSIS counter-rate dashboard query over a deterministic
+    // synthetic series with a mid-series counter wrap: negative deltas
+    // are overflow (tables.sql:19) → NULL, never negative rates.
+    QueryDef(
+      "dx05_channel_rate",
+      (s, _) => {
+        import s.implicits._
+        val w = Window.partitionBy($"channel").orderBy($"seq".asc)
+        s.range(0, 20).toDF("id")
+          .select(($"id" % 2).as("channel"), expr("id div 2").as("seq"))
+          .withColumn("corrected",
+            when($"seq" < 5, $"seq" * 100L * ($"channel" + 1L))
+              .otherwise(($"seq" - 5L) * 50L * ($"channel" + 1L)))
+          .withColumn("rate",
+            when($"corrected" - lag($"corrected", 1).over(w) < 0L, lit(null))
+              .otherwise($"corrected" - lag($"corrected", 1).over(w)))
+          .orderBy($"channel", $"seq")
+      },
+      Some("""
+        SELECT channel, seq, corrected,
+               CASE WHEN corrected - LAG(corrected, 1) OVER
+                         (PARTITION BY channel ORDER BY seq ASC) < 0
+                    THEN NULL
+                    ELSE corrected - LAG(corrected, 1) OVER
+                         (PARTITION BY channel ORDER BY seq ASC) END AS rate
+        FROM (SELECT id % 2 AS channel, id // 2 AS seq,
+                     CASE WHEN id // 2 < 5 THEN (id // 2) * 100 * (id % 2 + 1)
+                          ELSE (id // 2 - 5) * 50 * (id % 2 + 1) END AS corrected
+              FROM range(0, 20) t(id)) s
+        ORDER BY channel, seq"""),
+      doc = "counter-rate with overflow guard (signed-counter semantics, tables.sql:19)")
+  )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.AsOf
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.plans.VectorExpressions
+import graft.sources.MediaPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("as-of join: inclusive, latest-prior, null when no match") {
+    val left = Seq((1L, "2024-01-01 10:00:00", 100L),
+      (1L, "2024-01-01 12:00:00", 101L),
+      (2L, "2024-01-01 09:00:00", 102L))
+      .toDF("user_id", "ts", "event_id")
+      .withColumn("ts", to_timestamp($"ts"))
+    val right = Seq((1L, "2024-01-01 09:30:00"), (1L, "2024-01-01 12:00:00"),
+      (3L, "2024-01-01 08:00:00"))
+      .toDF("user_id", "ts").withColumn("ts", to_timestamp($"ts"))
+    val got = AsOf.asOfTimestamp(left, right, "user_id", "ts", "ts", "matched")
+      .select($"event_id", $"matched".cast("string")).as[(Long, String)]
+      .collect().toMap
+    assert(got(100L) == "2024-01-01 09:30:00") // latest prior
+    assert(got(101L) == "2024-01-01 12:00:00") // inclusive at equal ts
+    assert(got(102L) == null)                  // no right row for user 2
+  }
+
+  test("vec_dot native expression matches decimal-exact HOF within 1e-9") {
+    VectorExpressions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      .select($"vec_id", $"embedding", $"embedding".as("e2"))
+    val diff = emb
+      .select(abs(expr("vec_dot(embedding, e2)") -
+        VectorFunctions.dotExact("embedding", "e2")).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(diff < 1e-9)
+  }
+
+  test("vec_dot null/empty behavior") {
+    VectorExpressions.register(spark)
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(expr("vec_dot(a, b)")).as[Double].head() == 11.0)
+    val empty = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    assert(empty.select(expr("vec_dot(a, b)")).as[Double].head() == 0.0)
+  }
+
+  test("minhash: identical docs get identical signatures; empty doc → null") {
+    val df = Seq("a b c d e f", "a b c d e f", "a b").toDF("text")
+      .withColumn("toks", TextFunctions.tokens($"text"))
+      .withColumn("sh", TextFunctions.shingles("toks"))
+      .withColumn("mh0", TextFunctions.minhash("sh", 0))
+    val sigs = df.select($"mh0").as[String].collect()
+    assert(sigs(0) == sigs(1) && sigs(0) != null)
+    assert(sigs(2) == null) // < 3 tokens → no shingles
+  }
+
+  test("simhash: deterministic and in 16-bit range") {
+    val df = Seq("spark sql engine", "spark sql engine", "totally different words here")
+      .toDF("text")
+      .withColumn("toks", TextFunctions.tokens($"text"))
+      .select(TextFunctions.simhash16("toks").as("sh")).as[Long].collect()
+    assert(df(0) == df(1))
+    assert(df.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("media pipeline: typed mapPartitions path equals expression path") {
+    val typed = MediaPipeline.extractFeatures(spark, sfDir)
+      .toDF().orderBy($"media_id")
+    val expr_ = QueryDef.registry.find(_.name == "m01_media_features").get
+      .build(spark, sfDir)
+    assert(typed.columns.sorted.sameElements(expr_.columns.sorted))
+    val t = typed.select($"media_id", $"byte_len", $"content_md5").collect()
+    val e = expr_.select($"media_id", $"byte_len", $"content_md5").collect()
+    assert(t.sameElements(e))
+  }
+
+  test("registry sanity: unique names, every oracle key is a query") {
+    val names = QueryDef.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

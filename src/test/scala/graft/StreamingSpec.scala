@@ -1,0 +1,109 @@
+package graft
+
+import graft.sources.DocsisFixtures
+import graft.streaming.{DocsisStream, EventsStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  /** Fixture scrapes as a MemoryStream-backed raw frame (the socket-less
+    * stand-in for the HNAP poller source, SURVEY.md §7 step 5).
+    */
+  private def scrapeStream() = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Double, String)]
+    val raw = mem.toDF()
+      .toDF("payload", "modem_name", "scrape_latency", "ts")
+      .withColumn("timestamp", to_timestamp($"ts")).drop("ts")
+    (mem, raw)
+  }
+
+  test("docsis scrape stream: parse + checkpointed micro-batch sink") {
+    val (mem, raw) = scrapeStream()
+    val parsed = DocsisStream.parseStream(raw)
+    val q = parsed.writeStream.format("memory").queryName("docsis_mem")
+      .outputMode("append").start()
+    try {
+      mem.addData(DocsisFixtures.scrapes)
+      q.processAllAvailable()
+      val out = spark.table("docsis_mem")
+      assert(out.count() == 4) // non-OK dropped inside the stream
+      val r = out.filter($"modem_name" === "attic").select($"modem_uptime")
+        .as[Long].head()
+      assert(r == 45L)
+    } finally q.stop()
+  }
+
+  test("docsis windowed SNR agg emits after watermark passes") {
+    val (mem, raw) = scrapeStream()
+    val agg = DocsisStream.snrWindowed(DocsisStream.parseStream(raw))
+    val q = agg.writeStream.format("memory").queryName("snr_mem")
+      .outputMode("append").start()
+    try {
+      mem.addData(DocsisFixtures.scrapes)
+      q.processAllAvailable()
+      // advance event time far enough to close the 00:00 window
+      mem.addData(Seq((DocsisFixtures.scrapes.head._1, "MB8600", 0.1,
+        "2024-03-02 01:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("snr_mem")
+      assert(out.count() >= 3) // 3 channels × closed windows for 03-01
+      val ofdm = out.filter($"channel_id" === 33 && $"modem_name" === "MB8600")
+        .select($"avg_snr").as[Double].head()
+      assert(math.abs(ofdm - 40.0) < 1e-6) // corrected OFDM PLC snr
+    } finally q.stop()
+  }
+
+  test("scrape replay dedup within watermark") {
+    val (mem, raw) = scrapeStream()
+    val dedup = DocsisStream.dedupScrapes(DocsisStream.parseStream(raw))
+    val q = dedup.writeStream.format("memory").queryName("dedup_mem")
+      .outputMode("append").start()
+    try {
+      mem.addData(DocsisFixtures.scrapes) // contains 4 OK scrapes
+      mem.addData(DocsisFixtures.scrapes) // full replay (source retry)
+      q.processAllAvailable()
+      assert(spark.table("dedup_mem").count() == 4)
+    } finally q.stop()
+  }
+
+  test("events file stream: windowed counts match the batch equivalent") {
+    val stream = EventsStream.windowedCounts(
+      EventsStream.readStream(spark, sfDir))
+    val q = stream.writeStream.format("memory").queryName("ev_mem")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_mem")
+        .select($"window.start".as("ws"), $"event_type", $"n")
+      val want = Tables.events(spark, sfDir)
+        .groupBy(window($"ts", "15 minutes").getField("start").as("ws"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"))
+      assert(got.count() == want.count())
+      assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    } finally q.stop()
+  }
+
+  test("events session windows produce per-user sessions") {
+    val stream = EventsStream.sessions(EventsStream.readStream(spark, sfDir))
+    val q = stream.writeStream.format("memory").queryName("sess_mem")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.table("sess_mem")
+      assert(sessions.count() > 0)
+      // session windows must not overlap per user
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"session_window.start")
+      val overlaps = sessions
+        .withColumn("prev_end", lag($"session_window.end", 1).over(w))
+        .filter($"prev_end".isNotNull && $"session_window.start" < $"prev_end")
+      assert(overlaps.count() == 0)
+    } finally q.stop()
+  }
+}
