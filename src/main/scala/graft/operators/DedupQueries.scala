@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for the training-data pipeline (SURVEY.md §2.D):
   * exact (hash-groupBy), MinHash signatures + LSH band join, SimHash, and
@@ -46,14 +47,26 @@ object DedupQueries {
                   THEN substr(text, instr(text, ' ') + 1) ELSE text END
       FROM documents WHERE doc_id % 10 = 1"""
 
-  /** corpus → doc_id + 8-component MinHash signature (md5-salted). */
+  /** corpus → doc_id + 8-component MinHash signature (md5-salted).
+    *
+    * Shape: explode shingles once, then 8 MIN aggregations. The naive
+    * per-column higher-order-function form re-evaluates the tokenize+
+    * shingle subtree once per permutation after projection collapse
+    * (8× the regex work); exploding materializes each shingle string
+    * once and partial aggregation reduces the shuffle to one row per
+    * doc. explode_outer keeps shingle-less docs with NULL signatures
+    * (matching list_min([]) → NULL in the oracle).
+    */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    var df = corpus(s, dir)
+    corpus(s, dir)
       .withColumn("toks", tokens($"text"))
-      .withColumn("sh", shingles("toks"))
-    for (p <- 0 until 8) df = df.withColumn(s"mh$p", minhash("sh", p))
-    df.select($"doc_id" +: (0 until 8).map(p => col(s"mh$p")): _*)
+      .select($"doc_id", explode_outer(shingles("toks")).as("shingle"))
+      .groupBy($"doc_id")
+      .agg(
+        min(substring(md5(concat(lit("0:"), $"shingle")), 1, 16)).as("mh0"),
+        (1 until 8).map(p =>
+          min(substring(md5(concat(lit(s"$p:"), $"shingle")), 1, 16)).as(s"mh$p")): _*)
   }
 
   private val minhashSqlCore: String = {
@@ -124,11 +137,18 @@ object DedupQueries {
         val bands = sig.select($"doc_id", posexplode(array(
           (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*
         )).as(Seq("band", "bval"))).filter($"bval".isNotNull)
-        val a = bands.select($"doc_id".as("doc_a"), $"band", $"bval")
-        val b = bands.select($"doc_id".as("doc_b"), $"band", $"bval")
-        a.join(b, Seq("band", "bval"))
-          .filter($"doc_a" < $"doc_b")
-          .select($"doc_a", $"doc_b").distinct()
+        // One shuffle on the band value, then pairs generated inside each
+        // bucket — no self-join, so the minhash subtree is evaluated once.
+        bands
+          .groupBy($"band", $"bval")
+          .agg(sort_array(collect_list($"doc_id")).as("docs"))
+          .filter(size($"docs") > 1)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                   j -> struct(docs[j] AS doc_a, docs[i] AS doc_b))))"""))
+            .as("p"))
+          .select($"p.doc_a", $"p.doc_b").distinct()
           .orderBy($"doc_a", $"doc_b")
       },
       Some(s"""$minhashSqlCore,
@@ -176,21 +196,29 @@ object DedupQueries {
       "d05_ngram_jaccard_pairs",
       (s, dir) => {
         import s.implicits._
+        // Single evaluation of the tokenize+shingle subtree: per-doc
+        // shingle counts ride along as a window count, so posting-list
+        // pairs already carry |A| and |B| — no join-back, no recompute.
+        val w = Window.partitionBy($"doc_id")
         val sh = corpus(s, dir)
           .withColumn("toks", tokens($"text"))
           .select($"doc_id", explode(shingles("toks")).as("shingle"))
           .distinct()
-        val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-        val shingleDf = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        val inv = sh.join(shingleDf.filter($"df" <= maxShingleDf), Seq("shingle"))
-          .select($"doc_id", $"shingle")
-        val pairs = inv.as("a").join(inv.as("b"), Seq("shingle"))
-          .filter($"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .withColumn("n_sh", count(lit(1)).over(w))
+        val pairs = sh
+          .groupBy($"shingle")
+          .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("docs"))
+          .filter(size($"docs") > 1 && size($"docs") <= maxShingleDf)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                   j -> struct(docs[j].doc_id AS doc_a, docs[j].n_sh AS n_a,
+                               docs[i].doc_id AS doc_b, docs[i].n_sh AS n_b))))"""))
+            .as("p"))
+          .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
+            $"p.n_a".as("n_a"), $"p.n_b".as("n_b"))
           .agg(count(lit(1)).as("shared"))
         pairs
-          .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
-          .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
           .withColumn("jaccard",
             $"shared".cast("double") / ($"n_a" + $"n_b" - $"shared"))
           .filter($"jaccard" >= 0.5)
