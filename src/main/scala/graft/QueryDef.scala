@@ -25,6 +25,7 @@ object QueryDef {
     */
   val registry: Seq[QueryDef] =
     operators.CoreQueries.defs ++
+      operators.ExtendedQueries.defs ++
       operators.TextQueries.defs ++
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.WeightedAvgAggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Remaining SURVEY.md §2.D inventory rows: custom typed Aggregator,
+  * moving-average window frames, GROUPING SETS, map functions over JSON
+  * props, and approximate NDV (HLL — rows-only check, sketch values are
+  * engine-specific by nature).
+  */
+object ExtendedQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q23: custom Aggregator (typed, decimal-exact weighted mean) exposed
+    // through functions.udaf — quantity-weighted average price per flag.
+    QueryDef(
+      "q23_weighted_avg_price",
+      (s, dir) => {
+        import s.implicits._
+        val wavg = udaf(WeightedAvgAggregator)
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(wavg($"l_extendedprice", $"l_quantity").as("wavg_price"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "custom typed Aggregator via udaf (exact weighted mean)"),
+
+    // ------------------------------------------------------------------
+    // q24: moving average over daily revenue — 7-row frame; the daily
+    // totals stay decimal until after the moving sum, so the frame math
+    // is exact on both engines.
+    QueryDef(
+      "q24_moving_avg_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.load(s, dir, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("daily"),
+            count(lit(1)).as("n_orders"))
+        val w = Window.orderBy($"day").rowsBetween(-6, Window.currentRow)
+        daily
+          .withColumn("ma7",
+            (sum($"daily").over(w).cast("double") / count(lit(1)).over(w)))
+          .select($"day".cast("timestamp").as("day"), $"n_orders",
+            $"daily".cast("double").as("daily_revenue"), $"ma7")
+          .orderBy($"day")
+      },
+      Some("""
+        SELECT CAST(day AS TIMESTAMP) AS day, n_orders,
+               CAST(daily AS DOUBLE) AS daily_revenue,
+               CAST(SUM(daily) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+        FROM (SELECT date_trunc('day', o_orderdate) AS day,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS daily,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY 1) t
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day"""),
+      doc = "moving-average window frame over pre-aggregated days"),
+
+    // ------------------------------------------------------------------
+    // q25: GROUPING SETS through the SQL entry point.
+    QueryDef(
+      "q25_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 COUNT(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+      doc = "GROUPING SETS"),
+
+    // ------------------------------------------------------------------
+    // q26: JSON props as a typed map — from_json to MapType + explode.
+    QueryDef(
+      "q26_props_map",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select(explode(from_json($"props",
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+            .as(Seq("key", "val")))
+          .groupBy($"key")
+          .agg(count(lit(1)).as("n"), sum($"val").as("sum_val"),
+            min($"val").as("min_val"), max($"val").as("max_val"))
+          .orderBy($"key")
+      },
+      Some("""
+        SELECT key, COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS sum_val,
+               MIN(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS min_val,
+               MAX(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_val
+        FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t
+        GROUP BY key ORDER BY key"""),
+      doc = "map functions: from_json MapType + explode"),
+
+    // ------------------------------------------------------------------
+    // q27: approximate NDV (HyperLogLog++). Sketch estimates are
+    // engine-specific → rows-only driver check; the relative-error bound
+    // vs the exact count is asserted in ScalaTest instead.
+    QueryDef(
+      "q27_approx_ndv",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+            countDistinct($"l_orderkey").as("exact_orders"))
+          .orderBy($"l_returnflag")
+      },
+      None,
+      doc = "approx_count_distinct (HLL++) vs exact; rows-only oracle")
+  )
+}
