@@ -60,3 +60,20 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "scala_udf")
 }
+
+/** Deployment route for cluster use: `--conf spark.sql.extensions=
+  * graft.plans.GraftExtensions` injects the native functions into every
+  * session at build time (SURVEY.md §2.D custom-operator preference (b):
+  * Expression via SparkSessionExtensions, no per-session registration).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVectorDot(exprs(0), exprs(1))))
+}

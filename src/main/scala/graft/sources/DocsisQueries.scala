@@ -148,6 +148,72 @@ object DocsisQueries {
                           ELSE (id // 2 - 5) * 50 * (id % 2 + 1) END AS corrected
               FROM range(0, 20) t(id)) s
         ORDER BY channel, seq"""),
-      doc = "counter-rate with overflow guard (signed-counter semantics, tables.sql:19)")
+      doc = "counter-rate with overflow guard (signed-counter semantics, tables.sql:19)"),
+
+    // ------------------------------------------------------------------
+    // The SURVEY.md §7 "minimum end-to-end slice" dashboard query: per
+    // modem+channel, 10-minute buckets of SNR stats and uncorrected-error
+    // RATE (guarded against counter wraps), over a generated 720-snapshot
+    // nested series. The Spark side builds the real nested
+    // Array(Struct) column and explodes it — exercising the storage
+    // model; the oracle produces the equivalent flat rows directly.
+    QueryDef(
+      "dx06_dashboard_slice",
+      (s, _) => {
+        import s.implicits._
+        // 2 modems × 360 snapshots at 10 s cadence, 4 channels each.
+        // All-integer signal math so both engines agree exactly:
+        //   snr_x10 = 300 + (seq*7 + ch*13) % 100        (tenths of dB)
+        //   uncorrected = seq*(ch+1), wrapping to 0 every 100 ticks
+        val snapshots = s.range(0, 720).toDF("id")
+          .selectExpr(
+            "concat('m', id % 2) AS modem_name",
+            "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0, (id div 2) * 10) AS timestamp",
+            "id div 2 AS seq")
+          .withColumn("downstream_channels", expr(
+            """transform(sequence(0, 3), c -> named_struct(
+                 'channel_id', c,
+                 'snr_x10', 300 + (seq * 7 + c * 13) % 100,
+                 'uncorrected', (seq % 100) * (c + 1)))"""))
+        val w = Window.partitionBy($"modem_name", $"channel_id")
+          .orderBy($"timestamp".asc)
+        snapshots
+          .select($"modem_name", $"timestamp",
+            explode($"downstream_channels").as("ch"))
+          .select($"modem_name", $"timestamp",
+            $"ch.channel_id".as("channel_id"),
+            $"ch.snr_x10".as("snr_x10"), $"ch.uncorrected".as("uncorrected"))
+          .withColumn("d", $"uncorrected" - lag($"uncorrected", 1).over(w))
+          .withColumn("d", when($"d" < 0L, lit(null)).otherwise($"d"))
+          .groupBy(window($"timestamp", "10 minutes").getField("start").as("bucket"),
+            $"modem_name", $"channel_id")
+          .agg(
+            min($"snr_x10").as("min_snr_x10"),
+            sum($"snr_x10").as("sum_snr_x10"),
+            sum($"d").as("err_increase"),
+            count(lit(1)).as("n"))
+          .orderBy($"bucket", $"modem_name", $"channel_id")
+      },
+      Some("""
+        WITH flat AS (
+          SELECT 'm' || (id % 2) AS modem_name,
+                 TIMESTAMP '2024-03-01 00:00:00' + INTERVAL 10 SECOND * (id // 2) AS ts,
+                 c.c AS channel_id,
+                 300 + ((id // 2) * 7 + c.c * 13) % 100 AS snr_x10,
+                 ((id // 2) % 100) * (c.c + 1) AS uncorrected
+          FROM range(0, 720) t(id) CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+        rated AS (
+          SELECT modem_name, ts, channel_id, snr_x10,
+                 CASE WHEN d < 0 THEN NULL ELSE d END AS d
+          FROM (SELECT *, uncorrected - LAG(uncorrected, 1) OVER
+                       (PARTITION BY modem_name, channel_id ORDER BY ts ASC) AS d
+                FROM flat) x)
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS bucket, modem_name, channel_id,
+               MIN(snr_x10) AS min_snr_x10, SUM(snr_x10) AS sum_snr_x10,
+               SUM(d) AS err_increase, COUNT(*) AS n
+        FROM rated
+        GROUP BY 1, 2, 3
+        ORDER BY bucket, modem_name, channel_id"""),
+      doc = "SURVEY §7 end-to-end slice: nested channels → explode → 10-min buckets → SNR + guarded error rate")
   )
 }

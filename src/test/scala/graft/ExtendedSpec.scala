@@ -58,6 +58,16 @@ class ExtendedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("GraftExtensions injects vec_dot at session build time") {
+    // newSession() rebuilds the function registry from the session's
+    // extensions — no VectorExpressions.register call anywhere here.
+    val s2 = spark.newSession()
+    val got = s2.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("auth + scrape + parse compose end to end (socket-less transport)") {
     val transport = new graft.sources.HnapAuth.Transport {
       def post(h: Map[String, String], c: Map[String, String], b: String) =
