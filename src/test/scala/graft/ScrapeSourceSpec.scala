@@ -1,0 +1,79 @@
+package graft
+
+import graft.sources.{DocsisFixtures, HnapAuth, TransportRegistry}
+import graft.streaming.DocsisStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScrapeSourceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Canned modem: serves login rounds, then cycles scrape payloads;
+    * counts how many logins happened (for the re-auth test).
+    */
+  private class FakeModem(payloads: Seq[String]) extends HnapAuth.Transport {
+    var logins = 0
+    var scrapes = 0
+    def post(h: Map[String, String], c: Map[String, String], body: String): String =
+      if (body.contains("\"request\"")) {
+        """{"LoginResponse": {"Challenge": "C1", "Cookie": "u1", "PublicKey": "P1"}}"""
+      } else if (body.contains("\"login\"")) {
+        logins += 1
+        """{"LoginResponse": {"LoginResult": "OK"}}"""
+      } else {
+        val p = payloads(scrapes % payloads.size)
+        scrapes += 1
+        p
+      }
+  }
+
+  test("DSv2 micro-batch source: login, poll per batch, parse downstream") {
+    val modem = new FakeModem(DocsisFixtures.scrapes.take(3).map(_._1))
+    TransportRegistry.register("t1", modem)
+    val raw = spark.readStream
+      .format("graft.sources.HnapScrapeProvider")
+      .option("transportId", "t1").option("modemName", "MB8600")
+      .option("username", "admin").option("password", "motorola")
+      .option("maxScrapes", "3")
+      .load()
+    val parsed = DocsisStream.parseStream(
+      raw.withColumn("timestamp", col("timestamp").cast("timestamp")))
+    val q = parsed.writeStream.format("memory").queryName("scrape_src")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val out = spark.table("scrape_src")
+      assert(out.count() >= 1) // AvailableNow admits ≥1 polled scrape
+      assert(modem.logins == 1) // session reused across scrapes
+      val r = out.select($"modem_name", size($"downstream_channels"))
+        .as[(String, Int)].head()
+      assert(r._1 == "MB8600" && r._2 == 3)
+    } finally q.stop()
+  }
+
+  test("expired session triggers re-login and retry (mb8600.py:354-360)") {
+    // first scrape returns a non-OK result → source must re-login + retry
+    val unauth = DocsisFixtures.scrapes(3)._1 // the UN-AUTH fixture
+    val ok = DocsisFixtures.scrapes.head._1
+    val modem = new FakeModem(Seq(unauth, ok, ok, ok))
+    TransportRegistry.register("t2", modem)
+    val raw = spark.readStream
+      .format("graft.sources.HnapScrapeProvider")
+      .option("transportId", "t2").option("maxScrapes", "1")
+      .load()
+    val q = raw.writeStream.format("memory").queryName("scrape_reauth")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val payloads = spark.table("scrape_reauth").select($"payload")
+        .as[String].collect()
+      assert(payloads.length == 1)
+      assert(payloads.head.contains("\"GetMultipleHNAPsResult\": \"OK\""))
+      assert(modem.logins == 2) // initial + recovery re-login
+    } finally q.stop()
+  }
+}
