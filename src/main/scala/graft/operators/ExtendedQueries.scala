@@ -131,6 +131,65 @@ object ExtendedQueries {
           .orderBy($"l_returnflag")
       },
       None,
-      doc = "approx_count_distinct (HLL++) vs exact; rows-only oracle")
+      doc = "approx_count_distinct (HLL++) vs exact; rows-only oracle"),
+
+    // ------------------------------------------------------------------
+    // q28: salted shuffle join — the skew-mitigation pattern: fact rows
+    // get a deterministic per-row salt, the dim side is replicated
+    // SALT-fold, and the join key becomes (key, salt) so one hot key
+    // spreads over SALT reducers. Result set is IDENTICAL to the plain
+    // join, which is exactly what the oracle checks.
+    QueryDef(
+      "q28_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val SALT = 8
+        val li = Tables.load(s, dir, "lineitem")
+          .withColumn("salt", pmod(xxhash64($"l_partkey", $"l_linenumber"), lit(SALT)))
+        val ord = Tables.load(s, dir, "orders")
+          .withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
+          .withColumn("salt", $"salt".cast("long"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey" && li("salt") === ord("salt"))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_items"),
+            sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "salted join for skewed keys (same semantics as plain join)"),
+
+    // ------------------------------------------------------------------
+    // q29: range join — events matched into per-user activity windows
+    // ([first_ts, first_ts + 24h]); equi on user + range on ts, which
+    // Spark plans as an equi join with a post-filter (no cartesian).
+    QueryDef(
+      "q29_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val windows = ev.groupBy($"user_id".as("w_user"))
+          .agg(min($"ts").as("w_start"))
+          .withColumn("w_end", $"w_start" + expr("INTERVAL '24' HOUR"))
+        ev.join(broadcast(windows),
+            $"user_id" === $"w_user" && $"ts" >= $"w_start" && $"ts" <= $"w_end")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_in_window"),
+            sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT e.user_id, COUNT(*) AS n_in_window,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events e
+        JOIN (SELECT user_id AS w_user, MIN(ts) AS w_start,
+                     MIN(ts) + INTERVAL 24 HOUR AS w_end
+              FROM events GROUP BY user_id) w
+          ON e.user_id = w.w_user AND e.ts >= w.w_start AND e.ts <= w.w_end
+        GROUP BY e.user_id ORDER BY e.user_id"""),
+      doc = "range join (equi + interval predicate) into activity windows")
   )
 }
