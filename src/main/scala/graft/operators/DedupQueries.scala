@@ -250,6 +250,70 @@ object DedupQueries {
         JOIN counts cb ON cb.doc_id = doc_b
         WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
         ORDER BY doc_a, doc_b"""),
-      doc = "n-gram Jaccard near-dup pairs (inverted index + DF cap)")
+      doc = "n-gram Jaccard near-dup pairs (inverted index + DF cap)"),
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup: candidates bucketed by the sign pattern
+    // of the first 8 components (a deterministic random-hyperplane LSH —
+    // coordinate axes as hyperplanes), exact decimal cosine within each
+    // bucket. The corpus plants scaled copies (×2 per 25th vector), which
+    // are cosine-1.0 duplicates landing in the same sign bucket.
+    QueryDef(
+      "d06_embedding_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.dotExact
+        val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val copies = emb.filter($"vec_id" % 25 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+        val bucketed = emb.unionByName(copies)
+          .withColumn("bucket", concat(
+            (1 to 8).map(j => when(element_at($"embedding", j) >= 0.0f, lit("1"))
+              .otherwise(lit("0"))): _*))
+        val a = bucketed.select($"bucket", $"vec_id".as("id_a"), $"embedding".as("ea"))
+        val b = bucketed.select($"bucket", $"vec_id".as("id_b"), $"embedding".as("eb"))
+        a.join(b, Seq("bucket"))
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b",
+            round(dotExact("ea", "eb") /
+              (sqrt(dotExact("ea", "ea")) * sqrt(dotExact("eb", "eb"))), 9).as("cosine"))
+          .filter($"cosine" >= 0.999)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+          FROM embeddings WHERE vec_id % 25 = 0),
+        bucketed AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+                 CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+                 CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+                 CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+                 CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+                 CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+                 CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+                 CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END AS bucket
+          FROM corpus),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS ea, b.embedding AS eb
+          FROM bucketed a JOIN bucketed b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        flat AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM cand),
+        dots AS (SELECT id_a, id_b,
+                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
+                        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb
+                 FROM flat GROUP BY id_a, id_b)
+        SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 9) AS cosine
+        FROM dots
+        WHERE round(dot / (sqrt(na) * sqrt(nb)), 9) >= 0.999
+        ORDER BY id_a, id_b"""),
+      doc = "embedding-cosine near-dup via sign-bucket LSH + exact cosine")
   )
 }

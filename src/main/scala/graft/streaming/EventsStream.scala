@@ -40,6 +40,15 @@ object EventsStream {
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Sliding windows: 30-minute span advancing every 10 minutes — each
+    * event lands in 3 overlapping buckets.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Session windows per user with a 30-minute inactivity gap — the
     * streaming form of q19_sessionize.
     */

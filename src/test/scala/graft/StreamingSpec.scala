@@ -89,6 +89,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: every event lands in exactly 3 overlapping buckets") {
+    val stream = EventsStream.slidingCounts(EventsStream.readStream(spark, sfDir))
+    val q = stream.writeStream.format("memory").queryName("slide_mem")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("slide_mem").agg(sum($"n")).head().getLong(0)
+      val nEvents = Tables.events(spark, sfDir).count()
+      assert(total == 3 * nEvents)
+    } finally q.stop()
+  }
+
   test("events session windows produce per-user sessions") {
     val stream = EventsStream.sessions(EventsStream.readStream(spark, sfDir))
     val q = stream.writeStream.format("memory").queryName("sess_mem")
