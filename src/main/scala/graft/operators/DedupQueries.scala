@@ -199,10 +199,12 @@ object DedupQueries {
         // Single evaluation of the tokenize+shingle subtree: per-doc
         // shingle counts ride along as a window count, so posting-list
         // pairs already carry |A| and |B| — no join-back, no recompute.
+        // Shingles shuffle as fixed-width md5 prefixes, never raw text.
         val w = Window.partitionBy($"doc_id")
         val sh = corpus(s, dir)
           .withColumn("toks", tokens($"text"))
-          .select($"doc_id", explode(shingles("toks")).as("shingle"))
+          .select($"doc_id", explode(shingles("toks")).as("sh_raw"))
+          .select($"doc_id", substring(md5($"sh_raw"), 1, 16).as("shingle"))
           .distinct()
           .withColumn("n_sh", count(lit(1)).over(w))
         val pairs = sh
@@ -229,11 +231,11 @@ object DedupQueries {
         WITH corpus AS ($corpusSql),
         tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
                 FROM corpus),
-        sh AS (SELECT DISTINCT doc_id, unnest(
+        sh AS (SELECT DISTINCT doc_id, substr(md5(unnest(
                  CASE WHEN len(toks) >= 3
                       THEN list_transform(range(1, len(toks) - 1),
                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                      ELSE [] END) AS shingle
+                      ELSE [] END)), 1, 16) AS shingle
                FROM tok),
         counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inv AS (SELECT shingle, doc_id FROM sh
