@@ -153,25 +153,38 @@ object DocsisQueries {
     // ------------------------------------------------------------------
     // The SURVEY.md §7 "minimum end-to-end slice" dashboard query: per
     // modem+channel, 10-minute buckets of SNR stats and uncorrected-error
-    // RATE (guarded against counter wraps), over a generated 720-snapshot
-    // nested series. The Spark side builds the real nested
-    // Array(Struct) column and explodes it — exercising the storage
-    // model; the oracle produces the equivalent flat rows directly.
+    // RATE (guarded against counter wraps), over a generated nested
+    // series. The Spark side builds the real nested Array(Struct) column
+    // and explodes it — exercising the storage model; the oracle produces
+    // the equivalent flat rows directly. All-integer signal math so both
+    // engines agree exactly:
+    //   snr_x10 = 300 + (seq*7 + ch*13) % 100        (tenths of dB)
+    //   uncorrected = (seq % 100) * (ch+1)           (wraps every 100 ticks)
+    dashboardSlice("dx06_dashboard_slice", nRows = 720, nModems = 2, nChannels = 4,
+      doc = "SURVEY §7 end-to-end slice: nested channels → explode → 10-min buckets → SNR + guarded error rate"),
+
+    // Scale-weight variant: 200k snapshots × 8 channels = 1.6M channel
+    // rows through explode → 64-series lag windows → bucket agg. Same
+    // oracle-checked semantics; this is the row that carries real data
+    // volume in BENCH.
+    dashboardSlice("dx07_dashboard_slice_big", nRows = 200000, nModems = 8,
+      nChannels = 8,
+      doc = "dashboard slice at volume (1.6M channel rows)")
+  )
+
+  private def dashboardSlice(name: String, nRows: Long, nModems: Int,
+      nChannels: Int, doc: String): QueryDef =
     QueryDef(
-      "dx06_dashboard_slice",
+      name,
       (s, _) => {
         import s.implicits._
-        // 2 modems × 360 snapshots at 10 s cadence, 4 channels each.
-        // All-integer signal math so both engines agree exactly:
-        //   snr_x10 = 300 + (seq*7 + ch*13) % 100        (tenths of dB)
-        //   uncorrected = seq*(ch+1), wrapping to 0 every 100 ticks
-        val snapshots = s.range(0, 720).toDF("id")
+        val snapshots = s.range(0, nRows).toDF("id")
           .selectExpr(
-            "concat('m', id % 2) AS modem_name",
-            "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0, (id div 2) * 10) AS timestamp",
-            "id div 2 AS seq")
+            s"concat('m', id % $nModems) AS modem_name",
+            s"timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0, (id div $nModems) * 10) AS timestamp",
+            s"id div $nModems AS seq")
           .withColumn("downstream_channels", expr(
-            """transform(sequence(0, 3), c -> named_struct(
+            s"""transform(sequence(0, ${nChannels - 1}), c -> named_struct(
                  'channel_id', c,
                  'snr_x10', 300 + (seq * 7 + c * 13) % 100,
                  'uncorrected', (seq % 100) * (c + 1)))"""))
@@ -194,14 +207,15 @@ object DocsisQueries {
             count(lit(1)).as("n"))
           .orderBy($"bucket", $"modem_name", $"channel_id")
       },
-      Some("""
+      Some(s"""
         WITH flat AS (
-          SELECT 'm' || (id % 2) AS modem_name,
-                 TIMESTAMP '2024-03-01 00:00:00' + INTERVAL 10 SECOND * (id // 2) AS ts,
+          SELECT 'm' || (id % $nModems) AS modem_name,
+                 TIMESTAMP '2024-03-01 00:00:00' + INTERVAL 10 SECOND * (id // $nModems) AS ts,
                  c.c AS channel_id,
-                 300 + ((id // 2) * 7 + c.c * 13) % 100 AS snr_x10,
-                 ((id // 2) % 100) * (c.c + 1) AS uncorrected
-          FROM range(0, 720) t(id) CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+                 300 + ((id // $nModems) * 7 + c.c * 13) % 100 AS snr_x10,
+                 ((id // $nModems) % 100) * (c.c + 1) AS uncorrected
+          FROM range(0, $nRows) t(id)
+          CROSS JOIN (SELECT unnest(range(0, $nChannels)) AS c) c),
         rated AS (
           SELECT modem_name, ts, channel_id, snr_x10,
                  CASE WHEN d < 0 THEN NULL ELSE d END AS d
@@ -214,6 +228,5 @@ object DocsisQueries {
         FROM rated
         GROUP BY 1, 2, 3
         ORDER BY bucket, modem_name, channel_id"""),
-      doc = "SURVEY §7 end-to-end slice: nested channels → explode → 10-min buckets → SNR + guarded error rate")
-  )
+      doc = doc)
 }
