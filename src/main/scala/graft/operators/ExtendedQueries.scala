@@ -190,6 +190,66 @@ object ExtendedQueries {
               FROM events GROUP BY user_id) w
           ON e.user_id = w.w_user AND e.ts >= w.w_start AND e.ts <= w.w_end
         GROUP BY e.user_id ORDER BY e.user_id"""),
-      doc = "range join (equi + interval predicate) into activity windows")
+      doc = "range join (equi + interval predicate) into activity windows"),
+
+    // ------------------------------------------------------------------
+    // q30: exact interpolated percentiles (both engines use the same
+    // linear-interpolation definition).
+    QueryDef(
+      "q30_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "exact interpolated percentiles"),
+
+    // ------------------------------------------------------------------
+    // q31: remaining window-function shapes — ntile buckets, first/nth
+    // value over a frame.
+    QueryDef(
+      "q31_window_shapes",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        Tables.load(s, dir, "orders")
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("top_price", first($"o_totalprice").over(w))
+          .withColumn("second_key",
+            nth_value($"o_orderkey", 2).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter($"o_orderkey" % 100 === 0)
+          .select($"o_orderkey", $"o_orderstatus", $"quartile",
+            $"top_price", $"second_key")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, quartile, top_price, second_key
+        FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 NTILE(4) OVER w AS quartile,
+                 FIRST_VALUE(o_totalprice) OVER w AS top_price,
+                 NTH_VALUE(o_orderkey, 2) OVER
+                   (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey ASC)) t
+        WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey"""),
+      doc = "ntile / first_value / nth_value window shapes")
   )
 }

@@ -38,6 +38,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fact-table stream writer: day-partitioned parquet + checkpoint") {
+    val (mem, raw) = scrapeStream()
+    val base = java.nio.file.Files.createTempDirectory("fact_stream").toString
+    val q = DocsisStream
+      .factTableWriter(DocsisStream.parseStream(raw), s"$base/data", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) // test override of the 10s trigger
+      .start()
+    try {
+      mem.addData(DocsisFixtures.scrapes)
+      q.awaitTermination(60000)
+      val back = spark.read.parquet(s"$base/data")
+      assert(back.count() == 4)
+      // physical layout: one directory per day (tables.sql:30 parity)
+      val days = new java.io.File(s"$base/data").listFiles()
+        .filter(_.getName.startsWith("date=")).map(_.getName).sorted
+      assert(days.toSeq == Seq("date=2024-03-01", "date=2024-03-02"))
+    } finally q.stop()
+  }
+
   test("docsis windowed SNR agg emits after watermark passes") {
     val (mem, raw) = scrapeStream()
     val agg = DocsisStream.snrWindowed(DocsisStream.parseStream(raw))
