@@ -250,6 +250,63 @@ object ExtendedQueries {
                        ORDER BY o_totalprice DESC, o_orderkey ASC)) t
         WHERE o_orderkey % 100 = 0
         ORDER BY o_orderkey"""),
-      doc = "ntile / first_value / nth_value window shapes")
+      doc = "ntile / first_value / nth_value window shapes"),
+
+    // ------------------------------------------------------------------
+    // q32: pivot — one column per event type (fixed value list so the
+    // output schema is static and matches the oracle's CASE aggregation).
+    QueryDef(
+      "q32_pivot_event_types",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .count()
+          .na.fill(0L)
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "pivot to per-category columns"),
+
+    // ------------------------------------------------------------------
+    // q33: time-series gap fill — every hour between min and max event
+    // time gets a row, zero-filled where no events landed (the dashboard
+    // continuity requirement). The hour spine is generated with
+    // sequence+explode, never collected to the driver.
+    QueryDef(
+      "q33_gapfill_hours",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val hourly = ev.groupBy(date_trunc("hour", $"ts").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val spine = ev
+          .agg(min(date_trunc("hour", $"ts")).as("h0"),
+            max(date_trunc("hour", $"ts")).as("h1"))
+          .select(explode(expr(
+            "sequence(h0, h1, INTERVAL '1' HOUR)")).as("hour"))
+        spine.join(hourly, Seq("hour"), "left")
+          .select($"hour", coalesce($"n", lit(0L)).as("n"))
+          .orderBy($"hour")
+      },
+      Some("""
+        WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+                               date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+                  FROM bounds),
+        hourly AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+                   FROM events GROUP BY 1)
+        SELECT s.hour, COALESCE(h.n, 0) AS n
+        FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+        ORDER BY s.hour"""),
+      doc = "zero-filled hourly time series (sequence spine + left join)")
   )
 }
