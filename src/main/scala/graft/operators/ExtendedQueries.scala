@@ -263,7 +263,8 @@ object ExtendedQueries {
           .groupBy($"user_id")
           .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
           .count()
-          .na.fill(0L)
+          // fill only the pivoted counts — never the grouping key
+          .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
           .orderBy($"user_id")
       },
       Some("""
