@@ -28,14 +28,18 @@ object Bench {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
-    // best-of-2 per query: damps scheduler/GC noise on a shared machine
+    // best-of-2 per query: damps scheduler/GC noise on a shared machine.
+    // A query that fails BOTH runs reports -1.0 (never a fake timing).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -37,10 +37,4 @@ object VectorFunctions {
   /** cosine(a, b) from exact dots. */
   def cosineExact(a: String, b: String): Column =
     dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b)))
-
-  /** DuckDB SQL for the same exact dot: positional unnest + decimal SUM.
-    * `rel` must expose columns `$a` and `$b` as FLOAT lists.
-    */
-  def dotExactSql(a: String, b: String): String =
-    s"""SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18)))"""
 }

@@ -85,7 +85,10 @@ object CoreQueries {
         val cust = T(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
         val ord = T(s, dir, "orders").filter($"o_orderdate" < to_timestamp(lit("1999-01-01 00:00:00")))
         val li = T(s, dir, "lineitem").filter($"l_shipdate" > to_timestamp(lit("1999-01-01 00:00:00")))
-        li.join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+        // orders is fact-scale: no broadcast hint — Catalyst/AQE picks
+        // broadcast at small SF and shuffle join beyond the threshold.
+        // customer (dim) is always safe to broadcast.
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
           .join(broadcast(cust), $"o_custkey" === $"c_custkey")
           .groupBy($"l_orderkey", $"o_orderdate")
           .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
@@ -146,8 +149,10 @@ object CoreQueries {
         val ord = T(s, dir, "orders")
           .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
             $"o_orderdate" < to_timestamp(lit("1998-01-01 00:00:00")))
+        // orders is fact-scale (second-largest table): joined without a
+        // broadcast hint; true dimensions broadcast unconditionally.
         T(s, dir, "lineitem")
-          .join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+          .join(ord, $"l_orderkey" === $"o_orderkey")
           .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
           .join(broadcast(cust),
             $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")

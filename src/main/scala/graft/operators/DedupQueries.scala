@@ -264,7 +264,7 @@ object DedupQueries {
       "d06_embedding_neardup",
       (s, dir) => {
         import s.implicits._
-        import graft.functions.VectorFunctions.dotExact
+        import graft.functions.VectorFunctions.cosineExact
         val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
         val copies = emb.filter($"vec_id" % 25 === 0)
           .select(($"vec_id" + 1000000L).as("vec_id"),
@@ -278,8 +278,7 @@ object DedupQueries {
         a.join(b, Seq("bucket"))
           .filter($"id_a" < $"id_b")
           .select($"id_a", $"id_b",
-            round(dotExact("ea", "eb") /
-              (sqrt(dotExact("ea", "ea")) * sqrt(dotExact("eb", "eb"))), 9).as("cosine"))
+            round(cosineExact("ea", "eb"), 9).as("cosine"))
           .filter($"cosine" >= 0.999)
           .orderBy($"id_a", $"id_b")
       },

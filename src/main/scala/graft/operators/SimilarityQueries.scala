@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions.{cosineExact, dotExact, l2SqExact}
 import graft.plans.VectorExpressions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -32,9 +32,7 @@ object SimilarityQueries {
         emb.filter($"vec_id" =!= 0)
           .crossJoin(broadcast(q))
           .select($"vec_id",
-            round(dotExact("embedding", "qv") /
-              (sqrt(dotExact("embedding", "embedding")) * sqrt(dotExact("qv", "qv"))), 9)
-              .as("cosine"))
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
           .orderBy($"cosine".desc, $"vec_id".asc)
           .limit(20)
       },
@@ -142,9 +140,7 @@ object SimilarityQueries {
         assigned.join(broadcast(q), $"cid" === $"qcid")
           .filter($"vec_id" =!= 0)
           .select($"vec_id",
-            round(dotExact("embedding", "qv") /
-              (sqrt(dotExact("embedding", "embedding")) * sqrt(dotExact("qv", "qv"))), 9)
-              .as("cosine"))
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
           .orderBy($"cosine".desc, $"vec_id".asc)
           .limit(5)
       },

@@ -53,11 +53,16 @@ object HnapAuth {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def jsonField(body: String, path: Seq[String]): Option[String] = {
-    var node = mapper.readTree(body)
-    path.foreach { p => if (node != null) node = node.get(p) }
-    Option(node).map(_.asText())
-  }
+  private def jsonField(body: String, path: Seq[String]): Option[String] =
+    try {
+      var node = mapper.readTree(body)
+      path.foreach { p => if (node != null) node = node.get(p) }
+      Option(node).map(_.asText())
+    } catch {
+      // non-JSON response (HTML error page, empty body) → treated as a
+      // malformed LoginResponse, surfacing Left instead of crashing
+      case _: com.fasterxml.jackson.core.JacksonException => None
+    }
 
   /** The 2-round login handshake (mb8600.py:189-259): request →
     * Challenge/Cookie/PublicKey → derive keys → login. Returns Left on

@@ -71,7 +71,7 @@ class HnapScrapeTable(options: CaseInsensitiveStringMap) extends Table with Supp
         override def toBatch: Batch = throw new UnsupportedOperationException(
           "hnap_scrape is a streaming-only source")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new HnapMicroBatchStream(opts)
+          new HnapMicroBatchStream(opts, checkpointLocation)
       }
     }
 }
@@ -81,8 +81,8 @@ case class ScrapeOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-class HnapMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+class HnapMicroBatchStream(options: CaseInsensitiveStringMap,
+    checkpointLocation: String) extends MicroBatchStream {
 
   private val transport = TransportRegistry.get(options.get("transportId"))
   private val modemName = Option(options.get("modemName")).getOrElse("MB8600")
@@ -93,11 +93,52 @@ class HnapMicroBatchStream(options: CaseInsensitiveStringMap)
     Option(options.get("maxScrapes")).map(_.toLong).getOrElse(Long.MaxValue)
 
   private var session: Option[HnapAuth.HnapSession] = None
-  // scrapes buffered since the last commit, indexed by absolute offset
+
+  // Scrape WAL: each poll is persisted as <wal>/<offset> BEFORE the
+  // offset becomes visible, so a restarted query can replay any
+  // uncommitted range from disk (a scrape is un-refetchable — unlike a
+  // Kafka offset, the modem can't re-serve the past). scrapeCount
+  // resumes from the highest WAL entry.
+  private val hadoopConf = org.apache.spark.sql.SparkSession.active
+    .sessionState.newHadoopConf()
+  private val walDir = new org.apache.hadoop.fs.Path(checkpointLocation, "scrape-wal")
+  private val fs = walDir.getFileSystem(hadoopConf)
+  fs.mkdirs(walDir)
+  // in-memory read-through cache of the WAL
   private val buffered = mutable.TreeMap[Long, ScrapePartition]()
-  private var scrapeCount = 0L
+  private var scrapeCount: Long = {
+    val existing = fs.listStatus(walDir).map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+    if (existing.isEmpty) 0L else existing.max + 1L
+  }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def walWrite(offset: Long, p: ScrapePartition): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(walDir, s".$offset.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val node = mapper.createObjectNode()
+      node.put("payload", p.payload); node.put("modemName", p.modemName)
+      node.put("latency", p.latency); node.put("tsMicros", p.tsMicros)
+      out.write(mapper.writeValueAsBytes(node))
+    } finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(walDir, offset.toString))
+  }
+
+  private def walRead(offset: Long): Option[ScrapePartition] = {
+    val f = new org.apache.hadoop.fs.Path(walDir, offset.toString)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val node = mapper.readTree(in)
+        Some(ScrapePartition(node.get("payload").asText(),
+          node.get("modemName").asText(), node.get("latency").asDouble(),
+          node.get("tsMicros").asLong()))
+      } finally in.close()
+    }
+  }
   private def resultOk(payload: String): Boolean =
     try {
       val n = mapper.readTree(payload)
@@ -126,9 +167,10 @@ class HnapMicroBatchStream(options: CaseInsensitiveStringMap)
       payload = HnapAuth.scrape(transport, session.get, System.currentTimeMillis())
     }
     val latency = (System.nanoTime() - t0) / 1e9
-    buffered.put(scrapeCount,
-      ScrapePartition(payload, modemName, latency,
-        System.currentTimeMillis() * 1000L))
+    val part = ScrapePartition(payload, modemName, latency,
+      System.currentTimeMillis() * 1000L)
+    walWrite(scrapeCount, part) // durable before the offset is visible
+    buffered.put(scrapeCount, part)
     scrapeCount += 1
   }
 
@@ -143,7 +185,8 @@ class HnapMicroBatchStream(options: CaseInsensitiveStringMap)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ScrapeOffset].n
     val e = end.asInstanceOf[ScrapeOffset].n
-    (s until e).flatMap(buffered.get).toArray
+    // memory first, WAL fallback (restart replay of uncommitted batches)
+    (s until e).flatMap(o => buffered.get(o).orElse(walRead(o))).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -163,7 +206,10 @@ class HnapMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[ScrapeOffset].n
-    buffered.rangeTo(e - 1).keys.toSeq.foreach(buffered.remove)
+    buffered.rangeTo(e - 1).keys.toSeq.foreach { o =>
+      buffered.remove(o)
+      fs.delete(new org.apache.hadoop.fs.Path(walDir, o.toString), false)
+    }
   }
 
   override def stop(): Unit = ()

