@@ -50,24 +50,33 @@ object ExtendedQueries {
           .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("daily"),
             count(lit(1)).as("n_orders"))
         val w = Window.orderBy($"day").rowsBetween(-6, Window.currentRow)
+        // range frame keyed on day number: unlike the rows frame it spans
+        // calendar days, so gaps in the series shrink the window
+        val wr = Window.orderBy($"day_num").rangeBetween(-6, Window.currentRow)
         daily
+          .withColumn("day_num", datediff($"day", lit("1995-01-01")))
           .withColumn("ma7",
             (sum($"daily").over(w).cast("double") / count(lit(1)).over(w)))
+          .withColumn("ma7_range",
+            (sum($"daily").over(wr).cast("double") / count(lit(1)).over(wr)))
           .select($"day".cast("timestamp").as("day"), $"n_orders",
-            $"daily".cast("double").as("daily_revenue"), $"ma7")
+            $"daily".cast("double").as("daily_revenue"), $"ma7", $"ma7_range")
           .orderBy($"day")
       },
       Some("""
         SELECT CAST(day AS TIMESTAMP) AS day, n_orders,
                CAST(daily AS DOUBLE) AS daily_revenue,
-               CAST(SUM(daily) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+               CAST(SUM(daily) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7,
+               CAST(SUM(daily) OVER wr AS DOUBLE) / COUNT(*) OVER wr AS ma7_range
         FROM (SELECT date_trunc('day', o_orderdate) AS day,
+                     date_diff('day', DATE '1995-01-01', o_orderdate) AS day_num,
                      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS daily,
                      COUNT(*) AS n_orders
-              FROM orders GROUP BY 1) t
-        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              FROM orders GROUP BY 1, 2) t
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+               wr AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY day"""),
-      doc = "moving-average window frame over pre-aggregated days"),
+      doc = "moving-average: rows frame + gap-aware range frame"),
 
     // ------------------------------------------------------------------
     // q25: GROUPING SETS through the SQL entry point.
@@ -308,6 +317,30 @@ object ExtendedQueries {
         SELECT s.hour, COALESCE(h.n, 0) AS n
         FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
         ORDER BY s.hour"""),
-      doc = "zero-filled hourly time series (sequence spine + left join)")
+      doc = "zero-filled hourly time series (sequence spine + left join)"),
+
+    // ------------------------------------------------------------------
+    // q34: sliding windows in batch form — Spark's window(ts, 30m, 10m)
+    // assigns each event to 3 overlapping windows; the oracle enumerates
+    // the same 3 starts per event (bucket10(ts) - k*10min, k=0..2).
+    QueryDef(
+      "q34_sliding_batch",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .groupBy(window($"ts", "30 minutes", "10 minutes")
+            .getField("start").as("w_start"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"w_start", $"event_type")
+      },
+      Some("""
+        SELECT w_start, event_type, COUNT(*) AS n
+        FROM (SELECT time_bucket(INTERVAL 10 MINUTE, ts)
+                       - k.k * INTERVAL 10 MINUTE AS w_start, event_type
+              FROM events
+              CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k) t
+        GROUP BY w_start, event_type
+        ORDER BY w_start, event_type"""),
+      doc = "sliding (overlapping) windows, batch-checkable form")
   )
 }
