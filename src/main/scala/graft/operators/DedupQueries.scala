@@ -315,6 +315,65 @@ object DedupQueries {
         FROM dots
         WHERE round(dot / (sqrt(na) * sqrt(nb)), 9) >= 0.999
         ORDER BY id_a, id_b"""),
-      doc = "embedding-cosine near-dup via sign-bucket LSH + exact cosine")
+      doc = "embedding-cosine near-dup via sign-bucket LSH + exact cosine"),
+
+    // ------------------------------------------------------------------
+    // SimHash near-dup pairs: hamming distance ≤ 2 over the 16-bit
+    // signatures. Pigeonhole banding (6+5+5 bits): ≤2 differing bits
+    // leave at least one of 3 bands identical, so banding finds every
+    // qualifying pair without an all-pairs join; bit_count(xor) then
+    // filters exactly. Bucket-size cap bounds quadratic pair generation.
+    QueryDef(
+      "d07_simhash_near_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val sims = corpus(s, dir)
+          .withColumn("toks", tokens($"text"))
+          .select($"doc_id", simhash16("toks").as("simhash"))
+        val bands = sims.select($"doc_id", $"simhash", posexplode(array(
+          ($"simhash" % 64).as("b0"),
+          (expr("simhash div 64") % 32).as("b1"),
+          (expr("simhash div 2048") % 32).as("b2"))).as(Seq("band", "bval")))
+        val pairs = bands
+          .groupBy($"band", $"bval")
+          .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("docs"))
+          .filter(size($"docs") > 1 && size($"docs") <= 1000)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                   j -> struct(docs[j].doc_id AS doc_a, docs[j].simhash AS sim_a,
+                               docs[i].doc_id AS doc_b, docs[i].simhash AS sim_b))))"""))
+            .as("p"))
+          .select($"p.doc_a", $"p.doc_b",
+            bit_count($"p.sim_a".bitwiseXOR($"p.sim_b")).cast("long").as("hamming"))
+          .distinct()
+        pairs.filter($"hamming" <= 2)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""
+        WITH corpus AS ($corpusSql),
+        sims AS (SELECT doc_id, CAST(${(1 to 16).map { j =>
+          s"""CASE WHEN 2 * len(list_filter(toks, t -> substr(md5(t), $j, 1) >= '8'))
+                        > len(toks) THEN ${1L << (j - 1)} ELSE 0 END"""
+        }.mkString(" + ")} AS BIGINT) AS simhash
+                 FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                       FROM corpus) t),
+        bands AS (
+          SELECT doc_id, simhash, 0 AS band, simhash % 64 AS bval FROM sims
+          UNION ALL SELECT doc_id, simhash, 1, (simhash // 64) % 32 FROM sims
+          UNION ALL SELECT doc_id, simhash, 2, (simhash // 2048) % 32 FROM sims),
+        sized AS (SELECT band, bval FROM bands GROUP BY band, bval
+                  HAVING COUNT(*) > 1 AND COUNT(*) <= 1000),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                      AND a.doc_id < b.doc_id
+          JOIN sized s ON s.band = a.band AND s.bval = a.bval)
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM pairs WHERE hamming <= 2
+        ORDER BY doc_a, doc_b"""),
+      doc = "SimHash hamming≤2 near-dup pairs via pigeonhole banding + bit ops")
   )
 }
