@@ -33,12 +33,13 @@ object TextFunctions {
   def minhash(shinglesCol: String, perm: Int): Column =
     expr(s"array_min(transform($shinglesCol, x -> substring(md5(concat('$perm:', x)), 1, 16)))")
 
-  /** 16-bit SimHash: bit j is the majority vote over tokens of whether
-    * hex digit j of md5(token) has its high bit set. Deterministic and
-    * reproducible in SQL (no bit intrinsics needed).
+  /** 32-bit SimHash: bit j is the majority vote over tokens of whether
+    * hex digit j of md5(token) has its high bit set (md5 has exactly 32
+    * hex digits — one per bit). Deterministic and reproducible in SQL
+    * (no bit intrinsics needed).
     */
-  def simhash16(toksCol: String): Column =
-    (1 to 16).map { j =>
+  def simhash32(toksCol: String): Column =
+    (1 to 32).map { j =>
       expr(s"""CASE WHEN 2 * size(filter($toksCol, t -> substring(md5(t), $j, 1) >= '8'))
                         > size($toksCol)
                THEN ${1L << (j - 1)}L ELSE 0L END""")

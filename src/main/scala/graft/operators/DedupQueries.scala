@@ -93,6 +93,28 @@ object DedupQueries {
     */
   val maxShingleDf = 100
 
+  /** corpus → (doc_id, 32-bit simhash), computed by exploding tokens and
+    * hashing each token ONCE, with 32 ±1 partial sums per doc — the
+    * per-row `TextFunctions.simhash32` form re-evaluates md5 over every
+    * token once per bit (32× the hash work) after projection collapse.
+    * sum(±1) > 0 ⇔ the majority vote 2·count > len, ties → 0 in both.
+    */
+  def simhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sums = corpus(s, dir)
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", explode($"toks").as("t")) // split() is never empty
+      .withColumn("h", md5($"t"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(when(substring($"h", 1, 1) >= "8", 1).otherwise(-1)).as("s1"),
+        (2 to 32).map(j =>
+          sum(when(substring($"h", j, 1) >= "8", 1).otherwise(-1)).as(s"s$j")): _*)
+    sums.select($"doc_id",
+      (1 to 32).map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -165,18 +187,12 @@ object DedupQueries {
       doc = "MinHash-LSH band join for near-dup candidates"),
 
     // ------------------------------------------------------------------
-    // SimHash: 16-bit signature per document.
+    // SimHash: 32-bit signature per document.
     QueryDef(
       "d04_simhash",
-      (s, dir) => {
-        import s.implicits._
-        corpus(s, dir)
-          .withColumn("toks", tokens($"text"))
-          .select($"doc_id", simhash16("toks").as("simhash"))
-          .orderBy($"doc_id")
-      },
+      (s, dir) => simhashes(s, dir).orderBy(col("doc_id")),
       Some {
-        val terms = (1 to 16).map { j =>
+        val terms = (1 to 32).map { j =>
           s"""CASE WHEN 2 * len(list_filter(toks, t -> substr(md5(t), $j, 1) >= '8'))
                         > len(toks) THEN ${1L << (j - 1)} ELSE 0 END"""
         }.mkString(" + ")
@@ -318,8 +334,8 @@ object DedupQueries {
       doc = "embedding-cosine near-dup via sign-bucket LSH + exact cosine"),
 
     // ------------------------------------------------------------------
-    // SimHash near-dup pairs: hamming distance ≤ 2 over the 16-bit
-    // signatures. Pigeonhole banding (6+5+5 bits): ≤2 differing bits
+    // SimHash near-dup pairs: hamming distance ≤ 2 over the 32-bit
+    // signatures. Pigeonhole banding (11+11+10 bits): ≤2 differing bits
     // leave at least one of 3 bands identical, so banding finds every
     // qualifying pair without an all-pairs join; bit_count(xor) then
     // filters exactly. Bucket-size cap bounds quadratic pair generation.
@@ -327,13 +343,11 @@ object DedupQueries {
       "d07_simhash_near_pairs",
       (s, dir) => {
         import s.implicits._
-        val sims = corpus(s, dir)
-          .withColumn("toks", tokens($"text"))
-          .select($"doc_id", simhash16("toks").as("simhash"))
+        val sims = simhashes(s, dir)
         val bands = sims.select($"doc_id", $"simhash", posexplode(array(
-          ($"simhash" % 64).as("b0"),
-          (expr("simhash div 64") % 32).as("b1"),
-          (expr("simhash div 2048") % 32).as("b2"))).as(Seq("band", "bval")))
+          ($"simhash" % 2048).as("b0"),
+          (expr("simhash div 2048") % 2048).as("b1"),
+          expr("simhash div 4194304").as("b2"))).as(Seq("band", "bval")))
         val pairs = bands
           .groupBy($"band", $"bval")
           .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("docs"))
@@ -352,16 +366,16 @@ object DedupQueries {
       },
       Some(s"""
         WITH corpus AS ($corpusSql),
-        sims AS (SELECT doc_id, CAST(${(1 to 16).map { j =>
+        sims AS (SELECT doc_id, CAST(${(1 to 32).map { j =>
           s"""CASE WHEN 2 * len(list_filter(toks, t -> substr(md5(t), $j, 1) >= '8'))
                         > len(toks) THEN ${1L << (j - 1)} ELSE 0 END"""
         }.mkString(" + ")} AS BIGINT) AS simhash
                  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
                        FROM corpus) t),
         bands AS (
-          SELECT doc_id, simhash, 0 AS band, simhash % 64 AS bval FROM sims
-          UNION ALL SELECT doc_id, simhash, 1, (simhash // 64) % 32 FROM sims
-          UNION ALL SELECT doc_id, simhash, 2, (simhash // 2048) % 32 FROM sims),
+          SELECT doc_id, simhash, 0 AS band, simhash % 2048 AS bval FROM sims
+          UNION ALL SELECT doc_id, simhash, 1, (simhash // 2048) % 2048 FROM sims
+          UNION ALL SELECT doc_id, simhash, 2, simhash // 4194304 FROM sims),
         sized AS (SELECT band, bval FROM bands GROUP BY band, bval
                   HAVING COUNT(*) > 1 AND COUNT(*) <= 1000),
         pairs AS (

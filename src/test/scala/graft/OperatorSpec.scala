@@ -57,13 +57,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(sigs(2) == null) // < 3 tokens → no shingles
   }
 
-  test("simhash: deterministic and in 16-bit range") {
+  test("simhash: deterministic and in 32-bit range") {
     val df = Seq("spark sql engine", "spark sql engine", "totally different words here")
       .toDF("text")
       .withColumn("toks", TextFunctions.tokens($"text"))
-      .select(TextFunctions.simhash16("toks").as("sh")).as[Long].collect()
+      .select(TextFunctions.simhash32("toks").as("sh")).as[Long].collect()
     assert(df(0) == df(1))
-    assert(df.forall(v => v >= 0 && v < 65536))
+    assert(df.forall(v => v >= 0 && v < (1L << 32)))
   }
 
   test("media pipeline: typed mapPartitions path equals expression path") {

@@ -60,11 +60,11 @@ object ParseProps extends Properties("HnapParse") {
           power.toFloat, snr.toFloat, corr, uncorr))
     }
 
-  property("simhash16 stays in [0, 65536)") =
+  property("simhash32 stays in [0, 2^32)") =
     forAll(Gen.listOf(Gen.alphaStr.suchThat(_.nonEmpty)).map(_.take(20))) { words =>
       val v = Seq(words.mkString(" ")).toDF("text")
         .withColumn("toks", graft.functions.TextFunctions.tokens($"text"))
-        .select(graft.functions.TextFunctions.simhash16("toks")).as[Long].head()
-      v >= 0L && v < 65536L
+        .select(graft.functions.TextFunctions.simhash32("toks")).as[Long].head()
+      v >= 0L && v < (1L << 32)
     }
 }
