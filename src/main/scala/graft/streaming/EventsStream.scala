@@ -63,4 +63,30 @@ object EventsStream {
     events
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static join: the static side (a dimension) is re-read per
+    * micro-batch and broadcast — no state required.
+    */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
+  /** Stream-stream join: purchases matched to signups of the same user
+    * within the preceding 7 days. Both sides carry watermarks and the
+    * join has a time-range condition, so Spark can bound the state it
+    * keeps for each side.
+    */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL '7' DAY"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_ts"))
+  }
 }

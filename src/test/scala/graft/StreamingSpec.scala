@@ -120,6 +120,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each event from a broadcast dimension") {
+    val dim = Tables.events(spark, sfDir)
+      .groupBy($"user_id").agg(min($"ts").as("first_seen"))
+    val joined = EventsStream.enrichWithStatic(
+      EventsStream.readStream(spark, sfDir), dim)
+    val q = joined.writeStream.format("memory").queryName("enrich_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enrich_mem")
+      assert(out.count() == Tables.events(spark, sfDir).count())
+      assert(out.filter($"first_seen".isNull).count() == 0)
+    } finally q.stop()
+  }
+
+  test("stream-stream join matches the batch range join") {
+    val joined = EventsStream.purchaseSignupJoin(
+      EventsStream.readStream(spark, sfDir))
+    val q = joined.writeStream.format("memory").queryName("ss_join_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join_mem")
+      val ev = Tables.events(spark, sfDir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+      val s = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+      val want = p.join(s, $"user_id" === $"s_user" &&
+          $"s_ts" <= $"p_ts" && $"s_ts" >= $"p_ts" - expr("INTERVAL '7' DAY"))
+        .select($"p_id", $"user_id", $"p_ts", $"s_ts")
+      // inner stream-stream join emits matches as they arrive; with all
+      // data in one batch the result must equal the batch join
+      assert(got.count() == want.count())
+      assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("events session windows produce per-user sessions") {
     val stream = EventsStream.sessions(EventsStream.readStream(spark, sfDir))
     val q = stream.writeStream.format("memory").queryName("sess_mem")
