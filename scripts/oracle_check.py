@@ -57,12 +57,35 @@ def main(sf_dir, out_dir):
             cur = con.execute(sql)
             d_cols = [d[0] for d in cur.description]
             d_rows = rows_of(d_cols, cur.fetchall())
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) _q").fetchall()
+            d_types = {r[0]: r[1] for r in desc}
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: cols {sorted(s_cols)} vs {sorted(d_cols)}")
+            n_fail += 1
+            continue
+        # The driver's hash is type-sensitive: DuckDB SUM(int) promotes to
+        # HUGEINT (int128) which hashes differently than Spark's BIGINT even
+        # when values are equal (round-1 lesson: dx06/dx07/q17/q19/q26).
+        # Also flag int-width mismatches vs the Spark parquet schema.
+        arrow_of_duck = {
+            "BIGINT": "int64", "INTEGER": "int32", "SMALLINT": "int16",
+            "TINYINT": "int8", "DOUBLE": "double", "FLOAT": "float",
+            "VARCHAR": "string", "DATE": "date32[day]", "BOOLEAN": "bool"}
+        type_bad = []
+        for i, c in enumerate(s_cols):
+            dt = d_types.get(c, "?")
+            st = str(tbl.schema.field(c).type)
+            if dt in ("HUGEINT", "UHUGEINT"):
+                type_bad.append(f"{c}: duckdb {dt} (cast the SUM!)")
+            elif dt in arrow_of_duck and arrow_of_duck[dt] != st:
+                type_bad.append(f"{c}: duckdb {dt} vs spark {st}")
+        if type_bad:
+            print(f"FAIL {name}: type mismatch: {'; '.join(type_bad)}")
             n_fail += 1
             continue
         if len(s_rows) != len(d_rows):

@@ -433,7 +433,7 @@ object CoreQueries {
       },
       Some("""
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                COUNT(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type"""),
@@ -488,7 +488,7 @@ object CoreQueries {
           .orderBy($"user_id")
       },
       Some("""
-        SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         FROM (
           SELECT user_id,
                  CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE

@@ -118,7 +118,7 @@ object ExtendedQueries {
       },
       Some("""
         SELECT key, COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS sum_val,
+               CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_val,
                MIN(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS min_val,
                MAX(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_val
         FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t

@@ -211,7 +211,7 @@ object DocsisQueries {
         WITH flat AS (
           SELECT 'm' || (id % $nModems) AS modem_name,
                  TIMESTAMP '2024-03-01 00:00:00' + INTERVAL 10 SECOND * (id // $nModems) AS ts,
-                 c.c AS channel_id,
+                 CAST(c.c AS INTEGER) AS channel_id,
                  300 + ((id // $nModems) * 7 + c.c * 13) % 100 AS snr_x10,
                  ((id // $nModems) % 100) * (c.c + 1) AS uncorrected
           FROM range(0, $nRows) t(id)
@@ -223,8 +223,9 @@ object DocsisQueries {
                        (PARTITION BY modem_name, channel_id ORDER BY ts ASC) AS d
                 FROM flat) x)
         SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS bucket, modem_name, channel_id,
-               MIN(snr_x10) AS min_snr_x10, SUM(snr_x10) AS sum_snr_x10,
-               SUM(d) AS err_increase, COUNT(*) AS n
+               MIN(snr_x10) AS min_snr_x10,
+               CAST(SUM(snr_x10) AS BIGINT) AS sum_snr_x10,
+               CAST(SUM(d) AS BIGINT) AS err_increase, COUNT(*) AS n
         FROM rated
         GROUP BY 1, 2, 3
         ORDER BY bucket, modem_name, channel_id"""),
