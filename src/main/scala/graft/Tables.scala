@@ -15,15 +15,31 @@ object Tables {
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read it as raw nanos and truncate to microseconds —
-    * the same ns→µs truncation DuckDB applies, so oracle comparisons see
-    * identical instants.
+  /** Explicit read schema for events.parquet: ts is TIMESTAMP(NANOS),
+    * which Spark's schema inference rejects — but an explicit LongType
+    * request reads the raw nanos without touching any session conf (no
+    * hidden `spark.sql.legacy.parquet.nanosAsLong` mutation, so unrelated
+    * parquet reads stay order-independent).
+    */
+  val eventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // nanos-as-long
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
+  /** events.ts is TIMESTAMP(NANOS) parquet; read it as raw nanos via the
+    * explicit schema and truncate to microseconds — the same ns→µs
+    * truncation DuckDB applies, so oracle comparisons see identical
+    * instants.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/events.parquet")
+    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -203,7 +203,7 @@ object DedupQueries {
               FROM corpus) t
         ORDER BY doc_id"""
       },
-      doc = "SimHash 16-bit signatures"),
+      doc = "SimHash 32-bit signatures"),
 
     // ------------------------------------------------------------------
     // n-gram Jaccard near-dup pairs via inverted shingle index with a

@@ -64,6 +64,22 @@ object HnapAuth {
       case _: com.fasterxml.jackson.core.JacksonException => None
     }
 
+  /** Login request body via Jackson (not string interpolation), so a
+    * credential containing a quote or backslash is escaped rather than
+    * corrupting the JSON or injecting fields.
+    */
+  private def loginBody(action: String, username: String,
+      loginPassword: String): String = {
+    val root = mapper.createObjectNode()
+    val login = root.putObject("Login")
+    login.put("Action", action)
+    login.put("Username", username)
+    login.put("LoginPassword", loginPassword)
+    login.put("Captcha", "")
+    login.put("PrivateLogin", "LoginPassword")
+    mapper.writeValueAsString(root)
+  }
+
   /** The 2-round login handshake (mb8600.py:189-259): request →
     * Challenge/Cookie/PublicKey → derive keys → login. Returns Left on
     * auth failure (reference raises and stops, mb8600.py:317-320).
@@ -75,9 +91,7 @@ object HnapAuth {
       headers = Map("Hnap_auth" -> hnapAuth("Login", nowMillis = nowMillis),
         "Soapaction" -> uri),
       cookies = Map.empty,
-      body = s"""{"Login": {"Action": "request", "Username": "$username",
-                 |"LoginPassword": "", "Captcha": "", "PrivateLogin": "LoginPassword"}}"""
-        .stripMargin)
+      body = loginBody("request", username, loginPassword = ""))
     (for {
       challenge <- jsonField(req1, Seq("LoginResponse", "Challenge"))
       cookie <- jsonField(req1, Seq("LoginResponse", "Cookie"))
@@ -89,9 +103,7 @@ object HnapAuth {
         headers = Map("Hnap_auth" -> hnapAuth("Login", pk, nowMillis),
           "Soapaction" -> uri),
         cookies = Map("uid" -> cookie, "PrivateKey" -> pk),
-        body = s"""{"Login": {"Action": "login", "Username": "$username",
-                   |"LoginPassword": "$lp", "Captcha": "", "PrivateLogin": "LoginPassword"}}"""
-          .stripMargin)
+        body = loginBody("login", username, loginPassword = lp))
       jsonField(req2, Seq("LoginResponse", "LoginResult")) match {
         case Some("OK") => Right(HnapSession(cookie, pk, lp))
         case other => Left(s"login failed: $other")

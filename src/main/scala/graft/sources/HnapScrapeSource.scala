@@ -106,10 +106,22 @@ class HnapMicroBatchStream(options: CaseInsensitiveStringMap,
   fs.mkdirs(walDir)
   // in-memory read-through cache of the WAL
   private val buffered = mutable.TreeMap[Long, ScrapePartition]()
+  // Committed high-watermark markers: commit(e) leaves an empty
+  // `commit-<e>` file, so after a restart where every batch was committed
+  // (and its WAL entries therefore pruned) the counter still resumes at
+  // the checkpointed offset instead of regressing to 0 and silently
+  // shadowing the first post-restart scrapes behind already-planned
+  // offsets.
+  private def committedMark(): Long =
+    fs.listStatus(walDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("commit-") =>
+        scala.util.Try(n.stripPrefix("commit-").toLong).toOption }
+      .flatten.foldLeft(0L)(math.max)
   private var scrapeCount: Long = {
-    val existing = fs.listStatus(walDir).map(_.getPath.getName)
+    val walMax = fs.listStatus(walDir).map(_.getPath.getName)
       .flatMap(n => scala.util.Try(n.toLong).toOption)
-    if (existing.isEmpty) 0L else existing.max + 1L
+      .foldLeft(-1L)(math.max) + 1L
+    math.max(walMax, committedMark())
   }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -185,8 +197,14 @@ class HnapMicroBatchStream(options: CaseInsensitiveStringMap,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ScrapeOffset].n
     val e = end.asInstanceOf[ScrapeOffset].n
-    // memory first, WAL fallback (restart replay of uncommitted batches)
-    (s until e).flatMap(o => buffered.get(o).orElse(walRead(o))).toArray
+    // memory first, WAL fallback (restart replay of uncommitted batches).
+    // A scrape is un-refetchable, so a planned-but-missing offset is data
+    // loss — fail loudly rather than silently narrowing the batch.
+    (s until e).map { o =>
+      buffered.get(o).orElse(walRead(o)).getOrElse(throw new IllegalStateException(
+        s"scrape offset $o in [$s, $e) missing from both buffer and WAL " +
+          s"at $walDir — refusing to plan a batch that would drop data"))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -206,6 +224,13 @@ class HnapMicroBatchStream(options: CaseInsensitiveStringMap,
 
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[ScrapeOffset].n
+    // Durable watermark FIRST (an empty marker file is atomic-by-name),
+    // then prune; crash between the two just leaves extra WAL entries.
+    val prev = committedMark()
+    if (e > prev) {
+      fs.create(new org.apache.hadoop.fs.Path(walDir, s"commit-$e"), true).close()
+      fs.delete(new org.apache.hadoop.fs.Path(walDir, s"commit-$prev"), false)
+    }
     buffered.rangeTo(e - 1).keys.toSeq.foreach { o =>
       buffered.remove(o)
       fs.delete(new org.apache.hadoop.fs.Path(walDir, o.toString), false)

@@ -12,20 +12,13 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet carries TIMESTAMP(NANOS) → read ts as raw nanos
-    * (schema must be explicit for readStream) and truncate to micros,
-    * matching Tables.events.
+  /** events.parquet carries TIMESTAMP(NANOS) → read ts as raw nanos via
+    * the shared explicit schema and truncate to micros, matching
+    * Tables.events (no session-conf mutation).
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  val rawSchema: StructType = graft.Tables.eventsRawSchema
 
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet") // file source wants a dir

@@ -33,7 +33,7 @@ class RestartSpec extends AnyFunSuite {
       q.stop()
     }
 
-    val n = Tables.events(spark, sfDir).count() // also sets nanosAsLong conf
+    val n = Tables.events(spark, sfDir).count()
 
     Files.copy(src, Paths.get(s"$in/batch1.parquet"),
       StandardCopyOption.REPLACE_EXISTING)

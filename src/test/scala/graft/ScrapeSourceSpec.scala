@@ -73,8 +73,38 @@ class ScrapeSourceSpec extends AnyFunSuite {
     run(maxScrapes = 4) // new stream instance, same checkpoint
     val out = spark.read.parquet(s"$base/out")
     assert(out.count() > n1)          // new scrapes flowed after restart
-    assert(out.count() == out.select($"payload", $"timestamp").distinct().count() ||
-      out.count() <= 4)               // and nothing double-counted
+    // exactly-once: every scrape the modem served reached the sink once
+    assert(out.count() == modem.scrapes)
+  }
+
+  test("restart after full commit resumes at the committed watermark") {
+    // The advisor's round-1 scenario: every batch committed → WAL pruned →
+    // a naive WAL-derived counter would reset to 0 and the checkpoint's
+    // offset N would silently shadow the first post-restart scrapes.
+    import graft.sources.{HnapMicroBatchStream, ScrapeOffset, ScrapePartition}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val modem = new FakeModem(DocsisFixtures.scrapes.take(3).map(_._1))
+    TransportRegistry.register("t4", modem)
+    val ckpt = java.nio.file.Files.createTempDirectory("scrape_marker").toString
+    def opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("transportId", "t4"))
+    val s1 = new HnapMicroBatchStream(opts, ckpt)
+    s1.latestOffset(); s1.latestOffset()
+    assert(s1.planInputPartitions(ScrapeOffset(0), ScrapeOffset(2)).length == 2)
+    s1.commit(ScrapeOffset(2)) // ALL batches committed → WAL entries pruned
+    // restart: fresh instance over the same checkpoint dir
+    val s2 = new HnapMicroBatchStream(opts, ckpt)
+    val next = s2.latestOffset().asInstanceOf[ScrapeOffset].n
+    assert(next == 3, s"counter must resume at committed watermark 2, got ${next - 1}")
+    // the post-restart scrape is plannable — nothing shadowed or dropped
+    val parts = s2.planInputPartitions(ScrapeOffset(2), ScrapeOffset(3))
+    assert(parts.length == 1 &&
+      parts.head.asInstanceOf[ScrapePartition].payload.nonEmpty)
+    // a genuinely missing offset fails loudly instead of narrowing the batch
+    val ex = intercept[IllegalStateException] {
+      s2.planInputPartitions(ScrapeOffset(0), ScrapeOffset(2))
+    }
+    assert(ex.getMessage.contains("missing"))
   }
 
   test("expired session triggers re-login and retry (mb8600.py:354-360)") {
