@@ -26,6 +26,7 @@ object QueryDef {
   val registry: Seq[QueryDef] =
     operators.CoreQueries.defs ++
       operators.ExtendedQueries.defs ++
+      operators.SubqueryQueries.defs ++
       operators.TextQueries.defs ++
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++

@@ -71,4 +71,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("correlated scalar subqueries decorrelate to aggregate+join, not re-execution") {
+    // Catalyst must rewrite q35's two per-part subqueries into joined
+    // aggregates; a per-row subquery re-execution would never scale.
+    val p = plan("q35_small_qty_revenue")
+    assert(!p.contains("ScalarSubquery"), "subquery survived decorrelation")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("EXISTS/NOT EXISTS plan as semi + anti joins (q39)") {
+    val p = plan("q39_quiet_active_customers")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
 }
