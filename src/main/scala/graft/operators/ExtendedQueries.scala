@@ -341,6 +341,40 @@ object ExtendedQueries {
               CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k) t
         GROUP BY w_start, event_type
         ORDER BY w_start, event_type"""),
-      doc = "sliding (overlapping) windows, batch-checkable form")
+      doc = "sliding (overlapping) windows, batch-checkable form"),
+
+    // ------------------------------------------------------------------
+    // q41: PURE band join — no equi key at all: every event matched into
+    // every 1-hour inspection window it falls in (windows start every 2
+    // hours from the first event). Stock Spark plans this as an O(n·m)
+    // BroadcastNestedLoopJoin; the injected RangeBucketJoin rule
+    // (plans/RangeBucketJoin.scala) rewrites it to a bucketized hash
+    // join. Same rows either way — which is what the oracle checks; the
+    // plan shape is asserted in PlanSpec.
+    QueryDef(
+      "q41_band_join_windows",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val wins = ev.agg(date_trunc("hour", min($"ts")).as("t0"))
+          .select(explode(sequence(lit(0), lit(359))).as("k"), $"t0")
+          .select(expr("timestampadd(HOUR, 2 * k, t0)").as("w_start"))
+          .withColumn("w_end", $"w_start" + expr("INTERVAL '1' HOUR"))
+        ev.join(wins, $"ts" >= $"w_start" && $"ts" < $"w_end")
+          .groupBy($"w_start")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+          .orderBy($"w_start")
+      },
+      Some("""
+        WITH t0 AS (SELECT date_trunc('hour', MIN(ts)) AS t0 FROM events),
+        wins AS (SELECT t0 + (2 * k.k) * INTERVAL 1 HOUR AS w_start,
+                        t0 + (2 * k.k) * INTERVAL 1 HOUR + INTERVAL 1 HOUR AS w_end
+                 FROM t0 CROSS JOIN (SELECT unnest(range(0, 360)) AS k) k)
+        SELECT w_start, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN wins w ON e.ts >= w.w_start AND e.ts < w.w_end
+        GROUP BY w_start ORDER BY w_start"""),
+      doc = "pure range join (no equi key) — rewritten to bucketed hash join by RangeBucketJoin")
   )
 }

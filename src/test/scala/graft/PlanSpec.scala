@@ -84,4 +84,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q39_quiet_active_customers")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
+
+  test("q41 pure band join is rewritten off the nested-loop path") {
+    val p = plan("q41_band_join_windows")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"RangeBucketJoin did not fire:\n$p")
+    assert(p.contains("Generate"), "interval side not bucket-exploded")
+  }
 }
