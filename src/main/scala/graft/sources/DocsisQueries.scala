@@ -169,7 +169,39 @@ object DocsisQueries {
     // volume in BENCH.
     dashboardSlice("dx07_dashboard_slice_big", nRows = 200000, nModems = 8,
       nChannels = 8,
-      doc = "dashboard slice at volume (1.6M channel rows)")
+      doc = "dashboard slice at volume (1.6M channel rows)"),
+
+    // ------------------------------------------------------------------
+    // dx08: storage round-trip — the parsed fixture rows written through
+    // the transaction-logged fact table (graft.storage.FactTable: two
+    // appends as buffer parts, then a compaction merge into sorted
+    // day-partitioned base parts) and read back via the log snapshot.
+    // The oracle checks the same aggregate over the golden parse values,
+    // so the gate covers parse → log append → merge → snapshot read.
+    QueryDef(
+      "dx08_fact_table_roundtrip",
+      (s, _) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.to_date
+        val dir = java.nio.file.Files.createTempDirectory("dx08_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val withDate = parsed(s).withColumn("date", to_date($"timestamp"))
+        t.append(withDate.filter($"modem_name" === "MB8600"), txnId = 0)
+        t.append(withDate.filter($"modem_name" =!= "MB8600"), txnId = 1)
+        t.append(withDate.filter($"modem_name" === "MB8600"), txnId = 0) // retry no-op
+        t.compact()
+        t.read()
+          .groupBy($"modem_name")
+          .agg(count(lit(1)).as("n"), sum($"modem_uptime").as("sum_uptime"))
+          .orderBy($"modem_name")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('MB8600', CAST(3 AS BIGINT), CAST(807880 AS BIGINT)),
+          ('attic',  CAST(1 AS BIGINT), CAST(45 AS BIGINT))
+        ) AS t(modem_name, n, sum_uptime)
+        ORDER BY modem_name"""),
+      doc = "transaction-logged storage round-trip: append → compact → snapshot read")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

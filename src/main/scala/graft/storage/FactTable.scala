@@ -1,0 +1,219 @@
+package graft.storage
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A minimal transaction-logged parquet table — the Spark-side analog of
+  * the reference's MergeTree storage model (tables.sql:30): append-only
+  * "parts" created by each insert, merged in the background into larger
+  * sorted, day-partitioned parts. Parquet alone gives no atomic
+  * multi-file commit, so table state lives in an append-only JSON log
+  * (`_graft_log/<version>.json`), one entry per transaction:
+  *
+  *   {"txn": id?, "adds": [{path, rows, bytes, tier, addedMs}], "removes": [path…]}
+  *
+  * - **Atomicity**: a version file is written to a temp name and renamed
+  *   into place; rename-onto-existing fails, so two writers cannot both
+  *   claim a version (single-writer expected; a conflict raises).
+  * - **Idempotence**: `append(df, txnId)` is a no-op if `txnId` is
+  *   already in the log — exactly-once for `foreachBatch` retries, the
+  *   guarantee the reference explicitly lacks (mb8600.py:308-311 drops
+  *   failed batches).
+  * - **Snapshot isolation**: readers list live files from the log; a
+  *   compaction commit atomically swaps small parts for merged ones, so
+  *   a reader sees either the old or the new part set, never both.
+  *
+  * At cluster scale the same design is what Delta/Iceberg do (with
+  * manifests and checkpoints on top); here the log stays small because
+  * compaction keeps the live-file count bounded.
+  */
+class FactTable(val root: String, spark: SparkSession) {
+  import FactTable._
+
+  private val rootPath = new Path(root)
+  private val logDir = new Path(rootPath, "_graft_log")
+  private val dataDir = new Path(rootPath, "data")
+  private val fs: FileSystem =
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+  fs.mkdirs(logDir)
+  fs.mkdirs(dataDir)
+
+  private val mapper = new ObjectMapper()
+
+  // ------------------------------------------------------------------ log
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.endsWith(".json"))
+      scala.util.Try(n.stripSuffix(".json").toLong).toOption
+    else None
+  }
+
+  /** Replay the log: live files, committed txn ids, next version. */
+  def snapshot(): Snapshot = {
+    val versions = fs.listStatus(logDir).flatMap(s => versionOf(s.getPath))
+      .sorted
+    val live = mutable.LinkedHashMap[String, FileEntry]()
+    val txns = mutable.Set[Long]()
+    versions.foreach { v =>
+      val in = fs.open(new Path(logDir, s"$v.json"))
+      val node = try mapper.readTree(in) finally in.close()
+      if (node.hasNonNull("txn")) txns += node.get("txn").asLong()
+      node.get("adds").forEach { a =>
+        val e = FileEntry(a.get("path").asText(), a.get("rows").asLong(),
+          a.get("bytes").asLong(), a.get("tier").asText(),
+          a.get("addedMs").asLong())
+        live.put(e.path, e)
+      }
+      node.get("removes").forEach(r => live.remove(r.asText()))
+    }
+    Snapshot(live.values.toSeq, txns.toSet,
+      versions.lastOption.map(_ + 1).getOrElse(0L))
+  }
+
+  private def commit(version: Long, txn: Option[Long], adds: Seq[FileEntry],
+      removes: Seq[String]): Unit = {
+    val node = mapper.createObjectNode()
+    txn.foreach(node.put("txn", _))
+    val aArr = node.putArray("adds")
+    adds.foreach { e =>
+      val o = aArr.addObject()
+      o.put("path", e.path); o.put("rows", e.rows); o.put("bytes", e.bytes)
+      o.put("tier", e.tier); o.put("addedMs", e.addedMs)
+    }
+    val rArr = node.putArray("removes")
+    removes.foreach(rArr.add)
+    val tmp = new Path(logDir, s".$version.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    val dst = new Path(logDir, s"$version.json")
+    if (fs.exists(dst) || !fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"log version $version already committed — concurrent writer?")
+  }
+
+  // ----------------------------------------------------------- operations
+
+  /** Append a micro-batch as new buffer-tier parts; idempotent on txnId
+    * (a foreachBatch retry of an already-committed batch is a no-op).
+    */
+  def append(df: DataFrame, txnId: Long): Boolean = {
+    val snap = snapshot()
+    if (snap.txns.contains(txnId)) return false
+    val target = new Path(dataDir, s"append-$txnId")
+    df.write.mode("overwrite").parquet(target.toString)
+    commit(snap.nextVersion, Some(txnId),
+      listParquet(target).map(f => FileEntry(f.path, rowsOf(f.path), f.bytes,
+        TierBuffer, System.currentTimeMillis())),
+      removes = Nil)
+    true
+  }
+
+  /** Merge all buffer-tier parts into sorted, day-partitioned base parts
+    * (the MergeTree background merge / Buffer flush-through). One atomic
+    * log commit swaps the part sets; old files are vacuumed afterwards.
+    */
+  def compact(sortCols: Seq[String] = Seq("modem_name", "timestamp"),
+      partitionCol: String = "date"): Long = {
+    val snap = snapshot()
+    val buffer = snap.files.filter(_.tier == TierBuffer)
+    if (buffer.isEmpty) return 0L
+    val src = spark.read.parquet(buffer.map(_.path): _*)
+    val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
+    src.repartition(col(partitionCol))
+      .sortWithinPartitions(partitionCol, sortCols: _*)
+      .write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(target.toString)
+    commit(snap.nextVersion, None,
+      listParquet(target).map(f => FileEntry(f.path, rowsOf(f.path), f.bytes,
+        TierBase, System.currentTimeMillis())),
+      removes = buffer.map(_.path))
+    // best-effort vacuum: the log no longer references these files
+    buffer.foreach(f => fs.delete(new Path(f.path), false))
+    buffer.map(_.rows).sum
+  }
+
+  /** Snapshot read over the live part set (both tiers — like the
+    * ClickHouse Buffer engine, queries see buffered + flushed rows).
+    */
+  def read(): DataFrame = {
+    val snap = snapshot()
+    if (snap.files.isEmpty)
+      throw new IllegalStateException(s"empty table at $root")
+    // basePath keeps partition-dir columns visible across mixed paths
+    spark.read.option("basePath", dataDir.toString)
+      .parquet(snap.files.map(_.path): _*)
+  }
+
+  // -------------------------------------------------------------- helpers
+
+  private case class RawFile(path: String, bytes: Long)
+
+  private def listParquet(dir: Path): Seq[RawFile] = {
+    val it = fs.listFiles(dir, true)
+    val out = mutable.ArrayBuffer[RawFile]()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet"))
+        out += RawFile(s.getPath.toString, s.getLen)
+    }
+    out.toSeq
+  }
+
+  /** Row count from the parquet footer (no data scan). */
+  private def rowsOf(path: String): Long = {
+    val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(path), spark.sessionState.newHadoopConf()))
+    try in.getRecordCount finally in.close()
+  }
+}
+
+object FactTable {
+  val TierBuffer = "buffer"
+  val TierBase = "base"
+
+  final case class FileEntry(path: String, rows: Long, bytes: Long,
+      tier: String, addedMs: Long)
+
+  final case class Snapshot(files: Seq[FileEntry], txns: Set[Long],
+      nextVersion: Long) {
+    def bufferRows: Long = files.filter(_.tier == TierBuffer).map(_.rows).sum
+    def bufferBytes: Long = files.filter(_.tier == TierBuffer).map(_.bytes).sum
+    def oldestBufferMs: Option[Long] =
+      files.filter(_.tier == TierBuffer).map(_.addedMs).minOption
+  }
+}
+
+/** The ClickHouse Buffer engine's dual-threshold flush (tables.sql:57:
+  * flush when ANY of max_time=10s / max_rows=100 / max_bytes=10KB is
+  * exceeded), as a foreachBatch sink over a FactTable: every micro-batch
+  * lands as buffer-tier parts (immediately queryable), and once a
+  * threshold trips the buffer tier is merged into sorted day-partitioned
+  * base parts. Use from a streaming query:
+  *
+  * {{{
+  * parsed.writeStream.foreachBatch(sink.addBatch _).start()
+  * }}}
+  */
+class BufferedFactSink(table: FactTable, maxAgeMs: Long = 10000L,
+    maxRows: Long = 100L, maxBytes: Long = 10240L) {
+
+  def addBatch(df: DataFrame, batchId: Long): Unit = {
+    table.append(df.withColumn("date", to_date(col("timestamp"))), batchId)
+    maybeFlush()
+  }
+
+  /** Flush iff any Buffer threshold is exceeded; returns rows flushed. */
+  def maybeFlush(nowMs: Long = System.currentTimeMillis()): Long = {
+    val snap = table.snapshot()
+    val trip = snap.bufferRows >= maxRows ||
+      snap.bufferBytes >= maxBytes ||
+      snap.oldestBufferMs.exists(nowMs - _ >= maxAgeMs)
+    if (trip) table.compact() else 0L
+  }
+}

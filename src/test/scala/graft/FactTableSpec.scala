@@ -1,0 +1,113 @@
+package graft
+
+import graft.storage.{BufferedFactSink, FactTable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The transaction-logged fact table: atomic append/compact via the JSON
+  * log, foreachBatch idempotence, snapshot isolation across compaction,
+  * Buffer-style dual-threshold flushing, and sortedness of compacted
+  * parts.
+  */
+class FactTableSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): FactTable = new FactTable(
+    java.nio.file.Files.createTempDirectory("fact_table").toString, spark)
+
+  private def rows(n: Int, day: String, modem: String) =
+    (1 to n).map(i => (modem, java.sql.Timestamp.valueOf(s"$day 00:0${i % 6}:0${i % 10}"), i.toLong))
+      .toDF("modem_name", "timestamp", "uptime")
+      .withColumn("date", to_date($"timestamp"))
+
+  test("append is idempotent on txnId (foreachBatch retry is a no-op)") {
+    val t = freshTable()
+    assert(t.append(rows(5, "2024-03-01", "m1"), txnId = 0))
+    assert(!t.append(rows(5, "2024-03-01", "m1"), txnId = 0)) // retry
+    assert(t.append(rows(3, "2024-03-02", "m2"), txnId = 1))
+    assert(t.read().count() == 8)
+  }
+
+  test("compact merges buffer parts, preserves rows, swaps atomically") {
+    val t = freshTable()
+    (0 until 4).foreach(i => t.append(rows(10, "2024-03-01", s"m$i"), i))
+    t.append(rows(10, "2024-03-02", "m9"), 4)
+    val before = t.read().orderBy($"modem_name", $"timestamp").collect()
+    val snapBefore = t.snapshot()
+    assert(snapBefore.bufferRows == 50)
+
+    assert(t.compact() == 50)
+    val snapAfter = t.snapshot()
+    assert(snapAfter.bufferRows == 0, "buffer tier must be empty after merge")
+    assert(snapAfter.files.forall(_.tier == FactTable.TierBase))
+    // removed paths are no longer referenced or present
+    assert(snapBefore.files.map(_.path).toSet
+      .intersect(snapAfter.files.map(_.path).toSet).isEmpty)
+    val after = t.read().orderBy($"modem_name", $"timestamp").collect()
+    assert(after.toSeq == before.toSeq)
+    // partition-pruning layout: day dirs exist under the base part
+    assert(snapAfter.files.forall(_.path.contains("date=")))
+  }
+
+  test("compacted parts are sorted within each file (MergeTree ORDER BY)") {
+    val t = freshTable()
+    (0 until 3).foreach(i => t.append(rows(20, "2024-03-01", s"m${9 - i}"), i))
+    t.compact()
+    val perFile = t.read()
+      .withColumn("f", input_file_name())
+      .select($"f", $"modem_name", $"timestamp")
+      .as[(String, String, java.sql.Timestamp)].collect().groupBy(_._1)
+    perFile.values.foreach { rs =>
+      val keys = rs.map(r => (r._2, r._3.getTime))
+      assert(keys.toSeq == keys.sortBy(identity).toSeq,
+        "rows inside a compacted file must be sorted by (modem_name, ts)")
+    }
+  }
+
+  test("BufferedFactSink flushes on the rows threshold (Buffer engine)") {
+    val t = freshTable()
+    val sink = new BufferedFactSink(t, maxAgeMs = Long.MaxValue / 2,
+      maxRows = 25, maxBytes = Long.MaxValue)
+    sink.addBatch(rows(10, "2024-03-01", "m1").drop("date"), 0)
+    assert(t.snapshot().bufferRows == 10) // below threshold: stays buffered
+    sink.addBatch(rows(10, "2024-03-01", "m2").drop("date"), 1)
+    assert(t.snapshot().bufferRows == 20)
+    sink.addBatch(rows(10, "2024-03-01", "m3").drop("date"), 2)
+    assert(t.snapshot().bufferRows == 0, "30 rows >= 25 must have flushed")
+    assert(t.read().count() == 30)
+  }
+
+  test("BufferedFactSink flushes on age even when rows/bytes are low") {
+    val t = freshTable()
+    val sink = new BufferedFactSink(t, maxAgeMs = 10000,
+      maxRows = Long.MaxValue, maxBytes = Long.MaxValue)
+    sink.addBatch(rows(2, "2024-03-01", "m1").drop("date"), 0)
+    assert(sink.maybeFlush(nowMs = System.currentTimeMillis() + 11000) == 2)
+    assert(t.snapshot().bufferRows == 0)
+  }
+
+  test("streaming foreachBatch end-to-end through the sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = freshTable()
+    val sink = new BufferedFactSink(t, maxAgeMs = Long.MaxValue / 2,
+      maxRows = 4, maxBytes = Long.MaxValue)
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val q = mem.toDF().toDF("modem_name", "timestamp", "uptime")
+      .writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.addBatch(df, id))
+      .start()
+    try {
+      mem.addData(("m1", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 1L),
+        ("m1", java.sql.Timestamp.valueOf("2024-03-01 00:00:10"), 2L))
+      q.processAllAvailable()
+      mem.addData(("m2", java.sql.Timestamp.valueOf("2024-03-02 00:00:00"), 3L),
+        ("m2", java.sql.Timestamp.valueOf("2024-03-02 00:00:10"), 4L))
+      q.processAllAvailable()
+      assert(t.read().count() == 4)
+      assert(t.snapshot().bufferRows == 0, "4 rows >= 4 must have flushed")
+    } finally q.stop()
+  }
+}
