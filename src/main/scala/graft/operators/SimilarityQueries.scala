@@ -172,6 +172,91 @@ object SimilarityQueries {
                  FROM pairs GROUP BY vec_id)
         SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 5"""),
-      doc = "IVF bucket-probed similarity search")
+      doc = "IVF bucket-probed similarity search"),
+
+    // ------------------------------------------------------------------
+    // s05: IVF with one Lloyd (k-means) refinement step — assign to the
+    // seed centroids (vec_id 0..7), recompute each centroid as the
+    // per-dimension decimal-exact mean of its members, re-assign, and
+    // report bucket sizes before/after. All float summation goes through
+    // DECIMAL(38,18) (order-independent) and distances are rounded to 9
+    // digits before the argmin, so both engines pick identical buckets.
+    // At scale: centroids stay broadcast-sized; each pass is one scan +
+    // one (cid, dim) partial aggregate — the standard distributed-k-means
+    // shape, iterated a fixed number of times.
+    QueryDef(
+      "s05_ivf_kmeans_refined",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents0 = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+        val assign0 = emb.crossJoin(broadcast(cents0))
+          .select($"vec_id", $"embedding", $"cid",
+            round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .select($"vec_id", $"embedding", $"cid")
+        // Lloyd step: per-dimension decimal-exact member mean
+        val cent1 = assign0
+          .select($"cid", posexplode($"embedding").as(Seq("d", "x")))
+          .groupBy($"cid", $"d")
+          .agg((sum($"x".cast("double").cast(DecimalType(38, 18)))
+            .cast("double") / count(lit(1))).as("c"))
+          .groupBy($"cid")
+          .agg(expr("transform(sort_array(collect_list(struct(d, c))), p -> p.c)")
+            .as("cv"))
+        val assign1 = emb.crossJoin(broadcast(cent1))
+          .select($"vec_id", $"cid",
+            round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        val n0 = assign0.groupBy($"cid").agg(count(lit(1)).as("n0"))
+        val n1 = assign1.groupBy($"cid").agg(count(lit(1)).as("n1"))
+        n0.join(n1, Seq("cid"), "left")
+          .select($"cid", $"n0", coalesce($"n1", lit(0L)).as("n1"))
+          .orderBy($"cid")
+      },
+      Some("""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        cpairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+                   FROM embeddings e CROSS JOIN cents c),
+        dists0 AS (SELECT vec_id, cid,
+                          CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                        * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                   AS DECIMAL(38,18))) AS DOUBLE) AS dist2_raw
+                   FROM cpairs GROUP BY vec_id, cid),
+        assign0 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                ORDER BY round(dist2_raw, 9) ASC, cid ASC) AS rk
+                      FROM dists0) t WHERE rk = 1),
+        members AS (SELECT a.cid, unnest(e.embedding) AS x,
+                           unnest(range(0, len(e.embedding))) AS d
+                    FROM assign0 a JOIN embeddings e ON e.vec_id = a.vec_id),
+        cent1 AS (SELECT cid, d,
+                         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+                           / COUNT(*) AS c
+                  FROM members GROUP BY cid, d),
+        eflat AS (SELECT vec_id, unnest(embedding) AS x,
+                         unnest(range(0, len(embedding))) AS d
+                  FROM embeddings),
+        dists1 AS (SELECT f.vec_id, c.cid,
+                          CAST(SUM(CAST((CAST(f.x AS DOUBLE) - c.c)
+                                        * (CAST(f.x AS DOUBLE) - c.c)
+                                   AS DECIMAL(38,18))) AS DOUBLE) AS dist2_raw
+                   FROM eflat f JOIN cent1 c ON f.d = c.d
+                   GROUP BY f.vec_id, c.cid),
+        assign1 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                ORDER BY round(dist2_raw, 9) ASC, cid ASC) AS rk
+                      FROM dists1) t WHERE rk = 1),
+        n0 AS (SELECT cid, COUNT(*) AS n0 FROM assign0 GROUP BY cid),
+        n1 AS (SELECT cid, COUNT(*) AS n1 FROM assign1 GROUP BY cid)
+        SELECT n0.cid, n0.n0, COALESCE(n1.n1, CAST(0 AS BIGINT)) AS n1
+        FROM n0 LEFT JOIN n1 ON n0.cid = n1.cid
+        ORDER BY n0.cid"""),
+      doc = "IVF with one Lloyd refinement (decimal-exact means, identical argmin)")
   )
 }
