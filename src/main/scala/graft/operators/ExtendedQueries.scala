@@ -375,6 +375,41 @@ object ExtendedQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events e JOIN wins w ON e.ts >= w.w_start AND e.ts < w.w_end
         GROUP BY w_start ORDER BY w_start"""),
-      doc = "pure range join (no equi key) — rewritten to bucketed hash join by RangeBucketJoin")
+      doc = "pure range join (no equi key) — rewritten to bucketed hash join by RangeBucketJoin"),
+
+    // ------------------------------------------------------------------
+    // q42: unpivot/melt — wide per-flag aggregates to long (metric, val)
+    // form, the Dataset.unpivot API (the oracle uses the equivalent
+    // UNION ALL, which is also exactly what Spark's Expand does here).
+    QueryDef(
+      "q42_unpivot_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val wide = Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+            sum($"l_extendedprice".cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+            count(lit(1)).cast("double").as("n_items"))
+        wide.unpivot(
+          ids = Array($"l_returnflag"),
+          values = Array($"sum_qty", $"sum_price", $"n_items"),
+          variableColumnName = "metric",
+          valueColumnName = "val")
+          .orderBy($"l_returnflag", $"metric")
+      },
+      Some("""
+        WITH wide AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                 CAST(COUNT(*) AS DOUBLE) AS n_items
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, metric, val FROM (
+          SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM wide
+          UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+          UNION ALL SELECT l_returnflag, 'n_items', n_items FROM wide) t
+        ORDER BY l_returnflag, metric"""),
+      doc = "unpivot/melt wide aggregates to long form")
   )
 }

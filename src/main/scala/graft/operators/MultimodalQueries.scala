@@ -54,6 +54,45 @@ object MultimodalQueries {
                octet_length(encode(text)) // 1024 + 1 AS n_frames,
                md5(text) AS content_md5
         FROM documents ORDER BY media_id"""),
-      doc = "typed Dataset + mapPartitions stub decoder path")
+      doc = "typed Dataset + mapPartitions stub decoder path"),
+
+    // ------------------------------------------------------------------
+    // m03: frame sampling over the opaque binary column — the video-style
+    // access pattern: per media row, slice up to 5 fixed-stride 64-byte
+    // "frames" (a real decoder would seek keyframes; the slice IS the
+    // Spark-side plumbing: per-row explode of frame offsets + binary
+    // substring + per-frame fingerprint, all codegen'd expressions).
+    // greatest(len,1) keeps integer division away from negative operands,
+    // where Spark truncates but DuckDB floors.
+    QueryDef(
+      "m03_frame_samples",
+      (s, dir) => {
+        import s.implicits._
+        MediaPipeline.mediaTable(s, dir)
+          .select($"media_id", $"content",
+            octet_length($"content").cast("long").as("len"))
+          .select($"media_id",
+            posexplode(expr(
+              "sequence(0, least(4, (greatest(len, 1) - 1) div 256))"))
+              .as(Seq("frame_no", "off")),
+            $"content")
+          .select($"media_id", $"frame_no".cast("long").as("frame_no"),
+            // DuckDB has no BLOB substring, so both engines slice the hex
+            // encoding (offsets and lengths doubled: 512-char stride,
+            // 128-char frame = 64 bytes)
+            md5(expr("substring(hex(content), off * 512 + 1, 128)"))
+              .as("frame_md5"))
+          .orderBy($"media_id", $"frame_no")
+      },
+      Some("""
+        WITH m AS (SELECT doc_id AS media_id, encode(text) AS content,
+                          octet_length(encode(text)) AS len
+                   FROM documents)
+        SELECT media_id, CAST(k.k AS BIGINT) AS frame_no,
+               md5(substring(hex(content), CAST(k.k * 512 + 1 AS INTEGER), 128))
+                 AS frame_md5
+        FROM m, unnest(range(0, LEAST(5, 1 + (GREATEST(len, 1) - 1) // 256))) AS k(k)
+        ORDER BY media_id, frame_no"""),
+      doc = "frame sampling: per-row offset explode + binary slicing + fingerprints")
   )
 }

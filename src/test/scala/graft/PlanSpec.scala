@@ -85,6 +85,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
 
+  test("runtime bloom-filter pruning fires on selective shuffle joins") {
+    // At 100 TB the fact side of a selective dim join must be pruned
+    // BEFORE the shuffle: Spark's runtime filter injects a bloom filter
+    // from the filtered build side into the fact scan. Broadcast joins
+    // bypass it, so force a shuffle join for this plan check.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val pt = Tables.load(spark, sfDir, "part").filter($"p_size" === 1)
+      val p = li.join(pt, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand").count()
+        .queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter") || p.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n$p")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q41 pure band join is rewritten off the nested-loop path") {
     val p = plan("q41_band_join_windows")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
