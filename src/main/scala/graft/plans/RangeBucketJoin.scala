@@ -35,7 +35,9 @@ import org.apache.spark.sql.types._
   *  - no equi conjunct between the sides (Spark already plans those as
   *    hash joins with the band as a post-filter);
   *  - point/lo/hi are deterministic and timestamp- or integral-typed
-  *    (bucketing uses integer seconds — nonnegative domains);
+  *    (bucketing uses truncating integer division on seconds, which is
+  *    monotonic — the only property the rewrite needs, so negative
+  *    domains are safe too; see RangeBucketJoinProps);
   *  - the full original condition is kept as the join filter, so any
   *    extra conjuncts remain enforced.
   *
