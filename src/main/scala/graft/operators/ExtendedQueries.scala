@@ -410,6 +410,36 @@ object ExtendedQueries {
           UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
           UNION ALL SELECT l_returnflag, 'n_items', n_items FROM wide) t
         ORDER BY l_returnflag, metric"""),
-      doc = "unpivot/melt wide aggregates to long form")
+      doc = "unpivot/melt wide aggregates to long form"),
+
+    // ------------------------------------------------------------------
+    // q43: rank-ratio window functions — percent_rank / cume_dist (both
+    // count-ratio definitions, so doubles match exactly across engines)
+    // and lead (lag's mirror, q18 covers lag).
+    QueryDef(
+      "q43_rank_ratios",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+        Tables.load(s, dir, "orders")
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+          .filter($"o_orderkey" % 97 === 0)
+          .select($"o_orderkey", $"o_orderstatus", $"pr", $"cd", $"next_price")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, pr, cd, next_price FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 percent_rank() OVER w AS pr,
+                 cume_dist() OVER w AS cd,
+                 lead(o_totalprice, 1) OVER w AS next_price
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice ASC, o_orderkey ASC)) t
+        WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"""),
+      doc = "percent_rank / cume_dist / lead window shapes")
   )
 }
