@@ -98,18 +98,33 @@ object DedupQueries {
     * per-row `TextFunctions.simhash32` form re-evaluates md5 over every
     * token once per bit (32× the hash work) after projection collapse.
     * sum(±1) > 0 ⇔ the majority vote 2·count > len, ties → 0 in both.
+    *
+    * Bit j is "hex digit j ≥ '8'", i.e. the high bit of md5 nibble j.
+    * Rather than 32 per-bit `substring` evaluations per token, the first
+    * 32 hex digits are parsed once into four 32-bit chunks (`conv` —
+    * 8 digits each, so the signed-long cast can't overflow under ANSI)
+    * and each vote is pure bit arithmetic on those longs.
     */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    def vote(j: Int) = {
+      val chunk = (j - 1) / 8          // which 8-digit chunk
+      val o = (j - 1) % 8 + 1          // 1-based digit within the chunk
+      val shift = 35 - 4 * o           // nibble high bit = bit 32-4o+3
+      when(shiftright(col(s"h$chunk"), shift).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)
+    }
     val sums = corpus(s, dir)
       .withColumn("toks", tokens($"text"))
       .select($"doc_id", explode($"toks").as("t")) // split() is never empty
       .withColumn("h", md5($"t"))
+      .withColumn("h0", expr("cast(conv(substring(h, 1, 8), 16, 10) as long)"))
+      .withColumn("h1", expr("cast(conv(substring(h, 9, 8), 16, 10) as long)"))
+      .withColumn("h2", expr("cast(conv(substring(h, 17, 8), 16, 10) as long)"))
+      .withColumn("h3", expr("cast(conv(substring(h, 25, 8), 16, 10) as long)"))
       .groupBy($"doc_id")
-      .agg(
-        sum(when(substring($"h", 1, 1) >= "8", 1).otherwise(-1)).as("s1"),
-        (2 to 32).map(j =>
-          sum(when(substring($"h", j, 1) >= "8", 1).otherwise(-1)).as(s"s$j")): _*)
+      .agg(sum(vote(1)).as("s1"),
+        (2 to 32).map(j => sum(vote(j)).as(s"s$j")): _*)
     sums.select($"doc_id",
       (1 to 32).map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
