@@ -228,16 +228,19 @@ object DedupQueries {
       (s, dir) => {
         import s.implicits._
         // Single evaluation of the tokenize+shingle subtree: per-doc
-        // shingle counts ride along as a window count, so posting-list
-        // pairs already carry |A| and |B| — no join-back, no recompute.
+        // distinct shingles and their count come from ONE groupBy(doc_id)
+        // with a map-side-combined collect_set (replacing the previous
+        // distinct + window pair — one shuffle instead of two), so
+        // posting-list pairs already carry |A| and |B| — no join-back.
         // Shingles shuffle as fixed-width md5 prefixes, never raw text.
-        val w = Window.partitionBy($"doc_id")
         val sh = corpus(s, dir)
           .withColumn("toks", tokens($"text"))
           .select($"doc_id", explode(shingles("toks")).as("sh_raw"))
           .select($"doc_id", substring(md5($"sh_raw"), 1, 16).as("shingle"))
-          .distinct()
-          .withColumn("n_sh", count(lit(1)).over(w))
+          .groupBy($"doc_id")
+          .agg(collect_set($"shingle").as("sh_set"))
+          .select($"doc_id", size($"sh_set").cast("long").as("n_sh"),
+            explode($"sh_set").as("shingle"))
         val pairs = sh
           .groupBy($"shingle")
           .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("docs"))
