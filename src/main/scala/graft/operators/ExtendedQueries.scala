@@ -440,6 +440,72 @@ object ExtendedQueries {
           WINDOW w AS (PARTITION BY o_orderstatus
                        ORDER BY o_totalprice ASC, o_orderkey ASC)) t
         WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"""),
-      doc = "percent_rank / cume_dist / lead window shapes")
+      doc = "percent_rank / cume_dist / lead window shapes"),
+
+    // ------------------------------------------------------------------
+    // q44: array set algebra over grouped collections — per nation, the
+    // sorted set of market segments present, its intersection with a
+    // fixed segment list, and the set size. Arrays are sorted on both
+    // sides so the value hash is order-stable.
+    QueryDef(
+      "q44_array_set_ops",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation")
+        c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(sort_array(collect_set($"c_mktsegment")).as("seg_arr"))
+          // arrays serialize engine-specifically — emit sorted joined
+          // strings so the differential hash sees plain varchars
+          .select($"n_name",
+            array_join($"seg_arr", ",").as("segments"),
+            size($"seg_arr").cast("long").as("n_segments"),
+            array_join(sort_array(array_intersect($"seg_arr",
+              array(lit("BUILDING"), lit("MACHINERY"), lit("AUTOMOBILE")))), ",")
+              .as("industrial"))
+          .orderBy($"n_name")
+      },
+      Some("""
+        WITH segs AS (
+          SELECT n_name, list_sort(list_distinct(list(c_mktsegment))) AS seg_arr
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name)
+        SELECT n_name,
+               array_to_string(seg_arr, ',') AS segments,
+               len(seg_arr) AS n_segments,
+               array_to_string(list_sort(list_intersect(seg_arr,
+                 ['BUILDING', 'MACHINERY', 'AUTOMOBILE'])), ',') AS industrial
+        FROM segs ORDER BY n_name"""),
+      doc = "array set algebra: collect_set, sort, intersect, size"),
+
+    // ------------------------------------------------------------------
+    // q45: deterministic hash sampling — the reproducible-pipeline
+    // alternative to TABLESAMPLE (whose RNG never matches across
+    // engines): a row is in the ~1/8 sample iff the first hex digit of
+    // md5(key) is '0' or '1'. The same predicate selects the same rows
+    // on any engine, any partitioning, any run — which is what a 100 TB
+    // pipeline needs for debuggable subsets.
+    QueryDef(
+      "q45_deterministic_sample",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .withColumn("hd", substring(
+            md5(concat($"l_orderkey", lit(":"), $"l_linenumber")), 1, 1))
+          .filter($"hd" <= "1")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum($"l_extendedprice".cast(DecimalType(18, 2))).cast("double")
+              .as("sum_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_sampled,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE substr(md5(l_orderkey || ':' || l_linenumber), 1, 1) <= '1'
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "deterministic md5-based sampling (reproducible across engines/runs)")
   )
 }
