@@ -506,6 +506,37 @@ object ExtendedQueries {
         FROM lineitem
         WHERE substr(md5(l_orderkey || ':' || l_linenumber), 1, 1) <= '1'
         GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      doc = "deterministic md5-based sampling (reproducible across engines/runs)")
+      doc = "deterministic md5-based sampling (reproducible across engines/runs)"),
+
+    // ------------------------------------------------------------------
+    // q46: FILTER-clause aggregation — several differently-filtered
+    // aggregates in one pass over the fact table (one scan, one shuffle,
+    // no self-joins), standard SQL in both engines.
+    QueryDef(
+      "q46_filtered_agg",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_orders,
+                 COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FILTER (WHERE o_orderdate >= DATE '1997-01-01') AS DOUBLE)
+                   AS recent_revenue
+          FROM orders
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderdate >= DATE '1997-01-01') AS DOUBLE)
+                 AS recent_revenue
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      doc = "FILTER-clause aggregation (multiple conditional aggs, one scan)")
   )
 }

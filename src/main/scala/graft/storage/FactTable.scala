@@ -139,14 +139,23 @@ class FactTable(val root: String, spark: SparkSession) {
 
   /** Snapshot read over the live part set (both tiers — like the
     * ClickHouse Buffer engine, queries see buffered + flushed rows).
+    * The tiers have different physical layouts — base parts carry the
+    * partition column as a `date=` directory, buffer parts as a data
+    * column — so each tier is loaded with its own strategy and unioned
+    * by name (one mixed load trips CONFLICTING_DIRECTORY_STRUCTURES).
     */
   def read(): DataFrame = {
     val snap = snapshot()
     if (snap.files.isEmpty)
       throw new IllegalStateException(s"empty table at $root")
-    // basePath keeps partition-dir columns visible across mixed paths
-    spark.read.option("basePath", dataDir.toString)
-      .parquet(snap.files.map(_.path): _*)
+    val (base, buffer) = snap.files.partition(_.tier == TierBase)
+    val tiers = Seq(
+      Option.when(base.nonEmpty)(
+        spark.read.option("basePath", dataDir.toString)
+          .parquet(base.map(_.path): _*)),
+      Option.when(buffer.nonEmpty)(
+        spark.read.parquet(buffer.map(_.path): _*))).flatten
+    tiers.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // -------------------------------------------------------------- helpers

@@ -65,6 +65,35 @@ class FactTableSpec extends AnyFunSuite {
     }
   }
 
+  test("date filters prune compacted partitions (MergeTree PARTITION BY)") {
+    val t = freshTable()
+    t.append(rows(10, "2024-03-01", "m1"), 0)
+    t.append(rows(10, "2024-03-02", "m2"), 1)
+    t.append(rows(10, "2024-03-03", "m3"), 2)
+    t.compact()
+    // only files under the matching date= directory are read
+    val touched = t.read().filter($"date" === "2024-03-02")
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(touched.nonEmpty && touched.forall(_.contains("date=2024-03-02")),
+      s"scan touched non-matching partitions: ${touched.mkString(", ")}")
+    assert(t.read().filter($"date" === "2024-03-02").count() == 10)
+  }
+
+  test("mixed-tier read: buffered rows and compacted partitions together") {
+    val t = freshTable()
+    t.append(rows(10, "2024-03-01", "m1"), 0)
+    t.compact() // base tier: date=2024-03-01
+    t.append(rows(5, "2024-03-02", "m2"), 1) // stays buffered
+    val all = t.read()
+    assert(all.count() == 15)
+    // date is present and correct for BOTH tiers (partition-dir value on
+    // the base tier, data column on the buffer tier)
+    val byDate = all.groupBy($"date").count().as[(java.sql.Date, Long)]
+      .collect().toMap
+    assert(byDate(java.sql.Date.valueOf("2024-03-01")) == 10)
+    assert(byDate(java.sql.Date.valueOf("2024-03-02")) == 5)
+  }
+
   test("BufferedFactSink flushes on the rows threshold (Buffer engine)") {
     val t = freshTable()
     val sink = new BufferedFactSink(t, maxAgeMs = Long.MaxValue / 2,
