@@ -121,6 +121,48 @@ object TextQueries {
                COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_fingerprints,
                COUNT(DISTINCT source) AS n_sources
         FROM documents"""),
-      doc = "document fingerprinting (md5 of normalized text)")
+      doc = "document fingerprinting (md5 of normalized text)"),
+
+    // ------------------------------------------------------------------
+    // t05: edit-distance near-dup pairs with suffix blocking — the dedup
+    // corpus's near-copies drop the FIRST token, so blocking on the last
+    // 16 chars co-locates original and near-copy; within each block
+    // (size-capped, pairs generated inside the posting list like
+    // d03/d05), Levenshtein over the 60-char head measures the edit.
+    QueryDef(
+      "t05_edit_distance_pairs",
+      (s, dir) => {
+        import s.implicits._
+        DedupQueries.corpus(s, dir)
+          .select($"doc_id", expr("right(text, 16)").as("blk"),
+            expr("left(text, 60)").as("head"))
+          .groupBy($"blk")
+          .agg(sort_array(collect_list(struct($"doc_id", $"head"))).as("docs"))
+          .filter(size($"docs") > 1 && size($"docs") <= 100)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                   j -> struct(docs[j].doc_id AS doc_a, docs[j].head AS head_a,
+                               docs[i].doc_id AS doc_b, docs[i].head AS head_b))))"""))
+            .as("p"))
+          .select($"p.doc_a", $"p.doc_b",
+            levenshtein($"p.head_a", $"p.head_b").cast("long").as("edit_dist"))
+          .filter($"edit_dist" <= 15)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""
+        WITH corpus AS (${DedupQueries.corpusSql}),
+        keyed AS (SELECT doc_id, right(text, 16) AS blk, left(text, 60) AS head
+                  FROM corpus),
+        blocks AS (SELECT blk FROM keyed GROUP BY blk
+                   HAVING COUNT(*) > 1 AND COUNT(*) <= 100)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        FROM keyed a
+        JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        JOIN blocks bl ON bl.blk = a.blk
+        WHERE levenshtein(a.head, b.head) <= 15
+        ORDER BY doc_a, doc_b"""),
+      doc = "edit-distance near-dup pairs (suffix blocking + Levenshtein)")
   )
 }
