@@ -193,6 +193,36 @@ object SubqueryQueries {
                   AND c.c_mktsegment = 'BUILDING') AS max_building_bal
         FROM nation n
         ORDER BY n_name"""),
-      doc = "correlated scalar subquery in SELECT list (NULL on empty group)")
+      doc = "correlated scalar subquery in SELECT list (NULL on empty group)"),
+
+    // ------------------------------------------------------------------
+    // q47: NOT IN three-valued logic — the classic subquery trap. One
+    // probe list carries a NULL (every 100th custkey nulled): NOT IN
+    // against it can never be TRUE, so that branch counts 0; the
+    // null-filtered branch behaves like a plain anti join. Both counted
+    // side by side from the same orders scan.
+    QueryDef(
+      "q47_not_in_null_semantics",
+      (s, dir) => sql(s, dir, """
+        SELECT
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+              FROM customer)) AS n_with_null_probe,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer WHERE c_custkey % 100 <> 0))
+            AS n_filtered_probe"""),
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+              FROM customer)) AS n_with_null_probe,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer WHERE c_custkey % 100 <> 0))
+            AS n_filtered_probe"""),
+      doc = "NOT IN null semantics: null-poisoned probe vs filtered anti join")
   )
 }

@@ -149,13 +149,25 @@ class FactTable(val root: String, spark: SparkSession) {
     if (snap.files.isEmpty)
       throw new IllegalStateException(s"empty table at $root")
     val (base, buffer) = snap.files.partition(_.tier == TierBase)
-    val tiers = Seq(
-      Option.when(base.nonEmpty)(
-        spark.read.option("basePath", dataDir.toString)
-          .parquet(base.map(_.path): _*)),
-      Option.when(buffer.nonEmpty)(
-        spark.read.parquet(buffer.map(_.path): _*))).flatten
+    // each compaction generation is its own partitioned root — mixing
+    // two base-<uuid> roots under one basePath makes partition discovery
+    // see conflicting structures (found by FactTableProps)
+    val baseGens = base.groupBy(f => generationRoot(new Path(f.path)).toString)
+      .toSeq.sortBy(_._1)
+      .map { case (root, fs) =>
+        spark.read.option("basePath", root).parquet(fs.map(_.path): _*)
+      }
+    val tiers = baseGens ++
+      Option.when(buffer.nonEmpty)(spark.read.parquet(buffer.map(_.path): _*))
     tiers.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** data/<base-uuid>/date=X/part.parquet → data/<base-uuid> */
+  private def generationRoot(p: Path): Path = {
+    var cur = p.getParent
+    while (cur.getParent != null && cur.getParent.getName != dataDir.getName)
+      cur = cur.getParent
+    cur
   }
 
   // -------------------------------------------------------------- helpers
