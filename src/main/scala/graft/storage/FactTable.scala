@@ -137,6 +137,30 @@ class FactTable(val root: String, spark: SparkSession) {
     buffer.map(_.rows).sum
   }
 
+  /** Major compaction — the MergeTree level-merge: rewrite EVERY live
+    * part (all base generations + any buffer parts) into one fresh
+    * generation, collapsing the per-generation read fan-out that minor
+    * compactions accumulate. O(table), so at scale this runs rarely
+    * (e.g. nightly) while the minor `compact()` runs per flush.
+    */
+  def majorCompact(sortCols: Seq[String] = Seq("modem_name", "timestamp"),
+      partitionCol: String = "date"): Long = {
+    val snap = snapshot()
+    if (snap.files.isEmpty) return 0L
+    val src = read()
+    val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
+    src.repartition(col(partitionCol))
+      .sortWithinPartitions(partitionCol, sortCols: _*)
+      .write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(target.toString)
+    commit(snap.nextVersion, None,
+      listParquet(target).map(f => FileEntry(f.path, rowsOf(f.path), f.bytes,
+        TierBase, System.currentTimeMillis())),
+      removes = snap.files.map(_.path))
+    snap.files.foreach(f => fs.delete(new Path(f.path), false))
+    snap.files.map(_.rows).sum
+  }
+
   /** Snapshot read over the live part set (both tiers — like the
     * ClickHouse Buffer engine, queries see buffered + flushed rows).
     * The tiers have different physical layouts — base parts carry the

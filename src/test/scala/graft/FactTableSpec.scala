@@ -94,6 +94,25 @@ class FactTableSpec extends AnyFunSuite {
     assert(byDate(java.sql.Date.valueOf("2024-03-02")) == 5)
   }
 
+  test("majorCompact collapses all generations and tiers into one") {
+    val t = freshTable()
+    t.append(rows(10, "2024-03-01", "m1"), 0)
+    t.compact() // generation 1
+    t.append(rows(10, "2024-03-02", "m2"), 1)
+    t.compact() // generation 2
+    t.append(rows(5, "2024-03-03", "m3"), 2) // buffered
+    assert(t.majorCompact() == 25)
+    val snap = t.snapshot()
+    assert(snap.bufferRows == 0)
+    // exactly one generation root remains
+    val gens = snap.files.map(_.path.split("/data/")(1).split("/")(0)).toSet
+    assert(gens.size == 1, s"expected one generation, got $gens")
+    assert(t.read().count() == 25)
+    val byModem = t.read().groupBy($"modem_name").count()
+      .as[(String, Long)].collect().toMap
+    assert(byModem == Map("m1" -> 10L, "m2" -> 10L, "m3" -> 5L))
+  }
+
   test("BufferedFactSink flushes on the rows threshold (Buffer engine)") {
     val t = freshTable()
     val sink = new BufferedFactSink(t, maxAgeMs = Long.MaxValue / 2,
