@@ -537,6 +537,67 @@ object ExtendedQueries {
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority"""),
-      doc = "FILTER-clause aggregation (multiple conditional aggs, one scan)")
+      doc = "FILTER-clause aggregation (multiple conditional aggs, one scan)"),
+
+    // ------------------------------------------------------------------
+    // q48: last-observation-carried-forward (LOCF) — the telemetry
+    // gap-fill: each event carries the most recent purchase value of its
+    // user via last(..., ignoreNulls) over an unbounded-preceding frame.
+    // Values pass through unmodified (no float arithmetic), so both
+    // engines emit identical doubles.
+    QueryDef(
+      "q48_locf_carry_forward",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"event_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .withColumn("last_purchase_value",
+            last(when($"event_type" === "purchase", $"value"),
+              ignoreNulls = true).over(w))
+          .filter($"event_id" % 37 === 0)
+          .select($"event_id", $"user_id", $"event_type",
+            $"last_purchase_value")
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, last_purchase_value FROM (
+          SELECT event_id, user_id, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_value
+          FROM events) t
+        WHERE event_id % 37 = 0 ORDER BY event_id"""),
+      doc = "LOCF gap-fill via last(ignoreNulls) over unbounded-preceding frame"),
+
+    // ------------------------------------------------------------------
+    // q49: statistical aggregates — stddev/variance/correlation/
+    // covariance per flag. Engines accumulate in different orders, so
+    // both sides round to 6 digits (differences live at ~1e-12 relative;
+    // the same tactic as the cosine queries).
+    QueryDef(
+      "q49_stats_aggs",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(stddev_samp($"l_extendedprice"), 6).as("sd_price"),
+            round(var_samp($"l_quantity"), 6).as("var_qty"),
+            round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+            round(covar_samp($"l_quantity", $"l_extendedprice"), 6).as("covar_qty_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 6) AS sd_price,
+               round(var_samp(l_quantity), 6) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "stddev / variance / correlation / covariance aggregates")
   )
 }

@@ -53,10 +53,15 @@ class FactTable(val root: String, spark: SparkSession) {
     else None
   }
 
-  /** Replay the log: live files, committed txn ids, next version. */
-  def snapshot(): Snapshot = {
+  /** Replay the log: live files, committed txn ids, next version.
+    * `asOf` replays only versions <= asOf — time travel to any earlier
+    * committed state (files are vacuumed on compaction, so travel
+    * across a compaction only works while the old parts remain; a
+    * retention policy would defer the vacuum, as Delta/Iceberg do).
+    */
+  def snapshot(asOf: Long = Long.MaxValue): Snapshot = {
     val versions = fs.listStatus(logDir).flatMap(s => versionOf(s.getPath))
-      .sorted
+      .sorted.takeWhile(_ <= asOf)
     val live = mutable.LinkedHashMap[String, FileEntry]()
     val txns = mutable.Set[Long]()
     versions.foreach { v =>
@@ -168,8 +173,8 @@ class FactTable(val root: String, spark: SparkSession) {
     * column — so each tier is loaded with its own strategy and unioned
     * by name (one mixed load trips CONFLICTING_DIRECTORY_STRUCTURES).
     */
-  def read(): DataFrame = {
-    val snap = snapshot()
+  def read(asOfVersion: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshot(asOfVersion)
     if (snap.files.isEmpty)
       throw new IllegalStateException(s"empty table at $root")
     val (base, buffer) = snap.files.partition(_.tier == TierBase)

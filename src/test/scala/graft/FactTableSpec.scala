@@ -94,6 +94,16 @@ class FactTableSpec extends AnyFunSuite {
     assert(byDate(java.sql.Date.valueOf("2024-03-02")) == 5)
   }
 
+  test("time travel: read(asOfVersion) replays the log to that point") {
+    val t = freshTable()
+    t.append(rows(10, "2024-03-01", "m1"), 0) // version 0
+    t.append(rows(5, "2024-03-02", "m2"), 1)  // version 1
+    assert(t.read(asOfVersion = 0).count() == 10)
+    assert(t.read(asOfVersion = 1).count() == 15)
+    assert(t.read().count() == 15)
+    intercept[IllegalStateException](t.read(asOfVersion = -1)) // before v0
+  }
+
   test("majorCompact collapses all generations and tiers into one") {
     val t = freshTable()
     t.append(rows(10, "2024-03-01", "m1"), 0)
