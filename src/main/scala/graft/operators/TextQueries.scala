@@ -163,6 +163,32 @@ object TextQueries {
         JOIN blocks bl ON bl.blk = a.blk
         WHERE levenshtein(a.head, b.head) <= 15
         ORDER BY doc_a, doc_b"""),
-      doc = "edit-distance near-dup pairs (suffix blocking + Levenshtein)")
+      doc = "edit-distance near-dup pairs (suffix blocking + Levenshtein)"),
+
+    // ------------------------------------------------------------------
+    // t06: the custom Generator table function (plans/NGramGenerator):
+    // pos_ngrams(tokens, 2) emits positioned bigrams row-by-row without
+    // materializing the intermediate gram array (vs transform+posexplode).
+    // Registered through GraftExtensions, invoked from SQL-expression
+    // syntax like any built-in generator.
+    QueryDef(
+      "t06_pos_ngram_generator",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 50 === 0)
+          .withColumn("toks", tokens($"text"))
+          .select($"doc_id", expr("pos_ngrams(toks, 2)").as(Seq("pos", "gram")))
+          .select($"doc_id", $"pos".cast("long").as("pos"), $"gram")
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""
+        SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+               toks[u.i] || ' ' || toks[u.i + 1] AS gram
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE doc_id % 50 = 0) t,
+             unnest(range(1, len(toks))) AS u(i)
+        ORDER BY doc_id, pos"""),
+      doc = "custom Generator table function: positioned n-grams")
   )
 }

@@ -76,6 +76,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVectorDot(exprs(0), exprs(1))))
+    // custom table function (Generator): pos_ngrams(tokens, n)
+    e.injectFunction((
+      new FunctionIdentifier("pos_ngrams"),
+      new ExpressionInfo(classOf[PosNGrams].getName, "pos_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PosNGrams(exprs(0), exprs(1))))
     // range-join optimization: pure band joins → bucketized equi joins
     e.injectOptimizerRule(_ => RangeBucketJoin)
   }
