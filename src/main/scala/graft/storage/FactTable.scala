@@ -55,9 +55,10 @@ class FactTable(val root: String, spark: SparkSession) {
 
   /** Replay the log: live files, committed txn ids, next version.
     * `asOf` replays only versions <= asOf — time travel to any earlier
-    * committed state (files are vacuumed on compaction, so travel
-    * across a compaction only works while the old parts remain; a
-    * retention policy would defer the vacuum, as Delta/Iceberg do).
+    * committed state. Compaction only rewrites the log; superseded files
+    * stay on disk until `vacuum(keepFromVersion)` reclaims them, so
+    * travel works for every version newer than the last vacuum horizon
+    * (the Delta/Iceberg retention model).
     */
   def snapshot(asOf: Long = Long.MaxValue): Snapshot = {
     val versions = fs.listStatus(logDir).flatMap(s => versionOf(s.getPath))
@@ -137,9 +138,34 @@ class FactTable(val root: String, spark: SparkSession) {
       listParquet(target).map(f => FileEntry(f.path, rowsOf(f.path), f.bytes,
         TierBase, System.currentTimeMillis())),
       removes = buffer.map(_.path))
-    // best-effort vacuum: the log no longer references these files
-    buffer.foreach(f => fs.delete(new Path(f.path), false))
+    // physical deletion is deferred to vacuum() so time travel to
+    // pre-compaction versions keeps working until retention expires
     buffer.map(_.rows).sum
+  }
+
+  /** Physically delete files removed from the log at or before
+    * `keepFromVersion` — i.e. retain every file some snapshot at a
+    * version >= keepFromVersion still references, so
+    * `read(asOfVersion >= keepFromVersion)` stays serveable. The default
+    * retains nothing beyond the latest snapshot (Delta's VACUUM with
+    * zero retention). Returns the number of files deleted.
+    */
+  def vacuum(keepFromVersion: Long = Long.MaxValue): Int = {
+    val versions = fs.listStatus(logDir).flatMap(s => versionOf(s.getPath))
+      .sorted
+    if (versions.isEmpty) return 0
+    val keepFrom = math.min(keepFromVersion, versions.last)
+    val removedAt = mutable.Map[String, Long]()
+    versions.foreach { v =>
+      val in = fs.open(new Path(logDir, s"$v.json"))
+      val node = try mapper.readTree(in) finally in.close()
+      node.get("adds").forEach(a => removedAt.remove(a.get("path").asText()))
+      node.get("removes").forEach(r => removedAt.put(r.asText(), v))
+    }
+    // a file removed at version v was last live at v-1; it is needed by
+    // some retained snapshot iff v > keepFrom
+    val victims = removedAt.collect { case (p, v) if v <= keepFrom => p }
+    victims.count(p => fs.delete(new Path(p), false))
   }
 
   /** Major compaction — the MergeTree level-merge: rewrite EVERY live
@@ -162,7 +188,6 @@ class FactTable(val root: String, spark: SparkSession) {
       listParquet(target).map(f => FileEntry(f.path, rowsOf(f.path), f.bytes,
         TierBase, System.currentTimeMillis())),
       removes = snap.files.map(_.path))
-    snap.files.foreach(f => fs.delete(new Path(f.path), false))
     snap.files.map(_.rows).sum
   }
 
@@ -258,12 +283,16 @@ class BufferedFactSink(table: FactTable, maxAgeMs: Long = 10000L,
     maybeFlush()
   }
 
-  /** Flush iff any Buffer threshold is exceeded; returns rows flushed. */
+  /** Flush iff any Buffer threshold is exceeded; returns rows flushed.
+    * The streaming path reclaims superseded files immediately (zero
+    * retention) — a deployment wanting time travel would vacuum on its
+    * own schedule instead.
+    */
   def maybeFlush(nowMs: Long = System.currentTimeMillis()): Long = {
     val snap = table.snapshot()
     val trip = snap.bufferRows >= maxRows ||
       snap.bufferBytes >= maxBytes ||
       snap.oldestBufferMs.exists(nowMs - _ >= maxAgeMs)
-    if (trip) table.compact() else 0L
+    if (trip) { val n = table.compact(); table.vacuum(); n } else 0L
   }
 }

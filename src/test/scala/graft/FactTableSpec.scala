@@ -104,6 +104,19 @@ class FactTableSpec extends AnyFunSuite {
     intercept[IllegalStateException](t.read(asOfVersion = -1)) // before v0
   }
 
+  test("time travel survives compaction until vacuum reclaims the files") {
+    val t = freshTable()
+    t.append(rows(10, "2024-03-01", "m1"), 0) // version 0: buffer parts
+    t.compact()                               // version 1: base generation
+    // pre-compaction snapshot still serveable — files were not deleted
+    assert(t.read(asOfVersion = 0).count() == 10)
+    assert(t.read().count() == 10)
+    // vacuum with retention keeping version >= 1 deletes the old parts
+    assert(t.vacuum(keepFromVersion = 1) > 0)
+    assert(t.read().count() == 10) // current snapshot unaffected
+    assert(t.vacuum(keepFromVersion = 1) == 0) // idempotent
+  }
+
   test("majorCompact collapses all generations and tiers into one") {
     val t = freshTable()
     t.append(rows(10, "2024-03-01", "m1"), 0)
