@@ -223,6 +223,46 @@ object SubqueryQueries {
            WHERE o_custkey NOT IN
              (SELECT c_custkey FROM customer WHERE c_custkey % 100 <> 0))
             AS n_filtered_probe"""),
-      doc = "NOT IN null semantics: null-poisoned probe vs filtered anti join")
+      doc = "NOT IN null semantics: null-poisoned probe vs filtered anti join"),
+
+    // ------------------------------------------------------------------
+    // q50: the hand-fused form of q35 — same semantics, same oracle, but
+    // the per-part count and sum come from ONE grouped aggregate joined
+    // back, instead of two decorrelated subquery joins (Catalyst
+    // decorrelates q35 correctly but plans three lineitem scans; this is
+    // the shape to write at 100 TB). PlanSpec asserts the scan counts.
+    QueryDef(
+      "q50_small_qty_revenue_fused",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.DecimalType
+        val li = graft.Tables.load(s, dir, "lineitem")
+        val perPart = li.groupBy($"l_partkey".as("pk"))
+          .agg(count(lit(1)).as("cnt"),
+            sum($"l_quantity".cast(DecimalType(18, 2))).as("qty_sum"))
+        li.join(perPart, $"l_partkey" === $"pk")
+          .join(graft.Tables.load(s, dir, "part"), $"p_partkey" === $"l_partkey")
+          .filter($"l_quantity".cast(DecimalType(18, 2)) * 2 * $"cnt" < $"qty_sum")
+          .groupBy($"p_brand")
+          .agg(sum($"l_extendedprice".cast(DecimalType(18, 2))).cast("double")
+            .as("small_qty_revenue"),
+            count(lit(1)).as("n"))
+          .orderBy($"p_brand")
+      },
+      Some("""
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS small_qty_revenue,
+               COUNT(*) AS n
+        FROM lineitem l JOIN part ON p_partkey = l_partkey
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 *
+                (SELECT COUNT(*) FROM lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                 FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand"""),
+      doc = "q35 hand-fused: one grouped aggregate + join (two scans, not three)")
   )
 }

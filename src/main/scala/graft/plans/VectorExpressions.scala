@@ -84,5 +84,23 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         PosNGrams(exprs(0), exprs(1))))
     // range-join optimization: pure band joins → bucketized equi joins
     e.injectOptimizerRule(_ => RangeBucketJoin)
+    // table-valued function: graft_table('/path'[, asOfVersion]) reads a
+    // transaction-logged FactTable (optionally time-traveled) from SQL
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_table"),
+      new ExpressionInfo(classOf[graft.storage.FactTable].getName, "graft_table"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def lit(i: Int): Any = {
+          val e = exprs(i)
+          require(e.foldable, s"graft_table argument $i must be a literal")
+          e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        }
+        val path = lit(0).toString
+        val asOf = if (exprs.length > 1)
+          lit(1).asInstanceOf[Number].longValue() else Long.MaxValue
+        val spark = org.apache.spark.sql.SparkSession.active
+        new graft.storage.FactTable(path, spark).read(asOf)
+          .queryExecution.analyzed
+      }))
   }
 }

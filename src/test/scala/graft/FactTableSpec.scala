@@ -117,6 +117,26 @@ class FactTableSpec extends AnyFunSuite {
     assert(t.vacuum(keepFromVersion = 1) == 0) // idempotent
   }
 
+  test("graft_table SQL TVF reads the logged table, with time travel") {
+    val t = freshTable()
+    t.append(rows(10, "2024-03-01", "m1"), 0) // version 0
+    t.append(rows(5, "2024-03-02", "m2"), 1)  // version 1
+    val n = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft_table('${t.root}')")
+      .as[Long].head()
+    assert(n == 15)
+    val n0 = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft_table('${t.root}', 0)")
+      .as[Long].head()
+    assert(n0 == 10)
+    // composes with ordinary SQL
+    val byModem = spark.sql(
+      s"""SELECT modem_name, COUNT(*) AS n FROM graft_table('${t.root}')
+          GROUP BY modem_name ORDER BY modem_name""")
+      .as[(String, Long)].collect().toSeq
+    assert(byModem == Seq(("m1", 10L), ("m2", 5L)))
+  }
+
   test("majorCompact collapses all generations and tiers into one") {
     val t = freshTable()
     t.append(rows(10, "2024-03-01", "m1"), 0)

@@ -112,6 +112,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q50's fused threshold uses two lineitem scans vs q35's three") {
+    def scans(name: String) = plan(name).linesIterator
+      .count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans("q35_small_qty_revenue") == 3) // decorrelation doesn't fuse
+    assert(scans("q50_small_qty_revenue_fused") == 2)
+  }
+
   test("q41 pure band join is rewritten off the nested-loop path") {
     val p = plan("q41_band_join_windows")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
