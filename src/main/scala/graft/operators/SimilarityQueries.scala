@@ -257,6 +257,68 @@ object SimilarityQueries {
         SELECT n0.cid, n0.n0, COALESCE(n1.n1, CAST(0 AS BIGINT)) AS n1
         FROM n0 LEFT JOIN n1 ON n0.cid = n1.cid
         ORDER BY n0.cid"""),
-      doc = "IVF with one Lloyd refinement (decimal-exact means, identical argmin)")
+      doc = "IVF with one Lloyd refinement (decimal-exact means, identical argmin)"),
+
+    // ------------------------------------------------------------------
+    // s06: multiprobe IVF — search the 2 buckets nearest the QUERY
+    // VECTOR (not just its own), the recall/cost knob of real IVF
+    // deployments: rows scanned grow linearly with the probe count while
+    // recall approaches brute force. Same exact-decimal distances and
+    // 9-digit rounding as s02/s04, so bucket membership and ranking are
+    // engine-identical.
+    QueryDef(
+      "s06_ivf_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+        val dists = emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"embedding", $"cid",
+            round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+          .withColumn("rk", row_number().over(w))
+        val assigned = dists.filter($"rk" === 1)
+          .select($"vec_id", $"embedding", $"cid")
+        // the 2 centroids nearest the query vector
+        val probes = dists.filter($"vec_id" === 0 && $"rk" <= 2)
+          .select($"cid".as("pcid"))
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        assigned.join(broadcast(probes), $"cid" === $"pcid")
+          .filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id", $"cid",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some("""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        cpairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+                   FROM embeddings e CROSS JOIN cents c),
+        dists AS (SELECT vec_id, cid,
+                         CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                  AS DECIMAL(38,18))) AS DOUBLE) AS dist2_raw
+                  FROM cpairs GROUP BY vec_id, cid),
+        ranked AS (SELECT vec_id, cid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY round(dist2_raw, 9) ASC, cid ASC) AS rk
+                   FROM dists),
+        assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+        probes AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rk <= 2),
+        bucket AS (SELECT a.vec_id, a.cid FROM assigned a
+                   JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> 0),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        pairs AS (SELECT b.vec_id, b.cid, unnest(e.embedding) AS x, unnest(q.qv) AS y
+                  FROM bucket b JOIN embeddings e ON e.vec_id = b.vec_id, q),
+        dots AS (SELECT vec_id, cid,
+                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
+                        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nq
+                 FROM pairs GROUP BY vec_id, cid)
+        SELECT vec_id, cid, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
+      doc = "multiprobe IVF: 2 nearest buckets, the recall/cost knob")
   )
 }
