@@ -15,6 +15,22 @@ object DocsisQueries {
   private def parsed(s: org.apache.spark.sql.SparkSession) =
     HnapParse.parse(DocsisFixtures.rawFrame(s))
 
+  /** Golden downstream rows, shared by dx01 (explode) and dx09 (inline). */
+  private val downstreamGoldenSql: String = """
+        SELECT * FROM (VALUES
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 5,  CAST(CAST(483000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(3.4 AS DOUBLE) AS REAL),  CAST(CAST(43.1 AS DOUBLE) AS REAL), CAST(12 AS BIGINT),  CAST(0 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 6,  CAST(CAST(489000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(-1.2 AS DOUBLE) AS REAL), CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(7 AS BIGINT),   CAST(-42 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 33, CAST(CAST(722000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(2.9 AS DOUBLE) AS REAL),  CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(524 AS BIGINT), CAST(3 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:10', 48, CAST(CAST(850000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.0 AS DOUBLE) AS REAL),  CAST(CAST(20.0 AS DOUBLE) AS REAL), CAST(9 AS BIGINT),   CAST(1 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:10', 49, CAST(CAST(860000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.5 AS DOUBLE) AS REAL),  CAST(CAST(36.2 AS DOUBLE) AS REAL), CAST(11 AS BIGINT),  CAST(2 AS BIGINT)),
+          ('attic',  TIMESTAMP '2024-03-01 00:00:20', 5,  CAST(CAST(483000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(3.4 AS DOUBLE) AS REAL),  CAST(CAST(43.1 AS DOUBLE) AS REAL), CAST(12 AS BIGINT),  CAST(0 AS BIGINT)),
+          ('attic',  TIMESTAMP '2024-03-01 00:00:20', 6,  CAST(CAST(489000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(-1.2 AS DOUBLE) AS REAL), CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(7 AS BIGINT),   CAST(-42 AS BIGINT)),
+          ('attic',  TIMESTAMP '2024-03-01 00:00:20', 33, CAST(CAST(722000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(2.9 AS DOUBLE) AS REAL),  CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(524 AS BIGINT), CAST(3 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-02 00:00:40', 48, CAST(CAST(850000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.0 AS DOUBLE) AS REAL),  CAST(CAST(20.0 AS DOUBLE) AS REAL), CAST(9 AS BIGINT),   CAST(1 AS BIGINT)),
+          ('MB8600', TIMESTAMP '2024-03-02 00:00:40', 49, CAST(CAST(860000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.5 AS DOUBLE) AS REAL),  CAST(CAST(36.2 AS DOUBLE) AS REAL), CAST(11 AS BIGINT),  CAST(2 AS BIGINT))
+        ) AS t(modem_name, timestamp, channel_id, frequency, modulation, power, snr, corrected_errors, uncorrected_errors)
+        ORDER BY timestamp, modem_name, channel_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -30,20 +46,7 @@ object DocsisQueries {
             $"ch.corrected_errors", $"ch.uncorrected_errors")
           .orderBy($"timestamp", $"modem_name", $"channel_id")
       },
-      Some("""
-        SELECT * FROM (VALUES
-          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 5,  CAST(CAST(483000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(3.4 AS DOUBLE) AS REAL),  CAST(CAST(43.1 AS DOUBLE) AS REAL), CAST(12 AS BIGINT),  CAST(0 AS BIGINT)),
-          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 6,  CAST(CAST(489000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(-1.2 AS DOUBLE) AS REAL), CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(7 AS BIGINT),   CAST(-42 AS BIGINT)),
-          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', 33, CAST(CAST(722000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(2.9 AS DOUBLE) AS REAL),  CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(524 AS BIGINT), CAST(3 AS BIGINT)),
-          ('MB8600', TIMESTAMP '2024-03-01 00:00:10', 48, CAST(CAST(850000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.0 AS DOUBLE) AS REAL),  CAST(CAST(20.0 AS DOUBLE) AS REAL), CAST(9 AS BIGINT),   CAST(1 AS BIGINT)),
-          ('MB8600', TIMESTAMP '2024-03-01 00:00:10', 49, CAST(CAST(860000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.5 AS DOUBLE) AS REAL),  CAST(CAST(36.2 AS DOUBLE) AS REAL), CAST(11 AS BIGINT),  CAST(2 AS BIGINT)),
-          ('attic',  TIMESTAMP '2024-03-01 00:00:20', 5,  CAST(CAST(483000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(3.4 AS DOUBLE) AS REAL),  CAST(CAST(43.1 AS DOUBLE) AS REAL), CAST(12 AS BIGINT),  CAST(0 AS BIGINT)),
-          ('attic',  TIMESTAMP '2024-03-01 00:00:20', 6,  CAST(CAST(489000000.0 AS DOUBLE) AS REAL), 'QAM256',   CAST(CAST(-1.2 AS DOUBLE) AS REAL), CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(7 AS BIGINT),   CAST(-42 AS BIGINT)),
-          ('attic',  TIMESTAMP '2024-03-01 00:00:20', 33, CAST(CAST(722000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(2.9 AS DOUBLE) AS REAL),  CAST(CAST(40.0 AS DOUBLE) AS REAL), CAST(524 AS BIGINT), CAST(3 AS BIGINT)),
-          ('MB8600', TIMESTAMP '2024-03-02 00:00:40', 48, CAST(CAST(850000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.0 AS DOUBLE) AS REAL),  CAST(CAST(20.0 AS DOUBLE) AS REAL), CAST(9 AS BIGINT),   CAST(1 AS BIGINT)),
-          ('MB8600', TIMESTAMP '2024-03-02 00:00:40', 49, CAST(CAST(860000000.0 AS DOUBLE) AS REAL), 'OFDM PLC', CAST(CAST(1.5 AS DOUBLE) AS REAL),  CAST(CAST(36.2 AS DOUBLE) AS REAL), CAST(11 AS BIGINT),  CAST(2 AS BIGINT))
-        ) AS t(modem_name, timestamp, channel_id, frequency, modulation, power, snr, corrected_errors, uncorrected_errors)
-        ORDER BY timestamp, modem_name, channel_id"""),
+      Some(downstreamGoldenSql),
       doc = "HNAP downstream parse: splits, casts, MHz→Hz, OFDM PLC SNR fix, signed counters"),
 
     // ------------------------------------------------------------------
@@ -201,7 +204,23 @@ object DocsisQueries {
           ('attic',  CAST(1 AS BIGINT), CAST(45 AS BIGINT))
         ) AS t(modem_name, n, sum_uptime)
         ORDER BY modem_name"""),
-      doc = "transaction-logged storage round-trip: append → compact → snapshot read")
+      doc = "transaction-logged storage round-trip: append → compact → snapshot read"),
+
+    // ------------------------------------------------------------------
+    // dx09: inline() — the generator that flattens an array-of-structs
+    // straight into columns (vs dx01's explode + field projection).
+    // Identical golden rows to dx01, proving the two formulations agree.
+    QueryDef(
+      "dx09_inline_channels",
+      (s, _) => {
+        import s.implicits._
+        parsed(s)
+          .select($"modem_name", $"timestamp",
+            inline($"downstream_channels"))
+          .orderBy($"timestamp", $"modem_name", $"channel_id")
+      },
+      Some(downstreamGoldenSql),
+      doc = "inline() struct-array flattening (same golden rows as dx01)")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -82,4 +82,15 @@ object EventsStream {
         col("s_ts") >= col("p_ts") - expr("INTERVAL '7' DAY"))
       .select(col("p_id"), col("user_id"), col("p_ts"), col("s_ts"))
   }
+
+  /** In-plan data-quality metrics via Dataset.observe — per micro-batch
+    * row count, null-props count, and value sum surface through
+    * StreamingQueryProgress.observedMetrics with zero extra passes over
+    * the data (the observation rides the existing plan).
+    */
+  def withQualityMetrics(events: DataFrame): DataFrame =
+    events.observe("ingest_quality",
+      count(lit(1)).as("rows"),
+      count(when(col("props").isNull, 1)).as("null_props"),
+      sum(col("value")).as("sum_value"))
 }

@@ -36,4 +36,23 @@ class IngestMetricsSpec extends AnyFunSuite {
       assert(mine.forall(_.batchDurationMs >= 0))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("observe() metrics ride the streaming plan (no extra pass)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, String)]
+    val observed = graft.streaming.EventsStream.withQualityMetrics(
+      mem.toDF().toDF("event_id", "value", "props"))
+    val q = observed.writeStream.format("memory").queryName("observe_probe")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 2.0, "{}"), (2L, 3.0, null), (3L, 5.0, "{}"))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("ingest_quality")
+      assert(m != null, "observed metrics missing from progress")
+      assert(m.getAs[Long]("rows") == 3)
+      assert(m.getAs[Long]("null_props") == 1)
+      assert(m.getAs[Double]("sum_value") == 10.0)
+    } finally q.stop()
+  }
 }
