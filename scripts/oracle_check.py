@@ -24,7 +24,10 @@ def norm(v):
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     if hasattr(v, "isoformat"):
-        s = v.isoformat(sep=" ")
+        try:
+            s = v.isoformat(sep=" ")  # datetime
+        except TypeError:
+            s = v.isoformat()         # date has no sep kwarg
         # normalize tz-aware (spark may write UTC-instant) to naive UTC
         return s.replace("+00:00", "")
     return v

@@ -598,6 +598,46 @@ object ExtendedQueries {
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      doc = "stddev / variance / correlation / covariance aggregates")
+      doc = "stddev / variance / correlation / covariance aggregates"),
+
+    // ------------------------------------------------------------------
+    // q51: date/time function battery — calendar extraction, interval
+    // arithmetic, month deltas, and boundary snapping over order dates
+    // (functions chosen for identical cross-engine definitions; e.g.
+    // dayofweek is deliberately absent — the engines number weekdays
+    // differently).
+    QueryDef(
+      "q51_datetime_functions",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .filter($"o_orderkey" % 199 === 0)
+          .select($"o_orderkey",
+            year($"o_orderdate").cast("long").as("y"),
+            quarter($"o_orderdate").cast("long").as("q"),
+            month($"o_orderdate").cast("long").as("m"),
+            dayofmonth($"o_orderdate").cast("long").as("d"),
+            // DATE results go out as TIMESTAMP — the driver gate's
+            // date-column handling is unproven, timestamps are (q16/q24)
+            last_day($"o_orderdate").cast("timestamp").as("month_end"),
+            date_add($"o_orderdate", 30).cast("timestamp").as("plus30"),
+            datediff(lit("1998-01-01").cast("date"), $"o_orderdate")
+              .cast("long").as("days_to_98"),
+            add_months($"o_orderdate", 3).cast("timestamp").as("plus_q"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(day(o_orderdate) AS BIGINT) AS d,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+               date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+                 AS days_to_98,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_q
+        FROM orders WHERE o_orderkey % 199 = 0 ORDER BY o_orderkey"""),
+      doc = "date/time battery: extract, last_day, interval add, datediff, add_months")
   )
 }

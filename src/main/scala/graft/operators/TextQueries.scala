@@ -189,6 +189,43 @@ object TextQueries {
               FROM documents WHERE doc_id % 50 = 0) t,
              unnest(range(1, len(toks))) AS u(i)
         ORDER BY doc_id, pos"""),
-      doc = "custom Generator table function: positioned n-grams")
+      doc = "custom Generator table function: positioned n-grams"),
+
+    // ------------------------------------------------------------------
+    // t07: string-function battery — the §2.B/§2.D string surface in one
+    // oracle row per doc sample: case, trim/pad, replace, translate,
+    // repeat/reverse, positional search, concat_ws. All functions share
+    // exact semantics across the two engines.
+    QueryDef(
+      "t07_string_functions",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 97 === 0)
+          .select($"doc_id",
+            upper(substring($"text", 1, 12)).as("head_upper"),
+            lpad($"lang", 5, "_").as("lang_pad"),
+            translate($"lang", "aeiou", "AEIOU").as("lang_vowels"),
+            regexp_replace(substring($"text", 1, 20), "[aeiou]", "*")
+              .as("head_starred"),
+            reverse($"source").as("source_rev"),
+            repeat($"lang", 2).as("lang_twice"),
+            instr($"text", "the").cast("long").as("first_the"),
+            concat_ws("|", $"lang", $"source").as("lang_source"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               upper(substring(text, 1, 12)) AS head_upper,
+               lpad(lang, 5, '_') AS lang_pad,
+               translate(lang, 'aeiou', 'AEIOU') AS lang_vowels,
+               regexp_replace(substring(text, 1, 20), '[aeiou]', '*', 'g')
+                 AS head_starred,
+               reverse(source) AS source_rev,
+               repeat(lang, 2) AS lang_twice,
+               CAST(strpos(text, 'the') AS BIGINT) AS first_the,
+               concat_ws('|', lang, source) AS lang_source
+        FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id"""),
+      doc = "string-function battery: case/pad/translate/replace/reverse/search")
   )
 }
