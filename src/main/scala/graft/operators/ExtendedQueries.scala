@@ -638,6 +638,61 @@ object ExtendedQueries {
                  AS days_to_98,
                CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_q
         FROM orders WHERE o_orderkey % 199 = 0 ORDER BY o_orderkey"""),
-      doc = "date/time battery: extract, last_day, interval add, datediff, add_months")
+      doc = "date/time battery: extract, last_day, interval add, datediff, add_months"),
+
+    // ------------------------------------------------------------------
+    // q52: FULL OUTER join — customer vs supplier account-balance
+    // histograms joined on the (coarse) balance bucket; each side has
+    // buckets the other lacks, so null-extended rows surface from BOTH
+    // sides. Explicit NULLS FIRST keeps the total order engine-identical.
+    QueryDef(
+      "q52_full_outer_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val cb = Tables.load(s, dir, "customer")
+          .groupBy(floor($"c_acctbal" / 2000).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_customers"))
+        val sb = Tables.load(s, dir, "supplier")
+          .groupBy(floor($"s_acctbal" / 2000).cast("long").as("sbucket"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        cb.join(sb, $"bucket" === $"sbucket", "full_outer")
+          .select(coalesce($"bucket", $"sbucket").as("bal_bucket"),
+            coalesce($"n_customers", lit(0L)).as("n_customers"),
+            coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+          .orderBy($"bal_bucket".asc_nulls_first)
+      },
+      Some("""
+        WITH cb AS (SELECT CAST(floor(c_acctbal / 2000) AS BIGINT) AS bucket,
+                           COUNT(*) AS n_customers
+                    FROM customer GROUP BY 1),
+        sb AS (SELECT CAST(floor(s_acctbal / 2000) AS BIGINT) AS sbucket,
+                      COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY 1)
+        SELECT COALESCE(bucket, sbucket) AS bal_bucket,
+               COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM cb FULL OUTER JOIN sb ON bucket = sbucket
+        ORDER BY bal_bucket ASC NULLS FIRST"""),
+      doc = "FULL OUTER join with null-extended rows from both sides"),
+
+    // ------------------------------------------------------------------
+    // q53: approximate percentiles (KLL/GK-style sketch) vs exact —
+    // sketch outputs are engine-specific by construction, so like q27
+    // this is a rows-only driver check; the error bound vs the exact
+    // percentile is asserted in OperatorSpec instead.
+    QueryDef(
+      "q53_approx_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+            expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("ap99"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact50"))
+          .orderBy($"l_returnflag")
+      },
+      None,
+      doc = "approx_percentile sketch vs exact; rows-only oracle (bound in spec)")
   )
 }

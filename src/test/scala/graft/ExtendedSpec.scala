@@ -18,6 +18,16 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles land near the exact median at sf0.001") {
+    val rows = SparkEntry.queries("q53_approx_percentiles")(spark, sfDir)
+      .select($"ap50", $"exact50").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ap, exact) =>
+      assert(math.abs(ap - exact) / exact < 0.1,
+        s"approx median $ap too far from exact $exact")
+    }
+  }
+
   test("weighted-avg Aggregator is partition-count independent") {
     val one = Tables.load(spark, sfDir, "lineitem").coalesce(1)
     val many = Tables.load(spark, sfDir, "lineitem").repartition(13)
