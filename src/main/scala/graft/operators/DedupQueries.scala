@@ -49,24 +49,27 @@ object DedupQueries {
 
   /** corpus → doc_id + 8-component MinHash signature (md5-salted).
     *
-    * Shape: explode shingles once, then 8 MIN aggregations. The naive
-    * per-column higher-order-function form re-evaluates the tokenize+
-    * shingle subtree once per permutation after projection collapse
-    * (8× the regex work); exploding materializes each shingle string
-    * once and partial aggregation reduces the shuffle to one row per
-    * doc. explode_outer keeps shingle-less docs with NULL signatures
-    * (matching list_min([]) → NULL in the oracle).
+    * Shape evolution (each measured): (r1) per-column higher-order
+    * functions — re-evaluates the tokenize+shingle subtree once per
+    * permutation after projection collapse; (r2) explode shingles +
+    * 8 MIN aggregations — one shingle evaluation but shuffles
+    * `docs × shingles` rows; (r3, current) the native `minhash_lanes`
+    * expression (plans/MinHashExpression.scala) — one pass over the
+    * shingle array computing all 8 lanes, MAP-ONLY: no explode, no
+    * shuffle, embarrassingly parallel at any corpus size. NULL lanes
+    * for shingle-less docs (matching list_min([]) → NULL in the
+    * oracle). The multi-reference of `mhs` below is deliberately NOT
+    * collapsible (CollapseProject keeps non-cheap producers used >1×
+    * in their own Project), so the kernel runs once per document.
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     corpus(s, dir)
       .withColumn("toks", tokens($"text"))
-      .select($"doc_id", explode_outer(shingles("toks")).as("shingle"))
-      .groupBy($"doc_id")
-      .agg(
-        min(substring(md5(concat(lit("0:"), $"shingle")), 1, 16)).as("mh0"),
-        (1 until 8).map(p =>
-          min(substring(md5(concat(lit(s"$p:"), $"shingle")), 1, 16)).as(s"mh$p")): _*)
+      .withColumn("sh", shingles("toks"))
+      .withColumn("mhs", expr("minhash_lanes(sh, 8)"))
+      .select($"doc_id" +: (0 until 8).map(p =>
+        element_at($"mhs", p + 1).as(s"mh$p")): _*)
   }
 
   private val minhashSqlCore: String = {

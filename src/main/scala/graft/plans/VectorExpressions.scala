@@ -76,6 +76,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVectorDot(exprs(0), exprs(1))))
+    // single-pass all-lanes MinHash over a shingle array (map-only
+    // signature computation — see MinHashExpression.scala)
+    e.injectFunction((
+      new FunctionIdentifier("minhash_lanes"),
+      new ExpressionInfo(classOf[MinHashLanes].getName, "minhash_lanes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashLanes(exprs(0), exprs(1))))
     // custom table function (Generator): pos_ngrams(tokens, n)
     e.injectFunction((
       new FunctionIdentifier("pos_ngrams"),

