@@ -37,8 +37,8 @@ class FactTable(val root: String, spark: SparkSession) {
   private val rootPath = new Path(root)
   private val logDir = new Path(rootPath, "_graft_log")
   private val dataDir = new Path(rootPath, "data")
-  private val fs: FileSystem =
-    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+  private val hadoopConf = spark.sessionState.newHadoopConf()
+  private val fs: FileSystem = rootPath.getFileSystem(hadoopConf)
   fs.mkdirs(logDir)
   fs.mkdirs(dataDir)
 
@@ -70,9 +70,20 @@ class FactTable(val root: String, spark: SparkSession) {
       val node = try mapper.readTree(in) finally in.close()
       if (node.hasNonNull("txn")) txns += node.get("txn").asLong()
       node.get("adds").forEach { a =>
+        val stats =
+          if (!a.has("stats")) Map.empty[String, StatsPruning.ColStats]
+          else {
+            val b = Map.newBuilder[String, StatsPruning.ColStats]
+            a.get("stats").properties().forEach { ent =>
+              val v = ent.getValue
+              b += (ent.getKey -> StatsPruning.ColStats(v.get("t").asText(),
+                v.get("min").asText(), v.get("max").asText()))
+            }
+            b.result()
+          }
         val e = FileEntry(a.get("path").asText(), a.get("rows").asLong(),
           a.get("bytes").asLong(), a.get("tier").asText(),
-          a.get("addedMs").asLong())
+          a.get("addedMs").asLong(), stats)
         live.put(e.path, e)
       }
       node.get("removes").forEach(r => live.remove(r.asText()))
@@ -90,6 +101,13 @@ class FactTable(val root: String, spark: SparkSession) {
       val o = aArr.addObject()
       o.put("path", e.path); o.put("rows", e.rows); o.put("bytes", e.bytes)
       o.put("tier", e.tier); o.put("addedMs", e.addedMs)
+      if (e.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        e.stats.foreach { case (c, s) =>
+          val n = st.putObject(c)
+          n.put("t", s.typ); n.put("min", s.min); n.put("max", s.max)
+        }
+      }
     }
     val rArr = node.putArray("removes")
     removes.foreach(rArr.add)
@@ -113,9 +131,7 @@ class FactTable(val root: String, spark: SparkSession) {
     val target = new Path(dataDir, s"append-$txnId")
     df.write.mode("overwrite").parquet(target.toString)
     commit(snap.nextVersion, Some(txnId),
-      listParquet(target).map(f => FileEntry(f.path, rowsOf(f.path), f.bytes,
-        TierBuffer, System.currentTimeMillis())),
-      removes = Nil)
+      entriesFor(target, TierBuffer), removes = Nil)
     true
   }
 
@@ -135,9 +151,7 @@ class FactTable(val root: String, spark: SparkSession) {
       .write.partitionBy(partitionCol).mode("overwrite")
       .parquet(target.toString)
     commit(snap.nextVersion, None,
-      listParquet(target).map(f => FileEntry(f.path, rowsOf(f.path), f.bytes,
-        TierBase, System.currentTimeMillis())),
-      removes = buffer.map(_.path))
+      entriesFor(target, TierBase), removes = buffer.map(_.path))
     // physical deletion is deferred to vacuum() so time travel to
     // pre-compaction versions keeps working until retention expires
     buffer.map(_.rows).sum
@@ -175,19 +189,37 @@ class FactTable(val root: String, spark: SparkSession) {
     * (e.g. nightly) while the minor `compact()` runs per flush.
     */
   def majorCompact(sortCols: Seq[String] = Seq("modem_name", "timestamp"),
-      partitionCol: String = "date"): Long = {
+      partitionCol: String = "date", zorderCols: Seq[String] = Nil,
+      zorderParts: Int = 0): Long = {
     val snap = snapshot()
     if (snap.files.isEmpty) return 0L
     val src = read()
     val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
-    src.repartition(col(partitionCol))
-      .sortWithinPartitions(partitionCol, sortCols: _*)
-      .write.partitionBy(partitionCol).mode("overwrite")
+    val staged =
+      if (zorderCols.isEmpty)
+        src.repartition(col(partitionCol))
+          .sortWithinPartitions(partitionCol, sortCols: _*)
+      else {
+        // Z-order clustering (`OPTIMIZE ZORDER BY` / liquid clustering):
+        // range-partition and sort on the interleaved-bits curve so each
+        // written part covers a tight hyper-rectangle in EVERY clustered
+        // dimension — footer stats then prune on any of them, where a
+        // lexicographic sort gives selectivity only on its leading column
+        val zc = ZOrder.zColumn(src, zorderCols)
+        // explicit partition count: a target file size divided into the
+        // table size at scale; also keeps AQE from coalescing the range
+        // shuffle back into a handful of giant files
+        val parts = if (zorderParts > 0) zorderParts
+          else spark.sessionState.conf.numShufflePartitions
+        src.withColumn(ZOrder.ZCol, zc)
+          .repartitionByRange(parts, col(partitionCol), col(ZOrder.ZCol))
+          .sortWithinPartitions(col(partitionCol), col(ZOrder.ZCol))
+          .drop(ZOrder.ZCol)
+      }
+    staged.write.partitionBy(partitionCol).mode("overwrite")
       .parquet(target.toString)
     commit(snap.nextVersion, None,
-      listParquet(target).map(f => FileEntry(f.path, rowsOf(f.path), f.bytes,
-        TierBase, System.currentTimeMillis())),
-      removes = snap.files.map(_.path))
+      entriesFor(target, TierBase), removes = snap.files.map(_.path))
     snap.files.map(_.rows).sum
   }
 
@@ -198,8 +230,35 @@ class FactTable(val root: String, spark: SparkSession) {
     * column — so each tier is loaded with its own strategy and unioned
     * by name (one mixed load trips CONFLICTING_DIRECTORY_STRUCTURES).
     */
-  def read(asOfVersion: Long = Long.MaxValue): DataFrame = {
-    val snap = snapshot(asOfVersion)
+  def read(asOfVersion: Long = Long.MaxValue): DataFrame =
+    readFiles(snapshot(asOfVersion).files)
+
+  /** Filtered read with log-stats data skipping: files whose recorded
+    * min/max disprove `cond` are dropped at PLAN time — never listed,
+    * opened, or scheduled (the sparse-PK-index read path; see
+    * StatsPruning). The condition is still applied in full to the
+    * surviving files, so results are identical to `read().where(cond)`.
+    */
+  def readWhere(cond: org.apache.spark.sql.Column,
+      asOfVersion: Long = Long.MaxValue): DataFrame = {
+    val all = snapshot(asOfVersion).files
+    val kept = all.filterNot(f => StatsPruning.canPrune(cond, f.stats))
+    if (kept.isEmpty) // schema from any live file, zero rows
+      readFiles(all.take(1)).where(lit(false))
+    else readFiles(kept).where(cond)
+  }
+
+  /** (surviving files, total files) for `cond` — the observability hook
+    * pruning-effectiveness tests assert on.
+    */
+  def pruneReport(cond: org.apache.spark.sql.Column,
+      asOfVersion: Long = Long.MaxValue): (Int, Int) = {
+    val files = snapshot(asOfVersion).files
+    (files.count(f => !StatsPruning.canPrune(cond, f.stats)), files.size)
+  }
+
+  private def readFiles(files: Seq[FileEntry]): DataFrame = {
+    val snap = Snapshot(files, Set.empty, 0L)
     if (snap.files.isEmpty)
       throw new IllegalStateException(s"empty table at $root")
     val (base, buffer) = snap.files.partition(_.tier == TierBase)
@@ -239,12 +298,49 @@ class FactTable(val root: String, spark: SparkSession) {
     out.toSeq
   }
 
-  /** Row count from the parquet footer (no data scan). */
-  private def rowsOf(path: String): Long = {
-    val in = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new Path(path), spark.sessionState.newHadoopConf()))
-    try in.getRecordCount finally in.close()
+  /** Log entries for freshly written parts: one footer open per file
+    * yields both the row count and the data-skipping column stats
+    * (StatsPruning), so commit cost stays footer-only — no data scan.
+    */
+  private def entriesFor(dir: Path, tier: String): Seq[FileEntry] = {
+    val now = System.currentTimeMillis()
+    listParquet(dir).map { f =>
+      val (rows, stats) = StatsPruning.footerInfo(new Path(f.path), hadoopConf)
+      FileEntry(f.path, rows, f.bytes, tier, now, stats)
+    }
+  }
+}
+
+/** Interleaved-bits (Morton) clustering key over quantile-bucketed
+  * dimensions. Buckets come from `approxQuantile` (a distributed sketch;
+  * the driver holds only ~255 cut points per dimension — the same move
+  * Spark's own range partitioner and Delta's ZORDER make), so skewed
+  * columns still spread across the full bucket range. Bucketing is a
+  * fold over a broadcast-literal boundary array — pure codegen'd
+  * expressions, no UDF, no extra shuffle beyond the range repartition
+  * the rewrite needs anyway.
+  */
+object ZOrder {
+  val ZCol = "__graft_z"
+  val Bits = 8 // buckets per dimension = 256
+
+  def zColumn(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.size * Bits <= 31, s"1..3 zorder columns, got $cols")
+    val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
+    val bucketCols = cols.map { c =>
+      // numeric view of the dimension (timestamps/dates → epoch seconds/days)
+      val tmp = s"${ZCol}_q"
+      val bounds = df.withColumn(tmp, col(c).cast("double"))
+        .stat.approxQuantile(tmp, probs, 0.001).distinct.sorted.toSeq
+      aggregate(typedlit(bounds), lit(0),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+    }
+    val d = cols.length
+    (0 until Bits).flatMap { i =>
+      bucketCols.zipWithIndex.map { case (bc, dim) =>
+        shiftleft(shiftright(bc, i).bitwiseAND(1), i * d + dim)
+      }
+    }.reduce(_.bitwiseOR(_))
   }
 }
 
@@ -253,7 +349,8 @@ object FactTable {
   val TierBase = "base"
 
   final case class FileEntry(path: String, rows: Long, bytes: Long,
-      tier: String, addedMs: Long)
+      tier: String, addedMs: Long,
+      stats: Map[String, StatsPruning.ColStats] = Map.empty)
 
   final case class Snapshot(files: Seq[FileEntry], txns: Set[Long],
       nextVersion: Long) {

@@ -1,0 +1,257 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file column statistics for data skipping — the Spark-side analog
+  * of the reference's sparse primary-key index (`ORDER BY (modem_name,
+  * timestamp)` + `PRIMARY KEY`, tables.sql:30, which ClickHouse uses to
+  * skip granules inside parts) and of Delta/Iceberg file-level min/max
+  * stats.
+  *
+  * Stats are harvested from parquet FOOTERS at commit time (no data
+  * scan — the footer is already open for the row count) and recorded in
+  * the transaction log, so at plan time a filtered read consults only
+  * the log: zero file opens for skipped files. At 100 TB / millions of
+  * parts this is the difference between "schedule a task per file and
+  * let row-group stats reject it" and "never list, open, or schedule the
+  * file at all".
+  *
+  * Covered: top-level primitive columns (int/long/date/timestamp ->
+  * `long`; float/double -> `double`; UTF-8 binary -> `string`) plus
+  * hive-style partition directory values (`date=2024-01-02`), which the
+  * footer cannot see, recorded as equal min/max. Nested fields (the
+  * channel arrays) and other types carry no stats and never prune.
+  */
+object StatsPruning {
+
+  /** min/max as exact decimal/UTF-8 strings; `typ` in {long, double, string}. */
+  final case class ColStats(typ: String, min: String, max: String)
+
+  // ------------------------------------------------------- footer harvest
+
+  /** Read (rowCount, per-column stats) from one parquet footer, merging
+    * row-group chunk stats. Columns whose writer recorded no stats (or
+    * only nulls) are omitted — absence always means "cannot prune".
+    */
+  def footerInfo(path: Path, conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Map[String, ColStats]) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val footer = reader.getFooter
+      val acc = scala.collection.mutable.Map[String, ColStats]()
+      footer.getBlocks.forEach { block =>
+        block.getColumns.forEach { chunk =>
+          val pathParts = chunk.getPath.toArray
+          if (pathParts.length == 1) {
+            val name = pathParts(0)
+            val s = chunk.getStatistics
+            if (s != null && !s.isEmpty && s.hasNonNullValue) {
+              chunkStats(chunk.getPrimitiveType, s).foreach { cs =>
+                acc.get(name) match {
+                  case None => acc.put(name, cs)
+                  case Some(prev) => acc.put(name, mergeStats(prev, cs))
+                }
+              }
+            }
+          }
+        }
+      }
+      // hive-style partition dirs: data/<gen>/date=2024-01-02/part.parquet
+      partitionValues(path).foreach { case (col, cs) => acc.put(col, cs) }
+      (reader.getRecordCount, acc.toMap)
+    } finally reader.close()
+  }
+
+  private def chunkStats(pt: PrimitiveType,
+      s: org.apache.parquet.column.statistics.Statistics[_]): Option[ColStats] = {
+    import PrimitiveType.PrimitiveTypeName._
+    pt.getPrimitiveTypeName match {
+      case INT32 | INT64 =>
+        // DATE is int32 days, TIMESTAMP(MICROS) is int64 micros — both
+        // compare correctly as plain longs, matching Catalyst internals
+        Some(ColStats("long",
+          s.genericGetMin.toString, s.genericGetMax.toString))
+      case FLOAT | DOUBLE =>
+        Some(ColStats("double",
+          s.genericGetMin.toString, s.genericGetMax.toString))
+      case BINARY if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        val bs = s.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+        Some(ColStats("string",
+          bs.genericGetMin.toStringUsingUTF8, bs.genericGetMax.toStringUsingUTF8))
+      case _ => None // boolean/int96/fixed: not worth stats
+    }
+  }
+
+  private def mergeStats(a: ColStats, b: ColStats): ColStats = {
+    require(a.typ == b.typ, s"stat type flip ${a.typ} vs ${b.typ}")
+    val (lo, hi) = a.typ match {
+      case "string" =>
+        (if (a.min <= b.min) a.min else b.min, if (a.max >= b.max) a.max else b.max)
+      case _ =>
+        val (am, bm) = (BigDecimal(a.min), BigDecimal(b.min))
+        val (ax, bx) = (BigDecimal(a.max), BigDecimal(b.max))
+        ((am min bm).toString, (ax max bx).toString)
+    }
+    ColStats(a.typ, lo, hi)
+  }
+
+  /** `date=2024-01-02` dir segments → ("date", days-as-long min=max);
+    * non-date partition values are recorded as strings.
+    */
+  def partitionValues(file: Path): Map[String, ColStats] = {
+    var out = Map.empty[String, ColStats]
+    var cur = file.getParent
+    while (cur != null) {
+      val n = cur.getName
+      val eq = n.indexOf('=')
+      if (eq > 0) {
+        val col = n.substring(0, eq)
+        val raw = n.substring(eq + 1)
+        if (raw != "__HIVE_DEFAULT_PARTITION__") {
+          val cs = scala.util.Try(
+            java.time.LocalDate.parse(raw).toEpochDay.toString) match {
+            case scala.util.Success(days) => ColStats("long", days, days)
+            case _ => ColStats("string", raw, raw)
+          }
+          out += (col -> cs)
+        }
+      }
+      cur = cur.getParent
+    }
+    out
+  }
+
+  // ----------------------------------------------------------- prune test
+
+  /** True iff `stats` PROVE no row of the file can satisfy `cond`.
+    * Conservative: anything unrecognized keeps the file.
+    */
+  def canPrune(cond: Column, stats: Map[String, ColStats]): Boolean =
+    prunable(normalize(
+      org.apache.spark.sql.GraftColumnBridge.expression(cond)), stats)
+
+  /** Column-DSL trees arrive pre-analysis, with operators still packed as
+    * `UnresolvedFunction("=", …)` etc. — rewrite the handful of names the
+    * pruner understands into their concrete Catalyst nodes. Unknown
+    * functions stay opaque (and therefore never prune).
+    */
+  private def normalize(e: ce.Expression): ce.Expression = e.transformUp {
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && !f.isDistinct =>
+      (f.nameParts.head.toLowerCase(java.util.Locale.ROOT), f.arguments) match {
+        case ("=" | "==", Seq(a, b)) => ce.EqualTo(a, b)
+        case ("<=>", Seq(a, b)) => ce.EqualNullSafe(a, b)
+        case ("<", Seq(a, b)) => ce.LessThan(a, b)
+        case ("<=", Seq(a, b)) => ce.LessThanOrEqual(a, b)
+        case (">", Seq(a, b)) => ce.GreaterThan(a, b)
+        case (">=", Seq(a, b)) => ce.GreaterThanOrEqual(a, b)
+        case ("and", Seq(a, b)) => ce.And(a, b)
+        case ("or", Seq(a, b)) => ce.Or(a, b)
+        case ("in", args) if args.size >= 2 => ce.In(args.head, args.tail)
+        case _ => f
+      }
+  }
+
+  private def prunable(e: ce.Expression, st: Map[String, ColStats]): Boolean =
+    e match {
+      case ce.And(l, r) => prunable(l, st) || prunable(r, st)
+      case ce.Or(l, r) => prunable(l, st) && prunable(r, st)
+      case cmp: ce.BinaryComparison =>
+        (attrName(cmp.left), foldedValue(cmp.right)) match {
+          case (Some(a), Some(v)) => compPrunable(cmp, a, v, st, flipped = false)
+          case _ =>
+            (attrName(cmp.right), foldedValue(cmp.left)) match {
+              case (Some(a), Some(v)) => compPrunable(cmp, a, v, st, flipped = true)
+              case _ => false
+            }
+        }
+      case ce.In(a, vs) =>
+        attrName(a).exists { name =>
+          vs.nonEmpty && vs.forall { v =>
+            foldedValue(v).exists(lv =>
+              st.get(name).exists(cs => outside(cs, lv)))
+          }
+        }
+      case _ => false
+    }
+
+  private def attrName(e: ce.Expression): Option[String] = e match {
+    case a: ce.AttributeReference => Some(a.name)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if u.nameParts.length == 1 => Some(u.nameParts.head)
+    case _ => None
+  }
+
+  /** Evaluate a foldable literal side; gives unresolved time-zone-aware
+    * casts the session zone first (Column-built `lit(..).cast(..)`).
+    */
+  private def foldedValue(e: ce.Expression): Option[Any] = {
+    val withTz = e.transformUp {
+      case tz: ce.TimeZoneAwareExpression if tz.timeZoneId.isEmpty =>
+        tz.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    }
+    if (withTz.resolved && withTz.foldable)
+      scala.util.Try(withTz.eval(ce.EmptyRow)).toOption.filter(_ != null)
+    else None
+  }
+
+  /** Decide prunability of `attr OP value` given file [min, max]. When
+    * `flipped`, the original predicate was `value OP attr`.
+    */
+  private def compPrunable(cmp: ce.BinaryComparison, attr: String, v: Any,
+      st: Map[String, ColStats], flipped: Boolean): Boolean =
+    st.get(attr).exists { cs =>
+      toCmp(cs, v) match {
+        case None => false
+        case Some((minC, maxC)) =>
+          // minC = compare(min, v), maxC = compare(max, v)
+          cmp match {
+            case _: ce.EqualTo | _: ce.EqualNullSafe => minC > 0 || maxC < 0
+            case _: ce.LessThan => if (flipped) maxC <= 0 else minC >= 0
+            case _: ce.LessThanOrEqual => if (flipped) maxC < 0 else minC > 0
+            case _: ce.GreaterThan => if (flipped) minC >= 0 else maxC <= 0
+            case _: ce.GreaterThanOrEqual => if (flipped) minC > 0 else maxC < 0
+            case _ => false
+          }
+      }
+    }
+
+  private def outside(cs: ColStats, v: Any): Boolean =
+    toCmp(cs, v).exists { case (minC, maxC) => minC > 0 || maxC < 0 }
+
+  /** (compare(min, v), compare(max, v)), or None when the literal's type
+    * doesn't line up with the recorded stat type.
+    */
+  private def toCmp(cs: ColStats, v: Any): Option[(Int, Int)] = cs.typ match {
+    case "string" =>
+      val s = v match {
+        case u: UTF8String => Some(u.toString)
+        case s: String => Some(s)
+        case _ => None
+      }
+      s.map(x => (cs.min.compareTo(x), cs.max.compareTo(x)))
+    case _ => // long / double stats vs any numeric literal, via BigDecimal
+      numeric(v).map { x =>
+        (BigDecimal(cs.min).compare(x), BigDecimal(cs.max).compare(x))
+      }
+  }
+
+  private def numeric(v: Any): Option[BigDecimal] = v match {
+    case i: Int => Some(BigDecimal(i))
+    case l: Long => Some(BigDecimal(l))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case d: Double => Some(BigDecimal(d))
+    case f: Float => Some(BigDecimal(f.toDouble))
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case _ => None
+  }
+}

@@ -156,6 +156,64 @@ class FactTableSpec extends AnyFunSuite {
     assert(byModem == Map("m1" -> 10L, "m2" -> 10L, "m3" -> 5L))
   }
 
+  test("log-stats data skipping prunes files at plan time (sparse PK index)") {
+    val t = freshTable()
+    t.append(rows(10, "2024-03-01", "m1").repartition(1), 0)
+    t.append(rows(10, "2024-03-02", "m2").repartition(1), 1)
+    t.append(rows(10, "2024-03-03", "m3").repartition(1), 2)
+
+    // string-column stats (the modem_name sort key)
+    val (keptEq, total) = t.pruneReport($"modem_name" === "m2")
+    assert(total == 3 && keptEq == 1, s"expected 1/3 files, got $keptEq/$total")
+    assert(t.readWhere($"modem_name" === "m2").count() == 10)
+
+    // timestamp stats (micros-as-long), literal via a folded cast
+    val cut = lit("2024-03-03 00:00:00").cast("timestamp")
+    assert(t.pruneReport($"timestamp" >= cut)._1 == 1)
+    assert(t.readWhere($"timestamp" >= cut).count() == 10)
+
+    // IN-list and conjunction
+    assert(t.pruneReport($"modem_name".isin("m1", "m3"))._1 == 2)
+    assert(t.pruneReport($"modem_name" === "m1" && $"uptime" > 100)._1 == 0,
+      "conjunct on uptime (max 10) must prove every file empty")
+
+    // fully pruned read still answers, with schema intact and zero rows
+    assert(t.readWhere($"modem_name" === "zzz").count() == 0)
+
+    // after compaction the date partition-DIR value prunes via the log
+    // (the footer never sees the partition column)
+    t.compact()
+    val dateCond = $"date" === lit("2024-03-02").cast("date")
+    val (keptDate, totalBase) = t.pruneReport(dateCond)
+    assert(keptDate == 1 && totalBase == 3,
+      s"expected 1/3 day files, got $keptDate/$totalBase")
+    assert(t.readWhere(dateCond).count() == 10)
+  }
+
+  test("zorder clustering makes stats pruning effective on EVERY clustered dim") {
+    val t = freshTable()
+    // two independent uniform dimensions on one day: a lexicographic sort
+    // could only localize the leading one
+    val df = (0 until 4096).map { i =>
+      ("m1", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), i % 64, i / 64)
+    }.toDF("modem_name", "timestamp", "x", "y")
+      .withColumn("date", to_date($"timestamp"))
+    t.append(df, 0)
+    assert(t.majorCompact(zorderCols = Seq("x", "y"), zorderParts = 16) == 4096)
+
+    val totalFiles = t.snapshot().files.size
+    assert(totalFiles > 4, s"z-range write should spread files, got $totalFiles")
+    val keptX = t.pruneReport($"x" < 8)._1
+    val keptY = t.pruneReport($"y" < 8)._1
+    assert(keptX <= totalFiles / 2, s"x-pruning weak: $keptX/$totalFiles")
+    assert(keptY <= totalFiles / 2, s"y-pruning weak: $keptY/$totalFiles")
+
+    // identical answers to the unpruned path, and the z column is gone
+    assert(t.readWhere($"x" < 8).count() == t.read().where($"x" < 8).count())
+    assert(t.readWhere($"y" < 8).count() == 4096 / 8)
+    assert(!t.read().columns.contains(graft.storage.ZOrder.ZCol))
+  }
+
   test("BufferedFactSink flushes on the rows threshold (Buffer engine)") {
     val t = freshTable()
     val sink = new BufferedFactSink(t, maxAgeMs = Long.MaxValue / 2,
