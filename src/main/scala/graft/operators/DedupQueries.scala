@@ -133,6 +133,42 @@ object DedupQueries {
         .reduce(_ + _).as("simhash"))
   }
 
+  /** LSH candidate pairs (doc_a < doc_b), shared by d03 and d08: 4 bands
+    * × 2 rows over the MinHash signature; docs sharing any band value are
+    * candidates. One shuffle on the band value, pairs generated inside
+    * each bucket — no self-join, so the minhash subtree runs once.
+    */
+  def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashSignatures(s, dir)
+    val bands = sig.select($"doc_id", posexplode(array(
+      (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*
+    )).as(Seq("band", "bval"))).filter($"bval".isNotNull)
+    bands
+      .groupBy($"band", $"bval")
+      .agg(sort_array(collect_list($"doc_id")).as("docs"))
+      .filter(size($"docs") > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(docs) - 1),
+             i -> transform(sequence(0, i - 1),
+               j -> struct(docs[j] AS doc_a, docs[i] AS doc_b))))"""))
+        .as("p"))
+      .select($"p.doc_a", $"p.doc_b").distinct()
+  }
+
+  /** The same pairs as an oracle CTE chain ending in `pairs(doc_a, doc_b)`. */
+  private val lshPairsSqlCore: String = s"""$minhashSqlCore,
+        bands AS (
+          SELECT doc_id, 0 AS band, mh0 || mh1 AS bval FROM sig
+          UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+          UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+          UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE a.bval IS NOT NULL)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -173,36 +209,69 @@ object DedupQueries {
       "d03_lsh_candidate_pairs",
       (s, dir) => {
         import s.implicits._
-        val sig = minhashSignatures(s, dir)
-        val bands = sig.select($"doc_id", posexplode(array(
-          (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*
-        )).as(Seq("band", "bval"))).filter($"bval".isNotNull)
-        // One shuffle on the band value, then pairs generated inside each
-        // bucket — no self-join, so the minhash subtree is evaluated once.
-        bands
-          .groupBy($"band", $"bval")
-          .agg(sort_array(collect_list($"doc_id")).as("docs"))
-          .filter(size($"docs") > 1)
-          .select(explode(expr(
-            """flatten(transform(sequence(1, size(docs) - 1),
-                 i -> transform(sequence(0, i - 1),
-                   j -> struct(docs[j] AS doc_a, docs[i] AS doc_b))))"""))
-            .as("p"))
-          .select($"p.doc_a", $"p.doc_b").distinct()
-          .orderBy($"doc_a", $"doc_b")
+        lshCandidatePairs(s, dir).orderBy($"doc_a", $"doc_b")
       },
-      Some(s"""$minhashSqlCore,
-        bands AS (
-          SELECT doc_id, 0 AS band, mh0 || mh1 AS bval FROM sig
-          UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
-          UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
-          UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-        WHERE a.bval IS NOT NULL
-        ORDER BY doc_a, doc_b"""),
+      Some(s"""$lshPairsSqlCore
+        SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"""),
       doc = "MinHash-LSH band join for near-dup candidates"),
+
+    // ------------------------------------------------------------------
+    // Near-dup CLUSTER RESOLUTION: connected components over the LSH
+    // candidate graph, each doc labeled with the minimum doc_id reachable
+    // from it (the canonical keeper) plus its cluster size — the step
+    // that turns pairwise candidates into "keep one per cluster" for a
+    // training-data pipeline.
+    //
+    // Scale: iterative min-label propagation — per round one join of the
+    // label set against the (symmetrized) edge list and a min-aggregate,
+    // all key-partitioned shuffles on long ids; rounds = graph diameter
+    // (near-dup clusters are shallow — copies of a common source), each
+    // round localCheckpoint()ed so lineage stays flat. This is the
+    // standard large-graph CC recipe (GraphX/Pregel-style); the oracle
+    // computes the same fixpoint with a recursive CTE.
+    QueryDef(
+      "d08_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = lshCandidatePairs(s, dir)
+        val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+          .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+          .localCheckpoint() // evaluate LSH once, not once per round
+        var labels = edges.select($"src".as("doc_id")).distinct()
+          .select($"doc_id", $"doc_id".as("canon")).localCheckpoint()
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 50) {
+          val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+            .groupBy($"dst").agg(min($"canon").as("nbr_min"))
+          val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+            .select(labels("doc_id"),
+              least($"canon", coalesce($"nbr_min", $"canon")).as("canon"))
+            .localCheckpoint()
+          converged = next.join(labels.withColumnRenamed("canon", "prev"), "doc_id")
+            .filter($"canon" =!= $"prev").isEmpty
+          labels = next
+          rounds += 1
+        }
+        val sizes = labels.groupBy($"canon").agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "canon")
+          .select($"doc_id", $"canon", $"cluster_size")
+          .orderBy($"doc_id")
+      },
+      Some(s"""${lshPairsSqlCore.replaceFirst("WITH corpus", "WITH RECURSIVE corpus")},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        labels AS (SELECT id AS doc_id, MIN(r) AS canon FROM reach GROUP BY id),
+        sizes AS (SELECT canon, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                  FROM labels GROUP BY canon)
+        SELECT l.doc_id, l.canon, s.cluster_size
+        FROM labels l JOIN sizes s ON l.canon = s.canon
+        ORDER BY l.doc_id"""),
+      doc = "connected-components cluster resolution over LSH candidates"),
 
     // ------------------------------------------------------------------
     // SimHash: 32-bit signature per document.
