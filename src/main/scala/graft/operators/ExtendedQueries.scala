@@ -693,6 +693,61 @@ object ExtendedQueries {
           .orderBy($"l_returnflag")
       },
       None,
-      doc = "approx_percentile sketch vs exact; rows-only oracle (bound in spec)")
+      doc = "approx_percentile sketch vs exact; rows-only oracle (bound in spec)"),
+
+    // ------------------------------------------------------------------
+    // q54: ordered event funnel (ClickHouse windowFunnel analog):
+    // earliest-anchor greedy matching of view → click → purchase per
+    // user, completion window 7 days from the anchor. Steps are stacked
+    // conditional-min window passes over ONE user-partitioned exchange
+    // (no self-joins — at 100 TB a 3-step self-join of events against
+    // itself would shuffle the table three times; this shuffles once).
+    QueryDef(
+      "q54_event_funnel",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id")
+        val lvl = Tables.events(s, dir)
+          .withColumn("t1",
+            min(when($"event_type" === "view", $"ts")).over(w))
+          .withColumn("t2",
+            min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+          .withColumn("t3",
+            min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+          .groupBy($"user_id")
+          .agg(first($"t1").as("t1"), first($"t2").as("t2"), first($"t3").as("t3"))
+        lvl.select($"user_id",
+          when($"t3".isNotNull && $"t3" <= $"t1" + expr("INTERVAL 7 DAYS"), 3)
+            .when($"t2".isNotNull && $"t2" <= $"t1" + expr("INTERVAL 7 DAYS"), 2)
+            .when($"t1".isNotNull, 1)
+            .otherwise(0).as("funnel_level"),
+          $"t1", $"t2", $"t3")
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2
+               FROM events e JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3
+               FROM events e JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               GROUP BY e.user_id)
+        SELECT u.user_id,
+               CASE WHEN t3 IS NOT NULL AND t3 <= t1 + INTERVAL 7 DAY THEN 3
+                    WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL 7 DAY THEN 2
+                    WHEN t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_level,
+               t1, t2, t3
+        FROM u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+        ORDER BY u.user_id"""),
+      doc = "ordered event funnel via stacked conditional-min windows")
   )
 }

@@ -226,6 +226,45 @@ object TextQueries {
                CAST(strpos(text, 'the') AS BIGINT) AS first_the,
                concat_ws('|', lang, source) AS lang_source
         FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id"""),
-      doc = "string-function battery: case/pad/translate/replace/reverse/search")
+      doc = "string-function battery: case/pad/translate/replace/reverse/search"),
+
+    // ------------------------------------------------------------------
+    // t08: regexp extraction battery — multi-match extraction
+    // (regexp_extract_all), group capture, match counting, and boolean
+    // matching, the workhorse ops of text-pipeline filtering. All
+    // codegen'd native expressions; list outputs are joined to strings
+    // (raw arrays hash differently across engines).
+    QueryDef(
+      "t08_regexp_battery",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 23 === 0)
+          .select($"doc_id",
+            size(regexp_extract_all($"text", lit("[0-9]+"), lit(0)))
+              .cast("long").as("n_nums"),
+            array_join(slice(regexp_extract_all($"text", lit("[0-9]+"), lit(0)), 1, 5), ",")
+              .as("first_nums"),
+            regexp_extract($"text", "([A-Z][a-z]+)", 1).as("first_cap"),
+            size(regexp_extract_all($"text", lit("[aeiou]{2,}"), lit(0)))
+              .cast("long").as("n_vowel_runs"),
+            ($"text" rlike "[0-9]").cast("int").as("has_num"),
+            array_join(slice(regexp_extract_all($"text", lit("\\b[a-z]{7,}\\b"), lit(0)), 1, 3), ",")
+              .as("long_words"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+               COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+')[1:5], ','), '')
+                 AS first_nums,
+               regexp_extract(text, '([A-Z][a-z]+)', 1) AS first_cap,
+               CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT)
+                 AS n_vowel_runs,
+               CAST(regexp_matches(text, '[0-9]') AS INT) AS has_num,
+               COALESCE(array_to_string(regexp_extract_all(text, '\b[a-z]{7,}\b')[1:3], ','), '')
+                 AS long_words
+        FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id"""),
+      doc = "regexp battery: extract_all, group capture, counts, rlike")
   )
 }
