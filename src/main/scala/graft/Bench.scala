@@ -27,7 +27,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: touch every table + exercise codegen/shuffle machinery once
-    Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    val inputRows = Tables.all.map(t => Tables.load(spark, sfDir, t).count()).sum
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
     // best-of-2 per query: damps scheduler/GC noise on a shared machine.
@@ -46,7 +46,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qps = if (total > 0) results.size / total else 0.0
+    val extras = "\"input_rows\":" + inputRows +
+      ",\"queries_per_s\":" + qps
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -220,7 +220,42 @@ object DocsisQueries {
           .orderBy($"timestamp", $"modem_name", $"channel_id")
       },
       Some(downstreamGoldenSql),
-      doc = "inline() struct-array flattening (same golden rows as dx01)")
+      doc = "inline() struct-array flattening (same golden rows as dx01)"),
+
+    // ------------------------------------------------------------------
+    // dx10: stats-pruned read — orders appended as three disjoint
+    // order-date ranges (MergeTree parts arriving in time order), then a
+    // filtered read through FactTable.readWhere, which must answer from
+    // the log's footer stats WITHOUT touching the out-of-range parts.
+    // The require() makes the correctness gate fail if skipping ever
+    // stops pruning; the oracle proves the pruned read loses no rows.
+    QueryDef(
+      "dx10_pruned_read",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("dx10_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val orders = graft.Tables.load(s, sfDir, "orders")
+        t.append(orders.filter($"o_orderdate" < "1997-01-01").repartition(1), 0)
+        t.append(orders.filter($"o_orderdate" >= "1997-01-01" &&
+          $"o_orderdate" < "1999-01-01").repartition(1), 1)
+        t.append(orders.filter($"o_orderdate" >= "1999-01-01").repartition(1), 2)
+        val cond = $"o_orderdate" >= lit("1999-07-01").cast("timestamp")
+        val (kept, total) = t.pruneReport(cond)
+        require(kept < total, s"stats skipping regressed: $kept/$total files kept")
+        t.readWhere(cond)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-07-01 00:00:00'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "log-stats pruned read: file skipping with zero row loss")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,
