@@ -257,7 +257,7 @@ class FactTable(val root: String, spark: SparkSession) {
     (files.count(f => !StatsPruning.canPrune(cond, f.stats)), files.size)
   }
 
-  private def readFiles(files: Seq[FileEntry]): DataFrame = {
+  private[storage] def readFiles(files: Seq[FileEntry]): DataFrame = {
     val snap = Snapshot(files, Set.empty, 0L)
     if (snap.files.isEmpty)
       throw new IllegalStateException(s"empty table at $root")

@@ -1,0 +1,60 @@
+package graft.storage
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft")` / `CREATE TABLE ... USING graft` over a
+  * transaction-logged FactTable — the SQL-integration surface on top of
+  * the programmatic `FactTable.read/readWhere` API.
+  *
+  * Implemented as a V1 `PrunedFilteredScan` deliberately: Catalyst pushes
+  * column pruning and every conjunct of the WHERE clause into
+  * `buildScan`, where the filters drive log-stats FILE skipping
+  * (StatsPruning) before any parquet footer is opened — the automatic
+  * analog of what `readWhere` does for hand-passed predicates. Spark
+  * re-applies all pushed filters on top (V1 filters are advisory), so a
+  * conservative prune can never change results. Options:
+  *
+  *   - `path`        table root (also the `load(path)` argument)
+  *   - `versionAsOf` optional time travel to an earlier log version
+  */
+class GraftDataSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft data source requires a 'path' option"))
+    val asOf = parameters.get("versionAsOf").map(_.toLong).getOrElse(Long.MaxValue)
+    new GraftRelation(root, asOf, sqlContext.sparkSession)
+  }
+}
+
+object GraftRelation {
+  /** (root, kept files, total files) of the most recent scan — plan-shape
+    * observability for tests asserting that pushdown actually skipped.
+    */
+  @volatile var lastPrune: Option[(String, Int, Int)] = None
+}
+
+class GraftRelation(root: String, asOf: Long, spark: SparkSession)
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val table = new FactTable(root, spark)
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = table.read(asOf).schema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val files = table.snapshot(asOf).files
+    val kept = files.filterNot(f =>
+      filters.exists(fl => StatsPruning.canPrune(fl, f.stats)))
+    GraftRelation.lastPrune = Some((root, kept.size, files.size))
+    if (kept.isEmpty) spark.sparkContext.emptyRDD[Row]
+    else table.readFiles(kept)
+      .select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+}

@@ -182,6 +182,55 @@ object StatsPruning {
       case _ => false
     }
 
+  // ------------------------------------------------- V1 source filters
+
+  /** Prune test for `org.apache.spark.sql.sources.Filter` trees — the
+    * form Catalyst pushes into a `PrunedFilteredScan` (GraftDataSource).
+    * Same conservative semantics as the Column walker, but values arrive
+    * as EXTERNAL types (java.sql.Timestamp/Date, Instant/LocalDate) and
+    * are converted to the log's internal micros/days encodings first.
+    */
+  def canPrune(f: org.apache.spark.sql.sources.Filter,
+      st: Map[String, ColStats]): Boolean = {
+    import org.apache.spark.sql.{sources => sf}
+    def cmpOf(attr: String, v: Any): Option[(Int, Int)] =
+      for {
+        cs <- st.get(attr)
+        x <- externalValue(v)
+        c <- toCmp(cs, x)
+      } yield c
+    f match {
+      case sf.And(l, r) => canPrune(l, st) || canPrune(r, st)
+      case sf.Or(l, r) => canPrune(l, st) && canPrune(r, st)
+      case sf.EqualTo(a, v) =>
+        cmpOf(a, v).exists { case (mn, mx) => mn > 0 || mx < 0 }
+      case sf.EqualNullSafe(a, v) if v != null =>
+        cmpOf(a, v).exists { case (mn, mx) => mn > 0 || mx < 0 }
+      case sf.LessThan(a, v) => cmpOf(a, v).exists { case (mn, _) => mn >= 0 }
+      case sf.LessThanOrEqual(a, v) => cmpOf(a, v).exists { case (mn, _) => mn > 0 }
+      case sf.GreaterThan(a, v) => cmpOf(a, v).exists { case (_, mx) => mx <= 0 }
+      case sf.GreaterThanOrEqual(a, v) => cmpOf(a, v).exists { case (_, mx) => mx < 0 }
+      case sf.In(a, vs) =>
+        vs.nonEmpty && vs.forall(v =>
+          cmpOf(a, v).exists { case (mn, mx) => mn > 0 || mx < 0 })
+      case _ => false
+    }
+  }
+
+  /** External (Row-level) value → the comparable the stats use. */
+  private def externalValue(v: Any): Option[Any] = v match {
+    case null => None
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d))
+    case other => Some(other)
+  }
+
   private def attrName(e: ce.Expression): Option[String] = e match {
     case a: ce.AttributeReference => Some(a.name)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
