@@ -156,6 +156,39 @@ object DedupQueries {
       .select($"p.doc_a", $"p.doc_b").distinct()
   }
 
+  /** Connected-components labels over the LSH candidate graph: every doc
+    * that appears in any candidate pair, labeled with the minimum doc_id
+    * reachable from it (iterative min-label propagation; shared by d08
+    * and d09). Per round: one key-partitioned join of the label set
+    * against the symmetrized edge list + a min-aggregate; rounds = graph
+    * diameter (shallow for near-dup clusters); each round
+    * localCheckpoint()ed so lineage stays flat.
+    */
+  def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = lshCandidatePairs(s, dir)
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint() // evaluate LSH once, not once per round
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("canon")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy($"dst").agg(min($"canon").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(labels("doc_id"),
+          least($"canon", coalesce($"nbr_min", $"canon")).as("canon"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("canon", "prev"), "doc_id")
+        .filter($"canon" =!= $"prev").isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   /** The same pairs as an oracle CTE chain ending in `pairs(doc_a, doc_b)`. */
   private val lshPairsSqlCore: String = s"""$minhashSqlCore,
         bands AS (
@@ -168,6 +201,19 @@ object DedupQueries {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
           WHERE a.bval IS NOT NULL)"""
+
+  /** The shared recursive-CTE oracle computing the same `labels(doc_id,
+    * canon)` fixpoint as `clusterLabels` (extends `lshPairsSqlCore`).
+    */
+  private val labelsSqlCore: String =
+    s"""${lshPairsSqlCore.replaceFirst("WITH corpus", "WITH RECURSIVE corpus")},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        labels AS (SELECT id AS doc_id, MIN(r) AS canon FROM reach GROUP BY id)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -233,45 +279,60 @@ object DedupQueries {
       "d08_dedup_clusters",
       (s, dir) => {
         import s.implicits._
-        val pairs = lshCandidatePairs(s, dir)
-        val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-          .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-          .localCheckpoint() // evaluate LSH once, not once per round
-        var labels = edges.select($"src".as("doc_id")).distinct()
-          .select($"doc_id", $"doc_id".as("canon")).localCheckpoint()
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 50) {
-          val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
-            .groupBy($"dst").agg(min($"canon").as("nbr_min"))
-          val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-            .select(labels("doc_id"),
-              least($"canon", coalesce($"nbr_min", $"canon")).as("canon"))
-            .localCheckpoint()
-          converged = next.join(labels.withColumnRenamed("canon", "prev"), "doc_id")
-            .filter($"canon" =!= $"prev").isEmpty
-          labels = next
-          rounds += 1
-        }
+        val labels = clusterLabels(s, dir)
         val sizes = labels.groupBy($"canon").agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, "canon")
           .select($"doc_id", $"canon", $"cluster_size")
           .orderBy($"doc_id")
       },
-      Some(s"""${lshPairsSqlCore.replaceFirst("WITH corpus", "WITH RECURSIVE corpus")},
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION SELECT doc_b, doc_a FROM pairs),
-        reach(id, r) AS (
-          SELECT DISTINCT src, src FROM edges
-          UNION
-          SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        labels AS (SELECT id AS doc_id, MIN(r) AS canon FROM reach GROUP BY id),
+      Some(s"""$labelsSqlCore,
         sizes AS (SELECT canon, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM labels GROUP BY canon)
         SELECT l.doc_id, l.canon, s.cluster_size
         FROM labels l JOIN sizes s ON l.canon = s.canon
         ORDER BY l.doc_id"""),
       doc = "connected-components cluster resolution over LSH candidates"),
+
+    // ------------------------------------------------------------------
+    // d09: SURVIVOR SELECTION — the step after d08 that actually emits a
+    // deduplicated corpus: keep the canonical (minimum-id) doc of every
+    // near-dup cluster plus all unclustered docs, drop the rest; report
+    // kept/dropped counts per corpus origin stratum. In the derived
+    // corpus, originals are always their cluster's minimum id, so the
+    // keep-rule provably retains one representative per cluster.
+    // Scale: one left join of the corpus against the (much smaller)
+    // label set on a long key + a partial-aggregated rollup — no new
+    // shuffle shapes beyond d08.
+    QueryDef(
+      "d09_dedup_survivors",
+      (s, dir) => {
+        import s.implicits._
+        val labels = clusterLabels(s, dir)
+        corpus(s, dir).join(labels, Seq("doc_id"), "left")
+          .withColumn("kept", $"canon".isNull || $"canon" === $"doc_id")
+          .withColumn("origin",
+            when($"doc_id" >= 2000000L, "near_copy")
+              .when($"doc_id" >= 1000000L, "exact_copy")
+              .otherwise("original"))
+          .groupBy($"origin")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when($"kept", 1)).as("n_kept"),
+            count(when(!$"kept", 1)).as("n_dropped"))
+          .orderBy($"origin")
+      },
+      Some(s"""$labelsSqlCore,
+        tagged AS (
+          SELECT c.doc_id,
+                 CASE WHEN c.doc_id >= 2000000 THEN 'near_copy'
+                      WHEN c.doc_id >= 1000000 THEN 'exact_copy'
+                      ELSE 'original' END AS origin,
+                 (l.canon IS NULL OR l.canon = c.doc_id) AS kept
+          FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id)
+        SELECT origin, COUNT(*) AS n_docs,
+               COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+               COUNT(CASE WHEN NOT kept THEN 1 END) AS n_dropped
+        FROM tagged GROUP BY origin ORDER BY origin"""),
+      doc = "dedup survivor selection: canonical-per-cluster corpus emission"),
 
     // ------------------------------------------------------------------
     // SimHash: 32-bit signature per document.

@@ -319,6 +319,162 @@ object SimilarityQueries {
                  FROM pairs GROUP BY vec_id, cid)
         SELECT vec_id, cid, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
-      doc = "multiprobe IVF: 2 nearest buckets, the recall/cost knob")
+      doc = "multiprobe IVF: 2 nearest buckets, the recall/cost knob"),
+
+    // ------------------------------------------------------------------
+    // s07: random-hyperplane LSH (sign random projection) — the classic
+    // cosine-preserving LSH family (Charikar'02), complementing the IVF
+    // path: 16 deterministic ±1 hyperplanes (component sign = first md5
+    // hex digit of "plane:dim"), each vector's 16-bit signature banded
+    // 4×4; candidates share ≥1 band with the query, then exact cosine
+    // re-ranks. The signature is computed per-row by pure nested
+    // higher-order functions — MAP-ONLY, no plane crossJoin, no shuffle
+    // until the (tiny) candidate set — so at 100 TB the expensive part
+    // is embarrassingly parallel and the only joins are broadcasts of
+    // the query's 4 band rows. Exact decimal dot products make the
+    // sign threshold (>= 0) engine-identical.
+    QueryDef(
+      "s07_hyperplane_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        // bits[p] = sign bit of <embedding, hyperplane_p>, p = 0..15
+        val sigBits =
+          """transform(sequence(0, 15), p ->
+               CASE WHEN CAST(aggregate(
+                 zip_with(embedding,
+                   transform(sequence(0, 63), d ->
+                     CASE WHEN substring(md5(concat(CAST(p AS STRING), ':',
+                                                    CAST(d AS STRING))), 1, 1) < '8'
+                          THEN -1.0D ELSE 1.0D END),
+                   (x, h) -> CAST(x AS DOUBLE) * h),
+                 CAST(0 AS DECIMAL(38,18)),
+                 (acc, v) -> CAST(acc + CAST(v AS DECIMAL(38,18)) AS DECIMAL(38,18)))
+               AS DOUBLE) >= 0 THEN 1 ELSE 0 END)"""
+        val bands = emb
+          .select($"vec_id", $"embedding", expr(sigBits).as("bits"))
+          .select($"vec_id", $"embedding", posexplode(expr(
+            """transform(sequence(0, 3), b ->
+                 element_at(bits, 4*b+1)*8 + element_at(bits, 4*b+2)*4 +
+                 element_at(bits, 4*b+3)*2 + element_at(bits, 4*b+4))"""))
+            .as(Seq("band", "bval")))
+        val qBands = bands.filter($"vec_id" === 0)
+          .select($"band".as("qband"), $"bval".as("qbval"), $"embedding".as("qv"))
+        bands.filter($"vec_id" =!= 0)
+          .join(broadcast(qBands), $"band" === $"qband" && $"bval" === $"qbval")
+          .dropDuplicates("vec_id") // qv is constant across the 4 band rows
+          .select($"vec_id", round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some("""
+        WITH planes AS (
+          SELECT p AS plane,
+                 list_transform(range(0, 64), d ->
+                   CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8'
+                        THEN -1.0 ELSE 1.0 END) AS hv
+          FROM (SELECT unnest(range(0, 16)) AS p)),
+        comps AS (SELECT e.vec_id, pl.plane,
+                         unnest(e.embedding) AS x, unnest(pl.hv) AS h
+                  FROM embeddings e CROSS JOIN planes pl),
+        bits AS (SELECT vec_id, plane,
+                        CASE WHEN CAST(SUM(CAST(CAST(x AS DOUBLE) * h AS DECIMAL(38,18))) AS DOUBLE) >= 0
+                             THEN 1 ELSE 0 END AS bit
+                 FROM comps GROUP BY vec_id, plane),
+        bands AS (SELECT vec_id, plane // 4 AS band,
+                         SUM(bit * CASE plane % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                                  WHEN 2 THEN 2 ELSE 1 END) AS bval
+                  FROM bits GROUP BY vec_id, plane // 4),
+        qb AS (SELECT band, bval FROM bands WHERE vec_id = 0),
+        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cands AS (SELECT DISTINCT b.vec_id FROM bands b
+                  JOIN qb ON b.band = qb.band AND b.bval = qb.bval
+                  WHERE b.vec_id <> 0),
+        pairs AS (SELECT c.vec_id, unnest(e.embedding) AS x, unnest(qv.qv) AS y
+                  FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id, qv),
+        dots AS (SELECT vec_id,
+                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
+                        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nq
+                 FROM pairs GROUP BY vec_id)
+        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
+      doc = "random-hyperplane LSH: banded sign signatures + exact re-rank"),
+
+    // ------------------------------------------------------------------
+    // s08: product quantization (PQ) with asymmetric distance computation
+    // (ADC) — the memory-compression half of real billion-scale ANN
+    // (IVF_PQ): 64 dims split into 8 subspaces of 8; per-subspace
+    // codebook = the slices of vectors 1..4; every vector encoded as 8
+    // small codes (argmin sub-distance); query distance ≈ sum of
+    // precomputed query→centroid sub-distances looked up by code.
+    // At 100 TB the payoff is that scan-side data shrinks from 64 floats
+    // to 8 codes and the per-candidate cost is 8 table lookups — here
+    // both the encode (subspace explode + broadcast codebook join +
+    // per-(vec,sp) argmin) and the ADC lookup join are the real
+    // distributed plumbing. All sub-distances stay DECIMAL(38,18)
+    // end-to-end (never rounded through double), so code assignment and
+    // the final ADC ranking are bit-identical across engines.
+    QueryDef(
+      "s08_pq_adc",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        def l2Dec(a: String, b: String) = expr(
+          s"""aggregate(
+                zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                CAST(0 AS DECIMAL(38,18)),
+                (acc, p) -> CAST(acc + CAST(p AS DECIMAL(38,18)) AS DECIMAL(38,18)))""")
+        val subs = emb.select($"vec_id", posexplode(expr(
+          "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"))
+          .as(Seq("sp", "sv")))
+        val cents = subs.filter($"vec_id".between(1, 4))
+          .select($"vec_id".as("cid"), $"sp".as("csp"), $"sv".as("cv"))
+        val dists = subs.join(broadcast(cents), $"sp" === $"csp")
+          .select($"vec_id", $"sp", $"cid", l2Dec("sv", "cv").as("d2"))
+        val w = Window.partitionBy($"vec_id", $"sp").orderBy($"d2".asc, $"cid".asc)
+        val codes = dists.withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1).select($"vec_id", $"sp", $"cid".as("code"))
+        val qd = dists.filter($"vec_id" === 0)
+          .select($"sp".as("qsp"), $"cid".as("qcid"), $"d2".as("qd2"))
+        codes.filter($"vec_id" =!= 0)
+          .join(broadcast(qd), $"sp" === $"qsp" && $"code" === $"qcid")
+          .groupBy($"vec_id").agg(sum($"qd2").as("adc_dec"))
+          .select($"vec_id", round($"adc_dec".cast("double"), 9).as("adc"))
+          .orderBy($"adc".asc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some("""
+        WITH sp AS (SELECT unnest(range(0, 8)) AS sp),
+        subs AS (
+          SELECT e.vec_id, sp.sp, e.embedding[(8*sp.sp+1):(8*sp.sp+8)] AS sv
+          FROM embeddings e CROSS JOIN sp),
+        cents AS (
+          SELECT vec_id AS cid, sp AS csp, sv AS cv FROM subs
+          WHERE vec_id BETWEEN 1 AND 4),
+        dpairs AS (
+          SELECT su.vec_id, su.sp, c.cid, unnest(su.sv) AS x, unnest(c.cv) AS y
+          FROM subs su JOIN cents c ON su.sp = c.csp),
+        dists AS (
+          SELECT vec_id, sp, cid,
+                 SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                     AS DECIMAL(38,18))) AS d2
+          FROM dpairs GROUP BY vec_id, sp, cid),
+        codes AS (
+          SELECT vec_id, sp, cid AS code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+                                    ORDER BY d2 ASC, cid ASC) AS rk
+          FROM dists),
+        qd AS (SELECT sp AS qsp, cid AS qcid, d2 AS qd2 FROM dists WHERE vec_id = 0),
+        adc AS (
+          SELECT c.vec_id, SUM(q.qd2) AS adc_dec
+          FROM codes c JOIN qd q ON c.sp = q.qsp AND c.code = q.qcid
+          WHERE c.rk = 1 AND c.vec_id <> 0
+          GROUP BY c.vec_id)
+        SELECT vec_id, round(CAST(adc_dec AS DOUBLE), 9) AS adc
+        FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10"""),
+      doc = "product quantization + ADC lookup (decimal-exact codes and ranking)")
   )
 }

@@ -265,6 +265,62 @@ object TextQueries {
                COALESCE(array_to_string(regexp_extract_all(text, '\b[a-z]{7,}\b')[1:3], ','), '')
                  AS long_words
         FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id"""),
-      doc = "regexp battery: extract_all, group capture, counts, rlike")
+      doc = "regexp battery: extract_all, group capture, counts, rlike"),
+
+    // ------------------------------------------------------------------
+    // t09: TF-IDF term scoring — the classic corpus-statistics join that
+    // a training-data pipeline runs for keyword extraction / relevance
+    // weighting: per-doc term frequency joined with global document
+    // frequency, idf = ln(N/df), top-3 terms per document by window
+    // rank. The output is filtered to doc_id < 100 AFTER scoring, so the
+    // IDF statistics always come from the whole corpus (Catalyst pushes
+    // the filter only into the tf branch, which is exactly right).
+    // Scale: tf and df are both partial-aggregated on (token) keys
+    // (map-side combine), N is a broadcast 1-row aggregate, and the
+    // final per-doc rank shuffles only top-candidate rows — no full
+    // corpus re-sort. Both engines round the score to 6 digits before
+    // ranking so ties break identically.
+    QueryDef(
+      "t09_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val toks = docs
+          .select($"doc_id", explode(tokens($"text")).as("token"))
+          .filter($"token" =!= "")
+        val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token".asc)
+        tf.join(dfreq, "token")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf",
+            round($"tf" * log($"n_docs".cast("double") / $"df"), 6))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter($"rk" <= 3 && $"doc_id" < 100)
+          .select($"doc_id", $"rk", $"token", $"tfidf")
+          .orderBy($"doc_id", $"rk")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM toks WHERE token <> '' GROUP BY doc_id, token),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf,
+                 round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+          FROM tf JOIN dfreq USING (token), nd),
+        ranked AS (
+          SELECT doc_id, token, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token ASC) AS rk
+          FROM scored)
+        SELECT doc_id, rk, token, tfidf FROM ranked
+        WHERE rk <= 3 AND doc_id < 100 ORDER BY doc_id, rk"""),
+      doc = "TF-IDF top terms per doc (global IDF join + window rank)")
   )
 }

@@ -83,6 +83,28 @@ object EventsStream {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("s_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join: every purchase, with its matching
+    * signup when one exists. Unmatched purchases are held in state until
+    * the watermark passes the end of their join window, THEN emitted with
+    * nulls — the state-eviction semantics that distinguish streaming
+    * outer joins from batch ones (a row can only be declared unmatched
+    * once late signups are impossible).
+    */
+  def purchaseSignupLeftJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL '7' DAY"),
+      "left_outer")
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_ts"))
+  }
+
   /** In-plan data-quality metrics via Dataset.observe — per micro-batch
     * row count, null-props count, and value sum surface through
     * StreamingQueryProgress.observedMetrics with zero extra passes over

@@ -158,6 +158,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream left outer join evicts unmatched purchases by watermark") {
+    val joined = EventsStream.purchaseSignupLeftJoin(
+      EventsStream.readStream(spark, sfDir))
+    val q = joined.writeStream.format("memory").queryName("ss_loj_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_loj_mem")
+      val ev = Tables.events(spark, sfDir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+      val s = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+      val cond = $"user_id" === $"s_user" &&
+        $"s_ts" <= $"p_ts" && $"s_ts" >= $"p_ts" - expr("INTERVAL '7' DAY")
+      val batchLeft = p.join(s, cond, "left_outer")
+        .select($"p_id", $"user_id", $"p_ts", $"s_ts")
+      // everything emitted must appear in the batch left join
+      assert(got.except(batchLeft).isEmpty)
+      // matched rows = exactly the batch inner join
+      val wantInner = p.join(s, cond).select($"p_id", $"user_id", $"p_ts", $"s_ts")
+      val gotMatched = got.filter($"s_ts".isNotNull)
+      assert(gotMatched.count() == wantInner.count())
+      assert(gotMatched.except(wantInner).isEmpty)
+      // eviction really ran: every unmatched purchase whose match window
+      // is safely below the final watermark (max ts - 1h delay, 1 min
+      // margin) must have been emitted with a null s_ts
+      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+      val horizon = new java.sql.Timestamp(maxTs.getTime - (60 + 1) * 60 * 1000L)
+      val evictable = batchLeft.filter($"s_ts".isNull && $"p_ts" < lit(horizon))
+      val gotNulls = got.filter($"s_ts".isNull)
+      assert(evictable.except(gotNulls).isEmpty)
+    } finally q.stop()
+  }
+
   test("events session windows produce per-user sessions") {
     val stream = EventsStream.sessions(EventsStream.readStream(spark, sfDir))
     val q = stream.writeStream.format("memory").queryName("sess_mem")
