@@ -32,7 +32,12 @@ object Bench {
 
     // best-of-2 per query: damps scheduler/GC noise on a shared machine.
     // A query that fails BOTH runs reports -1.0 (never a fake timing).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts the query set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

@@ -93,6 +93,34 @@ object MultimodalQueries {
                  AS frame_md5
         FROM m, unnest(range(0, LEAST(5, 1 + (GREATEST(len, 1) - 1) // 256))) AS k(k)
         ORDER BY media_id, frame_no"""),
-      doc = "frame sampling: per-row offset explode + binary slicing + fingerprints")
+      doc = "frame sampling: per-row offset explode + binary slicing + fingerprints"),
+
+    // ------------------------------------------------------------------
+    // m04: batched inference over the media table — deterministic batch
+    // assembly (batch = media_id div 16) through typed groupByKey →
+    // flatMapGroups, per-item outputs carrying batch provenance. The
+    // model forward is a stub (see MediaPipeline.inferBatched), so the
+    // oracle can replay the same arithmetic with window functions.
+    QueryDef(
+      "m04_batched_inference",
+      (s, dir) => MediaPipeline.inferBatched(s, dir).toDF()
+        .select("media_id", "batch_id", "batch_size", "item_index", "score")
+        .orderBy(col("media_id")),
+      Some("""
+        WITH m AS (SELECT doc_id AS media_id,
+                          octet_length(encode(text)) AS byte_len,
+                          doc_id // 16 AS batch_id
+                   FROM documents),
+        b AS (SELECT media_id, batch_id, byte_len,
+                     COUNT(*) OVER (PARTITION BY batch_id) AS batch_size,
+                     ROW_NUMBER() OVER (PARTITION BY batch_id
+                                        ORDER BY media_id) - 1 AS item_index
+              FROM m)
+        SELECT media_id, batch_id,
+               CAST(batch_size AS INTEGER) AS batch_size,
+               CAST(item_index AS INTEGER) AS item_index,
+               CAST(byte_len AS DOUBLE) * batch_size + item_index AS score
+        FROM b ORDER BY media_id"""),
+      doc = "batched inference: deterministic batch keys + typed flatMapGroups")
   )
 }

@@ -338,21 +338,31 @@ object SimilarityQueries {
       (s, dir) => {
         import s.implicits._
         val emb = Tables.load(s, dir, "embeddings")
+        // The hyperplane matrix is a pure function of (plane, dim) —
+        // component sign = first hex digit of md5("p:d") — so it is
+        // folded to a LITERAL 16×64 array at plan build (Catalyst can't
+        // fold it itself across the lambda variables, and evaluating
+        // 1024 md5s per ROW would dominate the scan). JVM MD5 here ==
+        // SQL md5 in the oracle, so the values are identical.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val planesLit = typedLit((0 until 16).map { p =>
+          (0 until 64).map { d =>
+            val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            if (hex.head < '8') -1.0 else 1.0
+          }
+        })
         // bits[p] = sign bit of <embedding, hyperplane_p>, p = 0..15
-        val sigBits =
-          """transform(sequence(0, 15), p ->
-               CASE WHEN CAST(aggregate(
-                 zip_with(embedding,
-                   transform(sequence(0, 63), d ->
-                     CASE WHEN substring(md5(concat(CAST(p AS STRING), ':',
-                                                    CAST(d AS STRING))), 1, 1) < '8'
-                          THEN -1.0D ELSE 1.0D END),
-                   (x, h) -> CAST(x AS DOUBLE) * h),
-                 CAST(0 AS DECIMAL(38,18)),
-                 (acc, v) -> CAST(acc + CAST(v AS DECIMAL(38,18)) AS DECIMAL(38,18)))
-               AS DOUBLE) >= 0 THEN 1 ELSE 0 END)"""
         val bands = emb
-          .select($"vec_id", $"embedding", expr(sigBits).as("bits"))
+          .select($"vec_id", $"embedding", planesLit.as("planes"))
+          .select($"vec_id", $"embedding", expr(
+            """transform(sequence(1, 16), p ->
+                 CASE WHEN CAST(aggregate(
+                   zip_with(embedding, element_at(planes, p),
+                     (x, h) -> CAST(x AS DOUBLE) * h),
+                   CAST(0 AS DECIMAL(38,18)),
+                   (acc, v) -> CAST(acc + CAST(v AS DECIMAL(38,18)) AS DECIMAL(38,18)))
+                 AS DOUBLE) >= 0 THEN 1 ELSE 0 END)""").as("bits"))
           .select($"vec_id", $"embedding", posexplode(expr(
             """transform(sequence(0, 3), b ->
                  element_at(bits, 4*b+1)*8 + element_at(bits, 4*b+2)*4 +

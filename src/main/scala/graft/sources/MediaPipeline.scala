@@ -62,4 +62,38 @@ object MediaPipeline {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRow].mapPartitions(decodeStub)
   }
+
+  /** One per-item result of a batched model-inference pass. */
+  final case class InferenceOut(
+      media_id: Long, batch_id: Long, batch_size: Int, item_index: Int,
+      score: Double)
+
+  /** Batched inference plumbing — the Spark shape a GPU model server
+    * needs: items grouped into FIXED, DETERMINISTIC batches (key =
+    * media_id / batchSize, so batch membership is reproducible across
+    * runs and engines, unlike per-partition chunking), the whole batch
+    * assembled and "forwarded" at once, per-item results emitted with
+    * their batch provenance. The model forward is a ??? stub (no
+    * accelerator/codec libs in this container) — deterministic
+    * arithmetic in (byte_len, batch_size, item_index) — but the
+    * groupByKey → flatMapGroups batch assembly, the typed schemas on
+    * both sides, and the batch-shape metadata are the real thing.
+    * Scale: one shuffle on the batch key; batches are equal-width by
+    * construction, so no skew; batch state is O(batchSize), never
+    * O(partition).
+    */
+  def inferBatched(spark: SparkSession, dir: String,
+      batchSize: Int = 16): Dataset[InferenceOut] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow]
+      .groupByKey(_.media_id / batchSize)
+      .flatMapGroups { (batchId: Long, rows: Iterator[MediaRow]) =>
+        val batch = rows.toArray.sortBy(_.media_id) // assemble inference batch
+        // ??? model.forward(batch) — stubbed deterministically:
+        batch.iterator.zipWithIndex.map { case (r, i) =>
+          InferenceOut(r.media_id, batchId, batch.length, i,
+            r.content.length.toDouble * batch.length + i)
+        }
+      }
+  }
 }
