@@ -144,7 +144,10 @@ class FactTable(val root: String, spark: SparkSession) {
     val snap = snapshot()
     val buffer = snap.files.filter(_.tier == TierBuffer)
     if (buffer.isEmpty) return 0L
-    val src = spark.read.parquet(buffer.map(_.path): _*)
+    // mergeSchema: buffer parts may span a schema change (add-column);
+    // a single-footer schema pick would silently drop the new column
+    val src = spark.read.option("mergeSchema", true)
+      .parquet(buffer.map(_.path): _*)
     val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
     src.repartition(col(partitionCol))
       .sortWithinPartitions(partitionCol, sortCols: _*)
@@ -271,7 +274,8 @@ class FactTable(val root: String, spark: SparkSession) {
         spark.read.option("basePath", root).parquet(fs.map(_.path): _*)
       }
     val tiers = baseGens ++
-      Option.when(buffer.nonEmpty)(spark.read.parquet(buffer.map(_.path): _*))
+      Option.when(buffer.nonEmpty)(spark.read.option("mergeSchema", true)
+        .parquet(buffer.map(_.path): _*))
     tiers.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

@@ -50,6 +50,30 @@ class FactTableSpec extends AnyFunSuite {
     assert(snapAfter.files.forall(_.path.contains("date=")))
   }
 
+  test("schema evolution: add-column appends merge on read and survive compaction") {
+    val t = freshTable()
+    t.append(rows(4, "2024-03-01", "m1"), 0)
+    // later appends carry a new column (ALTER TABLE ADD COLUMN analog)
+    t.append(
+      rows(3, "2024-03-02", "m2").withColumn("fw_version", lit("8600-19.2")), 1)
+    val merged = t.read()
+    assert(merged.columns.contains("fw_version"))
+    assert(merged.count() == 7)
+    // pre-evolution rows read as NULL, post-evolution rows keep values
+    assert(merged.filter($"fw_version".isNull).count() == 4)
+    assert(merged.filter($"fw_version" === "8600-19.2").count() == 3)
+    // compaction must not lose the evolved column (mergeSchema on the
+    // buffer-tier read), and the merged shape survives the rewrite
+    t.compact()
+    val compacted = t.read()
+    assert(compacted.columns.contains("fw_version"))
+    assert(compacted.filter($"fw_version".isNull).count() == 4)
+    assert(compacted.filter($"fw_version" === "8600-19.2").count() == 3)
+    // …and a post-compaction append of the ORIGINAL schema still unions
+    t.append(rows(2, "2024-03-03", "m3"), 2)
+    assert(t.read().filter($"fw_version".isNull).count() == 6)
+  }
+
   test("compacted parts are sorted within each file (MergeTree ORDER BY)") {
     val t = freshTable()
     (0 until 3).foreach(i => t.append(rows(20, "2024-03-01", s"m${9 - i}"), i))

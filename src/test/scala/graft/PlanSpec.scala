@@ -125,4 +125,29 @@ class PlanSpec extends AnyFunSuite {
       s"RangeBucketJoin did not fire:\n$p")
     assert(p.contains("Generate"), "interval side not bucket-exploded")
   }
+
+  test("s07 LSH candidates join against broadcast query bands, top-k without global sort") {
+    val p = plan("s07_hyperplane_lsh")
+    // the 4 query band rows broadcast; the corpus side never shuffles
+    // for the join, and the re-rank is TakeOrderedAndProject
+    assert(p.contains("BroadcastHashJoin"), s"band join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("s08 PQ encode and ADC lookup both join against broadcasts") {
+    val p = plan("s08_pq_adc")
+    // codebook (32 rows) and query distance table (32 rows) broadcast;
+    // no sort-merge path anywhere in encode or lookup
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("t09 IDF statistics aggregate partially before shuffling") {
+    val p = plan("t09_tfidf")
+    assert(p.contains("partial_count"), "tf/df not map-side combined")
+    // the 1-row corpus count joins as a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
 }
