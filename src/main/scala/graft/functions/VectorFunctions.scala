@@ -34,6 +34,17 @@ object VectorFunctions {
           (acc, p) -> CAST(acc + CAST(p AS DECIMAL(38,18)) AS DECIMAL(38,18)))
         AS DOUBLE)""")
 
+  /** Exact squared L2 distance kept as DECIMAL(38,18) — for pipelines
+    * (PQ codes, ADC sums) where the distance feeds further exact
+    * arithmetic and must never round through double.
+    */
+  def l2SqDecimal(a: String, b: String): Column = expr(
+    s"""aggregate(
+          zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                     * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          CAST(0 AS DECIMAL(38,18)),
+          (acc, p) -> CAST(acc + CAST(p AS DECIMAL(38,18)) AS DECIMAL(38,18)))""")
+
   /** cosine(a, b) from exact dots. */
   def cosineExact(a: String, b: String): Column =
     dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b)))

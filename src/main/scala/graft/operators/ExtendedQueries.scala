@@ -748,6 +748,105 @@ object ExtendedQueries {
         LEFT JOIN s2 ON u.user_id = s2.user_id
         LEFT JOIN s3 ON u.user_id = s3.user_id
         ORDER BY u.user_id"""),
-      doc = "ordered event funnel via stacked conditional-min windows")
+      doc = "ordered event funnel via stacked conditional-min windows"),
+
+    // ------------------------------------------------------------------
+    // q55: higher-moment statistics + mode — skewness and excess
+    // kurtosis from EXACT decimal raw-moment sums (l_quantity powers
+    // stay decimal end-to-end: (9,2)→(19,4)→(15,4) recast →(31,8), so
+    // DuckDB's strict precision rules hold and both engines feed
+    // bit-identical doubles into the same closed-form expressions);
+    // mode via count + deterministic (freq DESC, value ASC) ranking
+    // rather than engine-specific mode() tie-breaking.
+    // Scale: one partial-aggregated pass for the moments; the mode adds
+    // one narrow (flag, qty) pre-aggregation — both map-side combined.
+    QueryDef(
+      "q55_moment_stats",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+          .select($"l_returnflag",
+            $"l_quantity".cast("decimal(9,2)").as("q"))
+          .withColumn("q2", ($"q" * $"q").cast("decimal(15,4)"))
+          .withColumn("q3", ($"q2" * $"q").cast("decimal(25,6)"))
+          .withColumn("q4", ($"q2" * $"q2").cast("decimal(31,8)"))
+        val moments = li.groupBy($"l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum($"q").as("s1"), sum($"q2").as("s2"),
+          sum($"q3").as("s3"), sum($"q4").as("s4"))
+          .select($"l_returnflag", $"n",
+            ($"s1".cast("double") / $"n").as("mean"),
+            ($"s2".cast("double") / $"n").as("r2"),
+            ($"s3".cast("double") / $"n").as("r3"),
+            ($"s4".cast("double") / $"n").as("r4"))
+          .select($"l_returnflag", $"n", $"mean", $"r2", $"r3", $"r4",
+            ($"r2" - $"mean" * $"mean").as("m2"))
+          .select($"l_returnflag", $"n",
+            round($"mean", 6).as("mean_qty"),
+            round(($"r3" - lit(3.0) * $"mean" * $"r2" +
+              lit(2.0) * $"mean" * $"mean" * $"mean") / pow($"m2", 1.5), 6)
+              .as("skewness"),
+            round(($"r4" - lit(4.0) * $"mean" * $"r3" +
+              lit(6.0) * $"mean" * $"mean" * $"r2" -
+              lit(3.0) * $"mean" * $"mean" * $"mean" * $"mean") /
+              ($"m2" * $"m2") - lit(3.0), 6).as("kurtosis"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_returnflag").orderBy($"cnt".desc, $"qv".asc)
+        val mode = Tables.load(s, dir, "lineitem")
+          .select($"l_returnflag",
+            $"l_quantity".cast("decimal(9,2)").cast("double").as("qv"))
+          .groupBy($"l_returnflag", $"qv").agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .select($"l_returnflag", $"qv".as("mode_qty"), $"cnt".as("mode_n"))
+        moments.join(mode, "l_returnflag")
+          .select($"l_returnflag", $"n", $"mean_qty", $"skewness",
+            $"kurtosis", $"mode_qty", $"mode_n")
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH q AS (
+          SELECT l_returnflag, CAST(l_quantity AS DECIMAL(9,2)) AS q
+          FROM lineitem),
+        p AS (
+          SELECT l_returnflag, q,
+                 CAST(q * q AS DECIMAL(15,4)) AS q2
+          FROM q),
+        p2 AS (
+          SELECT l_returnflag, q, q2,
+                 CAST(q2 * q AS DECIMAL(25,6)) AS q3,
+                 CAST(q2 * q2 AS DECIMAL(31,8)) AS q4
+          FROM p),
+        s AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean,
+                 CAST(SUM(q2) AS DOUBLE) / COUNT(*) AS r2,
+                 CAST(SUM(q3) AS DOUBLE) / COUNT(*) AS r3,
+                 CAST(SUM(q4) AS DOUBLE) / COUNT(*) AS r4
+          FROM p2 GROUP BY l_returnflag),
+        m AS (SELECT *, r2 - mean * mean AS m2 FROM s),
+        stats AS (
+          SELECT l_returnflag, n,
+                 round(mean, 6) AS mean_qty,
+                 round((r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean)
+                       / power(m2, 1.5), 6) AS skewness,
+                 round((r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+                        - 3.0 * mean * mean * mean * mean)
+                       / (m2 * m2) - 3.0, 6) AS kurtosis
+          FROM m),
+        freq AS (
+          SELECT l_returnflag,
+                 CAST(CAST(l_quantity AS DECIMAL(9,2)) AS DOUBLE) AS qv,
+                 COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        md AS (
+          SELECT l_returnflag, qv AS mode_qty, cnt AS mode_n,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                    ORDER BY cnt DESC, qv ASC) AS rk
+          FROM freq)
+        SELECT st.l_returnflag, st.n, st.mean_qty, st.skewness, st.kurtosis,
+               md.mode_qty, md.mode_n
+        FROM stats st JOIN md ON st.l_returnflag = md.l_returnflag
+        WHERE md.rk = 1 ORDER BY st.l_returnflag"""),
+      doc = "exact-moment skewness/kurtosis + deterministic mode")
   )
 }

@@ -429,20 +429,15 @@ object SimilarityQueries {
       "s08_pq_adc",
       (s, dir) => {
         import s.implicits._
+        import graft.functions.VectorFunctions.l2SqDecimal
         val emb = Tables.load(s, dir, "embeddings")
-        def l2Dec(a: String, b: String) = expr(
-          s"""aggregate(
-                zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-                CAST(0 AS DECIMAL(38,18)),
-                (acc, p) -> CAST(acc + CAST(p AS DECIMAL(38,18)) AS DECIMAL(38,18)))""")
         val subs = emb.select($"vec_id", posexplode(expr(
           "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"))
           .as(Seq("sp", "sv")))
         val cents = subs.filter($"vec_id".between(1, 4))
           .select($"vec_id".as("cid"), $"sp".as("csp"), $"sv".as("cv"))
         val dists = subs.join(broadcast(cents), $"sp" === $"csp")
-          .select($"vec_id", $"sp", $"cid", l2Dec("sv", "cv").as("d2"))
+          .select($"vec_id", $"sp", $"cid", l2SqDecimal("sv", "cv").as("d2"))
         val w = Window.partitionBy($"vec_id", $"sp").orderBy($"d2".asc, $"cid".asc)
         val codes = dists.withColumn("rk", row_number().over(w))
           .filter($"rk" === 1).select($"vec_id", $"sp", $"cid".as("code"))
@@ -485,6 +480,119 @@ object SimilarityQueries {
           GROUP BY c.vec_id)
         SELECT vec_id, round(CAST(adc_dec AS DOUBLE), 9) AS adc
         FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10"""),
-      doc = "product quantization + ADC lookup (decimal-exact codes and ranking)")
+      doc = "product quantization + ADC lookup (decimal-exact codes and ranking)"),
+
+    // ------------------------------------------------------------------
+    // s09: IVF-PQ — the combined billion-scale ANN recipe (coarse
+    // quantizer prunes the search space, product quantizer compresses
+    // what's left): vectors IVF-assigned to the nearest of 8 centroids
+    // (s02's argmin), the query's bucket selected, and ONLY its members
+    // ranked by PQ/ADC lookup (s08's codebook + lookup join). Everything
+    // joins against broadcasts (centroids, codebook, query distance
+    // table); the expensive per-vector work — IVF distance + PQ encode —
+    // is one pass each, and ADC never touches the raw vectors of the
+    // candidates. Decimal-exact throughout.
+    QueryDef(
+      "s09_ivf_pq",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.l2SqDecimal
+        val emb = Tables.load(s, dir, "embeddings")
+        // coarse quantizer: nearest of 8 IVF centroids per vector
+        val icents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("icid"), $"embedding".as("icv"))
+        val wA = Window.partitionBy($"vec_id").orderBy($"idist".asc, $"icid".asc)
+        val assigned = emb.crossJoin(broadcast(icents))
+          .select($"vec_id", $"embedding", $"icid",
+            round(l2SqExact("embedding", "icv"), 9).as("idist"))
+          .withColumn("rk", row_number().over(wA)).filter($"rk" === 1)
+          .select($"vec_id", $"embedding", $"icid")
+        val qBucket = assigned.filter($"vec_id" === 0).select($"icid".as("qcid"))
+        val bucket = assigned.join(broadcast(qBucket), $"icid" === $"qcid")
+          .filter($"vec_id" =!= 0)
+        // PQ codebook (8 subspaces × 4 centroids from vectors 1..4)
+        val slices =
+          "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"
+        val pqCents = emb.filter($"vec_id".between(1, 4))
+          .select($"vec_id".as("cid"), posexplode(expr(slices)).as(Seq("csp", "cv")))
+        // encode ONLY the bucket members
+        val subs = bucket.select($"vec_id", posexplode(expr(slices)).as(Seq("sp", "sv")))
+        val dists = subs.join(broadcast(pqCents), $"sp" === $"csp")
+          .select($"vec_id", $"sp", $"cid", l2SqDecimal("sv", "cv").as("d2"))
+        val wC = Window.partitionBy($"vec_id", $"sp").orderBy($"d2".asc, $"cid".asc)
+        val codes = dists.withColumn("rk", row_number().over(wC))
+          .filter($"rk" === 1).select($"vec_id", $"sp", $"cid".as("code"))
+        // query → codebook sub-distance table (32 rows, broadcast)
+        val qd = emb.filter($"vec_id" === 0)
+          .select(posexplode(expr(slices)).as(Seq("qsp0", "qv")))
+          .join(broadcast(pqCents), $"qsp0" === $"csp")
+          .select($"qsp0".as("qsp"), $"cid".as("qcid"),
+            l2SqDecimal("qv", "cv").as("qd2"))
+        codes.join(broadcast(qd), $"sp" === $"qsp" && $"code" === $"qcid")
+          .groupBy($"vec_id").agg(sum($"qd2").as("adc_dec"))
+          .select($"vec_id", round($"adc_dec".cast("double"), 9).as("adc"))
+          .orderBy($"adc".asc, $"vec_id".asc)
+          .limit(5)
+      },
+      Some("""
+        WITH icents AS (SELECT vec_id AS icid, embedding AS icv
+                        FROM embeddings WHERE vec_id < 8),
+        ipairs AS (SELECT e.vec_id, c.icid,
+                          unnest(e.embedding) AS x, unnest(c.icv) AS y
+                   FROM embeddings e CROSS JOIN icents c),
+        idists AS (SELECT vec_id, icid,
+                          round(CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                         AS DECIMAL(38,18))) AS DOUBLE), 9) AS idist
+                   FROM ipairs GROUP BY vec_id, icid),
+        iassign AS (SELECT vec_id, icid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY idist ASC, icid ASC) AS rk
+                    FROM idists),
+        assigned AS (SELECT vec_id, icid FROM iassign WHERE rk = 1),
+        qbucket AS (SELECT icid FROM assigned WHERE vec_id = 0),
+        bucket AS (SELECT a.vec_id FROM assigned a JOIN qbucket q
+                   ON a.icid = q.icid WHERE a.vec_id <> 0),
+        spn AS (SELECT unnest(range(0, 8)) AS sp),
+        pqcents AS (
+          SELECT e.vec_id AS cid, spn.sp AS csp,
+                 e.embedding[(8*spn.sp+1):(8*spn.sp+8)] AS cv
+          FROM embeddings e CROSS JOIN spn WHERE e.vec_id BETWEEN 1 AND 4),
+        subs AS (
+          SELECT b.vec_id, spn.sp, e.embedding[(8*spn.sp+1):(8*spn.sp+8)] AS sv
+          FROM bucket b JOIN embeddings e ON e.vec_id = b.vec_id CROSS JOIN spn),
+        dpairs AS (
+          SELECT su.vec_id, su.sp, c.cid, unnest(su.sv) AS x, unnest(c.cv) AS y
+          FROM subs su JOIN pqcents c ON su.sp = c.csp),
+        dists AS (
+          SELECT vec_id, sp, cid,
+                 SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                     AS DECIMAL(38,18))) AS d2
+          FROM dpairs GROUP BY vec_id, sp, cid),
+        codes AS (
+          SELECT vec_id, sp, cid AS code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+                                    ORDER BY d2 ASC, cid ASC) AS rk
+          FROM dists),
+        qpairs AS (
+          SELECT spn.sp, c.cid, unnest(e.embedding[(8*spn.sp+1):(8*spn.sp+8)]) AS x,
+                 unnest(c.cv) AS y
+          FROM embeddings e CROSS JOIN spn
+          JOIN pqcents c ON spn.sp = c.csp
+          WHERE e.vec_id = 0),
+        qd AS (
+          SELECT sp AS qsp, cid AS qcid,
+                 SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                     AS DECIMAL(38,18))) AS qd2
+          FROM qpairs GROUP BY sp, cid),
+        adc AS (
+          SELECT c.vec_id, SUM(q.qd2) AS adc_dec
+          FROM codes c JOIN qd q ON c.sp = q.qsp AND c.code = q.qcid
+          WHERE c.rk = 1 GROUP BY c.vec_id)
+        SELECT vec_id, round(CAST(adc_dec AS DOUBLE), 9) AS adc
+        FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 5"""),
+      doc = "IVF-PQ: coarse bucket pruning + PQ/ADC ranking of the survivors")
   )
 }
