@@ -374,18 +374,16 @@ object DedupQueries {
       "d05_ngram_jaccard_pairs",
       (s, dir) => {
         import s.implicits._
-        // Single evaluation of the tokenize+shingle subtree: per-doc
-        // distinct shingles and their count come from ONE groupBy(doc_id)
-        // with a map-side-combined collect_set (replacing the previous
-        // distinct + window pair — one shuffle instead of two), so
-        // posting-list pairs already carry |A| and |B| — no join-back.
-        // Shingles shuffle as fixed-width md5 prefixes, never raw text.
+        // Per-doc distinct shingles + their count are computed MAP-SIDE
+        // with array_distinct over the in-row shingle array (r3 used a
+        // groupBy(doc_id).collect_set — a full shuffle of every shingle
+        // row that a per-row array op makes unnecessary), so posting-list
+        // pairs already carry |A| and |B| with zero pre-shuffles.
+        // Shingles travel as fixed-width md5 prefixes, never raw text.
         val sh = corpus(s, dir)
           .withColumn("toks", tokens($"text"))
-          .select($"doc_id", explode(shingles("toks")).as("sh_raw"))
-          .select($"doc_id", substring(md5($"sh_raw"), 1, 16).as("shingle"))
-          .groupBy($"doc_id")
-          .agg(collect_set($"shingle").as("sh_set"))
+          .withColumn("sh_set", array_distinct(
+            transform(shingles("toks"), x => substring(md5(x), 1, 16))))
           .select($"doc_id", size($"sh_set").cast("long").as("n_sh"),
             explode($"sh_set").as("shingle"))
         val pairs = sh

@@ -54,7 +54,15 @@ class GraftRelation(root: String, asOf: Long, spark: SparkSession)
       filters.exists(fl => StatsPruning.canPrune(fl, f.stats)))
     GraftRelation.lastPrune = Some((root, kept.size, files.size))
     if (kept.isEmpty) spark.sparkContext.emptyRDD[Row]
-    else table.readFiles(kept)
-      .select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+    else {
+      // Align to the relation schema: after add-column evolution, a
+      // pruned subset may contain only pre-evolution files — the evolved
+      // column must still resolve (as NULL), exactly as in a full read.
+      val df = table.readFiles(kept)
+      val aligned = schema.fields.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      aligned.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+    }
   }
 }

@@ -54,6 +54,23 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(GraftRelation.lastPrune.exists(_._2 == 0))
   }
 
+  test("evolved column resolves as NULL when pruning keeps only old files") {
+    val t = new FactTable(
+      java.nio.file.Files.createTempDirectory("graft_evo").toString, spark)
+    t.append(rows(10, "2024-03-01", "m1").repartition(1), 0)
+    t.append(rows(10, "2024-03-02", "m2")
+      .withColumn("fw_version", lit("19.2")).repartition(1), 1)
+    val df = spark.read.format("graft").load(t.root)
+    assert(df.columns.contains("fw_version"))
+    // m1 prunes to the pre-evolution file only; fw_version must still
+    // resolve (all NULL) instead of failing analysis
+    val old = df.filter($"modem_name" === "m1").select($"fw_version")
+    assert(old.count() == 10 && old.filter($"fw_version".isNull).count() == 10)
+    assert(GraftRelation.lastPrune.exists(_._2 == 1))
+    val neu = df.filter($"modem_name" === "m2")
+    assert(neu.filter($"fw_version" === "19.2").count() == 10)
+  }
+
   test("CREATE TEMPORARY VIEW ... USING graft works from pure SQL") {
     val t = threeDayTable()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_view " +
