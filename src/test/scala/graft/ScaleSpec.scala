@@ -1,0 +1,125 @@
+package graft
+
+import graft.functions.VectorFunctions.cosineExact
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path behavior on a corpus ~10× the sf0.1 tables: the properties
+  * that make the ANN operators survive a 100×/1000× scale-up are
+  * CANDIDATE-SET REDUCTION (LSH bands, IVF buckets prune almost all of
+  * the corpus before any exact distance runs) — asserted here on 50k
+  * deterministic pseudo-random vectors, where timing would be flaky but
+  * row counts are exact.
+  */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val n = 50000
+  private val dims = 64
+
+  /** Deterministic pseudo-random unit-ish vectors via hash(id, d). */
+  private def vectors = spark.range(n).select($"id".as("vec_id"),
+    expr(s"""transform(sequence(0, ${dims - 1}),
+               d -> CAST(pmod(hash(id, d), 1000) / 500.0 - 1.0 AS FLOAT))""")
+      .as("embedding"))
+
+  test("hyperplane LSH prunes the candidate set to a small fraction of the corpus") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val planesLit = typedlit((0 until 16).map { p =>
+      (0 until dims).map { d =>
+        val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.head < '8') -1.0 else 1.0
+      }
+    })
+    val bands = vectors
+      .select($"vec_id", $"embedding", planesLit.as("planes"))
+      .select($"vec_id", $"embedding", expr(
+        """transform(sequence(1, 16), p ->
+             CASE WHEN aggregate(
+               zip_with(embedding, element_at(planes, p),
+                 (x, h) -> CAST(x AS DOUBLE) * h),
+               0.0D, (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END)""").as("bits"))
+      .select($"vec_id", $"embedding", posexplode(expr(
+        """transform(sequence(0, 3), b ->
+             element_at(bits, 4*b+1)*8 + element_at(bits, 4*b+2)*4 +
+             element_at(bits, 4*b+3)*2 + element_at(bits, 4*b+4))"""))
+        .as(Seq("band", "bval")))
+    val qBands = bands.filter($"vec_id" === 0)
+      .select($"band".as("qband"), $"bval".as("qbval"))
+    val nCands = bands.filter($"vec_id" =!= 0)
+      .join(broadcast(qBands), $"band" === $"qband" && $"bval" === $"qbval")
+      .select($"vec_id").distinct().count()
+    info(s"LSH candidates (4×4-bit bands): $nCands of ${n - 1} " +
+      f"(${100.0 * nCands / (n - 1)}%.1f%%)")
+    assert(nCands > 0, "bands too selective — no candidates at all")
+    // 4-bit bands: random-collision ≈ 1-(15/16)^4 ≈ 22% — the recall
+    // setting the small oracle corpus needs
+    assert(nCands < n / 4,
+      s"banding failed to prune: $nCands candidates of $n vectors")
+
+    // the scale knob: widening bands to 8 bits (2 bands × 8) drops the
+    // random-collision rate to ≈ 2/256 < 1% at the cost of recall —
+    // same signature, different banding, two orders fewer candidates
+    val wide = vectors
+      .select($"vec_id", planesLit.as("planes"), $"embedding")
+      .select($"vec_id", expr(
+        """transform(sequence(0, 1), b ->
+             aggregate(sequence(1, 8), 0,
+               (acc, i) -> acc * 2 + CASE WHEN aggregate(
+                 zip_with(embedding, element_at(planes, b * 8 + i),
+                   (x, h) -> CAST(x AS DOUBLE) * h),
+                 0.0D, (acc2, v) -> acc2 + v) >= 0 THEN 1 ELSE 0 END))""")
+        .as("bands8"))
+      .select($"vec_id", posexplode($"bands8").as(Seq("band", "bval")))
+    val q8 = wide.filter($"vec_id" === 0)
+      .select($"band".as("qband"), $"bval".as("qbval"))
+    val nCands8 = wide.filter($"vec_id" =!= 0)
+      .join(broadcast(q8), $"band" === $"qband" && $"bval" === $"qbval")
+      .select($"vec_id").distinct().count()
+    info(s"LSH candidates (2×8-bit bands): $nCands8 of ${n - 1} " +
+      f"(${100.0 * nCands8 / (n - 1)}%.2f%%)")
+    assert(nCands8 < nCands / 5,
+      s"8-bit bands should prune far harder: $nCands8 vs $nCands")
+  }
+
+  test("IVF probe restricts exact scoring to roughly one bucket of the corpus") {
+    val cents = vectors.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    // double-precision argmin is fine here — this asserts pruning, not
+    // oracle-exact ranking
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+    val assigned = vectors.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", expr(
+        """aggregate(zip_with(embedding, cv,
+             (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+             0.0D, (acc, v) -> acc + v)""").as("dist2"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"vec_id", $"cid")
+    val qBucket = assigned.filter($"vec_id" === 0).select($"cid".as("qcid"))
+    val bucketSize = assigned.join(broadcast(qBucket), $"cid" === $"qcid")
+      .filter($"vec_id" =!= 0).count()
+    info(s"IVF probe bucket: $bucketSize of ${n - 1} vectors")
+    assert(bucketSize > 0)
+    assert(bucketSize < n / 2,
+      s"IVF bucket holds $bucketSize of $n — coarse quantizer not partitioning")
+  }
+
+  test("brute-force and LSH agree on the exact top match when it is in-bucket") {
+    // a vector nearly identical to the query must share all 4 bands and
+    // win the exact re-rank — recall sanity for the LSH path
+    val near = vectors.filter($"vec_id" === 0)
+      .select(lit(n.toLong).as("vec_id"),
+        expr(s"transform(embedding, x -> CAST(x * 1.0001D AS FLOAT))").as("embedding"))
+    val corpus = vectors.unionByName(near)
+    val q = corpus.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val top = corpus.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", cosineExact("embedding", "qv").as("cos"))
+      .orderBy($"cos".desc).limit(1)
+      .head().getLong(0)
+    assert(top == n.toLong, s"exact top-1 should be the planted near-copy, got $top")
+  }
+}
