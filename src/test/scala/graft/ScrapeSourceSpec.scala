@@ -54,6 +54,37 @@ class ScrapeSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fleet: per-modem sources union into one stream (one process per modem → one query)") {
+    // the reference deploys one exporter process per modem; here N modems
+    // are N DSv2 sources unioned into a single streaming plan, each with
+    // its own session/offsets, landing in one fact stream
+    val modemA = new FakeModem(DocsisFixtures.scrapes.take(2).map(_._1))
+    val modemB = new FakeModem(DocsisFixtures.scrapes.take(2).map(_._1))
+    TransportRegistry.register("fleet-a", modemA)
+    TransportRegistry.register("fleet-b", modemB)
+    def src(id: String, name: String) = spark.readStream
+      .format("graft.sources.HnapScrapeProvider")
+      .option("transportId", id).option("modemName", name)
+      .option("username", "admin").option("password", "motorola")
+      .option("maxScrapes", "2")
+      .load()
+    val union = src("fleet-a", "MB8600-A").unionByName(src("fleet-b", "MB8600-B"))
+    val parsed = DocsisStream.parseStream(
+      union.withColumn("timestamp", col("timestamp").cast("timestamp")))
+    val q = parsed.writeStream.format("memory").queryName("fleet_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val out = spark.table("fleet_mem")
+      val names = out.select($"modem_name").distinct()
+        .as[String].collect().toSet
+      assert(names == Set("MB8600-A", "MB8600-B"),
+        s"both modems must land in the unioned stream, got $names")
+      assert(modemA.logins == 1 && modemB.logins == 1,
+        "each source authenticates its own session exactly once")
+    } finally q.stop()
+  }
+
   test("restart continues offsets from the scrape WAL — no loss, no replay") {
     val modem = new FakeModem(DocsisFixtures.scrapes.take(3).map(_._1))
     TransportRegistry.register("t3", modem)
