@@ -321,6 +321,73 @@ object TextQueries {
           FROM scored)
         SELECT doc_id, rk, token, tfidf FROM ranked
         WHERE rk <= 3 AND doc_id < 100 ORDER BY doc_id, rk"""),
-      doc = "TF-IDF top terms per doc (global IDF join + window rank)")
+      doc = "TF-IDF top terms per doc (global IDF join + window rank)"),
+
+    // ------------------------------------------------------------------
+    // c01: the CURATION FUNNEL — the end-to-end preprocessing recipe a
+    // training corpus actually runs, composed from the already-tested
+    // operators: quality gate (t02's ratios) → exact dedup (d01's
+    // min-id-per-hash) → per-source balance cap (stratified top-K) —
+    // reporting surviving docs per stage. Each stage is a narrow
+    // map/shuffle over ids+hashes (text never shuffles after stage 1),
+    // so the funnel composes at 100 TB exactly as its parts do.
+    QueryDef(
+      "c01_curation_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text", $"source")
+        val scored = docs
+          .withColumn("toks", tokens($"text"))
+          .withColumn("n_toks", size($"toks").cast("long"))
+          .withColumn("punct_ratio",
+            length(regexp_replace(lower($"text"), "[a-z0-9\\s]", "")).cast("double")
+              / length($"text"))
+        val quality = scored.filter($"n_toks" >= 10 && $"punct_ratio" < 0.3)
+        val wDedup = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5($"text")).orderBy($"doc_id".asc)
+        val deduped = quality
+          .withColumn("rk", row_number().over(wDedup)).filter($"rk" === 1)
+        val wCap = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id".asc)
+        val balanced = deduped
+          .withColumn("rk2", row_number().over(wCap)).filter($"rk2" <= 100)
+        def stage(no: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("docs"))
+            .select(lit(no).as("stage_no"), lit(name).as("stage"), $"docs")
+        stage(0, "raw", docs)
+          .unionByName(stage(1, "quality_gate", quality))
+          .unionByName(stage(2, "exact_dedup", deduped))
+          .unionByName(stage(3, "source_cap", balanced))
+          .orderBy($"stage_no")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, text, source,
+                 len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_toks,
+                 CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio
+          FROM documents),
+        quality AS (
+          SELECT * FROM scored WHERE n_toks >= 10 AND punct_ratio < 0.3),
+        deduped AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id ASC) AS rk
+            FROM quality) t WHERE rk = 1),
+        balanced AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY doc_id ASC) AS rk2
+            FROM deduped) t WHERE rk2 <= 100)
+        SELECT 0 AS stage_no, 'raw' AS stage, COUNT(*) AS docs FROM documents
+        UNION ALL
+        SELECT 1, 'quality_gate', COUNT(*) FROM quality
+        UNION ALL
+        SELECT 2, 'exact_dedup', COUNT(*) FROM deduped
+        UNION ALL
+        SELECT 3, 'source_cap', COUNT(*) FROM balanced
+        ORDER BY stage_no"""),
+      doc = "curation funnel: quality gate -> exact dedup -> per-source cap")
   )
 }
