@@ -443,21 +443,27 @@ object DedupQueries {
       "d06_embedding_neardup",
       (s, dir) => {
         import s.implicits._
-        import graft.functions.VectorFunctions.cosineExact
         val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
         val copies = emb.filter($"vec_id" % 25 === 0)
           .select(($"vec_id" + 1000000L).as("vec_id"),
             expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+        import graft.functions.VectorFunctions.dotExact
+        // self-norms are per-VECTOR facts — computed once before the
+        // self-join (the pair loop then does 1 exact dot, not 3),
+        // identical doubles to the inline cosine
         val bucketed = emb.unionByName(copies)
           .withColumn("bucket", concat(
             (1 to 8).map(j => when(element_at($"embedding", j) >= 0.0f, lit("1"))
               .otherwise(lit("0"))): _*))
-        val a = bucketed.select($"bucket", $"vec_id".as("id_a"), $"embedding".as("ea"))
-        val b = bucketed.select($"bucket", $"vec_id".as("id_b"), $"embedding".as("eb"))
+          .withColumn("norm", sqrt(dotExact("embedding", "embedding")))
+        val a = bucketed.select($"bucket", $"vec_id".as("id_a"),
+          $"embedding".as("ea"), $"norm".as("na"))
+        val b = bucketed.select($"bucket", $"vec_id".as("id_b"),
+          $"embedding".as("eb"), $"norm".as("nb"))
         a.join(b, Seq("bucket"))
           .filter($"id_a" < $"id_b")
           .select($"id_a", $"id_b",
-            round(cosineExact("ea", "eb"), 9).as("cosine"))
+            round(dotExact("ea", "eb") / ($"na" * $"nb"), 9).as("cosine"))
           .filter($"cosine" >= 0.999)
           .orderBy($"id_a", $"id_b")
       },
