@@ -255,7 +255,47 @@ object DocsisQueries {
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1999-07-01 00:00:00'
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
-      doc = "log-stats pruned read: file skipping with zero row loss")
+      doc = "log-stats pruned read: file skipping with zero row loss"),
+
+    // ------------------------------------------------------------------
+    // dx11: fleet dashboard ROLLUP — per-(modem, day) channel stats with
+    // subtotal and grand-total rows (the Grafana fleet-overview shape;
+    // SURVEY §2.D "ROLLUP/CUBE for dashboard totals" on the DOCSIS
+    // surface). grouping_id disambiguates aggregation levels; SNR
+    // averaged through decimal sums; signed-counter anomaly rows
+    // (tables.sql:19) counted per level.
+    QueryDef(
+      "dx11_fleet_rollup",
+      (s, _) => {
+        import s.implicits._
+        parsed(s)
+          .select($"modem_name", to_date($"timestamp").as("d"),
+            explode($"downstream_channels").as("ch"))
+          .rollup($"modem_name", $"d")
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n_channels"),
+            round(sum($"ch.snr".cast("double").cast("decimal(18,6)"))
+              .cast("double") / count(lit(1)), 6).as("avg_snr"),
+            sum(when($"ch.uncorrected_errors" < 0, 1).otherwise(0))
+              .as("neg_counter_rows"))
+          .select($"gid", $"modem_name", $"d", $"n_channels", $"avg_snr",
+            $"neg_counter_rows")
+          .orderBy($"gid", $"modem_name", $"d")
+      },
+      Some(s"""
+        WITH g AS ($downstreamGoldenSql)
+        SELECT CAST(GROUPING(modem_name, d) AS BIGINT) AS gid,
+               modem_name, d, COUNT(*) AS n_channels,
+               round(CAST(SUM(CAST(CAST(snr AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_snr,
+               CAST(SUM(CASE WHEN uncorrected_errors < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS neg_counter_rows
+        FROM (SELECT modem_name, CAST(timestamp AS DATE) AS d,
+                     snr, uncorrected_errors FROM g) t
+        GROUP BY ROLLUP(modem_name, d)
+        ORDER BY gid, modem_name, d"""),
+      doc = "fleet ROLLUP: per-modem/day subtotals + grand total with grouping_id")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,
