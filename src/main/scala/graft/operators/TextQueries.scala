@@ -13,6 +13,15 @@ object TextQueries {
   // BPE-ish pre-tokenizer: letter runs | digit runs | single symbol.
   private val bpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** Language-ID argmax CASE over the per-language score columns `s_<l>`
+    * (fixed tie-break order, 'und' when nothing matches) — textually
+    * identical in the Spark expr and the oracle SQL, shared by t03/t10.
+    */
+  private val langCase: String = langOrder.zipWithIndex.map { case (l, i) =>
+    val geAll = langOrder.drop(i + 1).map(o => s"s_$l >= s_$o") :+ s"s_$l > 0"
+    s"WHEN ${(langOrder.take(i).map(o => s"s_$l > s_$o") ++ geAll).mkString(" AND ")} THEN '$l'"
+  }.mkString(" ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -79,11 +88,7 @@ object TextQueries {
           .withColumn("toks", tokens($"text"))
         for (l <- langOrder)
           df = df.withColumn(s"s_$l", stopwordHits("toks", stopwords(l)))
-        val caseChain = langOrder.zipWithIndex.map { case (l, i) =>
-          val geAll = langOrder.drop(i + 1).map(o => s"s_$l >= s_$o") :+ s"s_$l > 0"
-          s"WHEN ${(langOrder.take(i).map(o => s"s_$l > s_$o") ++ geAll).mkString(" AND ")} THEN '$l'"
-        }.mkString(" ")
-        df.withColumn("predicted_lang", expr(s"CASE $caseChain ELSE 'und' END"))
+        df.withColumn("predicted_lang", expr(s"CASE $langCase ELSE 'und' END"))
           .groupBy($"lang", $"predicted_lang")
           .agg(count(lit(1)).as("n"))
           .orderBy($"lang", $"predicted_lang")
@@ -91,13 +96,9 @@ object TextQueries {
       Some {
         val scores = langOrder.map(l =>
           s"${stopwordHitsSql("toks", stopwords(l))} AS s_$l").mkString(",\n                     ")
-        val caseChain = langOrder.zipWithIndex.map { case (l, i) =>
-          val geAll = langOrder.drop(i + 1).map(o => s"s_$l >= s_$o") :+ s"s_$l > 0"
-          s"WHEN ${(langOrder.take(i).map(o => s"s_$l > s_$o") ++ geAll).mkString(" AND ")} THEN '$l'"
-        }.mkString(" ")
         s"""
         SELECT lang, predicted_lang, COUNT(*) AS n FROM (
-          SELECT lang, CASE $caseChain ELSE 'und' END AS predicted_lang FROM (
+          SELECT lang, CASE $langCase ELSE 'und' END AS predicted_lang FROM (
             SELECT lang, $scores
             FROM (SELECT lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
                   FROM documents) t0) t1) t2
@@ -388,6 +389,53 @@ object TextQueries {
         UNION ALL
         SELECT 3, 'source_cap', COUNT(*) FROM balanced
         ORDER BY stage_no"""),
-      doc = "curation funnel: quality gate -> exact dedup -> per-source cap")
+      doc = "curation funnel: quality gate -> exact dedup -> per-source cap"),
+
+    // ------------------------------------------------------------------
+    // t10: language-balanced stratified sampling — cap each PREDICTED
+    // language (t03's argmax, a derived stratum, not a stored column) at
+    // 40 docs, selecting within each stratum by md5(doc_id) order: a
+    // deterministic pseudo-random draw, so the sample is unbiased w.r.t.
+    // doc order yet bit-reproducible in both engines. The per-stratum
+    // top-K is one row_number window over (lang, hash) — no global sort,
+    // no driver-side sampling state.
+    QueryDef(
+      "t10_balanced_sample",
+      (s, dir) => {
+        import s.implicits._
+        var df = Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+        for (l <- langOrder)
+          df = df.withColumn(s"s_$l", stopwordHits("toks", stopwords(l)))
+        val lang = df.withColumn("predicted_lang",
+          expr(s"CASE $langCase ELSE 'und' END"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"predicted_lang")
+          .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+        lang.withColumn("rk", row_number().over(w))
+          .groupBy($"predicted_lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"rk" <= 40, 1).otherwise(0)).as("n_kept"))
+          .orderBy($"predicted_lang")
+      },
+      Some {
+        val scores = langOrder.map(l =>
+          s"${stopwordHitsSql("toks", stopwords(l))} AS s_$l").mkString(",\n                     ")
+        s"""
+        SELECT predicted_lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM (
+          SELECT predicted_lang,
+                 ROW_NUMBER() OVER (PARTITION BY predicted_lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                             doc_id ASC) AS rk
+          FROM (
+            SELECT doc_id, CASE $langCase ELSE 'und' END AS predicted_lang FROM (
+              SELECT doc_id, $scores
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                    FROM documents) t0) t1) t2) t3
+        GROUP BY predicted_lang ORDER BY predicted_lang"""
+      },
+      doc = "language-balanced sampling: derived strata + hash-ordered top-K")
   )
 }
