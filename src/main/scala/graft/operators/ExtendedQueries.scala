@@ -847,6 +847,96 @@ object ExtendedQueries {
                md.mode_qty, md.mode_n
         FROM stats st JOIN md ON st.l_returnflag = md.l_returnflag
         WHERE md.rk = 1 ORDER BY st.l_returnflag"""),
-      doc = "exact-moment skewness/kurtosis + deterministic mode")
+      doc = "exact-moment skewness/kurtosis + deterministic mode"),
+
+    // ------------------------------------------------------------------
+    // q56: argMax/argMin aggregates (ClickHouse argMax/argMin, Spark
+    // max_by/min_by) — latest/first order per customer. The ordering
+    // value is made UNIQUE (epoch-day * 1e7 + orderkey) so the argmax is
+    // deterministic in both engines despite date ties.
+    QueryDef(
+      "q56_argmax_orders",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .filter($"o_custkey" <= 200)
+          .withColumn("ordval",
+            datediff($"o_orderdate", lit("1970-01-01")).cast("long") * 10000000L
+              + $"o_orderkey")
+          .groupBy($"o_custkey")
+          .agg(
+            max_by($"o_orderkey", $"ordval").as("latest_orderkey"),
+            min_by($"o_orderkey", $"ordval").as("first_orderkey"),
+            max($"o_orderdate").as("latest_date"),
+            count(lit(1)).as("n_orders"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey,
+               max_by(o_orderkey, ordval) AS latest_orderkey,
+               min_by(o_orderkey, ordval) AS first_orderkey,
+               MAX(o_orderdate) AS latest_date,
+               COUNT(*) AS n_orders
+        FROM (SELECT *, CAST(datediff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE)) AS BIGINT)
+                          * 10000000 + o_orderkey AS ordval
+              FROM orders WHERE o_custkey <= 200) t
+        GROUP BY o_custkey ORDER BY o_custkey"""),
+      doc = "argMax/argMin aggregates with a deterministic unique ordering value"),
+
+    // ------------------------------------------------------------------
+    // q57: cohort retention (ClickHouse retention() analog) — users
+    // cohorted by first-signup day; per cohort, how many were seen again
+    // in (signup, +1d], (+1d, +7d], (+7d, +14d]. One join of events to
+    // the (small) per-user signup table, conditional flags max'd per
+    // user, then counted per cohort day — the standard product-analytics
+    // rollup, all partial-aggregated.
+    QueryDef(
+      "q57_retention",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val signups = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+        val flags = ev.join(signups, "user_id")
+          .groupBy($"user_id", $"s_ts")
+          .agg(
+            max(when($"ts" > $"s_ts" &&
+              $"ts" <= $"s_ts" + expr("INTERVAL 1 DAY"), 1).otherwise(0)).as("d1"),
+            max(when($"ts" > $"s_ts" + expr("INTERVAL 1 DAY") &&
+              $"ts" <= $"s_ts" + expr("INTERVAL 7 DAY"), 1).otherwise(0)).as("d7"),
+            max(when($"ts" > $"s_ts" + expr("INTERVAL 7 DAY") &&
+              $"ts" <= $"s_ts" + expr("INTERVAL 14 DAY"), 1).otherwise(0)).as("d14"))
+        flags.groupBy(to_date($"s_ts").as("cohort_day"))
+          .agg(count(lit(1)).as("n_users"),
+            sum($"d1").as("retained_1d"),
+            sum($"d7").as("retained_7d"),
+            sum($"d14").as("retained_14d"))
+          .orderBy($"cohort_day")
+      },
+      Some("""
+        WITH signups AS (
+          SELECT user_id, MIN(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        flags AS (
+          SELECT e.user_id, s.s_ts,
+                 MAX(CASE WHEN e.ts > s.s_ts
+                           AND e.ts <= s.s_ts + INTERVAL 1 DAY
+                          THEN 1 ELSE 0 END) AS d1,
+                 MAX(CASE WHEN e.ts > s.s_ts + INTERVAL 1 DAY
+                           AND e.ts <= s.s_ts + INTERVAL 7 DAY
+                          THEN 1 ELSE 0 END) AS d7,
+                 MAX(CASE WHEN e.ts > s.s_ts + INTERVAL 7 DAY
+                           AND e.ts <= s.s_ts + INTERVAL 14 DAY
+                          THEN 1 ELSE 0 END) AS d14
+          FROM events e JOIN signups s ON e.user_id = s.user_id
+          GROUP BY e.user_id, s.s_ts)
+        SELECT CAST(s_ts AS DATE) AS cohort_day,
+               COUNT(*) AS n_users,
+               CAST(SUM(d1) AS BIGINT) AS retained_1d,
+               CAST(SUM(d7) AS BIGINT) AS retained_7d,
+               CAST(SUM(d14) AS BIGINT) AS retained_14d
+        FROM flags GROUP BY 1 ORDER BY cohort_day"""),
+      doc = "cohort retention rollup (ClickHouse retention analog)")
   )
 }
