@@ -380,12 +380,19 @@ object DedupQueries {
         // row that a per-row array op makes unnecessary), so posting-list
         // pairs already carry |A| and |B| with zero pre-shuffles.
         // Shingles travel as fixed-width md5 prefixes, never raw text.
+        // explode_OUTER, not explode: the inner explode makes Catalyst
+        // infer `size(sh_set) > 0 AND isnotnull(sh_set)`, which inlines
+        // the whole tokens→shingles→md5→distinct chain into a Filter
+        // where every element_at re-runs the regex split — measured 10×
+        // slower. The outer variant infers nothing; the one null row an
+        // empty doc produces is dropped right after, at exploded width.
         val sh = corpus(s, dir)
           .withColumn("toks", tokens($"text"))
           .withColumn("sh_set", array_distinct(
             transform(shingles("toks"), x => substring(md5(x), 1, 16))))
           .select($"doc_id", size($"sh_set").cast("long").as("n_sh"),
-            explode($"sh_set").as("shingle"))
+            explode_outer($"sh_set").as("shingle"))
+          .filter($"shingle".isNotNull)
         val pairs = sh
           .groupBy($"shingle")
           .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("docs"))

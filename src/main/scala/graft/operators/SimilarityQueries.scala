@@ -353,6 +353,11 @@ object SimilarityQueries {
           }
         })
         // bits[p] = sign bit of <embedding, hyperplane_p>, p = 0..15
+        // posexplode_OUTER: the inner variant makes Catalyst infer a
+        // size/notnull filter that inlines the full 16-plane signature
+        // into a Filter, tripling the per-row decimal work (see d05's
+        // scaladoc for the measured pathology); the banding array is
+        // never empty, so outer emits identical rows
         val bands = emb
           .select($"vec_id", $"embedding", planesLit.as("planes"))
           .select($"vec_id", $"embedding", expr(
@@ -363,11 +368,12 @@ object SimilarityQueries {
                    CAST(0 AS DECIMAL(38,18)),
                    (acc, v) -> CAST(acc + CAST(v AS DECIMAL(38,18)) AS DECIMAL(38,18)))
                  AS DOUBLE) >= 0 THEN 1 ELSE 0 END)""").as("bits"))
-          .select($"vec_id", $"embedding", posexplode(expr(
+          .select($"vec_id", $"embedding", posexplode_outer(expr(
             """transform(sequence(0, 3), b ->
                  element_at(bits, 4*b+1)*8 + element_at(bits, 4*b+2)*4 +
                  element_at(bits, 4*b+3)*2 + element_at(bits, 4*b+4))"""))
             .as(Seq("band", "bval")))
+          .filter($"bval".isNotNull)
         val qBands = bands.filter($"vec_id" === 0)
           .select($"band".as("qband"), $"bval".as("qbval"), $"embedding".as("qv"))
         bands.filter($"vec_id" =!= 0)
@@ -431,7 +437,9 @@ object SimilarityQueries {
         import s.implicits._
         import graft.functions.VectorFunctions.l2SqDecimal
         val emb = Tables.load(s, dir, "embeddings")
-        val subs = emb.select($"vec_id", posexplode(expr(
+        // posexplode_outer: avoid the inferred-filter re-evaluation of
+        // the slicing chain (see s07); the slice array is never empty
+        val subs = emb.select($"vec_id", posexplode_outer(expr(
           "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"))
           .as(Seq("sp", "sv")))
         val cents = subs.filter($"vec_id".between(1, 4))
@@ -514,9 +522,9 @@ object SimilarityQueries {
         val slices =
           "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"
         val pqCents = emb.filter($"vec_id".between(1, 4))
-          .select($"vec_id".as("cid"), posexplode(expr(slices)).as(Seq("csp", "cv")))
+          .select($"vec_id".as("cid"), posexplode_outer(expr(slices)).as(Seq("csp", "cv")))
         // encode ONLY the bucket members
-        val subs = bucket.select($"vec_id", posexplode(expr(slices)).as(Seq("sp", "sv")))
+        val subs = bucket.select($"vec_id", posexplode_outer(expr(slices)).as(Seq("sp", "sv")))
         val dists = subs.join(broadcast(pqCents), $"sp" === $"csp")
           .select($"vec_id", $"sp", $"cid", l2SqDecimal("sv", "cv").as("d2"))
         val wC = Window.partitionBy($"vec_id", $"sp").orderBy($"d2".asc, $"cid".asc)
@@ -524,7 +532,7 @@ object SimilarityQueries {
           .filter($"rk" === 1).select($"vec_id", $"sp", $"cid".as("code"))
         // query → codebook sub-distance table (32 rows, broadcast)
         val qd = emb.filter($"vec_id" === 0)
-          .select(posexplode(expr(slices)).as(Seq("qsp0", "qv")))
+          .select(posexplode_outer(expr(slices)).as(Seq("qsp0", "qv")))
           .join(broadcast(pqCents), $"qsp0" === $"csp")
           .select($"qsp0".as("qsp"), $"cid".as("qcid"),
             l2SqDecimal("qv", "cv").as("qd2"))
