@@ -119,7 +119,8 @@ object DedupQueries {
     }
     val sums = corpus(s, dir)
       .withColumn("toks", tokens($"text"))
-      .select($"doc_id", explode($"toks").as("t")) // split() is never empty
+      .select($"doc_id", explode_outer($"toks").as("t")) // outer: no inferred filter re-running split()
+      .filter($"t".isNotNull)
       .withColumn("h", md5($"t"))
       .withColumn("h0", expr("cast(conv(substring(h, 1, 8), 16, 10) as long)"))
       .withColumn("h1", expr("cast(conv(substring(h, 9, 8), 16, 10) as long)"))
@@ -148,7 +149,7 @@ object DedupQueries {
       .groupBy($"band", $"bval")
       .agg(sort_array(collect_list($"doc_id")).as("docs"))
       .filter(size($"docs") > 1)
-      .select(explode(expr(
+      .select(explode_outer(expr(
         """flatten(transform(sequence(1, size(docs) - 1),
              i -> transform(sequence(0, i - 1),
                j -> struct(docs[j] AS doc_a, docs[i] AS doc_b))))"""))
@@ -397,7 +398,7 @@ object DedupQueries {
           .groupBy($"shingle")
           .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("docs"))
           .filter(size($"docs") > 1 && size($"docs") <= maxShingleDf)
-          .select(explode(expr(
+          .select(explode_outer(expr(
             """flatten(transform(sequence(1, size(docs) - 1),
                  i -> transform(sequence(0, i - 1),
                    j -> struct(docs[j].doc_id AS doc_a, docs[j].n_sh AS n_a,
@@ -528,7 +529,7 @@ object DedupQueries {
           .groupBy($"band", $"bval")
           .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("docs"))
           .filter(size($"docs") > 1 && size($"docs") <= 1000)
-          .select(explode(expr(
+          .select(explode_outer(expr(
             """flatten(transform(sequence(1, size(docs) - 1),
                  i -> transform(sequence(0, i - 1),
                    j -> struct(docs[j].doc_id AS doc_a, docs[j].simhash AS sim_a,

@@ -140,7 +140,7 @@ object TextQueries {
           .groupBy($"blk")
           .agg(sort_array(collect_list(struct($"doc_id", $"head"))).as("docs"))
           .filter(size($"docs") > 1 && size($"docs") <= 100)
-          .select(explode(expr(
+          .select(explode_outer(expr(
             """flatten(transform(sequence(1, size(docs) - 1),
                  i -> transform(sequence(0, i - 1),
                    j -> struct(docs[j].doc_id AS doc_a, docs[j].head AS head_a,
@@ -287,7 +287,7 @@ object TextQueries {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
         val toks = docs
-          .select($"doc_id", explode(tokens($"text")).as("token"))
+          .select($"doc_id", explode_outer(tokens($"text")).as("token"))
           .filter($"token" =!= "")
         val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))

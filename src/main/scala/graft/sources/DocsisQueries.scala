@@ -40,7 +40,8 @@ object DocsisQueries {
         import s.implicits._
         parsed(s)
           .select($"modem_name", $"timestamp",
-            explode($"downstream_channels").as("ch"))
+            explode_outer($"downstream_channels").as("ch"))
+          .filter($"ch".isNotNull)
           .select($"modem_name", $"timestamp", $"ch.channel_id",
             $"ch.frequency", $"ch.modulation", $"ch.power", $"ch.snr",
             $"ch.corrected_errors", $"ch.uncorrected_errors")
@@ -56,7 +57,8 @@ object DocsisQueries {
         import s.implicits._
         parsed(s)
           .select($"modem_name", $"timestamp",
-            explode($"upstream_channels").as("ch"))
+            explode_outer($"upstream_channels").as("ch"))
+          .filter($"ch".isNotNull)
           .select($"modem_name", $"timestamp", $"ch.channel_id",
             $"ch.frequency", $"ch.modulation", $"ch.power", $"ch.width")
           .orderBy($"timestamp", $"modem_name", $"channel_id")
@@ -270,7 +272,8 @@ object DocsisQueries {
         import s.implicits._
         parsed(s)
           .select($"modem_name", to_date($"timestamp").as("d"),
-            explode($"downstream_channels").as("ch"))
+            explode_outer($"downstream_channels").as("ch"))
+          .filter($"ch".isNotNull)
           .rollup($"modem_name", $"d")
           .agg(
             grouping_id().cast("long").as("gid"),
@@ -318,7 +321,8 @@ object DocsisQueries {
           .orderBy($"timestamp".asc)
         snapshots
           .select($"modem_name", $"timestamp",
-            explode($"downstream_channels").as("ch"))
+            explode_outer($"downstream_channels").as("ch"))
+          .filter($"ch".isNotNull)
           .select($"modem_name", $"timestamp",
             $"ch.channel_id".as("channel_id"),
             $"ch.snr_x10".as("snr_x10"), $"ch.uncorrected".as("uncorrected"))
