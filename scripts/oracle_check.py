@@ -78,7 +78,11 @@ def main(sf_dir, out_dir):
         arrow_of_duck = {
             "BIGINT": "int64", "INTEGER": "int32", "SMALLINT": "int16",
             "TINYINT": "int8", "DOUBLE": "double", "FLOAT": "float",
-            "VARCHAR": "string", "DATE": "date32[day]", "BOOLEAN": "bool"}
+            "VARCHAR": "string", "DATE": "date32[day]", "BOOLEAN": "bool",
+            # naive timestamp — a Spark TimestampType output writes
+            # timestamp[us, tz=UTC] and fails the driver's schema check
+            # (round-4 lesson: 15 queries); Verify must cast to NTZ.
+            "TIMESTAMP": "timestamp[us]"}
         type_bad = []
         for i, c in enumerate(s_cols):
             dt = d_types.get(c, "?")

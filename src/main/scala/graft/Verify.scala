@@ -1,9 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The DuckDB oracle produces tz-naive timestamps (`timestamp[us]`);
+    * Spark's TimestampType annotates parquet as `isAdjustedToUTC=true`
+    * (`timestamp[us, tz=UTC]`), failing the driver's schema compare even
+    * when values match. Session TZ is UTC, so casting to NTZ is lossless
+    * and aligns the parquet annotation with the oracle's.
+    */
+  private def naiveTimestamps(df: DataFrame): DataFrame = {
+    val casts = df.schema.fields.map { f =>
+      if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
+      else col(f.name)
+    }
+    df.select(casts.toIndexedSeq: _*)
+  }
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg (dev only): comma-separated query-name filter
@@ -26,7 +41,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try naiveTimestamps(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -166,41 +166,73 @@ object DedupQueries {
     * localCheckpoint()ed so lineage stays flat.
     */
   private val labelsCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  /** Drop memoized cluster labels. Bench calls this between iterations so
+    * d08/d09 timings are measured cold — otherwise the second best-of-N
+    * run skips the dominant label-propagation cost and the recorded time
+    * understates the query (d09 still amortizes d08's labels *within* one
+    * iteration, which is the intended engine-side sharing and documented
+    * in BASELINE.md).
+    */
+  def clearLabelsCache(): Unit = labelsCache.clear()
+
+  /** Truncate lineage between propagation rounds. On a real cluster a
+    * lost executor would force recomputing the whole iteration chain from
+    * round 0 under `localCheckpoint` (blocks are executor-local), so when
+    * a reliable checkpoint dir is configured we use `checkpoint()` (HDFS/
+    * object-store backed, survives executor loss). Locally — no
+    * checkpoint dir — `localCheckpoint` is the right trade: single JVM,
+    * no replication target exists anyway.
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 
   def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    // Memoized per (SparkContext, data dir): the labels are a pure
+    // Memoized per (application, data dir): the labels are a pure
     // function of the corpus, and both d08 and d09 consume them — an
-    // engine-side materialized intermediate (the localCheckpoint pins
-    // the result in block storage for the context's lifetime).
+    // engine-side materialized intermediate (the checkpoint pins the
+    // result in block storage for the context's lifetime). Keyed on
+    // applicationId (stable, unique per context) rather than
+    // identityHashCode, which can collide after an old context is GC'd.
     labelsCache.getOrElseUpdate(
-      (System.identityHashCode(s.sparkContext), dir), {
+      (s.sparkContext.applicationId, dir), {
         import s.implicits._
         val pairs = lshCandidatePairs(s, dir)
-        val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-          .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-          .localCheckpoint() // evaluate LSH once, not once per round
-        var labels = edges.select($"src".as("doc_id")).distinct()
-          .select($"doc_id", $"doc_id".as("canon")).localCheckpoint()
+        val edges = truncate(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+          .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+          // evaluate LSH once, not once per round
+        var labels = truncate(edges.select($"src".as("doc_id")).distinct()
+          .select($"doc_id", $"doc_id".as("canon")))
         // Convergence witness: sum(canon) is strictly monotone decreasing
         // until the fixpoint, so one scalar aggregate per round replaces
         // the previous join-and-isEmpty diff (halves the per-round jobs).
-        var prevSum = labels.agg(sum($"canon")).head().getLong(0)
-        var converged = false
+        // coalesce(.,0): sum over an empty label set is NULL — an empty
+        // candidate graph (no near-dups in the corpus) must converge
+        // immediately, not NPE.
+        def canonSum(df: DataFrame): Long =
+          df.agg(coalesce(sum($"canon"), lit(0L))).head().getLong(0)
+        val maxRounds = 50
+        var prevSum = canonSum(labels)
+        var converged = prevSum == 0L // empty graph: already at fixpoint
         var rounds = 0
-        while (!converged && rounds < 50) {
+        while (!converged && rounds < maxRounds) {
           val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
             .groupBy($"dst").agg(min($"canon").as("nbr_min"))
-          val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+          val next = truncate(labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
             .select(labels("doc_id"),
-              least($"canon", coalesce($"nbr_min", $"canon")).as("canon"))
-            .localCheckpoint()
-          val nextSum = next.agg(sum($"canon")).head().getLong(0)
+              least($"canon", coalesce($"nbr_min", $"canon")).as("canon")))
+          val nextSum = canonSum(next)
           converged = nextSum == prevSum
           prevSum = nextSum
           labels = next
           rounds += 1
         }
+        if (!converged)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"clusterLabels: hit the $maxRounds-round cap before convergence " +
+              s"(graph diameter > $maxRounds); labels may be non-canonical")
         labels
       })
 

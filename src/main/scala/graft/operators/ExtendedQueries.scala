@@ -126,9 +126,13 @@ object ExtendedQueries {
       doc = "map functions: from_json MapType + explode"),
 
     // ------------------------------------------------------------------
-    // q27: approximate NDV (HyperLogLog++). Sketch estimates are
-    // engine-specific → rows-only driver check; the relative-error bound
-    // vs the exact count is asserted in ScalaTest instead.
+    // q27: approximate NDV (HyperLogLog++). The raw sketch estimate is
+    // engine-specific, so the CHECKED output is the exact NDV plus a
+    // within-tolerance verdict on the estimate: the oracle asserts
+    // `TRUE`, so the row only hashes green if Spark's HLL++ really is
+    // within 5% of exact (rsd=0.02 ⇒ typical error ~2%). This upgrades
+    // q27 from the old rows-only check to a full value check; the spec
+    // additionally asserts the numeric bound.
     QueryDef(
       "q27_approx_ndv",
       (s, dir) => {
@@ -137,10 +141,17 @@ object ExtendedQueries {
           .groupBy($"l_returnflag")
           .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
             countDistinct($"l_orderkey").as("exact_orders"))
+          .select($"l_returnflag", $"exact_orders",
+            (abs($"approx_orders" - $"exact_orders").cast("double")
+              <= $"exact_orders" * 0.05).as("approx_within_5pct"))
           .orderBy($"l_returnflag")
       },
-      None,
-      doc = "approx_count_distinct (HLL++) vs exact; rows-only oracle"),
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS approx_within_5pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "approx_count_distinct (HLL++) vs exact, tolerance-checked oracle"),
 
     // ------------------------------------------------------------------
     // q28: salted shuffle join — the skew-mitigation pattern: fact rows
@@ -676,10 +687,13 @@ object ExtendedQueries {
       doc = "FULL OUTER join with null-extended rows from both sides"),
 
     // ------------------------------------------------------------------
-    // q53: approximate percentiles (KLL/GK-style sketch) vs exact —
-    // sketch outputs are engine-specific by construction, so like q27
-    // this is a rows-only driver check; the error bound vs the exact
-    // percentile is asserted in OperatorSpec instead.
+    // q53: approximate percentiles (GK-style sketch) vs exact. The raw
+    // sketch values are engine-specific, so the CHECKED output is the
+    // exact interpolated percentiles (q30 precedent: round(.,6) agrees
+    // across engines) plus rank-tolerance verdicts: the sketch value must
+    // lie between the exact percentiles at p ± 0.01 — 10× the sketch's
+    // guaranteed rank error of 1/accuracy = 0.001. The oracle asserts
+    // TRUE, so the row hashes green only if the sketch honors its bound.
     QueryDef(
       "q53_approx_percentiles",
       (s, dir) => {
@@ -689,11 +703,26 @@ object ExtendedQueries {
           .agg(
             expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
             expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("ap99"),
-            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact50"))
+            expr("percentile(l_extendedprice, 0.5)").as("e50"),
+            expr("percentile(l_extendedprice, 0.99)").as("e99"),
+            expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+            expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+            expr("percentile(l_extendedprice, 0.98)").as("lo99"),
+            max($"l_extendedprice").as("hi99"))
+          .select($"l_returnflag",
+            round($"e50", 6).as("exact50"), round($"e99", 6).as("exact99"),
+            ($"ap50" >= $"lo50" && $"ap50" <= $"hi50").as("ap50_in_rank_tol"),
+            ($"ap99" >= $"lo99" && $"ap99" <= $"hi99").as("ap99_in_rank_tol"))
           .orderBy($"l_returnflag")
       },
-      None,
-      doc = "approx_percentile sketch vs exact; rows-only oracle (bound in spec)"),
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS exact50,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS exact99,
+               TRUE AS ap50_in_rank_tol,
+               TRUE AS ap99_in_rank_tol
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "approx_percentile sketch vs exact, rank-tolerance-checked oracle"),
 
     // ------------------------------------------------------------------
     // q54: ordered event funnel (ClickHouse windowFunnel analog):
@@ -852,8 +881,12 @@ object ExtendedQueries {
     // ------------------------------------------------------------------
     // q56: argMax/argMin aggregates (ClickHouse argMax/argMin, Spark
     // max_by/min_by) — latest/first order per customer. The ordering
-    // value is made UNIQUE (epoch-day * 1e7 + orderkey) so the argmax is
-    // deterministic in both engines despite date ties.
+    // value is made UNIQUE (epoch-day * 1e10 + orderkey) so the argmax is
+    // deterministic in both engines despite date ties. The 1e10
+    // multiplier keeps (day, orderkey) collision-free while
+    // o_orderkey < 1e10 — TPC-H orderkeys reach 6M×SF, so unique through
+    // SF ≈ 1600 (a 1e7 multiplier collided from SF 2; DuckDB's max_by
+    // can't take a struct ordering value, so a packed long it is).
     QueryDef(
       "q56_argmax_orders",
       (s, dir) => {
@@ -861,7 +894,7 @@ object ExtendedQueries {
         Tables.load(s, dir, "orders")
           .filter($"o_custkey" <= 200)
           .withColumn("ordval",
-            datediff($"o_orderdate", lit("1970-01-01")).cast("long") * 10000000L
+            datediff($"o_orderdate", lit("1970-01-01")).cast("long") * 10000000000L
               + $"o_orderkey")
           .groupBy($"o_custkey")
           .agg(
@@ -879,7 +912,7 @@ object ExtendedQueries {
                COUNT(*) AS n_orders
         FROM (SELECT *, CAST(datediff('day', DATE '1970-01-01',
                                       CAST(o_orderdate AS DATE)) AS BIGINT)
-                          * 10000000 + o_orderkey AS ordval
+                          * 10000000000 + o_orderkey AS ordval
               FROM orders WHERE o_custkey <= 200) t
         GROUP BY o_custkey ORDER BY o_custkey"""),
       doc = "argMax/argMin aggregates with a deterministic unique ordering value"),

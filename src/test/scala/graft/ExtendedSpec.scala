@@ -10,21 +10,23 @@ class ExtendedSpec extends AnyFunSuite {
   import TestSpark.{spark, sfDir}
   import spark.implicits._
 
-  test("approx NDV stays within the requested 2% relative error at sf0.001") {
+  test("approx NDV within-tolerance verdict holds at sf0.001") {
     val rows = SparkEntry.queries("q27_approx_ndv")(spark, sfDir)
-      .select($"approx_orders", $"exact_orders").as[(Long, Long)].collect()
-    rows.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.1)
+      .select($"exact_orders", $"approx_within_5pct").as[(Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, ok) =>
+      assert(ok, s"HLL++ estimate strayed >5% from exact=$exact")
     }
   }
 
-  test("approx percentiles land near the exact median at sf0.001") {
+  test("approx percentiles honor the rank-tolerance bound at sf0.001") {
     val rows = SparkEntry.queries("q53_approx_percentiles")(spark, sfDir)
-      .select($"ap50", $"exact50").as[(Double, Double)].collect()
+      .select($"exact50", $"ap50_in_rank_tol", $"ap99_in_rank_tol")
+      .as[(Double, Boolean, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (ap, exact) =>
-      assert(math.abs(ap - exact) / exact < 0.1,
-        s"approx median $ap too far from exact $exact")
+    rows.foreach { case (exact50, ok50, ok99) =>
+      assert(ok50, s"approx p50 outside exact [p49, p51] around $exact50")
+      assert(ok99, "approx p99 outside exact [p98, max]")
     }
   }
 
