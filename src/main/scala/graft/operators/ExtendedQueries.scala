@@ -970,6 +970,53 @@ object ExtendedQueries {
                CAST(SUM(d7) AS BIGINT) AS retained_7d,
                CAST(SUM(d14) AS BIGINT) AS retained_14d
         FROM flags GROUP BY 1 ORDER BY cohort_day"""),
-      doc = "cohort retention rollup (ClickHouse retention analog)")
+      doc = "cohort retention rollup (ClickHouse retention analog)"),
+
+    // ------------------------------------------------------------------
+    // q58: batch shadow of the STREAMING session_window operator
+    // (EventsStream.sessions uses the identical groupBy(session_window)
+    // primitive) — this puts a DuckDB CORRECTNESS row behind the
+    // streaming semantics, which are otherwise spec-only. Spark's
+    // session window is [first_ts, last_ts + gap); the oracle rebuilds
+    // the same islands with the standard lag/cumsum gap SQL (q19's
+    // pattern, but emitting the window bounds). One shuffle on user_id;
+    // session assembly is per-key local — the same cost shape streaming
+    // state keeps incrementally.
+    QueryDef(
+      "q58_session_windows",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+          .select($"user_id",
+            $"session_window.start".as("session_start"),
+            $"session_window.end".as("session_end"),
+            $"n_events", $"sum_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""),
+      doc = "batch shadow of streaming session_window (gap-island oracle)")
   )
 }

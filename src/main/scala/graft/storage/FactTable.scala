@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   *
   * - **Atomicity**: a version file is written to a temp name and renamed
   *   into place; rename-onto-existing fails, so two writers cannot both
-  *   claim a version (single-writer expected; a conflict raises).
+  *   claim a version.
+  * - **Optimistic concurrency** (the Delta protocol): a writer that loses
+  *   the version race re-reads the log, re-validates its preconditions
+  *   against the fresh head, and retries. Appends always merge (disjoint
+  *   files, same-txn races collapse to the idempotent no-op); a
+  *   compaction whose source parts were concurrently rewritten discards
+  *   its staged output and restarts rather than double-committing rows.
   * - **Idempotence**: `append(df, txnId)` is a no-op if `txnId` is
   *   already in the log — exactly-once for `foreachBatch` retries, the
   *   guarantee the reference explicitly lacks (mb8600.py:308-311 drops
@@ -116,23 +122,64 @@ class FactTable(val root: String, spark: SparkSession) {
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
     val dst = new Path(logDir, s"$version.json")
     if (fs.exists(dst) || !fs.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"log version $version already committed — concurrent writer?")
+      throw new ConcurrentWriteException(
+        s"log version $version already committed by another writer")
+  }
+
+  /** Test seam: invoked after an operation stages its data files but
+    * before it attempts the log commit — lets specs interleave a second
+    * writer at the exact race window. Production no-op.
+    */
+  protected def beforeCommit(): Unit = ()
+
+  /** Optimistic-concurrency commit (the Delta/Iceberg protocol): try to
+    * claim the next log version; if another writer got there first,
+    * re-read the log head, re-validate this transaction's preconditions
+    * against the fresh snapshot, and retry at the new head. Returns false
+    * if `revalidate` reports the transaction is obsolete (e.g. its txn id
+    * was committed by the other writer, or its source files were removed)
+    * — the caller then abandons or restarts. Rename-based version claims
+    * make the winner unambiguous on any filesystem with atomic rename.
+    */
+  private def commitWithRetry(firstVersion: Long, txn: Option[Long],
+      adds: Seq[FileEntry], removes: Seq[String])(
+      revalidate: Snapshot => Boolean): Boolean = {
+    var version = firstVersion
+    var attempts = 0
+    val maxAttempts = 20
+    while (true) {
+      try { commit(version, txn, adds, removes); return true }
+      catch { case e: ConcurrentWriteException =>
+        attempts += 1
+        if (attempts >= maxAttempts)
+          throw new ConcurrentWriteException(
+            s"gave up after $maxAttempts conflicting commits at $root", e)
+        val snap = snapshot()
+        if (!revalidate(snap)) return false
+        version = snap.nextVersion
+      }
+    }
+    false // unreachable
   }
 
   // ----------------------------------------------------------- operations
 
   /** Append a micro-batch as new buffer-tier parts; idempotent on txnId
     * (a foreachBatch retry of an already-committed batch is a no-op).
+    * Concurrent-writer safe: appends add disjoint new files and remove
+    * nothing, so a version conflict just retries at the new log head —
+    * unless the conflicting commit carried the SAME txn id (a racing
+    * retry of this very batch), which downgrades to the idempotent no-op.
     */
   def append(df: DataFrame, txnId: Long): Boolean = {
     val snap = snapshot()
     if (snap.txns.contains(txnId)) return false
     val target = new Path(dataDir, s"append-$txnId")
     df.write.mode("overwrite").parquet(target.toString)
-    commit(snap.nextVersion, Some(txnId),
-      entriesFor(target, TierBuffer), removes = Nil)
-    true
+    beforeCommit()
+    commitWithRetry(snap.nextVersion, Some(txnId),
+      entriesFor(target, TierBuffer), removes = Nil)(
+      fresh => !fresh.txns.contains(txnId))
   }
 
   /** Merge all buffer-tier parts into sorted, day-partitioned base parts
@@ -153,8 +200,19 @@ class FactTable(val root: String, spark: SparkSession) {
       .sortWithinPartitions(partitionCol, sortCols: _*)
       .write.partitionBy(partitionCol).mode("overwrite")
       .parquet(target.toString)
-    commit(snap.nextVersion, None,
-      entriesFor(target, TierBase), removes = buffer.map(_.path))
+    beforeCommit()
+    // A remove-set conflict (another compactor merged these same buffer
+    // parts) makes this merge obsolete: drop the staged generation and
+    // restart from a fresh snapshot — committing anyway would double the
+    // rows. A conflict with new appends is benign (their files are not
+    // in our remove set) and just retries at the new head.
+    val committed = commitWithRetry(snap.nextVersion, None,
+      entriesFor(target, TierBase), removes = buffer.map(_.path))(
+      fresh => buffer.forall(b => fresh.files.exists(_.path == b.path)))
+    if (!committed) {
+      fs.delete(target, true)
+      return compact(sortCols, partitionCol)
+    }
     // physical deletion is deferred to vacuum() so time travel to
     // pre-compaction versions keeps working until retention expires
     buffer.map(_.rows).sum
@@ -221,8 +279,16 @@ class FactTable(val root: String, spark: SparkSession) {
       }
     staged.write.partitionBy(partitionCol).mode("overwrite")
       .parquet(target.toString)
-    commit(snap.nextVersion, None,
-      entriesFor(target, TierBase), removes = snap.files.map(_.path))
+    beforeCommit()
+    // same conflict rule as compact(): obsolete if any source part was
+    // already rewritten by a concurrent compaction — restart from fresh
+    val committed = commitWithRetry(snap.nextVersion, None,
+      entriesFor(target, TierBase), removes = snap.files.map(_.path))(
+      fresh => snap.files.forall(f => fresh.files.exists(_.path == f.path)))
+    if (!committed) {
+      fs.delete(target, true)
+      return majorCompact(sortCols, partitionCol, zorderCols, zorderParts)
+    }
     snap.files.map(_.rows).sum
   }
 
@@ -347,6 +413,12 @@ object ZOrder {
     }.reduce(_.bitwiseOR(_))
   }
 }
+
+/** A log-version claim lost to another writer (internal retry signal;
+  * surfaces only when a writer exhausts its conflict-retry budget).
+  */
+class ConcurrentWriteException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
 
 object FactTable {
   val TierBuffer = "buffer"

@@ -260,6 +260,89 @@ class FactTableSpec extends AnyFunSuite {
     assert(t.snapshot().bufferRows == 0)
   }
 
+  test("concurrent appends: version-race loser retries and both commits land") {
+    val root = java.nio.file.Files.createTempDirectory("fact_cc").toString
+    val other = new FactTable(root, spark)
+    var interleaved = false
+    // writer A stages its files, then — in the race window before its
+    // commit — writer B claims the version A saw as next
+    val t = new FactTable(root, spark) {
+      override protected def beforeCommit(): Unit =
+        if (!interleaved) {
+          interleaved = true
+          assert(other.append(rows(3, "2024-03-02", "m2"), txnId = 7))
+        }
+    }
+    assert(t.append(rows(5, "2024-03-01", "m1"), txnId = 1),
+      "loser must retry at the new head and succeed")
+    assert(interleaved)
+    val snap = t.snapshot()
+    assert(snap.txns == Set(1L, 7L))
+    assert(t.read().count() == 8)
+    assert(snap.nextVersion == 2)
+  }
+
+  test("concurrent same-txn appends collapse to one commit (exactly-once)") {
+    val root = java.nio.file.Files.createTempDirectory("fact_cc_txn").toString
+    val other = new FactTable(root, spark)
+    var interleaved = false
+    val t = new FactTable(root, spark) {
+      override protected def beforeCommit(): Unit =
+        if (!interleaved) {
+          interleaved = true
+          assert(other.append(rows(5, "2024-03-01", "m1"), txnId = 1))
+        }
+    }
+    // the racing retry of the SAME batch must become a no-op, not a dup
+    assert(!t.append(rows(5, "2024-03-01", "m1"), txnId = 1))
+    assert(t.read().count() == 5)
+    assert(t.snapshot().txns == Set(1L))
+  }
+
+  test("concurrent compactions: loser discards staged parts, rows never double") {
+    val root = java.nio.file.Files.createTempDirectory("fact_cc_cmp").toString
+    val other = new FactTable(root, spark)
+    var armed = false // fire only for the compact commit, not the appends
+    var interleaved = false
+    val t = new FactTable(root, spark) {
+      override protected def beforeCommit(): Unit =
+        if (armed && !interleaved) {
+          interleaved = true
+          assert(other.compact() == 20) // B wins the merge
+        }
+    }
+    (0 until 4).foreach(i => t.append(rows(5, "2024-03-01", s"m$i"), i))
+    armed = true
+    assert(t.compact() == 0L,
+      "loser must restart on the fresh (empty-buffer) state and merge nothing")
+    assert(interleaved)
+    val snap = t.snapshot()
+    assert(snap.bufferRows == 0)
+    assert(t.read().count() == 20, "rows must not double under a compaction race")
+  }
+
+  test("compaction vs concurrent append: merge retries and keeps the new rows") {
+    val root = java.nio.file.Files.createTempDirectory("fact_cc_app").toString
+    val other = new FactTable(root, spark)
+    var armed = false
+    var interleaved = false
+    val t = new FactTable(root, spark) {
+      override protected def beforeCommit(): Unit =
+        if (armed && !interleaved) {
+          interleaved = true
+          assert(other.append(rows(3, "2024-03-02", "m9"), txnId = 42))
+        }
+    }
+    t.append(rows(5, "2024-03-01", "m1"), 0)
+    armed = true
+    // the append's files are NOT in the compaction's remove set, so the
+    // merge retries at the new head instead of restarting
+    assert(t.compact() == 5L)
+    val snap = t.snapshot()
+    assert(snap.bufferRows == 3, "racing append stays buffered, not lost")
+    assert(t.read().count() == 8)
+  }
+
   test("streaming foreachBatch end-to-end through the sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
