@@ -597,6 +597,66 @@ object DedupQueries {
         SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
         FROM pairs WHERE hamming <= 2
         ORDER BY doc_a, doc_b"""),
-      doc = "SimHash hamming≤2 near-dup pairs via pigeonhole banding + bit ops")
+      doc = "SimHash hamming≤2 near-dup pairs via pigeonhole banding + bit ops"),
+
+    // ------------------------------------------------------------------
+    // d10: benchmark decontamination — flag training documents sharing
+    // any word 5-gram with a held-out "benchmark" set (docs with
+    // doc_id % 97 == 0 stand in for it; production uses 13-grams against
+    // real eval sets, same plan shape). Scale: the benchmark shingle set
+    // is tiny (eval benchmarks are MBs against a 100 TB corpus), so it
+    // BROADCASTS — the corpus side is a map-only shingle expansion + one
+    // broadcast join + per-doc count; the corpus is never shuffled.
+    QueryDef(
+      "d10_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+          .withColumn("sh", array_distinct(shingles("toks", 5)))
+          .select($"doc_id", $"source", $"sh")
+        val bench = sh.filter($"doc_id" % 97 === 0)
+          .select(explode_outer($"sh").as("shingle"))
+          .filter($"shingle".isNotNull).distinct()
+        val hits = sh.filter($"doc_id" % 97 =!= 0)
+          .select($"doc_id", explode_outer($"sh").as("shingle"))
+          .filter($"shingle".isNotNull)
+          .join(broadcast(bench), Seq("shingle"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        sh.filter($"doc_id" % 97 =!= 0)
+          .select($"doc_id", $"source")
+          .join(hits, Seq("doc_id"), "left")
+          .select($"doc_id", $"source",
+            coalesce($"n_shared", lit(0L)).as("n_shared_shingles"),
+            $"n_shared".isNotNull.as("contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+                 list_distinct(CASE WHEN len(toks) >= 5
+                   THEN list_transform(range(1, len(toks) - 3),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4])
+                   ELSE [] END) AS sh
+          FROM tok),
+        bench AS (
+          SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+        cand AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS n_shared
+          FROM cand JOIN bench USING (shingle) GROUP BY doc_id)
+        SELECT s.doc_id, s.source,
+               COALESCE(h.n_shared, 0) AS n_shared_shingles,
+               h.n_shared IS NOT NULL AS contaminated
+        FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        WHERE s.doc_id % 97 <> 0
+        ORDER BY s.doc_id"""),
+      doc = "benchmark decontamination: broadcast shingle-overlap flags")
   )
 }

@@ -1017,6 +1017,62 @@ object ExtendedQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM sess GROUP BY user_id, sid
         ORDER BY user_id, session_start"""),
-      doc = "batch shadow of streaming session_window (gap-island oracle)")
+      doc = "batch shadow of streaming session_window (gap-island oracle)"),
+
+    // ------------------------------------------------------------------
+    // q59: batch shadow of the streaming TUMBLING window aggregation
+    // (EventsStream.windowedCounts: window(ts, "15 minutes")). Spark
+    // aligns windows to the epoch under UTC, so the oracle floors
+    // microseconds to the 15-minute grid. Partial aggregation applies —
+    // one shuffle on (window, event_type) regardless of input size.
+    QueryDef(
+      "q59_tumbling_windows",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(window($"ts", "15 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+          .select($"window.start".as("w_start"), $"window.end".as("w_end"),
+            $"event_type", $"n", $"sum_value")
+          .orderBy($"w_start", $"event_type")
+      },
+      Some("""
+        SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS w_start,
+               make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                              + 900000000) AS w_end,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3 ORDER BY w_start, event_type"""),
+      doc = "batch shadow of streaming tumbling windows (epoch-grid oracle)"),
+
+    // ------------------------------------------------------------------
+    // q60: batch shadow of the streaming SLIDING window aggregation
+    // (EventsStream.slidingCounts: 30-minute span, 10-minute slide — each
+    // event belongs to exactly 3 windows whose starts are the 3 nearest
+    // 10-minute grid points at or before it). The oracle replicates each
+    // event across its 3 windows with an unnested offset list.
+    QueryDef(
+      "q60_sliding_windows",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(window($"ts", "30 minutes", "10 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select($"window.start".as("w_start"), $"window.end".as("w_end"),
+            $"event_type", $"n")
+          .orderBy($"w_start", $"event_type")
+      },
+      Some("""
+        WITH w AS (
+          SELECT make_timestamp((epoch_us(ts) // 600000000 - k) * 600000000)
+                   AS w_start,
+                 event_type
+          FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) off)
+        SELECT w_start, w_start + INTERVAL 30 MINUTE AS w_end,
+               event_type, COUNT(*) AS n
+        FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type"""),
+      doc = "batch shadow of streaming sliding windows (offset-replication oracle)")
   )
 }

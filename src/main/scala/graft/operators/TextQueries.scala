@@ -436,6 +436,71 @@ object TextQueries {
                     FROM documents) t0) t1) t2) t3
         GROUP BY predicted_lang ORDER BY predicted_lang"""
       },
-      doc = "language-balanced sampling: derived strata + hash-ordered top-K")
+      doc = "language-balanced sampling: derived strata + hash-ordered top-K"),
+
+    // ------------------------------------------------------------------
+    // t11: repetition metrics (the Gopher-rules repetition signals, word
+    // level — the corpus is single-line so line/paragraph variants
+    // degenerate): duplicate-2gram fraction, distinct-token ratio, and
+    // top-token fraction. Everything is computed INSIDE the row with
+    // higher-order functions — the top-token count is a sorted-run fold
+    // over array_sort(toks) (longest run of equal neighbors = highest
+    // token frequency), so the whole query is map-only: zero shuffles at
+    // any corpus size, where the naive explode→groupBy(doc,token)→max
+    // plan shuffles every token of every document.
+    QueryDef(
+      "t11_repetition_metrics",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+          .withColumn("grams2", shingles("toks", 2))
+          .withColumn("top_run",
+            expr("""aggregate(array_sort(toks),
+                named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+                (acc, x) -> named_struct(
+                  'prev', x,
+                  'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
+                  'best', GREATEST(acc.best,
+                    IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),
+                acc -> acc.best)"""))
+          .select($"doc_id",
+            size($"toks").cast("long").as("n_toks"),
+            when(size($"grams2") > 0,
+              lit(1.0) - size(array_distinct($"grams2")).cast("double")
+                / size($"grams2"))
+              .otherwise(0.0).as("dup_2gram_frac"),
+            (size(array_distinct($"toks")).cast("double") / size($"toks"))
+              .as("distinct_token_ratio"),
+            ($"top_run".cast("double") / size($"toks")).as("top_token_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1])
+                      ELSE [] END AS grams2
+          FROM tok),
+        top AS (
+          SELECT doc_id, MAX(c) AS top_cnt FROM (
+            SELECT doc_id, t, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS t FROM tok) u
+            GROUP BY doc_id, t) cnt
+          GROUP BY doc_id)
+        SELECT g.doc_id, CAST(n AS BIGINT) AS n_toks,
+               CASE WHEN len(grams2) > 0
+                    THEN 1.0 - CAST(len(list_distinct(grams2)) AS DOUBLE)
+                               / len(grams2)
+                    ELSE 0.0 END AS dup_2gram_frac,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / n AS distinct_token_ratio,
+               CAST(top.top_cnt AS DOUBLE) / n AS top_token_frac
+        FROM g JOIN top ON g.doc_id = top.doc_id
+        ORDER BY g.doc_id"""),
+      doc = "Gopher-style repetition metrics, map-only via sorted-run fold")
   )
 }

@@ -150,4 +150,21 @@ class PlanSpec extends AnyFunSuite {
     // the 1-row corpus count joins as a broadcast, never a shuffle
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("d10 decontamination broadcasts the benchmark shingles, never sort-merges") {
+    val p = plan("d10_decontaminate")
+    // the corpus side is map-only into a broadcast join — the 100 TB
+    // side must never shuffle for the overlap probe
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("t11 repetition metrics stay map-only (no shuffle before the final sort)") {
+    val p = plan("t11_repetition_metrics")
+    // all three metrics fold inside the row; the only exchange allowed
+    // is the final presentation ORDER BY
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected only the ORDER BY exchange:\n$p")
+    assert(!p.contains("Generate"), "token explode crept back in")
+  }
 }
