@@ -507,7 +507,7 @@ object DedupQueries {
           .filter($"cosine" >= 0.999)
           .orderBy($"id_a", $"id_b")
       },
-      Some("""
+      Some(s"""
         WITH corpus AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
@@ -532,9 +532,7 @@ object DedupQueries {
             ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
         flat AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM cand),
         dots AS (SELECT id_a, id_b,
-                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
-                        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb
+                        ${graft.operators.OracleFragments.oCosineSums("nb")}
                  FROM flat GROUP BY id_a, id_b)
         SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 9) AS cosine
         FROM dots

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions.{cosineExact, dotExact, l2SqExact}
+import graft.operators.OracleFragments.{oCosineSums, oDot, oL2Sq, oL2SqDec}
 import graft.plans.VectorExpressions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -41,9 +42,7 @@ object SimilarityQueries {
         pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
                   FROM embeddings e, q WHERE e.vec_id <> 0),
         dots AS (SELECT vec_id,
-                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
-                        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nq
+                        ${oCosineSums()}
                  FROM pairs GROUP BY vec_id)
         SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 20"""),
@@ -68,14 +67,12 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_vectors"))
           .orderBy($"cid")
       },
-      Some("""
+      Some(s"""
         WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
         pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
                   FROM embeddings e CROSS JOIN cents c),
         dists AS (SELECT vec_id, cid,
-                         CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                  AS DECIMAL(38,18))) AS DOUBLE) AS dist2_raw
+                         ${oL2Sq("x", "y")} AS dist2_raw
                   FROM pairs GROUP BY vec_id, cid),
         distsr AS (SELECT vec_id, cid, round(dist2_raw, 9) AS dist2 FROM dists),
         assigned AS (SELECT vec_id, cid,
@@ -144,14 +141,12 @@ object SimilarityQueries {
           .orderBy($"cosine".desc, $"vec_id".asc)
           .limit(5)
       },
-      Some("""
+      Some(s"""
         WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
         cpairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
                    FROM embeddings e CROSS JOIN cents c),
         dists AS (SELECT vec_id, cid,
-                         CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                  AS DECIMAL(38,18))) AS DOUBLE) AS dist2_raw
+                         ${oL2Sq("x", "y")} AS dist2_raw
                   FROM cpairs GROUP BY vec_id, cid),
         distsr AS (SELECT vec_id, cid, round(dist2_raw, 9) AS dist2 FROM dists),
         assigned AS (SELECT vec_id, cid FROM (
@@ -166,9 +161,7 @@ object SimilarityQueries {
         pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
                   FROM embeddings e JOIN bucket b ON e.vec_id = b.vec_id, q),
         dots AS (SELECT vec_id,
-                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
-                        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nq
+                        ${oCosineSums()}
                  FROM pairs GROUP BY vec_id)
         SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 5"""),
@@ -217,14 +210,12 @@ object SimilarityQueries {
           .select($"cid", $"n0", coalesce($"n1", lit(0L)).as("n1"))
           .orderBy($"cid")
       },
-      Some("""
+      Some(s"""
         WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
         cpairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
                    FROM embeddings e CROSS JOIN cents c),
         dists0 AS (SELECT vec_id, cid,
-                          CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                        * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                   AS DECIMAL(38,18))) AS DOUBLE) AS dist2_raw
+                          ${oL2Sq("x", "y")} AS dist2_raw
                    FROM cpairs GROUP BY vec_id, cid),
         assign0 AS (SELECT vec_id, cid FROM (
                       SELECT vec_id, cid,
@@ -242,9 +233,7 @@ object SimilarityQueries {
                          unnest(range(0, len(embedding))) AS d
                   FROM embeddings),
         dists1 AS (SELECT f.vec_id, c.cid,
-                          CAST(SUM(CAST((CAST(f.x AS DOUBLE) - c.c)
-                                        * (CAST(f.x AS DOUBLE) - c.c)
-                                   AS DECIMAL(38,18))) AS DOUBLE) AS dist2_raw
+                          ${oL2Sq("f.x", "c.c")} AS dist2_raw
                    FROM eflat f JOIN cent1 c ON f.d = c.d
                    GROUP BY f.vec_id, c.cid),
         assign1 AS (SELECT vec_id, cid FROM (
@@ -292,14 +281,12 @@ object SimilarityQueries {
           .orderBy($"cosine".desc, $"vec_id".asc)
           .limit(10)
       },
-      Some("""
+      Some(s"""
         WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
         cpairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
                    FROM embeddings e CROSS JOIN cents c),
         dists AS (SELECT vec_id, cid,
-                         CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                  AS DECIMAL(38,18))) AS DOUBLE) AS dist2_raw
+                         ${oL2Sq("x", "y")} AS dist2_raw
                   FROM cpairs GROUP BY vec_id, cid),
         ranked AS (SELECT vec_id, cid,
                           ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -313,9 +300,7 @@ object SimilarityQueries {
         pairs AS (SELECT b.vec_id, b.cid, unnest(e.embedding) AS x, unnest(q.qv) AS y
                   FROM bucket b JOIN embeddings e ON e.vec_id = b.vec_id, q),
         dots AS (SELECT vec_id, cid,
-                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
-                        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nq
+                        ${oCosineSums()}
                  FROM pairs GROUP BY vec_id, cid)
         SELECT vec_id, cid, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
@@ -383,7 +368,7 @@ object SimilarityQueries {
           .orderBy($"cosine".desc, $"vec_id".asc)
           .limit(10)
       },
-      Some("""
+      Some(s"""
         WITH planes AS (
           SELECT p AS plane,
                  list_transform(range(0, 64), d ->
@@ -394,7 +379,7 @@ object SimilarityQueries {
                          unnest(e.embedding) AS x, unnest(pl.hv) AS h
                   FROM embeddings e CROSS JOIN planes pl),
         bits AS (SELECT vec_id, plane,
-                        CASE WHEN CAST(SUM(CAST(CAST(x AS DOUBLE) * h AS DECIMAL(38,18))) AS DOUBLE) >= 0
+                        CASE WHEN ${oDot("x", "h")} >= 0
                              THEN 1 ELSE 0 END AS bit
                  FROM comps GROUP BY vec_id, plane),
         bands AS (SELECT vec_id, plane // 4 AS band,
@@ -409,9 +394,7 @@ object SimilarityQueries {
         pairs AS (SELECT c.vec_id, unnest(e.embedding) AS x, unnest(qv.qv) AS y
                   FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id, qv),
         dots AS (SELECT vec_id,
-                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-                        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
-                        CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nq
+                        ${oCosineSums()}
                  FROM pairs GROUP BY vec_id)
         SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
@@ -458,7 +441,7 @@ object SimilarityQueries {
           .orderBy($"adc".asc, $"vec_id".asc)
           .limit(10)
       },
-      Some("""
+      Some(s"""
         WITH sp AS (SELECT unnest(range(0, 8)) AS sp),
         subs AS (
           SELECT e.vec_id, sp.sp, e.embedding[(8*sp.sp+1):(8*sp.sp+8)] AS sv
@@ -471,9 +454,7 @@ object SimilarityQueries {
           FROM subs su JOIN cents c ON su.sp = c.csp),
         dists AS (
           SELECT vec_id, sp, cid,
-                 SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                     AS DECIMAL(38,18))) AS d2
+                 ${oL2SqDec("x", "y")} AS d2
           FROM dpairs GROUP BY vec_id, sp, cid),
         codes AS (
           SELECT vec_id, sp, cid AS code,
@@ -542,16 +523,14 @@ object SimilarityQueries {
           .orderBy($"adc".asc, $"vec_id".asc)
           .limit(5)
       },
-      Some("""
+      Some(s"""
         WITH icents AS (SELECT vec_id AS icid, embedding AS icv
                         FROM embeddings WHERE vec_id < 8),
         ipairs AS (SELECT e.vec_id, c.icid,
                           unnest(e.embedding) AS x, unnest(c.icv) AS y
                    FROM embeddings e CROSS JOIN icents c),
         idists AS (SELECT vec_id, icid,
-                          round(CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                         AS DECIMAL(38,18))) AS DOUBLE), 9) AS idist
+                          round(${oL2Sq("x", "y")}, 9) AS idist
                    FROM ipairs GROUP BY vec_id, icid),
         iassign AS (SELECT vec_id, icid,
                            ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -574,9 +553,7 @@ object SimilarityQueries {
           FROM subs su JOIN pqcents c ON su.sp = c.csp),
         dists AS (
           SELECT vec_id, sp, cid,
-                 SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                     AS DECIMAL(38,18))) AS d2
+                 ${oL2SqDec("x", "y")} AS d2
           FROM dpairs GROUP BY vec_id, sp, cid),
         codes AS (
           SELECT vec_id, sp, cid AS code,
@@ -591,9 +568,7 @@ object SimilarityQueries {
           WHERE e.vec_id = 0),
         qd AS (
           SELECT sp AS qsp, cid AS qcid,
-                 SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                     AS DECIMAL(38,18))) AS qd2
+                 ${oL2SqDec("x", "y")} AS qd2
           FROM qpairs GROUP BY sp, cid),
         adc AS (
           SELECT c.vec_id, SUM(q.qd2) AS adc_dec
