@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -10,12 +10,23 @@ object Verify {
     * Spark's TimestampType annotates parquet as `isAdjustedToUTC=true`
     * (`timestamp[us, tz=UTC]`), failing the driver's schema compare even
     * when values match. Session TZ is UTC, so casting to NTZ is lossless
-    * and aligns the parquet annotation with the oracle's.
+    * and aligns the parquet annotation with the oracle's. Recurses into
+    * arrays/maps/structs so nested timestamps can't regress silently.
     */
+  private def deTz(dt: DataType): DataType = dt match {
+    case TimestampType => TimestampNTZType
+    case ArrayType(e, n) => ArrayType(deTz(e), n)
+    case MapType(k, v, n) => MapType(deTz(k), deTz(v), n)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = deTz(f.dataType))))
+    case other => other
+  }
+
   private def naiveTimestamps(df: DataFrame): DataFrame = {
     val casts = df.schema.fields.map { f =>
-      if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
-      else col(f.name)
+      val target = deTz(f.dataType)
+      if (target == f.dataType) col(f.name)
+      else col(f.name).cast(target).as(f.name)
     }
     df.select(casts.toIndexedSeq: _*)
   }

@@ -501,6 +501,77 @@ object TextQueries {
                CAST(top.top_cnt AS DOUBLE) / n AS top_token_frac
         FROM g JOIN top ON g.doc_id = top.doc_id
         ORDER BY g.doc_id"""),
-      doc = "Gopher-style repetition metrics, map-only via sorted-run fold")
+      doc = "Gopher-style repetition metrics, map-only via sorted-run fold"),
+
+    // ------------------------------------------------------------------
+    // t12: PII detection + redaction — the scrubbing pass every
+    // training-data pipeline runs before anything else. The corpus
+    // plants deterministic PII (same construction in the oracle, like
+    // the dedup corpus plants duplicates): emails on doc_id%7, phones on
+    // %11, IPs on %13 — so the detector provably finds and removes them
+    // at any SF. Counts come from regexp_extract_all, the redaction is a
+    // fixed-order regexp_replace chain, and the md5 fingerprint of the
+    // redacted text proves both engines produced byte-identical output.
+    // Map-only (the one exchange is the presentation sort); production
+    // swaps in its own pattern set, the plumbing is unchanged.
+    QueryDef(
+      "t12_pii_redaction",
+      (s, dir) => {
+        import s.implicits._
+        val emailRe = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+        val phoneRe = "555-[0-9]{3}-[0-9]{4}"
+        val ipRe = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", concat($"text",
+            when($"doc_id" % 7 === 0,
+              concat(lit(" contact user"), $"doc_id".cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when($"doc_id" % 11 === 0,
+              concat(lit(" call 555-"),
+                lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+                lpad((($"doc_id" * 7) % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when($"doc_id" % 13 === 0,
+              concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
+                lit("."), (($"doc_id" * 3) % 256).cast("string")))
+              .otherwise(lit(""))).as("text"))
+          .select($"doc_id", $"source",
+            size(regexp_extract_all($"text", lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all($"text", lit(phoneRe), lit(0)))
+              .cast("long").as("n_phones"),
+            size(regexp_extract_all($"text", lit(ipRe), lit(0)))
+              .cast("long").as("n_ips"),
+            md5(regexp_replace(regexp_replace(regexp_replace($"text",
+              emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]"))
+              .as("redacted_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH pii AS (
+          SELECT doc_id, source,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@example.com' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                              || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                              || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                         ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+')) AS n_emails,
+               len(regexp_extract_all(text, '555-[0-9]{3}-[0-9]{4}')) AS n_phones,
+               len(regexp_extract_all(text, '10\.0\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
+                 '555-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                 '10\.0\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')) AS redacted_fp
+        FROM pii ORDER BY doc_id"""),
+      doc = "PII detect + redact: planted emails/phones/IPs, fingerprint-proven")
   )
 }
