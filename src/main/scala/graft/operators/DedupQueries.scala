@@ -655,6 +655,54 @@ object DedupQueries {
         FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
         WHERE s.doc_id % 97 <> 0
         ORDER BY s.doc_id"""),
-      doc = "benchmark decontamination: broadcast shingle-overlap flags")
+      doc = "benchmark decontamination: broadcast shingle-overlap flags"),
+
+    // ------------------------------------------------------------------
+    // d11: leakage-safe train/val/test split — the assignment step after
+    // dedup: hash-split on the CLUSTER representative (canon label from
+    // d08, the doc itself when unclustered), so near-duplicates can
+    // never straddle a split boundary (the classic eval-leakage bug of
+    // hashing raw doc_ids). Split = first md5 hex byte of the key:
+    // < 'c0' train (192/256), < 'e0' val (32/256), else test. The
+    // no_leakage column is a global witness — max distinct splits per
+    // cluster — computed once and broadcast; the oracle asserts TRUE.
+    QueryDef(
+      "d11_leakage_safe_split",
+      (s, dir) => {
+        import s.implicits._
+        val labels = clusterLabels(s, dir)
+        val keyed = corpus(s, dir).join(labels, Seq("doc_id"), "left")
+          .withColumn("key", coalesce($"canon", $"doc_id"))
+          .withColumn("hb", substring(md5($"key".cast("string")), 1, 2))
+          .withColumn("split",
+            when($"hb" < "c0", "train").when($"hb" < "e0", "val")
+              .otherwise("test"))
+        val witness = keyed.filter($"canon".isNotNull)
+          .groupBy($"canon").agg(countDistinct($"split").as("nsp"))
+          .agg(coalesce(max($"nsp"), lit(1L)).as("max_splits_per_cluster"))
+        keyed.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"key").as("n_keys"),
+            count($"canon").as("n_clustered_docs"))
+          .crossJoin(broadcast(witness))
+          .select($"split", $"n_docs", $"n_keys", $"n_clustered_docs",
+            ($"max_splits_per_cluster" === 1L).as("no_leakage"))
+          .orderBy($"split")
+      },
+      Some(s"""$labelsSqlCore,
+        keyed AS (
+          SELECT c.doc_id, l.canon,
+                 COALESCE(l.canon, c.doc_id) AS key,
+                 CASE WHEN substr(md5(CAST(COALESCE(l.canon, c.doc_id) AS VARCHAR)), 1, 2) < 'c0'
+                      THEN 'train'
+                      WHEN substr(md5(CAST(COALESCE(l.canon, c.doc_id) AS VARCHAR)), 1, 2) < 'e0'
+                      THEN 'val' ELSE 'test' END AS split
+          FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id)
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT key) AS n_keys,
+               COUNT(canon) AS n_clustered_docs,
+               TRUE AS no_leakage
+        FROM keyed GROUP BY split ORDER BY split"""),
+      doc = "leakage-safe split: hash on the dedup-cluster representative")
   )
 }

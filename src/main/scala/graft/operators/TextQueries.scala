@@ -572,6 +572,46 @@ object TextQueries {
                  '555-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
                  '10\.0\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')) AS redacted_fp
         FROM pii ORDER BY doc_id"""),
-      doc = "PII detect + redact: planted emails/phones/IPs, fingerprint-proven")
+      doc = "PII detect + redact: planted emails/phones/IPs, fingerprint-proven"),
+
+    // ------------------------------------------------------------------
+    // t13: deterministic source-mixture sampling — domain reweighting
+    // (the "data mixture" stage): each source keeps a configured
+    // fraction of its documents, selected by an md5-hex-prefix threshold
+    // so the draw is uniform, reproducible, and identical in both
+    // engines (thresholds are exact byte fractions: src0 keeps all,
+    // src1 128/256, src2 64/256, everything else 26/256). Map-only
+    // filter + one rollup shuffle; at 100 TB the sample never
+    // materializes — it's a predicate, composable with any downstream
+    // scan.
+    QueryDef(
+      "t13_source_mixture",
+      (s, dir) => {
+        import s.implicits._
+        val thr = expr("""CASE source WHEN 'src0' THEN 'zz'
+                          WHEN 'src1' THEN '80' WHEN 'src2' THEN '40'
+                          ELSE '1a' END""")
+        Tables.load(s, dir, "documents")
+          .withColumn("kept",
+            substring(md5($"doc_id".cast("string")), 1, 2) < thr)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when($"kept", 1)).as("n_kept"))
+          .withColumn("rate",
+            $"n_kept".cast("double") / $"n_docs")
+          .orderBy($"source")
+      },
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                 CASE source WHEN 'src0' THEN 'zz'
+                             WHEN 'src1' THEN '80' WHEN 'src2' THEN '40'
+                             ELSE '1a' END THEN 1 END) AS n_kept,
+               CAST(COUNT(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                 CASE source WHEN 'src0' THEN 'zz'
+                             WHEN 'src1' THEN '80' WHEN 'src2' THEN '40'
+                             ELSE '1a' END THEN 1 END) AS DOUBLE) / COUNT(*) AS rate
+        FROM documents GROUP BY source ORDER BY source"""),
+      doc = "deterministic source-mixture sampling via md5-prefix thresholds")
   )
 }
