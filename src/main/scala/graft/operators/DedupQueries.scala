@@ -703,6 +703,63 @@ object DedupQueries {
                COUNT(canon) AS n_clustered_docs,
                TRUE AS no_leakage
         FROM keyed GROUP BY split ORDER BY split"""),
-      doc = "leakage-safe split: hash on the dedup-cluster representative")
+      doc = "leakage-safe split: hash on the dedup-cluster representative"),
+
+    // ------------------------------------------------------------------
+    // d12: URL canonicalization + dedup — the crawl-side dedup stage that
+    // runs BEFORE any content hashing: strip tracking query strings,
+    // lowercase the host, drop trailing slashes, then group by the
+    // canonical URL. The corpus plants deterministic raw-URL variants
+    // (same trick as t12's planted PII): host case on doc_id%4, trailing
+    // slash on %5, utm query string on %3 — so normalization provably
+    // collapses them at any SF. The normalize chain is map-only regexp
+    // arithmetic; the only exchange is the canonical-URL groupBy (hash
+    // partial-agg), which is exactly how a 100 TB crawl frontier dedups.
+    QueryDef(
+      "d12_url_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val raw = Tables.load(s, dir, "documents")
+          .withColumn("host",
+            concat(lit("www.example"), ($"doc_id" % 7).cast("string"),
+              lit(".com")))
+          .withColumn("raw_url", concat(
+            lit("https://"),
+            when($"doc_id" % 4 === 0, upper($"host")).otherwise($"host"),
+            lit("/p/"), ($"doc_id" % 50).cast("string"),
+            when($"doc_id" % 5 === 0, lit("/")).otherwise(lit("")),
+            when($"doc_id" % 3 === 0,
+              concat(lit("?utm_source=feed&ref="), $"doc_id".cast("string")))
+              .otherwise(lit(""))))
+          .withColumn("canonical_url",
+            regexp_replace(regexp_replace(lower($"raw_url"),
+              "\\?.*$", ""), "/$", ""))
+        raw.groupBy($"canonical_url")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"raw_url").as("n_raw_variants"),
+            min($"doc_id").as("first_doc_id"))
+          .orderBy($"canonical_url")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 'https://'
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN upper('www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com')
+                         ELSE 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' END
+                 || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+                 || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                         ELSE '' END AS raw_url
+          FROM documents)
+        SELECT regexp_replace(regexp_replace(lower(raw_url), '\?.*$', ''),
+                              '/$', '') AS canonical_url,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT raw_url) AS n_raw_variants,
+               MIN(doc_id) AS first_doc_id
+        FROM raw
+        GROUP BY canonical_url ORDER BY canonical_url"""),
+      doc = "URL canonicalization + dedup: map-only normalize, one hash agg")
   )
 }

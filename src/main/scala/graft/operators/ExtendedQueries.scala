@@ -1073,6 +1073,54 @@ object ExtendedQueries {
         SELECT w_start, w_start + INTERVAL 30 MINUTE AS w_end,
                event_type, COUNT(*) AS n
         FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type"""),
-      doc = "batch shadow of streaming sliding windows (offset-replication oracle)")
+      doc = "batch shadow of streaming sliding windows (offset-replication oracle)"),
+
+    // ------------------------------------------------------------------
+    // q61: approximate heavy hitters (ClickHouse topK analog) via Spark
+    // 4.1's approx_top_k (DataSketches frequent-items). Like q27/q53, the
+    // raw sketch output is engine-specific, so the CHECKED output is the
+    // exact top-10 tokens (count desc, token asc — a total order) plus two
+    // verdicts the oracle asserts TRUE: the token appears in the sketch's
+    // top-25, and the sketch estimate is within 1% of the exact count.
+    // Both aggregations partial-combine map-side; the 1-row sketch is
+    // broadcast against the exact top-10, so the only wide exchange is the
+    // token groupBy. maxItemsTracked=65536 means any corpus whose
+    // vocabulary fits the map is in the sketch's exact regime — the
+    // verdicts stay deterministic, and beyond it the 1% bound is still the
+    // published frequent-items guarantee for heavy hitters.
+    QueryDef(
+      "q61_approx_topk",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(graft.functions.TextFunctions.tokens($"text"))
+            .as("token"))
+        val sketch = broadcast(toks.agg(
+          expr("approx_top_k(token, 25, 65536)").as("sk"),
+          count(lit(1)).as("n_total")))
+        toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy($"exact_cnt".desc, $"token".asc)
+          .limit(10)
+          .crossJoin(sketch)
+          .withColumn("est",
+            // get() (0-based) is NULL out-of-bounds even under ANSI,
+            // unlike element_at which throws on an empty filter result
+            expr("get(filter(sk, e -> e.item = token), 0).count"))
+          .select($"token", $"exact_cnt",
+            $"est".isNotNull.as("in_sketch"),
+            (abs(coalesce($"est", lit(0L)) - $"exact_cnt")
+              <= greatest(lit(1L), ($"n_total" / 100).cast("long")))
+              .as("within_tol"))
+          .orderBy($"exact_cnt".desc, $"token".asc)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+          FROM documents)
+        SELECT token, COUNT(*) AS exact_cnt,
+               TRUE AS in_sketch, TRUE AS within_tol
+        FROM tok GROUP BY token
+        ORDER BY exact_cnt DESC, token ASC LIMIT 10"""),
+      doc = "approximate heavy hitters (topK): sketch vs exact with tolerance verdicts")
   )
 }

@@ -612,6 +612,154 @@ object TextQueries {
                              WHEN 'src1' THEN '80' WHEN 'src2' THEN '40'
                              ELSE '1a' END THEN 1 END) AS DOUBLE) / COUNT(*) AS rate
         FROM documents GROUP BY source ORDER BY source"""),
-      doc = "deterministic source-mixture sampling via md5-prefix thresholds")
+      doc = "deterministic source-mixture sampling via md5-prefix thresholds"),
+
+    // ------------------------------------------------------------------
+    // t14: inter-document boilerplate detection (the CCNet-style pass that
+    // strips headers/footers/nav text repeated across a crawl): a word
+    // 3-gram is "boilerplate" when it appears in >= 5 distinct documents;
+    // each document reports what fraction of its distinct shingles are
+    // boilerplate. Plan shape: per-doc shingle sets are map-side
+    // (array_distinct over the in-row array — same lesson as d05: no
+    // collect_set shuffle), document frequency is ONE groupBy on the
+    // shingle, and the hot set comes back as a broadcast semi-join, so
+    // the corpus never shuffles twice. At 100 TB the hot set is bounded
+    // by the df threshold (only shingles repeated across docs survive)
+    // and a production pipeline would add d05's maxShingleDf-style cap
+    // on top; per-doc fractions are then map-only again.
+    QueryDef(
+      "t14_boilerplate_ngrams",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+          .withColumn("sh_set", array_distinct(shingles("toks")))
+        val inv = docs.select($"doc_id", explode_outer($"sh_set").as("shingle"))
+          .filter($"shingle".isNotNull)
+        val hot = inv.groupBy($"shingle")
+          .agg(count(lit(1)).as("df")).filter($"df" >= 5)
+        val boiler = inv.join(broadcast(hot.select($"shingle")), "shingle")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
+        docs.select($"doc_id", size($"sh_set").cast("long").as("n_shingles"))
+          .join(boiler, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_shingles",
+            coalesce($"n_boiler", lit(0L)).as("n_boiler"),
+            // 0-shingle docs: 0.0, not 0/0 (Spark NaN vs DuckDB NULL)
+            when($"n_shingles" > 0,
+              coalesce($"n_boiler", lit(0L)).cast("double") / $"n_shingles")
+              .otherwise(0.0).as("boiler_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END) AS sh_set
+          FROM tok),
+        inv AS (SELECT doc_id, unnest(sh_set) AS shingle FROM sh),
+        hot AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) >= 5),
+        b AS (SELECT doc_id, COUNT(*) AS n_boiler
+              FROM inv JOIN hot USING (shingle) GROUP BY doc_id)
+        SELECT sh.doc_id, CAST(len(sh_set) AS BIGINT) AS n_shingles,
+               COALESCE(b.n_boiler, 0) AS n_boiler,
+               CASE WHEN len(sh_set) > 0
+                    THEN CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / len(sh_set)
+                    ELSE 0.0 END AS boiler_frac
+        FROM sh LEFT JOIN b ON sh.doc_id = b.doc_id
+        ORDER BY sh.doc_id"""),
+      doc = "boilerplate n-grams: cross-document shingle DF + broadcast hot set"),
+
+    // ------------------------------------------------------------------
+    // t15: sliding-window document chunking (context-window preparation:
+    // 64-token chunks, stride 48, so consecutive chunks overlap by 16
+    // tokens — the standard long-doc treatment before embedding or
+    // training). Map-only: the chunk index explode and the token slice
+    // are higher-order expressions inside the row; the only exchange is
+    // the presentation sort. The md5 of each chunk's joined tokens proves
+    // byte-identical chunk content across engines.
+    QueryDef(
+      "t15_doc_chunking",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+          .withColumn("n", size($"toks"))
+          // last chunk index = ceil(max(0, n-64)/48), via (x + 47) div 48
+          .select($"doc_id", $"toks",
+            explode_outer(expr(
+              "sequence(0, (greatest(n - 64, 0) + 47) div 48)"))
+              .as("chunk_no"))
+          .select($"doc_id", $"chunk_no".cast("long").as("chunk_no"),
+            expr("slice(toks, chunk_no * 48 + 1, 64)").as("chunk"))
+          .select($"doc_id", $"chunk_no",
+            size($"chunk").cast("long").as("n_chunk_toks"),
+            md5(concat_ws(" ", $"chunk")).as("chunk_fp"))
+          .orderBy($"doc_id", $"chunk_no")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents)
+        SELECT doc_id, CAST(k.k AS BIGINT) AS chunk_no,
+               CAST(len(list_slice(toks, CAST(k.k * 48 + 1 AS INTEGER),
+                                   CAST(k.k * 48 + 64 AS INTEGER))) AS BIGINT)
+                 AS n_chunk_toks,
+               md5(array_to_string(
+                     list_slice(toks, CAST(k.k * 48 + 1 AS INTEGER),
+                                CAST(k.k * 48 + 64 AS INTEGER)), ' '))
+                 AS chunk_fp
+        FROM tok, unnest(range(0, (GREATEST(len(toks) - 64, 0) + 47) // 48 + 1))
+               AS k(k)
+        ORDER BY doc_id, chunk_no"""),
+      doc = "sliding-window chunking with overlap: map-only slice + fingerprint"),
+
+    // ------------------------------------------------------------------
+    // c02: training sequence packing (concat-and-chunk): documents are
+    // laid end-to-end in a deterministic hash order WITHIN their source
+    // shard and cut into 256-token context windows; each document reports
+    // the pack it starts in and its token offset inside that pack. The
+    // cumulative sum is a per-source window — partitioned by source the
+    // way a production packer works per input shard, so the sort never
+    // becomes one global order at 100 TB. Exact long arithmetic end to
+    // end (the oracle casts DuckDB's HUGEINT running sum back to BIGINT).
+    QueryDef(
+      "c02_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source")
+          .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "documents")
+          .withColumn("n_toks", size(tokens($"text")).cast("long"))
+          .withColumn("prev_cum", coalesce(sum($"n_toks").over(w), lit(0L)))
+          .select($"source", $"doc_id", $"n_toks",
+            expr("prev_cum div 256").as("pack_id"),
+            ($"prev_cum" % 256).as("pack_offset"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, doc_id,
+                 CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                      AS BIGINT) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_toks,
+                 CAST(COALESCE(SUM(n_toks) OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS prev_cum
+          FROM tok)
+        SELECT source, doc_id, n_toks,
+               prev_cum // 256 AS pack_id,
+               prev_cum % 256 AS pack_offset
+        FROM c ORDER BY doc_id"""),
+      doc = "sequence packing: per-shard concat-and-chunk into 256-token windows")
   )
 }

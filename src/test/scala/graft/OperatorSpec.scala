@@ -103,6 +103,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(t.sameElements(e))
   }
 
+  test("c02 packing invariants: offsets in [0,256), contiguous per-shard layout") {
+    val rows = QueryDef.registry.find(_.name == "c02_sequence_packing").get
+      .build(spark, sfDir)
+      .select($"source", $"n_toks", $"pack_id", $"pack_offset")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, off) => off >= 0 && off < 256 })
+    // reconstruct each shard's stream: doc start positions must be the
+    // exact running sum of token counts (no gaps, no overlap)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val sorted = docs.map { case (_, n, p, o) => (p * 256 + o, n) }.sortBy(_._1)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._2)).foreach { case ((start, _), expect) =>
+        assert(start == expect, "doc start != running token sum")
+      }
+    }
+  }
+
+  test("t15 chunking invariants: full stride coverage, overlap of 16") {
+    val rows = QueryDef.registry.find(_.name == "t15_doc_chunking").get
+      .build(spark, sfDir)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"),
+        sum($"n_chunk_toks").as("tok_sum"), max($"n_chunk_toks").as("max_c"))
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+        .select($"doc_id", size($"toks").cast("long").as("n")), "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (id, nChunks, tokSum, maxC, n) =>
+      assert(maxC <= 64, s"doc $id chunk too long")
+      val expect = 1 + math.max(0, (n - 64 + 47) / 48)
+      assert(nChunks == expect, s"doc $id wrong chunk count")
+      // chunks overlap by 16 tokens per extra chunk except a short tail
+      assert(tokSum >= n, s"doc $id tokens dropped by chunking")
+    }
+  }
+
+  test("d12 normalization collapses every planted variant class") {
+    val df = QueryDef.registry.find(_.name == "d12_url_dedup").get
+      .build(spark, sfDir)
+    val canon = df.select($"canonical_url").as[String].collect()
+    assert(canon.forall(u => u == u.toLowerCase), "host case survived")
+    assert(canon.forall(u => !u.contains("?")), "query string survived")
+    assert(canon.forall(u => !u.endsWith("/")), "trailing slash survived")
+    // 7 hosts × 50 paths, all planted from doc_id arithmetic
+    assert(canon.length == 350)
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)

@@ -167,4 +167,43 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected only the ORDER BY exchange:\n$p")
     assert(!p.contains("Generate"), "token explode crept back in")
   }
+
+  test("t14 boilerplate probes the hot-shingle set via broadcast") {
+    val p = plan("t14_boilerplate_ngrams")
+    // the corpus-side shingle stream joins the (df >= K)-filtered hot set
+    // as a broadcast — at 100 TB the inverted index shuffles once for the
+    // DF count, never for the probe
+    assert(p.contains("BroadcastHashJoin"), s"hot set not broadcast:\n$p")
+  }
+
+  test("t15 chunking is map-only: in-row explode, no exchange before the sort") {
+    val p = plan("t15_doc_chunking")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected only the ORDER BY exchange:\n$p")
+    assert(p.contains("Generate"), "chunk-index explode missing")
+  }
+
+  test("c02 packing shuffles once on the source shard for the window") {
+    val p = plan("c02_sequence_packing")
+    assert(p.contains("Window"), "running token sum not a window")
+    // one hashpartitioning exchange for the per-source window + the
+    // presentation sort — never a single global ordering
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("q61 sketch row broadcasts against the exact top-10") {
+    val p = plan("q61_approx_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"sketch not broadcast:\n$p")
+    assert(p.contains("partial_count"), "exact counts not map-side combined")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("d12 URL dedup partially aggregates before its one wide shuffle") {
+    val p = plan("d12_url_dedup")
+    assert(p.contains("partial_count"), "canonical-url agg not map-side combined")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
