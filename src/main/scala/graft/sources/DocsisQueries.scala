@@ -298,7 +298,50 @@ object DocsisQueries {
                      snr, uncorrected_errors FROM g) t
         GROUP BY ROLLUP(modem_name, d)
         ORDER BY gid, modem_name, d"""),
-      doc = "fleet ROLLUP: per-modem/day subtotals + grand total with grouping_id")
+      doc = "fleet ROLLUP: per-modem/day subtotals + grand total with grouping_id"),
+
+    // ------------------------------------------------------------------
+    // dx12: replacing merge (ClickHouse ReplacingMergeTree analog) — a
+    // base generation of orders (version 1) receives an "update" append
+    // re-writing every o_orderkey % 10 == 0 row with version 2 and a
+    // bumped ship priority; replacingCompact keeps the max-version row
+    // per (date, o_orderkey) at merge time. The read must show exactly
+    // one row per key, with the v2 values ('U' status) winning — which
+    // the oracle reproduces straight from the source table, proving
+    // upsert semantics end to end through the txn log.
+    QueryDef(
+      "dx12_replacing_merge",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx12_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val orders = graft.Tables.load(s, sfDir, "orders")
+          .withColumn("date", to_date($"o_orderdate"))
+        t.append(orders.withColumn("ver", lit(1L)), txnId = 0)
+        t.append(orders.filter($"o_orderkey" % 10 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("ver", lit(2L)), txnId = 1)
+        t.replacingCompact(keyCols = Seq("o_orderkey"), versionCol = "ver")
+        t.read()
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"o_orderkey").as("n_keys"),
+            sum(when($"ver" === 2L, 1).otherwise(0)).as("n_updated"),
+            sum(when($"o_orderstatus" === "U", 1).otherwise(0))
+              .as("n_status_u"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               COUNT(DISTINCT o_orderkey) AS n_keys,
+               CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_updated,
+               CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_status_u
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "replacing merge: max-version row per key wins at compaction (upsert)")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -251,12 +251,8 @@ class FactTable(val root: String, spark: SparkSession) {
     */
   def majorCompact(sortCols: Seq[String] = Seq("modem_name", "timestamp"),
       partitionCol: String = "date", zorderCols: Seq[String] = Nil,
-      zorderParts: Int = 0): Long = {
-    val snap = snapshot()
-    if (snap.files.isEmpty) return 0L
-    val src = read()
-    val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
-    val staged =
+      zorderParts: Int = 0): Long =
+    rewriteAll(partitionCol) { src =>
       if (zorderCols.isEmpty)
         src.repartition(col(partitionCol))
           .sortWithinPartitions(partitionCol, sortCols: _*)
@@ -277,17 +273,53 @@ class FactTable(val root: String, spark: SparkSession) {
           .sortWithinPartitions(col(partitionCol), col(ZOrder.ZCol))
           .drop(ZOrder.ZCol)
       }
-    staged.write.partitionBy(partitionCol).mode("overwrite")
+    }
+
+  /** Replacing merge (the ClickHouse ReplacingMergeTree analog): rewrite
+    * every live part keeping only the highest-`versionCol` row per
+    * (`partitionCol`, `keyCols`) — upsert semantics materialized at merge
+    * time, exactly when ReplacingMergeTree deduplicates. Scoped to the
+    * partition like ClickHouse (a key that moved partitions is NOT
+    * collapsed — same contract), which is also what keeps the dedup
+    * shuffle partition-local so a cluster can run it one day at a time.
+    * Ties on `versionCol` keep an arbitrary row (CH keeps the last part
+    * in merge order) — give versions a total order per key for
+    * deterministic reads. The row_number window rides the same shuffle
+    * the sorted rewrite needs anyway.
+    */
+  def replacingCompact(keyCols: Seq[String], versionCol: String,
+      partitionCol: String = "date"): Long =
+    rewriteAll(partitionCol) { src =>
+      val rn = "__graft_rn"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((partitionCol +: keyCols).map(col): _*)
+        .orderBy(col(versionCol).desc)
+      src.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1).drop(rn)
+        .repartition(col(partitionCol))
+        .sortWithinPartitions(partitionCol, keyCols: _*)
+    }
+
+  /** Shared full-rewrite commit path for the major/replacing merges:
+    * stage `rewrite(read())` as one fresh generation, then atomically
+    * swap it for every current live part. Same conflict rule as
+    * compact(): obsolete if any source part was already rewritten by a
+    * concurrent compaction — drop the staged output and restart fresh.
+    */
+  private def rewriteAll(partitionCol: String)(
+      rewrite: DataFrame => DataFrame): Long = {
+    val snap = snapshot()
+    if (snap.files.isEmpty) return 0L
+    val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
+    rewrite(read()).write.partitionBy(partitionCol).mode("overwrite")
       .parquet(target.toString)
     beforeCommit()
-    // same conflict rule as compact(): obsolete if any source part was
-    // already rewritten by a concurrent compaction — restart from fresh
     val committed = commitWithRetry(snap.nextVersion, None,
       entriesFor(target, TierBase), removes = snap.files.map(_.path))(
       fresh => snap.files.forall(f => fresh.files.exists(_.path == f.path)))
     if (!committed) {
       fs.delete(target, true)
-      return majorCompact(sortCols, partitionCol, zorderCols, zorderParts)
+      return rewriteAll(partitionCol)(rewrite)
     }
     snap.files.map(_.rows).sum
   }

@@ -260,6 +260,35 @@ class FactTableSpec extends AnyFunSuite {
     assert(t.snapshot().bufferRows == 0)
   }
 
+  test("replacing merge keeps the max-version row per key, partition-scoped") {
+    val t = freshTable()
+    val v1 = rows(6, "2024-03-01", "m1").withColumn("ver", lit(1L))
+    // "update" uptimes 2 and 4 with version 2, plus a brand-new key 99
+    val v2 = rows(6, "2024-03-01", "m1").filter($"uptime".isin(2L, 4L))
+      .withColumn("modem_name", lit("m1-v2"))
+      .withColumn("ver", lit(2L))
+      .union(rows(1, "2024-03-02", "m7").withColumn("uptime", lit(99L))
+        .withColumn("ver", lit(2L)))
+    t.append(v1, 0)
+    t.append(v2, 1)
+    val preMerge = t.snapshot().nextVersion - 1
+    t.replacingCompact(keyCols = Seq("uptime"), versionCol = "ver")
+
+    val got = t.read().select($"uptime", $"modem_name", $"ver")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // one row per (date, key); v2 wins where present
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L, 99L))
+    assert(got.filter(r => r._1 == 2L || r._1 == 4L)
+      .forall(r => r._2 == "m1-v2" && r._3 == 2L))
+    assert(got.filter(r => !Set(2L, 4L, 99L).contains(r._1))
+      .forall(_._3 == 1L))
+    // time travel still sees the pre-merge duplicates
+    assert(t.read(asOfVersion = preMerge).count() == 9)
+    // idempotent: a second replacing merge changes nothing
+    t.replacingCompact(keyCols = Seq("uptime"), versionCol = "ver")
+    assert(t.read().count() == 7)
+  }
+
   test("concurrent appends: version-race loser retries and both commits land") {
     val root = java.nio.file.Files.createTempDirectory("fact_cc").toString
     val other = new FactTable(root, spark)
