@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions.{cosineExact, dotExact, l2SqExact}
 import graft.operators.OracleFragments.{oCosineSums, oDot, oL2Sq, oL2SqDec}
 import graft.plans.VectorExpressions
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -19,6 +20,108 @@ object SimilarityQueries {
 
   private val dims = 64 // embedding width in the test tables
 
+  /** Brute-force exact cosine top-k vs the vec_id=0 query vector,
+    * decimal-exact math → bit-identical to the oracle. The ground truth
+    * every ANN variant (s04–s09) trades recall against; shared by s01
+    * and the s10 recall harness.
+    */
+  private def exactCosineTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id",
+        round(cosineExact("embedding", "qv"), 9).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** s07's random-hyperplane LSH pipeline as a reusable builder: banded
+    * sign signatures, broadcast band probe, exact re-rank, top-k. Shared
+    * by s07 and the s10 recall harness.
+    */
+  private def hyperplaneLshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    // The hyperplane matrix is a pure function of (plane, dim) —
+    // component sign = first hex digit of md5("p:d") — so it is
+    // folded to a LITERAL 16×64 array at plan build (Catalyst can't
+    // fold it itself across the lambda variables, and evaluating
+    // 1024 md5s per ROW would dominate the scan). JVM MD5 here ==
+    // SQL md5 in the oracle, so the values are identical.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val planesLit = typedLit((0 until 16).map { p =>
+      (0 until 64).map { d =>
+        val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.head < '8') -1.0 else 1.0
+      }
+    })
+    // bits[p] = sign bit of <embedding, hyperplane_p>, p = 0..15
+    // posexplode_OUTER: the inner variant makes Catalyst infer a
+    // size/notnull filter that inlines the full 16-plane signature
+    // into a Filter, tripling the per-row decimal work (see d05's
+    // scaladoc for the measured pathology); the banding array is
+    // never empty, so outer emits identical rows
+    val bands = emb
+      .select($"vec_id", $"embedding", planesLit.as("planes"))
+      .select($"vec_id", $"embedding", expr(
+        """transform(sequence(1, 16), p ->
+             CASE WHEN CAST(aggregate(
+               zip_with(embedding, element_at(planes, p),
+                 (x, h) -> CAST(x AS DOUBLE) * h),
+               CAST(0 AS DECIMAL(38,18)),
+               (acc, v) -> CAST(acc + CAST(v AS DECIMAL(38,18)) AS DECIMAL(38,18)))
+             AS DOUBLE) >= 0 THEN 1 ELSE 0 END)""").as("bits"))
+      .select($"vec_id", $"embedding", posexplode_outer(expr(
+        """transform(sequence(0, 3), b ->
+             element_at(bits, 4*b+1)*8 + element_at(bits, 4*b+2)*4 +
+             element_at(bits, 4*b+3)*2 + element_at(bits, 4*b+4))"""))
+        .as(Seq("band", "bval")))
+      .filter($"bval".isNotNull)
+    val qBands = bands.filter($"vec_id" === 0)
+      .select($"band".as("qband"), $"bval".as("qbval"), $"embedding".as("qv"))
+    bands.filter($"vec_id" =!= 0)
+      .join(broadcast(qBands), $"band" === $"qband" && $"bval" === $"qbval")
+      .dropDuplicates("vec_id") // qv is constant across the 4 band rows
+      .select($"vec_id", round(cosineExact("embedding", "qv"), 9).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** The s07 oracle's CTE chain up to `dots(vec_id, dot, na, nq)` over the
+    * LSH candidate set — shared verbatim by the s07 and s10 oracles.
+    */
+  private def lshDotsSqlChain: String = s"""
+        WITH planes AS (
+          SELECT p AS plane,
+                 list_transform(range(0, 64), d ->
+                   CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8'
+                        THEN -1.0 ELSE 1.0 END) AS hv
+          FROM (SELECT unnest(range(0, 16)) AS p)),
+        comps AS (SELECT e.vec_id, pl.plane,
+                         unnest(e.embedding) AS x, unnest(pl.hv) AS h
+                  FROM embeddings e CROSS JOIN planes pl),
+        bits AS (SELECT vec_id, plane,
+                        CASE WHEN ${oDot("x", "h")} >= 0
+                             THEN 1 ELSE 0 END AS bit
+                 FROM comps GROUP BY vec_id, plane),
+        bands AS (SELECT vec_id, plane // 4 AS band,
+                         SUM(bit * CASE plane % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                                  WHEN 2 THEN 2 ELSE 1 END) AS bval
+                  FROM bits GROUP BY vec_id, plane // 4),
+        qb AS (SELECT band, bval FROM bands WHERE vec_id = 0),
+        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cands AS (SELECT DISTINCT b.vec_id FROM bands b
+                  JOIN qb ON b.band = qb.band AND b.bval = qb.bval
+                  WHERE b.vec_id <> 0),
+        pairs AS (SELECT c.vec_id, unnest(e.embedding) AS x, unnest(qv.qv) AS y
+                  FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id, qv),
+        dots AS (SELECT vec_id,
+                        ${oCosineSums()}
+                 FROM pairs GROUP BY vec_id)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -26,17 +129,7 @@ object SimilarityQueries {
     // decimal-exact math → bit-identical to the oracle.
     QueryDef(
       "s01_cosine_topk",
-      (s, dir) => {
-        import s.implicits._
-        val emb = Tables.load(s, dir, "embeddings")
-        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
-        emb.filter($"vec_id" =!= 0)
-          .crossJoin(broadcast(q))
-          .select($"vec_id",
-            round(cosineExact("embedding", "qv"), 9).as("cosine"))
-          .orderBy($"cosine".desc, $"vec_id".asc)
-          .limit(20)
-      },
+      (s, dir) => exactCosineTopK(s, dir, 20),
       Some(s"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
@@ -320,82 +413,8 @@ object SimilarityQueries {
     // sign threshold (>= 0) engine-identical.
     QueryDef(
       "s07_hyperplane_lsh",
-      (s, dir) => {
-        import s.implicits._
-        val emb = Tables.load(s, dir, "embeddings")
-        // The hyperplane matrix is a pure function of (plane, dim) —
-        // component sign = first hex digit of md5("p:d") — so it is
-        // folded to a LITERAL 16×64 array at plan build (Catalyst can't
-        // fold it itself across the lambda variables, and evaluating
-        // 1024 md5s per ROW would dominate the scan). JVM MD5 here ==
-        // SQL md5 in the oracle, so the values are identical.
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val planesLit = typedLit((0 until 16).map { p =>
-          (0 until 64).map { d =>
-            val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
-            if (hex.head < '8') -1.0 else 1.0
-          }
-        })
-        // bits[p] = sign bit of <embedding, hyperplane_p>, p = 0..15
-        // posexplode_OUTER: the inner variant makes Catalyst infer a
-        // size/notnull filter that inlines the full 16-plane signature
-        // into a Filter, tripling the per-row decimal work (see d05's
-        // scaladoc for the measured pathology); the banding array is
-        // never empty, so outer emits identical rows
-        val bands = emb
-          .select($"vec_id", $"embedding", planesLit.as("planes"))
-          .select($"vec_id", $"embedding", expr(
-            """transform(sequence(1, 16), p ->
-                 CASE WHEN CAST(aggregate(
-                   zip_with(embedding, element_at(planes, p),
-                     (x, h) -> CAST(x AS DOUBLE) * h),
-                   CAST(0 AS DECIMAL(38,18)),
-                   (acc, v) -> CAST(acc + CAST(v AS DECIMAL(38,18)) AS DECIMAL(38,18)))
-                 AS DOUBLE) >= 0 THEN 1 ELSE 0 END)""").as("bits"))
-          .select($"vec_id", $"embedding", posexplode_outer(expr(
-            """transform(sequence(0, 3), b ->
-                 element_at(bits, 4*b+1)*8 + element_at(bits, 4*b+2)*4 +
-                 element_at(bits, 4*b+3)*2 + element_at(bits, 4*b+4))"""))
-            .as(Seq("band", "bval")))
-          .filter($"bval".isNotNull)
-        val qBands = bands.filter($"vec_id" === 0)
-          .select($"band".as("qband"), $"bval".as("qbval"), $"embedding".as("qv"))
-        bands.filter($"vec_id" =!= 0)
-          .join(broadcast(qBands), $"band" === $"qband" && $"bval" === $"qbval")
-          .dropDuplicates("vec_id") // qv is constant across the 4 band rows
-          .select($"vec_id", round(cosineExact("embedding", "qv"), 9).as("cosine"))
-          .orderBy($"cosine".desc, $"vec_id".asc)
-          .limit(10)
-      },
-      Some(s"""
-        WITH planes AS (
-          SELECT p AS plane,
-                 list_transform(range(0, 64), d ->
-                   CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8'
-                        THEN -1.0 ELSE 1.0 END) AS hv
-          FROM (SELECT unnest(range(0, 16)) AS p)),
-        comps AS (SELECT e.vec_id, pl.plane,
-                         unnest(e.embedding) AS x, unnest(pl.hv) AS h
-                  FROM embeddings e CROSS JOIN planes pl),
-        bits AS (SELECT vec_id, plane,
-                        CASE WHEN ${oDot("x", "h")} >= 0
-                             THEN 1 ELSE 0 END AS bit
-                 FROM comps GROUP BY vec_id, plane),
-        bands AS (SELECT vec_id, plane // 4 AS band,
-                         SUM(bit * CASE plane % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                                                  WHEN 2 THEN 2 ELSE 1 END) AS bval
-                  FROM bits GROUP BY vec_id, plane // 4),
-        qb AS (SELECT band, bval FROM bands WHERE vec_id = 0),
-        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        cands AS (SELECT DISTINCT b.vec_id FROM bands b
-                  JOIN qb ON b.band = qb.band AND b.bval = qb.bval
-                  WHERE b.vec_id <> 0),
-        pairs AS (SELECT c.vec_id, unnest(e.embedding) AS x, unnest(qv.qv) AS y
-                  FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id, qv),
-        dots AS (SELECT vec_id,
-                        ${oCosineSums()}
-                 FROM pairs GROUP BY vec_id)
+      (s, dir) => hyperplaneLshTopK(s, dir, 10),
+      Some(s"""$lshDotsSqlChain
         SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
       doc = "random-hyperplane LSH: banded sign signatures + exact re-rank"),
@@ -576,6 +595,44 @@ object SimilarityQueries {
           WHERE c.rk = 1 GROUP BY c.vec_id)
         SELECT vec_id, round(CAST(adc_dec AS DOUBLE), 9) AS adc
         FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 5"""),
-      doc = "IVF-PQ: coarse bucket pruning + PQ/ADC ranking of the survivors")
+      doc = "IVF-PQ: coarse bucket pruning + PQ/ADC ranking of the survivors"),
+
+    // ------------------------------------------------------------------
+    // s10: ANN recall evaluation — the harness every production index
+    // ships with: the exact brute-force top-10 (ground truth) LEFT JOINs
+    // the LSH top-10, and each truth row reports whether the approximate
+    // index found it (recall@10 = fraction of TRUE). Both legs reuse the
+    // s01/s07 builders verbatim, so this also locks their agreement into
+    // the correctness gate. Cost = one brute-force pass + one LSH pass,
+    // both already scale-shaped (broadcast probes, TakeOrdered top-k);
+    // in production the truth leg runs on a sampled query set only.
+    QueryDef(
+      "s10_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        val truth = exactCosineTopK(s, dir, 10)
+        val lsh = hyperplaneLshTopK(s, dir, 10)
+          .select($"vec_id", lit(true).as("hit"))
+        truth.join(lsh, Seq("vec_id"), "left")
+          .select($"vec_id", $"cosine",
+            coalesce($"hit", lit(false)).as("found_by_lsh"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+      },
+      Some(s"""$lshDotsSqlChain,
+        lsh10 AS (
+          SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+          FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+        pairs2 AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(qv.qv) AS y
+                   FROM embeddings e, qv WHERE e.vec_id <> 0),
+        dots2 AS (SELECT vec_id,
+                         ${oCosineSums()}
+                  FROM pairs2 GROUP BY vec_id),
+        exact10 AS (
+          SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+          FROM dots2 ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+        SELECT e.vec_id, e.cosine, l.vec_id IS NOT NULL AS found_by_lsh
+        FROM exact10 e LEFT JOIN lsh10 l ON e.vec_id = l.vec_id
+        ORDER BY e.cosine DESC, e.vec_id ASC"""),
+      doc = "ANN recall@10 harness: exact ground truth vs LSH top-k, per-row hit flags")
   )
 }

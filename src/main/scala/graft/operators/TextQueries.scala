@@ -760,6 +760,59 @@ object TextQueries {
                prev_cum // 256 AS pack_id,
                prev_cum % 256 AS pack_offset
         FROM c ORDER BY doc_id"""),
-      doc = "sequence packing: per-shard concat-and-chunk into 256-token windows")
+      doc = "sequence packing: per-shard concat-and-chunk into 256-token windows"),
+
+    // ------------------------------------------------------------------
+    // t16: model-based quality filtering — the fastText-classifier stage
+    // of a curation pipeline, as a fixed-weight linear model over the t02
+    // feature vector (a trained model just swaps the weight literals; the
+    // plumbing — feature extraction, scoring, thresholding — is what the
+    // engine owns). Strictly map-only IEEE double arithmetic, written in
+    // the SAME association order in both engines so the score and the
+    // keep decision are bit-reproducible; no transcendentals (a sigmoid
+    // is monotone, so thresholding the linear score is the same filter).
+    // The weights favor stopword-dense prose and penalize symbol noise —
+    // the standard "looks like natural language" signal.
+    QueryDef(
+      "t16_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+          .withColumn("n_toks", size($"toks").cast("long"))
+          .withColumn("avg_token_len",
+            expr("CAST(aggregate(transform(toks, t -> length(t)), 0L, (acc, x) -> acc + x) AS DOUBLE)")
+              / $"n_toks")
+          .withColumn("stopword_ratio",
+            stopwordHits("toks", qualityStopwords).cast("double") / $"n_toks")
+          .withColumn("punct_ratio",
+            length(regexp_replace(lower($"text"), "[a-z0-9\\s]", "")).cast("double")
+              / length($"text"))
+          .withColumn("score",
+            lit(0.1) * $"avg_token_len" + lit(2.0) * $"stopword_ratio"
+              - lit(3.0) * $"punct_ratio" + lit(0.002) * $"n_toks".cast("double"))
+          .select($"doc_id", $"score", ($"score" >= 0.69).as("kept"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS DOUBLE) AS n_toks,
+                 CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / len(toks) AS avg_token_len,
+                 CAST(${stopwordHitsSql("toks", qualityStopwords)} AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+                 CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                      AS DOUBLE) / length(text) AS punct_ratio
+          FROM (SELECT doc_id, text,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents) t)
+        SELECT doc_id,
+               0.1 * avg_token_len + 2.0 * stopword_ratio
+                 - 3.0 * punct_ratio + 0.002 * n_toks AS score,
+               (0.1 * avg_token_len + 2.0 * stopword_ratio
+                 - 3.0 * punct_ratio + 0.002 * n_toks) >= 0.69 AS kept
+        FROM f ORDER BY doc_id"""),
+      doc = "classifier-based quality filter: fixed-weight linear score + threshold")
   )
 }

@@ -201,6 +201,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("t16 classifier scoring is map-only feature extraction") {
+    val p = plan("t16_quality_classifier")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected only the ORDER BY exchange:\n$p")
+    assert(!p.contains("ScalaUDF"), "feature math fell back to a UDF")
+  }
+
   test("d12 URL dedup partially aggregates before its one wide shuffle") {
     val p = plan("d12_url_dedup")
     assert(p.contains("partial_count"), "canonical-url agg not map-side combined")
