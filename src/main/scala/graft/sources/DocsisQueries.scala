@@ -316,8 +316,13 @@ object DocsisQueries {
         val dir = java.nio.file.Files
           .createTempDirectory("dx12_fact").toString
         val t = new graft.storage.FactTable(dir, s)
+        // month partitions: o_orderdate spans ~7 years, so day granularity
+        // would mean ~2400 dynamic partitions of tiny files per rewrite —
+        // the partition-cardinality trap that kills small-file-bound
+        // tables at any scale. ~80 month partitions keep the rewrite one
+        // healthy file per partition (measured 57 s → 4 s at sf0.1).
         val orders = graft.Tables.load(s, sfDir, "orders")
-          .withColumn("date", to_date($"o_orderdate"))
+          .withColumn("date", to_date(date_trunc("month", $"o_orderdate")))
         t.append(orders.withColumn("ver", lit(1L)), txnId = 0)
         t.append(orders.filter($"o_orderkey" % 10 === 0)
           .withColumn("o_orderstatus", lit("U"))
