@@ -62,20 +62,58 @@ object DedupQueries {
     * collapsible (CollapseProject keeps non-cheap producers used >1×
     * in their own Project), so the kernel runs once per document.
     */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    corpus(s, dir)
-      .withColumn("toks", tokens($"text"))
-      .withColumn("sh", shingles("toks"))
-      .withColumn("mhs", expr("minhash_lanes(sh, 8)"))
-      .select($"doc_id" +: (0 until 8).map(p =>
-        element_at($"mhs", p + 1).as(s"mh$p")): _*)
-  }
+  /** (doc_id, text) → with toks + sh columns (shared tokenize+shingle). */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("toks", tokens(col("text"))).withColumn("sh", shingles("toks"))
+
+  /** (doc_id, text) → doc_id + 8-lane MinHash signature via the native
+    * map-only `minhash_lanes` expression (see scaladoc above).
+    */
+  private def sigOf(df: DataFrame): DataFrame =
+    shingled(df).withColumn("mhs", expr("minhash_lanes(sh, 8)"))
+      .select(col("doc_id") +: (0 until 8).map(p =>
+        element_at(col("mhs"), p + 1).as(s"mh$p")): _*)
+
+  /** signature → (doc_id, band, bval): 4 bands × 2 lanes, NULL bands
+    * (shingle-less docs) dropped.
+    */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+      concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+      .as(Seq("band", "bval")))
+      .filter(col("bval").isNotNull)
+
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    sigOf(corpus(s, dir))
+
+  /** The 8 MinHash lane expressions as DuckDB SQL (over a `sh` column). */
+  private val mhColsSql: String = (0 until 8).map(p =>
+    s"list_min(list_transform(sh, x -> substr(md5('$p:' || x), 1, 16))) AS mh$p")
+    .mkString(",\n               ")
+
+  /** tok → shingle → signature CTE chain over corpus CTE `src`, CTE names
+    * suffixed `_$sfx` (lets one oracle carry several signature sets).
+    */
+  private def sigSqlOver(src: String, sfx: String): String = s"""
+      tok_$sfx AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM $src),
+      shi_$sfx AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                          ELSE [] END AS sh
+              FROM tok_$sfx),
+      sig_$sfx AS (SELECT doc_id, $mhColsSql FROM shi_$sfx)"""
+
+  /** 4×2 band table SQL over a signature CTE. */
+  private def bandsSqlOver(sig: String): String = s"""(
+          SELECT doc_id, 0 AS band, mh0 || mh1 AS bval FROM $sig
+          UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM $sig
+          UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM $sig
+          UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM $sig)"""
 
   private val minhashSqlCore: String = {
-    val mhCols = (0 until 8).map(p =>
-      s"list_min(list_transform(sh, x -> substr(md5('$p:' || x), 1, 16))) AS mh$p")
-      .mkString(",\n               ")
+    val mhCols = mhColsSql
     s"""
       WITH corpus AS ($corpusSql),
       tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -141,10 +179,7 @@ object DedupQueries {
     */
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = minhashSignatures(s, dir)
-    val bands = sig.select($"doc_id", posexplode(array(
-      (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*
-    )).as(Seq("band", "bval"))).filter($"bval".isNotNull)
+    val bands = bandsOf(minhashSignatures(s, dir))
     bands
       .groupBy($"band", $"bval")
       .agg(sort_array(collect_list($"doc_id")).as("docs"))
@@ -760,6 +795,156 @@ object DedupQueries {
                MIN(doc_id) AS first_doc_id
         FROM raw
         GROUP BY canonical_url ORDER BY canonical_url"""),
-      doc = "URL canonicalization + dedup: map-only normalize, one hash agg")
+      doc = "URL canonicalization + dedup: map-only normalize, one hash agg"),
+
+    // ------------------------------------------------------------------
+    // d13: incremental dedup — the shape every production pipeline
+    // actually runs: a NEW ingest batch checked against the EXISTING
+    // corpus's MinHash index, never re-pairing the corpus against itself.
+    // The batch plants exact copies (%10==0), near copies (%10==1, first
+    // token dropped) and genuinely-fresh docs (%10==2, reversed text →
+    // disjoint shingles). Band-matching candidates are confirmed with
+    // exact shingle Jaccard ≥ 0.5; every batch doc reports (dup_of,
+    // is_dup).
+    //
+    // Scale shape: the corpus-side signature table is the persisted index
+    // (at 100 TB it lives in the FactTable log and is read, not
+    // recomputed); the daily batch is orders of magnitude smaller, so its
+    // band table is BROADCAST — the corpus never shuffles for candidate
+    // generation. The Jaccard confirm joins shingle sets only for
+    // candidate doc ids (AQE broadcasts the candidate list); confirmed
+    // matches collapse to min(old_id) per batch doc.
+    QueryDef(
+      "d13_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val old = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val batch = old.filter($"doc_id" % 10 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+          .unionByName(old.filter($"doc_id" % 10 === 1)
+            .select(($"doc_id" + 2000000L).as("doc_id"),
+              when(instr($"text", " ") > 0,
+                expr("substring(text, instr(text, ' ') + 1)"))
+                .otherwise($"text").as("text")))
+          .unionByName(old.filter($"doc_id" % 10 === 2)
+            .select(($"doc_id" + 3000000L).as("doc_id"),
+              reverse($"text").as("text")))
+        val oldBands = bandsOf(sigOf(old)).withColumnRenamed("doc_id", "old_id")
+        val newBands = bandsOf(sigOf(batch)).withColumnRenamed("doc_id", "new_id")
+        val cand = oldBands.join(broadcast(newBands), Seq("band", "bval"))
+          .select($"new_id", $"old_id").distinct()
+        val oldSets = shingled(old)
+          .select($"doc_id".as("old_id"), array_distinct($"sh").as("so"))
+        val newSets = shingled(batch)
+          .select($"doc_id".as("new_id"), array_distinct($"sh").as("sn"))
+        val confirmed = cand.join(oldSets, "old_id").join(newSets, "new_id")
+          .withColumn("inter", size(array_intersect($"sn", $"so")).cast("long"))
+          .withColumn("uni",
+            size($"sn").cast("long") + size($"so").cast("long") - $"inter")
+          .filter($"uni" > 0 &&
+            $"inter".cast("double") / $"uni".cast("double") >= 0.5)
+          .groupBy($"new_id").agg(min($"old_id").as("dup_of"))
+        batch.select($"doc_id".as("new_id"))
+          .join(confirmed, Seq("new_id"), "left")
+          .select($"new_id", $"dup_of", $"dup_of".isNotNull.as("is_dup"))
+          .orderBy($"new_id")
+      },
+      Some(s"""
+        WITH oldc AS (SELECT doc_id, text FROM documents),
+        newc AS (
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 CASE WHEN instr(text, ' ') > 0
+                      THEN substr(text, instr(text, ' ') + 1) ELSE text END
+          FROM documents WHERE doc_id % 10 = 1
+          UNION ALL
+          SELECT doc_id + 3000000, reverse(text)
+          FROM documents WHERE doc_id % 10 = 2),
+        ${sigSqlOver("oldc", "o")},
+        ${sigSqlOver("newc", "n")},
+        bands_o AS ${bandsSqlOver("sig_o")},
+        bands_n AS ${bandsSqlOver("sig_n")},
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          FROM bands_n n JOIN bands_o o ON n.band = o.band AND n.bval = o.bval
+          WHERE n.bval IS NOT NULL),
+        sets_o AS (SELECT doc_id AS old_id, list_distinct(sh) AS so FROM shi_o),
+        sets_n AS (SELECT doc_id AS new_id, list_distinct(sh) AS sn FROM shi_n),
+        conf AS (
+          SELECT new_id, MIN(old_id) AS dup_of FROM (
+            SELECT c.new_id, c.old_id,
+                   CAST(len(list_intersect(sn, so)) AS BIGINT) AS inter,
+                   CAST(len(sn) + len(so) - len(list_intersect(sn, so)) AS BIGINT) AS uni
+            FROM cand c JOIN sets_n USING (new_id) JOIN sets_o USING (old_id)) x
+          WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+          GROUP BY new_id)
+        SELECT n.doc_id AS new_id, c.dup_of, c.dup_of IS NOT NULL AS is_dup
+        FROM newc n LEFT JOIN conf c ON n.doc_id = c.new_id
+        ORDER BY new_id"""),
+      doc = "incremental dedup: new batch vs corpus MinHash index, Jaccard confirm"),
+
+    // ------------------------------------------------------------------
+    // d14: paragraph-level exact substring dedup (the Lee et al. 2021
+    // "Deduplicating Training Data" pass at paragraph granularity, the
+    // RefinedWeb/CCNet treatment): documents are cut into non-overlapping
+    // 10-token paragraphs; every paragraph that already occurred earlier
+    // in the corpus — (doc_id, pos)-lexicographic "first occurrence keeps
+    // it" — is dropped, and each document reports its reassembled clean
+    // text fingerprint. The derived dedup corpus guarantees repeated
+    // paragraphs (exact + near copies).
+    //
+    // Scale shape: keep/drop is decided by min(struct(doc_id, pos)) per
+    // paragraph HASH — a partial-aggregable groupBy (map-side combine),
+    // NOT a row_number window, because a boilerplate paragraph occurring
+    // in 10% of a 100 TB corpus would make one window partition hold
+    // billions of rows (windows can't split a key; aggregates combine).
+    // The join back is AQE-skew-splittable. Grouping is on md5(para),
+    // never the raw paragraph (narrow shuffle rows — d05's lesson).
+    QueryDef(
+      "d14_paragraph_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val paras = corpus(s, dir)
+          .withColumn("toks", tokens($"text"))
+          .select($"doc_id", posexplode_outer(expr(
+            """transform(sequence(0, (size(toks) + 9) div 10 - 1),
+                 p -> concat_ws(' ', slice(toks, p * 10 + 1, 10)))"""))
+            .as(Seq("pos", "para")))
+          .withColumn("fp", md5($"para"))
+        val firsts = paras.groupBy($"fp")
+          .agg(min(struct($"doc_id", $"pos")).as("first"))
+        paras.join(firsts, "fp")
+          .withColumn("dropped",
+            !($"doc_id" === $"first.doc_id" && $"pos" === $"first.pos"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_paras"),
+            count(when($"dropped", 1)).as("n_dropped"),
+            sort_array(collect_list(when(!$"dropped", struct($"pos", $"para"))))
+              .as("kept"))
+          .select($"doc_id", $"n_paras", $"n_dropped",
+            md5(concat_ws(" ", expr("transform(kept, x -> x.para)")))
+              .as("clean_fp"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH corpus AS ($corpusSql),
+        tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM corpus),
+        para AS (
+          SELECT doc_id, CAST(k.k AS INTEGER) AS pos,
+                 array_to_string(list_slice(toks, CAST(k.k * 10 + 1 AS INTEGER),
+                                            CAST(k.k * 10 + 10 AS INTEGER)), ' ') AS para
+          FROM tok, unnest(range(0, (len(toks) + 9) // 10)) AS k(k)),
+        r AS (SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY md5(para)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM para)
+        SELECT doc_id, COUNT(*) AS n_paras,
+               COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dropped,
+               md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       ' ' ORDER BY pos), '')) AS clean_fp
+        FROM r GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "paragraph-level exact substring dedup: first occurrence wins")
   )
 }

@@ -813,6 +813,57 @@ object TextQueries {
                (0.1 * avg_token_len + 2.0 * stopword_ratio
                  - 3.0 * punct_ratio + 0.002 * n_toks) >= 0.69 AS kept
         FROM f ORDER BY doc_id"""),
-      doc = "classifier-based quality filter: fixed-weight linear score + threshold")
+      doc = "classifier-based quality filter: fixed-weight linear score + threshold"),
+
+    // ------------------------------------------------------------------
+    // t17: Unicode text normalization — the canonicalization pass every
+    // crawl corpus needs before hashing: NFC composition (the same visible
+    // text arrives precomposed or decomposed from different sources),
+    // control-character stripping (keeping \t\n\r as whitespace until the
+    // collapse), whitespace collapse, trim. NFC runs through the custom
+    // codegen'd `nfc_normalize` Expression (plans/TextNormalizeExpression
+    // .scala) — map-only with an allocation-free fast path for already-NFC
+    // text. The synthetic corpus is ASCII, so each doc plants a decomposed
+    // suffix (combining acute/ring + a control byte + tab + double space);
+    // the oracle builds the identical bytes via chr(). Char counts shrink
+    // by exactly the compositions + strips; md5 proves byte-identical
+    // output across engines.
+    QueryDef(
+      "t17_text_normalize",
+      (s, dir) => {
+        import s.implicits._
+        val ctrlClass = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+        Tables.load(s, dir, "documents")
+          .withColumn("raw",
+            concat(substring($"text", 1, 12),
+              lit(" Cafe\u0301 A\u030A\u0001tab\there  spaced")))
+          .withColumn("nfc", expr("nfc_normalize(raw)"))
+          .withColumn("norm",
+            trim(regexp_replace(regexp_replace($"nfc", ctrlClass, ""),
+              "\\s+", " ")))
+          .select($"doc_id",
+            length($"raw").cast("long").as("raw_chars"),
+            length($"nfc").cast("long").as("nfc_chars"),
+            length($"norm").cast("long").as("norm_chars"),
+            md5($"norm").as("norm_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id,
+                 substr(text, 1, 12) || ' Cafe' || chr(769) || ' A' || chr(778)
+                   || chr(1) || 'tab' || chr(9) || 'here  spaced' AS raw
+          FROM documents),
+        n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM r),
+        c AS (SELECT doc_id, raw, nfc,
+                     trim(regexp_replace(
+                       regexp_replace(nfc, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]',
+                                      '', 'g'),
+                       '\s+', ' ', 'g')) AS norm
+              FROM n)
+        SELECT doc_id, length(raw) AS raw_chars, length(nfc) AS nfc_chars,
+               length(norm) AS norm_chars, md5(norm) AS norm_fp
+        FROM c ORDER BY doc_id"""),
+      doc = "Unicode NFC normalization via custom codegen'd Expression + control strip")
   )
 }

@@ -83,6 +83,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[MinHashLanes].getName, "minhash_lanes"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashLanes(exprs(0), exprs(1))))
+    // Unicode NFC normalization (map-only text canonicalization)
+    e.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(exprs(0))))
     // custom table function (Generator): pos_ngrams(tokens, n)
     e.injectFunction((
       new FunctionIdentifier("pos_ngrams"),

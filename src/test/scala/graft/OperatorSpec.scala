@@ -149,6 +149,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(canon.length == 350)
   }
 
+  test("nfc_normalize: composes decomposed text, identity on NFC input, null-safe") {
+    // decomposed e + U+0301 composes to é; ligature ﬁ is NFKC, untouched
+    val df = Seq("Café", "Café", "Å ﬁt", null)
+      .toDF("s").select(expr("nfc_normalize(s)").as("n"))
+    val got = df.as[String].collect()
+    assert(got(0) == "Café")
+    assert(got(1) == "Café") // already NFC: unchanged (fast path)
+    assert(got(2) == "Å ﬁt") // Å composes; NFKC ligature survives
+    assert(got(3) == null)
+    // interpreted eval agrees with the codegen path
+    import graft.plans.NfcNormalize
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = NfcNormalize(Literal("Café"))
+    assert(e.eval(null).toString == "Café")
+  }
+
+  test("d13 incremental dedup: exact+near copies match, fresh docs don't") {
+    val df = QueryDef.registry.find(_.name == "d13_incremental_dedup").get
+      .build(spark, sfDir)
+    val rows = df.select($"new_id", $"is_dup").as[(Long, Boolean)].collect()
+    val (fresh, copies) = rows.partition(_._1 >= 3000000L)
+    assert(copies.nonEmpty && copies.forall(_._2), "a planted copy was missed")
+    assert(fresh.nonEmpty && !fresh.exists(_._2), "reversed text matched the corpus")
+  }
+
+  test("d14 paragraph dedup: exact copies lose every paragraph, originals keep all") {
+    val df = QueryDef.registry.find(_.name == "d14_paragraph_dedup").get
+      .build(spark, sfDir)
+    val rows = df.select($"doc_id", $"n_paras", $"n_dropped")
+      .as[(Long, Long, Long)].collect()
+    // exact copies (+1000000) sort after their originals, so every one of
+    // their paragraphs already occurred → all dropped
+    val copies = rows.filter(r => r._1 >= 1000000L && r._1 < 2000000L)
+    assert(copies.nonEmpty && copies.forall(r => r._2 == r._3))
+    // an original doc whose id precedes all planted copies keeps all its
+    // paragraphs unless it shares one with an earlier original
+    assert(rows.filter(_._1 < 1000000L).exists(r => r._3 == 0))
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)

@@ -213,4 +213,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "canonical-url agg not map-side combined")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("d13 incremental dedup broadcasts the batch bands; corpus never self-pairs") {
+    val p = plan("d13_incremental_dedup")
+    // candidate generation = corpus-index bands probed by the (small)
+    // batch band table as a broadcast; at 100 TB the corpus side never
+    // shuffles for candidates
+    assert(p.contains("BroadcastHashJoin"), s"batch bands not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d14 paragraph keep/drop is a partial-aggregable min, not a window") {
+    val p = plan("d14_paragraph_dedup")
+    // min(struct(doc_id,pos)) per paragraph hash combines map-side —
+    // a row_number window would hold a boilerplate paragraph's entire
+    // occurrence list in one partition (unsplittable at 100 TB)
+    assert(p.contains("partial_min"), s"first-occurrence min not map-side combined:\n$p")
+    assert(!p.contains("Window"), s"keep/drop decision regressed to a window:\n$p")
+  }
+
+  test("t17 NFC normalization is map-only and codegen'd (no UDF)") {
+    val p = plan("t17_text_normalize")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected only the ORDER BY exchange:\n$p")
+    assert(p.contains("nfc_normalize"), "custom expression missing from plan")
+    assert(!p.contains("ScalaUDF"), "normalization fell back to a UDF")
+  }
 }
