@@ -945,6 +945,96 @@ object DedupQueries {
                md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
                                        ' ' ORDER BY pos), '')) AS clean_fp
         FROM r GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "paragraph-level exact substring dedup: first occurrence wins")
+      doc = "paragraph-level exact substring dedup: first occurrence wins"),
+
+    // ------------------------------------------------------------------
+    // d15: containment near-dup pairs — the asymmetric case symmetric
+    // Jaccard misses: a short document embedded inside a longer one (wire
+    // stories in news pages, quoted posts, licence headers) has tiny
+    // Jaccard but containment |A∩B| / min(|A|,|B|) ≈ 1. The corpus plants
+    // fragments (first 15 tokens of every %7==3 doc) that d05's 0.5
+    // Jaccard threshold would never pair with their source. Same
+    // inverted-index + DF-cap skeleton as d05 (one shuffle on the md5'd
+    // shingle, pairs inside capped posting lists, map-side |A|/|B|);
+    // only the final scoring differs: shared / min(n_a, n_b) ≥ 0.9, the
+    // smaller-shingle-set side reported as the contained document.
+    QueryDef(
+      "d15_containment_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val frags = docs.filter($"doc_id" % 7 === 3)
+          .withColumn("toks", tokens($"text"))
+          .select(($"doc_id" + 4000000L).as("doc_id"),
+            concat_ws(" ", slice($"toks", 1, 15)).as("text"))
+        val sh = docs.unionByName(frags)
+          .withColumn("toks", tokens($"text"))
+          .withColumn("sh_set", array_distinct(
+            transform(shingles("toks"), x => substring(md5(x), 1, 16))))
+          .select($"doc_id", size($"sh_set").cast("long").as("n_sh"),
+            explode_outer($"sh_set").as("shingle"))
+          .filter($"shingle".isNotNull)
+        val pairs = sh
+          .groupBy($"shingle")
+          .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("docs"))
+          .filter(size($"docs") > 1 && size($"docs") <= maxShingleDf)
+          .select(explode_outer(expr(
+            """flatten(transform(sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                   j -> struct(docs[j].doc_id AS doc_a, docs[j].n_sh AS n_a,
+                               docs[i].doc_id AS doc_b, docs[i].n_sh AS n_b))))"""))
+            .as("p"))
+          .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
+            $"p.n_a".as("n_a"), $"p.n_b".as("n_b"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .withColumn("containment",
+            $"shared".cast("double") / least($"n_a", $"n_b").cast("double"))
+          .filter($"containment" >= 0.9)
+          .select(
+            // doc_a < doc_b by construction; ties go to doc_a
+            when($"n_b" < $"n_a", $"doc_b").otherwise($"doc_a").as("inner_id"),
+            when($"n_b" < $"n_a", $"doc_a").otherwise($"doc_b").as("outer_id"),
+            $"shared", round($"containment", 6).as("containment"))
+          .orderBy($"inner_id", $"outer_id")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 4000000,
+                 array_to_string(list_slice(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'), 1, 15), ' ')
+          FROM documents WHERE doc_id % 7 = 3),
+        tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM corpus),
+        sh AS (SELECT DISTINCT doc_id, substr(md5(unnest(
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                      ELSE [] END)), 1, 16) AS shingle
+               FROM tok),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inv AS (SELECT shingle, doc_id FROM sh
+                WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                                  HAVING COUNT(*) <= $maxShingleDf)),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+                  FROM inv a JOIN inv b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        scored AS (
+          SELECT doc_a, doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b, shared,
+                 CAST(shared AS DOUBLE) / CAST(LEAST(ca.n_sh, cb.n_sh) AS DOUBLE)
+                   AS containment
+          FROM pairs
+          JOIN counts ca ON ca.doc_id = doc_a
+          JOIN counts cb ON cb.doc_id = doc_b)
+        SELECT CASE WHEN n_b < n_a THEN doc_b ELSE doc_a END AS inner_id,
+               CASE WHEN n_b < n_a THEN doc_a ELSE doc_b END AS outer_id,
+               shared, round(containment, 6) AS containment
+        FROM scored
+        WHERE containment >= 0.9
+        ORDER BY inner_id, outer_id"""),
+      doc = "containment near-dup pairs: fragment-inside-document detection")
   )
 }

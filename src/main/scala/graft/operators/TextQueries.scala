@@ -864,6 +864,115 @@ object TextQueries {
         SELECT doc_id, length(raw) AS raw_chars, length(nfc) AS nfc_chars,
                length(norm) AS norm_chars, md5(norm) AS norm_fp
         FROM c ORDER BY doc_id"""),
-      doc = "Unicode NFC normalization via custom codegen'd Expression + control strip")
+      doc = "Unicode NFC normalization via custom codegen'd Expression + control strip"),
+
+    // ------------------------------------------------------------------
+    // c03: deterministic training-shard export manifest. Every document
+    // is assigned a shard by md5(doc_id) — stable across runs, engines
+    // and cluster sizes (hash partitioning's physical assignment is NOT a
+    // contract; the md5 assignment is data, so a re-run or a different
+    // engine produces bit-identical shards). Per shard: row count, token
+    // mass (the balance check — md5 spreads docs uniformly so shards stay
+    // within a few % of each other), and an md5 manifest over the sorted
+    // member ids proving exact membership. At 100 TB the writer is
+    // `repartition(col("shard_id"))` + sortWithinPartitions + parquet
+    // with maxRecordsPerFile; this query is the manifest/validation side.
+    // One partial-aggregable shuffle; collect_list is bounded per shard
+    // only in the manifest column (a production manifest would hash
+    // incrementally via xor/sum of per-doc md5s — noted, not needed at
+    // test SF; the count/token columns are pure partial aggs).
+    QueryDef(
+      "c03_shard_export",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          // first md5 hex digit → its value 0..15, div 2 → uniform 0..7
+          // (ascii % 8 would be SKEWED: '1','9','a' collide while '7'
+          // stands alone — 3/16 vs 1/16 of the corpus per shard)
+          .withColumn("hx", ascii(substring(md5($"doc_id".cast("string")), 1, 1)))
+          .withColumn("shard_id",
+            expr("CAST((CASE WHEN hx >= 97 THEN hx - 87 ELSE hx - 48 END) div 2 AS BIGINT)"))
+          .withColumn("n_toks", size(tokens($"text")).cast("long"))
+          .groupBy($"shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_toks").as("n_tokens"),
+            md5(concat_ws(",", sort_array(collect_list($"doc_id"))))
+              .as("manifest_fp"))
+          .orderBy($"shard_id")
+      },
+      Some("""
+        WITH hx AS (
+          SELECT doc_id, text,
+                 ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS h
+          FROM documents),
+        assigned AS (
+          SELECT doc_id,
+                 CAST((CASE WHEN h >= 97 THEN h - 87 ELSE h - 48 END) // 2
+                      AS BIGINT) AS shard_id,
+                 CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                      AS BIGINT) AS n_toks
+          FROM hx)
+        SELECT shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                 AS manifest_fp
+        FROM assigned GROUP BY shard_id ORDER BY shard_id"""),
+      doc = "deterministic shard export: md5 assignment + membership manifest"),
+
+    // ------------------------------------------------------------------
+    // c04: corpus snapshot diff — the CDC view between two crawl
+    // snapshots: which documents were added, removed, changed, unchanged.
+    // v2 plants all four classes from doc_id arithmetic (%9==4 removed,
+    // %9==5 edited, +5000000 ids added). The comparison travels as md5
+    // fingerprints, never document bodies, so the FULL OUTER join
+    // shuffles 16-byte digests keyed by doc_id — at 100 TB this is the
+    // fingerprint-manifest diff, one shuffle, partial-agg counts after.
+    QueryDef(
+      "c04_corpus_diff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val v1 = docs.select($"doc_id", md5($"text").as("fp1"))
+        val v2 = docs.filter($"doc_id" % 9 =!= 4)
+          .select($"doc_id",
+            when($"doc_id" % 9 === 5, concat($"text", lit(" edited v2")))
+              .otherwise($"text").as("text"))
+          .unionByName(docs.filter($"doc_id" % 9 === 6)
+            .select(($"doc_id" + 5000000L).as("doc_id"),
+              reverse($"text").as("text")))
+          .select($"doc_id", md5($"text").as("fp2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when($"fp1".isNull, "added")
+              .when($"fp2".isNull, "removed")
+              .when($"fp1" =!= $"fp2", "changed")
+              .otherwise("unchanged"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("min_doc_id"),
+            max($"doc_id").as("max_doc_id"))
+          .orderBy($"status")
+      },
+      Some("""
+        WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
+        v2 AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 9 = 5 THEN text || ' edited v2'
+                          ELSE text END) AS fp2
+          FROM documents WHERE doc_id % 9 <> 4
+          UNION ALL
+          SELECT doc_id + 5000000, md5(reverse(text))
+          FROM documents WHERE doc_id % 9 = 6),
+        d AS (
+          SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                 CASE WHEN fp1 IS NULL THEN 'added'
+                      WHEN fp2 IS NULL THEN 'removed'
+                      WHEN fp1 <> fp2 THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT status, COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM d GROUP BY status ORDER BY status"""),
+      doc = "corpus snapshot diff (CDC): added/removed/changed via fingerprint full-outer")
   )
 }

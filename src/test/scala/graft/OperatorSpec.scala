@@ -188,6 +188,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.filter(_._1 < 1000000L).exists(r => r._3 == 0))
   }
 
+  test("d15 containment: every long-enough planted fragment pairs with its source at 1.0") {
+    val df = QueryDef.registry.find(_.name == "d15_containment_pairs").get
+      .build(spark, sfDir)
+    val pairs = df.select($"inner_id", $"outer_id", $"containment")
+      .as[(Long, Long, Double)].collect()
+    val fragToSource = pairs.filter(p => p._1 >= 4000000L && p._2 == p._1 - 4000000L)
+    assert(fragToSource.nonEmpty && fragToSource.forall(_._3 == 1.0))
+    // symmetric-Jaccard d05 must NOT see these pairs (that's the point)
+    val d05 = QueryDef.registry.find(_.name == "d05_ngram_jaccard_pairs").get
+      .build(spark, sfDir).select($"doc_a").as[Long].collect().toSet
+    assert(!d05.exists(_ >= 4000000L))
+  }
+
+  test("c03 shards are balanced and cover every document exactly once") {
+    val df = QueryDef.registry.find(_.name == "c03_shard_export").get
+      .build(spark, sfDir)
+    val rows = df.select($"shard_id", $"n_docs").as[(Long, Long)].collect()
+    assert(rows.map(_._1).sorted.sameElements(0L until 8L))
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_._2).sum == total)
+    // md5 assignment spreads uniformly: no shard more than 2× the mean
+    val mean = total.toDouble / 8
+    assert(rows.forall(r => r._2 < 2 * mean && r._2 > mean / 2))
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)

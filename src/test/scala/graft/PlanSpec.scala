@@ -232,6 +232,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"keep/drop decision regressed to a window:\n$p")
   }
 
+  test("c03 shard manifest partially aggregates counts and token mass") {
+    val p = plan("c03_shard_export")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "shard stats not map-side combined")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("c04 corpus diff joins fingerprints, never document bodies") {
+    val p = plan("c04_corpus_diff")
+    assert(p.contains("FullOuter"), s"snapshot diff lost its full-outer join:\n$p")
+    // fingerprints are computed in a map-side Project BEFORE the join's
+    // exchange (the join line itself carries only doc_id keys)
+    val joinLine = p.linesIterator.find(_.contains("FullOuter")).get
+    assert(!joinLine.contains("text#"), "document bodies reached the join")
+    assert(p.contains("md5(cast(text"), "fingerprinting not pushed map-side")
+  }
+
   test("t17 NFC normalization is map-only and codegen'd (no UDF)") {
     val p = plan("t17_text_normalize")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
