@@ -271,6 +271,72 @@ object DedupQueries {
         labels
       })
 
+  /** Incremental dedup: flag every document of a NEW ingest `batch` that
+    * near-duplicates the existing `old` corpus (both `(doc_id, text)`),
+    * without ever pairing the corpus against itself. Candidates come from
+    * MinHash band equality with the (small) batch band table BROADCAST —
+    * the corpus side never shuffles — and are confirmed by exact shingle
+    * Jaccard ≥ 0.5. Returns one row per batch doc: `(new_id, dup_of,
+    * is_dup)` with `dup_of` = the smallest matching corpus id, NULL when
+    * fresh. At 100 TB the corpus signatures are the persisted index
+    * (FactTable) read instead of recomputed; the shape is otherwise
+    * identical.
+    */
+  def incrementalDedup(old: DataFrame, batch: DataFrame): DataFrame = {
+    val oldBands = bandsOf(sigOf(old)).withColumnRenamed("doc_id", "old_id")
+    val newBands = bandsOf(sigOf(batch)).withColumnRenamed("doc_id", "new_id")
+    val cand = oldBands.join(broadcast(newBands), Seq("band", "bval"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val oldSets = shingled(old)
+      .select(col("doc_id").as("old_id"), array_distinct(col("sh")).as("so"))
+    val newSets = shingled(batch)
+      .select(col("doc_id").as("new_id"), array_distinct(col("sh")).as("sn"))
+    val confirmed = cand.join(oldSets, "old_id").join(newSets, "new_id")
+      .withColumn("inter", size(array_intersect(col("sn"), col("so"))).cast("long"))
+      .withColumn("uni",
+        size(col("sn")).cast("long") + size(col("so")).cast("long") - col("inter"))
+      .filter(col("uni") > 0 &&
+        col("inter").cast("double") / col("uni").cast("double") >= 0.5)
+      .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
+    batch.select(col("doc_id").as("new_id"))
+      .join(confirmed, Seq("new_id"), "left")
+      .select(col("new_id"), col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** Paragraph-level exact substring dedup over `(doc_id, text)`: cut each
+    * document into non-overlapping 10-token paragraphs, drop every
+    * paragraph that already occurred at a lexicographically earlier
+    * (doc_id, pos) anywhere in the corpus, and report per document the
+    * paragraph counts plus an md5 fingerprint of the reassembled clean
+    * text. The keep/drop decision is min(struct(doc_id, pos)) per
+    * paragraph HASH — partial-aggregable, so a boilerplate paragraph in
+    * 10% of a 100 TB corpus combines map-side instead of collapsing into
+    * one unsplittable window partition; the join back is AQE-skew-
+    * splittable and groups on md5(para), never raw text.
+    */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val paras = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode_outer(expr(
+        """transform(sequence(0, (size(toks) + 9) div 10 - 1),
+             p -> concat_ws(' ', slice(toks, p * 10 + 1, 10)))"""))
+        .as(Seq("pos", "para")))
+      .withColumn("fp", md5(col("para")))
+    val firsts = paras.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    paras.join(firsts, "fp")
+      .withColumn("dropped",
+        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("dropped"), 1)).as("n_dropped"),
+        sort_array(collect_list(when(!col("dropped"), struct(col("pos"), col("para")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+        md5(concat_ws(" ", expr("transform(kept, x -> x.para)")))
+          .as("clean_fp"))
+  }
+
   /** The same pairs as an oracle CTE chain ending in `pairs(doc_a, doc_b)`. */
   private val lshPairsSqlCore: String = s"""$minhashSqlCore,
         bands AS (
@@ -829,25 +895,7 @@ object DedupQueries {
           .unionByName(old.filter($"doc_id" % 10 === 2)
             .select(($"doc_id" + 3000000L).as("doc_id"),
               reverse($"text").as("text")))
-        val oldBands = bandsOf(sigOf(old)).withColumnRenamed("doc_id", "old_id")
-        val newBands = bandsOf(sigOf(batch)).withColumnRenamed("doc_id", "new_id")
-        val cand = oldBands.join(broadcast(newBands), Seq("band", "bval"))
-          .select($"new_id", $"old_id").distinct()
-        val oldSets = shingled(old)
-          .select($"doc_id".as("old_id"), array_distinct($"sh").as("so"))
-        val newSets = shingled(batch)
-          .select($"doc_id".as("new_id"), array_distinct($"sh").as("sn"))
-        val confirmed = cand.join(oldSets, "old_id").join(newSets, "new_id")
-          .withColumn("inter", size(array_intersect($"sn", $"so")).cast("long"))
-          .withColumn("uni",
-            size($"sn").cast("long") + size($"so").cast("long") - $"inter")
-          .filter($"uni" > 0 &&
-            $"inter".cast("double") / $"uni".cast("double") >= 0.5)
-          .groupBy($"new_id").agg(min($"old_id").as("dup_of"))
-        batch.select($"doc_id".as("new_id"))
-          .join(confirmed, Seq("new_id"), "left")
-          .select($"new_id", $"dup_of", $"dup_of".isNotNull.as("is_dup"))
-          .orderBy($"new_id")
+        incrementalDedup(old, batch).orderBy($"new_id")
       },
       Some(s"""
         WITH oldc AS (SELECT doc_id, text FROM documents),
@@ -905,27 +953,7 @@ object DedupQueries {
       "d14_paragraph_dedup",
       (s, dir) => {
         import s.implicits._
-        val paras = corpus(s, dir)
-          .withColumn("toks", tokens($"text"))
-          .select($"doc_id", posexplode_outer(expr(
-            """transform(sequence(0, (size(toks) + 9) div 10 - 1),
-                 p -> concat_ws(' ', slice(toks, p * 10 + 1, 10)))"""))
-            .as(Seq("pos", "para")))
-          .withColumn("fp", md5($"para"))
-        val firsts = paras.groupBy($"fp")
-          .agg(min(struct($"doc_id", $"pos")).as("first"))
-        paras.join(firsts, "fp")
-          .withColumn("dropped",
-            !($"doc_id" === $"first.doc_id" && $"pos" === $"first.pos"))
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_paras"),
-            count(when($"dropped", 1)).as("n_dropped"),
-            sort_array(collect_list(when(!$"dropped", struct($"pos", $"para"))))
-              .as("kept"))
-          .select($"doc_id", $"n_paras", $"n_dropped",
-            md5(concat_ws(" ", expr("transform(kept, x -> x.para)")))
-              .as("clean_fp"))
-          .orderBy($"doc_id")
+        paragraphDedup(corpus(s, dir)).orderBy($"doc_id")
       },
       Some(s"""
         WITH corpus AS ($corpusSql),

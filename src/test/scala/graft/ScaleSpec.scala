@@ -108,6 +108,57 @@ class ScaleSpec extends AnyFunSuite {
       s"IVF bucket holds $bucketSize of $n — coarse quantizer not partitioning")
   }
 
+  /** Deterministic synthetic corpus: 30 hex tokens per doc, every doc
+    * prefixed with the SAME 10-token boilerplate header (aligned to
+    * d14's paragraph boundary) — the worst-case hot key.
+    */
+  private def syntheticDocs(count: Int) = spark.range(count)
+    .select($"id".as("doc_id"), concat(
+      lit((0 until 10).map(i => f"boiler$i%02d").mkString(" ")), lit(" "),
+      expr("""array_join(transform(sequence(0, 29),
+               i -> substr(md5(concat(id, ':', i)), 1, 6)), ' ')"""))
+      .as("text"))
+
+  test("paragraph dedup survives a boilerplate paragraph shared by all 50k docs") {
+    // one paragraph hash carries the entire corpus: the min(struct) agg
+    // combines it map-side (a row_number window would put all 50k
+    // occurrences in ONE partition). Only doc 0 keeps the header.
+    val out = graft.operators.DedupQueries.paragraphDedup(syntheticDocs(n))
+    val agg = out.agg(
+      sum(when($"doc_id" === 0, $"n_dropped")).as("drop0"),
+      sum($"n_dropped").as("dropAll"),
+      count(when($"n_dropped" =!= 1 && $"doc_id" =!= 0, 1)).as("offenders"))
+      .head()
+    assert(agg.getLong(0) == 0L, "doc 0 must keep the first boilerplate occurrence")
+    assert(agg.getLong(1) == (n - 1).toLong, s"expected ${n - 1} dropped headers")
+    assert(agg.getLong(2) == 0L, "a non-boilerplate paragraph collided")
+  }
+
+  test("incremental dedup at 50k: copies flagged against the index, fresh pass through") {
+    val old = syntheticDocs(n)
+    // batch: 200 exact copies of corpus docs + 200 fresh docs (different
+    // hash salt → disjoint shingles beyond the boilerplate header)
+    val copies = old.filter($"doc_id" % 250 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val fresh = spark.range(200)
+      .select(($"id" + 2000000L).as("doc_id"), concat(
+        lit((0 until 10).map(i => f"boiler$i%02d").mkString(" ")), lit(" "),
+        expr("""array_join(transform(sequence(0, 29),
+                 i -> substr(md5(concat('fresh', id, ':', i)), 1, 6)), ' ')"""))
+        .as("text"))
+    val out = graft.operators.DedupQueries
+      .incrementalDedup(old, copies.unionByName(fresh))
+    val byKind = out.groupBy(($"new_id" >= 2000000L).as("isFresh"))
+      .agg(count(lit(1)).as("total"),
+        count(when($"is_dup", 1)).as("dups"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byKind(false) == (200L, 200L), s"planted copies missed: ${byKind(false)}")
+    // fresh docs share only the 10-token header (8 of ~36 shingles —
+    // Jaccard far below 0.5); none may be flagged
+    assert(byKind(true)._1 == 200L && byKind(true)._2 == 0L,
+      s"fresh docs misflagged: ${byKind(true)}")
+  }
+
   test("brute-force and LSH agree on the exact top match when it is in-bucket") {
     // a vector nearly identical to the query must share all 4 bands and
     // win the exact re-rank — recall sanity for the LSH path
