@@ -1063,6 +1063,153 @@ object DedupQueries {
         FROM scored
         WHERE containment >= 0.9
         ORDER BY inner_id, outer_id"""),
-      doc = "containment near-dup pairs: fragment-inside-document detection")
+      doc = "containment near-dup pairs: fragment-inside-document detection"),
+
+    // ------------------------------------------------------------------
+    // d16: SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster the
+    // embedding space with SPHERICAL k-means assignment (argmax cosine
+    // to a small centroid set — scale-invariant, the SemDeDup recipe),
+    // then find high-cosine pairs ONLY within each cluster and drop
+    // every member that matches a lower-id member (keep one semantic
+    // representative). The corpus plants scaled copies (×2.0 of every
+    // 25th vector) so the operator has guaranteed semantic duplicates
+    // at any SF: ×2 is exact in float, doubles scale exactly through
+    // the decimal-exact dot/norm, and sqrt(4a) = 2·sqrt(a) is exact in
+    // IEEE — so a copy's centroid cosines are bit-identical to its
+    // original's and co-clustering is GUARANTEED, not probabilistic
+    // (L2 argmin would send the scaled copy to a different cell).
+    //
+    // Scale (100 TB): the quadratic within-cluster pair join is bounded
+    // by the cluster size, and SemDeDup's production recipe is precisely
+    // "pick k so n/k stays constant" — the centroid table grows with the
+    // corpus but stays broadcast-sized (100k centroids × 64 floats ≈
+    // 26 MB); assignment is one broadcast join + per-vector argmin, the
+    // pair join shuffles on the cluster id. All float math is
+    // decimal-exact and rounded before compares, so both engines pick
+    // identical clusters and identical duplicate pairs.
+    QueryDef(
+      "d16_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.dotExact
+        val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val copies = emb.filter($"vec_id" % 25 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+        // self-norms are per-VECTOR facts (d06's lesson), computed once
+        // BEFORE the centroid cross join — each (vector, centroid) pair
+        // then runs 1 decimal dot kernel, not 3; same doubles as the
+        // inline cosineExact (norm = sqrt(dotExact) either way)
+        val corp = emb.unionByName(copies)
+          .withColumn("norm", sqrt(dotExact("embedding", "embedding")))
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+          .withColumn("cnorm", sqrt(dotExact("cv", "cv")))
+        val w = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cid".asc)
+        val assigned = corp.crossJoin(broadcast(cents))
+          .select($"vec_id", $"embedding", $"norm", $"cid",
+            round(dotExact("embedding", "cv") / ($"norm" * $"cnorm"), 9).as("cos_c"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1)
+          .select($"cid", $"vec_id", $"embedding", $"norm")
+        val a = assigned.select($"cid", $"vec_id".as("id_a"),
+          $"embedding".as("ea"), $"norm".as("na"))
+        val b = assigned.select($"cid", $"vec_id".as("id_b"),
+          $"embedding".as("eb"), $"norm".as("nb"))
+        // Two-phase scoring: the codegen'd double-accumulation vec_dot
+        // prefilters the quadratic pair set (~60× cheaper per pair than
+        // the decimal kernel); only near-threshold survivors get the
+        // decimal-exact oracle-grade re-score. Identical results: the
+        // double-vs-decimal discrepancy is ≤ ~1e-12 while the prefilter
+        // slack is 5e-4, so no pair crossing 0.999 can be lost.
+        graft.plans.VectorExpressions.register(s)
+        a.join(b, Seq("cid"))
+          .filter($"id_a" < $"id_b")
+          .filter(expr("vec_dot(ea, eb)") / ($"na" * $"nb") >= 0.9985)
+          .select($"cid", $"id_a", $"id_b",
+            round(dotExact("ea", "eb") / ($"na" * $"nb"), 9).as("cosine"))
+          .filter($"cosine" >= 0.999)
+          .groupBy($"cid", $"id_b".as("dropped_id"))
+          .agg(min($"id_a").as("kept_id"), count(lit(1)).as("n_matches"))
+          .orderBy($"dropped_id")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+          FROM embeddings WHERE vec_id % 25 = 0),
+        cents AS (SELECT vec_id AS cid, embedding AS cv
+                  FROM embeddings WHERE vec_id < 8),
+        cpairs AS (SELECT e.vec_id, c.cid,
+                          unnest(e.embedding) AS x, unnest(c.cv) AS y
+                   FROM corpus e CROSS JOIN cents c),
+        cdots AS (SELECT vec_id, cid,
+                         ${graft.operators.OracleFragments.oCosineSums("nc")}
+                  FROM cpairs GROUP BY vec_id, cid),
+        assigned AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY round(dot / (sqrt(na) * sqrt(nc)), 9) DESC,
+                                         cid ASC) AS rk
+                       FROM cdots) t WHERE rk = 1),
+        cand AS (SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+                        ea.embedding AS ea, eb.embedding AS eb
+                 FROM assigned a
+                 JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 JOIN corpus ea ON ea.vec_id = a.vec_id
+                 JOIN corpus eb ON eb.vec_id = b.vec_id),
+        flat AS (SELECT cid, id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM cand),
+        dots AS (SELECT cid, id_a, id_b,
+                        ${graft.operators.OracleFragments.oCosineSums("nb")}
+                 FROM flat GROUP BY cid, id_a, id_b),
+        dups AS (SELECT cid, id_a, id_b
+                 FROM dots
+                 WHERE round(dot / (sqrt(na) * sqrt(nb)), 9) >= 0.999)
+        SELECT cid, id_b AS dropped_id, MIN(id_a) AS kept_id,
+               COUNT(*) AS n_matches
+        FROM dups GROUP BY cid, id_b ORDER BY dropped_id"""),
+      doc = "semantic dedup (SemDeDup): within-cluster cosine pairs, keep-one"),
+
+    // ------------------------------------------------------------------
+    // d17: QUALITY-AWARE survivor selection — d09 keeps the minimum-id
+    // doc per near-dup cluster; real pipelines keep the BEST doc. Here
+    // the policy is "longest document wins, ties to the smaller id":
+    // token count is an integer, so the argmax is exactly deterministic
+    // with no float compare. Composes d08's cluster labels.
+    //
+    // Scale: one join of the (small) label set against per-doc token
+    // counts, then a single partial-aggregable max(struct) per cluster —
+    // no window, no second shuffle: max(struct(n_toks, -doc_id)) is the
+    // lexicographic argmax with min-id tie-break, combinable map-side.
+    QueryDef(
+      "d17_quality_survivors",
+      (s, dir) => {
+        import s.implicits._
+        val labels = clusterLabels(s, dir)
+        val toks = corpus(s, dir)
+          .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
+        labels.join(toks, "doc_id")
+          .groupBy($"canon")
+          .agg(count(lit(1)).as("cluster_size"),
+            max(struct($"n_toks", (-$"doc_id").as("neg_id"))).as("best"))
+          .select($"canon", (-$"best.neg_id").as("survivor_id"),
+            $"best.n_toks".as("survivor_toks"), $"cluster_size")
+          .orderBy($"canon")
+      },
+      Some(s"""$labelsSqlCore,
+        scored AS (SELECT l.canon, l.doc_id, len(t.toks) AS n_toks
+                   FROM labels l JOIN tok t ON l.doc_id = t.doc_id),
+        ranked AS (SELECT canon, doc_id, n_toks,
+                          ROW_NUMBER() OVER (PARTITION BY canon
+                            ORDER BY n_toks DESC, doc_id ASC) AS rk,
+                          COUNT(*) OVER (PARTITION BY canon) AS cluster_size
+                   FROM scored)
+        SELECT canon, doc_id AS survivor_id,
+               CAST(n_toks AS BIGINT) AS survivor_toks,
+               CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM ranked WHERE rk = 1 ORDER BY canon"""),
+      doc = "quality-aware dedup survivors: longest-doc-wins per cluster")
   )
 }

@@ -633,6 +633,56 @@ object SimilarityQueries {
         SELECT e.vec_id, e.cosine, l.vec_id IS NOT NULL AS found_by_lsh
         FROM exact10 e LEFT JOIN lsh10 l ON e.vec_id = l.vec_id
         ORDER BY e.cosine DESC, e.vec_id ASC"""),
-      doc = "ANN recall@10 harness: exact ground truth vs LSH top-k, per-row hit flags")
+      doc = "ANN recall@10 harness: exact ground truth vs LSH top-k, per-row hit flags"),
+
+    // ------------------------------------------------------------------
+    // s11: k-NN JOIN — a SET of query vectors (not s01's single probe)
+    // each matched to its top-3 corpus neighbors in ONE corpus pass:
+    // broadcast the query side, score every (query, corpus) pair with
+    // the decimal-exact cosine, rank per-query. The per-query window
+    // ranks |Q| rows per corpus vector, shuffled on qid — the standard
+    // batch-retrieval shape (embedding-table lookups, eval harnesses).
+    //
+    // Scale: the query side of a kNN join is broadcast-sized by
+    // definition of the workload (requests per batch), so the corpus
+    // never shuffles for scoring; only (qid, vec_id, cosine) tuples —
+    // 24 bytes — move for the rank. A corpus-×-corpus kNN join would
+    // instead go through the s07 LSH band path (bucketed candidates,
+    // exact re-rank), same as d16's cluster partitioning.
+    QueryDef(
+      "s11_knn_join",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter($"vec_id" >= 1 && $"vec_id" <= 4)
+          .select($"vec_id".as("qid"), $"embedding".as("qv"))
+        val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id".asc)
+        emb.filter($"vec_id" > 4)
+          .crossJoin(broadcast(queries))
+          .select($"qid", $"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .withColumn("knn_rank", row_number().over(w).cast("long"))
+          .filter($"knn_rank" <= 3)
+          .orderBy($"qid", $"knn_rank")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                   WHERE vec_id BETWEEN 1 AND 4),
+        pairs AS (SELECT q.qid, e.vec_id,
+                         unnest(e.embedding) AS x, unnest(q.qv) AS y
+                  FROM embeddings e CROSS JOIN q WHERE e.vec_id > 4),
+        dots AS (SELECT qid, vec_id,
+                        ${oCosineSums()}
+                 FROM pairs GROUP BY qid, vec_id),
+        scored AS (SELECT qid, vec_id,
+                          round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+                   FROM dots),
+        ranked AS (SELECT qid, vec_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC) AS rk
+                   FROM scored)
+        SELECT qid, vec_id, cosine, CAST(rk AS BIGINT) AS knn_rank
+        FROM ranked WHERE rk <= 3 ORDER BY qid, knn_rank"""),
+      doc = "k-NN join: query-set batch retrieval, broadcast queries, per-query top-k")
   )
 }

@@ -213,6 +213,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(r => r._2 < 2 * mean && r._2 > mean / 2))
   }
 
+  test("d16 semantic dedup: every planted scaled copy is dropped, kept by its original") {
+    val df = QueryDef.registry.find(_.name == "d16_semantic_dedup").get
+      .build(spark, sfDir)
+    val rows = df.select($"dropped_id", $"kept_id").as[(Long, Long)].collect()
+    val planted = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter($"vec_id" % 25 === 0).select($"vec_id").as[Long].collect().toSet
+    // spherical assignment co-clusters each ×2 copy with its original, so
+    // all planted copies must be found and resolved to the original
+    val copies = rows.filter(_._1 >= 1000000L).map(r => (r._1 - 1000000L, r._2)).toMap
+    assert(planted.forall(v => copies.get(v).contains(v)),
+      s"missing/mis-kept copies: ${planted.filterNot(v => copies.get(v).contains(v))}")
+  }
+
+  test("d17 survivors: longest doc wins its cluster, ties to smallest id") {
+    val df = QueryDef.registry.find(_.name == "d17_quality_survivors").get
+      .build(spark, sfDir)
+    val got = df.select($"canon", $"survivor_id", $"survivor_toks")
+      .as[(Long, Long, Long)].collect()
+    // recompute the argmax independently: labels × token counts
+    val labels = operators.DedupQueries.clusterLabels(spark, sfDir)
+    val toks = operators.DedupQueries.corpus(spark, sfDir)
+      .select($"doc_id", size(functions.TextFunctions.tokens($"text")).cast("long").as("n"))
+    val byCluster = labels.join(toks, "doc_id")
+      .select($"canon", $"doc_id", $"n").as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(got.nonEmpty && got.length == byCluster.size)
+    got.foreach { case (canon, sid, stoks) =>
+      val members = byCluster(canon)
+      val best = members.minBy(m => (-m._3, m._2))
+      assert(sid == best._2 && stoks == best._3, s"cluster $canon: got $sid, want $best")
+    }
+  }
+
+  test("s11 kNN join: 3 ranked neighbors per query, cosine non-increasing") {
+    val df = QueryDef.registry.find(_.name == "s11_knn_join").get
+      .build(spark, sfDir)
+    val rows = df.select($"qid", $"knn_rank", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 12) // 4 queries × top-3
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).sameElements(Array(1L, 2L, 3L)))
+      assert(byRank.sliding(2).forall(p => p(0)._3 >= p(1)._3))
+    }
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
