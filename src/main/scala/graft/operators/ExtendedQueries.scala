@@ -1121,6 +1121,62 @@ object ExtendedQueries {
                TRUE AS in_sketch, TRUE AS within_tol
         FROM tok GROUP BY token
         ORDER BY exact_cnt DESC, token ASC LIMIT 10"""),
-      doc = "approximate heavy hitters (topK): sketch vs exact with tolerance verdicts")
+      doc = "approximate heavy hitters (topK): sketch vs exact with tolerance verdicts"),
+
+    // ------------------------------------------------------------------
+    // q62: SEQUENCE COUNT (ClickHouse sequenceCount('(?1)(?2)(?3)')
+    // analog): per user, count GREEDY NON-OVERLAPPING occurrences of
+    // the ordered pattern view → click → purchase (other events may
+    // interleave; each completed match consumes its three events).
+    // Distinct from q54's funnel, which only finds the FIRST chain.
+    //
+    // Non-overlapping counting is inherently a left-to-right fold, so
+    // the engine shape is: one groupBy(user) collecting the time-sorted
+    // event-type array, then a single map-side `aggregate()` lambda
+    // running the 3-state machine, state packed into one long
+    // (n·4 + stage) so the fold stays a primitive accumulator. State
+    // per user is bounded by that user's event count — the same bound
+    // any sessionization carries; skewed users split via AQE. The
+    // oracle replays the identical machine with a recursive CTE
+    // (depth = max events/user), which is DuckDB's native fold.
+    QueryDef(
+      "q62_sequence_count",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id")
+          .agg(sort_array(collect_list(
+            struct($"ts", $"event_id", $"event_type"))).as("evs"))
+          .select($"user_id", expr(
+            """aggregate(transform(evs, e -> e.event_type), 0L,
+                 (acc, t) -> CASE
+                   WHEN t = 'view' AND acc % 4 = 0 THEN acc + 1
+                   WHEN t = 'click' AND acc % 4 = 1 THEN acc + 1
+                   WHEN t = 'purchase' AND acc % 4 = 2 THEN acc + 2
+                   ELSE acc END) div 4""").as("n_matches"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i
+          FROM events),
+        hi AS (SELECT user_id, MAX(i) AS m FROM ev GROUP BY user_id),
+        walk(user_id, i, stage, cnt) AS (
+          SELECT user_id, 0, 0, 0 FROM hi
+          UNION ALL
+          SELECT w.user_id, w.i + 1,
+                 CASE WHEN e.event_type = 'view' AND w.stage = 0 THEN 1
+                      WHEN e.event_type = 'click' AND w.stage = 1 THEN 2
+                      WHEN e.event_type = 'purchase' AND w.stage = 2 THEN 0
+                      ELSE w.stage END,
+                 w.cnt + CASE WHEN e.event_type = 'purchase' AND w.stage = 2
+                              THEN 1 ELSE 0 END
+          FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.i = w.i + 1)
+        SELECT w.user_id, CAST(w.cnt AS BIGINT) AS n_matches
+        FROM walk w JOIN hi ON w.user_id = hi.user_id AND w.i = hi.m
+        ORDER BY w.user_id"""),
+      doc = "sequenceCount analog: greedy non-overlapping ordered pattern matches per user")
   )
 }

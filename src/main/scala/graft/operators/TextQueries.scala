@@ -973,6 +973,80 @@ object TextQueries {
         SELECT status, COUNT(*) AS n_docs,
                MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         FROM d GROUP BY status ORDER BY status"""),
-      doc = "corpus snapshot diff (CDC): added/removed/changed via fingerprint full-outer")
+      doc = "corpus snapshot diff (CDC): added/removed/changed via fingerprint full-outer"),
+
+    // ------------------------------------------------------------------
+    // t18: N-GRAM LANGUAGE-MODEL scoring (the CCNet/KenLM quality
+    // signal): train add-one-smoothed bigram statistics ON the corpus
+    // itself — head counts c(w1), bigram counts c(w1,w2), vocabulary
+    // size V — then score every document by its mean bigram log-
+    // probability ln((c(w1,w2)+1) / (c(w1)+V)). Fluent/common text
+    // scores high; gibberish and boilerplate-free rare text scores low.
+    //
+    // Scale (100 TB): the model IS two aggregate tables keyed by fixed-
+    // width strings — partial-aggregated counts, shuffled once each;
+    // the scoring pass is two shuffle joins on (w1[,w2]) where hot
+    // heads ("the") are exactly the keys AQE skew-split handles. The
+    // probability quotient is IEEE-exact (int/int division), and the
+    // per-doc sum runs through DECIMAL(38,18) so partial-aggregation
+    // order can't move the rounded result: ln() may differ by 1 ulp
+    // across engines (~1e-16 rel) — invisible at round-6 after a mean.
+    QueryDef(
+      "t18_bigram_lm_score",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id", tokens($"text").as("toks"))
+        val bi = toks
+          .select($"doc_id", explode_outer(expr(
+            """CASE WHEN size(toks) >= 2
+                 THEN transform(sequence(1, size(toks) - 1),
+                   i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))
+                 ELSE array() END""")).as("b"))
+          .filter($"b".isNotNull)
+          .select($"doc_id", $"b.w1", $"b.w2")
+        val heads = bi.groupBy($"w1").agg(count(lit(1)).as("ch"))
+        val bg = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+        val vocab = toks.select(explode_outer($"toks").as("t"))
+          .filter($"t".isNotNull)
+          .agg(countDistinct($"t").as("v"))
+        val scored = bi.join(bg, Seq("w1", "w2")).join(heads, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .select($"doc_id", expr(
+            """CAST(ln(CAST(cb + 1 AS DOUBLE) / CAST(ch + v AS DOUBLE))
+                 AS DECIMAL(38,18))""").as("logp"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round((sum($"logp").cast("double") / count(lit(1))), 6).as("avg_logp"))
+        toks.select($"doc_id").join(scored, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+            $"avg_logp")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id,
+                            regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                     FROM documents),
+        bi AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                      unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+               FROM tok),
+        heads AS (SELECT w1, COUNT(*) AS ch FROM bi GROUP BY w1),
+        bg AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2),
+        vocab AS (SELECT COUNT(DISTINCT t) AS v
+                  FROM (SELECT unnest(toks) AS t FROM tok) u),
+        scored AS (SELECT b.doc_id,
+                          CAST(ln(CAST(g.cb + 1 AS DOUBLE) / CAST(h.ch + vocab.v AS DOUBLE))
+                            AS DECIMAL(38,18)) AS logp
+                   FROM bi b
+                   JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
+                   JOIN heads h ON b.w1 = h.w1, vocab),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                       round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+                FROM scored GROUP BY doc_id)
+        SELECT t.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+        FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        ORDER BY t.doc_id"""),
+      doc = "bigram LM quality scoring (CCNet-style): corpus-trained, add-one smoothed")
   )
 }

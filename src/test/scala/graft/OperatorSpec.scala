@@ -259,6 +259,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t18 LM score: bigram counts line up with token counts, scores negative") {
+    val df = QueryDef.registry.find(_.name == "t18_bigram_lm_score").get
+      .build(spark, sfDir)
+    val got = df.select($"doc_id", $"n_bigrams", $"avg_logp")
+      .as[(Long, Long, Option[Double])].collect()
+    val nToks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", size(functions.TextFunctions.tokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.length == nToks.size)
+    got.foreach { case (id, nb, lp) =>
+      assert(nb == math.max(0L, nToks(id) - 1), s"doc $id bigram count")
+      // a probability < 1 must log negative; smoothing keeps it finite
+      assert(lp.forall(v => v < 0 && !v.isNaN && !v.isInfinite), s"doc $id score $lp")
+    }
+  }
+
+  test("q62 sequence count matches a reference fold over sorted events") {
+    val df = QueryDef.registry.find(_.name == "q62_sequence_count").get
+      .build(spark, sfDir)
+    val got = df.select($"user_id", $"n_matches").as[(Long, Long)].collect().toMap
+    val evs = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts".cast("long"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val want = evs.groupBy(_._1).map { case (u, rows) =>
+      var stage = 0; var n = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { r =>
+        (r._4, stage) match {
+          case ("view", 0) => stage = 1
+          case ("click", 1) => stage = 2
+          case ("purchase", 2) => stage = 0; n += 1
+          case _ =>
+        }
+      }
+      u -> n
+    }
+    assert(got == want)
+    assert(got.values.sum > 0) // the pattern actually occurs in the data
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
