@@ -346,7 +346,43 @@ object DocsisQueries {
                     AS BIGINT) AS n_status_u
         FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
-      doc = "replacing merge: max-version row per key wins at compaction (upsert)")
+      doc = "replacing merge: max-version row per key wins at compaction (upsert)"),
+
+    // ------------------------------------------------------------------
+    // dx13: TTL retention e2e — append orders into the logged table with
+    // month-granularity partitions, compact (parts now align to month
+    // boundaries), TTL-expire everything before 1998-01-01, read back.
+    // Because parts align to months and the cutoff is a month boundary,
+    // part-granular TTL equals the row predicate o_orderdate >=
+    // 1998-01-01 — which is exactly what the oracle states. The expiry
+    // itself is one metadata commit: no data read or rewritten.
+    QueryDef(
+      "dx13_ttl_expiry",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx13_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val orders = graft.Tables.load(s, sfDir, "orders")
+          .withColumn("date", to_date(date_trunc("month", $"o_orderdate")))
+        t.append(orders, txnId = 0)
+        t.compact(sortCols = Seq("o_orderkey"), partitionCol = "date")
+        val dropped = t.ttlExpire("1998-01-01")
+        require(dropped > 0, s"TTL expired no parts at $dir")
+        t.read()
+          .groupBy(year($"o_orderdate").as("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            min($"o_orderdate").as("min_date"),
+            max($"o_orderdate").as("max_date"))
+          .orderBy($"yr")
+      },
+      Some("""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               COUNT(*) AS n_orders,
+               MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+        FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+        GROUP BY 1 ORDER BY yr"""),
+      doc = "TTL retention: part-granular expiry as one metadata commit (MergeTree TTL DELETE)")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -243,6 +243,53 @@ class FactTable(val root: String, spark: SparkSession) {
     victims.count(p => fs.delete(new Path(p), false))
   }
 
+  /** TTL retention (the ClickHouse `TTL <col> ... DELETE` analog,
+    * applied at part granularity exactly like MergeTree's TTL merges):
+    * atomically drop every live part whose data lies entirely before
+    * `cutoff` in `partitionCol`. Base-generation parts are matched by
+    * the partition value in their `<partitionCol>=` path segment;
+    * buffer parts (partition value still a data column) fall back to
+    * the footer max recorded in the log — DATE stats are epoch-day
+    * longs (StatsPruning), so the cutoff compares numerically there
+    * and as an ISO string on path segments. `partitionCol` must be a
+    * DATE column (the reference's toDate(timestamp) partitioning).
+    * Parts that STRADDLE the cutoff are kept whole (ClickHouse's
+    * part-level TTL DELETE has the same contract; run a compact()
+    * first to align parts to partition boundaries, or a
+    * rewriteAll-based variant for row-exact expiry). Returns the
+    * number of parts dropped.
+    *
+    * Scale: O(log) driver work and ONE metadata commit — zero data
+    * read, moved, or rewritten; physical deletion rides the normal
+    * vacuum() retention path, so time travel to pre-TTL versions keeps
+    * working until the vacuum horizon passes. This is the cheapest
+    * possible retention mechanism for a 100 TB time-partitioned table.
+    */
+  def ttlExpire(cutoff: String, partitionCol: String = "date"): Int = {
+    val snap = snapshot()
+    val pat = ("/" + java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/").r
+    val cutoffDays = java.time.LocalDate.parse(cutoff).toEpochDay
+    def statExpired(cs: StatsPruning.ColStats): Boolean = cs.typ match {
+      case "long" => scala.util.Try(cs.max.toLong).toOption.exists(_ < cutoffDays)
+      case "string" => cs.max < cutoff
+      case _ => false
+    }
+    def expired(f: FileEntry): Boolean =
+      pat.findFirstMatchIn(f.path).map(_.group(1) < cutoff)
+        .orElse(f.stats.get(partitionCol).map(statExpired))
+        .getOrElse(false)
+    val victims = snap.files.filter(expired)
+    if (victims.isEmpty) return 0
+    beforeCommit()
+    // obsolete if a concurrent compaction already rewrote a victim (its
+    // rows now live in a part we have not examined) — restart fresh
+    val committed = commitWithRetry(snap.nextVersion, None, adds = Nil,
+      removes = victims.map(_.path))(
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)))
+    if (!committed) return ttlExpire(cutoff, partitionCol)
+    victims.size
+  }
+
   /** Major compaction — the MergeTree level-merge: rewrite EVERY live
     * part (all base generations + any buffer parts) into one fresh
     * generation, collapsing the per-generation read fan-out that minor

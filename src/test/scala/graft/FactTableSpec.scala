@@ -289,6 +289,44 @@ class FactTableSpec extends AnyFunSuite {
     assert(t.read().count() == 7)
   }
 
+  test("ttlExpire drops whole expired parts, keeps straddlers, time-travels") {
+    val t = freshTable()
+    // buffer-tier parts wholly before the cutoff → expired via log stats
+    t.append(rows(5, "2024-02-27", "m1"), txnId = 0)
+    // ONE buffer file STRADDLING the cutoff (two days) → kept whole
+    t.append(rows(3, "2024-02-28", "m2").unionByName(rows(4, "2024-03-02", "m2"))
+      .coalesce(1), 1)
+    t.append(rows(6, "2024-02-20", "m3"), 2)
+    t.append(rows(7, "2024-03-05", "m4"), 3)
+    val preTtl = t.snapshot().nextVersion - 1
+    val total = t.read().count()
+    assert(total == 25)
+
+    val dropped = t.ttlExpire("2024-03-01")
+    assert(dropped >= 2) // the 2024-02-27 buffer part + nothing straddling
+    val after = t.read()
+    // expired-only parts gone; the straddler keeps its pre-cutoff rows
+    assert(after.count() == 3 + 4 + 7)
+    assert(after.filter($"date" < "2024-02-28").count() == 0)
+    assert(after.filter($"date" === "2024-02-28").count() == 3)
+    // metadata-only: time travel to the pre-TTL version still sees all rows
+    assert(t.read(asOfVersion = preTtl).count() == total)
+    // idempotent: nothing further to expire at the same cutoff
+    assert(t.ttlExpire("2024-03-01") == 0)
+  }
+
+  test("ttlExpire after compact is partition-exact at the cutoff boundary") {
+    val t = freshTable()
+    t.append(rows(5, "2024-02-27", "m1"), 0)
+    t.append(rows(3, "2024-02-28", "m2"), 1)
+    t.append(rows(4, "2024-03-02", "m3"), 2)
+    t.compact() // day-partitioned base parts aligned to the date column
+    assert(t.ttlExpire("2024-03-01") >= 2) // both February day-dirs
+    assert(t.read().count() == 4)
+    assert(t.read().select(min($"date").cast("string")).head().getString(0)
+      == "2024-03-02")
+  }
+
   test("concurrent appends: version-race loser retries and both commits land") {
     val root = java.nio.file.Files.createTempDirectory("fact_cc").toString
     val other = new FactTable(root, spark)
