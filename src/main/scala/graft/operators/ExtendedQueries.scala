@@ -1177,6 +1177,42 @@ object ExtendedQueries {
         SELECT w.user_id, CAST(w.cnt AS BIGINT) AS n_matches
         FROM walk w JOIN hi ON w.user_id = hi.user_id AND w.i = hi.m
         ORDER BY w.user_id"""),
-      doc = "sequenceCount analog: greedy non-overlapping ordered pattern matches per user")
+      doc = "sequenceCount analog: greedy non-overlapping ordered pattern matches per user"),
+
+    // ------------------------------------------------------------------
+    // q63: TIME-INTERVAL RANGE window frame — every event annotated with
+    // its user's trailing-1-hour activity (event count + purchase
+    // count). The frame is VALUE-based (all rows within 1h of the
+    // current row's timestamp), not row-count-based like q24/q31 — the
+    // missing frame shape in the window battery. Spark's rangeBetween
+    // needs a numeric ordering column, so the frame runs on
+    // unix_micros(ts) with microsecond-exact bounds — identical
+    // membership to the oracle's INTERVAL arithmetic because the data
+    // is µs-resolution (verified: no sub-µs components) and both ends
+    // are inclusive in both engines. One shuffle on user_id; the frame
+    // scan is the standard sliding two-pointer inside each partition.
+    QueryDef(
+      "q63_interval_range_window",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"tsm")
+          .rangeBetween(-3600L * 1000000L, 0L)
+        Tables.events(s, dir)
+          .withColumn("tsm", unix_micros($"ts"))
+          .select($"event_id", $"user_id", $"ts",
+            count(lit(1)).over(w).as("n_1h"),
+            count(when($"event_type" === "purchase", 1)).over(w).as("n_purch_1h"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_1h,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w
+                 AS n_purch_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""),
+      doc = "interval RANGE window frame: trailing-1h per-user activity")
   )
 }

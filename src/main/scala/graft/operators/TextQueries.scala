@@ -1047,6 +1047,60 @@ object TextQueries {
         SELECT t.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
         FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
         ORDER BY t.doc_id"""),
-      doc = "bigram LM quality scoring (CCNet-style): corpus-trained, add-one smoothed")
+      doc = "bigram LM quality scoring (CCNet-style): corpus-trained, add-one smoothed"),
+
+    // ------------------------------------------------------------------
+    // c05: TEMPERATURE-SCALED source mixture (the mT5/XLM-R sampling
+    // formula): per-source token mass → share → sampling weight ∝
+    // share^α with α = 0.7 < 1, renormalized. Exponents below 1 FLATTEN
+    // the distribution — up-weighting tail sources, damping head ones —
+    // the standard knob for per-domain epoch counts in a training
+    // mixture; t13's deterministic mixture sampler consumes exactly
+    // these weights downstream.
+    //
+    // Determinism: shares are IEEE-exact int/int divisions; pow() may
+    // differ by an ulp across engines (~1e-16, invisible at round-6);
+    // the weight DENOMINATOR sums the pow values through DECIMAL(38,18)
+    // so partial-aggregation order cannot move it. Scale: two scalar
+    // aggregates over a per-source table that is tiny by construction
+    // (domains, not documents) — broadcast everywhere.
+    QueryDef(
+      "c05_temperature_mixture",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val perSrc = Tables.load(s, dir, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(tokens($"text")).cast("long")).as("n_toks"))
+        val tot = perSrc.agg(sum($"n_toks").as("tot_toks"))
+        val p = perSrc.crossJoin(broadcast(tot))
+          .withColumn("share", $"n_toks".cast("double") / $"tot_toks".cast("double"))
+          .withColumn("pw", pow($"share", lit(0.7)))
+        val psum = p.agg(
+          sum($"pw".cast(DecimalType(38, 18))).cast("double").as("pwsum"))
+        p.crossJoin(broadcast(psum))
+          .select($"source", $"n_docs", $"n_toks",
+            round($"share", 6).as("share"),
+            round($"pw" / $"pwsum", 6).as("weight"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH t AS (SELECT source, COUNT(*) AS n_docs,
+                          CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+                               AS BIGINT) AS n_toks
+                   FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS tot_toks FROM t),
+        p AS (SELECT source, n_docs, n_toks,
+                     CAST(n_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE) AS share,
+                     pow(CAST(n_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE),
+                         0.7) AS pw
+              FROM t, tot),
+        ps AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(38,18))) AS DOUBLE) AS pwsum
+               FROM p)
+        SELECT source, n_docs, n_toks, round(share, 6) AS share,
+               round(pw / pwsum, 6) AS weight
+        FROM p, ps ORDER BY source"""),
+      doc = "temperature-scaled source mixture weights (share^alpha, renormalized)")
   )
 }

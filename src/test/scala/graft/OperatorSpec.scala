@@ -298,6 +298,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.values.sum > 0) // the pattern actually occurs in the data
   }
 
+  test("q63 range frame matches a reference trailing-1h recompute") {
+    val df = QueryDef.registry.find(_.name == "q63_interval_range_window").get
+      .build(spark, sfDir)
+    val got = df.select($"event_id", $"n_1h").as[(Long, Long)].collect().toMap
+    val evs = Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_micros(ts)"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      rows.foreach { r =>
+        val want = rows.count(o => o._2 >= r._2 - 3600000000L && o._2 <= r._2)
+        assert(got(r._3) == want, s"event ${r._3}")
+      }
+    }
+  }
+
+  test("c05 temperature weights renormalize and flatten the share ratio") {
+    val df = QueryDef.registry.find(_.name == "c05_temperature_mixture").get
+      .build(spark, sfDir)
+    val rows = df.select($"source", $"share", $"weight")
+      .as[(String, Double, Double)].collect()
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    val hi = rows.maxBy(_._2); val lo = rows.minBy(_._2)
+    // α = 0.7 < 1 flattens: head/tail weight ratio must be SMALLER than
+    // the share ratio, and the log-ratio recovers the exact exponent
+    assert(hi._2 > lo._2)
+    assert(hi._3 / lo._3 < hi._2 / lo._2)
+    val gotExp = math.log(hi._3 / lo._3) / math.log(hi._2 / lo._2)
+    assert(math.abs(gotExp - 0.7) < 0.01, s"exponent $gotExp")
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
