@@ -382,7 +382,52 @@ object DocsisQueries {
                MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
         FROM orders WHERE o_orderdate >= DATE '1998-01-01'
         GROUP BY 1 ORDER BY yr"""),
-      doc = "TTL retention: part-granular expiry as one metadata commit (MergeTree TTL DELETE)")
+      doc = "TTL retention: part-granular expiry as one metadata commit (MergeTree TTL DELETE)"),
+
+    // ------------------------------------------------------------------
+    // dx14: SUMMING merge e2e (SummingMergeTree / the insert-time
+    // materialized-view rollup): append raw lineitem measure rows twice
+    // (split by linenumber parity, so every key appears in both
+    // appends), summing-merge, and read the rollup back. The merge must
+    // (a) preserve the exact decimal sums — asserted by the oracle's
+    // direct GROUP BY over lineitem — and (b) actually collapse:
+    // post-merge the table holds exactly one row per (month, flag,
+    // status), which the require() proves before returning rows.
+    QueryDef(
+      "dx14_summing_merge",
+      (s, sfDir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx14_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val rows = graft.Tables.load(s, sfDir, "lineitem")
+          .select(to_date(date_trunc("month", $"l_shipdate")).as("date"),
+            $"l_returnflag", $"l_linestatus", $"l_linenumber",
+            $"l_quantity".cast(DecimalType(18, 2)).as("qty"),
+            lit(1L).as("n"))
+        t.append(rows.filter($"l_linenumber" % 2 === 0).drop("l_linenumber"), 0)
+        t.append(rows.filter($"l_linenumber" % 2 === 1).drop("l_linenumber"), 1)
+        t.summingCompact(keyCols = Seq("l_returnflag", "l_linestatus"),
+          sumCols = Seq("qty", "n"))
+        val merged = t.read()
+        val keys = merged.select($"date", $"l_returnflag", $"l_linestatus")
+        require(keys.count() == keys.distinct().count(),
+          s"summing merge left duplicate keys at $dir")
+        merged.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"qty").cast(DecimalType(18, 2)).as("sum_qty"),
+            sum($"n").as("n_items"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 AS sum_qty,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "summing merge: rollup maintained at merge time (SummingMergeTree / MV)")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

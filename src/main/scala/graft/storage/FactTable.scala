@@ -347,6 +347,32 @@ class FactTable(val root: String, spark: SparkSession) {
         .sortWithinPartitions(partitionCol, keyCols: _*)
     }
 
+  /** Summing merge (the ClickHouse SummingMergeTree / materialized-view
+    * rollup analog): rewrite every live part collapsing rows that share
+    * (`partitionCol`, `keyCols`) into ONE row carrying the column-wise
+    * sums of `sumCols` — the aggregate is MAINTAINED BY MERGES, so
+    * appends stay cheap row appends and the table converges to the
+    * rollup lazily, exactly ClickHouse's contract ("the sum may be
+    * partial until merges finish"; readers who need exactness re-sum at
+    * query time — `read().groupBy(keys).sum(...)` here — and get it
+    * cheap because merges already collapsed most duplicates).
+    * Output schema = partition + keys + sums; other columns are dropped
+    * (CH keeps arbitrary values for them — a sharper contract is to
+    * not have them). Sum columns must be exact-typed (long/decimal) for
+    * deterministic results; doubles would re-order under parallel
+    * aggregation. Partition-scoped like replacingCompact, so the
+    * rollup shuffle stays partition-local at cluster scale.
+    */
+  def summingCompact(keyCols: Seq[String], sumCols: Seq[String],
+      partitionCol: String = "date"): Long =
+    rewriteAll(partitionCol) { src =>
+      val aggs = sumCols.map(c => sum(col(c)).as(c))
+      src.groupBy((partitionCol +: keyCols).map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .repartition(col(partitionCol))
+        .sortWithinPartitions(partitionCol, keyCols: _*)
+    }
+
   /** Shared full-rewrite commit path for the major/replacing merges:
     * stage `rewrite(read())` as one fresh generation, then atomically
     * swap it for every current live part. Same conflict rule as

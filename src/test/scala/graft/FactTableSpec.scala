@@ -327,6 +327,27 @@ class FactTableSpec extends AnyFunSuite {
       == "2024-03-02")
   }
 
+  test("summing merge collapses keys per partition, preserves exact sums") {
+    val t = freshTable()
+    val mk = (day: String, m: String, u: Long) =>
+      Seq((m, u)).toDF("modem_name", "uptime")
+        .withColumn("date", to_date(lit(day))).withColumn("n", lit(1L))
+    t.append(mk("2024-03-01", "m1", 10L)
+      .unionByName(mk("2024-03-01", "m1", 5L))
+      .unionByName(mk("2024-03-01", "m2", 7L)), 0)
+    t.append(mk("2024-03-01", "m1", 3L)
+      .unionByName(mk("2024-03-02", "m1", 100L)), 1)
+    t.summingCompact(keyCols = Seq("modem_name"), sumCols = Seq("uptime", "n"))
+    val got = t.read().orderBy($"date", $"modem_name")
+      .select($"date".cast("string"), $"modem_name", $"uptime", $"n")
+      .as[(String, String, Long, Long)].collect()
+    // one row per (day, modem); same modem on two days stays two rows
+    assert(got.sameElements(Array(
+      ("2024-03-01", "m1", 18L, 3L),
+      ("2024-03-01", "m2", 7L, 1L),
+      ("2024-03-02", "m1", 100L, 1L))))
+  }
+
   test("concurrent appends: version-race loser retries and both commits land") {
     val root = java.nio.file.Files.createTempDirectory("fact_cc").toString
     val other = new FactTable(root, spark)
