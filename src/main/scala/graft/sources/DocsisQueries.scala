@@ -427,7 +427,51 @@ object DocsisQueries {
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""),
-      doc = "summing merge: rollup maintained at merge time (SummingMergeTree / MV)")
+      doc = "summing merge: rollup maintained at merge time (SummingMergeTree / MV)"),
+
+    // ------------------------------------------------------------------
+    // dx15: targeted deletion e2e (lightweight DELETE — the takedown /
+    // right-to-be-forgotten path): events land range-partitioned on
+    // user_id so every file's footer covers a narrow user range, then
+    // ONE user is deleted. The require() proves the log stats actually
+    // prune — only the files whose [min,max] straddle the key are
+    // rewritten — and the oracle hash-checks the surviving rows against
+    // a plain WHERE user_id <> 42 over the source. At 100 TB this is
+    // the difference between rewriting a table and rewriting a handful
+    // of parts.
+    QueryDef(
+      "dx15_targeted_delete",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx15_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+        (0 until 3).foreach { m =>
+          t.append(ev.filter($"user_id" % 3 === m)
+            .repartitionByRange(4, $"user_id")
+            .sortWithinPartitions($"user_id"), m)
+        }
+        val (touched, total) = t.pruneReport($"user_id" === 42L)
+        require(touched < total,
+          s"stats pruned nothing: $touched/$total files touched at $dir")
+        val deleted = t.deleteWhere($"user_id" === 42L)
+        require(deleted > 0, s"nothing deleted at $dir")
+        t.read()
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"),
+            min($"user_id").as("min_user"), max($"user_id").as("max_user"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               MIN(user_id) AS min_user, MAX(user_id) AS max_user
+        FROM events WHERE user_id <> 42
+        GROUP BY event_type ORDER BY event_type"""),
+      doc = "targeted delete: stats-pruned part rewrite (lightweight DELETE / GDPR)")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

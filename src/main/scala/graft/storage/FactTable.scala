@@ -373,6 +373,41 @@ class FactTable(val root: String, spark: SparkSession) {
         .sortWithinPartitions(partitionCol, keyCols: _*)
     }
 
+  /** Targeted row deletion (ClickHouse lightweight DELETE / Delta
+    * DELETE analog — the takedown / right-to-be-forgotten path a
+    * training-data store must have): rewrite ONLY the parts whose log
+    * stats cannot disprove `cond`, dropping the matching rows;
+    * every other part is never listed, read, or written. On a 100 TB
+    * table a single-key deletion therefore touches the few parts whose
+    * min/max straddle the key — the same stats that serve reads prune
+    * the write. Conservative by construction: a part without stats for
+    * the condition's columns is rewritten (correct, just not minimal).
+    * Returns the number of rows deleted. Atomic swap under the same
+    * optimistic-concurrency commit as compaction; time travel to the
+    * pre-delete version works until vacuum (call vacuum() promptly if
+    * the deletion must also be PHYSICAL — that is the GDPR contract).
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column,
+      partitionCol: String = "date"): Long = {
+    val snap = snapshot()
+    val victims = snap.files.filterNot(f => StatsPruning.canPrune(cond, f.stats))
+    if (victims.isEmpty) return 0L
+    val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
+    val kept = readFiles(victims).filter(!cond)
+    kept.write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(target.toString)
+    beforeCommit()
+    val adds = entriesFor(target, TierBase)
+    val committed = commitWithRetry(snap.nextVersion, None, adds,
+      removes = victims.map(_.path))(
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)))
+    if (!committed) {
+      fs.delete(target, true)
+      return deleteWhere(cond, partitionCol)
+    }
+    victims.map(_.rows).sum - adds.map(_.rows).sum
+  }
+
   /** Shared full-rewrite commit path for the major/replacing merges:
     * stage `rewrite(read())` as one fresh generation, then atomically
     * swap it for every current live part. Same conflict rule as

@@ -348,6 +348,27 @@ class FactTableSpec extends AnyFunSuite {
       ("2024-03-02", "m1", 100L, 1L))))
   }
 
+  test("deleteWhere rewrites only stats-matching parts, deletes exactly the rows") {
+    val t = freshTable()
+    // three single-file parts with disjoint modem ranges (string stats)
+    t.append(rows(5, "2024-03-01", "a1").coalesce(1), 0)
+    t.append(rows(4, "2024-03-01", "m2").coalesce(1), 1)
+    t.append(rows(3, "2024-03-02", "z3").coalesce(1), 2)
+    val (touched, total) = t.pruneReport($"modem_name" === "m2")
+    assert(touched == 1 && total == 3) // stats isolate the one part
+    val preVersion = t.snapshot().nextVersion - 1
+    assert(t.deleteWhere($"modem_name" === "m2") == 4L)
+    assert(t.read().count() == 8)
+    assert(t.read().filter($"modem_name" === "m2").count() == 0)
+    // untouched parts keep their original files (no needless rewrite)
+    val after = t.snapshot().files.map(_.path).toSet
+    val before = t.snapshot(preVersion).files.map(_.path).toSet
+    assert((before -- after).size == 1) // only the m2 part swapped out
+    assert(t.read(asOfVersion = preVersion).count() == 12) // time travel intact
+    // no matching rows anywhere → metadata no-op
+    assert(t.deleteWhere($"modem_name" === "m2") == 0L)
+  }
+
   test("concurrent appends: version-race loser retries and both commits land") {
     val root = java.nio.file.Files.createTempDirectory("fact_cc").toString
     val other = new FactTable(root, spark)
