@@ -471,7 +471,51 @@ object DocsisQueries {
                MIN(user_id) AS min_user, MAX(user_id) AS max_user
         FROM events WHERE user_id <> 42
         GROUP BY event_type ORDER BY event_type"""),
-      doc = "targeted delete: stats-pruned part rewrite (lightweight DELETE / GDPR)")
+      doc = "targeted delete: stats-pruned part rewrite (lightweight DELETE / GDPR)"),
+
+    // ------------------------------------------------------------------
+    // dx16: BLOOM skip-index point lookup (ClickHouse bloom_filter
+    // secondary index): events are HASH-clustered on user_id — every
+    // part's [min,max] then spans the whole user domain, so min/max
+    // stats prune NOTHING (asserted) — while each part's Bloom sidecar
+    // proves which parts cannot hold the probed user, collapsing the
+    // point lookup to (almost always) one part of eight. The oracle
+    // hash-checks the read-back rows, so the pruned path must also be
+    // exactly correct, Bloom false positives included (they cost a
+    // read, never a row — readWhere re-applies the predicate in full).
+    QueryDef(
+      "dx16_bloom_point_lookup",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx16_fact").toString
+        val t = new graft.storage.FactTable(dir, s,
+          bloomCols = Seq("user_id"))
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+        t.append(ev.repartition(8, $"user_id"), 0)
+        val probe = $"user_id" === 42L
+        val files = t.snapshot().files
+        val (statTouched, total) =
+          (files.count(f =>
+            !graft.storage.StatsPruning.canPrune(probe, f.stats)), files.size)
+        require(statTouched == total,
+          s"hash clustering should defeat min/max stats ($statTouched/$total)")
+        val (touched, _) = t.pruneReport(probe)
+        require(touched < total,
+          s"bloom pruned nothing: $touched/$total files touched at $dir")
+        t.readWhere(probe)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), min($"event_id").as("min_event"),
+            max($"event_id").as("max_event"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        FROM events WHERE user_id = 42
+        GROUP BY event_type ORDER BY event_type"""),
+      doc = "bloom skip-index point lookup: hash-clustered key, sidecar-pruned read")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

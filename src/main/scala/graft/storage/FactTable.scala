@@ -37,7 +37,20 @@ import org.apache.spark.sql.functions._
   * manifests and checkpoints on top); here the log stays small because
   * compaction keeps the live-file count bounded.
   */
-class FactTable(val root: String, spark: SparkSession) {
+/** @param bloomCols columns to index with a per-part Bloom skip index
+  *   (the ClickHouse `bloom_filter` secondary-index analog): every part
+  *   written through this table gets a `<part>.bloom.<col>` sidecar
+  *   (fpp 1%), and `readWhere`/`pruneReport` consult it for top-level
+  *   `col = literal` conjuncts. Blooms prune point lookups min/max
+  *   stats cannot — a HASH-clustered key interleaves values so every
+  *   part's [min,max] spans the domain, while each part's bloom
+  *   rejects the ~(1-1/P) of keys it does not hold. Integral and
+  *   string columns are supported; sidecars live next to the data (not
+  *   in the log), so log replay stays O(files) and a 100 TB table's
+  *   blooms are distributed storage, loaded lazily per pruned read.
+  */
+class FactTable(val root: String, spark: SparkSession,
+    bloomCols: Seq[String] = Nil) {
   import FactTable._
 
   private val rootPath = new Path(root)
@@ -390,7 +403,8 @@ class FactTable(val root: String, spark: SparkSession) {
   def deleteWhere(cond: org.apache.spark.sql.Column,
       partitionCol: String = "date"): Long = {
     val snap = snapshot()
-    val victims = snap.files.filterNot(f => StatsPruning.canPrune(cond, f.stats))
+    val victims = snap.files.filterNot(f =>
+      StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f))
     if (victims.isEmpty) return 0L
     val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
     val kept = readFiles(victims).filter(!cond)
@@ -451,19 +465,23 @@ class FactTable(val root: String, spark: SparkSession) {
   def readWhere(cond: org.apache.spark.sql.Column,
       asOfVersion: Long = Long.MaxValue): DataFrame = {
     val all = snapshot(asOfVersion).files
-    val kept = all.filterNot(f => StatsPruning.canPrune(cond, f.stats))
+    val kept = all.filterNot(f =>
+      StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f))
     if (kept.isEmpty) // schema from any live file, zero rows
       readFiles(all.take(1)).where(lit(false))
     else readFiles(kept).where(cond)
   }
 
   /** (surviving files, total files) for `cond` — the observability hook
-    * pruning-effectiveness tests assert on.
+    * pruning-effectiveness tests assert on. Counts both min/max-stat
+    * and Bloom-sidecar pruning, matching `readWhere`.
     */
   def pruneReport(cond: org.apache.spark.sql.Column,
       asOfVersion: Long = Long.MaxValue): (Int, Int) = {
     val files = snapshot(asOfVersion).files
-    (files.count(f => !StatsPruning.canPrune(cond, f.stats)), files.size)
+    (files.count(f =>
+      !StatsPruning.canPrune(cond, f.stats) && !bloomPruned(cond, f)),
+      files.size)
   }
 
   private[storage] def readFiles(files: Seq[FileEntry]): DataFrame = {
@@ -510,15 +528,56 @@ class FactTable(val root: String, spark: SparkSession) {
 
   /** Log entries for freshly written parts: one footer open per file
     * yields both the row count and the data-skipping column stats
-    * (StatsPruning), so commit cost stays footer-only — no data scan.
+    * (StatsPruning), so commit cost stays footer-only — no data scan
+    * unless `bloomCols` asks for skip-index sidecars, which add one
+    * single-column scan per (new part, indexed column).
     */
   private def entriesFor(dir: Path, tier: String): Seq[FileEntry] = {
     val now = System.currentTimeMillis()
     listParquet(dir).map { f =>
       val (rows, stats) = StatsPruning.footerInfo(new Path(f.path), hadoopConf)
+      bloomCols.foreach(c => writeBloomSidecar(f.path, c, rows))
       FileEntry(f.path, rows, f.bytes, tier, now, stats)
     }
   }
+
+  // ------------------------------------------------- bloom skip index
+
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap[String,
+      Option[org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def writeBloomSidecar(part: String, c: String, rows: Long): Unit = {
+    val df = spark.read.parquet(part)
+    if (!df.columns.contains(c)) return // schema evolution: column absent
+    val bf = df.stat.bloomFilter(c, math.max(rows, 1L), 0.01)
+    val out = fs.create(new Path(part + ".bloom." + c), true)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  private def bloomOf(part: String, c: String) =
+    bloomCache.getOrElseUpdate(part + ".bloom." + c, {
+      val p = new Path(part + ".bloom." + c)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    })
+
+  /** True iff some `col = v` conjunct of `cond` over an indexed column
+    * is PROVEN absent from the part by its Bloom sidecar. Conservative:
+    * missing sidecar / non-equality predicates never prune; a Bloom
+    * "maybe" keeps the file (false positives cost a read, never a row).
+    */
+  private def bloomPruned(cond: org.apache.spark.sql.Column,
+      f: FileEntry): Boolean =
+    bloomCols.nonEmpty && StatsPruning.equalityProbes(cond).exists {
+      case (attr, v) => bloomCols.contains(attr) &&
+        bloomOf(f.path, attr).exists(bf =>
+          scala.util.Try(!bf.mightContain(v)).getOrElse(false))
+    }
 }
 
 /** Interleaved-bits (Morton) clustering key over quantile-bucketed

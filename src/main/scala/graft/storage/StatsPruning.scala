@@ -182,6 +182,37 @@ object StatsPruning {
       case _ => false
     }
 
+  /** Top-level-conjunct equality probes `(column, external value)` of a
+    * Column predicate — the shape a per-part Bloom skip index can test.
+    * Only conjuncts of the form `col = literal` qualify (every row the
+    * predicate accepts must carry that exact key); anything under an OR
+    * is ignored. Values come back as JVM externals (String/Long/...)
+    * ready for `BloomFilter.mightContain`.
+    */
+  def equalityProbes(cond: Column): Seq[(String, Any)] = {
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def external(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case x => x
+    }
+    conjuncts(normalize(
+      org.apache.spark.sql.GraftColumnBridge.expression(cond))).flatMap {
+      case eq @ (_: ce.EqualTo | _: ce.EqualNullSafe) =>
+        val b = eq.asInstanceOf[ce.BinaryExpression]
+        (attrName(b.left), foldedValue(b.right)) match {
+          case (Some(a), Some(v)) => Some(a -> external(v))
+          case _ => (attrName(b.right), foldedValue(b.left)) match {
+            case (Some(a), Some(v)) => Some(a -> external(v))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
+
   // ------------------------------------------------- V1 source filters
 
   /** Prune test for `org.apache.spark.sql.sources.Filter` trees — the

@@ -369,6 +369,46 @@ class FactTableSpec extends AnyFunSuite {
     assert(t.deleteWhere($"modem_name" === "m2") == 0L)
   }
 
+  test("bloom skip index prunes point lookups min/max stats cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("fact_bloom").toString
+    val t = new FactTable(dir, spark, bloomCols = Seq("modem_name"))
+    // two parts with INTERLEAVED key ranges: min/max can't separate them
+    t.append(rows(3, "2024-03-01", "aa").unionByName(rows(3, "2024-03-01", "zz"))
+      .coalesce(1), 0)
+    t.append(rows(4, "2024-03-01", "ab").unionByName(rows(4, "2024-03-01", "zy"))
+      .coalesce(1), 1)
+    val probe = $"modem_name" === "zy"
+    // min/max: both parts span [a*, z*] → nothing prunable
+    assert(t.snapshot().files.forall(f =>
+      !graft.storage.StatsPruning.canPrune(probe, f.stats)))
+    // bloom: only the part holding "zy" survives
+    assert(t.pruneReport(probe) == ((1, 2)))
+    assert(t.readWhere(probe).count() == 4)
+    // long-typed key: part0 covers [1,1000] WITH A GAP, part1 [101,103]
+    // inside it — stats keep both for probe 102, bloom rejects part0
+    val t2 = new FactTable(
+      java.nio.file.Files.createTempDirectory("fact_bloom2").toString,
+      spark, bloomCols = Seq("uptime"))
+    t2.append(rows(3, "2024-03-01", "m1")
+      .unionByName(rows(1, "2024-03-01", "m1").withColumn("uptime", lit(1000L)))
+      .coalesce(1), 0)
+    t2.append(rows(3, "2024-03-02", "m2")
+      .withColumn("uptime", $"uptime" + 100L).coalesce(1), 1)
+    val probe2 = $"uptime" === 102L
+    assert(t2.snapshot().files.forall(f =>
+      !graft.storage.StatsPruning.canPrune(probe2, f.stats)))
+    assert(t2.pruneReport(probe2) == ((1, 2)))
+    assert(t2.readWhere(probe2).count() == 1)
+    // non-equality and OR predicates never bloom-prune (conservative)
+    assert(t2.pruneReport($"uptime" > 0L)._1 == 2)
+    assert(t2.pruneReport($"uptime" === 102L || $"uptime" === 1L)._1 == 2)
+    // deleteWhere rides the same bloom: only one part rewritten
+    val before = t2.snapshot().files.map(_.path).toSet
+    assert(t2.deleteWhere(probe2) == 1L)
+    val after = t2.snapshot().files.map(_.path).toSet
+    assert((before -- after).size == 1)
+  }
+
   test("concurrent appends: version-race loser retries and both commits land") {
     val root = java.nio.file.Files.createTempDirectory("fact_cc").toString
     val other = new FactTable(root, spark)
