@@ -37,11 +37,11 @@ object SimilarityQueries {
       .limit(k)
   }
 
-  /** s07's random-hyperplane LSH pipeline as a reusable builder: banded
-    * sign signatures, broadcast band probe, exact re-rank, top-k. Shared
-    * by s07 and the s10 recall harness.
+  /** Banded random-hyperplane sign signatures for EVERY vector:
+    * (vec_id, embedding, band, bval) — the reusable LSH index side,
+    * shared by s07/s10 (single probe) and s12 (batch probe).
     */
-  private def hyperplaneLshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private def hyperplaneBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     // The hyperplane matrix is a pure function of (plane, dim) —
@@ -64,7 +64,7 @@ object SimilarityQueries {
     // into a Filter, tripling the per-row decimal work (see d05's
     // scaladoc for the measured pathology); the banding array is
     // never empty, so outer emits identical rows
-    val bands = emb
+    emb
       .select($"vec_id", $"embedding", planesLit.as("planes"))
       .select($"vec_id", $"embedding", expr(
         """transform(sequence(1, 16), p ->
@@ -80,6 +80,15 @@ object SimilarityQueries {
              element_at(bits, 4*b+3)*2 + element_at(bits, 4*b+4))"""))
         .as(Seq("band", "bval")))
       .filter($"bval".isNotNull)
+  }
+
+  /** s07's random-hyperplane LSH pipeline as a reusable builder: banded
+    * sign signatures, broadcast band probe, exact re-rank, top-k. Shared
+    * by s07 and the s10 recall harness.
+    */
+  private def hyperplaneLshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val bands = hyperplaneBands(s, dir)
     val qBands = bands.filter($"vec_id" === 0)
       .select($"band".as("qband"), $"bval".as("qbval"), $"embedding".as("qv"))
     bands.filter($"vec_id" =!= 0)
@@ -683,6 +692,78 @@ object SimilarityQueries {
                    FROM scored)
         SELECT qid, vec_id, cosine, CAST(rk AS BIGINT) AS knn_rank
         FROM ranked WHERE rk <= 3 ORDER BY qid, knn_rank"""),
-      doc = "k-NN join: query-set batch retrieval, broadcast queries, per-query top-k")
+      doc = "k-NN join: query-set batch retrieval, broadcast queries, per-query top-k"),
+
+    // ------------------------------------------------------------------
+    // s12: LSH BATCH retrieval — s11's query set served through s07's
+    // hyperplane-band index instead of exact scoring: the corpus is
+    // banded ONCE (map-only signatures), the 16 query band rows are
+    // broadcast, and only band-colliding (query, corpus) pairs get the
+    // decimal-exact cosine + per-query rank. This is the scale path
+    // s11's scaladoc names: per query the exact work drops from |corpus|
+    // to the candidate set (~20% at the 4×4-bit recall knob, 0.36% at
+    // the 2×8-bit scale knob — BASELINE.md ScaleSpec table), and the
+    // corpus is still scanned exactly once for the whole batch.
+    QueryDef(
+      "s12_lsh_batch_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        val bands = hyperplaneBands(s, dir)
+        val qBands = bands.filter($"vec_id" >= 1 && $"vec_id" <= 4)
+          .select($"vec_id".as("qid"), $"band".as("qband"),
+            $"bval".as("qbval"), $"embedding".as("qv"))
+        val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id".asc)
+        bands.filter($"vec_id" > 4)
+          .join(broadcast(qBands), $"band" === $"qband" && $"bval" === $"qbval")
+          .dropDuplicates("qid", "vec_id") // qv constant per qid band rows
+          .select($"qid", $"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .withColumn("lsh_rank", row_number().over(w).cast("long"))
+          .filter($"lsh_rank" <= 3)
+          .orderBy($"qid", $"lsh_rank")
+      },
+      Some(s"""
+        WITH planes AS (
+          SELECT p AS plane,
+                 list_transform(range(0, 64), d ->
+                   CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8'
+                        THEN -1.0 ELSE 1.0 END) AS hv
+          FROM (SELECT unnest(range(0, 16)) AS p)),
+        comps AS (SELECT e.vec_id, pl.plane,
+                         unnest(e.embedding) AS x, unnest(pl.hv) AS h
+                  FROM embeddings e CROSS JOIN planes pl),
+        bits AS (SELECT vec_id, plane,
+                        CASE WHEN ${oDot("x", "h")} >= 0
+                             THEN 1 ELSE 0 END AS bit
+                 FROM comps GROUP BY vec_id, plane),
+        bands AS (SELECT vec_id, plane // 4 AS band,
+                         SUM(bit * CASE plane % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                                  WHEN 2 THEN 2 ELSE 1 END) AS bval
+                  FROM bits GROUP BY vec_id, plane // 4),
+        qb AS (SELECT vec_id AS qid, band, bval FROM bands
+               WHERE vec_id BETWEEN 1 AND 4),
+        cands AS (SELECT DISTINCT qb.qid, b.vec_id FROM bands b
+                  JOIN qb ON b.band = qb.band AND b.bval = qb.bval
+                  WHERE b.vec_id > 4),
+        qv AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id BETWEEN 1 AND 4),
+        pairs AS (SELECT c.qid, c.vec_id,
+                         unnest(e.embedding) AS x, unnest(q.qv) AS y
+                  FROM cands c
+                  JOIN embeddings e ON e.vec_id = c.vec_id
+                  JOIN qv q ON q.qid = c.qid),
+        dots AS (SELECT qid, vec_id,
+                        ${oCosineSums()}
+                 FROM pairs GROUP BY qid, vec_id),
+        scored AS (SELECT qid, vec_id,
+                          round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+                   FROM dots),
+        ranked AS (SELECT qid, vec_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC) AS rk
+                   FROM scored)
+        SELECT qid, vec_id, cosine, CAST(rk AS BIGINT) AS lsh_rank
+        FROM ranked WHERE rk <= 3 ORDER BY qid, lsh_rank"""),
+      doc = "LSH batch retrieval: banded index probed by a broadcast query set")
   )
 }

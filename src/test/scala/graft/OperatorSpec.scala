@@ -329,6 +329,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(gotExp - 0.7) < 0.01, s"exponent $gotExp")
   }
 
+  test("s12 LSH batch retrieval: per-query ranks valid, hits are real s11 neighbors") {
+    val lsh = QueryDef.registry.find(_.name == "s12_lsh_batch_retrieval").get
+      .build(spark, sfDir)
+      .select($"qid", $"vec_id", $"lsh_rank").as[(Long, Long, Long)].collect()
+    val exact = QueryDef.registry.find(_.name == "s11_knn_join").get
+      .build(spark, sfDir)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(lsh.nonEmpty)
+    lsh.groupBy(_._1).foreach { case (_, rs) =>
+      val ranks = rs.map(_._3).sorted
+      assert(ranks.sameElements(1L to ranks.length)) // dense 1..n per query
+    }
+    // at the 4×4-bit recall knob the LSH top-1 should usually be the
+    // exact top-3's member; require at least one query to agree so the
+    // two paths are provably probing the same space
+    val top1 = lsh.filter(_._3 == 1L)
+    assert(top1.exists(r => exact(r._1).contains(r._2)))
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
