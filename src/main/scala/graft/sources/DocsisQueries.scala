@@ -515,7 +515,56 @@ object DocsisQueries {
                MIN(event_id) AS min_event, MAX(event_id) AS max_event
         FROM events WHERE user_id = 42
         GROUP BY event_type ORDER BY event_type"""),
-      doc = "bloom skip-index point lookup: hash-clustered key, sidecar-pruned read")
+      doc = "bloom skip-index point lookup: hash-clustered key, sidecar-pruned read"),
+
+    // ------------------------------------------------------------------
+    // dx17: AGGREGATE-STATE storage (ClickHouse AggregatingMergeTree /
+    // uniqState→uniqMerge): per-day HLL sketch STATES are materialized
+    // into the logged table as binary columns; month-level distinct
+    // users come from MERGING the stored states (week-level here; any
+    // window works the same) — the raw events are
+    // never re-read. This is the 100 TB pattern for incremental distinct
+    // counts: daily ingestion appends a fixed-size state per group, and
+    // any rollup window is a cheap state merge instead of a full-table
+    // COUNT(DISTINCT). The sketch estimate is engine-specific, so the
+    // CHECKED output is the exact NDV plus a within-5% verdict on the
+    // merged estimate (q27's tolerance-oracle recipe) — the row only
+    // hashes green if the merged sketches really are that accurate.
+    QueryDef(
+      "dx17_sketch_state_merge",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx17_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+        val daily = ev.groupBy($"date")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("users_hll"),
+            count(lit(1)).as("n_events"))
+        t.append(daily, 0)
+        t.compact(sortCols = Seq("date"))
+        val weekly = t.read()
+          .groupBy(to_date(date_trunc("week", $"date")).as("week"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(users_hll))")
+            .as("est_users"), sum($"n_events").as("n_events"))
+        val exact = ev
+          .groupBy(to_date(date_trunc("week", $"ts")).as("week"))
+          .agg(countDistinct($"user_id").as("exact_users"))
+        weekly.join(exact, "week")
+          .select($"week", $"n_events", $"exact_users",
+            (abs($"est_users" - $"exact_users").cast("double")
+              <= greatest(lit(1.0), $"exact_users" * 0.05))
+              .as("est_within_5pct"))
+          .orderBy($"week")
+      },
+      Some("""
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS est_within_5pct
+        FROM events GROUP BY 1 ORDER BY week"""),
+      doc = "aggregate-state storage: stored HLL states merged at read (uniqState/uniqMerge)")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,
