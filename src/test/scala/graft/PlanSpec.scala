@@ -256,4 +256,55 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("nfc_normalize"), "custom expression missing from plan")
     assert(!p.contains("ScalaUDF"), "normalization fell back to a UDF")
   }
+
+  test("s11 kNN join broadcasts the query set; corpus scanned once") {
+    val p = plan("s11_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for scoring")
+    // only one scan of the embeddings table on the corpus side + one for
+    // the 4-row query side
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("embeddings")) <= 2)
+  }
+
+  test("s12 LSH batch probe is a broadcast hash join on band values") {
+    val p = plan("s12_lsh_batch_retrieval")
+    assert(p.contains("BroadcastHashJoin"), s"band probe not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus bands shuffled for the probe")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d16 semantic dedup: broadcast centroid assignment, keyed pair join") {
+    val p = plan("d16_semantic_dedup")
+    // centroid assignment: broadcast nested-loop against the 8-row side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // within-cluster pairing is an EQUI join on cid — never a cartesian
+    assert(!p.contains("CartesianProduct"), s"all-pairs blowup:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1,
+      "cluster-keyed pair join missing")
+    // two-phase scoring: the cheap codegen'd kernel appears as the filter
+    assert(p.contains("vec_dot"), "vec_dot prefilter missing from plan")
+  }
+
+  test("t18 LM statistics aggregate partially before their shuffles") {
+    val p = plan("t18_bigram_lm_score")
+    // head counts, bigram counts, vocabulary: each a two-phase aggregate
+    assert(p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial")) >= 3,
+      s"LM count tables not partially aggregated:\n$p")
+    assert(p.contains("BroadcastExchange"), "vocabulary scalar not broadcast")
+  }
+
+  test("q62 sequence fold is one shuffle + map-side aggregate lambda") {
+    val p = plan("q62_sequence_count")
+    // one exchange for the groupBy(user), one for the final ORDER BY
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"fold should shuffle only on user_id:\n$p")
+    // the state machine runs inside the aggregate's output projection —
+    // the plan shows the event array collected per user, nothing more
+    assert(p.contains("collect_list"), "per-user event collection missing")
+    assert(p.contains("n_matches"), "fold output missing")
+  }
 }
