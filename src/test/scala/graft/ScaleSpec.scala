@@ -159,6 +159,48 @@ class ScaleSpec extends AnyFunSuite {
       s"fresh docs misflagged: ${byKind(true)}")
   }
 
+  test("semantic-dedup clustering bounds the pair space; scaled copies co-cluster") {
+    // SemDeDup at scale stands on two facts: (1) k-way spherical
+    // clustering shrinks the quadratic pair space by ~k; (2) scaling a
+    // vector by 2 is EXACT through float×2, double products, sequential
+    // sums, and sqrt — so a ×2 copy's centroid cosines are bit-identical
+    // to its original's and co-clustering is guaranteed, not lucky.
+    graft.plans.VectorExpressions.register(spark)
+    val copies = vectors.filter($"vec_id" % 1000 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+    val corp = vectors.unionByName(copies)
+    val cents = vectors.filter($"vec_id" < 64)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cos".desc, $"cid".asc)
+    val assigned = corp.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid",
+        (expr("vec_dot(embedding, cv)") /
+          (sqrt(expr("vec_dot(embedding, embedding)"))
+            * sqrt(expr("vec_dot(cv, cv)")))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"vec_id", $"cid")
+    assigned.cache()
+    val total = n + n / 1000
+    val sizes = assigned.groupBy($"cid").count().select($"count").as[Long].collect()
+    assert(sizes.sum == total)
+    val pairSpace = sizes.map(s => s * (s - 1) / 2).sum
+    val allPairs = total.toLong * (total - 1) / 2
+    info(f"within-cluster pair space: $pairSpace of $allPairs " +
+      f"(${100.0 * pairSpace / allPairs}%.2f%%, ${sizes.length} clusters)")
+    // balanced 64-way clustering would give 1/64 ≈ 1.6%; allow 3× skew
+    assert(pairSpace < allPairs / 20,
+      s"clustering failed to shrink the pair space: $pairSpace of $allPairs")
+    // co-clustering: every ×2 copy is assigned its original's cell
+    val mismatch = assigned.filter($"vec_id" >= 1000000L)
+      .select(($"vec_id" - 1000000L).as("vec_id"), $"cid".as("copy_cid"))
+      .join(assigned, "vec_id")
+      .filter($"copy_cid" =!= $"cid").count()
+    assert(mismatch == 0, s"$mismatch scaled copies changed cluster")
+    assigned.unpersist()
+  }
+
   test("brute-force and LSH agree on the exact top match when it is in-bucket") {
     // a vector nearly identical to the query must share all 4 bands and
     // win the exact re-rank — recall sanity for the LSH path
