@@ -13,6 +13,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ExtendedQueries {
 
+  /** q62's greedy non-overlapping view→click→purchase counter as a fold
+    * over a sorted event-type array column: state = n·4 + stage packed
+    * in one long. Shared by the QueryDef and the property test that
+    * replays random sequences against a Scala reference machine.
+    */
+  def sequenceCountCol(typesCol: String): org.apache.spark.sql.Column =
+    expr(s"""aggregate($typesCol, 0L,
+         (acc, t) -> CASE
+           WHEN t = 'view' AND acc % 4 = 0 THEN acc + 1
+           WHEN t = 'click' AND acc % 4 = 1 THEN acc + 1
+           WHEN t = 'purchase' AND acc % 4 = 2 THEN acc + 2
+           ELSE acc END) div 4""")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -1147,13 +1160,8 @@ object ExtendedQueries {
           .groupBy($"user_id")
           .agg(sort_array(collect_list(
             struct($"ts", $"event_id", $"event_type"))).as("evs"))
-          .select($"user_id", expr(
-            """aggregate(transform(evs, e -> e.event_type), 0L,
-                 (acc, t) -> CASE
-                   WHEN t = 'view' AND acc % 4 = 0 THEN acc + 1
-                   WHEN t = 'click' AND acc % 4 = 1 THEN acc + 1
-                   WHEN t = 'purchase' AND acc % 4 = 2 THEN acc + 2
-                   ELSE acc END) div 4""").as("n_matches"))
+          .withColumn("types", expr("transform(evs, e -> e.event_type)"))
+          .select($"user_id", sequenceCountCol("types").as("n_matches"))
           .orderBy($"user_id")
       },
       Some("""

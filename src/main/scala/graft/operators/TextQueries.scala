@@ -1101,6 +1101,56 @@ object TextQueries {
         SELECT source, n_docs, n_toks, round(share, 6) AS share,
                round(pw / pwsum, 6) AS weight
         FROM p, ps ORDER BY source"""),
-      doc = "temperature-scaled source mixture weights (share^alpha, renormalized)")
+      doc = "temperature-scaled source mixture weights (share^alpha, renormalized)"),
+
+    // ------------------------------------------------------------------
+    // c06: BYTE-EXACT JSONL shard export — c03 fingerprints shard
+    // MEMBERSHIP; this fingerprints the serialized ARTIFACT: each doc
+    // becomes one JSON line (manual escape chain, NOT to_json, so the
+    // bytes are engine-independent and reproducible run-to-run), lines
+    // are md5-sharded as in c03, and each shard reports line count,
+    // byte size (with trailing newlines) and the md5 of its sorted
+    // line concatenation. Reproducible-bytes exports are what make a
+    // training run auditable: same corpus, same code → same shard md5s.
+    // Note the SQL-literal asymmetry: Spark string literals process
+    // backslash escapes, DuckDB's do not — each side spells the same
+    // replace chain in its own dialect.
+    QueryDef(
+      "c06_jsonl_export",
+      (s, dir) => {
+        import s.implicits._
+        def esc(c: String) =
+          expr(s"""replace(replace($c, '\\\\', '\\\\\\\\'), '"', '\\\\"')""")
+        Tables.load(s, dir, "documents")
+          .withColumn("hx", ascii(substring(md5($"doc_id".cast("string")), 1, 1)))
+          .withColumn("shard_id",
+            expr("CAST((CASE WHEN hx >= 97 THEN hx - 87 ELSE hx - 48 END) div 2 AS BIGINT)"))
+          .withColumn("line", concat(
+            lit("{\"id\":"), $"doc_id",
+            lit(",\"source\":\""), esc("source"),
+            lit("\",\"text\":\""), esc("text"), lit("\"}")))
+          .groupBy($"shard_id")
+          .agg(count(lit(1)).as("n_lines"),
+            (sum(length($"line")) + count(lit(1))).cast("long").as("n_bytes"),
+            md5(concat_ws("\n", array_sort(collect_list($"line"))))
+              .as("content_md5"))
+          .orderBy($"shard_id")
+      },
+      Some("""
+        WITH hx AS (SELECT doc_id, source, text,
+                           ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS h
+                    FROM documents),
+        l AS (SELECT CAST((CASE WHEN h >= 97 THEN h - 87 ELSE h - 48 END) // 2
+                          AS BIGINT) AS shard_id,
+                     '{"id":' || doc_id || ',"source":"' ||
+                     replace(replace(source, '\', '\\'), '"', '\"') ||
+                     '","text":"' ||
+                     replace(replace(text, '\', '\\'), '"', '\"') || '"}' AS line
+              FROM hx)
+        SELECT shard_id, COUNT(*) AS n_lines,
+               CAST(SUM(length(line)) + COUNT(*) AS BIGINT) AS n_bytes,
+               md5(string_agg(line, chr(10) ORDER BY line)) AS content_md5
+        FROM l GROUP BY shard_id ORDER BY shard_id"""),
+      doc = "byte-exact JSONL shard export: reproducible artifact fingerprints")
   )
 }

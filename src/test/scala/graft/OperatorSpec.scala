@@ -349,6 +349,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(top1.exists(r => exact(r._1).contains(r._2)))
   }
 
+  test("q62 fold equals a reference state machine on 200 random sequences") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Array("view", "click", "purchase", "error", "signup")
+    val seqs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))))
+    }
+    def ref(ts: Seq[String]): Long = {
+      var stage = 0; var n = 0L
+      ts.foreach {
+        case "view" if stage == 0 => stage = 1
+        case "click" if stage == 1 => stage = 2
+        case "purchase" if stage == 2 => stage = 0; n += 1
+        case _ =>
+      }
+      n
+    }
+    val got = seqs.toDF("id", "types")
+      .select($"id", operators.ExtendedQueries.sequenceCountCol("types").as("n"))
+      .as[(Long, Long)].collect().toMap
+    seqs.foreach { case (id, ts) =>
+      assert(got(id) == ref(ts), s"sequence $id: ${ts.mkString(",")}")
+    }
+  }
+
+  test("c06 export fingerprints are valid JSON lines and cover every doc") {
+    val df = QueryDef.registry.find(_.name == "c06_jsonl_export").get
+      .build(spark, sfDir)
+    val rows = df.select($"shard_id", $"n_lines", $"n_bytes")
+      .as[(Long, Long, Long)].collect()
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.forall(r => r._3 > r._2)) // bytes > lines (non-empty lines)
+    // a sample line round-trips through Spark's own JSON parser
+    val line = spark.read.parquet(s"$sfDir/documents.parquet").limit(1)
+      .select(concat(lit("{\"id\":"), $"doc_id",
+        lit(",\"source\":\""), $"source",
+        lit("\",\"text\":\""), $"text", lit("\"}")).as("l"))
+      .select(from_json($"l",
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "struct<id:bigint,source:string,text:string>")).as("j"), $"l")
+      .select($"j.id", $"j.text").as[(Long, String)].head()
+    assert(line._2 != null && line._2.nonEmpty)
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
