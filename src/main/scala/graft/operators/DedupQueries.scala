@@ -1210,6 +1210,75 @@ object DedupQueries {
                CAST(n_toks AS BIGINT) AS survivor_toks,
                CAST(cluster_size AS BIGINT) AS cluster_size
         FROM ranked WHERE rk = 1 ORDER BY canon"""),
-      doc = "quality-aware dedup survivors: longest-doc-wins per cluster")
+      doc = "quality-aware dedup survivors: longest-doc-wins per cluster"),
+
+    // ------------------------------------------------------------------
+    // d18: DEDUP QUALITY EVAL — the harness every production dedup
+    // ships with (s10's recall idea, for MinHash-LSH): the corpus's
+    // PLANTED duplicates are ground truth (exact copies at +1M, first-
+    // token-dropped near copies at +2M), so the candidate generator's
+    // recall is measurable exactly; the confirm rate (candidates that
+    // survive the exact shingle-Jaccard ≥ 0.5 check) bounds the wasted
+    // exact-verification work. Run per banding config before committing
+    // a knob change — the LSH trade-off made visible as one row.
+    QueryDef(
+      "d18_dedup_recall",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents").select($"doc_id")
+        val truth = d.filter($"doc_id" % 10 === 0)
+          .select($"doc_id".as("doc_a"), ($"doc_id" + 1000000L).as("doc_b"))
+          .unionByName(d.filter($"doc_id" % 10 === 1)
+            .select($"doc_id".as("doc_a"), ($"doc_id" + 2000000L).as("doc_b")))
+        val cands = lshCandidatePairs(s, dir)
+        val sets = shingled(corpus(s, dir))
+          .select($"doc_id", array_distinct($"sh").as("ss"))
+        val confirmed = cands
+          .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), "doc_a")
+          .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb")), "doc_b")
+          .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+          .withColumn("uni",
+            size($"sa").cast("long") + size($"sb").cast("long") - $"inter")
+          .filter($"uni" > 0 &&
+            $"inter".cast("double") / $"uni".cast("double") >= 0.5)
+        val found = truth.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(broadcast(found.agg(count(lit(1)).as("n_truth_found"))))
+          .crossJoin(broadcast(cands.agg(count(lit(1)).as("n_cands"))))
+          .crossJoin(broadcast(confirmed.agg(count(lit(1)).as("n_confirmed"))))
+          .select($"n_truth", $"n_truth_found", $"n_cands", $"n_confirmed",
+            round($"n_truth_found".cast("double") / $"n_truth", 6).as("recall"),
+            round($"n_confirmed".cast("double") / $"n_cands", 6).as("confirm_rate"))
+      },
+      Some(s"""$lshPairsSqlCore,
+        truth AS (
+          SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, doc_id + 2000000
+          FROM documents WHERE doc_id % 10 = 1),
+        sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM shi),
+        confirmed AS (
+          SELECT p.doc_a, p.doc_b
+          FROM pairs p
+          JOIN sets a ON a.doc_id = p.doc_a
+          JOIN sets b ON b.doc_id = p.doc_b
+          WHERE len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) > 0
+            AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))
+                >= 0.5),
+        m AS (SELECT
+          (SELECT COUNT(*) FROM truth) AS n_truth,
+          (SELECT COUNT(*) FROM truth t
+           WHERE EXISTS (SELECT 1 FROM pairs p
+                         WHERE p.doc_a = t.doc_a AND p.doc_b = t.doc_b))
+            AS n_truth_found,
+          (SELECT COUNT(*) FROM pairs) AS n_cands,
+          (SELECT COUNT(*) FROM confirmed) AS n_confirmed)
+        SELECT n_truth, n_truth_found, n_cands, n_confirmed,
+               round(CAST(n_truth_found AS DOUBLE) / n_truth, 6) AS recall,
+               round(CAST(n_confirmed AS DOUBLE) / n_cands, 6) AS confirm_rate
+        FROM m"""),
+      doc = "dedup quality eval: planted-truth recall + confirm rate of LSH candidates")
   )
 }
