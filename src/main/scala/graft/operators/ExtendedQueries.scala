@@ -1221,6 +1221,62 @@ object ExtendedQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         ORDER BY event_id"""),
-      doc = "interval RANGE window frame: trailing-1h per-user activity")
+      doc = "interval RANGE window frame: trailing-1h per-user activity"),
+
+    // ------------------------------------------------------------------
+    // q64: ARRAY ANALYTICS battery (the ClickHouse arrayCumSum /
+    // arrayDifference / arrayCompact / arrayEnumerate family): per-order
+    // line quantities as a position-ordered array, transformed entirely
+    // with higher-order functions — no explode, no shuffle beyond the
+    // one groupBy that builds the array. This is the array-first query
+    // style ClickHouse users write daily; Spark expresses every member
+    // with transform/filter/aggregate lambdas (all codegen-friendly).
+    // Quantities are integer-valued, kept as longs → exact in both
+    // engines. Lambda index bases differ (Spark 0-based, DuckDB
+    // 1-based) — each side is spelled in its own convention. The array
+    // order is (l_linenumber, qty) — linenumber ALONE is not a total
+    // order in this synthetic data (duplicates exist), and a non-total
+    // ORDER BY inside list() is nondeterministic.
+    QueryDef(
+      "q64_array_battery",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .filter($"l_orderkey" % 100 === 0)
+          .groupBy($"l_orderkey".as("o_orderkey"))
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(l_linenumber, CAST(l_quantity AS BIGINT)))), p -> p.col2)")
+            .as("qty"))
+          .select($"o_orderkey", $"qty",
+            expr("""transform(sequence(1, size(qty)),
+                      i -> aggregate(slice(qty, 1, i), 0L, (a, x) -> a + x))""")
+              .as("cum"),
+            expr("""transform(sequence(1, size(qty)),
+                      i -> IF(i = 1, 0L, element_at(qty, i) - element_at(qty, i - 1)))""")
+              .as("diff"),
+            expr("filter(qty, (x, i) -> i = 0 OR x != element_at(qty, i))")
+              .as("compacted"),
+            expr("transform(sequence(1, size(qty)), i -> CAST(i AS BIGINT))")
+              .as("enumerated"),
+            expr("aggregate(qty, 0L, (a, x) -> a + x)").as("total"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        WITH arr AS (
+          SELECT l_orderkey AS o_orderkey,
+                 list(CAST(l_quantity AS BIGINT)
+                      ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qty
+          FROM lineitem WHERE l_orderkey % 100 = 0
+          GROUP BY l_orderkey)
+        SELECT o_orderkey, qty,
+               list_transform(range(1, len(qty) + 1),
+                 i -> list_sum(qty[1:i])) AS cum,
+               list_transform(range(1, len(qty) + 1),
+                 i -> CASE WHEN i = 1 THEN 0 ELSE qty[i] - qty[i-1] END) AS diff,
+               list_filter(qty, (x, i) -> i = 1 OR x <> qty[i-1]) AS compacted,
+               range(1, len(qty) + 1) AS enumerated,
+               CAST(list_sum(qty) AS BIGINT) AS total
+        FROM arr ORDER BY o_orderkey"""),
+      doc = "array analytics battery: cumsum/difference/compact/enumerate via lambdas")
   )
 }
