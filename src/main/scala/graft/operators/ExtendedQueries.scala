@@ -1277,6 +1277,46 @@ object ExtendedQueries {
                range(1, len(qty) + 1) AS enumerated,
                CAST(list_sum(qty) AS BIGINT) AS total
         FROM arr ORDER BY o_orderkey"""),
-      doc = "array analytics battery: cumsum/difference/compact/enumerate via lambdas")
+      doc = "array analytics battery: cumsum/difference/compact/enumerate via lambdas"),
+
+    // ------------------------------------------------------------------
+    // q65: RECURSIVE CTE (Spark 4's UnionLoop): transitive closure over
+    // a synthetic binary referral tree (parent = custkey div 2, root 1),
+    // aggregated per depth. This is the ITERATION-IN-SQL capability —
+    // the same fixpoint clusterLabels drives from Scala, but planned
+    // and executed entirely by the engine; each recursion step is one
+    // self-join against the previous frontier, so the work per level is
+    // a keyed shuffle join and the level count is the tree depth
+    // (log₂ n here, ~14 at sf0.01). Integer division is `div` in Spark
+    // SQL and `//` in DuckDB — each side in its own dialect.
+    QueryDef(
+      "q65_recursive_cte",
+      (s, dir) => {
+        Tables.load(s, dir, "customer")
+          .createOrReplaceTempView("customer_q65")
+        s.sql("""
+          WITH RECURSIVE tree(custkey, depth) AS (
+            SELECT CAST(1 AS BIGINT), 0
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1
+            FROM customer_q65 c JOIN tree t ON c.c_custkey div 2 = t.custkey
+            WHERE c.c_custkey > 1
+          )
+          SELECT depth, COUNT(*) AS n_nodes,
+                 MIN(custkey) AS min_key, MAX(custkey) AS max_key
+          FROM tree GROUP BY depth ORDER BY depth""")
+      },
+      Some("""
+        WITH RECURSIVE tree(custkey, depth) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM customer c JOIN tree t ON c.c_custkey // 2 = t.custkey
+          WHERE c.c_custkey > 1
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(custkey) AS min_key, MAX(custkey) AS max_key
+        FROM tree GROUP BY depth ORDER BY depth"""),
+      doc = "recursive CTE (UnionLoop): engine-planned transitive closure per depth")
   )
 }
