@@ -282,13 +282,39 @@ object DedupQueries {
     * (FactTable) read instead of recomputed; the shape is otherwise
     * identical.
     */
-  def incrementalDedup(old: DataFrame, batch: DataFrame): DataFrame = {
-    val oldBands = bandsOf(sigOf(old)).withColumnRenamed("doc_id", "old_id")
+  /** The d13/d19 ingest batch: exact copies (+1M), first-token-dropped
+    * near copies (+2M), and reversed fresh docs (+3M) of `old`.
+    */
+  private def d13Batch(old: DataFrame): DataFrame =
+    old.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(old.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          when(instr(col("text"), " ") > 0,
+            expr("substring(text, instr(text, ' ') + 1)"))
+            .otherwise(col("text")).as("text")))
+      .unionByName(old.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          reverse(col("text")).as("text")))
+
+  def incrementalDedup(old: DataFrame, batch: DataFrame): DataFrame =
+    incrementalDedupFromIndex(
+      bandsOf(sigOf(old)).withColumnRenamed("doc_id", "old_id"),
+      shingled(old)
+        .select(col("doc_id").as("old_id"), array_distinct(col("sh")).as("so")),
+      batch)
+
+  /** The index-consuming core of `incrementalDedup`: `oldBands`
+    * `(old_id, band, bval)` and `oldSets` `(old_id, so)` are the corpus
+    * MinHash index — recomputed by `incrementalDedup`, or READ from the
+    * persisted index tables (d19) exactly as a 100 TB deployment would;
+    * the dedup logic is one code path either way.
+    */
+  def incrementalDedupFromIndex(oldBands: DataFrame, oldSets: DataFrame,
+      batch: DataFrame): DataFrame = {
     val newBands = bandsOf(sigOf(batch)).withColumnRenamed("doc_id", "new_id")
     val cand = oldBands.join(broadcast(newBands), Seq("band", "bval"))
       .select(col("new_id"), col("old_id")).distinct()
-    val oldSets = shingled(old)
-      .select(col("doc_id").as("old_id"), array_distinct(col("sh")).as("so"))
     val newSets = shingled(batch)
       .select(col("doc_id").as("new_id"), array_distinct(col("sh")).as("sn"))
     val confirmed = cand.join(oldSets, "old_id").join(newSets, "new_id")
@@ -362,6 +388,44 @@ object DedupQueries {
           UNION
           SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
         labels AS (SELECT id AS doc_id, MIN(r) AS canon FROM reach GROUP BY id)"""
+
+  /** d13/d19 shared oracle: the incremental-dedup expected output is
+    * identical whether the corpus index is recomputed or read from
+    * storage — one SQL string keeps the contract in one place.
+    */
+  private lazy val incrementalDedupOracleSql: String = s"""
+        WITH oldc AS (SELECT doc_id, text FROM documents),
+        newc AS (
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 CASE WHEN instr(text, ' ') > 0
+                      THEN substr(text, instr(text, ' ') + 1) ELSE text END
+          FROM documents WHERE doc_id % 10 = 1
+          UNION ALL
+          SELECT doc_id + 3000000, reverse(text)
+          FROM documents WHERE doc_id % 10 = 2),
+        ${sigSqlOver("oldc", "o")},
+        ${sigSqlOver("newc", "n")},
+        bands_o AS ${bandsSqlOver("sig_o")},
+        bands_n AS ${bandsSqlOver("sig_n")},
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          FROM bands_n n JOIN bands_o o ON n.band = o.band AND n.bval = o.bval
+          WHERE n.bval IS NOT NULL),
+        sets_o AS (SELECT doc_id AS old_id, list_distinct(sh) AS so FROM shi_o),
+        sets_n AS (SELECT doc_id AS new_id, list_distinct(sh) AS sn FROM shi_n),
+        conf AS (
+          SELECT new_id, MIN(old_id) AS dup_of FROM (
+            SELECT c.new_id, c.old_id,
+                   CAST(len(list_intersect(sn, so)) AS BIGINT) AS inter,
+                   CAST(len(sn) + len(so) - len(list_intersect(sn, so)) AS BIGINT) AS uni
+            FROM cand c JOIN sets_n USING (new_id) JOIN sets_o USING (old_id)) x
+          WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+          GROUP BY new_id)
+        SELECT n.doc_id AS new_id, c.dup_of, c.dup_of IS NOT NULL AS is_dup
+        FROM newc n LEFT JOIN conf c ON n.doc_id = c.new_id
+        ORDER BY new_id"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -885,51 +949,9 @@ object DedupQueries {
       (s, dir) => {
         import s.implicits._
         val old = Tables.load(s, dir, "documents").select($"doc_id", $"text")
-        val batch = old.filter($"doc_id" % 10 === 0)
-          .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
-          .unionByName(old.filter($"doc_id" % 10 === 1)
-            .select(($"doc_id" + 2000000L).as("doc_id"),
-              when(instr($"text", " ") > 0,
-                expr("substring(text, instr(text, ' ') + 1)"))
-                .otherwise($"text").as("text")))
-          .unionByName(old.filter($"doc_id" % 10 === 2)
-            .select(($"doc_id" + 3000000L).as("doc_id"),
-              reverse($"text").as("text")))
-        incrementalDedup(old, batch).orderBy($"new_id")
+        incrementalDedup(old, d13Batch(old)).orderBy($"new_id")
       },
-      Some(s"""
-        WITH oldc AS (SELECT doc_id, text FROM documents),
-        newc AS (
-          SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-          UNION ALL
-          SELECT doc_id + 2000000,
-                 CASE WHEN instr(text, ' ') > 0
-                      THEN substr(text, instr(text, ' ') + 1) ELSE text END
-          FROM documents WHERE doc_id % 10 = 1
-          UNION ALL
-          SELECT doc_id + 3000000, reverse(text)
-          FROM documents WHERE doc_id % 10 = 2),
-        ${sigSqlOver("oldc", "o")},
-        ${sigSqlOver("newc", "n")},
-        bands_o AS ${bandsSqlOver("sig_o")},
-        bands_n AS ${bandsSqlOver("sig_n")},
-        cand AS (
-          SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-          FROM bands_n n JOIN bands_o o ON n.band = o.band AND n.bval = o.bval
-          WHERE n.bval IS NOT NULL),
-        sets_o AS (SELECT doc_id AS old_id, list_distinct(sh) AS so FROM shi_o),
-        sets_n AS (SELECT doc_id AS new_id, list_distinct(sh) AS sn FROM shi_n),
-        conf AS (
-          SELECT new_id, MIN(old_id) AS dup_of FROM (
-            SELECT c.new_id, c.old_id,
-                   CAST(len(list_intersect(sn, so)) AS BIGINT) AS inter,
-                   CAST(len(sn) + len(so) - len(list_intersect(sn, so)) AS BIGINT) AS uni
-            FROM cand c JOIN sets_n USING (new_id) JOIN sets_o USING (old_id)) x
-          WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
-          GROUP BY new_id)
-        SELECT n.doc_id AS new_id, c.dup_of, c.dup_of IS NOT NULL AS is_dup
-        FROM newc n LEFT JOIN conf c ON n.doc_id = c.new_id
-        ORDER BY new_id"""),
+      Some(incrementalDedupOracleSql),
       doc = "incremental dedup: new batch vs corpus MinHash index, Jaccard confirm"),
 
     // ------------------------------------------------------------------
@@ -1279,6 +1301,41 @@ object DedupQueries {
                round(CAST(n_truth_found AS DOUBLE) / n_truth, 6) AS recall,
                round(CAST(n_confirmed AS DOUBLE) / n_cands, 6) AS confirm_rate
         FROM m"""),
-      doc = "dedup quality eval: planted-truth recall + confirm rate of LSH candidates")
+      doc = "dedup quality eval: planted-truth recall + confirm rate of LSH candidates"),
+
+    // ------------------------------------------------------------------
+    // d19: PERSISTED-INDEX incremental dedup — what d13's scaladoc
+    // promises at 100 TB, actually exercised: the corpus MinHash band
+    // table and shingle sets are WRITTEN to transaction-logged index
+    // tables once (band-sorted parts, so band-equality probes benefit
+    // from footer stats), then the ingest batch dedups against the
+    // STORED index via the same `incrementalDedupFromIndex` core d13
+    // uses — the corpus text is never re-tokenized, re-hashed, or even
+    // re-read. The oracle is d13's verbatim: recompute path and
+    // index-read path must produce identical rows, which is exactly the
+    // invariant that lets a deployment swap one for the other.
+    QueryDef(
+      "d19_index_backed_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val old = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val dt = to_date(lit("2024-03-01"))
+        val bandsT = new graft.storage.FactTable(java.nio.file.Files
+          .createTempDirectory("d19_bands").toString, s)
+        bandsT.append(bandsOf(sigOf(old)).withColumn("date", dt), 0)
+        bandsT.compact(sortCols = Seq("band", "bval"))
+        val setsT = new graft.storage.FactTable(java.nio.file.Files
+          .createTempDirectory("d19_sets").toString, s)
+        setsT.append(shingled(old)
+          .select($"doc_id", array_distinct($"sh").as("so"))
+          .withColumn("date", dt), 0)
+        setsT.compact(sortCols = Seq("doc_id"))
+        incrementalDedupFromIndex(
+          bandsT.read().select($"doc_id".as("old_id"), $"band", $"bval"),
+          setsT.read().select($"doc_id".as("old_id"), $"so"),
+          d13Batch(old)).orderBy($"new_id")
+      },
+      Some(incrementalDedupOracleSql),
+      doc = "persisted-index dedup: stored MinHash index consumed, corpus never re-read")
   )
 }
