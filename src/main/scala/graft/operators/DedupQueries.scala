@@ -1336,6 +1336,56 @@ object DedupQueries {
           d13Batch(old)).orderBy($"new_id")
       },
       Some(incrementalDedupOracleSql),
-      doc = "persisted-index dedup: stored MinHash index consumed, corpus never re-read")
+      doc = "persisted-index dedup: stored MinHash index consumed, corpus never re-read"),
+
+    // ------------------------------------------------------------------
+    // c07: DEDUP YIELD report — the number every pipeline publishes
+    // after a dedup pass: per corpus stratum, how many documents and how
+    // much token mass survive survivor selection (d09's keep rule over
+    // d08's clusters). Token-mass yield ≠ doc-count yield whenever
+    // near-dups differ in length — exactly what this report makes
+    // visible before anyone trains on the output. One left join of the
+    // corpus against the label set + a partial-aggregable rollup.
+    QueryDef(
+      "c07_dedup_yield",
+      (s, dir) => {
+        import s.implicits._
+        val labels = clusterLabels(s, dir)
+        corpus(s, dir)
+          .withColumn("n_toks", size(tokens($"text")).cast("long"))
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("kept", $"canon".isNull || $"canon" === $"doc_id")
+          .withColumn("origin",
+            when($"doc_id" >= 2000000L, "near_copy")
+              .when($"doc_id" >= 1000000L, "exact_copy")
+              .otherwise("original"))
+          .groupBy($"origin")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when($"kept", 1)).as("n_kept"),
+            sum($"n_toks").as("tok_total"),
+            sum(when($"kept", $"n_toks")).as("tok_kept"))
+          .withColumn("tok_yield",
+            round($"tok_kept".cast("double") / $"tok_total", 6))
+          .orderBy($"origin")
+      },
+      Some(s"""$labelsSqlCore,
+        scored AS (
+          SELECT c.doc_id,
+                 CASE WHEN c.doc_id >= 2000000 THEN 'near_copy'
+                      WHEN c.doc_id >= 1000000 THEN 'exact_copy'
+                      ELSE 'original' END AS origin,
+                 (l.canon IS NULL OR l.canon = c.doc_id) AS kept,
+                 CAST(len(t.toks) AS BIGINT) AS n_toks
+          FROM corpus c
+          JOIN tok t ON t.doc_id = c.doc_id
+          LEFT JOIN labels l ON c.doc_id = l.doc_id)
+        SELECT origin, COUNT(*) AS n_docs,
+               COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+               CAST(SUM(n_toks) AS BIGINT) AS tok_total,
+               CAST(SUM(CASE WHEN kept THEN n_toks END) AS BIGINT) AS tok_kept,
+               round(CAST(SUM(CASE WHEN kept THEN n_toks END) AS DOUBLE)
+                     / SUM(n_toks), 6) AS tok_yield
+        FROM scored GROUP BY origin ORDER BY origin"""),
+      doc = "dedup yield report: per-stratum doc and token-mass survival after dedup")
   )
 }
