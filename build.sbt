@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: at 8g a full 142-query Bench run GC-thrashes in its
+  // second half (measured 109.7s vs 79.9s for the identical run; the
+  // late queries inflate 2-3x purely from heap pressure). The machine
+  // has 128 GiB; override with SPARK_DRIVER_MEM as needed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
