@@ -4,9 +4,12 @@ import graft.storage.FactTable
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
-/** Property: any interleaving of appends (including replayed txn ids)
-  * and compactions preserves exactly the multiset of rows from the
-  * distinct transactions, and read() always reflects the log snapshot.
+/** Property: any interleaving of appends (including replayed txn ids),
+  * compactions, TTL expirations, and targeted deletions preserves
+  * exactly the row multiset an in-memory model predicts, and read()
+  * always reflects the log snapshot. Appends are single-day and both
+  * rewrite paths re-partition by date, so part-granular TTL is
+  * row-exact here and the model stays simple.
   */
 object FactTableProps extends Properties("FactTable") {
   import TestSpark.spark
@@ -18,20 +21,25 @@ object FactTableProps extends Properties("FactTable") {
   sealed trait Op
   final case class Append(txn: Long, n: Int, day: Int) extends Op
   case object Compact extends Op
+  final case class Ttl(day: Int) extends Op
+  final case class Delete(txn: Long) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
-    4 -> (for {
+    5 -> (for {
       txn <- Gen.choose(0L, 5L) // small domain → replays happen
       n <- Gen.choose(1, 8)
       day <- Gen.choose(1, 3)
     } yield Append(txn, n, day)),
-    1 -> Gen.const(Compact))
+    1 -> Gen.const(Compact),
+    1 -> Gen.choose(1, 4).map(Ttl(_)),
+    1 -> Gen.choose(0L, 5L).map(Delete(_)))
 
-  property("append/compact interleavings preserve the committed multiset") =
-    forAll(Gen.listOfN(8, opGen)) { ops =>
+  property("append/compact/ttl/delete interleavings match the model") =
+    forAll(Gen.listOfN(10, opGen)) { ops =>
       val t = new FactTable(
         java.nio.file.Files.createTempDirectory("fact_props").toString, spark)
-      var expected = Map.empty[Long, (Int, Int)] // txn -> (n, day)
+      var committed = Set.empty[Long]           // txn ids ever applied
+      var rows = Map.empty[Long, (Int, Int)]    // txn -> (n, day) still live
       ops.foreach {
         case Append(txn, n, day) =>
           val df = (1 to n).map(i => ("m" + txn,
@@ -39,12 +47,23 @@ object FactTableProps extends Properties("FactTable") {
             i.toLong)).toDF("modem_name", "timestamp", "uptime")
             .withColumn("date", org.apache.spark.sql.functions.to_date($"timestamp"))
           val applied = t.append(df, txn)
-          // first append with this txn id wins; replays are no-ops
-          if (applied) expected += txn -> (n, day)
-          else assert(expected.contains(txn))
+          // exactly the first append with a txn id applies; replays are
+          // no-ops even after the txn's rows were deleted or expired
+          assert(applied == !committed(txn),
+            s"append($txn) applied=$applied, committed=${committed(txn)}")
+          if (applied) { committed += txn; rows += txn -> (n, day) }
         case Compact => t.compact()
+        case Ttl(day) =>
+          t.ttlExpire(f"2024-03-0$day")
+          rows = rows.filter { case (_, (_, d)) => d >= day }
+        case Delete(txn) =>
+          val deleted = t.deleteWhere($"modem_name" === ("m" + txn))
+          val want = rows.get(txn).map(_._1.toLong).getOrElse(0L)
+          assert(deleted == want,
+            s"deleteWhere(m$txn) removed $deleted rows, model says $want")
+          rows -= txn
       }
-      val want = expected.map { case (txn, (n, _)) => ("m" + txn, n.toLong) }
+      val want = rows.map { case (txn, (n, _)) => ("m" + txn, n.toLong) }
       if (want.isEmpty) true
       else {
         val got = t.read().groupBy($"modem_name")
