@@ -1151,6 +1151,45 @@ object TextQueries {
                CAST(SUM(length(line)) + COUNT(*) AS BIGINT) AS n_bytes,
                md5(string_agg(line, chr(10) ORDER BY line)) AS content_md5
         FROM l GROUP BY shard_id ORDER BY shard_id"""),
-      doc = "byte-exact JSONL shard export: reproducible artifact fingerprints")
+      doc = "byte-exact JSONL shard export: reproducible artifact fingerprints"),
+
+    // ------------------------------------------------------------------
+    // t19: BPE MERGE statistics — the first step of byte-pair-encoding
+    // tokenizer training: count adjacent character pairs across every
+    // token occurrence in the corpus and rank the merge candidates. At
+    // scale this is the inner loop of tokenizer training (recount after
+    // each merge); one step exercises the whole shape — in-row pair
+    // generation via lambdas (no per-character shuffle), partial
+    // aggregation on fixed-width 2-char keys, deterministic top-k. Ties
+    // break on the pair string so the ranking is total.
+    QueryDef(
+      "t19_bpe_pair_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select(explode_outer(tokens($"text")).as("t"))
+          .filter($"t".isNotNull && length($"t") >= 2)
+          .select(explode_outer(expr(
+            """transform(sequence(1, length(t) - 1),
+                 i -> concat(substring(t, i, 1), substring(t, i + 1, 1)))"""))
+            .as("pair"))
+          .groupBy($"pair")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"pair".asc)
+          .limit(20)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+          FROM documents),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, length(t)),
+                   i -> substr(t, CAST(i AS INT), 1) || substr(t, CAST(i + 1 AS INT), 1)))
+                 AS pair
+          FROM tok WHERE length(t) >= 2)
+        SELECT pair, COUNT(*) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 20"""),
+      doc = "BPE merge statistics: corpus-wide adjacent-pair counts, ranked candidates")
   )
 }
