@@ -76,4 +76,61 @@ object TextFunctions {
   /** Canonical fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016): learn `nMerges`
+    * byte-pair merges from the corpus. The classic driver-coordinated
+    * iterative shape (same family as the k-means and connected-components
+    * loops): each round is ONE distributed pass — adjacent-pair counts
+    * partially aggregated on 2-symbol keys, a top-1 argmax pulled to the
+    * driver (ties broken (count desc, left asc, right asc) so training
+    * is deterministic), then a map-only greedy left-to-right merge fold
+    * over every token's symbol array. Rounds are `localCheckpoint`ed so
+    * lineage stays flat across merges (reliable `checkpoint()` on a real
+    * cluster, as in clusterLabels). Returns `(left, right, count)` per
+    * learned merge, most-frequent first — the merge table a tokenizer
+    * ships with.
+    *
+    * Symbols must not contain single quotes (they are spliced into SQL
+    * lambdas); true for any whitespace-tokenized corpus since symbols
+    * are character concatenations of tokens.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String, Long)] = {
+    var repr = docs
+      .select(explode(tokens(col(textCol))).as("t"))
+      .filter(col("t").isNotNull && length(col("t")) >= 1)
+      .select(expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")
+        .as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var round = 0
+    while (round < nMerges) {
+      val top = repr.select(explode_outer(expr(
+        """CASE WHEN size(syms) >= 2
+             THEN transform(sequence(1, size(syms) - 1),
+               i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))
+             ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"""))
+        .as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) return merges.toSeq
+      val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      require(!a.contains("'") && !b.contains("'"), s"unquotable symbol: $a|$b")
+      merges += ((a, b, n))
+      // greedy non-overlapping left-to-right application: a freshly
+      // merged symbol differs from `a`, so it cannot chain-merge with
+      // the next character in the same round (BPE's contract)
+      repr = repr.withColumn("syms", expr(
+        s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+              (acc, x) -> CASE
+                WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b'
+                  THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
+                ELSE concat(acc, array(x)) END)"""))
+        .localCheckpoint()
+      round += 1
+    }
+    merges.toSeq
+  }
 }

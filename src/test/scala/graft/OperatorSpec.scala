@@ -393,6 +393,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(line._2 != null && line._2.nonEmpty)
   }
 
+  test("bpeTrain learns the classic merges on the Sennrich example corpus") {
+    // low×5, lower×2, newest×6, widest×3 — hand-derived pair counts give
+    // merges: (e,s,9) [ties (e,s)/(s,t) at 9, left-asc wins], then
+    // (es,t,9), then (l,o,7) [ties (l,o)/(o,w) at 7]
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val merges = TextFunctions.bpeTrain(docs, "text", 3)
+    assert(merges == Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L)),
+      s"got $merges")
+    // determinism: a second run learns the identical table
+    assert(TextFunctions.bpeTrain(docs, "text", 3) == merges)
+    // repeated-letter safety: greedy non-overlapping merge on "aaaa"
+    // counts (a,a)=3 occurrences but merges only twice per word
+    val rep = TextFunctions.bpeTrain(Seq("aaaa aaaa").toDF("text"), "text", 2)
+    assert(rep.head == ("a", "a", 6L), s"got $rep")
+    assert(rep(1) == ("aa", "aa", 2L), s"got $rep")
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
