@@ -453,10 +453,14 @@ object DocsisQueries {
             .repartitionByRange(4, $"user_id")
             .sortWithinPartitions($"user_id"), m)
         }
-        val (touched, total) = t.pruneReport($"user_id" === 42L)
+        // takedown target = the smallest user id — exists at every SF
+        // (a fixed id is absent from the small smoke corpus); one
+        // driver-side scalar, same as the oracle's subquery
+        val target = ev.agg(min($"user_id")).head().getLong(0)
+        val (touched, total) = t.pruneReport($"user_id" === target)
         require(touched < total,
           s"stats pruned nothing: $touched/$total files touched at $dir")
-        val deleted = t.deleteWhere($"user_id" === 42L)
+        val deleted = t.deleteWhere($"user_id" === target)
         require(deleted > 0, s"nothing deleted at $dir")
         t.read()
           .groupBy($"event_type")
@@ -469,17 +473,18 @@ object DocsisQueries {
         SELECT event_type, COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users,
                MIN(user_id) AS min_user, MAX(user_id) AS max_user
-        FROM events WHERE user_id <> 42
+        FROM events WHERE user_id <> (SELECT MIN(user_id) FROM events)
         GROUP BY event_type ORDER BY event_type"""),
       doc = "targeted delete: stats-pruned part rewrite (lightweight DELETE / GDPR)"),
 
     // ------------------------------------------------------------------
     // dx16: BLOOM skip-index point lookup (ClickHouse bloom_filter
-    // secondary index): events are HASH-clustered on user_id — every
-    // part's [min,max] then spans the whole user domain, so min/max
-    // stats prune NOTHING (asserted) — while each part's Bloom sidecar
-    // proves which parts cannot hold the probed user, collapsing the
-    // point lookup to (almost always) one part of eight. The oracle
+    // secondary index): events are HASH-clustered on user_id, so parts
+    // hold interleaved key subsets whose [min,max] mostly straddle any
+    // interior probe — min/max stats keep those parts, while each
+    // part's Bloom sidecar proves which ones cannot hold the probed
+    // user, collapsing the point lookup to (almost always) one part of
+    // eight. The require asserts blooms prune STRICTLY beyond stats. The oracle
     // hash-checks the read-back rows, so the pruned path must also be
     // exactly correct, Bloom false positives included (they cost a
     // read, never a row — readWhere re-applies the predicate in full).
@@ -494,16 +499,24 @@ object DocsisQueries {
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("date", to_date($"ts"))
         t.append(ev.repartition(8, $"user_id"), 0)
-        val probe = $"user_id" === 42L
+        // probe the MEDIAN distinct user: exists at every SF and lies
+        // inside most parts' hash-interleaved [min,max] — unlike a fixed
+        // id (absent from the smoke corpus) or the extreme ids (which
+        // min/max stats would prune on their own)
+        val w = Window.orderBy($"user_id")
+        val users = ev.select($"user_id").distinct()
+        val half = (users.count() / 2 + 1).toInt
+        val probeUser = users.withColumn("rn", row_number().over(w))
+          .filter($"rn" === half).head().getLong(0)
+        val probe = $"user_id" === probeUser
         val files = t.snapshot().files
         val (statTouched, total) =
           (files.count(f =>
             !graft.storage.StatsPruning.canPrune(probe, f.stats)), files.size)
-        require(statTouched == total,
-          s"hash clustering should defeat min/max stats ($statTouched/$total)")
         val (touched, _) = t.pruneReport(probe)
-        require(touched < total,
-          s"bloom pruned nothing: $touched/$total files touched at $dir")
+        require(touched < statTouched,
+          s"bloom must prune strictly beyond min/max stats " +
+            s"(bloom $touched vs stats $statTouched of $total) at $dir")
         t.readWhere(probe)
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), min($"event_id").as("min_event"),
@@ -513,7 +526,11 @@ object DocsisQueries {
       Some("""
         SELECT event_type, COUNT(*) AS n,
                MIN(event_id) AS min_event, MAX(event_id) AS max_event
-        FROM events WHERE user_id = 42
+        FROM events WHERE user_id = (
+          SELECT user_id FROM (
+            SELECT user_id, ROW_NUMBER() OVER (ORDER BY user_id) AS rn
+            FROM (SELECT DISTINCT user_id FROM events) u) t
+          WHERE rn = (SELECT COUNT(DISTINCT user_id) FROM events) // 2 + 1)
         GROUP BY event_type ORDER BY event_type"""),
       doc = "bloom skip-index point lookup: hash-clustered key, sidecar-pruned read"),
 
