@@ -581,7 +581,48 @@ object DocsisQueries {
                COUNT(DISTINCT user_id) AS exact_users,
                TRUE AS est_within_5pct
         FROM events GROUP BY 1 ORDER BY week"""),
-      doc = "aggregate-state storage: stored HLL states merged at read (uniqState/uniqMerge)")
+      doc = "aggregate-state storage: stored HLL states merged at read (uniqState/uniqMerge)"),
+
+    // ------------------------------------------------------------------
+    // dx18: SPEC-COMPLIANCE report — the alerting query a DOCSIS
+    // dashboard actually runs against this schema: per snapshot, count
+    // downstream channels outside the public DOCSIS 3.1 operating
+    // envelope (receive power within ±15 dBmV; MER/SNR ≥ 30 dB for
+    // QAM256, ≥ 24 dB for OFDM PLC) and channels showing the signed
+    // counter-overflow artifact the reference stores counters signed
+    // FOR (tables.sql:19 — negative uncorrected counts). All checks
+    // run as in-row higher-order filters over the nested channel
+    // array — no explode, no shuffle before the final sort.
+    QueryDef(
+      "dx18_spec_compliance",
+      (s, _) => {
+        import s.implicits._
+        parsed(s)
+          .select($"modem_name", $"timestamp",
+            size($"downstream_channels").cast("long").as("n_channels"),
+            expr("""size(filter(downstream_channels,
+                      c -> c.power < -15.0 OR c.power > 15.0))""")
+              .cast("long").as("n_power_viol"),
+            expr("""size(filter(downstream_channels,
+                      c -> (c.modulation = 'QAM256' AND c.snr < 30.0) OR
+                           (c.modulation = 'OFDM PLC' AND c.snr < 24.0)))""")
+              .cast("long").as("n_snr_viol"),
+            expr("""size(filter(downstream_channels,
+                      c -> c.uncorrected_errors < 0))""")
+              .cast("long").as("n_counter_overflow"),
+            expr("""array_min(transform(downstream_channels, c -> c.snr))""")
+              .as("worst_snr"))
+          .orderBy($"timestamp", $"modem_name")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:00', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(CAST(40.0 AS DOUBLE) AS REAL)),
+          ('MB8600', TIMESTAMP '2024-03-01 00:00:10', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(CAST(20.0 AS DOUBLE) AS REAL)),
+          ('attic',  TIMESTAMP '2024-03-01 00:00:20', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(CAST(40.0 AS DOUBLE) AS REAL)),
+          ('MB8600', TIMESTAMP '2024-03-02 00:00:40', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(CAST(20.0 AS DOUBLE) AS REAL))
+        ) AS t(modem_name, timestamp, n_channels, n_power_viol, n_snr_viol, n_counter_overflow, worst_snr)
+        ORDER BY timestamp, modem_name"""),
+      doc = "DOCSIS spec-compliance report: out-of-envelope channels + counter overflow, in-row")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,
