@@ -412,6 +412,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(rep(1) == ("aa", "aa", 2L), s"got $rep")
   }
 
+  test("d19 persisted-index path equals d13 recompute path row-for-row") {
+    val recompute = QueryDef.registry.find(_.name == "d13_incremental_dedup").get
+      .build(spark, sfDir).collect()
+    val indexed = QueryDef.registry.find(_.name == "d19_index_backed_dedup").get
+      .build(spark, sfDir).collect()
+    assert(recompute.sameElements(indexed),
+      "stored-index dedup diverged from the recompute path")
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)

@@ -297,6 +297,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "vocabulary scalar not broadcast")
   }
 
+  test("dx18 compliance checks run in-row: no explode, no pre-sort exchange") {
+    val p = plan("dx18_spec_compliance")
+    assert(!p.contains("Generate"), s"channel array was exploded:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected only the ORDER BY exchange:\n$p")
+  }
+
   test("q62 sequence fold is one shuffle + map-side aggregate lambda") {
     val p = plan("q62_sequence_count")
     // one exchange for the groupBy(user), one for the final ORDER BY
