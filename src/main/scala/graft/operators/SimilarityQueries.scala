@@ -764,6 +764,46 @@ object SimilarityQueries {
                    FROM scored)
         SELECT qid, vec_id, cosine, CAST(rk AS BIGINT) AS lsh_rank
         FROM ranked WHERE rk <= 3 ORDER BY qid, lsh_rank"""),
-      doc = "LSH batch retrieval: banded index probed by a broadcast query set")
+      doc = "LSH batch retrieval: banded index probed by a broadcast query set"),
+
+    // ------------------------------------------------------------------
+    // s13: FILTERED ANN — attribute-constrained similarity search (the
+    // "pre-filter vs post-filter" problem every vector store names):
+    // top-10 by cosine among ONLY the corpus vectors sharing the query's
+    // `label`. Here the filter is applied BEFORE scoring (pre-filter:
+    // exact, no recall loss, cheapest when the predicate is selective —
+    // the label cuts the corpus ~10×); post-filtering an unconstrained
+    // top-k would UNDER-fill k whenever the label is selective. At
+    // scale the label becomes a partition/bucket column of the IVF or
+    // LSH index so the predicate prunes index partitions at plan time —
+    // the same partition-pruning machinery every other query here uses.
+    QueryDef(
+      "s13_filtered_ann",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" === 0)
+          .select($"embedding".as("qv"), $"label".as("qlabel"))
+        emb.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .filter($"label" === $"qlabel")
+          .select($"vec_id", $"label",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH q AS (SELECT embedding AS qv, label AS qlabel
+                   FROM embeddings WHERE vec_id = 0),
+        pairs AS (SELECT e.vec_id, e.label,
+                         unnest(e.embedding) AS x, unnest(q.qv) AS y
+                  FROM embeddings e CROSS JOIN q
+                  WHERE e.vec_id <> 0 AND e.label = q.qlabel),
+        dots AS (SELECT vec_id, label,
+                        ${oCosineSums()}
+                 FROM pairs GROUP BY vec_id, label)
+        SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
+      doc = "filtered ANN: attribute-constrained top-k (pre-filter, no recall loss)")
   )
 }
