@@ -1131,7 +1131,9 @@ object TextQueries {
             lit("\",\"text\":\""), esc("text"), lit("\"}")))
           .groupBy($"shard_id")
           .agg(count(lit(1)).as("n_lines"),
-            (sum(length($"line")) + count(lit(1))).cast("long").as("n_bytes"),
+            // octet_length, not length: byte sizes must stay correct for
+            // non-ASCII corpora (chars == bytes only happens to hold here)
+            (sum(octet_length($"line")) + count(lit(1))).cast("long").as("n_bytes"),
             md5(concat_ws("\n", array_sort(collect_list($"line"))))
               .as("content_md5"))
           .orderBy($"shard_id")
@@ -1148,7 +1150,7 @@ object TextQueries {
                      replace(replace(text, '\', '\\'), '"', '\"') || '"}' AS line
               FROM hx)
         SELECT shard_id, COUNT(*) AS n_lines,
-               CAST(SUM(length(line)) + COUNT(*) AS BIGINT) AS n_bytes,
+               CAST(SUM(octet_length(encode(line))) + COUNT(*) AS BIGINT) AS n_bytes,
                md5(string_agg(line, chr(10) ORDER BY line)) AS content_md5
         FROM l GROUP BY shard_id ORDER BY shard_id"""),
       doc = "byte-exact JSONL shard export: reproducible artifact fingerprints"),
