@@ -90,9 +90,11 @@ object TextFunctions {
     * learned merge, most-frequent first — the merge table a tokenizer
     * ships with.
     *
-    * Symbols must not contain single quotes (they are spliced into SQL
-    * lambdas); true for any whitespace-tokenized corpus since symbols
-    * are character concatenations of tokens.
+    * Learned symbols are spliced into SQL lambdas as string literals,
+    * so both backslashes and single quotes are escaped first — Spark's
+    * SQL parser processes backslash escapes inside literals, and an
+    * unescaped `\` in a corpus token would swallow the closing quote
+    * (corrupted merges or an AnalysisException).
     */
   def bpeTrain(docs: DataFrame, textCol: String,
       nMerges: Int): Seq[(String, String, Long)] = {
@@ -117,16 +119,17 @@ object TextFunctions {
         .limit(1).collect()
       if (top.isEmpty) return merges.toSeq
       val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      require(!a.contains("'") && !b.contains("'"), s"unquotable symbol: $a|$b")
       merges += ((a, b, n))
+      def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+      val (ea, eb) = (esc(a), esc(b))
       // greedy non-overlapping left-to-right application: a freshly
       // merged symbol differs from `a`, so it cannot chain-merge with
       // the next character in the same round (BPE's contract)
       repr = repr.withColumn("syms", expr(
         s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
               (acc, x) -> CASE
-                WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b'
-                  THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
+                WHEN size(acc) > 0 AND element_at(acc, -1) = '$ea' AND x = '$eb'
+                  THEN concat(slice(acc, 1, size(acc) - 1), array('$ea$eb'))
                 ELSE concat(acc, array(x)) END)"""))
         .localCheckpoint()
       round += 1

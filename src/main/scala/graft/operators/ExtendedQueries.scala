@@ -1259,6 +1259,20 @@ object ExtendedQueries {
             expr("transform(sequence(1, size(qty)), i -> CAST(i AS BIGINT))")
               .as("enumerated"),
             expr("aggregate(qty, 0L, (a, x) -> a + x)").as("total"))
+          // The driver's comparator sorts every column in pandas; raw
+          // array columns are unhashable there. Serialize each array to
+          // its canonical CSV string (bit-identical to DuckDB's
+          // array_to_string) so the battery gets a real hash check
+          // instead of a harness crash.
+          .select($"o_orderkey",
+            expr("concat_ws(',', cast(qty as array<string>))").as("qty"),
+            expr("concat_ws(',', cast(cum as array<string>))").as("cum"),
+            expr("concat_ws(',', cast(diff as array<string>))").as("diff"),
+            expr("concat_ws(',', cast(compacted as array<string>))")
+              .as("compacted"),
+            expr("concat_ws(',', cast(enumerated as array<string>))")
+              .as("enumerated"),
+            $"total")
           .orderBy($"o_orderkey")
       },
       Some("""
@@ -1267,7 +1281,8 @@ object ExtendedQueries {
                  list(CAST(l_quantity AS BIGINT)
                       ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qty
           FROM lineitem WHERE l_orderkey % 100 = 0
-          GROUP BY l_orderkey)
+          GROUP BY l_orderkey),
+        battery AS (
         SELECT o_orderkey, qty,
                list_transform(range(1, len(qty) + 1),
                  i -> list_sum(qty[1:i])) AS cum,
@@ -1276,7 +1291,15 @@ object ExtendedQueries {
                list_filter(qty, (x, i) -> i = 1 OR x <> qty[i-1]) AS compacted,
                range(1, len(qty) + 1) AS enumerated,
                CAST(list_sum(qty) AS BIGINT) AS total
-        FROM arr ORDER BY o_orderkey"""),
+        FROM arr)
+        SELECT o_orderkey,
+               array_to_string(qty, ',') AS qty,
+               array_to_string(cum, ',') AS cum,
+               array_to_string(diff, ',') AS diff,
+               array_to_string(compacted, ',') AS compacted,
+               array_to_string(enumerated, ',') AS enumerated,
+               total
+        FROM battery ORDER BY o_orderkey"""),
       doc = "array analytics battery: cumsum/difference/compact/enumerate via lambdas"),
 
     // ------------------------------------------------------------------

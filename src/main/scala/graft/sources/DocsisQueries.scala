@@ -414,14 +414,18 @@ object DocsisQueries {
         val keys = merged.select($"date", $"l_returnflag", $"l_linestatus")
         require(keys.count() == keys.distinct().count(),
           s"summing merge left duplicate keys at $dir")
+        // House convention (CoreQueries.dsum): decimal-exact internally,
+        // final cast("double") at the boundary so the driver's hasher
+        // sees the same physical type as the oracle. Quantities are
+        // integer-valued, so double is exact here.
         merged.groupBy($"l_returnflag", $"l_linestatus")
-          .agg(sum($"qty").cast(DecimalType(18, 2)).as("sum_qty"),
+          .agg(sum($"qty").cast(DecimalType(18, 2)).cast("double").as("sum_qty"),
             sum($"n").as("n_items"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_qty,
                COUNT(*) AS n_items
         FROM lineitem

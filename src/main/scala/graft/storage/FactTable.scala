@@ -253,6 +253,16 @@ class FactTable(val root: String, spark: SparkSession,
     // a file removed at version v was last live at v-1; it is needed by
     // some retained snapshot iff v > keepFrom
     val victims = removedAt.collect { case (p, v) if v <= keepFrom => p }
+    victims.foreach { p =>
+      // bloom sidecars live next to the data, outside the log — reclaim
+      // them (and their lazy-loaded cache entries) with their part, or a
+      // bloom-indexed table leaks one orphan per indexed column per
+      // rewritten part forever
+      bloomCols.foreach { c =>
+        fs.delete(new Path(p + ".bloom." + c), false)
+        bloomCache.remove(p + ".bloom." + c)
+      }
+    }
     victims.count(p => fs.delete(new Path(p), false))
   }
 
@@ -407,7 +417,11 @@ class FactTable(val root: String, spark: SparkSession,
       StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f))
     if (victims.isEmpty) return 0L
     val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
-    val kept = readFiles(victims).filter(!cond)
+    // DELETE semantics: remove only rows where cond is TRUE. A bare
+    // filter(!cond) would also drop NULL-evaluating rows (NOT NULL = NULL
+    // filters the row) — and only in the parts selected for rewrite,
+    // making the outcome file-layout-dependent. coalesce keeps them.
+    val kept = readFiles(victims).filter(!coalesce(cond, lit(false)))
     kept.write.partitionBy(partitionCol).mode("overwrite")
       .parquet(target.toString)
     beforeCommit()
@@ -570,13 +584,33 @@ class FactTable(val root: String, spark: SparkSession,
     * is PROVEN absent from the part by its Bloom sidecar. Conservative:
     * missing sidecar / non-equality predicates never prune; a Bloom
     * "maybe" keeps the file (false positives cost a read, never a row).
+    * The probe value's JVM type must match the indexed column's stat
+    * type (mirroring StatsPruning.toCmp): a type-mismatched probe such
+    * as `$"user_id" === "42"` — which Spark's analyzer coerces so real
+    * rows DO match — would call mightContainString against a long-built
+    * bloom and always report absent, wrongly pruning live rows.
     */
   private def bloomPruned(cond: org.apache.spark.sql.Column,
       f: FileEntry): Boolean =
     bloomCols.nonEmpty && StatsPruning.equalityProbes(cond).exists {
       case (attr, v) => bloomCols.contains(attr) &&
+        probeMatchesStatType(f, attr, v) &&
         bloomOf(f.path, attr).exists(bf =>
           scala.util.Try(!bf.mightContain(v)).getOrElse(false))
+    }
+
+  /** Probe/column type agreement gate for the bloom path. No recorded
+    * stat for the column (rare: bloom-indexed columns are primitives
+    * with footer stats) also means "don't trust the probe" — skip.
+    */
+  private def probeMatchesStatType(f: FileEntry, attr: String,
+      v: Any): Boolean =
+    f.stats.get(attr).exists { cs =>
+      (cs.typ, v) match {
+        case ("long", _: Long | _: Int | _: Short | _: Byte) => true
+        case ("string", _: String) => true
+        case _ => false // double blooms unsupported; mismatch = no prune
+      }
     }
 }
 

@@ -409,6 +409,65 @@ class FactTableSpec extends AnyFunSuite {
     assert((before -- after).size == 1)
   }
 
+  test("deleteWhere keeps rows where the predicate evaluates to NULL") {
+    val t = freshTable()
+    // fw_version is NULL for m1 rows — DELETE WHERE fw_version = 'bad'
+    // must remove only TRUE rows; NULL-evaluating rows stay (3VL)
+    val df = rows(3, "2024-03-01", "m1").withColumn("fw_version",
+      lit(null).cast("string"))
+      .unionByName(rows(2, "2024-03-01", "m2").withColumn("fw_version", lit("bad")))
+      .unionByName(rows(4, "2024-03-01", "m3").withColumn("fw_version", lit("ok")))
+    t.append(df.coalesce(1), 0)
+    assert(t.deleteWhere($"fw_version" === "bad") == 2L)
+    val left = t.read()
+    assert(left.count() == 7)
+    assert(left.filter($"fw_version".isNull).count() == 3,
+      "NULL-predicate rows must survive a DELETE")
+  }
+
+  test("bloom probe with mismatched literal type never prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("fact_bloom3").toString
+    val t = new FactTable(dir, spark, bloomCols = Seq("uptime"))
+    t.append(rows(3, "2024-03-01", "m1").coalesce(1), 0)
+    t.append(rows(3, "2024-03-02", "m2").withColumn("uptime", $"uptime" + 100L)
+      .coalesce(1), 1)
+    // analyzer coerces "$uptime === '2'" so real rows match — the bloom
+    // (built on longs) must NOT be probed with the string, or it would
+    // report absent and wrongly drop the part holding uptime=2
+    val probe = $"uptime" === "2"
+    assert(t.pruneReport(probe)._1 == 2, "type-mismatched probe must keep all parts")
+    assert(t.readWhere(probe).count() == 1)
+    // matched-type probe still prunes (guard is a gate, not a disable)
+    assert(t.pruneReport($"uptime" === 2L)._1 == 1)
+  }
+
+  test("vacuum reclaims bloom sidecars and cache entries with their parts") {
+    val dir = java.nio.file.Files.createTempDirectory("fact_bloom_vac").toString
+    val t = new FactTable(dir, spark, bloomCols = Seq("modem_name"))
+    (0 until 3).foreach(i => t.append(rows(4, "2024-03-01", s"m$i").coalesce(1), i))
+    def sidecars() = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        // skip Hadoop's .crc checksum shadows (deleted with their file)
+        if (p.toString.contains(".bloom.") &&
+            !p.getFileName.toString.startsWith(".")) out += p.toString
+      }
+      out.toSeq
+    }
+    assert(sidecars().size == 3)
+    t.compact() // rewrites all three parts into one base generation
+    val afterCompact = sidecars().size // old 3 + new base part sidecars
+    assert(afterCompact > 3)
+    t.vacuum()
+    // only the live base parts' sidecars remain — no orphans
+    // log paths carry the fs scheme (file:/tmp/...), the nio walk doesn't
+    val live = t.snapshot().files.map(_.path.stripPrefix("file:")).toSet
+    val remaining = sidecars()
+    assert(remaining.size == afterCompact - 3)
+    assert(remaining.forall(s => live.exists(p => s.startsWith(p))),
+      s"orphan sidecars left behind: $remaining")
+  }
+
   test("concurrent appends: version-race loser retries and both commits land") {
     val root = java.nio.file.Files.createTempDirectory("fact_cc").toString
     val other = new FactTable(root, spark)

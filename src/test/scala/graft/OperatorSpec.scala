@@ -410,6 +410,14 @@ class OperatorSpec extends AnyFunSuite {
     val rep = TextFunctions.bpeTrain(Seq("aaaa aaaa").toDF("text"), "text", 2)
     assert(rep.head == ("a", "a", 6L), s"got $rep")
     assert(rep(1) == ("aa", "aa", 2L), s"got $rep")
+    // SQL-metacharacter symbols: backslashes and quotes are escaped when
+    // spliced into the merge lambda — an unescaped \ would swallow the
+    // literal's closing quote and corrupt or crash the round
+    val meta = TextFunctions.bpeTrain(
+      Seq("""a\b a\b a\b c'd c'd""").toDF("text"), "text", 2)
+    // (a,\) and (\,b) tie at 3; left-asc tiebreak: "\" (0x5C) < "a"
+    assert(meta.head == ("\\", "b", 3L), s"got $meta")
+    assert(meta(1) == ("a", "\\b", 3L), s"got $meta")
   }
 
   test("d19 persisted-index path equals d13 recompute path row-for-row") {
