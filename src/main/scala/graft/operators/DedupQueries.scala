@@ -134,6 +134,49 @@ object DedupQueries {
     */
   val maxShingleDf = 100
 
+  /** Max documents an LSH/blocking bucket may hold before the pair
+    * expansion skips it (hot-bucket guard; identical in the oracle).
+    * A web crawl routinely lands 100k+ exact copies of one page in a
+    * single band bucket — in-row O(k²) expansion there would put 5×10⁹
+    * pairs on ONE task. Dropped buckets are exact-or-near-exact clones
+    * whose dedup belongs to the exact-hash pass (d01), the standard
+    * production split. Chosen far above any bucket sf0.001/sf0.01/sf0.1
+    * produce, so test results are unaffected.
+    */
+  val maxLshBucket = 1000
+
+  /** Bucket-bounded posting-list builder shared by every pair-expansion
+    * site (d03/d05/d07/d15/t05): group `rows` by `keys` and collect the
+    * `payload` list ONLY for buckets with 2..maxBucket members.
+    *
+    * The size guard runs COUNT-FIRST: a partial-aggregable count on the
+    * bucket key decides survivors, and a semi-join drops hot-bucket rows
+    * BEFORE any task materializes a member array — a post-collect_list
+    * `size(docs) <= cap` filter (the previous shape here) still builds
+    * the full hot array in one row first (a 10M-copy bucket = one
+    * multi-GB row) and only then throws it away. The count side is
+    * partial-aggregated (bytes per distinct bucket, not per row), and
+    * the semi-join + regrouping hash on the same keys, so the plan adds
+    * no unbounded state anywhere. Skipped-bucket counts are published as
+    * a named observe() metric (`<metric>.dropped_hot_buckets`) so a
+    * pipeline can alert on silent coverage loss instead of guessing.
+    */
+  def boundedPostingLists(rows: DataFrame, keys: Seq[String],
+      payload: org.apache.spark.sql.Column, maxBucket: Int,
+      metric: String): DataFrame = {
+    val n = "__graft_bucket_n"
+    val kc = keys.map(col)
+    val sized = rows.groupBy(kc: _*).agg(count(lit(1)).as(n))
+      .observe(metric,
+        sum(when(col(n) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_hot_buckets"))
+      .filter(col(n) > 1 && col(n) <= maxBucket)
+      .select(kc: _*)
+    rows.join(sized, keys, "left_semi")
+      .groupBy(kc: _*)
+      .agg(sort_array(collect_list(payload)).as("docs"))
+  }
+
   /** corpus → (doc_id, 32-bit simhash), computed by exploding tokens and
     * hashing each token ONCE, with 32 ±1 partial sums per doc — the
     * per-row `TextFunctions.simhash32` form re-evaluates md5 over every
@@ -175,15 +218,15 @@ object DedupQueries {
   /** LSH candidate pairs (doc_a < doc_b), shared by d03 and d08: 4 bands
     * × 2 rows over the MinHash signature; docs sharing any band value are
     * candidates. One shuffle on the band value, pairs generated inside
-    * each bucket — no self-join, so the minhash subtree runs once.
+    * each bucket (bounded by `maxLshBucket`, count-first — see
+    * boundedPostingLists) — no self-join, so the minhash subtree runs
+    * once.
     */
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = bandsOf(minhashSignatures(s, dir))
-    bands
-      .groupBy($"band", $"bval")
-      .agg(sort_array(collect_list($"doc_id")).as("docs"))
-      .filter(size($"docs") > 1)
+    boundedPostingLists(bands, Seq("band", "bval"), $"doc_id",
+      maxLshBucket, "d03_hot_buckets")
       .select(explode_outer(expr(
         """flatten(transform(sequence(1, size(docs) - 1),
              i -> transform(sequence(0, i - 1),
@@ -370,10 +413,15 @@ object DedupQueries {
           UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
           UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
           UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig),
+        bsized AS (
+          SELECT band, bval FROM bands WHERE bval IS NOT NULL
+          GROUP BY band, bval
+          HAVING COUNT(*) > 1 AND COUNT(*) <= $maxLshBucket),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          JOIN bsized s ON s.band = a.band AND s.bval = a.bval
           WHERE a.bval IS NOT NULL)"""
 
   /** The shared recursive-CTE oracle computing the same `labels(doc_id,
@@ -591,10 +639,8 @@ object DedupQueries {
           .select($"doc_id", size($"sh_set").cast("long").as("n_sh"),
             explode_outer($"sh_set").as("shingle"))
           .filter($"shingle".isNotNull)
-        val pairs = sh
-          .groupBy($"shingle")
-          .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("docs"))
-          .filter(size($"docs") > 1 && size($"docs") <= maxShingleDf)
+        val pairs = boundedPostingLists(sh, Seq("shingle"),
+          struct($"doc_id", $"n_sh"), maxShingleDf, "d05_hot_buckets")
           .select(explode_outer(expr(
             """flatten(transform(sequence(1, size(docs) - 1),
                  i -> transform(sequence(0, i - 1),
@@ -720,10 +766,8 @@ object DedupQueries {
           ($"simhash" % 2048).as("b0"),
           (expr("simhash div 2048") % 2048).as("b1"),
           expr("simhash div 4194304").as("b2"))).as(Seq("band", "bval")))
-        val pairs = bands
-          .groupBy($"band", $"bval")
-          .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("docs"))
-          .filter(size($"docs") > 1 && size($"docs") <= 1000)
+        val pairs = boundedPostingLists(bands, Seq("band", "bval"),
+          struct($"doc_id", $"simhash"), maxLshBucket, "d07_hot_buckets")
           .select(explode_outer(expr(
             """flatten(transform(sequence(1, size(docs) - 1),
                  i -> transform(sequence(0, i - 1),
@@ -1024,10 +1068,8 @@ object DedupQueries {
           .select($"doc_id", size($"sh_set").cast("long").as("n_sh"),
             explode_outer($"sh_set").as("shingle"))
           .filter($"shingle".isNotNull)
-        val pairs = sh
-          .groupBy($"shingle")
-          .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("docs"))
-          .filter(size($"docs") > 1 && size($"docs") <= maxShingleDf)
+        val pairs = boundedPostingLists(sh, Seq("shingle"),
+          struct($"doc_id", $"n_sh"), maxShingleDf, "d15_hot_buckets")
           .select(explode_outer(expr(
             """flatten(transform(sequence(1, size(docs) - 1),
                  i -> transform(sequence(0, i - 1),

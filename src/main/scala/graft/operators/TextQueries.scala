@@ -134,12 +134,11 @@ object TextQueries {
       "t05_edit_distance_pairs",
       (s, dir) => {
         import s.implicits._
-        DedupQueries.corpus(s, dir)
+        val keyed = DedupQueries.corpus(s, dir)
           .select($"doc_id", expr("right(text, 16)").as("blk"),
             expr("left(text, 60)").as("head"))
-          .groupBy($"blk")
-          .agg(sort_array(collect_list(struct($"doc_id", $"head"))).as("docs"))
-          .filter(size($"docs") > 1 && size($"docs") <= 100)
+        DedupQueries.boundedPostingLists(keyed, Seq("blk"),
+          struct($"doc_id", $"head"), 100, "t05_hot_buckets")
           .select(explode_outer(expr(
             """flatten(transform(sequence(1, size(docs) - 1),
                  i -> transform(sequence(0, i - 1),

@@ -215,4 +215,46 @@ class ScaleSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(top == n.toLong, s"exact top-1 should be the planted near-copy, got $top")
   }
+
+  test("hot-bucket guard skips a 10k-copy bucket before any pair expansion") {
+    import graft.operators.DedupQueries
+    // a crawl-shaped pathology: 10k rows land in ONE bucket (10k exact
+    // copies of a page share every band value), plus two healthy buckets
+    val rows = spark.range(10000)
+      .select(lit("hot").as("bkey"), $"id".as("doc_id"))
+      .unionByName(Seq(("a", 1L), ("a", 2L), ("a", 3L),
+        ("b", 7L), ("b", 8L)).toDF("bkey", "doc_id"))
+    val obs = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var dropped = -1L
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        qe.observedMetrics.get("guard_hot_buckets")
+          .foreach(r => dropped = r.getAs[Long]("dropped_hot_buckets"))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(obs)
+    try {
+      val lists = DedupQueries.boundedPostingLists(rows, Seq("bkey"),
+        $"doc_id", maxBucket = 1000, metric = "guard_hot_buckets")
+      val got = lists.select($"bkey", $"docs").as[(String, Seq[Long])]
+        .collect().sortBy(_._1)
+      // the hot bucket is SKIPPED (never collected, never expanded) —
+      // 10k copies belong to the exact-dedup pass, not O(k²) pairing;
+      // healthy buckets are intact and sorted
+      assert(got.map(_._1).toSeq == Seq("a", "b"), s"got ${got.toSeq}")
+      assert(got(0)._2 == Seq(1L, 2L, 3L) && got(1)._2 == Seq(7L, 8L))
+      // count-first shape: the guard is a semi-join feeding the collect,
+      // so no task ever aggregates the 10k-row bucket into one array
+      val plan = lists.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"guard must pre-filter via semi-join, plan was:\n$plan")
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (obs.dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(obs.dropped == 1L,
+        s"dropped-bucket observe metric should report 1, got ${obs.dropped}")
+    } finally spark.listenerManager.unregister(obs)
+  }
 }
