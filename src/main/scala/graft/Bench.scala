@@ -57,8 +57,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val qps = if (total > 0) results.size / total else 0.0
+    // Separate buckets: the dx12-dx16 storage end-to-ends each write,
+    // merge, and re-read a whole temp FactTable — 3-5 s of filesystem
+    // work with ±30% run-to-run variance that would otherwise mask real
+    // query-engine regressions in the aggregate.
+    val storageE2e = Set("dx12_replacing_merge", "dx13_ttl_expiry",
+      "dx14_summing_merge", "dx15_targeted_delete", "dx16_bloom_point_lookup")
+    val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
+    val storS = stor.map(_._2).sum
+    val querS = quer.map(_._2).sum
     val extras = "\"input_rows\":" + inputRows +
-      ",\"queries_per_s\":" + qps
+      ",\"queries_per_s\":" + qps +
+      ",\"storage_e2e_s\":" + storS + ",\"storage_e2e_n\":" + stor.size +
+      ",\"query_s\":" + querS + ",\"query_n\":" + quer.size
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}""")
     spark.stop()
   }

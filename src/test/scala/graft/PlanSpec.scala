@@ -304,6 +304,21 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected only the ORDER BY exchange:\n$p")
   }
 
+  test("q65 recursion is an engine-planned UnionLoop with a keyed join per level") {
+    val p = plan("q65_recursive_cte")
+    // the fixpoint must be the engine's UnionLoop (iteration planned and
+    // executed by Catalyst), not a driver-side loop
+    assert(p.contains("UnionLoop") && p.contains("UnionLoopRef"),
+      s"expected engine-planned recursion, plan was:\n$p")
+    // each level joins the frontier on an EQUI key (c_custkey div 2 =
+    // custkey) — a Spark upgrade degrading this to a nested-loop /
+    // cartesian would turn log-n cheap levels into n² per level
+    assert(p.contains("Join Inner, ((c_custkey"),
+      s"per-level frontier join lost its equi-key, plan was:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"recursion body fell off the keyed-join path, plan was:\n$p")
+  }
+
   test("q62 sequence fold is one shuffle + map-side aggregate lambda") {
     val p = plan("q62_sequence_count")
     // one exchange for the groupBy(user), one for the final ORDER BY
