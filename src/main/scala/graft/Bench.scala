@@ -62,7 +62,11 @@ object Bench {
     // work with ±30% run-to-run variance that would otherwise mask real
     // query-engine regressions in the aggregate.
     val storageE2e = Set("dx12_replacing_merge", "dx13_ttl_expiry",
-      "dx14_summing_merge", "dx15_targeted_delete", "dx16_bloom_point_lookup")
+      "dx14_summing_merge", "dx15_targeted_delete", "dx16_bloom_point_lookup",
+      // s14 runs its offline index BUILD (clustering + two FactTable
+      // writes) inside the query body so the oracle can see the result;
+      // the search itself is a sub-100ms bucket probe.
+      "s14_ivf_stored_index")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

@@ -804,6 +804,78 @@ object SimilarityQueries {
                  FROM pairs GROUP BY vec_id, label)
         SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
-      doc = "filtered ANN: attribute-constrained top-k (pre-filter, no recall loss)")
+      doc = "filtered ANN: attribute-constrained top-k (pre-filter, no recall loss)"),
+
+    // ------------------------------------------------------------------
+    // s14: PERSISTED IVF index — the s-series analog of d19. The build
+    // phase runs s04's clustering ONCE and stores the index as tables
+    // (centroids + bucket-clustered vector assignments, FactTable-logged
+    // like any fact data); the search phase answers s04's query purely
+    // from the STORED index: the probe bucket comes from the persisted
+    // assignment, vectors come from the persisted bucket-clustered
+    // store, and the corpus is never re-clustered (no centroid
+    // cross-join, no per-vector argmin window — PlanSpec-asserted).
+    // This is the 100 TB serving shape: clustering is an offline build
+    // amortized over millions of queries; each query touches one
+    // bucket of a persisted index. Oracle = s04's (same index, same
+    // probe → identical top-5).
+    QueryDef(
+      "s14_ivf_stored_index",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        // ---- offline build (one-time; identical assignment to s02/s04)
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"embedding", $"cid",
+            round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .select($"vec_id", $"cid", $"embedding")
+        val dt = to_date(lit("2024-01-01"))
+        val idxT = new graft.storage.FactTable(java.nio.file.Files
+          .createTempDirectory("s14_ivf_idx").toString, s)
+        idxT.append(assigned.withColumn("date", dt), 0)
+        val centT = new graft.storage.FactTable(java.nio.file.Files
+          .createTempDirectory("s14_ivf_cent").toString, s)
+        centT.append(cents.withColumn("date", dt), 0)
+        // ---- online search: stored index only (appends above already
+        // ran eagerly, so the returned plan reads just these tables)
+        val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
+        val q = idx.filter($"vec_id" === 0)
+          .select($"cid".as("qcid"), $"embedding".as("qv"))
+        idx.join(broadcast(q), $"cid" === $"qcid")
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(5)
+      },
+      Some(s"""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        cpairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+                   FROM embeddings e CROSS JOIN cents c),
+        dists AS (SELECT vec_id, cid,
+                         ${oL2Sq("x", "y")} AS dist2_raw
+                  FROM cpairs GROUP BY vec_id, cid),
+        distsr AS (SELECT vec_id, cid, round(dist2_raw, 9) AS dist2 FROM dists),
+        assigned AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist2 ASC, cid ASC) AS rk
+                       FROM distsr) t WHERE rk = 1),
+        bucket AS (SELECT a.vec_id FROM assigned a
+                   WHERE a.cid = (SELECT cid FROM assigned WHERE vec_id = 0)
+                     AND a.vec_id <> 0),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+                  FROM embeddings e JOIN bucket b ON e.vec_id = b.vec_id, q),
+        dots AS (SELECT vec_id,
+                        ${oCosineSums()}
+                 FROM pairs GROUP BY vec_id)
+        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 5"""),
+      doc = "persisted IVF index: offline build, bucket-probed search with no re-clustering")
   )
 }

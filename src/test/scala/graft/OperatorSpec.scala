@@ -429,6 +429,15 @@ class OperatorSpec extends AnyFunSuite {
       "stored-index dedup diverged from the recompute path")
   }
 
+  test("s14 stored-index search equals s04 recompute search row-for-row") {
+    val recompute = QueryDef.registry.find(_.name == "s04_ivf_search").get
+      .build(spark, sfDir).collect()
+    val indexed = QueryDef.registry.find(_.name == "s14_ivf_stored_index").get
+      .build(spark, sfDir).collect()
+    assert(recompute.sameElements(indexed),
+      "stored-index ANN diverged from the recompute path")
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)

@@ -319,6 +319,19 @@ class PlanSpec extends AnyFunSuite {
       s"recursion body fell off the keyed-join path, plan was:\n$p")
   }
 
+  test("s14 stored-index search never re-clusters the corpus") {
+    val p = plan("s14_ivf_stored_index")
+    // the build phase ran eagerly into the stored tables; the SEARCH plan
+    // must touch only those — re-clustering would show up as the centroid
+    // cross-join (BroadcastNestedLoopJoin) + per-vector argmin Window
+    assert(!p.contains("Window"),
+      s"stored-index probe recomputed the argmin assignment:\n$p")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"stored-index probe re-ran the centroid cross-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "bucket probe should be a broadcast join")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
   test("q62 sequence fold is one shuffle + map-side aggregate lambda") {
     val p = plan("q62_sequence_count")
     // one exchange for the groupBy(user), one for the final ORDER BY
