@@ -1191,6 +1191,107 @@ object TextQueries {
         SELECT pair, COUNT(*) AS n
         FROM pairs GROUP BY pair
         ORDER BY n DESC, pair ASC LIMIT 20"""),
-      doc = "BPE merge statistics: corpus-wide adjacent-pair counts, ranked candidates")
+      doc = "BPE merge statistics: corpus-wide adjacent-pair counts, ranked candidates"),
+
+    // ------------------------------------------------------------------
+    // c08: DETERMINISTIC TRAINING-ORDER SHUFFLE — the data-order epoch
+    // shuffle every pre-training run needs, made reproducible: a doc's
+    // position is a pure function of (seed, doc_id), so the same corpus
+    // + the same seed yields the same order on any engine, any
+    // partitioning, any run (TABLESAMPLE/rand() never replays). The
+    // 100 TB shape: shard = leading hex of md5(seed:doc_id) — one
+    // nibble here (16 shards) so the per-shard windows are non-trivial
+    // on the 500-doc test corpus; at scale widen to 2-3 hex chars
+    // (256-4096 shards → that many parallel writers). Intra-shard
+    // position = a window PARTITIONED BY shard (never a global
+    // row_number, which would serialize the corpus through one task).
+    // Global order = (shard, pos), lexicographic. Probe rows
+    // (doc_id % 97 == 0) keep the oracle output small while the window
+    // still ranks every doc.
+    QueryDef(
+      "c08_training_order_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val h = md5(concat(lit("42:"), $"doc_id"))
+        val w = Window.partitionBy($"shard").orderBy($"h".asc, $"doc_id".asc)
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", h.as("h"))
+          .withColumn("shard", substring($"h", 1, 1))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .filter($"doc_id" % 97 === 0)
+          .select($"doc_id", $"shard", $"pos")
+          .orderBy($"shard".asc, $"pos".asc, $"doc_id".asc)
+      },
+      Some("""
+        WITH o AS (
+          SELECT doc_id,
+                 md5('42:' || doc_id) AS h,
+                 substr(md5('42:' || doc_id), 1, 1) AS shard
+          FROM documents),
+        p AS (
+          SELECT doc_id, shard,
+                 ROW_NUMBER() OVER (PARTITION BY shard
+                                    ORDER BY h ASC, doc_id ASC) AS pos
+          FROM o)
+        SELECT doc_id, shard, pos FROM p
+        WHERE doc_id % 97 = 0
+        ORDER BY shard ASC, pos ASC, doc_id ASC"""),
+      doc = "deterministic epoch shuffle: sharded md5 order, window per shard (no global sort)"),
+
+    // ------------------------------------------------------------------
+    // c09: TOKEN-BUDGET MIXTURE SAMPLING — build a training mixture by
+    // giving each source a token budget and taking documents, in the
+    // c08 deterministic-hash order, until the budget is spent (a doc is
+    // kept iff the cumulative token count THROUGH it stays <= budget;
+    // the crossing doc is dropped). This is how mixtures are actually
+    // materialized at 100 TB: the cumulative sum is a window
+    // PARTITIONED BY source — each stratum scans in parallel, nothing
+    // global — and the hash order makes every run reproducible so the
+    // sampled corpus is auditable. Output: per-source kept-doc and
+    // kept-token counts + budget utilization in integer basis points
+    // (exact arithmetic; a double ratio here hits the engines'
+    // round-half-on-double divergence, e.g. 1657/20000).
+    QueryDef(
+      "c09_token_budget_mixture",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val budget = 20000L
+        val w = Window.partitionBy($"source")
+          .orderBy($"h".asc, $"doc_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source",
+            md5(concat(lit("42:"), $"doc_id")).as("h"),
+            size(tokens($"text")).cast("long").as("n_toks"))
+          .withColumn("cum", sum($"n_toks").over(w))
+          .filter($"cum" <= budget)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum($"n_toks").as("toks_kept"),
+            expr(s"(sum(n_toks) * 10000L) div ${budget}L").as("budget_used_bp"))
+          .orderBy($"source".asc)
+      },
+      Some("""
+        WITH o AS (
+          SELECT doc_id, source,
+                 md5('42:' || doc_id) AS h,
+                 CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                      AS BIGINT) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_toks,
+                 SUM(n_toks) OVER (PARTITION BY source
+                                   ORDER BY h ASC, doc_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+          FROM o)
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(n_toks) AS BIGINT) AS toks_kept,
+               CAST(SUM(n_toks) * 10000 // 20000 AS BIGINT) AS budget_used_bp
+        FROM c WHERE cum <= 20000
+        GROUP BY source ORDER BY source ASC"""),
+      doc = "token-budget mixture: per-source budgeted take in deterministic hash order")
   )
 }

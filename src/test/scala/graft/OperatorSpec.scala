@@ -438,6 +438,54 @@ class OperatorSpec extends AnyFunSuite {
       "stored-index ANN diverged from the recompute path")
   }
 
+  test("c08 shuffle: deterministic replay, dense per-shard positions") {
+    val q = QueryDef.registry.find(_.name == "c08_training_order_shuffle").get
+    val a = q.build(spark, sfDir).collect()
+    val b = q.build(spark, sfDir).collect()
+    assert(a.nonEmpty && a.sameElements(b), "epoch shuffle must replay identically")
+    // full (unsampled) order: positions within each shard are exactly 1..n
+    val full = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", md5(concat(lit("42:"), $"doc_id")).as("h"))
+      .withColumn("shard", substring($"h", 1, 1))
+      .groupBy($"shard").count().as[(String, Long)].collect().toMap
+    val probe = a.map(r => (r.getAs[String]("shard"), r.getAs[Long]("pos")))
+    probe.foreach { case (sh, pos) =>
+      assert(pos >= 1 && pos <= full(sh), s"pos $pos outside shard $sh size ${full(sh)}")
+    }
+  }
+
+  test("c09 mixture: budget respected and maximal in hash order per source") {
+    val budget = 20000L
+    val kept = QueryDef.registry.find(_.name == "c09_token_budget_mixture").get
+      .build(spark, sfDir)
+      .select($"source", $"toks_kept", $"n_kept")
+      .as[(String, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    kept.foreach { case (src, toks, _) =>
+      assert(toks <= budget, s"$src blew its token budget: $toks")
+    }
+    // maximality: for each source, the next doc in hash order would cross
+    // the budget (greedy prefix property of the cumulative-sum filter)
+    val perDoc = Tables.load(spark, sfDir, "documents")
+      .select($"source", $"doc_id",
+        md5(concat(lit("42:"), $"doc_id")).as("h"),
+        size(TextFunctions.tokens($"text")).cast("long").as("n"))
+      .as[(String, Long, String, Long)].collect()
+      .groupBy(_._1).map { case (src, docs) =>
+        src -> docs.sortBy(d => (d._3, d._2)).map(_._4)
+      }
+    val keptBySrc = kept.map(k => k._1 -> (k._2, k._3)).toMap
+    perDoc.foreach { case (src, toksInOrder) =>
+      val (gotToks, gotN) = keptBySrc.getOrElse(src, (0L, 0L))
+      val cum = toksInOrder.scanLeft(0L)(_ + _).tail
+      val expectN = cum.takeWhile(_ <= budget).length
+      assert(gotN == expectN, s"$src kept $gotN docs, greedy prefix is $expectN")
+      if (expectN < toksInOrder.length)
+        assert(gotToks + toksInOrder(expectN) > budget,
+          s"$src could have kept the next doc — not maximal")
+    }
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
