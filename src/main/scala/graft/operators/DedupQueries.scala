@@ -177,6 +177,61 @@ object DedupQueries {
       .agg(sort_array(collect_list(payload)).as("docs"))
   }
 
+  /** In-row expansion of an id posting list (`docs` array) into ordered
+    * unique pairs — the d03 shape, factored so ScaleSpec can A/B it
+    * against [[saltedBucketPairs]] on identical inputs.
+    */
+  def pairsFromPostingLists(lists: DataFrame): DataFrame =
+    lists
+      .select(explode_outer(expr(
+        """flatten(transform(sequence(1, size(docs) - 1),
+             i -> transform(sequence(0, i - 1),
+               j -> struct(docs[j] AS doc_a, docs[i] AS doc_b))))"""))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+
+  /** ALTERNATIVE pair-generation shape: salted self-join on the bucket
+    * key. Where [[boundedPostingLists]]+[[pairsFromPostingLists]] caps a
+    * hot bucket (drops it to the exact-dedup pass), this path KEEPS every
+    * pair but distributes the O(k²) expansion: the left side carries one
+    * salt per row (`pmod(hash(id), salts)`), the right side is replicated
+    * once per salt lane, and the equi-join key becomes
+    * (bucket, salt) — so a k-row hot bucket becomes `salts` independent
+    * join partitions of k/salts × k work instead of ONE task
+    * materializing a k-element array and k²/2 in-row pairs. AQE skew-join
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) further
+    * splits any residual fat partition at runtime because the work now
+    * lives in a shuffle join, which AQE can re-plan — an in-row
+    * `collect_list` is invisible to it.
+    *
+    * Each qualifying pair (a < b, same bucket) matches EXACTLY the right
+    * replica whose lane equals a's salt, so no pair is duplicated within
+    * a bucket; `distinct()` dedupes across buckets as in the capped path.
+    *
+    * Cost model (measured in BASELINE.md): the replication multiplies the
+    * whole right side by `salts`, so on a HEALTHY corpus this path pays
+    * `salts`× the shuffle volume for no benefit — the capped in-row
+    * expansion wins. It is the right shape only when hot buckets must be
+    * paired exhaustively rather than dropped. Keep `salts` modest (8-32):
+    * it bounds per-task work at k²/salts pairs while the replicated
+    * shuffle stays linear in `salts`.
+    */
+  def saltedBucketPairs(rows: DataFrame, keys: Seq[String], idCol: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val left = rows.select(
+      keys.map(col) :+ col(idCol).as("__id_a") :+
+        pmod(hash(col(idCol)), lit(salts)).as("__salt"): _*)
+    val right = rows.select(
+      keys.map(k => col(k).as(s"__r_$k")) :+ col(idCol).as("__id_b"): _*)
+      .withColumn("__rsalt", explode(sequence(lit(0), lit(salts - 1))))
+    val cond = keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
+      col("__salt") === col("__rsalt") && col("__id_a") < col("__id_b")
+    left.join(right, cond)
+      .select(col("__id_a").as("doc_a"), col("__id_b").as("doc_b"))
+      .distinct()
+  }
+
   /** corpus → (doc_id, 32-bit simhash), computed by exploding tokens and
     * hashing each token ONCE, with 32 ±1 partial sums per doc — the
     * per-row `TextFunctions.simhash32` form re-evaluates md5 over every
@@ -225,14 +280,8 @@ object DedupQueries {
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = bandsOf(minhashSignatures(s, dir))
-    boundedPostingLists(bands, Seq("band", "bval"), $"doc_id",
-      maxLshBucket, "d03_hot_buckets")
-      .select(explode_outer(expr(
-        """flatten(transform(sequence(1, size(docs) - 1),
-             i -> transform(sequence(0, i - 1),
-               j -> struct(docs[j] AS doc_a, docs[i] AS doc_b))))"""))
-        .as("p"))
-      .select($"p.doc_a", $"p.doc_b").distinct()
+    pairsFromPostingLists(boundedPostingLists(bands, Seq("band", "bval"),
+      $"doc_id", maxLshBucket, "d03_hot_buckets"))
   }
 
   /** Connected-components labels over the LSH candidate graph: every doc

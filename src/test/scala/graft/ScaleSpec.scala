@@ -257,4 +257,42 @@ class ScaleSpec extends AnyFunSuite {
         s"dropped-bucket observe metric should report 1, got ${obs.dropped}")
     } finally spark.listenerManager.unregister(obs)
   }
+
+  test("salted self-join pair path: same pairs on healthy buckets, keeps + distributes a hot one") {
+    import graft.operators.DedupQueries
+    val healthy = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 7L), ("b", 8L),
+      ("c", 9L)).toDF("bkey", "doc_id")
+    def capped(df: org.apache.spark.sql.DataFrame) =
+      DedupQueries.pairsFromPostingLists(DedupQueries.boundedPostingLists(
+        df, Seq("bkey"), $"doc_id", maxBucket = 1000, metric = "ab_guard"))
+    def salted(df: org.apache.spark.sql.DataFrame) =
+      DedupQueries.saltedBucketPairs(df, Seq("bkey"), "doc_id", salts = 8)
+
+    // A/B equivalence where no bucket exceeds the cap
+    val a = capped(healthy).as[(Long, Long)].collect().toSet
+    val b = salted(healthy).as[(Long, Long)].collect().toSet
+    assert(a == Set((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L)))
+    assert(b == a, s"salted path diverged on healthy buckets: $b vs $a")
+
+    // crawl-shaped hot bucket: 3k copies of one page in a single bucket.
+    // The capped path DROPS it (pairs belong to the exact pass); the
+    // salted path KEEPS all C(3000,2) pairs, and the expansion runs as a
+    // (bkey, salt)-keyed shuffle join — 8 lanes instead of one in-row
+    // k² task, and visible to AQE skew splitting.
+    val hot = spark.range(3000)
+      .select(lit("hot").as("bkey"), ($"id" + 100L).as("doc_id"))
+      .unionByName(healthy)
+    assert(capped(hot).count() == 4L)
+    val saltedPairs = salted(hot)
+    assert(saltedPairs.count() == 3000L * 2999 / 2 + 4)
+    val plan = saltedPairs.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"),
+      s"salt lane must be part of the join key, plan was:\n$plan")
+    // each lane carries ~1/8 of the hot bucket's left side: the salt
+    // actually spreads the key, so no join partition owns the whole k
+    val leftLanes = hot.select(pmod(hash($"doc_id"), lit(8)).as("lane"))
+      .groupBy($"lane").count().as[(Int, Long)].collect().toMap
+    assert(leftLanes.size == 8 && leftLanes.values.max < 3006L / 4,
+      s"salting failed to spread the hot bucket: $leftLanes")
+  }
 }
