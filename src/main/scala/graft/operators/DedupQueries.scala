@@ -421,6 +421,59 @@ object DedupQueries {
       .select(col("new_id"), col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** MinHash band index rows `(doc_id, band, bval)` for an arbitrary
+    * `(doc_id, text)` batch — the rows a persisted band index stores
+    * per document (public for the streaming ingest path).
+    */
+  def bandIndexOf(docs: DataFrame): DataFrame = bandsOf(sigOf(docs))
+
+  /** Distinct shingle sets `(doc_id, so)` for an arbitrary batch — the
+    * verification half of the persisted index.
+    */
+  def shingleSetsOf(docs: DataFrame): DataFrame =
+    shingled(docs).select(col("doc_id"), array_distinct(col("sh")).as("so"))
+
+  /** Sequential (streaming-shaped) near-dup fold: batch k dedups against
+    * the index of SURVIVORS of batches 0..k-1 — exactly what the
+    * `foreachBatch` ingest path (streaming/DedupStream) produces, in
+    * batch form so the two can be asserted row-identical. Batch 0 seeds
+    * the index whole; a batch-k doc flagged dup is NOT indexed (the
+    * production rule — indexing dups would grow the index with garbage
+    * and chain dup_of references). Within-batch dups are deliberately
+    * not flagged here: that is the batch pass (d01/d03/d08), not the
+    * cross-batch stream's job. Returns (new_id, batch, dup_of, is_dup).
+    *
+    * Scale: per batch, one broadcast of the BATCH's bands against the
+    * big stored index (the d13/d19 core); survivors-only appends keep
+    * index growth equal to unique-content growth.
+    */
+  def sequentialDedupDecisions(batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty)
+    val first = batches.head.select(col("doc_id").as("new_id"),
+      lit(0).as("batch"), lit(null).cast("long").as("dup_of"),
+      lit(false).as("is_dup"))
+    var idxBands = bandIndexOf(batches.head)
+    var idxSets = shingleSetsOf(batches.head)
+    var out = first
+    batches.tail.zipWithIndex.foreach { case (b, i) =>
+      val dec = incrementalDedupFromIndex(
+        idxBands.withColumnRenamed("doc_id", "old_id"),
+        idxSets.withColumnRenamed("doc_id", "old_id"), b)
+        .select(col("new_id"), lit(i + 1).as("batch"), col("dup_of"),
+          col("is_dup"))
+      // fold state stays small at test SF; localCheckpoint would flatten
+      // lineage on a long stream (the streaming path has no such chain —
+      // its index lives in tables)
+      val survivors = b.join(
+        dec.filter(!col("is_dup")).select(col("new_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      idxBands = idxBands.unionByName(bandIndexOf(survivors))
+      idxSets = idxSets.unionByName(shingleSetsOf(survivors))
+      out = out.unionByName(dec)
+    }
+    out
+  }
+
   /** Paragraph-level exact substring dedup over `(doc_id, text)`: cut each
     * document into non-overlapping 10-token paragraphs, drop every
     * paragraph that already occurred at a lexicographically earlier
@@ -523,6 +576,68 @@ object DedupQueries {
         SELECT n.doc_id AS new_id, c.dup_of, c.dup_of IS NOT NULL AS is_dup
         FROM newc n LEFT JOIN conf c ON n.doc_id = c.new_id
         ORDER BY new_id"""
+
+  /** d20 oracle: the 3-batch sequential fold spelled out — batch 1
+    * dedups against batch 0, batch 2 against batch 0 ∪ batch-1
+    * survivors. Jaccard confirm and band probe are verbatim the
+    * d13/d19 core's.
+    */
+  private lazy val streamingDedupOracleSql: String = {
+    def confSql(name: String, cand: String, setsNew: String,
+        setsOld: String): String = s"""
+        $name AS (
+          SELECT new_id, MIN(old_id) AS dup_of FROM (
+            SELECT c.new_id, c.old_id,
+                   CAST(len(list_intersect(sn.so, so.so)) AS BIGINT) AS inter,
+                   CAST(len(sn.so) + len(so.so)
+                        - len(list_intersect(sn.so, so.so)) AS BIGINT) AS uni
+            FROM $cand c
+            JOIN $setsNew sn ON c.new_id = sn.doc_id
+            JOIN $setsOld so ON c.old_id = so.doc_id) x
+          WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+          GROUP BY new_id)"""
+    s"""
+        WITH corpus AS ($corpusSql),
+        b0c AS (SELECT doc_id, text FROM corpus WHERE doc_id % 3 = 0),
+        b1c AS (SELECT doc_id, text FROM corpus WHERE doc_id % 3 = 1),
+        b2c AS (SELECT doc_id, text FROM corpus WHERE doc_id % 3 = 2),
+        ${sigSqlOver("b0c", "b0")},
+        ${sigSqlOver("b1c", "b1")},
+        ${sigSqlOver("b2c", "b2")},
+        bands_b0 AS ${bandsSqlOver("sig_b0")},
+        bands_b1 AS ${bandsSqlOver("sig_b1")},
+        bands_b2 AS ${bandsSqlOver("sig_b2")},
+        sets_b0 AS (SELECT doc_id, list_distinct(sh) AS so FROM shi_b0),
+        sets_b1 AS (SELECT doc_id, list_distinct(sh) AS so FROM shi_b1),
+        sets_b2 AS (SELECT doc_id, list_distinct(sh) AS so FROM shi_b2),
+        cand1 AS (
+          SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          FROM bands_b1 n JOIN bands_b0 o
+            ON n.band = o.band AND n.bval = o.bval
+          WHERE n.bval IS NOT NULL),
+        ${confSql("conf1", "cand1", "sets_b1", "sets_b0")},
+        idx2b AS (SELECT * FROM bands_b0
+                  UNION ALL SELECT * FROM bands_b1
+                  WHERE doc_id NOT IN (SELECT new_id FROM conf1)),
+        idx2s AS (SELECT * FROM sets_b0
+                  UNION ALL SELECT * FROM sets_b1
+                  WHERE doc_id NOT IN (SELECT new_id FROM conf1)),
+        cand2 AS (
+          SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          FROM bands_b2 n JOIN idx2b o
+            ON n.band = o.band AND n.bval = o.bval
+          WHERE n.bval IS NOT NULL),
+        ${confSql("conf2", "cand2", "sets_b2", "idx2s")}
+        SELECT doc_id AS new_id, 0 AS batch,
+               CAST(NULL AS BIGINT) AS dup_of, FALSE AS is_dup FROM b0c
+        UNION ALL
+        SELECT n.doc_id, 1, c.dup_of, c.dup_of IS NOT NULL
+        FROM b1c n LEFT JOIN conf1 c ON n.doc_id = c.new_id
+        UNION ALL
+        SELECT n.doc_id, 2, c.dup_of, c.dup_of IS NOT NULL
+        FROM b2c n LEFT JOIN conf2 c ON n.doc_id = c.new_id
+        ORDER BY new_id"""
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1428,6 +1543,29 @@ object DedupQueries {
       },
       Some(incrementalDedupOracleSql),
       doc = "persisted-index dedup: stored MinHash index consumed, corpus never re-read"),
+
+    // ------------------------------------------------------------------
+    // d20: STREAMING ingest dedup, batch shadow — the corpus arrives as
+    // an ordered stream of 3 micro-batches (doc_id % 3; the +1M/+2M
+    // planted-copy offsets are ≡ 1,2 mod 3, so every planted dup lands
+    // in a DIFFERENT batch than its original); each batch dedups
+    // against the survivors-only index of all earlier batches via the
+    // d13/d19 core, and survivors' bands join the index. This fold is
+    // row-identical to the real foreachBatch path
+    // (streaming/DedupStream, StreamingSpec-asserted) — the inventory
+    // row oracle-checks the decision semantics, the spec pins the
+    // streaming plumbing to it.
+    QueryDef(
+      "d20_streaming_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = corpus(s, dir)
+        sequentialDedupDecisions(
+          (0 to 2).map(k => docs.filter($"doc_id" % 3 === k)))
+          .orderBy($"new_id")
+      },
+      Some(streamingDedupOracleSql),
+      doc = "streaming cross-batch dedup: per-batch decisions against a survivors-only index"),
 
     // ------------------------------------------------------------------
     // c07: DEDUP YIELD report — the number every pipeline publishes

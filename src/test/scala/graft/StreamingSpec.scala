@@ -247,4 +247,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(readBack().count() == 4)
     } finally q.stop()
   }
+
+  test("streaming ingest dedup equals the d20 batch fold; replay converges") {
+    import graft.operators.DedupQueries
+    import graft.storage.FactTable
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val docs = DedupQueries.corpus(spark, sfDir)
+    val batches = (0 to 2).map(k =>
+      docs.filter($"doc_id" % 3 === k).select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val bandsT = new FactTable(tmp("dd_bands_s"), spark)
+    val setsT = new FactTable(tmp("dd_sets_s"), spark)
+    val decsT = new FactTable(tmp("dd_decs_s"), spark)
+    val live = new graft.streaming.DedupIngest(bandsT, setsT, decsT)
+    val q = live.start(stream, tmp("dd_ckpt"))
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val streamed = decsT.read()
+        .select($"new_id", $"batch", $"dup_of", $"is_dup")
+        .as[(Long, Int, Option[Long], Boolean)].collect().sortBy(_._1)
+      val folded = DedupQueries.sequentialDedupDecisions(
+        (0 to 2).map(k => docs.filter($"doc_id" % 3 === k)))
+        .as[(Long, Int, Option[Long], Boolean)].collect().sortBy(_._1)
+      assert(streamed.length == folded.length && streamed.sameElements(folded),
+        "streaming decisions diverged from the d20 batch fold")
+      assert(streamed.count(_._4) > 0, "expected cross-batch dups to be flagged")
+      // crash-replay of the LAST batch (checkpoint rollback): decisions
+      // must not change even though its survivors are already indexed —
+      // the anti-join shield restores the pre-append view, and the
+      // txn-idempotent appends are no-ops
+      val before = decsT.read().count()
+      live.addBatch(batches(2).toDF("doc_id", "text"), 2L)
+      assert(decsT.read().count() == before, "replay must not re-append")
+      // shield semantics: even re-running batch 2 under a FRESH txn id
+      // (so the no-op guard can't hide anything) yields the same
+      // decisions, because the anti-join removes the batch's own indexed
+      // survivors from the dedup view — without it every survivor would
+      // now match itself
+      live.addBatch(batches(2).toDF("doc_id", "text"), 99L)
+      val shielded = decsT.read().filter($"batch" === 99)
+        .select($"new_id", $"dup_of", $"is_dup")
+        .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1)
+      val batch2 = streamed.filter(_._2 == 2).map(t => (t._1, t._3, t._4))
+      assert(shielded.sameElements(batch2),
+        "replay under a fresh txn changed decisions — anti-join shield broken")
+    } finally q.stop()
+  }
 }
