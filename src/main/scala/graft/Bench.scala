@@ -63,10 +63,12 @@ object Bench {
     // query-engine regressions in the aggregate.
     val storageE2e = Set("dx12_replacing_merge", "dx13_ttl_expiry",
       "dx14_summing_merge", "dx15_targeted_delete", "dx16_bloom_point_lookup",
-      // s14 runs its offline index BUILD (clustering + two FactTable
+      // s14/s15 run their offline index BUILD (clustering + FactTable
       // writes) inside the query body so the oracle can see the result;
-      // the search itself is a sub-100ms bucket probe.
-      "s14_ivf_stored_index")
+      // the search itself is a sub-100ms bucket probe. d19/d20 likewise
+      // build their persisted dedup index tables in-body.
+      "s14_ivf_stored_index", "s15_ivf_incremental_append",
+      "d19_index_backed_dedup", "d20_streaming_dedup")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

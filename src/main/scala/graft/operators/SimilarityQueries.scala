@@ -852,7 +852,65 @@ object SimilarityQueries {
           .orderBy($"cosine".desc, $"vec_id".asc)
           .limit(5)
       },
-      Some(s"""
+      Some(storedIvfOracleSql),
+      doc = "persisted IVF index: offline build, bucket-probed search with no re-clustering"),
+
+    // ------------------------------------------------------------------
+    // s15: INCREMENTAL IVF APPEND — the index-lifecycle step s14 leaves
+    // out and the d13-analog for ANN: new vectors arrive AFTER the
+    // offline build, get assigned to the FROZEN centroids (broadcast,
+    // batch-only work — the indexed corpus is not re-read, let alone
+    // re-clustered), and land in the stored index via a second
+    // txn-idempotent append. Because assignment to frozen centroids is
+    // per-vector deterministic, append-then-search ≡ rebuild-then-search
+    // — so the oracle is s14's verbatim, and that equality IS the
+    // correctness contract that lets a deployment append forever between
+    // periodic re-trains (centroid drift is a retrain decision, not an
+    // ingest-path one). OperatorSpec asserts s15 ≡ s14 row-for-row.
+    QueryDef(
+      "s15_ivf_incremental_append",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        def assign(v: DataFrame): DataFrame = {
+          val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+          v.crossJoin(broadcast(cents))
+            .select($"vec_id", $"embedding", $"cid",
+              round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+            .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+            .select($"vec_id", $"cid", $"embedding")
+        }
+        val dt = to_date(lit("2024-01-01"))
+        val idxT = new graft.storage.FactTable(java.nio.file.Files
+          .createTempDirectory("s15_ivf_idx").toString, s)
+        // offline build over the base corpus (80%), then the later batch
+        // (vec_id ≡ 4 mod 5) appended incrementally — frozen centroids,
+        // batch-only assignment work
+        idxT.append(assign(emb.filter($"vec_id" % 5 =!= 4))
+          .withColumn("date", dt), 0)
+        idxT.append(assign(emb.filter($"vec_id" % 5 === 4))
+          .withColumn("date", dt), 1)
+        val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
+        val q = idx.filter($"vec_id" === 0)
+          .select($"cid".as("qcid"), $"embedding".as("qv"))
+        idx.join(broadcast(q), $"cid" === $"qcid")
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(5)
+      },
+      Some(storedIvfOracleSql),
+      doc = "incremental IVF append: frozen-centroid assignment of a late batch, append == rebuild")
+  )
+
+  /** s14/s15 shared oracle (s04's search semantics): both the one-shot
+    * build and the build+incremental-append must answer the probe query
+    * identically to a full recompute over all vectors.
+    */
+  private lazy val storedIvfOracleSql: String = s"""
         WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
         cpairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
                    FROM embeddings e CROSS JOIN cents c),
@@ -875,7 +933,5 @@ object SimilarityQueries {
                         ${oCosineSums()}
                  FROM pairs GROUP BY vec_id)
         SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
-        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 5"""),
-      doc = "persisted IVF index: offline build, bucket-probed search with no re-clustering")
-  )
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 5"""
 }

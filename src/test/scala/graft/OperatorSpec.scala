@@ -429,6 +429,15 @@ class OperatorSpec extends AnyFunSuite {
       "stored-index dedup diverged from the recompute path")
   }
 
+  test("s15 incremental append equals the one-shot s14 build row-for-row") {
+    val oneShot = QueryDef.registry.find(_.name == "s14_ivf_stored_index").get
+      .build(spark, sfDir).collect()
+    val appended = QueryDef.registry.find(_.name == "s15_ivf_incremental_append").get
+      .build(spark, sfDir).collect()
+    assert(oneShot.sameElements(appended),
+      "frozen-centroid append diverged from the full rebuild")
+  }
+
   test("s14 stored-index search equals s04 recompute search row-for-row") {
     val recompute = QueryDef.registry.find(_.name == "s04_ivf_search").get
       .build(spark, sfDir).collect()
