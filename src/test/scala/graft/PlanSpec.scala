@@ -332,6 +332,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("c08 epoch shuffle is sharded windows, never one global row_number") {
+    val p = plan("c08_training_order_shuffle")
+    assert(p.contains("Window"), "per-shard position must be a window")
+    // exactly one hash exchange (the shard window); the probe orderBy is
+    // a range exchange over 6 rows. A global row_number would show a
+    // single-partition Window (Exchange SinglePartition) — the shape
+    // that serializes a 100 TB corpus through one task.
+    assert(!p.contains("Exchange SinglePartition"),
+      s"epoch shuffle collapsed to a single partition:\n$p")
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("c09 mixture reuses the source partitioning: window + groupBy, one hash exchange") {
+    val p = plan("c09_token_budget_mixture")
+    assert(p.contains("Window"), "cumulative token sum must be a window")
+    // the groupBy(source) after a window PARTITIONED BY source must NOT
+    // introduce a second hash exchange — Catalyst reuses the window's
+    // partitioning, so the budget take is one shuffle end-to-end
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"groupBy should reuse the window's source partitioning:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"mixture collapsed to a single partition:\n$p")
+  }
+
   test("q62 sequence fold is one shuffle + map-side aggregate lambda") {
     val p = plan("q62_sequence_count")
     // one exchange for the groupBy(user), one for the final ORDER BY
