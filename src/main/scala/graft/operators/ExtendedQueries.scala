@@ -1340,6 +1340,45 @@ object ExtendedQueries {
         SELECT depth, COUNT(*) AS n_nodes,
                MIN(custkey) AS min_key, MAX(custkey) AS max_key
         FROM tree GROUP BY depth ORDER BY depth"""),
-      doc = "recursive CTE (UnionLoop): engine-planned transitive closure per depth")
+      doc = "recursive CTE (UnionLoop): engine-planned transitive closure per depth"),
+
+    // ------------------------------------------------------------------
+    // q66: FORMAT-AGNOSTIC storage roundtrip — the engine's sink/source
+    // surface beyond parquet: one summary is written to ORC and to CSV,
+    // read back through each format's own reader, and the two read-backs
+    // are inner-joined on EVERY column — a row survives only if both
+    // formats preserved it bit-for-bit (timestamps via the session-UTC
+    // writers, doubles via Java's round-trippable shortest
+    // representation, which Spark's CSV writer/parser use). The oracle
+    // recomputes the summary from the original parquet in DuckDB, so a
+    // silent corruption in EITHER format drops rows and fails the gate.
+    // At scale both writers are executor-parallel (one file per
+    // partition) like every other sink here.
+    QueryDef(
+      "q66_format_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val summary = Tables.load(s, dir, "orders")
+          .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast(DecimalType(18, 2)))
+              .cast("double").as("sum_total"))
+        val base = java.nio.file.Files
+          .createTempDirectory("q66_fmt").toString
+        summary.write.mode("overwrite").orc(s"$base/orc")
+        summary.write.mode("overwrite").option("header", true)
+          .csv(s"$base/csv")
+        val orc = s.read.orc(s"$base/orc")
+        val csv = s.read.schema(orc.schema).option("header", true)
+          .csv(s"$base/csv")
+        orc.join(csv, Seq("month", "n_orders", "sum_total"), "inner")
+          .orderBy($"month")
+      },
+      Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        FROM orders GROUP BY 1 ORDER BY month"""),
+      doc = "format-agnostic roundtrip: ORC + CSV sinks/sources, join-verified fidelity")
   )
 }
