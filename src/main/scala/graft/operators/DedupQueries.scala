@@ -1568,6 +1568,84 @@ object DedupQueries {
       doc = "streaming cross-batch dedup: per-batch decisions against a survivors-only index"),
 
     // ------------------------------------------------------------------
+    // d21: EXACT-SUBSTRING window dedup — the suffix-array family of
+    // training-data dedup (find repeated ≥W-token spans ACROSS docs),
+    // approximated the way it actually ships at scale: every OVERLAPPING
+    // 16-token window is hashed (stride 1 — unlike d14's non-overlapping
+    // paragraphs, a shared span is detected at ANY alignment), windows
+    // occurring in >1 distinct doc are "duplicated", and each doc
+    // reports its duplicated-window fraction (integer basis points —
+    // same double-rounding dodge as c09). Plan shape: explode_outer the
+    // computed window array (round-4 inferred-filter fix), one
+    // partial-aggregable count per fingerprint (a boilerplate window in
+    // every doc is ONE count row, never a collected list), semi-join
+    // back, one per-doc count — two keyed shuffles, no windows, no
+    // sorts before the presentation ORDER BY. The planted corpus makes
+    // the expected signal exact: +1M exact copies duplicate every
+    // window, +2M first-token-dropped copies all but the first 15.
+    QueryDef(
+      "d21_substring_window_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val W = 16
+        val docs = corpus(s, dir).withColumn("toks", tokens($"text"))
+        val wins = docs.select($"doc_id",
+          explode_outer(expr(
+            s"""CASE WHEN size(toks) >= $W THEN
+                  transform(sequence(1, size(toks) - ${W - 1}),
+                    i -> md5(concat_ws(' ', ${(0 until W)
+                      .map(k => s"element_at(toks, i + $k)").mkString(", ")})))
+                ELSE array() END""")).as("fp"))
+          .filter($"fp".isNotNull)
+        val dupFps = wins.groupBy($"fp")
+          .agg(countDistinct($"doc_id").as("ndocs"))
+          .filter($"ndocs" > 1).select($"fp")
+        val perDoc = wins.join(dupFps, Seq("fp"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_windows"))
+        docs.select($"doc_id",
+            when(size($"toks") >= W, size($"toks") - (W - 1))
+              .otherwise(0).cast("long").as("n_windows"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("n_dup_windows", coalesce($"n_dup_windows", lit(0L)))
+          .withColumn("dup_bp",
+            when($"n_windows" > 0,
+              expr("n_dup_windows * 10000L div n_windows"))
+              .otherwise(lit(0L)))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH corpus AS ($corpusSql),
+        tok AS (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM corpus),
+        wins AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 16
+                        THEN list_transform(range(1, len(toks) - 14),
+                               i -> md5(${(0 until 16)
+                                 .map(k => s"toks[i+$k]")
+                                 .mkString(" || ' ' || ")}))
+                        ELSE [] END) AS fp
+          FROM tok),
+        dupfp AS (SELECT fp FROM wins GROUP BY fp
+                  HAVING COUNT(DISTINCT doc_id) > 1),
+        perdoc AS (SELECT doc_id, COUNT(*) AS n_dup_windows
+                   FROM wins WHERE fp IN (SELECT fp FROM dupfp)
+                   GROUP BY doc_id),
+        base AS (SELECT doc_id,
+                        CAST(CASE WHEN len(toks) >= 16 THEN len(toks) - 15
+                             ELSE 0 END AS BIGINT) AS n_windows
+                 FROM tok)
+        SELECT b.doc_id, b.n_windows,
+               CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(CASE WHEN b.n_windows > 0
+                    THEN COALESCE(p.n_dup_windows, 0) * 10000 // b.n_windows
+                    ELSE 0 END AS BIGINT) AS dup_bp
+        FROM base b LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY doc_id"""),
+      doc = "exact-substring window dedup: overlapping 16-token hashed windows, per-doc dup fraction"),
+
+    // ------------------------------------------------------------------
     // c07: DEDUP YIELD report — the number every pipeline publishes
     // after a dedup pass: per corpus stratum, how many documents and how
     // much token mass survive survivor selection (d09's keep rule over

@@ -429,6 +429,26 @@ class OperatorSpec extends AnyFunSuite {
       "stored-index dedup diverged from the recompute path")
   }
 
+  test("d21 substring windows: planted copies are fully duplicated spans") {
+    val rows = QueryDef.registry.find(_.name == "d21_substring_window_dedup").get
+      .build(spark, sfDir)
+      .select($"doc_id", $"n_windows", $"n_dup_windows", $"dup_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    // every +1M exact copy and +2M first-token-dropped copy is a strict
+    // substring of its original, so ALL its windows are duplicated
+    val copies = rows.filter(r => r._1 >= 1000000L && r._2 > 0)
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, _, _, bp) =>
+      assert(bp == 10000L, s"planted copy $id not fully duplicated: $bp bp")
+    }
+    // an original that spawned a near-copy keeps at most its FIRST
+    // window unique (the one needing the dropped token)
+    rows.filter(r => r._1 < 1000000L && r._1 % 10 == 1 && r._2 >= 2)
+      .foreach { case (id, n, nd, _) =>
+        assert(nd >= n - 1, s"original $id: only $nd of $n windows dup")
+      }
+  }
+
   test("s15 incremental append equals the one-shot s14 build row-for-row") {
     val oneShot = QueryDef.registry.find(_.name == "s14_ivf_stored_index").get
       .build(spark, sfDir).collect()
