@@ -121,6 +121,62 @@ object MultimodalQueries {
                CAST(item_index AS INTEGER) AS item_index,
                CAST(byte_len AS DOUBLE) * batch_size + item_index AS score
         FROM b ORDER BY media_id"""),
-      doc = "batched inference: deterministic batch keys + typed flatMapGroups")
+      doc = "batched inference: deterministic batch keys + typed flatMapGroups"),
+
+    // ------------------------------------------------------------------
+    // m05: MEDIA CONTENT DEDUP — the first dedup every multimodal
+    // pipeline runs: exact byte-identity over the opaque binary column
+    // (md5 of `content`, so the shuffle key is 16 bytes regardless of
+    // asset size — the same key-compression rule as d01). The raw media
+    // table has no natural byte-dups, so copies are planted the same
+    // way the d-series corpus plants them (+1M ids, identical bytes).
+    // Report per format: dup groups, redundant copies, and bytes
+    // reclaimed by keeping one copy per group — the storage number a
+    // 100 TB media lake acts on. Everything partial-aggregates; the
+    // asset bytes never shuffle.
+    QueryDef(
+      "m05_media_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = MediaPipeline.mediaTable(s, dir)
+          .select($"media_id", $"fmt", $"content")
+        val withCopies = media.unionByName(
+          media.filter($"media_id" % 10 === 0)
+            .select(($"media_id" + 1000000L).as("media_id"), $"fmt",
+              $"content"))
+        withCopies
+          .select($"fmt", md5($"content").as("h"),
+            octet_length($"content").cast("long").as("nb"), $"media_id")
+          .groupBy($"fmt", $"h")
+          .agg(count(lit(1)).as("n"), sum($"nb").as("bytes"),
+            min($"nb").as("nb_keep"))
+          .filter($"n" > 1)
+          .groupBy($"fmt")
+          .agg(count(lit(1)).as("n_dup_groups"),
+            sum($"n" - 1).as("n_copies"),
+            sum($"bytes" - $"nb_keep").as("bytes_reclaimed"))
+          .orderBy($"fmt")
+      },
+      Some("""
+        WITH media AS (
+          -- DuckDB's md5 takes VARCHAR, not BLOB; hashing the text hashes
+          -- the same UTF-8 bytes Spark's md5(binary) sees after encode()
+          SELECT doc_id AS media_id, source AS fmt, text,
+                 encode(text) AS content
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, source, text, encode(text)
+          FROM documents WHERE doc_id % 10 = 0),
+        grp AS (
+          SELECT fmt, md5(text) AS h, COUNT(*) AS n,
+                 CAST(SUM(octet_length(content)) AS BIGINT) AS bytes,
+                 CAST(MIN(octet_length(content)) AS BIGINT) AS nb_keep
+          FROM media GROUP BY fmt, md5(text))
+        SELECT fmt, COUNT(*) AS n_dup_groups,
+               CAST(SUM(n - 1) AS BIGINT) AS n_copies,
+               CAST(SUM(bytes - nb_keep) AS BIGINT) AS bytes_reclaimed
+        FROM grp WHERE n > 1
+        GROUP BY fmt ORDER BY fmt"""),
+      doc = "media content dedup: 16-byte hash keys over opaque binaries, bytes-reclaimed report")
   )
 }
