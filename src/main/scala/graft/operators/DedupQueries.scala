@@ -1646,6 +1646,75 @@ object DedupQueries {
       doc = "exact-substring window dedup: overlapping 16-token hashed windows, per-doc dup fraction"),
 
     // ------------------------------------------------------------------
+    // d22: INTRA-document repetition dedup — d21's cross-doc window
+    // machinery turned inward: how much of EACH document is a repeat of
+    // itself (the self-repetition that template spam / boilerplate
+    // stuffing / decoding loops produce — the in-doc complement of
+    // Gopher's t11 rep metrics, at span granularity). Every overlapping
+    // 8-token window is materialized IN-ROW and deduplicated IN-ROW
+    // (`array_distinct` — no explode, no shuffle: a doc's windows never
+    // leave its row, so the operator is embarrassingly parallel and the
+    // per-doc cost is bounded by doc length, not corpus size). Planted
+    // +3M self-concatenated docs (text ⧺ text) make the expected signal
+    // exact: every window of the first half repeats in the second except
+    // boundary ones, so dup fraction ≈ half; originals in the word-soup
+    // corpus stay near zero. Presentation sort is the only exchange.
+    QueryDef(
+      "d22_intra_doc_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val W = 8
+        val base = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+        val planted = base.unionByName(
+          base.filter($"doc_id" % 7 === 3)
+            .select(($"doc_id" + 3000000L).as("doc_id"),
+              concat($"text", lit(" "), $"text").as("text")))
+        planted
+          .withColumn("toks", tokens($"text"))
+          .withColumn("wins", expr(
+            s"""CASE WHEN size(toks) >= $W THEN
+                  transform(sequence(1, size(toks) - ${W - 1}),
+                    i -> concat_ws(' ', ${(0 until W)
+                      .map(k => s"element_at(toks, i + $k)").mkString(", ")}))
+                ELSE array() END"""))
+          .select($"doc_id",
+            size($"wins").cast("long").as("n_windows"),
+            (size($"wins") - size(array_distinct($"wins"))).cast("long")
+              .as("n_dup_windows"))
+          .withColumn("intra_bp",
+            when($"n_windows" > 0,
+              expr("n_dup_windows * 10000L div n_windows"))
+              .otherwise(lit(0L)))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH planted AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000, text || ' ' || text
+          FROM documents WHERE doc_id % 7 = 3),
+        tok AS (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM planted),
+        wins AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 8
+                      THEN list_transform(range(1, len(toks) - 6),
+                             i -> ${(0 until 8).map(k => s"toks[i+$k]")
+                               .mkString(" || ' ' || ")})
+                      ELSE [] END AS w
+          FROM tok)
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_windows,
+               CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS n_dup_windows,
+               CAST(CASE WHEN len(w) > 0
+                    THEN (len(w) - len(list_distinct(w))) * 10000 // len(w)
+                    ELSE 0 END AS BIGINT) AS intra_bp
+        FROM wins ORDER BY doc_id"""),
+      doc = "intra-document repetition: in-row overlapping-window dedup, span-level self-repeat fraction"),
+
+    // ------------------------------------------------------------------
     // c07: DEDUP YIELD report — the number every pipeline publishes
     // after a dedup pass: per corpus stratum, how many documents and how
     // much token mass survive survivor selection (d09's keep rule over

@@ -903,7 +903,90 @@ object SimilarityQueries {
           .limit(5)
       },
       Some(storedIvfOracleSql),
-      doc = "incremental IVF append: frozen-centroid assignment of a late batch, append == rebuild")
+      doc = "incremental IVF append: frozen-centroid assignment of a late batch, append == rebuild"),
+
+    // ------------------------------------------------------------------
+    // s16: SCALAR QUANTIZATION (SQ8) ANN — the third compression family
+    // after IVF (s04, bucket pruning) and PQ (s08, subspace codebooks):
+    // each float dimension is quantized independently to an 8-bit code
+    // against per-dimension corpus [min, max] ranges (FAISS
+    // ScalarQuantizer QT_8bit). Asymmetric distance: the query stays
+    // exact; corpus vectors are ranked by L2² against their DEQUANTIZED
+    // midpoints. Output contrasts the approximate distance with the
+    // exact one, so the quantization error is visible in the result.
+    //
+    // Scale (100 TB): the trained "codebook" is a 64-row min/max table —
+    // one partial-aggregated shuffle to build (64 groups), broadcast
+    // back for both encode and rank; 4× memory compression on the
+    // corpus side, and the scan stays one map-only pass + final top-k.
+    // Determinism: codes come from IEEE double ops (sub/div/floor) that
+    // are bit-identical across engines; per-dim squared terms are
+    // decimal-summed so partial-agg order can't move the rank.
+    QueryDef(
+      "s16_sq8_quantized",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val comps = emb.select($"vec_id",
+          posexplode_outer($"embedding").as(Seq("dim", "x")))
+        // per-dimension quantizer training: corpus [min, max] (64 rows)
+        val stats = comps.groupBy($"dim")
+          .agg(min($"x").as("mn"), max($"x").as("mx"))
+        val q = comps.filter($"vec_id" === 0)
+          .select($"dim".as("qdim"), $"x".as("qx"))
+        comps.filter($"vec_id" =!= 0)
+          .join(broadcast(stats), Seq("dim"))
+          .join(broadcast(q), $"dim" === $"qdim")
+          .select($"vec_id", expr(
+            """CASE WHEN mx = mn THEN CAST(mn AS DOUBLE) ELSE
+                 CAST(mn AS DOUBLE) +
+                 (LEAST(255, CAST(FLOOR((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE))
+                    / ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 255.0)) AS INT))
+                  + 0.5) * ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 255.0)
+               END""").as("xq"),
+            $"x", $"qx")
+          .groupBy($"vec_id")
+          .agg(
+            sum(expr("""CAST((CAST(qx AS DOUBLE) - xq)
+                           * (CAST(qx AS DOUBLE) - xq) AS DECIMAL(38,18))"""))
+              .as("adec"),
+            sum(expr("""CAST((CAST(qx AS DOUBLE) - CAST(x AS DOUBLE))
+                           * (CAST(qx AS DOUBLE) - CAST(x AS DOUBLE)) AS DECIMAL(38,18))"""))
+              .as("edec"))
+          .select($"vec_id", round($"adec".cast("double"), 9).as("approx_d2"),
+            round($"edec".cast("double"), 9).as("exact_d2"))
+          .orderBy($"approx_d2".asc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some("""
+        WITH dims AS (SELECT unnest(range(1, 65)) AS d),
+        comps AS (SELECT e.vec_id, d.d - 1 AS dim, e.embedding[d.d] AS x
+                  FROM embeddings e CROSS JOIN dims d),
+        stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+                  FROM comps GROUP BY dim),
+        q AS (SELECT dim AS qdim, x AS qx FROM comps WHERE vec_id = 0),
+        terms AS (
+          SELECT c.vec_id,
+                 CASE WHEN s.mx = s.mn THEN CAST(s.mn AS DOUBLE) ELSE
+                   CAST(s.mn AS DOUBLE) +
+                   (LEAST(255, CAST(FLOOR((CAST(c.x AS DOUBLE) - CAST(s.mn AS DOUBLE))
+                      / ((CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE)) / 255.0)) AS INT))
+                    + 0.5) * ((CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE)) / 255.0)
+                 END AS xq,
+                 CAST(c.x AS DOUBLE) AS x, CAST(q.qx AS DOUBLE) AS qx
+          FROM comps c
+          JOIN stats s ON c.dim = s.dim
+          JOIN q ON c.dim = q.qdim
+          WHERE c.vec_id <> 0),
+        dists AS (
+          SELECT vec_id,
+                 SUM(CAST((qx - xq) * (qx - xq) AS DECIMAL(38,18))) AS adec,
+                 SUM(CAST((qx - x) * (qx - x) AS DECIMAL(38,18))) AS edec
+          FROM terms GROUP BY vec_id)
+        SELECT vec_id, round(CAST(adec AS DOUBLE), 9) AS approx_d2,
+               round(CAST(edec AS DOUBLE), 9) AS exact_d2
+        FROM dists ORDER BY approx_d2 ASC, vec_id ASC LIMIT 10"""),
+      doc = "SQ8 scalar-quantization ANN: per-dim 8-bit codes, asymmetric dequantized ranking")
   )
 
   /** s14/s15 shared oracle (s04's search semantics): both the one-shot

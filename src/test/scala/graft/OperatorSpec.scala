@@ -449,6 +449,46 @@ class OperatorSpec extends AnyFunSuite {
       }
   }
 
+  test("d22 intra-doc windows: self-concatenated docs repeat ~half their spans") {
+    val rows = QueryDef.registry.find(_.name == "d22_intra_doc_dedup").get
+      .build(spark, sfDir)
+      .select($"doc_id", $"n_windows", $"n_dup_windows", $"intra_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    // a planted text⧺text doc of n base tokens has 2n-7 windows of which
+    // n-7 of the first copy recur in the second — dup count is EXACTLY
+    // the base window count (n - 7), i.e. strictly > 1/3 of all windows
+    val planted = rows.filter(r => r._1 >= 3000000L && r._2 >= 16)
+    assert(planted.nonEmpty, "no planted self-concatenated docs")
+    planted.foreach { case (id, n, nd, bp) =>
+      val baseToks = (n + 7 + 1) / 2 // n = 2b - 7
+      assert(nd >= baseToks - 7, s"doc $id: $nd dup of $n windows")
+      // the derived floor (b-7)*10000/(2b-7) — approaches 5000 bp for
+      // long docs, degrades gracefully for short ones
+      assert(bp >= (baseToks - 7) * 10000L / n,
+        s"doc $id: self-concat dup fraction only $bp bp")
+    }
+    // word-soup originals repeat windows only by vocabulary collision
+    val originals = rows.filter(r => r._1 < 3000000L && r._2 > 0)
+    assert(originals.nonEmpty)
+    assert(originals.count(_._4 == 0) > originals.length / 2,
+      "originals unexpectedly self-repetitive at 8-token span width")
+  }
+
+  test("s16 SQ8: approx ranking is complete, near exact, codes bounded") {
+    val rows = QueryDef.registry.find(_.name == "s16_sq8_quantized").get
+      .build(spark, sfDir)
+      .select($"vec_id", $"approx_d2", $"exact_d2")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (id, a, e) =>
+      // 8-bit per-dim quantization: per-dim error ≤ step/2; at 64 dims
+      // the squared-distance drift stays well under 5% of typical d2
+      assert(a > 0 && e > 0, s"vec $id: non-positive distance")
+      assert(math.abs(a - e) / e < 0.05,
+        s"vec $id: SQ8 distance drifted ${math.abs(a - e) / e} from exact")
+    }
+  }
+
   test("s15 incremental append equals the one-shot s14 build row-for-row") {
     val oneShot = QueryDef.registry.find(_.name == "s14_ivf_stored_index").get
       .build(spark, sfDir).collect()
