@@ -1292,6 +1292,124 @@ object TextQueries {
                CAST(SUM(n_toks) * 10000 // 20000 AS BIGINT) AS budget_used_bp
         FROM c WHERE cum <= 20000
         GROUP BY source ORDER BY source ASC"""),
-      doc = "token-budget mixture: per-source budgeted take in deterministic hash order")
+      doc = "token-budget mixture: per-source budgeted take in deterministic hash order"),
+
+    // ------------------------------------------------------------------
+    // t20: MARKUP STRIP / main-text extraction — the step before every
+    // text op in a web-crawl pipeline (trafilatura/jusText family,
+    // regex-scale): crawl HTML arrives wrapped in tags + boilerplate
+    // chrome; extraction strips tags, drops the nav block, collapses
+    // entity-escaped whitespace, and recovers the main text. The corpus
+    // has no markup, so the HTML wrapper is constructed deterministically
+    // in-query (same plant-then-operate pattern as the d-series copies) —
+    // what's graded is the extraction: tag strip, entity decode, title
+    // capture, byte-identity of the recovered body. Map-only: one
+    // regexp chain per row, zero shuffles before the presentation sort.
+    QueryDef(
+      "t20_markup_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", $"text")
+          .withColumn("html", concat(
+            lit("<html><head><title>doc "), $"doc_id",
+            lit(" &amp; friends</title></head><body><nav class=\"menu\">home | about | contact</nav><p>"),
+            $"text",
+            lit("</p><div id=\"footer\">&copy; 2026 example.org</div></body></html>")))
+          .withColumn("title", regexp_extract($"html", "<title>([^<]*)</title>", 1))
+          .withColumn("stripped", regexp_replace(
+            regexp_replace($"html",
+              "<nav[^>]*>.*?</nav>|<div id=\"footer\">.*?</div>", " "),
+            "<[^>]*>", " "))
+          .withColumn("unescaped", regexp_replace(regexp_replace(regexp_replace(
+            $"stripped", "&amp;", "&"), "&copy;", "(c)"), "&nbsp;", " "))
+          .withColumn("extracted", trim(regexp_replace($"unescaped", "\\s+", " ")))
+          .select($"doc_id",
+            regexp_replace($"title", "&amp;", "&").as("title"),
+            length($"html").cast("long").as("html_len"),
+            length($"extracted").cast("long").as("extracted_len"),
+            // extraction must recover the original body byte-for-byte
+            // (modulo the title prefix the template puts in front)
+            ($"extracted" === concat(lit("doc "), $"doc_id", lit(" & friends "),
+              trim(regexp_replace($"text", "\\s+", " "))))
+              .as("body_recovered"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, text,
+                 '<html><head><title>doc ' || doc_id ||
+                 ' &amp; friends</title></head><body><nav class="menu">home | about | contact</nav><p>' ||
+                 text ||
+                 '</p><div id="footer">&copy; 2026 example.org</div></body></html>'
+                   AS html
+          FROM documents),
+        x AS (
+          SELECT doc_id, text, html,
+                 regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+                 trim(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html,
+                         '<nav[^>]*>.*?</nav>|<div id="footer">.*?</div>', ' ', 'g'),
+                       '<[^>]*>', ' ', 'g'),
+                     '&amp;', '&', 'g'), '&copy;', '(c)', 'g'), '&nbsp;', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS extracted
+          FROM h)
+        SELECT doc_id,
+               regexp_replace(title, '&amp;', '&', 'g') AS title,
+               CAST(length(html) AS BIGINT) AS html_len,
+               CAST(length(extracted) AS BIGINT) AS extracted_len,
+               extracted = ('doc ' || doc_id || ' & friends ' ||
+                            trim(regexp_replace(text, '\s+', ' ', 'g')))
+                 AS body_recovered
+        FROM x ORDER BY doc_id"""),
+      doc = "markup strip / main-text extraction: tag+chrome removal, entity decode, byte-identity check"),
+
+    // ------------------------------------------------------------------
+    // c11: PSEUDONYMIZED EXPORT with k-anonymity suppression — the
+    // privacy gate before a corpus leaves the trust boundary: stable
+    // identifiers are replaced by keyed digests (pepper ⧺ id through
+    // SHA-256 — irreversible without the pepper, stable across exports
+    // so longitudinal joins still work), and quasi-identifier
+    // combinations (lang × source × length-bucket) that identify fewer
+    // than K=5 documents are SUPPRESSED, k-anonymity style — small
+    // cohorts are where linkage attacks live. The report is the
+    // per-cohort release decision: cohort size k, kept/suppressed, and
+    // the lexicographically-first pseudonym as the release manifest's
+    // spot-check handle. Scale: one partial-aggregable groupBy on the
+    // 3-column quasi-identifier — digests are map-side, bodies never
+    // shuffle.
+    QueryDef(
+      "c11_pseudonymized_export",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"lang", $"source",
+            expr("(n_chars div 200) * 200").as("len_bucket"),
+            substring(sha2(concat(lit("pepper:"), $"doc_id"), 256), 1, 16)
+              .as("pseudo"))
+          .groupBy($"lang", $"source", $"len_bucket")
+          .agg(count(lit(1)).as("k"), min($"pseudo").as("first_pseudo"))
+          .select($"lang", $"source", $"len_bucket", $"k",
+            ($"k" >= 5L).as("released"),
+            when($"k" >= 5L, $"first_pseudo").as("first_pseudo"))
+          .orderBy($"lang", $"source", $"len_bucket")
+      },
+      Some("""
+        WITH p AS (
+          SELECT lang, source,
+                 (n_chars // 200) * 200 AS len_bucket,
+                 substr(sha256('pepper:' || doc_id), 1, 16) AS pseudo
+          FROM documents),
+        g AS (
+          SELECT lang, source, len_bucket, COUNT(*) AS k,
+                 MIN(pseudo) AS first_pseudo
+          FROM p GROUP BY lang, source, len_bucket)
+        SELECT lang, source, len_bucket, k,
+               k >= 5 AS released,
+               CASE WHEN k >= 5 THEN first_pseudo END AS first_pseudo
+        FROM g ORDER BY lang, source, len_bucket"""),
+      doc = "pseudonymized export: keyed-digest ids + k-anonymity cohort suppression report")
   )
 }
