@@ -68,7 +68,10 @@ object Bench {
       // the search itself is a sub-100ms bucket probe. d19/d20 likewise
       // build their persisted dedup index tables in-body.
       "s14_ivf_stored_index", "s15_ivf_incremental_append",
-      "d19_index_backed_dedup", "d20_streaming_dedup")
+      "d19_index_backed_dedup", "d20_streaming_dedup",
+      // dx19 appends twice + deletes + reads three log versions of a
+      // temp FactTable; q66 round-trips ORC and CSV sinks on disk
+      "dx19_time_travel", "q66_format_roundtrip")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis query surface over the `documents` table: token counting
   * (whitespace + BPE-ish regex), quality scoring, n-gram language ID, and
@@ -21,6 +22,70 @@ object TextQueries {
     val geAll = langOrder.drop(i + 1).map(o => s"s_$l >= s_$o") :+ s"s_$l > 0"
     s"WHEN ${(langOrder.take(i).map(o => s"s_$l > s_$o") ++ geAll).mkString(" AND ")} THEN '$l'"
   }.mkString(" ")
+
+  /** t18's corpus-trained bigram-LM scorer as a reusable builder:
+    * (doc_id, n_bigrams, avg_logp) for every document (n_bigrams = 0 and
+    * NULL score for docs under 2 tokens). Shared by t18 and the c10
+    * perplexity-bucketed mixture.
+    */
+  private def bigramLmScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+    val bi = toks
+      .select($"doc_id", explode_outer(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+               i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))
+             ELSE array() END""")).as("b"))
+      .filter($"b".isNotNull)
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val heads = bi.groupBy($"w1").agg(count(lit(1)).as("ch"))
+    val bg = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val vocab = toks.select(explode_outer($"toks").as("t"))
+      .filter($"t".isNotNull)
+      .agg(countDistinct($"t").as("v"))
+    val scored = bi.join(bg, Seq("w1", "w2")).join(heads, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id", expr(
+        """CAST(ln(CAST(cb + 1 AS DOUBLE) / CAST(ch + v AS DOUBLE))
+             AS DECIMAL(38,18))""").as("logp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((sum($"logp").cast("double") / count(lit(1))), 6).as("avg_logp"))
+    toks.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        $"avg_logp")
+  }
+
+  /** The t18 oracle's CTE chain up to `scores(doc_id, n_bigrams,
+    * avg_logp)` — shared verbatim by the t18 and c10 oracles.
+    */
+  private val bigramLmSqlChain: String = """
+        WITH tok AS (SELECT doc_id,
+                            regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                     FROM documents),
+        bi AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                      unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+               FROM tok),
+        heads AS (SELECT w1, COUNT(*) AS ch FROM bi GROUP BY w1),
+        bg AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2),
+        vocab AS (SELECT COUNT(DISTINCT t) AS v
+                  FROM (SELECT unnest(toks) AS t FROM tok) u),
+        scored AS (SELECT b.doc_id,
+                          CAST(ln(CAST(g.cb + 1 AS DOUBLE) / CAST(h.ch + vocab.v AS DOUBLE))
+                            AS DECIMAL(38,18)) AS logp
+                   FROM bi b
+                   JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
+                   JOIN heads h ON b.w1 = h.w1, vocab),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                       round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+                FROM scored GROUP BY doc_id),
+        scores AS (SELECT t.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                          a.avg_logp
+                   FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -994,58 +1059,11 @@ object TextQueries {
       "t18_bigram_lm_score",
       (s, dir) => {
         import s.implicits._
-        val toks = Tables.load(s, dir, "documents")
-          .select($"doc_id", tokens($"text").as("toks"))
-        val bi = toks
-          .select($"doc_id", explode_outer(expr(
-            """CASE WHEN size(toks) >= 2
-                 THEN transform(sequence(1, size(toks) - 1),
-                   i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))
-                 ELSE array() END""")).as("b"))
-          .filter($"b".isNotNull)
-          .select($"doc_id", $"b.w1", $"b.w2")
-        val heads = bi.groupBy($"w1").agg(count(lit(1)).as("ch"))
-        val bg = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
-        val vocab = toks.select(explode_outer($"toks").as("t"))
-          .filter($"t".isNotNull)
-          .agg(countDistinct($"t").as("v"))
-        val scored = bi.join(bg, Seq("w1", "w2")).join(heads, Seq("w1"))
-          .crossJoin(broadcast(vocab))
-          .select($"doc_id", expr(
-            """CAST(ln(CAST(cb + 1 AS DOUBLE) / CAST(ch + v AS DOUBLE))
-                 AS DECIMAL(38,18))""").as("logp"))
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round((sum($"logp").cast("double") / count(lit(1))), 6).as("avg_logp"))
-        toks.select($"doc_id").join(scored, Seq("doc_id"), "left")
-          .select($"doc_id", coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
-            $"avg_logp")
-          .orderBy($"doc_id")
+        bigramLmScores(s, dir).orderBy($"doc_id")
       },
-      Some("""
-        WITH tok AS (SELECT doc_id,
-                            regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-                     FROM documents),
-        bi AS (SELECT doc_id,
-                      unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
-                      unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
-               FROM tok),
-        heads AS (SELECT w1, COUNT(*) AS ch FROM bi GROUP BY w1),
-        bg AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2),
-        vocab AS (SELECT COUNT(DISTINCT t) AS v
-                  FROM (SELECT unnest(toks) AS t FROM tok) u),
-        scored AS (SELECT b.doc_id,
-                          CAST(ln(CAST(g.cb + 1 AS DOUBLE) / CAST(h.ch + vocab.v AS DOUBLE))
-                            AS DECIMAL(38,18)) AS logp
-                   FROM bi b
-                   JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
-                   JOIN heads h ON b.w1 = h.w1, vocab),
-        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-                       round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
-                FROM scored GROUP BY doc_id)
-        SELECT t.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
-        FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
-        ORDER BY t.doc_id"""),
+      Some(s"""$bigramLmSqlChain
+        SELECT doc_id, n_bigrams, avg_logp
+        FROM scores ORDER BY doc_id"""),
       doc = "bigram LM quality scoring (CCNet-style): corpus-trained, add-one smoothed"),
 
     // ------------------------------------------------------------------
@@ -1410,6 +1428,55 @@ object TextQueries {
                k >= 5 AS released,
                CASE WHEN k >= 5 THEN first_pseudo END AS first_pseudo
         FROM g ORDER BY lang, source, len_bucket"""),
-      doc = "pseudonymized export: keyed-digest ids + k-anonymity cohort suppression report")
+      doc = "pseudonymized export: keyed-digest ids + k-anonymity cohort suppression report"),
+
+    // ------------------------------------------------------------------
+    // c10: PERPLEXITY-BUCKETED mixture (the CCNet head/middle/tail
+    // split): every document is scored by the t18 corpus-trained bigram
+    // LM (shared builder — one model, two consumers), then terciled
+    // WITHIN its language by score (ntile(3) over a total order —
+    // score desc, doc_id tie-break — so the split is deterministic and
+    // language-relative: "fluent for French", not "fluent overall").
+    // The report is the mixture table a curation run feeds the sampler:
+    // per (lang, bucket) document counts, token mass, and the score
+    // range [worst, best]. Range endpoints are min/max of 6-dp-rounded
+    // doubles — exact under partial-agg reordering, where a mean of
+    // doubles would not be. Scale: scoring is t18's two skew-tolerant
+    // count joins; the tercile window partitions by lang (25 partitions
+    // of ~n/25 docs — wide, shallow), and the rollup partial-aggregates.
+    QueryDef(
+      "c10_perplexity_mixture",
+      (s, dir) => {
+        import s.implicits._
+        val scores = bigramLmScores(s, dir).filter($"n_bigrams" > 0)
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_toks"))
+        val w = Window.partitionBy($"lang")
+          .orderBy($"avg_logp".desc, $"doc_id".asc)
+        docs.join(scores, Seq("doc_id"))
+          .withColumn("bucket", ntile(3).over(w))
+          .withColumn("tier", expr(
+            "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"))
+          .groupBy($"lang", $"bucket", $"tier")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_toks"),
+            min($"avg_logp").as("worst_logp"), max($"avg_logp").as("best_logp"))
+          .orderBy($"lang", $"bucket")
+      },
+      Some(s"""$bigramLmSqlChain,
+        docs AS (SELECT doc_id, lang,
+                        len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_toks
+                 FROM documents),
+        b AS (SELECT d.lang, d.n_toks, sc.avg_logp, sc.doc_id,
+                     ntile(3) OVER (PARTITION BY d.lang
+                                    ORDER BY sc.avg_logp DESC, sc.doc_id ASC) AS bucket
+              FROM docs d JOIN scores sc ON d.doc_id = sc.doc_id
+              WHERE sc.n_bigrams > 0)
+        SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+               CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+               MIN(avg_logp) AS worst_logp, MAX(avg_logp) AS best_logp
+        FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""),
+      doc = "perplexity-bucketed mixture (CCNet head/middle/tail): LM-scored, language-relative terciles")
   )
 }

@@ -626,7 +626,65 @@ object DocsisQueries {
           ('MB8600', TIMESTAMP '2024-03-02 00:00:40', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(CAST(20.0 AS DOUBLE) AS REAL))
         ) AS t(modem_name, timestamp, n_channels, n_power_viol, n_snr_viol, n_counter_overflow, worst_snr)
         ORDER BY timestamp, modem_name"""),
-      doc = "DOCSIS spec-compliance report: out-of-envelope channels + counter overflow, in-row")
+      doc = "DOCSIS spec-compliance report: out-of-envelope channels + counter overflow, in-row"),
+
+    // ------------------------------------------------------------------
+    // dx19: TIME-TRAVEL reads e2e — the Delta/Iceberg `VERSION AS OF`
+    // surface the transaction log already provides (FactTableSpec covers
+    // it unit-level; this row puts a DuckDB oracle behind it). Three
+    // committed versions — append evens (v0), append odds (v1), DELETE
+    // the 'R' returnflag rows (v2) — then ONE result reads all three
+    // states: `read(0)` and `read(1)` replay the log prefix, `read()`
+    // the full log. The oracle reconstructs each state from lineitem
+    // directly, so a time-travel read that leaked post-version rows (or
+    // a delete that rewrote history) hash-fails. Scale: time travel is
+    // log REPLAY, not data copy — old parts stay on disk until vacuum;
+    // reading version k costs the same scan it cost at version k.
+    QueryDef(
+      "dx19_time_travel",
+      (s, sfDir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx19_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        // Month-granularity partitions: partition cardinality must track
+        // data volume — ~84 months of lineitem at any SF keeps the
+        // delete-rewrite to O(months) parts, where day-granularity at
+        // sf0.01 would write ~2,500 near-empty parts and spend minutes
+        // on footer stats for a 60k-row fixture. (A 100 TB table earns
+        // day partitions by having GBs per day; a fixture does not.)
+        val li = graft.Tables.load(s, sfDir, "lineitem")
+          .select(trunc(to_date($"l_shipdate"), "month").as("date"),
+            $"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+        t.append(li.filter($"l_linenumber" % 2 === 0), 0) // commits v0
+        t.append(li.filter($"l_linenumber" % 2 === 1), 1) // commits v1
+        val deleted = t.deleteWhere($"l_returnflag" === "R") // commits v2
+        require(deleted > 0, s"time-travel fixture deleted nothing at $dir")
+        def summ(df: org.apache.spark.sql.DataFrame, v: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum($"l_quantity".cast(DecimalType(18, 2)))
+                .cast(DecimalType(18, 2)).cast("double").as("sum_qty"))
+            .select(lit(v).as("version"), $"n_rows", $"sum_qty")
+        summ(t.read(0), "v0_first_append")
+          .unionByName(summ(t.read(1), "v1_second_append"))
+          .unionByName(summ(t.read(), "v2_after_delete"))
+          .orderBy($"version")
+      },
+      Some("""
+        SELECT 'v0_first_append' AS version, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem WHERE l_linenumber % 2 = 0
+        UNION ALL
+        SELECT 'v1_second_append', COUNT(*),
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'v2_after_delete', COUNT(*),
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem WHERE l_returnflag <> 'R'
+        ORDER BY version"""),
+      doc = "time-travel reads: log-prefix replay of three committed versions, one oracle-checked result")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -548,11 +548,26 @@ class FactTable(val root: String, spark: SparkSession,
     */
   private def entriesFor(dir: Path, tier: String): Seq[FileEntry] = {
     val now = System.currentTimeMillis()
-    listParquet(dir).map { f =>
-      val (rows, stats) = StatsPruning.footerInfo(new Path(f.path), hadoopConf)
-      bloomCols.foreach(c => writeBloomSidecar(f.path, c, rows))
-      FileEntry(f.path, rows, f.bytes, tier, now, stats)
-    }
+    val files = listParquet(dir)
+    // Footer opens are independent I/O waits — run them on a bounded
+    // pool. A rewrite that stages hundreds of parts would otherwise
+    // serialize hundreds of round-trips on the driver (the same reason
+    // Delta collects per-file stats from the write tasks themselves —
+    // the log commit must stay O(seconds) regardless of part count).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = files.map { f => Future {
+        val (rows, stats) =
+          StatsPruning.footerInfo(new Path(f.path), hadoopConf)
+        bloomCols.foreach(c => writeBloomSidecar(f.path, c, rows))
+        FileEntry(f.path, rows, f.bytes, tier, now, stats)
+      } }
+      Await.result(Future.sequence(futs), Duration.Inf)
+    } finally pool.shutdown()
   }
 
   // ------------------------------------------------- bloom skip index
