@@ -26,9 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: at 8g a full 142-query Bench run GC-thrashes in its
-  // second half (measured 109.7s vs 79.9s for the identical run; the
-  // late queries inflate 2-3x purely from heap pressure). The machine
-  // has 128 GiB; override with SPARK_DRIVER_MEM as needed.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default: the single local[32] JVM is driver + all executors, so
+  // heap IS the cluster memory. A full 159-query Bench run GC-thrashes
+  // as heap shrinks — measured at sf0.1: 8g = 109.7s, 16g = 144.1s
+  // (after the inventory grew to 159), 48g = 101.9s for identical
+  // binaries; late queries inflate 2-3x purely from heap pressure. The
+  // machine has 128 GiB; override with SPARK_DRIVER_MEM as needed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -684,7 +684,66 @@ object DocsisQueries {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         FROM lineitem WHERE l_returnflag <> 'R'
         ORDER BY version"""),
-      doc = "time-travel reads: log-prefix replay of three committed versions, one oracle-checked result")
+      doc = "time-travel reads: log-prefix replay of three committed versions, one oracle-checked result"),
+
+    // ------------------------------------------------------------------
+    // dx20: STORED PROJECTION rollup e2e — the ClickHouse ADD PROJECTION
+    // / AggregatingMergeTree surface, at ClickHouse's own granularity:
+    // every part carries a mini-rollup sidecar written when the part is
+    // staged, and the rollup query unions sidecars and re-aggregates the
+    // partial sums (sum-of-sums / sum-of-counts — Spark's partial-agg
+    // merge contract, lossless for exact types). The fixture appends two
+    // part sets, DELETES a slice (forcing a rewrite whose fresh parts
+    // carry fresh sidecars while the victims' sidecars die with them),
+    // then answers the rollup WITHOUT touching base data — the
+    // projectionCoverage require() gates that the cheap path actually
+    // served, so the bench cannot silently degrade to a base scan. The
+    // oracle reconstructs the same rollup from lineitem directly: a
+    // sidecar that double-counted a rewrite or kept a deleted row
+    // hash-fails. Scale: appends pay only their own part's rollup
+    // (incremental maintenance); the query reads O(parts × groups), not
+    // O(rows) — the materialized-view economics that make 100 TB
+    // dashboards interactive.
+    QueryDef(
+      "dx20_projection_rollup",
+      (s, sfDir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx20_fact").toString
+        val spec = graft.storage.FactTable.ProjectionSpec(
+          "by_month_flag", Seq("date", "l_returnflag"), Seq("qty"))
+        val t = new graft.storage.FactTable(dir, s,
+          projections = Seq(spec))
+        // Year granularity: each rewrite stages O(years) parts, and each
+        // staged part costs one footer read + one sidecar rollup job —
+        // partition cardinality tracks fixture volume (see dx19).
+        val li = graft.Tables.load(s, sfDir, "lineitem")
+          .select(trunc(to_date($"l_shipdate"), "year").as("date"),
+            $"l_orderkey", $"l_linenumber", $"l_returnflag",
+            $"l_quantity".cast(DecimalType(18, 2)).as("qty"))
+        t.append(li.filter($"l_orderkey" % 2 === 0), 0)
+        t.append(li.filter($"l_orderkey" % 2 === 1), 1)
+        val deleted = t.deleteWhere($"l_returnflag" === "R")
+        require(deleted > 0, s"projection fixture deleted nothing at $dir")
+        val (covered, total) = t.projectionCoverage("by_month_flag")
+        require(covered == total && total > 0,
+          s"projection must serve every live part ($covered/$total) at $dir")
+        t.readProjection("by_month_flag")
+          .select($"date", $"l_returnflag",
+            $"qty".cast(DecimalType(18, 2)).cast("double").as("sum_qty"),
+            $"n_rows")
+          .orderBy($"date", $"l_returnflag")
+      },
+      Some("""
+        SELECT date_trunc('year', CAST(l_shipdate AS DATE)) AS date,
+               l_returnflag,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                    AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem WHERE l_returnflag <> 'R'
+        GROUP BY 1, 2 ORDER BY date, l_returnflag"""),
+      doc = "stored projection rollup: per-part rollup sidecars, partial-agg merge read, delete-consistent")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

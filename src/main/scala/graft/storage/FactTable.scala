@@ -49,8 +49,21 @@ import org.apache.spark.sql.functions._
   *   in the log), so log replay stays O(files) and a 100 TB table's
   *   blooms are distributed storage, loaded lazily per pruned read.
   */
+/** @param projections named, stored GROUP BY rollups maintained per part
+  *   (the ClickHouse `ADD PROJECTION` analog, at CH's own granularity:
+  *   each part carries its own mini-rollup in a `<part>.proj.<name>`
+  *   sidecar, written when the part is staged). A projection read unions
+  *   the live parts' sidecars and RE-AGGREGATES the partial sums —
+  *   exactly Spark's partial-aggregation contract, so sums/counts merge
+  *   losslessly. Appends therefore pay only their own part's rollup
+  *   (incremental maintenance); rewrites (delete/compact) regenerate
+  *   sidecars for the parts they stage and the removed parts' sidecars
+  *   die with them at vacuum. At 100 TB a rollup query touches
+  *   O(parts × groups-per-part) sidecar rows and never the base data.
+  */
 class FactTable(val root: String, spark: SparkSession,
-    bloomCols: Seq[String] = Nil) {
+    bloomCols: Seq[String] = Nil,
+    projections: Seq[FactTable.ProjectionSpec] = Nil) {
   import FactTable._
 
   private val rootPath = new Path(root)
@@ -262,6 +275,8 @@ class FactTable(val root: String, spark: SparkSession,
         fs.delete(new Path(p + ".bloom." + c), false)
         bloomCache.remove(p + ".bloom." + c)
       }
+      // projection sidecars are parquet DIRECTORIES — recursive delete
+      projections.foreach(s => fs.delete(new Path(p + ".proj." + s.name), true))
     }
     victims.count(p => fs.delete(new Path(p), false))
   }
@@ -564,6 +579,7 @@ class FactTable(val root: String, spark: SparkSession,
         val (rows, stats) =
           StatsPruning.footerInfo(new Path(f.path), hadoopConf)
         bloomCols.foreach(c => writeBloomSidecar(f.path, c, rows))
+        projections.foreach(p => writeProjSidecar(f.path, dir, p))
         FileEntry(f.path, rows, f.bytes, tier, now, stats)
       } }
       Await.result(Future.sequence(futs), Duration.Inf)
@@ -613,6 +629,64 @@ class FactTable(val root: String, spark: SparkSession,
         bloomOf(f.path, attr).exists(bf =>
           scala.util.Try(!bf.mightContain(v)).getOrElse(false))
     }
+
+  // ---------------------------------------------------- projections
+
+  /** Stage one part's mini-rollup sidecar. `basePath` is the staged
+    * generation root, so partition-directory columns (`date=X`) are
+    * restored with their inferred types before grouping — a base part's
+    * file does not physically carry the partition column. A part whose
+    * schema lacks any projection column (schema evolution) writes no
+    * sidecar; `readProjection` then falls back to the base scan, the
+    * conservative ClickHouse contract.
+    */
+  private def writeProjSidecar(part: String, basePath: Path,
+      spec: ProjectionSpec): Unit = {
+    val df = spark.read.option("basePath", basePath.toString).parquet(part)
+    val needed = spec.keyCols ++ spec.sumCols
+    if (!needed.forall(df.columns.contains)) return
+    val aggs = spec.sumCols.map(c => sum(col(c)).as(c)) :+
+      count(lit(1)).as(ProjCountCol)
+    df.groupBy(spec.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(part + ".proj." + spec.name)
+  }
+
+  /** Serve a named rollup from the live parts' projection sidecars:
+    * union the per-part partial rollups and re-aggregate (sum-of-sums,
+    * sum-of-counts — the partial-aggregation merge). Falls back to an
+    * equivalent base-data scan when any live part lacks its sidecar
+    * (pre-projection parts, schema evolution), so results are always
+    * exact; `projectionCoverage` is the observability hook a test or
+    * operator uses to REQUIRE the cheap path actually served.
+    * Returns keyCols ++ sumCols ++ `n_rows`.
+    */
+  def readProjection(name: String,
+      asOfVersion: Long = Long.MaxValue): DataFrame = {
+    val spec = projections.find(_.name == name).getOrElse(throw
+      new IllegalArgumentException(s"no projection '$name' on table $root"))
+    val files = snapshot(asOfVersion).files
+    val sidecars = files.map(_.path + ".proj." + name)
+    val aggs = spec.sumCols.map(c => sum(col(c)).as(c))
+    if (sidecars.forall(p => fs.exists(new Path(p))))
+      spark.read.parquet(sidecars: _*)
+        .groupBy(spec.keyCols.map(col): _*)
+        .agg(aggs.head, (aggs.tail :+ sum(col(ProjCountCol)).as("n_rows")): _*)
+    else // fallback: exact, just not cheap
+      readFiles(files)
+        .groupBy(spec.keyCols.map(col): _*)
+        .agg(aggs.head, (aggs.tail :+ count(lit(1)).as("n_rows")): _*)
+  }
+
+  /** (parts with a live sidecar for `name`, live parts). Equality means
+    * `readProjection(name)` served entirely from sidecars.
+    */
+  def projectionCoverage(name: String,
+      asOfVersion: Long = Long.MaxValue): (Int, Int) = {
+    val files = snapshot(asOfVersion).files
+    (files.count(f => fs.exists(new Path(f.path + ".proj." + name))),
+      files.size)
+  }
 
   /** Probe/column type agreement gate for the bloom path. No recorded
     * stat for the column (rare: bloom-indexed columns are primitives
@@ -671,6 +745,18 @@ class ConcurrentWriteException(msg: String, cause: Throwable = null)
 object FactTable {
   val TierBuffer = "buffer"
   val TierBase = "base"
+
+  /** Internal partial-count column in projection sidecars; surfaced as
+    * `n_rows` by `readProjection`.
+    */
+  val ProjCountCol = "__graft_n"
+
+  /** A named stored rollup: GROUP BY `keyCols`, SUM each of `sumCols`
+    * (+ an implicit row count). Sum columns must be exact-typed
+    * (long/decimal) — doubles would re-order under the partial merge.
+    */
+  final case class ProjectionSpec(name: String, keyCols: Seq[String],
+      sumCols: Seq[String])
 
   final case class FileEntry(path: String, rows: Long, bytes: Long,
       tier: String, addedMs: Long,

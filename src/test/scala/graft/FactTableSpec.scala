@@ -574,4 +574,76 @@ class FactTableSpec extends AnyFunSuite {
       assert(t.snapshot().bufferRows == 0, "4 rows >= 4 must have flushed")
     } finally q.stop()
   }
+
+  // ------------------------------------------------------- projections
+
+  private val projSpec = FactTable.ProjectionSpec(
+    "by_day_modem", Seq("date", "modem_name"), Seq("uptime"))
+
+  private def projTable(): FactTable = new FactTable(
+    java.nio.file.Files.createTempDirectory("fact_proj").toString, spark,
+    projections = Seq(projSpec))
+
+  private def rollupOfBase(t: FactTable) =
+    t.read().groupBy($"date", $"modem_name")
+      .agg(sum($"uptime").as("uptime"), count(lit(1)).as("n_rows"))
+      .orderBy($"date", $"modem_name")
+      .collect().map(_.toSeq).toSeq
+
+  test("projection read re-aggregates per-part sidecars, matches base rollup") {
+    val t = projTable()
+    t.append(rows(5, "2024-03-01", "m1"), 0)
+    t.append(rows(3, "2024-03-01", "m2"), 1)
+    t.append(rows(4, "2024-03-02", "m1"), 2)
+    val (covered, total) = t.projectionCoverage("by_day_modem")
+    assert(covered == total && total > 0, s"sidecars must cover all parts ($covered/$total)")
+    val proj = t.readProjection("by_day_modem")
+      .orderBy($"date", $"modem_name").collect().map(_.toSeq).toSeq
+    assert(proj == rollupOfBase(t))
+  }
+
+  test("projection stays consistent across compact and deleteWhere") {
+    val t = projTable()
+    t.append(rows(6, "2024-03-01", "m1"), 0)
+    t.append(rows(4, "2024-03-02", "m2"), 1)
+    t.compact()
+    assert(t.readProjection("by_day_modem")
+      .orderBy($"date", $"modem_name").collect().map(_.toSeq).toSeq ==
+      rollupOfBase(t), "post-compact: fresh parts carry fresh sidecars")
+    t.deleteWhere($"modem_name" === "m2")
+    val (covered, total) = t.projectionCoverage("by_day_modem")
+    assert(covered == total, "rewrite must re-cover every staged part")
+    val proj = t.readProjection("by_day_modem")
+      .orderBy($"date", $"modem_name").collect().map(_.toSeq).toSeq
+    assert(proj == rollupOfBase(t))
+    assert(!proj.exists(_.contains("m2")), "deleted slice gone from rollup")
+  }
+
+  test("projection falls back to base scan when sidecars are missing") {
+    // parts written BEFORE the projection existed have no sidecars —
+    // reads must stay exact (just not cheap), coverage reports the gap
+    val plain = freshTable()
+    plain.append(rows(5, "2024-03-01", "m1"), 0)
+    val t = new FactTable(plain.root, spark, projections = Seq(projSpec))
+    val (covered, total) = t.projectionCoverage("by_day_modem")
+    assert(covered == 0 && total > 0)
+    assert(t.readProjection("by_day_modem")
+      .orderBy($"date", $"modem_name").collect().map(_.toSeq).toSeq ==
+      rollupOfBase(t))
+  }
+
+  test("vacuum reclaims projection sidecars with their parts") {
+    val t = projTable()
+    t.append(rows(5, "2024-03-01", "m1"), 0)
+    val before = t.snapshot().files.map(_.path)
+    t.compact()
+    t.vacuum()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    before.foreach { p =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p + ".proj.by_day_modem")),
+        s"orphan sidecar for vacuumed part $p")
+    }
+    assert(t.readProjection("by_day_modem").count() > 0)
+  }
 }
