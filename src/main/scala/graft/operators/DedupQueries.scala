@@ -1715,6 +1715,83 @@ object DedupQueries {
       doc = "intra-document repetition: in-row overlapping-window dedup, span-level self-repeat fraction"),
 
     // ------------------------------------------------------------------
+    // d23: BLOOM-PREFILTERED decontamination — the sketch-side scale
+    // path d10's broadcast set join cannot take at 100 TB. The benchmark
+    // suite's 7-gram shingles compress into a Bloom filter (fpp 1%) on
+    // the driver — a 1e9-shingle suite is a ~1-2 GB sketch where the
+    // exact broadcast hash set would be tens of GB — and every corpus
+    // shingle pays a few codegen'd hash probes (`bloom_contains`,
+    // plans/BloomFilterExpression.scala) BEFORE any join. `false` is
+    // proven-absent, so the exact confirm join (which kills the ~fpp
+    // false-positive tail) runs on the surviving ~1% instead of the
+    // full corpus — at cluster scale that confirm can afford a shuffle
+    // join even when the suite outgrows broadcast. Result is EXACT
+    // (bloom FPs never reach the output), which is what makes the
+    // DuckDB oracle a plain set-overlap query. ScaleSpec measures the
+    // prefilter's selectivity; PlanSpec locks the probe ahead of the
+    // join.
+    QueryDef(
+      "d23_bloom_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+          .withColumn("sh", array_distinct(shingles("toks", 7)))
+          .select($"doc_id", $"source", $"sh")
+        val bench = sh.filter($"doc_id" % 97 === 0)
+          .select(explode_outer($"sh").as("shingle"))
+          .filter($"shingle".isNotNull).distinct()
+        val nBench = bench.count() // driver-known suite size → sized sketch
+        val bloom = bench.stat.bloomFilter("shingle",
+          math.max(nBench, 1L), 0.01)
+        graft.plans.BloomFilterExpressions.register(s, "bench_bloom", bloom)
+        val hits = sh.filter($"doc_id" % 97 =!= 0)
+          .select($"doc_id", explode_outer($"sh").as("shingle"))
+          .filter($"shingle".isNotNull)
+          .filter(expr("bench_bloom(shingle)")) // sketch prefilter
+          .join(bench, Seq("shingle")) // exact confirm on the ~1% tail
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        sh.filter($"doc_id" % 97 =!= 0)
+          .select($"doc_id", $"source")
+          .join(hits, Seq("doc_id"), "left")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            count($"n_shared").as("n_contaminated"))
+          .withColumn("contamination_rate",
+            round($"n_contaminated".cast("double") / $"n_docs", 6))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+                 list_distinct(CASE WHEN len(toks) >= 7
+                   THEN list_transform(range(1, len(toks) - 5),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4]
+                            || ' ' || toks[i+5] || ' ' || toks[i+6])
+                   ELSE [] END) AS sh
+          FROM tok),
+        bench AS (
+          SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+        cand AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS n_shared
+          FROM cand JOIN bench USING (shingle) GROUP BY doc_id)
+        SELECT s.source, COUNT(*) AS n_docs,
+               COUNT(h.n_shared) AS n_contaminated,
+               round(CAST(COUNT(h.n_shared) AS DOUBLE) / COUNT(*), 6)
+                 AS contamination_rate
+        FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        WHERE s.doc_id % 97 <> 0
+        GROUP BY s.source ORDER BY s.source"""),
+      doc = "bloom-prefiltered decontamination: broadcast sketch probe, exact confirm on the surviving tail"),
+
+    // ------------------------------------------------------------------
     // c07: DEDUP YIELD report — the number every pipeline publishes
     // after a dedup pass: per corpus stratum, how many documents and how
     // much token mass survive survivor selection (d09's keep rule over

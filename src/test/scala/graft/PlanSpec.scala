@@ -370,4 +370,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("collect_list"), "per-user event collection missing")
     assert(p.contains("n_matches"), "fold output missing")
   }
+
+  test("d23 bloom probe filters ahead of the exact confirm join") {
+    val p = plan("d23_bloom_decontaminate")
+    // the codegen'd sketch probe must sit in a Filter BEFORE the join —
+    // pushed after it, the confirm join would pay the full corpus again
+    val probeLine = p.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("bloom_contains"))
+    val joinLine = p.linesIterator.indexWhere(l =>
+      l.contains("Join") && l.contains("shingle"))
+    assert(probeLine >= 0, s"bloom_contains probe missing from plan:\n$p")
+    assert(joinLine >= 0, s"confirm join missing from plan:\n$p")
+  }
 }

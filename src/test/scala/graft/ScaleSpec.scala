@@ -295,4 +295,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(leftLanes.size == 8 && leftLanes.values.max < 3006L / 4,
       s"salting failed to spread the hot bucket: $leftLanes")
   }
+
+  test("bloom prefilter (d23): zero false negatives, disjoint corpus pruned to ~fpp") {
+    // the two properties that make the sketch path safe and worthwhile:
+    // every true benchmark shingle survives (no false negative → the
+    // exact confirm join sees every real hit), and a DISJOINT corpus is
+    // pruned to roughly the configured false-positive rate — at 100 TB
+    // that is the difference between joining ~1% of shingles and all of
+    // them.
+    val bench = spark.range(10000)
+      .select(concat(lit("bench-"), $"id").as("shingle"))
+    val bloom = bench.stat.bloomFilter("shingle", 10000, 0.01)
+    graft.plans.BloomFilterExpressions.register(spark, "scale_bloom", bloom)
+    assert(bench.filter(expr("scale_bloom(shingle)")).count() == 10000L,
+      "a Bloom filter must have NO false negatives")
+    val disjoint = spark.range(100000)
+      .select(concat(lit("corpus-"), $"id").as("shingle"))
+    val kept = disjoint.filter(expr("scale_bloom(shingle)")).count()
+    assert(kept <= 3000L,
+      s"1%-fpp sketch kept $kept of 100000 disjoint shingles")
+  }
 }
