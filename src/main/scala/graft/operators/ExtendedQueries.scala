@@ -1379,6 +1379,48 @@ object ExtendedQueries {
                COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         FROM orders GROUP BY 1 ORDER BY month"""),
-      doc = "format-agnostic roundtrip: ORC + CSV sinks/sources, join-verified fidelity")
+      doc = "format-agnostic roundtrip: ORC + CSV sinks/sources, join-verified fidelity"),
+
+    // ------------------------------------------------------------------
+    // q67: ONLINE ANOMALY detection, batch shadow — the oracle-checkable
+    // twin of streaming/AnomalyDetector.detect (the transformWithState /
+    // Spark-4 arbitrary-state API; StreamingSpec proves the streaming
+    // path emits these exact rows). Per user, an event is anomalous when
+    // it deviates > 4 running σ from the running mean with ≥ 10 prior
+    // events. All moments are EXACT integer sums of the 2-dp-quantized
+    // value (cents, cents²), and the 4σ test is an integer inequality —
+    // (n·x − S₁)² > 16·(n·S₂ − S₁²) — so streaming state, this window
+    // shadow, and DuckDB agree bit-for-bit; a double-typed z-score
+    // would drift across the three. Scale: one keyed shuffle for the
+    // prefix window (user_id partitions — wide, shallow); the streaming
+    // form is O(users) RocksDB rows of three longs.
+    QueryDef(
+      "q67_anomaly_shadow",
+      (s, dir) => {
+        import s.implicits._
+        graft.streaming.AnomalyDetector.batch(Tables.events(s, dir))
+          .select($"user_id", $"event_id", $"ts", $"cents", $"n_prior")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""
+        WITH pre AS (
+          SELECT user_id, event_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        w AS (
+          SELECT user_id, event_id, ts, cents,
+                 COUNT(*) OVER win AS n,
+                 CAST(COALESCE(SUM(cents) OVER win, 0) AS BIGINT) AS s1,
+                 CAST(COALESCE(SUM(cents * cents) OVER win, 0) AS BIGINT) AS s2
+          FROM pre
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT user_id, event_id, ts, cents, n AS n_prior
+        FROM w
+        WHERE n >= 10
+          AND (n * s2 - s1 * s1) > 0
+          AND (n * cents - s1) * (n * cents - s1) > 16 * (n * s2 - s1 * s1)
+        ORDER BY user_id, event_id"""),
+      doc = "online 4-sigma anomaly flags (transformWithState batch shadow): exact integer moments")
   )
 }

@@ -297,4 +297,52 @@ class StreamingSpec extends AnyFunSuite {
         "replay under a fresh txn changed decisions — anti-join shield broken")
     } finally q.stop()
   }
+
+  test("transformWithState anomaly detector matches the batch shadow across batches") {
+    // transformWithState requires the RocksDB state store — scope the
+    // provider override to this query's lifetime
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+      val events = mem.toDF()
+        .toDF("user_id", "event_id", "ts", "value")
+      val q = graft.streaming.AnomalyDetector.detect(events)
+        .writeStream.format("memory").queryName("anomaly_mem")
+        .outputMode("append").start()
+      try {
+        def t(sec: Int) =
+          java.sql.Timestamp.valueOf(f"2024-03-01 00:00:${sec}%02d")
+        // user 1: 12 calm readings (~10.0 ± .05) split across TWO
+        // micro-batches so the exact moments must survive state
+        // roundtrips; then one 4σ spike and one calm reading
+        val calm = (0 until 12).map(i =>
+          (1L, i.toLong, t(i), 10.0 + 0.05 * (i % 2)))
+        mem.addData(calm.take(6))
+        q.processAllAvailable()
+        mem.addData(calm.drop(6))
+        q.processAllAvailable()
+        mem.addData(Seq((1L, 20L, t(20), 25.0), (1L, 21L, t(21), 10.0)))
+        q.processAllAvailable()
+        val got = spark.table("anomaly_mem")
+          .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+        assert(got == Set((1L, 20L)),
+          s"exactly the planted spike must alarm, got $got")
+        // bit-identical to the batch shadow (q67's oracle-checked path)
+        val batch = graft.streaming.AnomalyDetector.batch(
+          (calm ++ Seq((1L, 20L, t(20), 25.0), (1L, 21L, t(21), 10.0)))
+            .toDF("user_id", "event_id", "ts", "value"))
+          .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+        assert(batch == got, "streaming state and window shadow disagree")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
