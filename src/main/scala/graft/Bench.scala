@@ -71,7 +71,8 @@ object Bench {
       "d19_index_backed_dedup", "d20_streaming_dedup",
       // dx19 appends twice + deletes + reads three log versions of a
       // temp FactTable; q66 round-trips ORC and CSV sinks on disk
-      "dx19_time_travel", "dx20_projection_rollup", "q66_format_roundtrip")
+      "dx19_time_travel", "dx20_projection_rollup", "dx21_schema_evolution",
+      "q66_format_roundtrip")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

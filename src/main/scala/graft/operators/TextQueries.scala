@@ -1477,6 +1477,56 @@ object TextQueries {
                CAST(SUM(n_toks) AS BIGINT) AS n_toks,
                MIN(avg_logp) AS worst_logp, MAX(avg_logp) AS best_logp
         FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""),
-      doc = "perplexity-bucketed mixture (CCNet head/middle/tail): LM-scored, language-relative terciles")
+      doc = "perplexity-bucketed mixture (CCNet head/middle/tail): LM-scored, language-relative terciles"),
+
+    // ------------------------------------------------------------------
+    // c12: DATASET CARD — the per-stratum datasheet a corpus release
+    // publishes: document counts, exact token mass and its distribution
+    // (min / interpolated median / max), byte-identity duplicate rate.
+    // One grouped aggregation; everything partial-aggregates except the
+    // exact median (sort-based) and the fingerprint count-distinct
+    // (two-phase) — a card is computed once per release, so the exact
+    // forms are worth their shuffle where a dashboard would use
+    // approx_percentile / approx_count_distinct (q53/q27 show those).
+    // Median interpolation is linear in BOTH engines (Spark percentile,
+    // DuckDB quantile_cont), and token counts are integers, so the
+    // interpolated halves are exact doubles — cross-engine stable.
+    QueryDef(
+      "c12_dataset_card",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .withColumn("n_toks", size(tokens($"text")).cast("long"))
+          .withColumn("fp", md5($"text"))
+          .groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_toks").as("tok_total"),
+            min($"n_toks").as("tok_min"),
+            percentile($"n_toks", lit(0.5)).as("tok_p50"),
+            max($"n_toks").as("tok_max"),
+            countDistinct($"fp").as("n_unique"))
+          .withColumn("avg_toks",
+            round($"tok_total".cast("double") / $"n_docs", 6))
+          .withColumn("dup_rate",
+            round(lit(1.0) - $"n_unique".cast("double") / $"n_docs", 6))
+          .orderBy($"source", $"lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, lang,
+                 len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_toks,
+                 md5(text) AS fp
+          FROM documents)
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS tok_total,
+               CAST(MIN(n_toks) AS BIGINT) AS tok_min,
+               quantile_cont(n_toks, 0.5) AS tok_p50,
+               CAST(MAX(n_toks) AS BIGINT) AS tok_max,
+               COUNT(DISTINCT fp) AS n_unique,
+               round(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 6) AS avg_toks,
+               round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+                 AS dup_rate
+        FROM d GROUP BY source, lang ORDER BY source, lang"""),
+      doc = "dataset card: per-stratum token mass, exact median, byte-dup rate — the release datasheet")
   )
 }

@@ -743,7 +743,52 @@ object DocsisQueries {
                COUNT(*) AS n_rows
         FROM lineitem WHERE l_returnflag <> 'R'
         GROUP BY 1, 2 ORDER BY date, l_returnflag"""),
-      doc = "stored projection rollup: per-part rollup sidecars, partial-agg merge read, delete-consistent")
+      doc = "stored projection rollup: per-part rollup sidecars, partial-agg merge read, delete-consistent"),
+
+    // ------------------------------------------------------------------
+    // dx21: SCHEMA EVOLUTION e2e — the ClickHouse ADD COLUMN / Delta
+    // mergeSchema surface FactTableSpec covers unit-level, with a DuckDB
+    // oracle behind it: v0 appends rows WITHOUT l_returnflag, v1 appends
+    // rows WITH it, compact() merges both through the mergeSchema read
+    // (a single-footer schema pick would silently drop the new column —
+    // the exact bug the FactTable read path guards), and the final
+    // grouped read sees NULL for every pre-evolution row. The oracle
+    // reconstructs the same rollup with a CASE, so a merge that dropped
+    // the column, defaulted it, or misattributed rows hash-fails.
+    // Scale: evolution is metadata-only per part (no rewrite of old
+    // parts — they stay columnless until some merge rewrites them), the
+    // Delta/Iceberg contract.
+    QueryDef(
+      "dx21_schema_evolution",
+      (s, sfDir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx21_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val li = graft.Tables.load(s, sfDir, "lineitem")
+          .select(trunc(to_date($"l_shipdate"), "year").as("date"),
+            $"l_orderkey", $"l_linenumber",
+            $"l_quantity".cast(DecimalType(18, 2)).as("qty"),
+            $"l_returnflag")
+        t.append(li.filter($"l_linenumber" % 2 === 0).drop("l_returnflag"), 0)
+        t.append(li.filter($"l_linenumber" % 2 === 1), 1) // schema + 1 col
+        t.compact(sortCols = Seq("l_orderkey", "l_linenumber")) // merge across the schema change
+        t.read()
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"qty").cast(DecimalType(18, 2)).cast("double").as("sum_qty"))
+          .orderBy($"l_returnflag".asc_nulls_first)
+      },
+      Some("""
+        SELECT CASE WHEN l_linenumber % 2 = 1 THEN l_returnflag END
+                 AS l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY 1 ORDER BY l_returnflag NULLS FIRST"""),
+      doc = "schema evolution e2e: add-column append, mergeSchema compaction, NULL backfill on read")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,
