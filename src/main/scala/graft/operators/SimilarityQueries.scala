@@ -986,7 +986,95 @@ object SimilarityQueries {
         SELECT vec_id, round(CAST(adec AS DOUBLE), 9) AS approx_d2,
                round(CAST(edec AS DOUBLE), 9) AS exact_d2
         FROM dists ORDER BY approx_d2 ASC, vec_id ASC LIMIT 10"""),
-      doc = "SQ8 scalar-quantization ANN: per-dim 8-bit codes, asymmetric dequantized ranking")
+      doc = "SQ8 scalar-quantization ANN: per-dim 8-bit codes, asymmetric dequantized ranking"),
+
+    // ------------------------------------------------------------------
+    // s17: BINARY (1-bit) quantization ANN — the fourth compression
+    // family after IVF / PQ / SQ8, and the most aggressive: each
+    // dimension becomes the sign bit of (x − μ_d) against the per-dim
+    // corpus mean, packed 32 dims per word (two BIGINT words for the
+    // 64-dim test embeddings; an array of words at any width — bit 63
+    // of a signed BIGINT is deliberately unused so neither engine's
+    // shift overflows). Ranking = Hamming distance, computed as
+    // bit_count(xor(word, qword)) summed over words — 32 corpus bytes
+    // per vector instead of 256 float bytes, and candidate ranking
+    // needs only XOR+POPCNT (SIMD-trivial on any executor). The exact
+    // cosine of each Hamming winner rides along so the compression
+    // error is visible in the result, and ties (common in Hamming
+    // space) break on vec_id for a total order.
+    //
+    // Scale (100 TB): the "codebook" is 64 means — one partial-agg
+    // shuffle, broadcast back; encoding is map-only after that; the
+    // Hamming scan is the cheapest possible first-stage filter before
+    // exact re-ranking (the standard binary-embedding retrieval
+    // cascade). Determinism: μ comes from decimal-exact sums; the
+    // sign test and bit packing are integer-exact in both engines.
+    QueryDef(
+      "s17_binary_hamming",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val comps = emb.select($"vec_id",
+          posexplode_outer($"embedding").as(Seq("dim", "x")))
+        val thr = comps.groupBy($"dim")
+          .agg((sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18))"))
+            .cast("double") / count(lit(1))).as("mu"))
+        val codes = comps.join(broadcast(thr), Seq("dim"))
+          .groupBy($"vec_id")
+          .agg(
+            expr("""bit_or(CASE WHEN dim < 32 AND CAST(x AS DOUBLE) > mu
+                      THEN shiftleft(CAST(1 AS BIGINT), dim) ELSE CAST(0 AS BIGINT) END)""")
+              .as("w0"),
+            expr("""bit_or(CASE WHEN dim >= 32 AND CAST(x AS DOUBLE) > mu
+                      THEN shiftleft(CAST(1 AS BIGINT), dim - 32) ELSE CAST(0 AS BIGINT) END)""")
+              .as("w1"))
+        val q = codes.filter($"vec_id" === 0)
+          .select($"w0".as("q0"), $"w1".as("q1"))
+        val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        codes.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id",
+            expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)")
+              .as("hamming"))
+          .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+          .crossJoin(broadcast(qv))
+          .select($"vec_id", $"hamming",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"hamming".asc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(1, 65)) AS d),
+        comps AS (SELECT e.vec_id, d.d - 1 AS dim, e.embedding[d.d] AS x
+                  FROM embeddings e CROSS JOIN dims d),
+        thr AS (SELECT dim,
+                       CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18)))
+                            AS DOUBLE) / COUNT(*) AS mu
+                FROM comps GROUP BY dim),
+        codes AS (
+          SELECT c.vec_id,
+                 bit_or(CASE WHEN c.dim < 32 AND CAST(c.x AS DOUBLE) > t.mu
+                        THEN (1::BIGINT << c.dim) ELSE 0::BIGINT END) AS w0,
+                 bit_or(CASE WHEN c.dim >= 32 AND CAST(c.x AS DOUBLE) > t.mu
+                        THEN (1::BIGINT << (c.dim - 32)) ELSE 0::BIGINT END) AS w1
+          FROM comps c JOIN thr t ON c.dim = t.dim
+          GROUP BY c.vec_id),
+        q AS (SELECT w0 AS q0, w1 AS q1 FROM codes WHERE vec_id = 0),
+        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        ham AS (SELECT c.vec_id,
+                       CAST(bit_count(xor(c.w0, q.q0))
+                            + bit_count(xor(c.w1, q.q1)) AS BIGINT) AS hamming
+                FROM codes c, q WHERE c.vec_id <> 0),
+        pairs AS (SELECT h.vec_id, h.hamming,
+                         unnest(e.embedding) AS x, unnest(qv.qv) AS y
+                  FROM ham h JOIN embeddings e ON e.vec_id = h.vec_id, qv),
+        dots AS (SELECT vec_id, hamming,
+                        ${OracleFragments.oCosineSums()}
+                 FROM pairs GROUP BY vec_id, hamming)
+        SELECT vec_id, hamming,
+               round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM dots ORDER BY hamming ASC, vec_id ASC LIMIT 10"""),
+      doc = "binary sign-bit quantization ANN: 32-dims-per-word packing, XOR+POPCNT Hamming ranking")
   )
 
   /** s14/s15 shared oracle (s04's search semantics): both the one-shot

@@ -315,4 +315,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(kept <= 3000L,
       s"1%-fpp sketch kept $kept of 100000 disjoint shingles")
   }
+
+  test("binary quantization (s17): planted copy of the query is Hamming-0 and ranks first") {
+    // sign-bit codes must be a function of the vector alone — an exact
+    // copy of the query lands at Hamming 0 and wins every ranking, at
+    // any corpus size; random vectors stay far (≈32/64 bits differ)
+    val base = vectors // 50k deterministic vectors
+    val copy = base.filter($"vec_id" === 0)
+      .select(lit(999999L).as("vec_id"), $"embedding")
+    val emb = base.unionByName(copy)
+    val comps = emb.select($"vec_id",
+      posexplode_outer($"embedding").as(Seq("dim", "x")))
+    val thr = comps.groupBy($"dim")
+      .agg((sum($"x".cast("double")) / count(lit(1))).as("mu"))
+    val codes = comps.join(broadcast(thr), Seq("dim"))
+      .groupBy($"vec_id")
+      .agg(
+        expr("""bit_or(CASE WHEN dim < 32 AND CAST(x AS DOUBLE) > mu
+                  THEN shiftleft(CAST(1 AS BIGINT), dim) ELSE CAST(0 AS BIGINT) END)""")
+          .as("w0"),
+        expr("""bit_or(CASE WHEN dim >= 32 AND CAST(x AS DOUBLE) > mu
+                  THEN shiftleft(CAST(1 AS BIGINT), dim - 32) ELSE CAST(0 AS BIGINT) END)""")
+          .as("w1"))
+    val q = codes.filter($"vec_id" === 0).select($"w0".as("q0"), $"w1".as("q1"))
+    val ranked = codes.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)").as("hamming"))
+      .orderBy($"hamming".asc, $"vec_id".asc)
+      .limit(5).as[(Long, Long)].collect()
+    assert(ranked.head == (999999L, 0L),
+      s"planted copy must win at Hamming 0, got ${ranked.toSeq}")
+    val med = codes.filter($"vec_id" =!= 0 && $"vec_id" =!= 999999L)
+      .crossJoin(broadcast(q))
+      .select(expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS DOUBLE)").as("h"))
+      .agg(percentile($"h", lit(0.5))).as[Double].head()
+    assert(med >= 16.0 && med <= 48.0,
+      s"random vectors should sit near 32/64 differing bits, median $med")
+  }
 }
