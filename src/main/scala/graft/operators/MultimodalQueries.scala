@@ -177,6 +177,64 @@ object MultimodalQueries {
                CAST(SUM(bytes - nb_keep) AS BIGINT) AS bytes_reclaimed
         FROM grp WHERE n > 1
         GROUP BY fmt ORDER BY fmt"""),
-      doc = "media content dedup: 16-byte hash keys over opaque binaries, bytes-reclaimed report")
+      doc = "media content dedup: 16-byte hash keys over opaque binaries, bytes-reclaimed report"),
+
+    // ------------------------------------------------------------------
+    // m06: CROSS-MODAL retrieval — the CLIP-shaped query a multimodal
+    // lake serves: a text-side query embedding (from the embeddings
+    // table) scored by exact cosine against IMAGE-side embeddings
+    // produced by the (stub) media encoder, top-k media assets
+    // returned with their metadata. The encoder stub maps content
+    // bytes → 64 deterministic dims in [-1, 1] (two md5 digests, one
+    // hex char per dim — the same "deterministic in the content bytes"
+    // contract as every MediaPipeline stub; a real deployment swaps in
+    // a model forward over mapInPandas batches, m04's plumbing).
+    // Scale: encoding is map-only over the binary column (assets never
+    // shuffle); the query vector broadcasts; ranking is the s01
+    // decimal-exact cosine + TakeOrderedAndProject — the brute-force
+    // leg of the retrieval cascade (s07/s17 are its prefilters).
+    QueryDef(
+      "m06_crossmodal_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.cosineExact
+        val media = MediaPipeline.mediaTable(s, dir)
+          // 7.5 must be a DOUBLE literal: a bare `7.5` in Spark SQL is
+          // DECIMAL(2,1), and int/decimal division rounds at scale 6 —
+          // enough to move the cast-to-float bits off DuckDB's
+          .withColumn("m_emb", expr(
+            """transform(sequence(0, 63), d ->
+                 CAST(CAST(instr('0123456789abcdef',
+                        substring(md5(concat(CAST(content AS STRING), ':',
+                                             CAST(d div 32 AS STRING))),
+                          pmod(d, 32) + 1, 1)) - 1 AS DOUBLE) / 7.5D - 1.0D
+                      AS FLOAT))"""))
+        val qv = graft.Tables.load(s, dir, "embeddings")
+          .filter($"vec_id" === 0).select($"embedding".as("qv"))
+        media.crossJoin(broadcast(qv))
+          .select($"media_id", $"fmt",
+            round(cosineExact("m_emb", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"media_id".asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH media AS (
+          SELECT doc_id AS media_id, source AS fmt,
+                 list_transform(range(0, 64), d ->
+                   CAST((strpos('0123456789abcdef',
+                          substr(md5(text || ':' || CAST(d // 32 AS VARCHAR)),
+                            (d % 32) + 1, 1)) - 1) / 7.5 - 1.0 AS REAL)) AS m_emb
+          FROM documents),
+        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        pairs AS (SELECT m.media_id, m.fmt,
+                         unnest(m.m_emb) AS x, unnest(qv.qv) AS y
+                  FROM media m, qv),
+        dots AS (SELECT media_id, fmt,
+                        ${graft.operators.OracleFragments.oCosineSums()}
+                 FROM pairs GROUP BY media_id, fmt)
+        SELECT media_id, fmt,
+               round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM dots ORDER BY cosine DESC, media_id ASC LIMIT 10"""),
+      doc = "cross-modal retrieval: stub media encoder to the text embedding space, exact cosine top-k")
   )
 }
