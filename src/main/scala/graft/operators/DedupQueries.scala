@@ -1792,6 +1792,93 @@ object DedupQueries {
       doc = "bloom-prefiltered decontamination: broadcast sketch probe, exact confirm on the surviving tail"),
 
     // ------------------------------------------------------------------
+    // d24: LSH PARAMETER SWEEP — the banding-theory trade-off MEASURED
+    // instead of estimated: the same 8 MinHash lanes sliced as
+    // (bands × rows/band) = 8×1, 4×2, 2×4, 1×8, each config's candidate
+    // pairs generated by the production path (count-first bounded
+    // posting lists), scored against the planted truth (d18's +1M exact
+    // / +2M near copies). More rows per band = a stricter AND inside
+    // each band: recall falls, candidate load falls — the report is the
+    // S-curve a pipeline owner reads before fixing (b, r) for a corpus.
+    // Everything is exact integer counts (no pow(), whose last-ulp
+    // behavior differs across engines), so the row hashes are stable.
+    // Scale: each config is one band shuffle + capped in-row expansion;
+    // a production sweep would checkpoint the signature table once
+    // instead of recomputing it per config (d19 stores exactly that
+    // table), which does not change the per-config plan shape.
+    QueryDef(
+      "d24_lsh_parameter_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val sig = minhashSignatures(s, dir)
+        val d = Tables.load(s, dir, "documents").select($"doc_id")
+        val truth = d.filter($"doc_id" % 10 === 0)
+          .select($"doc_id".as("doc_a"), ($"doc_id" + 1000000L).as("doc_b"))
+          .unionByName(d.filter($"doc_id" % 10 === 1)
+            .select($"doc_id".as("doc_a"), ($"doc_id" + 2000000L).as("doc_b")))
+        val rowsPer = Seq(8 -> 1, 4 -> 2, 2 -> 4, 1 -> 8).map { case (b, r) =>
+          val bands = sig.select($"doc_id", posexplode(array((0 until b).map {
+            i => concat((0 until r).map(j => col(s"mh${i * r + j}")): _*)
+          }: _*)).as(Seq("band", "bval")))
+            .filter($"bval".isNotNull)
+          val pairs = pairsFromPostingLists(boundedPostingLists(bands,
+            Seq("band", "bval"), $"doc_id", maxLshBucket, s"d24_hot_${b}x$r"))
+          val found = truth.join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+          truth.agg(count(lit(1)).as("n_truth"))
+            .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_cands"))))
+            .crossJoin(broadcast(found.agg(count(lit(1)).as("n_truth_found"))))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              $"n_truth", $"n_cands", $"n_truth_found")
+        }
+        rowsPer.reduce(_.unionByName(_))
+          .withColumn("recall",
+            round($"n_truth_found".cast("double") / $"n_truth", 6))
+          .orderBy($"rows_per_band")
+      },
+      Some {
+        def cfg(b: Int, r: Int): String = {
+          val t = s"${b}_$r"
+          val bandSelects = (0 until b).map { i =>
+            val v = (0 until r).map(j => s"mh${i * r + j}").mkString(" || ")
+            s"SELECT doc_id, $i AS band, $v AS bval FROM sig"
+          }.mkString("\n          UNION ALL ")
+          s"""bands_$t AS ($bandSelects),
+        bsized_$t AS (
+          SELECT band, bval FROM bands_$t WHERE bval IS NOT NULL
+          GROUP BY band, bval
+          HAVING COUNT(*) > 1 AND COUNT(*) <= $maxLshBucket),
+        pairs_$t AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands_$t a JOIN bands_$t b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          JOIN bsized_$t s ON s.band = a.band AND s.bval = a.bval
+          WHERE a.bval IS NOT NULL),
+        m_$t AS (
+          SELECT $b AS bands, $r AS rows_per_band,
+                 (SELECT COUNT(*) FROM truth) AS n_truth,
+                 (SELECT COUNT(*) FROM pairs_$t) AS n_cands,
+                 (SELECT COUNT(*) FROM truth t
+                  JOIN pairs_$t p ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+                   AS n_truth_found)"""
+        }
+        val cfgs = Seq(8 -> 1, 4 -> 2, 2 -> 4, 1 -> 8)
+        s"""$minhashSqlCore,
+        truth AS (
+          SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, doc_id + 2000000
+          FROM documents WHERE doc_id % 10 = 1),
+        ${cfgs.map { case (b, r) => cfg(b, r) }.mkString(",\n        ")}
+        SELECT bands, rows_per_band, n_truth, n_cands, n_truth_found,
+               round(CAST(n_truth_found AS DOUBLE) / n_truth, 6) AS recall
+        FROM (${cfgs.map { case (b, r) => s"SELECT * FROM m_${b}_$r" }
+            .mkString(" UNION ALL ")})
+        ORDER BY rows_per_band"""
+      },
+      doc = "LSH banding sweep: 8x1..1x8 lane slicings, measured recall vs candidate load on planted truth"),
+
+    // ------------------------------------------------------------------
     // c07: DEDUP YIELD report — the number every pipeline publishes
     // after a dedup pass: per corpus stratum, how many documents and how
     // much token mass survive survivor selection (d09's keep rule over
