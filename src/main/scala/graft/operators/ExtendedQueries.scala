@@ -1421,6 +1421,52 @@ object ExtendedQueries {
           AND (n * s2 - s1 * s1) > 0
           AND (n * cents - s1) * (n * cents - s1) > 16 * (n * s2 - s1 * s1)
         ORDER BY user_id, event_id"""),
-      doc = "online 4-sigma anomaly flags (transformWithState batch shadow): exact integer moments")
+      doc = "online 4-sigma anomaly flags (transformWithState batch shadow): exact integer moments"),
+
+    // ------------------------------------------------------------------
+    // q68: unpivot (melt) — the inverse surface of q32: the per-type
+    // pivoted count columns fold back into (user_id, event_type, n)
+    // rows via the engine's native Unpivot node (wide→long reshape, a
+    // Grafana/feature-store staple). Zero-filled cells survive the
+    // round trip, so the output is the dense user×type grid, not the
+    // sparse groupBy — that distinction is what the operator is FOR.
+    // Scale: one hash shuffle for the pivot agg; the unpivot itself is
+    // a map-only row expansion (×5) with no exchange.
+    QueryDef(
+      "q68_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        Tables.load(s, dir, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .count()
+          .na.fill(0L, types)
+          .unpivot(Array($"user_id"), types.map(col).toArray,
+            "event_type", "n")
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""
+        WITH pivoted AS (
+          SELECT user_id,
+                 COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                 COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                 COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                 COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+          FROM events GROUP BY user_id)
+        SELECT user_id, event_type, n
+        FROM (
+          SELECT user_id, 'click' AS event_type, click AS n FROM pivoted
+          UNION ALL
+          SELECT user_id, 'view', view FROM pivoted
+          UNION ALL
+          SELECT user_id, 'purchase', purchase FROM pivoted
+          UNION ALL
+          SELECT user_id, 'signup', signup FROM pivoted
+          UNION ALL
+          SELECT user_id, 'error', error FROM pivoted)
+        ORDER BY user_id, event_type"""),
+      doc = "unpivot/melt: wide per-type count columns back to long rows, zero cells preserved")
   )
 }

@@ -1527,6 +1527,64 @@ object TextQueries {
                round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
                  AS dup_rate
         FROM d GROUP BY source, lang ORDER BY source, lang"""),
-      doc = "dataset card: per-stratum token mass, exact median, byte-dup rate — the release datasheet")
+      doc = "dataset card: per-stratum token mass, exact median, byte-dup rate — the release datasheet"),
+
+    // ------------------------------------------------------------------
+    // t21: READABILITY scoring — Flesch-reading-ease over surface
+    // counts: sentences (terminator runs), words (whitespace tokens),
+    // syllables (vowel-group proxy, the standard dictionary-free
+    // approximation). The band column is the curation knob: training
+    // mixes filter or re-weight on readability bands, and the formula's
+    // inputs are exact integer counts so only the final arithmetic is
+    // floating (double on both engines, 4-dp rounded). Scale: map-only
+    // over the corpus — no shuffle at all until the output sort.
+    QueryDef(
+      "t21_readability",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            size(split(trim($"text"), "\\s+")).cast("long").as("n_words"),
+            greatest(regexp_count($"text", lit("[.!?]+")), lit(1))
+              .cast("long").as("n_sents"),
+            greatest(regexp_count(lower($"text"), lit("[aeiouy]+")), lit(1))
+              .cast("long").as("n_syll"))
+          .withColumn("flesch", round(
+            lit(206.835d)
+              - lit(1.015d) * $"n_words".cast("double") / $"n_sents".cast("double")
+              - lit(84.6d) * $"n_syll".cast("double") / $"n_words".cast("double"),
+            4))
+          .withColumn("band",
+            when($"flesch" >= 90d, "very_easy")
+              .when($"flesch" >= 60d, "standard")
+              .when($"flesch" >= 30d, "difficult")
+              .otherwise("very_difficult"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_words,
+                 CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS BIGINT) AS n_sents,
+                 CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                   AS BIGINT) AS n_syll
+          FROM documents),
+        f AS (
+          SELECT doc_id, n_words, n_sents, n_syll,
+                 round(CAST(206.835 AS DOUBLE)
+                       - CAST(1.015 AS DOUBLE) * CAST(n_words AS DOUBLE)
+                         / CAST(n_sents AS DOUBLE)
+                       - CAST(84.6 AS DOUBLE) * CAST(n_syll AS DOUBLE)
+                         / CAST(n_words AS DOUBLE), 4) AS flesch
+          FROM c)
+        SELECT doc_id, n_words, n_sents, n_syll, flesch,
+               CASE WHEN flesch >= 90 THEN 'very_easy'
+                    WHEN flesch >= 60 THEN 'standard'
+                    WHEN flesch >= 30 THEN 'difficult'
+                    ELSE 'very_difficult' END AS band
+        FROM f ORDER BY doc_id"""),
+      doc = "Flesch readability: exact surface counts, double-typed formula, curation bands")
   )
 }
