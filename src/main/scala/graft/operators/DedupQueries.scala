@@ -1903,6 +1903,158 @@ object DedupQueries {
       doc = "LSH banding sweep: 8x1..1x8 lane slicings, measured recall vs candidate load on planted truth"),
 
     // ------------------------------------------------------------------
+    // d25: SOFT DEDUP WEIGHTS — the alternative to dropping duplicates:
+    // every document keeps weight 1/cluster_size (unclustered docs
+    // weigh 1), so a training run downweights repeated content instead
+    // of discarding it — total loss mass per unique content unit stays
+    // constant regardless of copy count. The report is the per-origin
+    // effective-document mass vs raw count. Determinism: each weight is
+    // quantized to a 6-dp DECIMAL before summing, so the sum is exact
+    // decimal arithmetic (order-independent) in both engines; a double
+    // sum would be addition-order-dependent and hash-flaky. Scale: d08's
+    // label fixpoint + two broadcast-sized joins and one partial-agg
+    // rollup — no new shuffle shapes.
+    QueryDef(
+      "d25_soft_dedup_weights",
+      (s, dir) => {
+        import s.implicits._
+        val labels = clusterLabels(s, dir)
+        val sizes = labels.groupBy($"canon").agg(count(lit(1)).as("k"))
+        corpus(s, dir).join(labels, Seq("doc_id"), "left")
+          .join(broadcast(sizes), Seq("canon"), "left")
+          .withColumn("k", coalesce($"k", lit(1L)))
+          .withColumn("w",
+            round(lit(1.0d) / $"k".cast("double"), 6).cast("decimal(18,6)"))
+          .withColumn("origin",
+            when($"doc_id" >= 2000000L, "near_copy")
+              .when($"doc_id" >= 1000000L, "exact_copy")
+              .otherwise("original"))
+          .groupBy($"origin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"w").cast("double").as("effective_docs"),
+            round(sum($"k").cast("double") / count(lit(1)), 6)
+              .as("avg_cluster_size"))
+          .orderBy($"origin")
+      },
+      Some(s"""$labelsSqlCore,
+        sizes AS (SELECT canon, COUNT(*) AS k FROM labels GROUP BY canon),
+        tagged AS (
+          SELECT c.doc_id, COALESCE(s.k, 1) AS k,
+                 CASE WHEN c.doc_id >= 2000000 THEN 'near_copy'
+                      WHEN c.doc_id >= 1000000 THEN 'exact_copy'
+                      ELSE 'original' END AS origin
+          FROM corpus c
+          LEFT JOIN labels l ON c.doc_id = l.doc_id
+          LEFT JOIN sizes s ON l.canon = s.canon)
+        SELECT origin, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / k, 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS effective_docs,
+               round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_cluster_size
+        FROM tagged GROUP BY origin ORDER BY origin"""),
+      doc = "soft dedup: 1/cluster_size loss weights, exact decimal effective-doc mass per origin"),
+
+    // ------------------------------------------------------------------
+    // c13: SPLIT-CONTAMINATION AUDIT — the matrix a release review asks
+    // for after d11 assigns splits: for every directed split pair
+    // (a → b), how many distinct 3-gram shingles the two splits share
+    // and how many of b's documents contain at least one shingle also
+    // present in a. d11's cluster-keyed split proves near-DUPS don't
+    // straddle splits; this measures the residual soft overlap (common
+    // phrases) that remains by construction — the number reviewers
+    // want to SEE, not assume. Scale: both joins key on the shingle
+    // value against a per-split-DISTINCT right side, so fan-out per
+    // probe row is bounded by the split count (3), never by shingle
+    // popularity — no hot-key cap needed, unlike the pair-expansion
+    // sites. One distinct + two partial-agg shuffles.
+    QueryDef(
+      "c13_split_contamination",
+      (s, dir) => {
+        import s.implicits._
+        val labels = clusterLabels(s, dir)
+        val hb = substring(md5(coalesce($"canon", $"doc_id")
+          .cast("string")), 1, 2)
+        val keyed = corpus(s, dir).join(labels, Seq("doc_id"), "left")
+          .withColumn("split",
+            when(hb < "c0", "train").when(hb < "e0", "val")
+              .otherwise("test"))
+        val dsh = keyed
+          .withColumn("toks", graft.functions.TextFunctions.tokens($"text"))
+          .withColumn("sh", graft.functions.TextFunctions.shingles("toks"))
+          .select($"doc_id", $"split", explode(array_distinct($"sh")).as("s"))
+        val ssh = dsh.select($"split", $"s").distinct()
+        val shared = ssh.as("a")
+          .join(ssh.as("b"), $"a.s" === $"b.s" && $"a.split" < $"b.split")
+          .select($"a.split".as("sa"), $"b.split".as("sb"))
+          .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_shared"))
+        val hits = dsh.as("d")
+          .join(ssh.as("o"), $"d.s" === $"o.s" && $"o.split" =!= $"d.split")
+          .select($"o.split".as("split_a"), $"d.split".as("split_b"),
+            $"d.doc_id".as("doc_id"))
+          .distinct()
+          .groupBy($"split_a", $"split_b")
+          .agg(count(lit(1)).as("n_docs_b_hit"))
+        val nd = keyed.groupBy($"split").agg(count(lit(1)).as("n_docs"))
+        nd.select($"split".as("split_a"))
+          .crossJoin(nd.select($"split".as("split_b"), $"n_docs".as("n_docs_b")))
+          .filter($"split_a" =!= $"split_b")
+          .join(broadcast(hits), Seq("split_a", "split_b"), "left")
+          .join(broadcast(shared),
+            least($"split_a", $"split_b") === $"sa" &&
+              greatest($"split_a", $"split_b") === $"sb", "left")
+          .select($"split_a", $"split_b",
+            coalesce($"n_shared", lit(0L)).as("n_shared_shingles"),
+            coalesce($"n_docs_b_hit", lit(0L)).as("n_docs_b_hit"),
+            $"n_docs_b",
+            round(coalesce($"n_docs_b_hit", lit(0L)).cast("double")
+              / $"n_docs_b", 6).as("contamination_rate"))
+          .orderBy($"split_a", $"split_b")
+      },
+      Some(s"""$labelsSqlCore,
+        keyed AS (
+          SELECT c.doc_id, c.text,
+                 CASE WHEN substr(md5(CAST(COALESCE(l.canon, c.doc_id) AS VARCHAR)), 1, 2) < 'c0'
+                      THEN 'train'
+                      WHEN substr(md5(CAST(COALESCE(l.canon, c.doc_id) AS VARCHAR)), 1, 2) < 'e0'
+                      THEN 'val' ELSE 'test' END AS split
+          FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id),
+        tok_c13 AS (SELECT doc_id, split,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM keyed),
+        dsh AS (
+          SELECT doc_id, split,
+                 unnest(list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                        ELSE [] END)) AS s
+          FROM tok_c13),
+        ssh AS (SELECT DISTINCT split, s FROM dsh),
+        shared AS (
+          SELECT a.split AS sa, b.split AS sb, COUNT(*) AS n_shared
+          FROM ssh a JOIN ssh b ON a.s = b.s AND a.split < b.split
+          GROUP BY a.split, b.split),
+        hits AS (
+          SELECT o.split AS split_a, d.split AS split_b,
+                 COUNT(DISTINCT d.doc_id) AS n_docs_b_hit
+          FROM dsh d JOIN ssh o ON d.s = o.s AND o.split <> d.split
+          GROUP BY o.split, d.split),
+        nd AS (SELECT split, COUNT(*) AS n_docs FROM keyed GROUP BY split)
+        SELECT x.split_a, x.split_b,
+               COALESCE(s.n_shared, 0) AS n_shared_shingles,
+               COALESCE(h.n_docs_b_hit, 0) AS n_docs_b_hit,
+               x.n_docs_b,
+               round(CAST(COALESCE(h.n_docs_b_hit, 0) AS DOUBLE) / x.n_docs_b, 6)
+                 AS contamination_rate
+        FROM (SELECT a.split AS split_a, b.split AS split_b,
+                     b.n_docs AS n_docs_b
+              FROM nd a CROSS JOIN nd b WHERE a.split <> b.split) x
+        LEFT JOIN hits h ON h.split_a = x.split_a AND h.split_b = x.split_b
+        LEFT JOIN shared s ON s.sa = least(x.split_a, x.split_b)
+                          AND s.sb = greatest(x.split_a, x.split_b)
+        ORDER BY x.split_a, x.split_b"""),
+      doc = "split-contamination matrix: shared shingles + contaminated-doc counts per directed split pair"),
+
+    // ------------------------------------------------------------------
     // c07: DEDUP YIELD report — the number every pipeline publishes
     // after a dedup pass: per corpus stratum, how many documents and how
     // much token mass survive survivor selection (d09's keep rule over
