@@ -2055,6 +2055,65 @@ object DedupQueries {
       doc = "split-contamination matrix: shared shingles + contaminated-doc counts per directed split pair"),
 
     // ------------------------------------------------------------------
+    // d26: PAIR-GRAPH RANK — PageRank (5 rounds, damping 0.85) over the
+    // symmetrized LSH candidate graph. High-rank nodes are the HUBS of
+    // the near-dup graph — template pages and boilerplate sources whose
+    // variants permeate a crawl — the docs a curation pass reviews
+    // first. All arithmetic is BIGINT in millionths with truncating
+    // division, so five rounds stay bit-identical across engines (a
+    // double PageRank diverges in the last ulp by round 2); the oracle
+    // unrolls the five rounds as plain CTEs because recursive CTEs
+    // cannot aggregate in the recursive term. Scale: per round one
+    // keyed join of the score table against the edge list + one
+    // partial-agg sum — d08's exact shuffle shape; rounds are fixed
+    // (5), not diameter-bounded.
+    QueryDef(
+      "d26_pair_graph_rank",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = lshCandidatePairs(s, dir)
+        val edges = truncate(pairs
+          .select($"doc_a".as("src"), $"doc_b".as("dst"))
+          .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        var pr = truncate(deg.select($"src".as("doc_id"),
+          $"deg", lit(1000000L).as("score")))
+        for (_ <- 1 to 5) {
+          val contrib = edges
+            .join(pr.select($"doc_id".as("src"),
+              expr("score div deg").as("c")), "src")
+            .groupBy($"dst").agg(sum($"c").as("incoming"))
+          pr = truncate(pr.join(contrib, pr("doc_id") === contrib("dst"))
+            .select(pr("doc_id"), pr("deg"),
+              (lit(150000L) + expr("(850000 * incoming) div 1000000"))
+                .as("score")))
+        }
+        pr.orderBy($"score".desc, $"doc_id").limit(50)
+          .select($"doc_id", $"deg", $"score")
+      },
+      Some {
+        val rounds = (1 to 5).map { i =>
+          s"""pr$i AS (
+          SELECT p.doc_id, p.deg,
+                 150000 + (850000 * inc.incoming) // 1000000 AS score
+          FROM pr${i - 1} p JOIN (
+            SELECT e.dst, SUM(q.score // q.deg) AS incoming
+            FROM edges_d26 e JOIN pr${i - 1} q ON q.doc_id = e.src
+            GROUP BY e.dst) inc ON inc.dst = p.doc_id)"""
+        }.mkString(",\n        ")
+        s"""$lshPairsSqlCore,
+        edges_d26 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges_d26 GROUP BY src),
+        pr0 AS (SELECT src AS doc_id, deg, CAST(1000000 AS BIGINT) AS score
+                FROM deg),
+        $rounds
+        SELECT doc_id, deg, CAST(score AS BIGINT) AS score FROM pr5
+        ORDER BY score DESC, doc_id LIMIT 50"""
+      },
+      doc = "integer PageRank over the near-dup candidate graph: template-hub detection, bit-stable rounds"),
+
+    // ------------------------------------------------------------------
     // c07: DEDUP YIELD report — the number every pipeline publishes
     // after a dedup pass: per corpus stratum, how many documents and how
     // much token mass survive survivor selection (d09's keep rule over
