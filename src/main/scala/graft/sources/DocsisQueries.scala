@@ -788,7 +788,78 @@ object DocsisQueries {
                     AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY 1 ORDER BY l_returnflag NULLS FIRST"""),
-      doc = "schema evolution e2e: add-column append, mergeSchema compaction, NULL backfill on read")
+      doc = "schema evolution e2e: add-column append, mergeSchema compaction, NULL backfill on read"),
+
+    // ------------------------------------------------------------------
+    // dx22: collapsing merge e2e (VersionedCollapsingMergeTree — the CDC
+    // write pattern: updates and deletes arrive as append-only cancel
+    // rows, never in-place mutation). Three appended batches simulate a
+    // changelog against orders:
+    //   txn 0: every order as a +1 state row (ver 1)
+    //   txn 1: updates — keys %7==0 get a -1 cancel of ver 1 plus a +1
+    //          state at ver 2 with price bumped by 100
+    //   txn 2: deletes — keys %7!=0 && %13==0 get a -1 cancel of ver 1
+    // collapsingCompact nets matched (key, ver) pairs to zero; the two
+    // require()s prove the collapse physically happened (one row per
+    // surviving key, all signs +1) BEFORE the aggregate runs, so the
+    // green row certifies merge semantics, not just arithmetic. The
+    // final aggregate uses the CH reader idiom sum(sign * x): correct
+    // before AND after merges — collapse only makes it cheap.
+    QueryDef(
+      "dx22_collapsing_merge",
+      (s, sfDir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx22_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val state = graft.Tables.load(s, sfDir, "orders")
+          .select(to_date(date_trunc("month", $"o_orderdate")).as("date"),
+            $"o_orderkey", $"o_orderpriority",
+            $"o_totalprice".cast(DecimalType(18, 2)).as("price"))
+        val base = state.withColumn("sign", lit(1))
+          .withColumn("ver", lit(1L))
+        t.append(base, txnId = 0)
+        val updated = state.filter($"o_orderkey" % 7 === 0)
+        t.append(
+          updated.withColumn("sign", lit(-1)).withColumn("ver", lit(1L))
+            .unionByName(updated
+              .withColumn("price",
+                ($"price" + lit(100)).cast(DecimalType(18, 2)))
+              .withColumn("sign", lit(1)).withColumn("ver", lit(2L))),
+          txnId = 1)
+        t.append(
+          state.filter($"o_orderkey" % 7 =!= 0 && $"o_orderkey" % 13 === 0)
+            .withColumn("sign", lit(-1)).withColumn("ver", lit(1L)),
+          txnId = 2)
+        t.collapsingCompact(keyCols = Seq("o_orderkey"), signCol = "sign",
+          versionCol = "ver")
+        val merged = t.read()
+        require(merged.groupBy($"o_orderkey").count()
+          .filter($"count" > 1).isEmpty,
+          s"collapsing merge left a multi-row key at $dir")
+        require(merged.filter($"sign" =!= 1).isEmpty,
+          s"collapsing merge left a non-+1 net sign at $dir")
+        merged.groupBy($"o_orderpriority")
+          .agg(sum($"sign").cast("long").as("n_live"),
+            sum(when($"ver" === 2L, 1L).otherwise(0L)).as("n_updated"),
+            sum($"sign" * $"price").cast(DecimalType(18, 2)).cast("double")
+              .as("price_sum"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_live,
+               CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_updated,
+               CAST(CAST(SUM(CASE WHEN o_orderkey % 7 = 0
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+                        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DECIMAL(18,2)) AS DOUBLE) AS price_sum
+        FROM orders
+        WHERE NOT (o_orderkey % 7 <> 0 AND o_orderkey % 13 = 0)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "collapsing merge: CDC cancel-row updates/deletes netted out at compaction (VersionedCollapsingMergeTree)")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

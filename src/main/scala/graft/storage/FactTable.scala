@@ -411,6 +411,46 @@ class FactTable(val root: String, spark: SparkSession,
         .sortWithinPartitions(partitionCol, keyCols: _*)
     }
 
+  /** Collapsing merge (the ClickHouse VersionedCollapsingMergeTree
+    * analog — CDC/upsert-by-cancellation: writers never update in
+    * place; an update appends a `sign = -1` copy of the old row (same
+    * `versionCol`) plus a `sign = +1` row at the new version, and the
+    * MERGE cancels matched pairs). Within (`partitionCol`, `keyCols`,
+    * `versionCol`) rows collapse to the net sign: net 0 vanishes
+    * (state + its cancel), net ±1 keeps one row carrying that sign.
+    * We implement the versioned variant deliberately — plain
+    * CollapsingMergeTree's keep-first-cancel/last-state rule depends on
+    * physical merge order and is documented as nondeterministic under
+    * out-of-order inserts; the versioned contract is a pure function of
+    * the data, which is what a distributed rewrite must be. Readers get
+    * exactness BEFORE merges the same way CH prescribes:
+    * `sum(sign * x)` with `HAVING sum(sign) > 0` — collapse just makes
+    * the common case cheap. Non-key state columns take `max` within the
+    * group (state rows sharing a (key, version) are by-contract
+    * identical copies; max is their deterministic representative).
+    * Partition-scoped like the other merge flavors, so the collapse
+    * shuffle stays partition-local at cluster scale.
+    * Reference: tables.sql uses plain MergeTree, but the CH engine
+    * family is the storage surface being re-expressed (see dx12/dx14).
+    */
+  def collapsingCompact(keyCols: Seq[String], signCol: String,
+      versionCol: String, partitionCol: String = "date"): Long =
+    rewriteAll(partitionCol) { src =>
+      val groupNames = partitionCol +: keyCols :+ versionCol
+      val grouped = groupNames.map(col)
+      val signT = src.schema(signCol).dataType
+      val others = src.columns.filterNot(c =>
+        c == signCol || groupNames.contains(c))
+      val aggs = sum(col(signCol)).cast(signT).as(signCol) +:
+        others.map(c => max(col(c)).as(c))
+      src.groupBy(grouped: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(col(signCol) =!= 0)
+        .select(src.columns.map(col): _*) // restore original column order
+        .repartition(col(partitionCol))
+        .sortWithinPartitions(partitionCol, keyCols: _*)
+    }
+
   /** Targeted row deletion (ClickHouse lightweight DELETE / Delta
     * DELETE analog — the takedown / right-to-be-forgotten path a
     * training-data store must have): rewrite ONLY the parts whose log

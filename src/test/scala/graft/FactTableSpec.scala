@@ -348,6 +348,42 @@ class FactTableSpec extends AnyFunSuite {
       ("2024-03-02", "m1", 100L, 1L))))
   }
 
+  test("collapsing merge nets cancel pairs, keeps unmatched state, partition-scoped") {
+    val t = freshTable()
+    val mk = (day: String, key: String, price: Long, sign: Int, ver: Long) =>
+      Seq((key, price, sign, ver)).toDF("k", "price", "sign", "ver")
+        .withColumn("date", to_date(lit(day)))
+    // k1: state then update (cancel ver1 + state ver2) -> one ver2 row
+    // k2: state then delete (cancel ver1)              -> vanishes
+    // k3: untouched state                              -> survives
+    // k4: SAME key on another day is a different partition scope
+    t.append(mk("2024-03-01", "k1", 10L, 1, 1L)
+      .unionByName(mk("2024-03-01", "k2", 20L, 1, 1L))
+      .unionByName(mk("2024-03-01", "k3", 30L, 1, 1L))
+      .unionByName(mk("2024-03-02", "k1", 99L, 1, 1L)), 0)
+    t.append(mk("2024-03-01", "k1", 10L, -1, 1L)
+      .unionByName(mk("2024-03-01", "k1", 15L, 1, 2L))
+      .unionByName(mk("2024-03-01", "k2", 20L, -1, 1L)), 1)
+    // the CH reader idiom is exact BEFORE the merge runs
+    val pre = t.read().groupBy($"date", $"k")
+      .agg(sum($"sign" * $"price").as("p"), sum($"sign").as("s"))
+      .filter($"s" > 0).orderBy($"date", $"k")
+      .select($"date".cast("string"), $"k", $"p")
+      .as[(String, String, Long)].collect()
+    assert(pre.sameElements(Array(
+      ("2024-03-01", "k1", 15L), ("2024-03-01", "k3", 30L),
+      ("2024-03-02", "k1", 99L))))
+    t.collapsingCompact(keyCols = Seq("k"), signCol = "sign",
+      versionCol = "ver")
+    val got = t.read().orderBy($"date", $"k")
+      .select($"date".cast("string"), $"k", $"price", $"sign", $"ver")
+      .as[(String, String, Long, Int, Long)].collect()
+    assert(got.sameElements(Array(
+      ("2024-03-01", "k1", 15L, 1, 2L),
+      ("2024-03-01", "k3", 30L, 1, 1L),
+      ("2024-03-02", "k1", 99L, 1, 1L))))
+  }
+
   test("deleteWhere rewrites only stats-matching parts, deletes exactly the rows") {
     val t = freshTable()
     // three single-file parts with disjoint modem ranges (string stats)
