@@ -134,6 +134,66 @@ object DedupQueries {
     */
   val maxShingleDf = 100
 
+  /** DF-capped pairwise shared-shingle counts with both set sizes —
+    * the exact-Jaccard core shared by d05 (threshold filter) and d27
+    * (threshold curve).
+    *
+    * Per-doc distinct shingles + their count are computed MAP-SIDE
+    * with array_distinct over the in-row shingle array (r3 used a
+    * groupBy(doc_id).collect_set — a full shuffle of every shingle
+    * row that a per-row array op makes unnecessary), so posting-list
+    * pairs already carry |A| and |B| with zero pre-shuffles.
+    * Shingles travel as fixed-width md5 prefixes, never raw text.
+    * explode_OUTER, not explode: the inner explode makes Catalyst
+    * infer `size(sh_set) > 0 AND isnotnull(sh_set)`, which inlines
+    * the whole tokens→shingles→md5→distinct chain into a Filter
+    * where every element_at re-runs the regex split — measured 10×
+    * slower. The outer variant infers nothing; the one null row an
+    * empty doc produces is dropped right after, at exploded width.
+    */
+  private def sharedShinglePairs(s: SparkSession, dir: String,
+      metric: String): DataFrame = {
+    import s.implicits._
+    val sh = corpus(s, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("sh_set", array_distinct(
+        transform(shingles("toks"), x => substring(md5(x), 1, 16))))
+      .select($"doc_id", size($"sh_set").cast("long").as("n_sh"),
+        explode_outer($"sh_set").as("shingle"))
+      .filter($"shingle".isNotNull)
+    boundedPostingLists(sh, Seq("shingle"),
+      struct($"doc_id", $"n_sh"), maxShingleDf, metric)
+      .select(explode_outer(expr(
+        """flatten(transform(sequence(1, size(docs) - 1),
+             i -> transform(sequence(0, i - 1),
+               j -> struct(docs[j].doc_id AS doc_a, docs[j].n_sh AS n_a,
+                           docs[i].doc_id AS doc_b, docs[i].n_sh AS n_b))))"""))
+        .as("p"))
+      .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
+        $"p.n_a".as("n_a"), $"p.n_b".as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** The d05 pair CTE chain as DuckDB SQL, shared with d27's oracle. */
+  private val sharedShinglePairsSql: String = s"""
+        WITH corpus AS ($corpusSql),
+        tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM corpus),
+        sh AS (SELECT DISTINCT doc_id, substr(md5(unnest(
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                      ELSE [] END)), 1, 16) AS shingle
+               FROM tok),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inv AS (SELECT shingle, doc_id FROM sh
+                WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                                  HAVING COUNT(*) <= $maxShingleDf)),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+                  FROM inv a JOIN inv b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)"""
+
   /** Max documents an LSH/blocking bucket may hold before the pair
     * expansion skips it (hot-bucket guard; identical in the oracle).
     * A web crawl routinely lands 100k+ exact copies of one page in a
@@ -784,61 +844,14 @@ object DedupQueries {
       "d05_ngram_jaccard_pairs",
       (s, dir) => {
         import s.implicits._
-        // Per-doc distinct shingles + their count are computed MAP-SIDE
-        // with array_distinct over the in-row shingle array (r3 used a
-        // groupBy(doc_id).collect_set — a full shuffle of every shingle
-        // row that a per-row array op makes unnecessary), so posting-list
-        // pairs already carry |A| and |B| with zero pre-shuffles.
-        // Shingles travel as fixed-width md5 prefixes, never raw text.
-        // explode_OUTER, not explode: the inner explode makes Catalyst
-        // infer `size(sh_set) > 0 AND isnotnull(sh_set)`, which inlines
-        // the whole tokens→shingles→md5→distinct chain into a Filter
-        // where every element_at re-runs the regex split — measured 10×
-        // slower. The outer variant infers nothing; the one null row an
-        // empty doc produces is dropped right after, at exploded width.
-        val sh = corpus(s, dir)
-          .withColumn("toks", tokens($"text"))
-          .withColumn("sh_set", array_distinct(
-            transform(shingles("toks"), x => substring(md5(x), 1, 16))))
-          .select($"doc_id", size($"sh_set").cast("long").as("n_sh"),
-            explode_outer($"sh_set").as("shingle"))
-          .filter($"shingle".isNotNull)
-        val pairs = boundedPostingLists(sh, Seq("shingle"),
-          struct($"doc_id", $"n_sh"), maxShingleDf, "d05_hot_buckets")
-          .select(explode_outer(expr(
-            """flatten(transform(sequence(1, size(docs) - 1),
-                 i -> transform(sequence(0, i - 1),
-                   j -> struct(docs[j].doc_id AS doc_a, docs[j].n_sh AS n_a,
-                               docs[i].doc_id AS doc_b, docs[i].n_sh AS n_b))))"""))
-            .as("p"))
-          .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
-            $"p.n_a".as("n_a"), $"p.n_b".as("n_b"))
-          .agg(count(lit(1)).as("shared"))
-        pairs
+        sharedShinglePairs(s, dir, "d05_hot_buckets")
           .withColumn("jaccard",
             $"shared".cast("double") / ($"n_a" + $"n_b" - $"shared"))
           .filter($"jaccard" >= 0.5)
           .select($"doc_a", $"doc_b", $"shared", round($"jaccard", 6).as("jaccard"))
           .orderBy($"doc_a", $"doc_b")
       },
-      Some(s"""
-        WITH corpus AS ($corpusSql),
-        tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-                FROM corpus),
-        sh AS (SELECT DISTINCT doc_id, substr(md5(unnest(
-                 CASE WHEN len(toks) >= 3
-                      THEN list_transform(range(1, len(toks) - 1),
-                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                      ELSE [] END)), 1, 16) AS shingle
-               FROM tok),
-        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        inv AS (SELECT shingle, doc_id FROM sh
-                WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
-                                  HAVING COUNT(*) <= $maxShingleDf)),
-        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-                  FROM inv a JOIN inv b
-                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
+      Some(s"""$sharedShinglePairsSql
         SELECT doc_a, doc_b, shared,
                round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
         FROM pairs
@@ -2112,6 +2125,60 @@ object DedupQueries {
         ORDER BY score DESC, doc_id LIMIT 50"""
       },
       doc = "integer PageRank over the near-dup candidate graph: template-hub detection, bit-stable rounds"),
+
+    // ------------------------------------------------------------------
+    // d27: SIMILARITY-THRESHOLD CURVE — the knob-tuning report every
+    // dedup pass starts from: for Jaccard thresholds 0.3..0.9, how many
+    // near-dup pairs and how many affected documents would a pass at
+    // that threshold touch? One shared-shingle pair scan (d05's core,
+    // factored) serves all seven thresholds — the threshold test is
+    // integer cross-multiplication (shared*10 >= t10*union), so the
+    // curve is exact in both engines with no double-boundary ambiguity.
+    // Scale: the pair set is computed ONCE (DF-capped inverted index);
+    // the 7× threshold fan-out happens on the already-reduced pair
+    // rows, not on shingles. Zero-pair thresholds still report a row
+    // (left join from the literal threshold axis).
+    QueryDef(
+      "d27_similarity_curve",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = sharedShinglePairs(s, dir, "d27_hot_buckets")
+          .withColumn("uni", $"n_a" + $"n_b" - $"shared")
+        val hits = pairs
+          .select($"doc_a", $"doc_b", $"shared", $"uni",
+            explode(sequence(lit(3L), lit(9L))).as("t10"))
+          .filter($"shared" * 10 >= $"t10" * $"uni")
+        val nPairs = hits.groupBy($"t10").agg(count(lit(1)).as("n_pairs"))
+        val nDocs = hits
+          .select($"t10", explode(array($"doc_a", $"doc_b")).as("d"))
+          .groupBy($"t10").agg(countDistinct($"d").as("n_docs"))
+        s.range(3, 10).toDF("t10")
+          .join(nPairs, Seq("t10"), "left")
+          .join(nDocs, Seq("t10"), "left")
+          .select($"t10", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+            coalesce($"n_docs", lit(0L)).as("n_docs"))
+          .orderBy($"t10")
+      },
+      Some(s"""$sharedShinglePairsSql,
+        hits AS (
+          SELECT t.t10, p.doc_a, p.doc_b
+          FROM pairs p
+          JOIN counts ca ON ca.doc_id = p.doc_a
+          JOIN counts cb ON cb.doc_id = p.doc_b
+          CROSS JOIN (SELECT unnest(range(3, 10)) AS t10) t
+          WHERE p.shared * 10 >= t.t10 * (ca.n_sh + cb.n_sh - p.shared)),
+        np AS (SELECT t10, COUNT(*) AS n_pairs FROM hits GROUP BY t10),
+        nd AS (SELECT t10, COUNT(*) AS n_docs FROM
+                 (SELECT t10, doc_a AS d FROM hits
+                  UNION SELECT t10, doc_b FROM hits) GROUP BY t10)
+        SELECT ax.t10,
+               COALESCE(np.n_pairs, 0) AS n_pairs,
+               COALESCE(nd.n_docs, 0) AS n_docs
+        FROM (SELECT unnest(range(3, 10)) AS t10) ax
+        LEFT JOIN np ON np.t10 = ax.t10
+        LEFT JOIN nd ON nd.t10 = ax.t10
+        ORDER BY ax.t10"""),
+      doc = "similarity-threshold curve: near-dup pair and affected-doc counts per Jaccard threshold, one pair scan"),
 
     // ------------------------------------------------------------------
     // c07: DEDUP YIELD report — the number every pipeline publishes
