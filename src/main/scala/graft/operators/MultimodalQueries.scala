@@ -235,6 +235,109 @@ object MultimodalQueries {
         SELECT media_id, fmt,
                round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY cosine DESC, media_id ASC LIMIT 10"""),
-      doc = "cross-modal retrieval: stub media encoder to the text embedding space, exact cosine top-k")
+      doc = "cross-modal retrieval: stub media encoder to the text embedding space, exact cosine top-k"),
+
+    // ------------------------------------------------------------------
+    // m07: PERCEPTUAL near-dup pairs — the dHash/pHash family m05's
+    // byte-identity pass cannot see: assets that differ in a few
+    // bytes (re-encode, watermark, metadata touch) but are the same
+    // picture. The perceptual fingerprint partitions each asset into
+    // 64 equal strips, reduces each strip to a 4-bit cell (first hex
+    // digit of its md5 — locality lives in the STRIP PARTITIONING,
+    // not the hash: a local edit perturbs only the strips it touches),
+    // and packs adjacent-cell comparisons into a 62-bit dHash. A real
+    // deployment swaps the strip reducer for decoded-pixel means
+    // (m04's mapInPandas plumbing); everything downstream — banding,
+    // bucket caps, XOR+POPCNT ranking — is unchanged, which is the
+    // point of keeping the fingerprint opaque.
+    // Near-dups are found s07-style: 4×16-bit bands over the hash,
+    // bounded posting lists (hot-bucket guard shared with the d-series),
+    // exact Hamming confirm bit_count(xor) <= 6. Planted perturbed
+    // copies (+3M ids, first char replaced — length preserved) differ
+    // only in the strips covering position 1, so they collide on the
+    // untouched bands and confirm at distance well under the cutoff.
+    // Scale: fingerprint is map-only (assets never shuffle — only
+    // 8-byte hashes + band keys do); pair expansion is capped; confirm
+    // is one codegen'd XOR per candidate.
+    QueryDef(
+      "m07_perceptual_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select($"doc_id".as("media_id"), $"text")
+        val perturbed = docs.filter($"media_id" % 10 === 2)
+          .select(($"media_id" + 3000000L).as("media_id"),
+            concat(lit("x"), expr("substring(text, 2)")).as("text"))
+        val hashed = docs.unionByName(perturbed)
+          .withColumn("w",
+            greatest(expr("length(text) div 64"), lit(1)))
+          .withColumn("cells", expr(
+            """transform(sequence(0, 63), i ->
+                 instr('0123456789abcdef',
+                   substring(md5(substring(text, 1 + i * w, w)), 1, 1)) - 1)"""))
+          .withColumn("phash", expr(
+            """aggregate(sequence(0, 61), 0L, (acc, i) ->
+                 acc + IF(element_at(cells, i + 1) > element_at(cells, i + 2),
+                          shiftleft(1L, i), 0L))"""))
+          .select($"media_id", $"phash")
+        val bands = hashed
+          .select($"media_id", $"phash",
+            posexplode(expr(
+              "transform(sequence(0, 3), b -> pmod(shiftright(phash, b * 16), 65536))"))
+              .as(Seq("band", "bval")))
+        val cand = DedupQueries.pairsFromPostingLists(
+          DedupQueries.boundedPostingLists(bands, Seq("band", "bval"),
+            $"media_id", DedupQueries.maxLshBucket, "m07_hot_buckets"))
+        val ha = hashed.select($"media_id".as("doc_a"), $"phash".as("pa"))
+        val hb = hashed.select($"media_id".as("doc_b"), $"phash".as("pb"))
+        cand.join(ha, "doc_a").join(hb, "doc_b")
+          .withColumn("hamming",
+            expr("bit_count(pa ^ pb)").cast("long"))
+          .filter($"hamming" <= 6)
+          .select($"doc_a", $"doc_b", $"hamming")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""
+        WITH media AS (
+          SELECT doc_id AS media_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000, 'x' || substr(text, 2)
+          FROM documents WHERE doc_id % 10 = 2),
+        hashed AS (
+          SELECT media_id,
+                 CAST(list_sum(list_transform(range(0, 62), i ->
+                   CASE WHEN cells[i + 1] > cells[i + 2]
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                   AS BIGINT) AS phash
+          FROM (
+            SELECT media_id,
+                   list_transform(range(0, 64), i ->
+                     strpos('0123456789abcdef',
+                       substr(md5(substr(text, 1 + i * w, w)), 1, 1)) - 1)
+                     AS cells
+            FROM (SELECT media_id, text,
+                         GREATEST(length(text) // 64, 1) AS w
+                  FROM media))),
+        inv AS (
+          SELECT b.b AS band, (phash >> (b.b * 16)) % 65536 AS bval,
+                 media_id
+          FROM hashed CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+        buckets AS (
+          SELECT band, bval FROM inv GROUP BY band, bval
+          HAVING COUNT(*) > 1 AND COUNT(*) <= ${DedupQueries.maxLshBucket}),
+        cand AS (
+          SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+          FROM inv a
+          JOIN buckets k ON k.band = a.band AND k.bval = a.bval
+          JOIN inv b ON b.band = a.band AND b.bval = a.bval
+                     AND a.media_id < b.media_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(ha.phash, hb.phash)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN hashed ha ON ha.media_id = c.doc_a
+        JOIN hashed hb ON hb.media_id = c.doc_b
+        WHERE bit_count(xor(ha.phash, hb.phash)) <= 6
+        ORDER BY doc_a, doc_b"""),
+      doc = "perceptual media near-dup: strip-cell dHash, banded buckets, XOR+POPCNT Hamming confirm")
   )
 }
