@@ -1585,6 +1585,57 @@ object TextQueries {
                     WHEN flesch >= 30 THEN 'difficult'
                     ELSE 'very_difficult' END AS band
         FROM f ORDER BY doc_id"""),
-      doc = "Flesch readability: exact surface counts, double-typed formula, curation bands")
+      doc = "Flesch readability: exact surface counts, double-typed formula, curation bands"),
+
+    // ------------------------------------------------------------------
+    // t22: ZIPF / VOCABULARY PROFILE — the corpus-statistics datasheet
+    // row: global token-frequency head (top 20 with cumulative mass)
+    // plus the two Heaps'-law scalars (total token count, vocabulary
+    // size) every tokenizer-budget and mixture decision reads first.
+    // All columns are exact integers — no log-log regression doubles to
+    // drift between engines; the Zipf slope is the reader's division.
+    // Scale: word-count is THE canonical partial-agg shuffle (bytes per
+    // distinct token, not per occurrence); the head is
+    // TakeOrderedAndProject (no global sort); the cumulative window
+    // runs on 20 rows post-limit. The scalars ride a 1-row broadcast
+    // cross join, not a driver collect.
+    QueryDef(
+      "t22_zipf_profile",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val freq = graft.Tables.load(s, dir, "documents")
+          .select(explode_outer(tokens($"text")).as("t"))
+          .filter($"t".isNotNull && $"t" =!= "")
+          .groupBy($"t").agg(count(lit(1)).as("freq"))
+        val totals = freq.agg(
+          sum($"freq").cast("long").as("total_tokens"),
+          count(lit(1)).as("vocab_size"))
+        val ord = Window.orderBy($"freq".desc, $"t".asc)
+        freq.orderBy($"freq".desc, $"t".asc).limit(20)
+          .withColumn("rnk", row_number().over(ord).cast("long"))
+          .withColumn("cum_freq", sum($"freq").over(ord))
+          .crossJoin(broadcast(totals))
+          .select($"rnk", $"t".as("token"), $"freq", $"cum_freq",
+            $"total_tokens", $"vocab_size")
+          .orderBy($"rnk")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+          FROM documents),
+        freq AS (SELECT t, COUNT(*) AS freq FROM tok WHERE t <> ''
+                 GROUP BY t),
+        tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens,
+                       COUNT(*) AS vocab_size FROM freq),
+        top AS (SELECT t AS token, freq,
+                       ROW_NUMBER() OVER (ORDER BY freq DESC, t ASC) AS rnk,
+                       CAST(SUM(freq) OVER (ORDER BY freq DESC, t ASC
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq
+                FROM freq ORDER BY freq DESC, t ASC LIMIT 20)
+        SELECT CAST(rnk AS BIGINT) AS rnk, token, freq, cum_freq,
+               total_tokens, vocab_size
+        FROM top, tot ORDER BY rnk"""),
+      doc = "Zipf/vocabulary profile: top-20 token head with cumulative mass + Heaps scalars, all exact integers")
   )
 }
