@@ -376,6 +376,53 @@ object DedupQueries {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Iterative min-label propagation over an UNDIRECTED pair list
+    * (`doc_a`, `doc_b`): every node labeled with the minimum doc_id
+    * reachable from it. The core CC loop shared by clusterLabels (full
+    * graph) and d28 (contracted incremental graph). Per round: one
+    * key-partitioned join of the label set against the symmetrized edge
+    * list + a min-aggregate; rounds = graph diameter; each round
+    * checkpointed so lineage stays flat.
+    */
+  def propagateMinLabels(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = truncate(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+      // evaluate the pair source once, not once per round
+    var labels = truncate(edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("canon")))
+    // Convergence witness: sum(canon) is strictly monotone decreasing
+    // until the fixpoint, so one scalar aggregate per round replaces
+    // the previous join-and-isEmpty diff (halves the per-round jobs).
+    // coalesce(.,0): sum over an empty label set is NULL — an empty
+    // candidate graph (no near-dups in the corpus) must converge
+    // immediately, not NPE.
+    def canonSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"canon"), lit(0L))).head().getLong(0)
+    val maxRounds = 50
+    var prevSum = canonSum(labels)
+    var converged = prevSum == 0L // empty graph: already at fixpoint
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy($"dst").agg(min($"canon").as("nbr_min"))
+      val next = truncate(labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(labels("doc_id"),
+          least($"canon", coalesce($"nbr_min", $"canon")).as("canon")))
+      val nextSum = canonSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      rounds += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"propagateMinLabels: hit the $maxRounds-round cap before convergence " +
+          s"(graph diameter > $maxRounds); labels may be non-canonical")
+    labels
+  }
+
   def clusterLabels(s: SparkSession, dir: String): DataFrame =
     // Memoized per (application, data dir): the labels are a pure
     // function of the corpus, and both d08 and d09 consume them — an
@@ -384,44 +431,8 @@ object DedupQueries {
     // applicationId (stable, unique per context) rather than
     // identityHashCode, which can collide after an old context is GC'd.
     labelsCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        import s.implicits._
-        val pairs = lshCandidatePairs(s, dir)
-        val edges = truncate(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-          .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
-          // evaluate LSH once, not once per round
-        var labels = truncate(edges.select($"src".as("doc_id")).distinct()
-          .select($"doc_id", $"doc_id".as("canon")))
-        // Convergence witness: sum(canon) is strictly monotone decreasing
-        // until the fixpoint, so one scalar aggregate per round replaces
-        // the previous join-and-isEmpty diff (halves the per-round jobs).
-        // coalesce(.,0): sum over an empty label set is NULL — an empty
-        // candidate graph (no near-dups in the corpus) must converge
-        // immediately, not NPE.
-        def canonSum(df: DataFrame): Long =
-          df.agg(coalesce(sum($"canon"), lit(0L))).head().getLong(0)
-        val maxRounds = 50
-        var prevSum = canonSum(labels)
-        var converged = prevSum == 0L // empty graph: already at fixpoint
-        var rounds = 0
-        while (!converged && rounds < maxRounds) {
-          val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
-            .groupBy($"dst").agg(min($"canon").as("nbr_min"))
-          val next = truncate(labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-            .select(labels("doc_id"),
-              least($"canon", coalesce($"nbr_min", $"canon")).as("canon")))
-          val nextSum = canonSum(next)
-          converged = nextSum == prevSum
-          prevSum = nextSum
-          labels = next
-          rounds += 1
-        }
-        if (!converged)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"clusterLabels: hit the $maxRounds-round cap before convergence " +
-              s"(graph diameter > $maxRounds); labels may be non-canonical")
-        labels
-      })
+      (s.sparkContext.applicationId, dir),
+      propagateMinLabels(lshCandidatePairs(s, dir)))
 
   /** Incremental dedup: flag every document of a NEW ingest `batch` that
     * near-duplicates the existing `old` corpus (both `(doc_id, text)`),
@@ -2179,6 +2190,49 @@ object DedupQueries {
         LEFT JOIN nd ON nd.t10 = ax.t10
         ORDER BY ax.t10"""),
       doc = "similarity-threshold curve: near-dup pair and affected-doc counts per Jaccard threshold, one pair scan"),
+
+    // ------------------------------------------------------------------
+    // d28: INCREMENTAL cluster maintenance — the answer to "a new crawl
+    // batch arrived; do NOT re-cluster the corpus". The corpus is split
+    // by a deterministic rule into an existing 75% (doc_id % 4 != 3)
+    // and a new batch (% 4 == 3). Old labels are the stored state (here
+    // computed in-query from old-old pairs; at 100 TB they are the
+    // persisted label table, d19-style). The incremental step runs CC
+    // on the CONTRACTED graph: one star edge per already-labeled doc
+    // (doc → its old canon — edge contraction preserves components
+    // exactly) plus only the pairs incident to the new batch. Star
+    // topology makes the contracted diameter ~2, so the incremental
+    // propagation converges in 2-3 rounds regardless of how deep the
+    // original cluster chains were — that plus never re-deriving
+    // old-old pairs is the whole scale win. The oracle is d08's
+    // full-recompute verbatim: incremental ≡ rebuild IS the invariant
+    // (the same append≡rebuild contract as s15).
+    QueryDef(
+      "d28_incremental_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = truncate(lshCandidatePairs(s, dir))
+        val oldPairs = pairs.filter(
+          $"doc_a" % 4 =!= 3 && $"doc_b" % 4 =!= 3)
+        val newPairs = pairs.filter(
+          $"doc_a" % 4 === 3 || $"doc_b" % 4 === 3)
+        val oldLabels = propagateMinLabels(oldPairs)
+        val contracted = oldLabels.filter($"doc_id" =!= $"canon")
+          .select($"doc_id".as("doc_a"), $"canon".as("doc_b"))
+          .unionByName(newPairs.select($"doc_a", $"doc_b"))
+        val labels = propagateMinLabels(contracted)
+        val sizes = labels.groupBy($"canon").agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "canon")
+          .select($"doc_id", $"canon", $"cluster_size")
+          .orderBy($"doc_id")
+      },
+      Some(s"""$labelsSqlCore,
+        sizes AS (SELECT canon, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                  FROM labels GROUP BY canon)
+        SELECT l.doc_id, l.canon, s.cluster_size
+        FROM labels l JOIN sizes s ON l.canon = s.canon
+        ORDER BY l.doc_id"""),
+      doc = "incremental cluster maintenance: star-contracted CC over stored labels + new-batch pairs only; rebuild-equality oracle"),
 
     // ------------------------------------------------------------------
     // c07: DEDUP YIELD report — the number every pipeline publishes
