@@ -1636,6 +1636,80 @@ object TextQueries {
         SELECT CAST(rnk AS BIGINT) AS rnk, token, freq, cum_freq,
                total_tokens, vocab_size
         FROM top, tot ORDER BY rnk"""),
-      doc = "Zipf/vocabulary profile: top-20 token head with cumulative mass + Heaps scalars, all exact integers")
+      doc = "Zipf/vocabulary profile: top-20 token head with cumulative mass + Heaps scalars, all exact integers"),
+
+    // ------------------------------------------------------------------
+    // t23: N-GRAM NOVELTY — the memorization-risk dual of t14's
+    // boilerplate report: per source stratum, what fraction of each
+    // document's distinct word-5-grams appears NOWHERE else in the
+    // corpus? Low novelty = templated/duplicated content a curation
+    // pass should weight down; it is also the signal behind "how much
+    // of this corpus is unique text" datasheet rows. JOIN-FREE novelty
+    // attribution: a 5-gram with document frequency 1 belongs to
+    // exactly one doc, so the DF aggregation itself carries min(doc_id)
+    // and the novel counts come straight out of the DF pass filtered to
+    // df=1 — no join of the corpus back against the (corpus-sized) DF
+    // table, which is the naive shape. One hash-keyed shuffle (bytes
+    // per distinct 5-gram after map-side distinct), one doc-keyed agg,
+    // one small join onto per-doc totals.
+    QueryDef(
+      "t23_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens($"text"))
+          .withColumn("sh_set", array_distinct(
+            transform(shingles("toks", 5), x => substring(md5(x), 1, 16))))
+          .select($"doc_id", $"source",
+            size($"sh_set").cast("long").as("n_grams"), $"sh_set")
+        val novel = docs
+          .select($"doc_id", explode_outer($"sh_set").as("h"))
+          .filter($"h".isNotNull)
+          .groupBy($"h")
+          .agg(count(lit(1)).as("df"), min($"doc_id").as("only_doc"))
+          .filter($"df" === 1)
+          .groupBy($"only_doc".as("doc_id"))
+          .agg(count(lit(1)).as("n_novel"))
+        docs.drop("sh_set")
+          .join(novel, Seq("doc_id"), "left")
+          .withColumn("n_novel", coalesce($"n_novel", lit(0L)))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_grams").as("total_ngrams"),
+            sum($"n_novel").as("novel_ngrams"))
+          .withColumn("novelty_rate",
+            round($"novel_ngrams".cast("double") /
+              greatest($"total_ngrams", lit(1L)), 6))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source, list_distinct(
+                   CASE WHEN len(toks) >= 5
+                        THEN list_transform(range(1, len(toks) - 3),
+                          i -> substr(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                 toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                 toks[i+4]), 1, 16))
+                        ELSE [] END) AS sh_set
+          FROM tok),
+        novel AS (
+          SELECT only_doc AS doc_id, COUNT(*) AS n_novel FROM (
+            SELECT h, COUNT(*) AS df, MIN(doc_id) AS only_doc
+            FROM (SELECT doc_id, unnest(sh_set) AS h FROM sh)
+            GROUP BY h HAVING COUNT(*) = 1)
+          GROUP BY only_doc)
+        SELECT s.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(s.sh_set)) AS BIGINT) AS total_ngrams,
+               CAST(SUM(COALESCE(n.n_novel, 0)) AS BIGINT) AS novel_ngrams,
+               round(CAST(SUM(COALESCE(n.n_novel, 0)) AS DOUBLE)
+                     / GREATEST(SUM(len(s.sh_set)), 1), 6) AS novelty_rate
+        FROM sh s LEFT JOIN novel n ON n.doc_id = s.doc_id
+        GROUP BY s.source ORDER BY s.source"""),
+      doc = "n-gram novelty: per-source unique-5-gram fraction via join-free df=1 attribution")
   )
 }
