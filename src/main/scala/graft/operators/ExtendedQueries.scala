@@ -1467,6 +1467,60 @@ object ExtendedQueries {
           UNION ALL
           SELECT user_id, 'error', error FROM pivoted)
         ORDER BY user_id, event_type"""),
-      doc = "unpivot/melt: wide per-type count columns back to long rows, zero cells preserved")
+      doc = "unpivot/melt: wide per-type count columns back to long rows, zero cells preserved"),
+
+    // ------------------------------------------------------------------
+    // q69: EXACT WEIGHTED QUANTILES (ClickHouse quantileExactWeighted):
+    // the quantile of l_extendedprice where each row counts l_quantity
+    // times — the price point below which 50/90/99% of shipped UNITS
+    // (not line rows) fall. The standard exact recipe: collapse to
+    // distinct (group, value) with summed integer weights (partial-agg
+    // shuffle), ONE value-ordered window pass for cumulative weight,
+    // then min(value | 100·cum ≥ pct·total) per group. All rank math is
+    // integer (weights are integer-valued quantities; ×100 cross-
+    // multiply instead of a double threshold), and the value itself is
+    // never summed — the selected double is bit-identical to DuckDB's.
+    // Scale: window input is DISTINCT values per group, not rows — at
+    // 100 TB the pre-agg collapses ~1e12 rows to ~1e6 distinct prices
+    // per flag; beyond that, dx24's fixed-bin mergeable histogram is
+    // the bounded-state fallback.
+    QueryDef(
+      "q69_weighted_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val vw = Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_extendedprice")
+          .agg(sum($"l_quantity".cast("long")).as("w"))
+        val cumW = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy($"l_returnflag")
+        val cum = vw
+          .withColumn("c", sum($"w").over(cumW))
+          .withColumn("t", sum($"w").over(totW))
+        def wq(pct: Int) =
+          min(when($"c" * 100 >= $"t" * pct, $"l_extendedprice"))
+            .as(s"wq$pct")
+        cum.groupBy($"l_returnflag")
+          .agg(sum($"w").as("total_units"), wq(50), wq(90), wq(99))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH vw AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 SUM(CAST(l_quantity AS BIGINT)) AS w
+          FROM lineitem GROUP BY 1, 2),
+        cum AS (
+          SELECT l_returnflag, v, w,
+                 SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS c,
+                 SUM(w) OVER (PARTITION BY l_returnflag) AS t
+          FROM vw)
+        SELECT l_returnflag,
+               CAST(SUM(w) AS BIGINT) AS total_units,
+               MIN(CASE WHEN c*100 >= t*50 THEN v END) AS wq50,
+               MIN(CASE WHEN c*100 >= t*90 THEN v END) AS wq90,
+               MIN(CASE WHEN c*100 >= t*99 THEN v END) AS wq99
+        FROM cum GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "exact weighted quantiles (quantileExactWeighted): integer rank math over distinct-value window")
   )
 }
