@@ -482,6 +482,72 @@ object DocsisQueries {
       doc = "targeted delete: stats-pruned part rewrite (lightweight DELETE / GDPR)"),
 
     // ------------------------------------------------------------------
+    // dx23: DELETION VECTORS e2e (ClickHouse lightweight DELETE's
+    // `_row_exists` mask / Delta deletion vectors, key-granular): the
+    // same takedown as dx15, but the delete commits ONE small tombstone
+    // of key tuples scoped (via a per-tombstone victim list — the
+    // deletion vector) to the stats-pruned parts that could hold them,
+    // instead of rewriting those parts. Reads mask immediately through
+    // a broadcast anti-join; the rewrite is deferred to
+    // applyTombstones, which touches ONLY the covered parts. The
+    // require()s prove each lifecycle claim: no part rewritten at
+    // delete time, the mask visible at once, an insert-after-delete of
+    // the same key NOT masked (new parts are outside every existing
+    // deletion vector — ClickHouse mutation ordering), and the
+    // reconcile leaving uncovered parts untouched. At 100 TB this is
+    // the GDPR shape: the takedown writes kilobytes now and batches
+    // the part rewrites for later.
+    QueryDef(
+      "dx23_deletion_vectors",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx23_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+        (0 until 3).foreach { m =>
+          t.append(ev.filter($"user_id" % 3 === m)
+            .repartitionByRange(4, $"user_id")
+            .sortWithinPartitions($"user_id"), m)
+        }
+        val target = ev.agg(min($"user_id")).head().getLong(0)
+        val partsBefore = t.snapshot().dataFiles.map(_.path).toSet
+        val keys = t.softDelete($"user_id" === target, Seq("user_id"))
+        require(keys == 1L, s"expected 1 tombstoned key, got $keys at $dir")
+        require(t.snapshot().dataFiles.map(_.path).toSet == partsBefore,
+          s"soft delete rewrote data parts at $dir")
+        require(t.read().filter($"user_id" === target).count() == 0,
+          s"mask not visible after soft delete at $dir")
+        // insert-after-delete: the user's click events arrive again in a
+        // later batch — new parts sit outside every deletion vector
+        t.append(ev.filter($"user_id" === target &&
+          $"event_type" === "click"), 7)
+        val removed = t.applyTombstones()
+        require(t.snapshot().tombFiles.isEmpty,
+          s"tombstones not consumed by reconcile at $dir")
+        require(removed > 0, s"reconcile removed no rows at $dir")
+        val partsAfter = t.snapshot().dataFiles.map(_.path).toSet
+        require(partsBefore.intersect(partsAfter).nonEmpty,
+          s"reconcile rewrote even uncovered parts at $dir")
+        t.read()
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"),
+            min($"user_id").as("min_user"), max($"user_id").as("max_user"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               MIN(user_id) AS min_user, MAX(user_id) AS max_user
+        FROM events
+        WHERE user_id <> (SELECT MIN(user_id) FROM events)
+           OR event_type = 'click'
+        GROUP BY event_type ORDER BY event_type"""),
+      doc = "deletion vectors: key tombstones + victim lists, masked reads, deferred reconcile"),
+
+    // ------------------------------------------------------------------
     // dx16: BLOOM skip-index point lookup (ClickHouse bloom_filter
     // secondary index): events are HASH-clustered on user_id, so parts
     // hold interleaved key subsets whose [min,max] mostly straddle any

@@ -217,10 +217,11 @@ class FactTable(val root: String, spark: SparkSession,
     val snap = snapshot()
     val buffer = snap.files.filter(_.tier == TierBuffer)
     if (buffer.isEmpty) return 0L
-    // mergeSchema: buffer parts may span a schema change (add-column);
-    // a single-footer schema pick would silently drop the new column
-    val src = spark.read.option("mergeSchema", true)
-      .parquet(buffer.map(_.path): _*)
+    // masked read (which itself merges schemas across buffer parts —
+    // they may span an add-column change): a buffer part covered by a
+    // later soft delete must flush WITHOUT the deleted rows, because the
+    // compacted output is a fresh part no existing tombstone covers
+    val src = masked(buffer, snap.tombFiles)
     val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
     src.repartition(col(partitionCol))
       .sortWithinPartitions(partitionCol, sortCols: _*)
@@ -277,6 +278,9 @@ class FactTable(val root: String, spark: SparkSession,
       }
       // projection sidecars are parquet DIRECTORIES — recursive delete
       projections.foreach(s => fs.delete(new Path(p + ".proj." + s.name), true))
+      // deletion-vector sidecars of reconciled tombstone parts
+      fs.delete(new Path(p + VictimsSuffix), false)
+      victimsCache.remove(p)
     }
     victims.count(p => fs.delete(new Path(p), false))
   }
@@ -316,7 +320,7 @@ class FactTable(val root: String, spark: SparkSession,
       pat.findFirstMatchIn(f.path).map(_.group(1) < cutoff)
         .orElse(f.stats.get(partitionCol).map(statExpired))
         .getOrElse(false)
-    val victims = snap.files.filter(expired)
+    val victims = snap.dataFiles.filter(expired)
     if (victims.isEmpty) return 0
     beforeCommit()
     // obsolete if a concurrent compaction already rewrote a victim (its
@@ -468,7 +472,7 @@ class FactTable(val root: String, spark: SparkSession,
   def deleteWhere(cond: org.apache.spark.sql.Column,
       partitionCol: String = "date"): Long = {
     val snap = snapshot()
-    val victims = snap.files.filterNot(f =>
+    val victims = snap.dataFiles.filterNot(f =>
       StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f))
     if (victims.isEmpty) return 0L
     val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
@@ -476,7 +480,11 @@ class FactTable(val root: String, spark: SparkSession,
     // filter(!cond) would also drop NULL-evaluating rows (NOT NULL = NULL
     // filters the row) — and only in the parts selected for rewrite,
     // making the outcome file-layout-dependent. coalesce keeps them.
-    val kept = readFiles(victims).filter(!coalesce(cond, lit(false)))
+    // Reading through the tombstone mask keeps any pending soft delete
+    // applied in the rewritten output (rewrites only converge physical
+    // state toward logical state, never resurrect).
+    val kept = masked(victims, snap.tombFiles)
+      .filter(!coalesce(cond, lit(false)))
     kept.write.partitionBy(partitionCol).mode("overwrite")
       .parquet(target.toString)
     beforeCommit()
@@ -487,6 +495,120 @@ class FactTable(val root: String, spark: SparkSession,
     if (!committed) {
       fs.delete(target, true)
       return deleteWhere(cond, partitionCol)
+    }
+    victims.map(_.rows).sum - adds.map(_.rows).sum
+  }
+
+  // ------------------------------------------------- deletion vectors
+
+  private val victimsCache =
+    scala.collection.concurrent.TrieMap[String, Set[String]]()
+
+  /** The part paths a tombstone masks — its "deletion vector" scope,
+    * recorded at delete time in a `<tomb-part>.victims.json` sidecar.
+    */
+  private def victimsOf(tombPath: String): Set[String] =
+    victimsCache.getOrElseUpdate(tombPath, {
+      val p = new Path(tombPath + VictimsSuffix)
+      if (!fs.exists(p)) Set.empty
+      else {
+        val in = fs.open(p)
+        val node = try mapper.readTree(in) finally in.close()
+        val b = Set.newBuilder[String]
+        node.get("victims").forEach(v => b += v.asText())
+        b.result()
+      }
+    })
+
+  /** Lightweight row DELETE (ClickHouse `DELETE FROM` / Delta deletion
+    * vectors, at key granularity): instead of rewriting every affected
+    * part the way `deleteWhere` does, commit ONE small tombstone part
+    * holding the distinct `keyCols` tuples of the matching rows, scoped
+    * to the parts that could hold them (recorded per tombstone in a
+    * `.victims.json` sidecar — the deletion-vector file map). Reads
+    * anti-join the tombstone keys against exactly those parts, so the
+    * delete is visible immediately at O(matching keys) write cost; the
+    * part rewrites are deferred to `applyTombstones` (or any compaction
+    * that happens to rewrite a victim — every rewrite path reads through
+    * the mask, so physical state can only converge toward logical
+    * state). Rows appended AFTER the delete are never masked: new parts
+    * are not in any existing tombstone's victim list — the same
+    * insert-after-delete semantics ClickHouse mutations have.
+    *
+    * Scale: this is the 100 TB GDPR shape — a takedown of one user
+    * writes kilobytes and commits one metadata entry, instead of
+    * rewriting the terabyte-sized parts that user's rows touch; the
+    * read-side cost is one BROADCAST anti-join (tombstones are small by
+    * contract), and the write amplification is paid once, batched
+    * across many deletes, at the next `applyTombstones`.
+    *
+    * Returns the number of distinct key tuples tombstoned.
+    */
+  def softDelete(cond: org.apache.spark.sql.Column,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "softDelete needs at least one key column")
+    val snap = snapshot()
+    // stats+bloom pruning scopes the tombstone: parts that provably hold
+    // no matching row are never masked (and never rewritten later)
+    val victims = snap.dataFiles.filterNot(f =>
+      StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f))
+    if (victims.isEmpty) return 0L
+    val target = new Path(dataDir, s"tomb-${java.util.UUID.randomUUID()}")
+    masked(victims, snap.tombFiles)
+      .filter(coalesce(cond, lit(false)))
+      .select(keyCols.map(col): _*).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(target.toString)
+    // deletion-vector sidecar: which live parts this tombstone masks
+    listParquet(target).foreach { f =>
+      val node = mapper.createObjectNode()
+      val arr = node.putArray("victims")
+      victims.foreach(v => arr.add(v.path))
+      val out = fs.create(new Path(f.path + VictimsSuffix), true)
+      try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    }
+    beforeCommit()
+    val adds = entriesFor(target, TierTomb)
+    // a tombstone add removes nothing, so version races (appends, other
+    // deletes) always merge; victims rewritten concurrently just mean
+    // some masked paths are no longer live — masking a dead path is a
+    // no-op, and the rewrite itself read through the mask
+    val committed = commitWithRetry(snap.nextVersion, None, adds,
+      removes = Nil)(_ => true)
+    if (!committed) { fs.delete(target, true); return softDelete(cond, keyCols) }
+    adds.map(_.rows).sum
+  }
+
+  /** Physically reconcile all live tombstones: rewrite only the parts
+    * some tombstone still masks (everything else is untouched), then
+    * drop the tombstone entries in the same atomic commit. Returns the
+    * number of rows physically removed. After this, reads take the
+    * no-anti-join fast path again and `vacuum()` reclaims the rewritten
+    * parts and tombstone files.
+    */
+  def applyTombstones(partitionCol: String = "date"): Long = {
+    val snap = snapshot()
+    val tombs = snap.tombFiles
+    if (tombs.isEmpty) return 0L
+    val victimPaths = tombs.flatMap(t => victimsOf(t.path)).toSet
+    val victims = snap.dataFiles.filter(f => victimPaths.contains(f.path))
+    val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
+    val adds =
+      if (victims.isEmpty) Nil
+      else {
+        masked(victims, tombs)
+          .write.partitionBy(partitionCol).mode("overwrite")
+          .parquet(target.toString)
+        entriesFor(target, TierBase)
+      }
+    beforeCommit()
+    val committed = commitWithRetry(snap.nextVersion, None, adds,
+      removes = victims.map(_.path) ++ tombs.map(_.path))(
+      fresh => (victims ++ tombs).forall(v =>
+        fresh.files.exists(_.path == v.path)))
+    if (!committed) {
+      fs.delete(target, true)
+      return applyTombstones(partitionCol)
     }
     victims.map(_.rows).sum - adds.map(_.rows).sum
   }
@@ -522,8 +644,37 @@ class FactTable(val root: String, spark: SparkSession,
     * column — so each tier is loaded with its own strategy and unioned
     * by name (one mixed load trips CONFLICTING_DIRECTORY_STRUCTURES).
     */
-  def read(asOfVersion: Long = Long.MaxValue): DataFrame =
-    readFiles(snapshot(asOfVersion).files)
+  def read(asOfVersion: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshot(asOfVersion)
+    masked(snap.dataFiles, snap.tombFiles)
+  }
+
+  /** Tombstone-masked read: each data part anti-joins the keys of the
+    * tombstones whose deletion vector covers it. Parts are grouped by
+    * their applicable tombstone set (in practice 1–2 groups: pre-delete
+    * parts vs everything since), each group gets ONE broadcast anti-join
+    * per covering tombstone, and uncovered parts take the raw-scan fast
+    * path — the corpus never shuffles for the mask.
+    */
+  private[storage] def masked(files: Seq[FileEntry],
+      tombs: Seq[FileEntry]): DataFrame = {
+    val data = files.filterNot(_.tier == TierTomb)
+    val applicable = tombs.filter(t => {
+      val vs = victimsOf(t.path)
+      data.exists(f => vs.contains(f.path))
+    })
+    if (applicable.isEmpty) return readFiles(data)
+    data.groupBy(f => applicable.filter(t => victimsOf(t.path).contains(f.path))
+        .map(_.path))
+      .toSeq.sortBy(_._1.mkString(","))
+      .map { case (tombPaths, group) =>
+        tombPaths.foldLeft(readFiles(group)) { (df, tp) =>
+          val keys = spark.read.parquet(tp)
+          df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+        }
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Filtered read with log-stats data skipping: files whose recorded
     * min/max disprove `cond` are dropped at PLAN time — never listed,
@@ -533,12 +684,13 @@ class FactTable(val root: String, spark: SparkSession,
     */
   def readWhere(cond: org.apache.spark.sql.Column,
       asOfVersion: Long = Long.MaxValue): DataFrame = {
-    val all = snapshot(asOfVersion).files
+    val snap = snapshot(asOfVersion)
+    val all = snap.dataFiles
     val kept = all.filterNot(f =>
       StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f))
     if (kept.isEmpty) // schema from any live file, zero rows
       readFiles(all.take(1)).where(lit(false))
-    else readFiles(kept).where(cond)
+    else masked(kept, snap.tombFiles).where(cond)
   }
 
   /** (surviving files, total files) for `cond` — the observability hook
@@ -547,7 +699,7 @@ class FactTable(val root: String, spark: SparkSession,
     */
   def pruneReport(cond: org.apache.spark.sql.Column,
       asOfVersion: Long = Long.MaxValue): (Int, Int) = {
-    val files = snapshot(asOfVersion).files
+    val files = snapshot(asOfVersion).dataFiles
     (files.count(f =>
       !StatsPruning.canPrune(cond, f.stats) && !bloomPruned(cond, f)),
       files.size)
@@ -618,8 +770,10 @@ class FactTable(val root: String, spark: SparkSession,
       val futs = files.map { f => Future {
         val (rows, stats) =
           StatsPruning.footerInfo(new Path(f.path), hadoopConf)
-        bloomCols.foreach(c => writeBloomSidecar(f.path, c, rows))
-        projections.foreach(p => writeProjSidecar(f.path, dir, p))
+        if (tier != TierTomb) { // key tombstones are not data parts
+          bloomCols.foreach(c => writeBloomSidecar(f.path, c, rows))
+          projections.foreach(p => writeProjSidecar(f.path, dir, p))
+        }
         FileEntry(f.path, rows, f.bytes, tier, now, stats)
       } }
       Await.result(Future.sequence(futs), Duration.Inf)
@@ -705,15 +859,20 @@ class FactTable(val root: String, spark: SparkSession,
       asOfVersion: Long = Long.MaxValue): DataFrame = {
     val spec = projections.find(_.name == name).getOrElse(throw
       new IllegalArgumentException(s"no projection '$name' on table $root"))
-    val files = snapshot(asOfVersion).files
+    val snap = snapshot(asOfVersion)
+    val files = snap.dataFiles
     val sidecars = files.map(_.path + ".proj." + name)
     val aggs = spec.sumCols.map(c => sum(col(c)).as(c))
-    if (sidecars.forall(p => fs.exists(new Path(p))))
+    // pending soft deletes invalidate the stored rollups (they were
+    // computed before the mask) — serve the exact masked base scan until
+    // applyTombstones regenerates the victims' sidecars
+    if (snap.tombFiles.isEmpty &&
+        sidecars.forall(p => fs.exists(new Path(p))))
       spark.read.parquet(sidecars: _*)
         .groupBy(spec.keyCols.map(col): _*)
         .agg(aggs.head, (aggs.tail :+ sum(col(ProjCountCol)).as("n_rows")): _*)
     else // fallback: exact, just not cheap
-      readFiles(files)
+      masked(files, snap.tombFiles)
         .groupBy(spec.keyCols.map(col): _*)
         .agg(aggs.head, (aggs.tail :+ count(lit(1)).as("n_rows")): _*)
   }
@@ -723,8 +882,11 @@ class FactTable(val root: String, spark: SparkSession,
     */
   def projectionCoverage(name: String,
       asOfVersion: Long = Long.MaxValue): (Int, Int) = {
-    val files = snapshot(asOfVersion).files
-    (files.count(f => fs.exists(new Path(f.path + ".proj." + name))),
+    val snap = snapshot(asOfVersion)
+    val files = snap.dataFiles
+    // pending tombstones force the fallback scan regardless of sidecars
+    (if (snap.tombFiles.nonEmpty) 0
+     else files.count(f => fs.exists(new Path(f.path + ".proj." + name))),
       files.size)
   }
 
@@ -785,6 +947,12 @@ class ConcurrentWriteException(msg: String, cause: Throwable = null)
 object FactTable {
   val TierBuffer = "buffer"
   val TierBase = "base"
+  /** Tombstone parts: small parquet files of deleted key tuples (the
+    * key-granular deletion vector), masked out of every read until
+    * `applyTombstones` reconciles them physically.
+    */
+  val TierTomb = "tomb"
+  val VictimsSuffix = ".victims.json"
 
   /** Internal partial-count column in projection sidecars; surfaced as
     * `n_rows` by `readProjection`.
@@ -808,6 +976,10 @@ object FactTable {
     def bufferBytes: Long = files.filter(_.tier == TierBuffer).map(_.bytes).sum
     def oldestBufferMs: Option[Long] =
       files.filter(_.tier == TierBuffer).map(_.addedMs).minOption
+    /** Live parts holding table rows (buffer + base tiers). */
+    def dataFiles: Seq[FileEntry] = files.filterNot(_.tier == TierTomb)
+    /** Live tombstone parts (pending soft deletes). */
+    def tombFiles: Seq[FileEntry] = files.filter(_.tier == TierTomb)
   }
 }
 

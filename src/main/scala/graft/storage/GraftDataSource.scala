@@ -49,7 +49,8 @@ class GraftRelation(root: String, asOf: Long, spark: SparkSession)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val files = table.snapshot(asOf).files
+    val snap = table.snapshot(asOf)
+    val files = snap.dataFiles
     val kept = files.filterNot(f =>
       filters.exists(fl => StatsPruning.canPrune(fl, f.stats)))
     GraftRelation.lastPrune = Some((root, kept.size, files.size))
@@ -58,7 +59,8 @@ class GraftRelation(root: String, asOf: Long, spark: SparkSession)
       // Align to the relation schema: after add-column evolution, a
       // pruned subset may contain only pre-evolution files — the evolved
       // column must still resolve (as NULL), exactly as in a full read.
-      val df = table.readFiles(kept)
+      // Reads go through the tombstone mask (pending soft deletes).
+      val df = table.masked(kept, snap.tombFiles)
       val aligned = schema.fields.filterNot(f => df.columns.contains(f.name))
         .foldLeft(df)((d, f) =>
           d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))

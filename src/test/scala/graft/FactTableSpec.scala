@@ -682,4 +682,89 @@ class FactTableSpec extends AnyFunSuite {
     }
     assert(t.readProjection("by_day_modem").count() > 0)
   }
+
+  test("softDelete masks rows immediately without rewriting any part") {
+    val t = freshTable()
+    t.append(rows(5, "2024-03-01", "a1").coalesce(1), 0)
+    t.append(rows(4, "2024-03-01", "m2").coalesce(1), 1)
+    t.append(rows(3, "2024-03-02", "z3").coalesce(1), 2)
+    val partsBefore = t.snapshot().dataFiles.map(_.path).toSet
+    assert(t.softDelete($"modem_name" === "m2", Seq("modem_name")) == 1L)
+    // logically deleted everywhere a read can look…
+    assert(t.read().count() == 8)
+    assert(t.read().filter($"modem_name" === "m2").count() == 0)
+    assert(t.readWhere($"modem_name" === "m2").count() == 0)
+    // …yet no data part was rewritten: the delete is one tombstone add
+    assert(t.snapshot().dataFiles.map(_.path).toSet == partsBefore)
+    assert(t.snapshot().tombFiles.size == 1)
+    // time travel to the pre-delete version still shows the rows
+    val preDelete = t.snapshot().nextVersion - 2
+    assert(t.read(asOfVersion = preDelete)
+      .filter($"modem_name" === "m2").count() == 4)
+  }
+
+  test("softDelete scope: re-inserts after the delete are not masked") {
+    val t = freshTable()
+    t.append(rows(4, "2024-03-01", "m2"), 0)
+    assert(t.softDelete($"modem_name" === "m2", Seq("modem_name")) == 1L)
+    assert(t.read().count() == 0)
+    // the same key arrives again later (insert-after-delete): visible,
+    // because the new part is in no existing tombstone's victim list
+    t.append(rows(2, "2024-03-05", "m2"), 1)
+    assert(t.read().count() == 2)
+    // compaction flushes the masked buffer: deleted rows stay dead in
+    // the fresh part, re-inserted rows survive
+    t.compact()
+    assert(t.read().count() == 2)
+    assert(t.read().filter($"modem_name" === "m2").count() == 2)
+  }
+
+  test("applyTombstones reconciles physically and vacuum reclaims the files") {
+    val t = freshTable()
+    t.append(rows(5, "2024-03-01", "a1").coalesce(1), 0)
+    t.append(rows(4, "2024-03-01", "m2").coalesce(1), 1)
+    t.append(rows(3, "2024-03-02", "z3").coalesce(1), 2)
+    assert(t.softDelete($"modem_name" === "m2", Seq("modem_name")) == 1L)
+    val tombPaths = t.snapshot().tombFiles.map(_.path)
+    val uncovered = t.snapshot().dataFiles.map(_.path)
+      .filterNot(_.contains("append-1")).toSet
+    assert(t.applyTombstones() == 4L)
+    val snap = t.snapshot()
+    assert(snap.tombFiles.isEmpty, "tombstones consumed by the reconcile")
+    assert(t.read().count() == 8)
+    // only the covered part was rewritten — uncovered parts kept as-is
+    assert(uncovered.subsetOf(snap.dataFiles.map(_.path).toSet))
+    // reads now take the fast path (no anti-join in the plan)
+    assert(!t.read().queryExecution.executedPlan.toString.contains("LeftAnti"))
+    t.vacuum()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    tombPaths.foreach { p =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p)), s"tombstone file leaked: $p")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p + FactTable.VictimsSuffix)),
+        s"deletion-vector sidecar leaked: $p")
+    }
+    // idempotent: nothing left to reconcile
+    assert(t.applyTombstones() == 0L)
+  }
+
+  test("softDelete composes with projections: mask forces the exact fallback") {
+    val t = projTable()
+    t.append(rows(5, "2024-03-01", "m1"), 0)
+    t.append(rows(3, "2024-03-01", "m2"), 1)
+    assert(t.readProjection("by_day_modem")
+      .filter($"modem_name" === "m2").count() == 1)
+    t.softDelete($"modem_name" === "m2", Seq("modem_name"))
+    // stale sidecars must not serve: coverage reports the fallback…
+    assert(t.projectionCoverage("by_day_modem")._1 == 0)
+    // …and the projection read reflects the delete exactly
+    assert(t.readProjection("by_day_modem")
+      .filter($"modem_name" === "m2").count() == 0)
+    // reconciling restores the cheap sidecar path, still delete-exact
+    t.applyTombstones()
+    val (covered, total) = t.projectionCoverage("by_day_modem")
+    assert(covered == total)
+    assert(t.readProjection("by_day_modem")
+      .filter($"modem_name" === "m2").count() == 0)
+  }
 }
