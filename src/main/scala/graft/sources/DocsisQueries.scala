@@ -548,6 +548,91 @@ object DocsisQueries {
       doc = "deletion vectors: key tombstones + victim lists, masked reads, deferred reconcile"),
 
     // ------------------------------------------------------------------
+    // dx24: MERGEABLE QUANTILE STATE (the AggregatingMergeTree
+    // quantileState→quantileMerge analog; dx17 is the same pattern for
+    // HLL): per-day FIXED-BIN histograms over event value are
+    // materialized into the logged table as a 32-long array column —
+    // a bounded mergeable sketch — and week-level p50/p90 estimates
+    // come from element-wise MERGING the stored states; raw events are
+    // never re-read. Unlike dx17's engine-specific HLL (tolerance
+    // oracle), a fixed-bin histogram is EXACTLY reproducible: bin
+    // edges are deterministic double math DuckDB replays bit-for-bit,
+    // so the whole row hash-checks. The require proves the state is
+    // O(days), not O(events). Scale: daily ingestion appends one
+    // 32-slot array per group; any rollup window is a state merge —
+    // the incremental-percentile pattern for 100 TB latency tables
+    // (and the bounded-state fallback q69's scaladoc points at).
+    QueryDef(
+      "dx24_quantile_state_merge",
+      (s, sfDir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx24_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val nb = 32
+        val ev = graft.Tables.events(s, sfDir)
+          .filter($"value".isNotNull)
+          .withColumn("date", to_date($"ts"))
+        val (lo, hi) = ev.agg(min($"value"), max($"value"))
+          .as[(Double, Double)].head()
+        require(hi > lo, s"degenerate value domain [$lo,$hi]")
+        val bin = least(greatest(
+          floor(($"value" - lit(lo)) / lit(hi - lo) * nb), lit(0L)),
+          lit(nb - 1L)).cast("int")
+        val daily = ev.withColumn("bin", bin)
+          .groupBy($"date", $"bin").agg(count(lit(1)).as("n"))
+          .groupBy($"date")
+          .agg(map_from_entries(collect_list(struct($"bin", $"n"))).as("m"))
+          .select($"date", expr(
+            s"transform(sequence(0, ${nb - 1}), i -> coalesce(element_at(m, i), 0L))")
+            .as("hist"))
+        t.append(daily, 0)
+        t.compact(sortCols = Seq("date"))
+        // state is bounded: one fixed-width row per day, however many events
+        require(t.read().count() == ev.select($"date").distinct().count(),
+          s"quantile state not O(days) at $dir")
+        val merged = t.read()
+          .select(to_date(date_trunc("week", $"date")).as("week"),
+            posexplode($"hist").as(Seq("bin", "n")))
+          .groupBy($"week", $"bin").agg(sum($"n").as("n"))
+        val cumW = Window.partitionBy($"week").orderBy($"bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy($"week")
+        val width = (hi - lo) / nb
+        def est(pct: Int) =
+          (lit(lo) + (min(when($"c" * 100 >= $"t" * pct, $"bin"))
+            .cast("double") + lit(0.5)) * lit(width)).as(s"p${pct}_est")
+        merged
+          .withColumn("c", sum($"n").over(cumW))
+          .withColumn("t", sum($"n").over(totW))
+          .groupBy($"week")
+          .agg(sum($"n").as("n_values"), est(50), est(90))
+          .orderBy($"week")
+      },
+      Some("""
+        WITH src AS (
+          SELECT CAST(date_trunc('week', ts) AS DATE) AS week, value
+          FROM events WHERE value IS NOT NULL),
+        b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM src),
+        binned AS (
+          SELECT week,
+                 CAST(LEAST(GREATEST(FLOOR((value - lo) / (hi - lo) * 32), 0), 31) AS INT) AS bin
+          FROM src, b),
+        g AS (SELECT week, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+        c AS (SELECT week, bin, n,
+                     SUM(n) OVER (PARTITION BY week ORDER BY bin) AS c,
+                     SUM(n) OVER (PARTITION BY week) AS t
+              FROM g)
+        SELECT week, CAST(SUM(n) AS BIGINT) AS n_values,
+               (SELECT lo FROM b) + (MIN(CASE WHEN c*100 >= t*50 THEN bin END) + 0.5)
+                 * (((SELECT hi FROM b) - (SELECT lo FROM b)) / 32) AS p50_est,
+               (SELECT lo FROM b) + (MIN(CASE WHEN c*100 >= t*90 THEN bin END) + 0.5)
+                 * (((SELECT hi FROM b) - (SELECT lo FROM b)) / 32) AS p90_est
+        FROM c GROUP BY week ORDER BY week"""),
+      doc = "mergeable quantile state: per-day fixed-bin histogram arrays merged at read (quantileState/quantileMerge)"),
+
+    // ------------------------------------------------------------------
     // dx16: BLOOM skip-index point lookup (ClickHouse bloom_filter
     // secondary index): events are HASH-clustered on user_id, so parts
     // hold interleaved key subsets whose [min,max] mostly straddle any
