@@ -852,7 +852,7 @@ object SimilarityQueries {
           .orderBy($"cosine".desc, $"vec_id".asc)
           .limit(5)
       },
-      Some(storedIvfOracleSql),
+      Some(storedIvfOracleSql()),
       doc = "persisted IVF index: offline build, bucket-probed search with no re-clustering"),
 
     // ------------------------------------------------------------------
@@ -902,7 +902,7 @@ object SimilarityQueries {
           .orderBy($"cosine".desc, $"vec_id".asc)
           .limit(5)
       },
-      Some(storedIvfOracleSql),
+      Some(storedIvfOracleSql()),
       doc = "incremental IVF append: frozen-centroid assignment of a late batch, append == rebuild"),
 
     // ------------------------------------------------------------------
@@ -1074,14 +1074,65 @@ object SimilarityQueries {
         SELECT vec_id, hamming,
                round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY hamming ASC, vec_id ASC LIMIT 10"""),
-      doc = "binary sign-bit quantization ANN: 32-dims-per-word packing, XOR+POPCNT Hamming ranking")
+      doc = "binary sign-bit quantization ANN: 32-dims-per-word packing, XOR+POPCNT Hamming ranking"),
+
+    // ------------------------------------------------------------------
+    // s18: INDEX DELETE (tombstones in the persisted IVF index) — the
+    // lifecycle step after build (s14) and append (s15): a deterministic
+    // slice of indexed vectors is taken down via the storage layer's
+    // key tombstones (dx23's deletion vectors): O(deleted keys) write,
+    // NO index part rewritten, centroids untouched — deletes never
+    // retrain, exactly as FAISS/Vespa handle removals with an ID
+    // selector / tombstone until the next index rebuild. The search is
+    // s14's verbatim, running through the masked read, so deleted
+    // vectors can neither match nor serve as the probe anchor. Oracle =
+    // s04's recompute over the SURVIVING corpus (delete-then-search ≡
+    // rebuild-on-survivors for bucket membership — frozen centroids
+    // make assignment per-vector deterministic); OperatorSpec also
+    // asserts that equality row-for-row against a filtered s14 rebuild.
+    QueryDef(
+      "s18_ivf_tombstone_delete",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"embedding", $"cid",
+            round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .select($"vec_id", $"cid", $"embedding")
+        val dt = to_date(lit("2024-01-01"))
+        val idxT = new graft.storage.FactTable(java.nio.file.Files
+          .createTempDirectory("s18_ivf_idx").toString, s)
+        idxT.append(assigned.withColumn("date", dt), 0)
+        val partsBefore = idxT.snapshot().dataFiles.map(_.path).toSet
+        val nDel = idxT.softDelete($"vec_id" % 7 === 3, Seq("vec_id"))
+        require(nDel > 0, "index tombstone delete removed nothing")
+        require(idxT.snapshot().dataFiles.map(_.path).toSet == partsBefore,
+          "index delete rewrote parts — tombstones must be O(keys)")
+        val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
+        val q = idx.filter($"vec_id" === 0)
+          .select($"cid".as("qcid"), $"embedding".as("qv"))
+        idx.join(broadcast(q), $"cid" === $"qcid")
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(5)
+      },
+      Some(storedIvfOracleSql(" AND a.vec_id % 7 <> 3")),
+      doc = "IVF index delete: key tombstones mask the stored index, no rewrite, no retrain")
   )
 
-  /** s14/s15 shared oracle (s04's search semantics): both the one-shot
-    * build and the build+incremental-append must answer the probe query
-    * identically to a full recompute over all vectors.
+  /** s14/s15/s18 shared oracle (s04's search semantics): the one-shot
+    * build, the build+incremental-append, and the build+delete must all
+    * answer the probe query identically to a full recompute over the
+    * (surviving) vectors. `bucketExtra` narrows the candidate bucket —
+    * s18 passes the tombstoned-id exclusion.
     */
-  private lazy val storedIvfOracleSql: String = s"""
+  private def storedIvfOracleSql(bucketExtra: String = ""): String = s"""
         WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
         cpairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
                    FROM embeddings e CROSS JOIN cents c),
@@ -1096,7 +1147,7 @@ object SimilarityQueries {
                        FROM distsr) t WHERE rk = 1),
         bucket AS (SELECT a.vec_id FROM assigned a
                    WHERE a.cid = (SELECT cid FROM assigned WHERE vec_id = 0)
-                     AND a.vec_id <> 0),
+                     AND a.vec_id <> 0$bucketExtra),
         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
                   FROM embeddings e JOIN bucket b ON e.vec_id = b.vec_id, q),

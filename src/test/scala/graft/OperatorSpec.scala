@@ -498,6 +498,34 @@ class OperatorSpec extends AnyFunSuite {
       "frozen-centroid append diverged from the full rebuild")
   }
 
+  test("s18 delete-then-search equals a rebuild over the surviving vectors") {
+    import org.apache.spark.sql.expressions.Window
+    import VectorFunctions.{cosineExact, l2SqExact}
+    val viaTombstones = QueryDef.registry
+      .find(_.name == "s18_ivf_tombstone_delete").get
+      .build(spark, sfDir).collect()
+    // ground truth: index rebuilt from scratch on the survivors only,
+    // same frozen centroids (delete ≡ rebuild is the lifecycle contract)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+    val assigned = emb.filter($"vec_id" % 7 =!= 3)
+      .crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cid",
+        round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"vec_id", $"cid", $"embedding")
+    val q = assigned.filter($"vec_id" === 0)
+      .select($"cid".as("qcid"), $"embedding".as("qv"))
+    val rebuild = assigned.join(broadcast(q), $"cid" === $"qcid")
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", round(cosineExact("embedding", "qv"), 9).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id".asc).limit(5).collect()
+    assert(rebuild.sameElements(viaTombstones),
+      "tombstoned index diverged from the survivor rebuild")
+  }
+
   test("s14 stored-index search equals s04 recompute search row-for-row") {
     val recompute = QueryDef.registry.find(_.name == "s04_ivf_search").get
       .build(spark, sfDir).collect()
