@@ -77,6 +77,27 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** Harman's S-stemmer (1991) as a CASE expression over a word column:
+    * three first-match-wins suffix rules (ies→y, es→e, s→∅, each with
+    * its exception list). Built from substring/length/concat/IN only,
+    * which behave identically in Spark SQL and DuckDB — the SAME text
+    * is spliced into both the query and its oracle, so the stemmer
+    * cannot drift between engines.
+    */
+  def sStemCaseSql(w: String): String = s"""
+    CASE
+      WHEN length($w) >= 4 AND substring($w, length($w)-2, 3) = 'ies'
+           AND substring($w, length($w)-3, 4) NOT IN ('eies', 'aies')
+        THEN concat(substring($w, 1, length($w)-3), 'y')
+      WHEN length($w) >= 3 AND substring($w, length($w)-1, 2) = 'es'
+           AND substring($w, length($w)-2, 3) NOT IN ('aes', 'ees', 'oes')
+        THEN substring($w, 1, length($w)-1)
+      WHEN length($w) >= 3 AND substring($w, length($w), 1) = 's'
+           AND substring($w, length($w)-1, 2) NOT IN ('us', 'ss')
+        THEN substring($w, 1, length($w)-1)
+      ELSE $w
+    END"""
+
   /** BPE tokenizer TRAINING (Sennrich et al. 2016): learn `nMerges`
     * byte-pair merges from the corpus. The classic driver-coordinated
     * iterative shape (same family as the k-means and connected-components

@@ -1710,6 +1710,65 @@ object TextQueries {
                      / GREATEST(SUM(len(s.sh_set)), 1), 6) AS novelty_rate
         FROM sh s LEFT JOIN novel n ON n.doc_id = s.doc_id
         GROUP BY s.source ORDER BY s.source"""),
-      doc = "n-gram novelty: per-source unique-5-gram fraction via join-free df=1 attribution")
+      doc = "n-gram novelty: per-source unique-5-gram fraction via join-free df=1 attribution"),
+
+    // ------------------------------------------------------------------
+    // t24: STEMMED VOCABULARY PROFILE — the classic IR normalization
+    // pipeline (lowercase → letter-word extraction → stopword removal →
+    // suffix stripping) as a per-language vocabulary report: token
+    // mass, raw vs stemmed distinct vocabulary, and the reduction the
+    // stemmer buys. The stemmer is Harman's S-stemmer (three
+    // first-match suffix rules with exception lists) emitted as ONE
+    // CASE expression text shared verbatim by the query and its oracle
+    // (TextFunctions.sStemCaseSql), so the rules cannot drift between
+    // engines. The stopword removal set is the union of every
+    // language-ID list plus the quality list — one fixed literal list,
+    // dialect-identical. Scale: map-only extract/stem, then one
+    // expand-distinct aggregation (Spark's partial-agg count-distinct);
+    // no joins, no windows — the same shape as t22's Zipf profile.
+    QueryDef(
+      "t24_stem_vocabulary",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"lang", explode(
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .filter(!$"w".isInCollection(stemStopAll))
+          .select($"lang", $"w",
+            expr(sStemCaseSql("w")).as("stem"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_words"),
+            countDistinct($"w").as("n_raw_vocab"),
+            countDistinct($"stem").as("n_stem_vocab"))
+          .withColumn("vocab_reduction",
+            round(lit(1.0) - $"n_stem_vocab".cast("double")
+              / $"n_raw_vocab".cast("double"), 6))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents),
+        kept AS (
+          SELECT lang, w FROM words
+          WHERE w NOT IN (${stemStopAll.map(w => s"'$w'").mkString(", ")})),
+        stemmed AS (
+          SELECT lang, w, ${sStemCaseSql("w")} AS stem
+          FROM kept)
+        SELECT lang, COUNT(*) AS n_words,
+               COUNT(DISTINCT w) AS n_raw_vocab,
+               COUNT(DISTINCT stem) AS n_stem_vocab,
+               round(1.0 - CAST(COUNT(DISTINCT stem) AS DOUBLE)
+                     / CAST(COUNT(DISTINCT w) AS DOUBLE), 6) AS vocab_reduction
+        FROM stemmed GROUP BY lang ORDER BY lang"""),
+      doc = "stemmed vocabulary profile: stopword removal + S-stemmer, raw vs stemmed vocab per language")
   )
+
+  /** t24's stopword-removal set: every language-ID list plus the quality
+    * list, deduplicated and sorted so the literal embeds identically in
+    * both dialects.
+    */
+  private lazy val stemStopAll: Seq[String] =
+    (stopwords.values.flatten.toSeq ++
+      qualityStopwords).distinct.sorted
 }
