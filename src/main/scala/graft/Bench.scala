@@ -72,7 +72,13 @@ object Bench {
       // dx19 appends twice + deletes + reads three log versions of a
       // temp FactTable; q66 round-trips ORC and CSV sinks on disk
       "dx19_time_travel", "dx20_projection_rollup", "dx21_schema_evolution",
-      "q66_format_roundtrip")
+      "q66_format_roundtrip",
+      // round-6 storage lifecycles: collapsing merge, deletion vectors,
+      // quantile-state table, tombstoned IVF index — all build + rewrite
+      // temp FactTables in-body
+      "dx22_collapsing_merge", "dx23_deletion_vectors",
+      "dx24_quantile_state_merge", "s18_ivf_tombstone_delete",
+      "dx25_partition_backfill")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

@@ -633,6 +633,63 @@ object DocsisQueries {
       doc = "mergeable quantile state: per-day fixed-bin histogram arrays merged at read (quantileState/quantileMerge)"),
 
     // ------------------------------------------------------------------
+    // dx25: PARTITION BACKFILL e2e (ClickHouse REPLACE PARTITION /
+    // transactional dynamic partition overwrite): a day of events was
+    // ingested with a bad scale factor; the corrected day (value ×2 —
+    // exact in doubles) is recomputed and swapped in with ONE atomic
+    // metadata commit. The require()s prove the swap is surgical:
+    // every other partition's parts are bit-identical (same paths,
+    // never rewritten), the replaced day's old parts are gone, and row
+    // counts match day-for-day. A checkpoint is cut afterwards and the
+    // read-back must be identical through it (the Delta checkpoint
+    // pattern — snapshot replay pays O(commits since checkpoint), the
+    // metadata move that keeps 10⁵-commit tables flat). Oracle: events
+    // with the min day's values doubled.
+    QueryDef(
+      "dx25_partition_backfill",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx25_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+        t.append(ev, 0)
+        t.compact(sortCols = Seq("user_id"))
+        val day0 = ev.agg(min($"date").cast("string")).head().getString(0)
+        val before = t.snapshot().dataFiles.map(_.path).toSet
+        val corrected = t.read()
+          .filter($"date" === to_date(lit(day0)))
+          .withColumn("value", $"value" * 2)
+        val (oldRows, newRows) = t.replacePartition(day0, corrected)
+        require(oldRows == newRows && oldRows > 0,
+          s"backfill row drift at $dir: $oldRows -> $newRows")
+        val after = t.snapshot().dataFiles.map(_.path).toSet
+        val untouched = before.filterNot(_.contains(s"/date=$day0/"))
+        require(untouched.subsetOf(after),
+          s"backfill rewrote foreign partitions at $dir")
+        require(before.filter(_.contains(s"/date=$day0/"))
+          .forall(p => !after.contains(p)),
+          s"backfill left stale parts live at $dir")
+        // checkpoint the log; the read below replays through it
+        require(t.checkpoint() >= 0, s"checkpoint failed at $dir")
+        t.read()
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(25, 6))).cast("double").as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) =
+                                   (SELECT MIN(CAST(ts AS DATE)) FROM events)
+                             THEN value * 2 ELSE value END
+                        AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "partition backfill: REPLACE PARTITION atomic swap + log checkpoint read-through"),
+
+    // ------------------------------------------------------------------
     // dx16: BLOOM skip-index point lookup (ClickHouse bloom_filter
     // secondary index): events are HASH-clustered on user_id, so parts
     // hold interleaved key subsets whose [min,max] mostly straddle any

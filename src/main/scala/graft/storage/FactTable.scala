@@ -93,35 +93,102 @@ class FactTable(val root: String, spark: SparkSession,
     * (the Delta/Iceberg retention model).
     */
   def snapshot(asOf: Long = Long.MaxValue): Snapshot = {
-    val versions = fs.listStatus(logDir).flatMap(s => versionOf(s.getPath))
-      .sorted.takeWhile(_ <= asOf)
+    val listed = fs.listStatus(logDir).map(_.getPath)
+    // start from the newest checkpoint at or before asOf (if any): its
+    // file holds the full live state as of that version, so replay cost
+    // is O(commits since last checkpoint), not O(history)
+    val ckptV = listed.flatMap { p =>
+      val n = p.getName
+      if (n.endsWith(CheckpointSuffix))
+        scala.util.Try(n.stripSuffix(CheckpointSuffix).toLong).toOption
+      else None
+    }.filter(_ <= asOf).maxOption
     val live = mutable.LinkedHashMap[String, FileEntry]()
     val txns = mutable.Set[Long]()
+    ckptV.foreach { cv =>
+      val in = fs.open(new Path(logDir, s"$cv$CheckpointSuffix"))
+      val node = try mapper.readTree(in) finally in.close()
+      node.get("txns").forEach(t => txns += t.asLong())
+      node.get("adds").forEach { a =>
+        val e = entryOf(a)
+        live.put(e.path, e)
+      }
+    }
+    val versions = listed.flatMap(versionOf)
+      .filter(v => v > ckptV.getOrElse(-1L) && v <= asOf).sorted
     versions.foreach { v =>
       val in = fs.open(new Path(logDir, s"$v.json"))
       val node = try mapper.readTree(in) finally in.close()
       if (node.hasNonNull("txn")) txns += node.get("txn").asLong()
       node.get("adds").forEach { a =>
-        val stats =
-          if (!a.has("stats")) Map.empty[String, StatsPruning.ColStats]
-          else {
-            val b = Map.newBuilder[String, StatsPruning.ColStats]
-            a.get("stats").properties().forEach { ent =>
-              val v = ent.getValue
-              b += (ent.getKey -> StatsPruning.ColStats(v.get("t").asText(),
-                v.get("min").asText(), v.get("max").asText()))
-            }
-            b.result()
-          }
-        val e = FileEntry(a.get("path").asText(), a.get("rows").asLong(),
-          a.get("bytes").asLong(), a.get("tier").asText(),
-          a.get("addedMs").asLong(), stats)
+        val e = entryOf(a)
         live.put(e.path, e)
       }
       node.get("removes").forEach(r => live.remove(r.asText()))
     }
     Snapshot(live.values.toSeq, txns.toSet,
-      versions.lastOption.map(_ + 1).getOrElse(0L))
+      math.max(versions.lastOption.map(_ + 1).getOrElse(0L),
+        ckptV.map(_ + 1).getOrElse(0L)))
+  }
+
+  /** Parse one log/checkpoint `adds` node back into a FileEntry. */
+  private def entryOf(a: com.fasterxml.jackson.databind.JsonNode): FileEntry = {
+    val stats =
+      if (!a.has("stats")) Map.empty[String, StatsPruning.ColStats]
+      else {
+        val b = Map.newBuilder[String, StatsPruning.ColStats]
+        a.get("stats").properties().forEach { ent =>
+          val v = ent.getValue
+          b += (ent.getKey -> StatsPruning.ColStats(v.get("t").asText(),
+            v.get("min").asText(), v.get("max").asText()))
+        }
+        b.result()
+      }
+    FileEntry(a.get("path").asText(), a.get("rows").asLong(),
+      a.get("bytes").asLong(), a.get("tier").asText(),
+      a.get("addedMs").asLong(), stats)
+  }
+
+  /** Write a log checkpoint at the current head (the Delta checkpoint
+    * pattern): one `<version>.checkpoint.json` holding the complete
+    * live state — file entries with their stats, plus committed txn ids
+    * so append idempotence survives the cutover. Subsequent snapshots
+    * replay only the commits AFTER the checkpoint; earlier log files
+    * are still used by time travel to pre-checkpoint versions (and by
+    * vacuum's full-history replay), so nothing is lost — reads just
+    * stop paying O(history). At 100 TB scale (10⁵-10⁶ commits) this is
+    * what keeps metadata latency flat; Delta writes one every 10
+    * commits. Returns the checkpointed version, or -1 on an empty log.
+    */
+  def checkpoint(): Long = {
+    val snap = snapshot()
+    if (snap.nextVersion == 0) return -1L
+    val v = snap.nextVersion - 1
+    val node = mapper.createObjectNode()
+    val tArr = node.putArray("txns")
+    snap.txns.toSeq.sorted.foreach(tArr.add)
+    val aArr = node.putArray("adds")
+    snap.files.foreach { e =>
+      val o = aArr.addObject()
+      o.put("path", e.path); o.put("rows", e.rows); o.put("bytes", e.bytes)
+      o.put("tier", e.tier); o.put("addedMs", e.addedMs)
+      if (e.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        e.stats.foreach { case (c, s) =>
+          val n = st.putObject(c)
+          n.put("t", s.typ); n.put("min", s.min); n.put("max", s.max)
+        }
+      }
+    }
+    val tmp = new Path(logDir, s".$v$CheckpointSuffix.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    // last-writer-wins is fine: any two checkpoints at the same version
+    // have identical content by construction
+    fs.delete(new Path(logDir, s"$v$CheckpointSuffix"), false)
+    if (!fs.rename(tmp, new Path(logDir, s"$v$CheckpointSuffix")))
+      throw new IllegalStateException(s"checkpoint rename failed at $root")
+    v
   }
 
   private def commit(version: Long, txn: Option[Long], adds: Seq[FileEntry],
@@ -497,6 +564,46 @@ class FactTable(val root: String, spark: SparkSession,
       return deleteWhere(cond, partitionCol)
     }
     victims.map(_.rows).sum - adds.map(_.rows).sum
+  }
+
+  /** Atomic partition overwrite (ClickHouse REPLACE PARTITION / dynamic
+    * partition overwrite, done transactionally): swap every live part of
+    * `partitionCol = value` for freshly staged parts of `df` in ONE log
+    * commit — readers see the old day or the new day, never a mix and
+    * never both. This is the backfill shape at 100 TB: recompute one
+    * day's data offline, then publish it with a metadata-only swap;
+    * untouched partitions are never read, moved, or rewritten. Base
+    * parts are matched by their `partitionCol=value` path segment,
+    * buffer parts by footer stats (DATE stats are epoch-day longs, per
+    * ttlExpire). `df` must contain only rows of that partition — the
+    * require guards against silently publishing foreign rows into the
+    * wrong partition. Returns (rows before, rows after) for the swap.
+    */
+  def replacePartition(value: String, df: DataFrame,
+      partitionCol: String = "date"): (Long, Long) = {
+    val bad = df.filter(col(partitionCol) =!= to_date(lit(value)))
+      .limit(1).count()
+    require(bad == 0, s"replacePartition($value): df holds other partitions")
+    val snap = snapshot()
+    val seg = s"/$partitionCol=$value/"
+    val days = java.time.LocalDate.parse(value).toEpochDay.toString
+    def inPart(f: FileEntry): Boolean =
+      f.path.contains(seg) || f.stats.get(partitionCol).exists(cs =>
+        cs.typ == "long" && cs.min == days && cs.max == days)
+    val victims = snap.dataFiles.filter(inPart)
+    val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
+    df.write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(target.toString)
+    beforeCommit()
+    val adds = entriesFor(target, TierBase)
+    val committed = commitWithRetry(snap.nextVersion, None, adds,
+      removes = victims.map(_.path))(
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)))
+    if (!committed) {
+      fs.delete(target, true)
+      return replacePartition(value, df, partitionCol)
+    }
+    (victims.map(_.rows).sum, adds.map(_.rows).sum)
   }
 
   // ------------------------------------------------- deletion vectors
@@ -953,6 +1060,7 @@ object FactTable {
     */
   val TierTomb = "tomb"
   val VictimsSuffix = ".victims.json"
+  val CheckpointSuffix = ".checkpoint.json"
 
   /** Internal partial-count column in projection sidecars; surfaced as
     * `n_rows` by `readProjection`.

@@ -683,6 +683,62 @@ class FactTableSpec extends AnyFunSuite {
     assert(t.readProjection("by_day_modem").count() > 0)
   }
 
+  test("replacePartition swaps exactly one partition atomically") {
+    val t = freshTable()
+    t.append(rows(5, "2024-03-01", "m1"), 0)
+    t.append(rows(4, "2024-03-02", "m2"), 1)
+    t.compact()
+    val before = t.snapshot().dataFiles.map(_.path).toSet
+    // corrected day: same rows, uptime shifted by 1000
+    val fixed = t.read().filter($"date" === to_date(lit("2024-03-01")))
+      .withColumn("uptime", $"uptime" + 1000L)
+    val (was, now) = t.replacePartition("2024-03-01", fixed)
+    assert(was == 5 && now == 5)
+    // the other day's parts are untouched; the replaced day's are gone
+    val after = t.snapshot().dataFiles.map(_.path).toSet
+    assert(before.filter(_.contains("date=2024-03-02")).subsetOf(after))
+    assert(before.filter(_.contains("date=2024-03-01")).forall(!after.contains(_)))
+    assert(t.read().filter($"uptime" > 1000L).count() == 5)
+    assert(t.read().count() == 9)
+    // foreign rows are rejected, not silently mis-published
+    intercept[IllegalArgumentException] {
+      t.replacePartition("2024-03-01", rows(2, "2024-03-02", "m9"))
+    }
+    // buffer-tier parts of the partition are matched via footer stats
+    t.append(rows(3, "2024-03-01", "m3"), 7)
+    val (was2, _) = t.replacePartition("2024-03-01", fixed)
+    assert(was2 == 8, s"expected base+buffer parts replaced, got $was2 rows")
+    assert(t.read().count() == 9)
+  }
+
+  test("checkpoint: snapshot replays from it and survives pre-checkpoint log loss") {
+    val t = freshTable()
+    (0 until 6).foreach(i => t.append(rows(2, "2024-03-01", s"m$i"), i))
+    t.compact()
+    val ck = t.checkpoint()
+    assert(ck == t.snapshot().nextVersion - 1)
+    t.append(rows(2, "2024-03-02", "m9"), 99)
+    assert(t.read().count() == 14)
+    // a fresh instance on the same root reads through the checkpoint
+    val t2 = new FactTable(t.root, spark)
+    assert(t2.read().count() == 14)
+    // txn idempotence survives the cutover: pre-checkpoint txn replays as no-op
+    assert(!t2.append(rows(2, "2024-03-01", "m0"), 3))
+    // O(tail) proof: hide every pre-checkpoint log file; state is intact
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val logDir = new org.apache.hadoop.fs.Path(t.root, "_graft_log")
+    (0L to ck).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(logDir, s"$v.json")
+      if (fs.exists(p))
+        fs.rename(p, new org.apache.hadoop.fs.Path(logDir, s"hidden-$v"))
+    }
+    val t3 = new FactTable(t.root, spark)
+    assert(t3.read().count() == 14,
+      "snapshot needed pre-checkpoint log files — replay is not O(tail)")
+    assert(!t3.append(rows(2, "2024-03-01", "m0"), 3))
+  }
+
   test("softDelete masks rows immediately without rewriting any part") {
     val t = freshTable()
     t.append(rows(5, "2024-03-01", "a1").coalesce(1), 0)
