@@ -690,6 +690,64 @@ object DocsisQueries {
       doc = "partition backfill: REPLACE PARTITION atomic swap + log checkpoint read-through"),
 
     // ------------------------------------------------------------------
+    // dx26: MERGE INTO e2e (the lakehouse upsert: WHEN MATCHED UPDATE
+    // SET *, WHEN NOT MATCHED INSERT *): a corrections batch carries
+    // re-scaled values for every 13th event (updates, keyed on
+    // event_id) plus late 'backfill' events under fresh ids (inserts).
+    // One mergeInto call lands both: matched rows are replaced, the
+    // rest inserted, in one atomic commit over only the stats-scoped
+    // victim parts. The require() pins the matched/inserted split to
+    // the independently-computed expectation — a mis-keyed merge
+    // (double-applied update, dropped insert) cannot pass it, and the
+    // oracle then hash-checks the post-merge table content. Scale: the
+    // source is broadcast for the anti-join, victims are chosen by the
+    // source's key range against log stats, and untouched parts are
+    // never read.
+    QueryDef(
+      "dx26_merge_upsert",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx26_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+        t.append(ev, 0)
+        t.compact(sortCols = Seq("event_id"))
+        val tbl = t.read()
+        val updates = tbl.filter($"event_id" % 13 === 0)
+          .withColumn("value", $"value" * 3)
+        val inserts = tbl.filter($"event_id" % 97 === 0)
+          .withColumn("event_id", $"event_id" + 10000000L)
+          .withColumn("event_type", lit("backfill"))
+        val nUpd = updates.count()
+        val nIns = inserts.count()
+        val (matched, inserted) =
+          t.mergeInto(updates.unionByName(inserts), Seq("event_id"))
+        require(matched == nUpd && inserted == nIns,
+          s"merge split drifted at $dir: got ($matched,$inserted), want ($nUpd,$nIns)")
+        t.read()
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(25, 6))).cast("double").as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH upd AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 13 = 0 THEN value * 3 ELSE value END AS value
+          FROM events),
+        ins AS (
+          SELECT 'backfill' AS event_type, value
+          FROM events WHERE event_id % 97 = 0),
+        allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM allr GROUP BY event_type ORDER BY event_type"""),
+      doc = "MERGE INTO upsert: broadcast-keyed update+insert over stats-scoped victim parts"),
+
+    // ------------------------------------------------------------------
     // dx16: BLOOM skip-index point lookup (ClickHouse bloom_filter
     // secondary index): events are HASH-clustered on user_id, so parts
     // hold interleaved key subsets whose [min,max] mostly straddle any

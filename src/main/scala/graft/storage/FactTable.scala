@@ -606,6 +606,61 @@ class FactTable(val root: String, spark: SparkSession,
     (victims.map(_.rows).sum, adds.map(_.rows).sum)
   }
 
+  /** Batch upsert — Delta/Iceberg `MERGE INTO` with the two standard
+    * clauses (WHEN MATCHED → UPDATE SET *, WHEN NOT MATCHED → INSERT *):
+    * source rows replace same-key target rows; unmatched source rows are
+    * inserted. Only parts whose log stats might hold a source key are
+    * rewritten — the rest of the table is untouched (at 100 TB the
+    * source is a day's corrections and the victims a handful of parts,
+    * not the table). The rewrite reads through the tombstone mask, and
+    * the source must be key-unique (the same multiple-match restriction
+    * Delta MERGE enforces — two source rows for one target key would
+    * make the result order-dependent). One atomic commit swaps victims
+    * for (kept ∪ source). Returns (matched/updated, inserted) row counts.
+    */
+  def mergeInto(source: DataFrame, keyCols: Seq[String],
+      partitionCol: String = "date"): (Long, Long) = {
+    require(keyCols.nonEmpty, "mergeInto needs key columns")
+    val dupes = source.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupes == 0, "mergeInto: source has duplicate keys")
+    val srcN = source.count()
+    if (srcN == 0) return (0L, 0L)
+    val snap = snapshot()
+    // stats scoping: a single numeric key prunes victims by the source's
+    // [min, max] range; otherwise every data part is a candidate
+    val victims = keyCols match {
+      case Seq(k) =>
+        val mm = source.agg(min(col(k)), max(col(k))).head()
+        if (mm.isNullAt(0)) snap.dataFiles
+        else {
+          val cond = col(k) >= lit(mm.get(0)) && col(k) <= lit(mm.get(1))
+          snap.dataFiles.filterNot(f => StatsPruning.canPrune(cond, f.stats))
+        }
+      case _ => snap.dataFiles
+    }
+    val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
+    val kept =
+      if (victims.isEmpty) None
+      else Some(masked(victims, snap.tombFiles)
+        .join(broadcast(source.select(keyCols.map(col): _*)), keyCols, "left_anti"))
+    val out = kept.map(_.unionByName(source, allowMissingColumns = true))
+      .getOrElse(source)
+    out.write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(target.toString)
+    beforeCommit()
+    val adds = entriesFor(target, TierBase)
+    val committed = commitWithRetry(snap.nextVersion, None, adds,
+      removes = victims.map(_.path))(
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)))
+    if (!committed) {
+      fs.delete(target, true)
+      return mergeInto(source, keyCols, partitionCol)
+    }
+    val matched = victims.map(_.rows).sum + srcN - adds.map(_.rows).sum
+    (matched, srcN - matched)
+  }
+
   // ------------------------------------------------- deletion vectors
 
   private val victimsCache =

@@ -739,6 +739,32 @@ class FactTableSpec extends AnyFunSuite {
     assert(!t3.append(rows(2, "2024-03-01", "m0"), 3))
   }
 
+  test("mergeInto: updates matched keys, inserts the rest, prunes by key range") {
+    val t = freshTable()
+    // part A holds keys 1..5, part B keys 101..104 (disjoint ranges)
+    t.append(rows(5, "2024-03-01", "a1").coalesce(1), 0)
+    t.append(rows(4, "2024-03-02", "b2").coalesce(1)
+      .withColumn("uptime", $"uptime" + 100L), 1)
+    val partB = t.snapshot().dataFiles.map(_.path).filter(_.contains("append-1")).toSet
+    // source: key 2 exists (update → modem renamed), key 50 does not (insert)
+    val src = Seq(("fix", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 2L),
+      ("new", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 50L))
+      .toDF("modem_name", "timestamp", "uptime")
+      .withColumn("date", to_date($"timestamp"))
+    val (matched, inserted) = t.mergeInto(src, Seq("uptime"))
+    assert(matched == 1 && inserted == 1)
+    // key-range [2,50] scoping: part B (101..104) was never touched
+    assert(partB.subsetOf(t.snapshot().dataFiles.map(_.path).toSet))
+    assert(t.read().count() == 10)
+    assert(t.read().filter($"uptime" === 2L).select($"modem_name")
+      .head().getString(0) == "fix")
+    assert(t.read().filter($"uptime" === 50L).count() == 1)
+    // duplicate source keys are rejected (Delta's multiple-match rule)
+    intercept[IllegalArgumentException] {
+      t.mergeInto(src.unionByName(src), Seq("uptime"))
+    }
+  }
+
   test("softDelete masks rows immediately without rewriting any part") {
     val t = freshTable()
     t.append(rows(5, "2024-03-01", "a1").coalesce(1), 0)
