@@ -1521,6 +1521,67 @@ object ExtendedQueries {
                MIN(CASE WHEN c*100 >= t*90 THEN v END) AS wq90,
                MIN(CASE WHEN c*100 >= t*99 THEN v END) AS wq99
         FROM cum GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      doc = "exact weighted quantiles (quantileExactWeighted): integer rank math over distinct-value window")
+      doc = "exact weighted quantiles (quantileExactWeighted): integer rank math over distinct-value window"),
+
+    // ------------------------------------------------------------------
+    // q70: NEAREST AS-OF JOIN (pandas merge_asof direction='nearest',
+    // the sensor/trade alignment shape AsOf.scala's backward join can't
+    // express): each view event pairs with its temporally NEAREST
+    // purchase by the same user — before or after. One user-partitioned
+    // sort carries BOTH sides; two window passes over that single
+    // exchange compute the latest-prior candidate (inclusive: same-µs
+    // purchases sort ahead of views) and the earliest-later candidate,
+    // and a row-local comparison picks the nearer (ties → the earlier,
+    // matching the oracle's abs/ts/id ordering; the (us, -id) backward
+    // struct makes same-timestamp ties resolve to the SMALLEST id on
+    // both sides). No self-join: at 100 TB a nearest-join-by-key via
+    // join would shuffle events twice and explode on hot users — this
+    // is the single-shuffle sorted-merge formulation. All time math is
+    // integer microseconds (the corpus has no sub-µs components, so
+    // Spark's µs and DuckDB's ns views of the data agree exactly).
+    QueryDef(
+      "q70_asof_nearest",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .filter($"event_type".isin("view", "purchase"))
+          .select($"user_id", $"event_id",
+            when($"event_type" === "purchase", 0).otherwise(1).as("k"),
+            unix_micros($"ts").as("us"))
+        val ord = Window.partitionBy($"user_id")
+          .orderBy($"us".asc, $"k".asc, $"event_id".asc)
+        val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = ord.rowsBetween(1, Window.unboundedFollowing)
+        ev
+          .withColumn("back",
+            max(when($"k" === 0, struct($"us", (-$"event_id").as("nid"))))
+              .over(wB))
+          .withColumn("fwd",
+            min(when($"k" === 0, struct($"us", $"event_id".as("pid"))))
+              .over(wF))
+          .filter($"k" === 1)
+          .withColumn("useBack", $"back".isNotNull &&
+            ($"fwd".isNull || ($"us" - $"back.us") <= ($"fwd.us" - $"us")))
+          .select($"event_id",
+            when($"useBack", -$"back.nid").otherwise($"fwd.pid")
+              .as("np_event_id"),
+            when($"useBack", $"us" - $"back.us").otherwise($"fwd.us" - $"us")
+              .as("gap_us"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'purchase')
+        SELECT v.event_id,
+               (SELECT p.event_id FROM p WHERE p.user_id = v.user_id
+                ORDER BY abs(p.us - v.us) ASC, p.us ASC, p.event_id ASC
+                LIMIT 1) AS np_event_id,
+               (SELECT abs(p.us - v.us) FROM p WHERE p.user_id = v.user_id
+                ORDER BY abs(p.us - v.us) ASC, p.us ASC, p.event_id ASC
+                LIMIT 1) AS gap_us
+        FROM v ORDER BY v.event_id"""),
+      doc = "nearest as-of join: single-shuffle sorted-merge, backward/forward candidates, tie to earlier")
   )
 }
