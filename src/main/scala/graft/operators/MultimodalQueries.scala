@@ -268,18 +268,28 @@ object MultimodalQueries {
         val perturbed = docs.filter($"media_id" % 10 === 2)
           .select(($"media_id" + 3000000L).as("media_id"),
             concat(lit("x"), expr("substring(text, 2)")).as("text"))
+        // The 64-cell array is BOUND AS A LAMBDA VARIABLE (via the
+        // single-element transform) before the 62-step fold reads it
+        // 124 times: CollapseProject would otherwise inline the
+        // 64-md5 cells expression into every element_at reference —
+        // ~8,000 md5 calls per row instead of 64 (measured 155 s at
+        // sf0.1). localCheckpoint then materializes the tiny
+        // (id, hash) fingerprint so the three downstream uses (bands
+        // + both confirm sides) don't re-derive it from the texts.
         val hashed = docs.unionByName(perturbed)
           .withColumn("w",
             greatest(expr("length(text) div 64"), lit(1)))
-          .withColumn("cells", expr(
-            """transform(sequence(0, 63), i ->
-                 instr('0123456789abcdef',
-                   substring(md5(substring(text, 1 + i * w, w)), 1, 1)) - 1)"""))
           .withColumn("phash", expr(
-            """aggregate(sequence(0, 61), 0L, (acc, i) ->
-                 acc + IF(element_at(cells, i + 1) > element_at(cells, i + 2),
-                          shiftleft(1L, i), 0L))"""))
+            """element_at(transform(array(
+                 transform(sequence(0, 63), i ->
+                   instr('0123456789abcdef',
+                     substring(md5(substring(text, 1 + i * w, w)), 1, 1)) - 1)),
+               cells ->
+                 aggregate(sequence(0, 61), 0L, (acc, i) ->
+                   acc + IF(element_at(cells, i + 1) > element_at(cells, i + 2),
+                            shiftleft(1L, i), 0L))), 1)"""))
           .select($"media_id", $"phash")
+          .localCheckpoint()
         val bands = hashed
           .select($"media_id", $"phash",
             posexplode(expr(
