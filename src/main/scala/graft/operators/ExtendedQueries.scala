@@ -1582,6 +1582,95 @@ object ExtendedQueries {
                 ORDER BY abs(p.us - v.us) ASC, p.us ASC, p.event_id ASC
                 LIMIT 1) AS gap_us
         FROM v ORDER BY v.event_id"""),
-      doc = "nearest as-of join: single-shuffle sorted-merge, backward/forward candidates, tie to earlier")
+      doc = "nearest as-of join: single-shuffle sorted-merge, backward/forward candidates, tie to earlier"),
+
+    // ------------------------------------------------------------------
+    // q71: GAP FILL + LINEAR INTERPOLATION (ClickHouse ORDER BY ... WITH
+    // FILL INTERPOLATE / the time-series densification every monitoring
+    // dashboard needs): each user's daily value series is densified to
+    // a contiguous day spine (sequence() explode between the user's own
+    // first and last active day — no global spine, so a long-lived user
+    // doesn't pad a short-lived one), missing days get n_events = 0,
+    // and the value is linearly interpolated between the surrounding
+    // observed days. The interpolation fraction is a ratio of integer
+    // day differences, and prev/next lookups are two IGNORE NULLS
+    // window passes over ONE user-partitioned exchange (the spine join
+    // reuses the same key). Edge days are observed by construction, so
+    // every gap is interior and the interpolant is total. Scale: spine
+    // size is O(user lifetime), the explode is map-side, and the whole
+    // query is one shuffle for the daily agg + one for the window.
+    QueryDef(
+      "q71_gap_fill_interpolate",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .groupBy($"user_id", to_date($"ts").as("day"))
+          .agg(sum($"value".cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(25, 6))).cast("double").as("day_value"),
+            count(lit(1)).as("n_events"))
+        val spine = daily.groupBy($"user_id")
+          .agg(min($"day").as("d0"), max($"day").as("d1"))
+          .select($"user_id",
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        val wB = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("prev_val", last($"day_value", ignoreNulls = true).over(wB))
+          .withColumn("prev_day",
+            last(when($"day_value".isNotNull, $"day"), ignoreNulls = true).over(wB))
+          .withColumn("next_val", first($"day_value", ignoreNulls = true).over(wF))
+          .withColumn("next_day",
+            first(when($"day_value".isNotNull, $"day"), ignoreNulls = true).over(wF))
+          .select($"user_id", $"day",
+            coalesce($"n_events", lit(0L)).as("n_events"),
+            round(coalesce($"day_value",
+              $"prev_val" + ($"next_val" - $"prev_val")
+                * (datediff($"day", $"prev_day").cast("double")
+                   / datediff($"next_day", $"prev_day").cast("double"))), 6)
+              .as("filled_value"))
+          .orderBy($"user_id", $"day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS day_value,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        spine AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                FROM daily GROUP BY 1)),
+        j AS (
+          SELECT s.user_id, s.day, d.day_value,
+                 COALESCE(d.n_events, 0) AS n_events
+          FROM spine s LEFT JOIN daily d
+            ON d.user_id = s.user_id AND d.day = s.day),
+        w AS (
+          SELECT user_id, day, n_events, day_value,
+                 last_value(day_value IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS prev_val,
+                 last_value(CASE WHEN day_value IS NOT NULL THEN day END
+                            IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS prev_day,
+                 first_value(day_value IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+                 first_value(CASE WHEN day_value IS NOT NULL THEN day END
+                             IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+          FROM j)
+        SELECT user_id, day, n_events,
+               round(COALESCE(day_value,
+                 prev_val + (next_val - prev_val)
+                   * (CAST(day - prev_day AS DOUBLE)
+                      / CAST(next_day - prev_day AS DOUBLE))), 6)
+                 AS filled_value
+        FROM w ORDER BY user_id, day"""),
+      doc = "gap fill + interpolation (WITH FILL): per-user day spine, IGNORE NULLS bracket windows")
   )
 }
