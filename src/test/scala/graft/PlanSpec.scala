@@ -371,6 +371,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("n_matches"), "fold output missing")
   }
 
+  test("q69 weighted quantiles: rank window runs over pre-aggregated distinct values") {
+    val p = plan("q69_weighted_quantiles")
+    // the cumulative-weight window must consume the (flag, price) partial
+    // agg, never raw rows — that collapse is what bounds the window input
+    assert(p.contains("partial_sum"), s"distinct-value pre-agg missing:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) >= 1)
+    assert(!p.contains("Join"), s"weighted quantiles must not join:\n$p")
+  }
+
+  test("q70 nearest as-of is window-only: no self-join, one keyed exchange") {
+    val p = plan("q70_asof_nearest")
+    assert(!p.contains("Join"),
+      s"nearest-asof must be the sorted-merge formulation, not a self-join:\n$p")
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"both window passes must share one user exchange:\n$p")
+  }
+
+  test("q71 gap fill: spine join keyed on user+day, bracket windows share the exchange") {
+    val p = plan("q71_gap_fill_interpolate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"spine join degenerated to a cartesian:\n$p")
+    // both IGNORE NULLS bracket passes are windows over user_id
+    assert(p.linesIterator.count(_.contains("Window")) >= 1, s"bracket windows missing:\n$p")
+  }
+
   test("d23 bloom probe filters ahead of the exact confirm join") {
     val p = plan("d23_bloom_decontaminate")
     // the codegen'd sketch probe must sit in a Filter BEFORE the join —
