@@ -234,6 +234,18 @@ class FactTable(val root: String, spark: SparkSession,
     * — the caller then abandons or restarts. Rename-based version claims
     * make the winner unambiguous on any filesystem with atomic rename.
     */
+  /** Rewrite-vs-delete conflict rule: a rewrite staged its output by
+    * reading through the tombstone mask AS OF its snapshot. If the live
+    * tombstone set changes before the rewrite commits (a concurrent
+    * softDelete landed, or applyTombstones reconciled one), the staged
+    * parts were materialized without the new mask — and a fresh tombstone
+    * only lists the OLD part paths in its deletion vector, so committing
+    * the rewrite would silently resurrect the deleted rows. Delta treats
+    * concurrent DELETE vs rewrite the same way: conflict, restart. Every
+    * rewrite path composes this into its `revalidate`.
+    */
+  private def tombsUnchanged(staged: Snapshot)(fresh: Snapshot): Boolean =
+    fresh.tombFiles.map(_.path).toSet == staged.tombFiles.map(_.path).toSet
   private def commitWithRetry(firstVersion: Long, txn: Option[Long],
       adds: Seq[FileEntry], removes: Seq[String])(
       revalidate: Snapshot => Boolean): Boolean = {
@@ -302,7 +314,8 @@ class FactTable(val root: String, spark: SparkSession,
     // in our remove set) and just retries at the new head.
     val committed = commitWithRetry(snap.nextVersion, None,
       entriesFor(target, TierBase), removes = buffer.map(_.path))(
-      fresh => buffer.forall(b => fresh.files.exists(_.path == b.path)))
+      fresh => buffer.forall(b => fresh.files.exists(_.path == b.path)) &&
+        tombsUnchanged(snap)(fresh))
     if (!committed) {
       fs.delete(target, true)
       return compact(sortCols, partitionCol)
@@ -558,7 +571,8 @@ class FactTable(val root: String, spark: SparkSession,
     val adds = entriesFor(target, TierBase)
     val committed = commitWithRetry(snap.nextVersion, None, adds,
       removes = victims.map(_.path))(
-      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)))
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)) &&
+        tombsUnchanged(snap)(fresh))
     if (!committed) {
       fs.delete(target, true)
       return deleteWhere(cond, partitionCol)
@@ -573,11 +587,19 @@ class FactTable(val root: String, spark: SparkSession,
     * never both. This is the backfill shape at 100 TB: recompute one
     * day's data offline, then publish it with a metadata-only swap;
     * untouched partitions are never read, moved, or rewritten. Base
-    * parts are matched by their `partitionCol=value` path segment,
-    * buffer parts by footer stats (DATE stats are epoch-day longs, per
-    * ttlExpire). `df` must contain only rows of that partition — the
-    * require guards against silently publishing foreign rows into the
-    * wrong partition. Returns (rows before, rows after) for the swap.
+    * parts are matched by their `partitionCol=value` path segment;
+    * buffer parts (partition value still a data column) are victims
+    * whenever their footer [min,max] day range CONTAINS the target day
+    * (DATE stats are epoch-day longs, per ttlExpire), or when stats are
+    * missing — conservative, because a buffer part that merely straddles
+    * the day still holds target-day rows that must not survive the swap.
+    * A straddling victim's OTHER-day rows are read back (through the
+    * tombstone mask) and re-staged in the same commit, so no foreign
+    * rows are lost and no stale target-day rows remain. `df` must
+    * contain only rows of that partition — the require guards against
+    * silently publishing foreign rows into the wrong partition.
+    * Returns (physical rows removed, physical rows staged) for the swap
+    * — counts include any carried-over other-day buffer rows.
     */
   def replacePartition(value: String, df: DataFrame,
       partitionCol: String = "date"): (Long, Long) = {
@@ -586,19 +608,35 @@ class FactTable(val root: String, spark: SparkSession,
     require(bad == 0, s"replacePartition($value): df holds other partitions")
     val snap = snapshot()
     val seg = s"/$partitionCol=$value/"
-    val days = java.time.LocalDate.parse(value).toEpochDay.toString
+    val days = java.time.LocalDate.parse(value).toEpochDay
+    def dayRange(f: FileEntry): Option[(Long, Long)] =
+      f.stats.get(partitionCol).flatMap(cs =>
+        if (cs.typ != "long") None
+        else scala.util.Try((cs.min.toLong, cs.max.toLong)).toOption)
     def inPart(f: FileEntry): Boolean =
-      f.path.contains(seg) || f.stats.get(partitionCol).exists(cs =>
-        cs.typ == "long" && cs.min == days && cs.max == days)
+      f.path.contains(seg) || (f.tier == TierBuffer &&
+        dayRange(f).forall { case (mn, mx) => mn <= days && days <= mx })
     val victims = snap.dataFiles.filter(inPart)
+    // buffer victims not provably single-day: rewrite their other-day
+    // rows back alongside df (masked read — rewrites never resurrect
+    // soft-deleted rows); null-safe filter keeps NULL-date rows
+    val straddlers = victims.filter(f => f.tier == TierBuffer &&
+      dayRange(f).forall(_ != (days, days)))
+    val out =
+      if (straddlers.isEmpty) df
+      else df.unionByName(
+        masked(straddlers, snap.tombFiles)
+          .filter(!(col(partitionCol) <=> to_date(lit(value)))),
+        allowMissingColumns = true)
     val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
-    df.write.partitionBy(partitionCol).mode("overwrite")
+    out.write.partitionBy(partitionCol).mode("overwrite")
       .parquet(target.toString)
     beforeCommit()
     val adds = entriesFor(target, TierBase)
     val committed = commitWithRetry(snap.nextVersion, None, adds,
       removes = victims.map(_.path))(
-      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)))
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)) &&
+        tombsUnchanged(snap)(fresh))
     if (!committed) {
       fs.delete(target, true)
       return replacePartition(value, df, partitionCol)
@@ -640,10 +678,20 @@ class FactTable(val root: String, spark: SparkSession,
       case _ => snap.dataFiles
     }
     val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
+    // matched = LOGICAL target rows the source replaced, i.e. counted
+    // over the tombstone-masked victim rows — the physical identity
+    // (victims.rows + srcN - adds.rows) would count soft-deleted rows
+    // still sitting in victim parts as "matched" and drift callers'
+    // matched-count assertions after a preceding softDelete
+    var maskedVictimRows = 0L
     val kept =
       if (victims.isEmpty) None
-      else Some(masked(victims, snap.tombFiles)
-        .join(broadcast(source.select(keyCols.map(col): _*)), keyCols, "left_anti"))
+      else {
+        val live = masked(victims, snap.tombFiles)
+        maskedVictimRows = live.count()
+        Some(live
+          .join(broadcast(source.select(keyCols.map(col): _*)), keyCols, "left_anti"))
+      }
     val out = kept.map(_.unionByName(source, allowMissingColumns = true))
       .getOrElse(source)
     out.write.partitionBy(partitionCol).mode("overwrite")
@@ -652,12 +700,13 @@ class FactTable(val root: String, spark: SparkSession,
     val adds = entriesFor(target, TierBase)
     val committed = commitWithRetry(snap.nextVersion, None, adds,
       removes = victims.map(_.path))(
-      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)))
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)) &&
+        tombsUnchanged(snap)(fresh))
     if (!committed) {
       fs.delete(target, true)
       return mergeInto(source, keyCols, partitionCol)
     }
-    val matched = victims.map(_.rows).sum + srcN - adds.map(_.rows).sum
+    val matched = maskedVictimRows + srcN - adds.map(_.rows).sum
     (matched, srcN - matched)
   }
 
@@ -731,12 +780,15 @@ class FactTable(val root: String, spark: SparkSession,
     }
     beforeCommit()
     val adds = entriesFor(target, TierTomb)
-    // a tombstone add removes nothing, so version races (appends, other
-    // deletes) always merge; victims rewritten concurrently just mean
-    // some masked paths are no longer live — masking a dead path is a
-    // no-op, and the rewrite itself read through the mask
+    // a tombstone add removes nothing, so version races with appends and
+    // other deletes always merge. A race with a REWRITE of our victims
+    // does NOT: the rewrite staged its output from the pre-tombstone
+    // mask, and our deletion vector lists only the old (now dead) part
+    // paths — committing anyway would mask nothing and lose the delete.
+    // Restart from a fresh snapshot so the vector covers the live parts.
     val committed = commitWithRetry(snap.nextVersion, None, adds,
-      removes = Nil)(_ => true)
+      removes = Nil)(
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)))
     if (!committed) { fs.delete(target, true); return softDelete(cond, keyCols) }
     adds.map(_.rows).sum
   }
@@ -764,10 +816,13 @@ class FactTable(val root: String, spark: SparkSession,
         entriesFor(target, TierBase)
       }
     beforeCommit()
+    // tombsUnchanged also rejects a NEW tombstone committed concurrently:
+    // its deletion vector lists the victim paths this commit removes, so
+    // proceeding would strand it masking nothing — restart and fold it in
     val committed = commitWithRetry(snap.nextVersion, None, adds,
       removes = victims.map(_.path) ++ tombs.map(_.path))(
-      fresh => (victims ++ tombs).forall(v =>
-        fresh.files.exists(_.path == v.path)))
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)) &&
+        tombsUnchanged(snap)(fresh))
     if (!committed) {
       fs.delete(target, true)
       return applyTombstones(partitionCol)
@@ -791,7 +846,8 @@ class FactTable(val root: String, spark: SparkSession,
     beforeCommit()
     val committed = commitWithRetry(snap.nextVersion, None,
       entriesFor(target, TierBase), removes = snap.files.map(_.path))(
-      fresh => snap.files.forall(f => fresh.files.exists(_.path == f.path)))
+      fresh => snap.files.forall(f => fresh.files.exists(_.path == f.path)) &&
+        tombsUnchanged(snap)(fresh))
     if (!committed) {
       fs.delete(target, true)
       return rewriteAll(partitionCol)(rewrite)
@@ -832,7 +888,12 @@ class FactTable(val root: String, spark: SparkSession,
       .map { case (tombPaths, group) =>
         tombPaths.foldLeft(readFiles(group)) { (df, tp) =>
           val keys = spark.read.parquet(tp)
-          df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+          // null-safe (<=>) equi-join: softDelete tombstones NULL key
+          // tuples too, and a plain equi-anti-join could never mask them
+          // (NULL = NULL is NULL ⇒ the row always survives). EqualNullSafe
+          // is still an equi-join key, so this stays a broadcast hash join.
+          val cond = keys.columns.map(c => df(c) <=> keys(c)).reduce(_ && _)
+          df.join(broadcast(keys), cond, "left_anti")
         }
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))

@@ -849,4 +849,119 @@ class FactTableSpec extends AnyFunSuite {
     assert(t.readProjection("by_day_modem")
       .filter($"modem_name" === "m2").count() == 0)
   }
+
+  test("softDelete restarts when a concurrent rewrite replaced its victims (no lost delete)") {
+    val root = java.nio.file.Files.createTempDirectory("fact_del_rw").toString
+    val other = new FactTable(root, spark)
+    var armed = false
+    var interleaved = false
+    val t = new FactTable(root, spark) {
+      override protected def beforeCommit(): Unit =
+        if (armed && !interleaved) {
+          interleaved = true
+          // concurrent compaction rewrites the delete's victim part: the
+          // staged deletion vector now lists only a dead path
+          assert(other.compact() == 5L)
+        }
+    }
+    t.append(rows(5, "2024-03-01", "m1").coalesce(1), 0)
+    armed = true
+    assert(t.softDelete($"modem_name" === "m1" && $"uptime" <= 2L,
+      Seq("modem_name", "timestamp")) == 2L)
+    assert(interleaved)
+    // the delete restarted on the post-compact snapshot, so its vector
+    // covers the LIVE part — the rows stay dead instead of resurrecting
+    assert(t.read().count() == 3)
+    assert(t.read().filter($"uptime" <= 2L).count() == 0)
+  }
+
+  test("rewrite restarts when a concurrent softDelete lands (no resurrected rows)") {
+    val root = java.nio.file.Files.createTempDirectory("fact_rw_del").toString
+    val other = new FactTable(root, spark)
+    var armed = false
+    var interleaved = false
+    val t = new FactTable(root, spark) {
+      override protected def beforeCommit(): Unit =
+        if (armed && !interleaved) {
+          interleaved = true
+          // tombstone lands between the compact's staging and its commit:
+          // the staged parts were materialized from the pre-delete mask
+          assert(other.softDelete(col("modem_name") === "m1",
+            Seq("modem_name")) == 1L)
+        }
+    }
+    t.append(rows(5, "2024-03-01", "m1").coalesce(1), 0)
+    t.append(rows(4, "2024-03-01", "m2").coalesce(1), 1)
+    armed = true
+    t.compact()
+    assert(interleaved)
+    // the compact restarted and re-read through the new mask: the deleted
+    // rows are physically absent from the fresh generation
+    assert(t.read().count() == 4)
+    assert(t.read().filter(col("modem_name") === "m1").count() == 0)
+    // the tombstone's victims are all dead now — reconcile is a no-op
+    // drop, and the delete stays applied
+    assert(t.applyTombstones() == 0L)
+    assert(t.snapshot().tombFiles.isEmpty)
+    assert(t.read().count() == 4)
+  }
+
+  test("replacePartition rewrites a straddling buffer part's other-day rows back") {
+    val t = freshTable()
+    // ONE buffer part holding two days: footer [min,max] brackets the
+    // target day but is not equal to it
+    t.append(rows(3, "2024-03-01", "m1")
+      .unionByName(rows(2, "2024-03-02", "m1")).coalesce(1), 0)
+    val fixed = rows(4, "2024-03-01", "fixed")
+    val (was, now) = t.replacePartition("2024-03-01", fixed)
+    assert(was == 5, "the straddling part must be a victim in full")
+    assert(now == 6, "4 new day rows + 2 carried-over other-day rows")
+    assert(t.read().count() == 6)
+    // no stale target-day rows survive alongside the replacement…
+    assert(t.read().filter($"date" === to_date(lit("2024-03-01")))
+      .select($"modem_name").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("fixed"))
+    // …and the other day's rows are conserved, not dropped with the part
+    assert(t.read().filter($"date" === to_date(lit("2024-03-02"))
+      && $"modem_name" === "m1").count() == 2)
+  }
+
+  test("mergeInto matched count is logical (excludes tombstone-masked rows)") {
+    val t = freshTable()
+    t.append(rows(5, "2024-03-01", "m1").coalesce(1), 0)
+    assert(t.softDelete($"uptime" <= 2L, Seq("uptime")) == 2L)
+    // source hits one LIVE key (3) and one absent key (50); the two
+    // masked rows (1, 2) in the victim part must not count as matched
+    val src = Seq(("fix", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 3L),
+      ("new", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 50L))
+      .toDF("modem_name", "timestamp", "uptime")
+      .withColumn("date", to_date($"timestamp"))
+    val (matched, inserted) = t.mergeInto(src, Seq("uptime"))
+    assert(matched == 1, s"physical-identity count would say 3, got $matched")
+    assert(inserted == 1)
+    assert(t.read().count() == 4) // rows 3(updated),4,5 + inserted 50
+    assert(t.read().filter($"uptime" === 3L).select($"modem_name")
+      .head().getString(0) == "fix")
+    assert(t.read().filter($"uptime" <= 2L).count() == 0,
+      "merge rewrite must not resurrect the soft-deleted rows")
+  }
+
+  test("softDelete of NULL key tuples masks immediately (null-safe anti-join)") {
+    val t = freshTable()
+    val df = Seq(
+      (Option.empty[String], java.sql.Timestamp.valueOf("2024-03-01 00:00:01"), 1L),
+      (Some("m1"), java.sql.Timestamp.valueOf("2024-03-01 00:00:02"), 2L))
+      .toDF("modem_name", "timestamp", "uptime")
+      .withColumn("date", to_date($"timestamp"))
+    t.append(df.coalesce(1), 0)
+    // the matching row's key tuple is (NULL): a plain equi-anti-join
+    // could never remove it, so the delete would silently not take
+    assert(t.softDelete($"uptime" === 1L, Seq("modem_name")) == 1L)
+    assert(t.read().count() == 1)
+    assert(t.read().filter($"modem_name".isNull).count() == 0)
+    // physical reconcile agrees with the logical mask
+    assert(t.applyTombstones() == 1L)
+    assert(t.read().count() == 1)
+    assert(t.read().filter($"modem_name".isNull).count() == 0)
+  }
 }
