@@ -23,6 +23,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // The ContextCleaner is GC-driven: broadcasts, shuffle files and
+      // localCheckpoint blocks are only released when the driver GCs
+      // their references. With a 48 GiB heap the JVM can go the WHOLE
+      // bench without a collection (default periodicGC.interval is
+      // 30 min), so ~370 query executions accumulate scratch state and
+      // the heavy tail stalls on storage-memory eviction — measured 2-20×
+      // per-query inflation in a full run whose queries are all fast in
+      // isolation. 45 s keeps cleanup ahead of accumulation.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -35,9 +44,16 @@ object Bench {
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts the query set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
+      // untimed driver GC every 25 queries: releases dropped broadcast /
+      // checkpoint / shuffle references so the ContextCleaner can reclaim
+      // them NOW, instead of letting pressure build into a later query's
+      // timing window (see periodicGC.interval note above)
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
       val times = (1 to 2).flatMap { _ =>
         // d08/d09 memoize their label-propagation intermediate; clear it
         // so every timed run pays the full cost (otherwise run 2 of d08

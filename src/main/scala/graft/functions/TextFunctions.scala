@@ -99,17 +99,65 @@ object TextFunctions {
     END"""
 
   /** BPE tokenizer TRAINING (Sennrich et al. 2016): learn `nMerges`
-    * byte-pair merges from the corpus. The classic driver-coordinated
-    * iterative shape (same family as the k-means and connected-components
-    * loops): each round is ONE distributed pass — adjacent-pair counts
-    * partially aggregated on 2-symbol keys, a top-1 argmax pulled to the
-    * driver (ties broken (count desc, left asc, right asc) so training
-    * is deterministic), then a map-only greedy left-to-right merge fold
-    * over every token's symbol array. Rounds are `localCheckpoint`ed so
-    * lineage stays flat across merges (reliable `checkpoint()` on a real
-    * cluster, as in clusterLabels). Returns `(left, right, count)` per
-    * learned merge, most-frequent first — the merge table a tokenizer
-    * ships with.
+    * byte-pair merges from the corpus, with the two scale contracts a
+    * 100 TB pipeline needs made EXPLICIT in the signature:
+    *
+    *  - `maxTokens` — the training-sample bound. BPE training is
+    *    conventionally run on a bounded sample (the merge table
+    *    converges long before corpus scale); when the corpus exceeds
+    *    the bound, documents are kept by a deterministic hash-mod
+    *    filter sized so the sampled token count lands near `maxTokens`.
+    *    Document-level sampling preserves the pair-frequency
+    *    distribution in expectation, and hash(text) sampling is
+    *    reproducible — two runs train the identical table.
+    *  - `batchSize` — merges learned per distributed round. The classic
+    *    algorithm is strictly sequential (one top-1 pass per merge, so
+    *    nMerges driver-coordinated jobs); this implementation accepts up
+    *    to `batchSize` merges from ONE pair-count pass whenever doing so
+    *    is provably equivalent to running them sequentially, cutting the
+    *    round count ~batchSize× on corpora with many independent
+    *    high-frequency pairs.
+    *
+    * Batch-equivalence rule (scan the EXACT global top-K prefix,
+    * `(count desc, left asc, right asc)`-ordered, accepting a prefix
+    * subset): two pairs INTERACT iff one's right symbol equals the
+    * other's left — the only way their occurrences can overlap in a
+    * symbol sequence, and therefore the only way applying one can change
+    * the other's count or spawn a new pair whose count exceeds theirs
+    * (a new pair (x, ab) arises only from an (x, a) occurrence, so its
+    * count is bounded by the interacting pair (x, a)'s). Scanning in
+    * global order: accept a non-interacting pair while its count
+    * strictly exceeds every interacting pair's count seen so far; stop
+    * at the first candidate at-or-below that bound (counts of
+    * already-applied-round survivors only decrease; ties resolve by the
+    * same lexicographic order the sequential algorithm uses, and every
+    * unseen pair sorts after the accepted prefix by construction).
+    *
+    * One further hazard: a merge OUTPUT string can collide with a symbol
+    * that already exists (learn ("ab","c") and ("a","b") when "ab" was
+    * merged in an earlier round — on "a b c" a one-pass fold would chain
+    * to "abc" where sequential passes stop at "ab","c", and applying
+    * ("a","b") can INCREASE other pairs' "ab"-counts). The driver knows
+    * the complete symbol space exactly — initial characters (collected
+    * once) plus every merge output — so any candidate whose output is
+    * already a known symbol CLOSES the batch: accepted alone if it heads
+    * the round (a single-merge fold is always exact), deferred to the
+    * next round otherwise. Within a batch all outputs are therefore
+    * fresh symbols, no count can increase, and the fold is equivalent to
+    * applying the accepted merges as separate sequential passes. The
+    * head of each round is always accepted, so progress is guaranteed
+    * and a maximally-interacting corpus degrades to the sequential
+    * algorithm — never to a different answer.
+    *
+    * Each round is ONE distributed pass: adjacent-pair counts partially
+    * aggregated on 2-symbol keys, the exact top-K pulled to the driver
+    * (TakeOrderedAndProject — K rows, not the distribution), then a
+    * map-only greedy left-to-right fold applies the whole accepted batch
+    * (a merged symbol differs from its left part, so it cannot
+    * chain-merge within the round — BPE's contract). Rounds are
+    * `localCheckpoint`ed so lineage stays flat (reliable `checkpoint()`
+    * on a real cluster, as in clusterLabels). Returns `(left, right,
+    * count)` per learned merge in sequential-equivalent order.
     *
     * Learned symbols are spliced into SQL lambdas as string literals,
     * so both backslashes and single quotes are escaped first — Spark's
@@ -117,17 +165,46 @@ object TextFunctions {
     * unescaped `\` in a corpus token would swallow the closing quote
     * (corrupted merges or an AnalysisException).
     */
-  def bpeTrain(docs: DataFrame, textCol: String,
-      nMerges: Int): Seq[(String, String, Long)] = {
-    var repr = docs
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int = 16,
+      maxTokens: Long = 4000000L): Seq[(String, String, Long)] =
+    bpeTrainWithStats(docs, textCol, nMerges, batchSize, maxTokens)._1
+
+  /** [[bpeTrain]] plus the number of distributed rounds actually used —
+    * the quantity the batch acceptance rule exists to shrink (rounds ==
+    * nMerges is the sequential worst case; independent-pair corpora get
+    * rounds ≈ nMerges / batchSize).
+    */
+  def bpeTrainWithStats(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int = 16, maxTokens: Long = 4000000L)
+      : (Seq[(String, String, Long)], Int) = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val total = docs
+      .agg(coalesce(sum(size(tokens(col(textCol)))), lit(0L))).head.getLong(0)
+    val sampled =
+      if (total <= maxTokens) docs
+      else {
+        val q = math.ceil(total.toDouble / maxTokens).toLong
+        docs.filter(pmod(xxhash64(col(textCol)), lit(q)) === 0)
+      }
+    var repr = sampled
       .select(explode(tokens(col(textCol))).as("t"))
       .filter(col("t").isNotNull && length(col("t")) >= 1)
       .select(expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")
         .as("syms"))
       .localCheckpoint()
+    // the exact symbol space: initial characters + every merge output.
+    // One alphabet-sized job; keeps the output-collision test exact.
+    val vocab = scala.collection.mutable.Set[String]()
+    vocab ++= repr.select(explode(col("syms")).as("c")).distinct()
+      .collect().map(_.getString(0))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-    var round = 0
-    while (round < nMerges) {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    var rounds = 0
+    while (merges.size < nMerges) {
+      val want = nMerges - merges.size
+      val topK = math.max(4 * math.min(batchSize, want), 64)
       val top = repr.select(explode_outer(expr(
         """CASE WHEN size(syms) >= 2
              THEN transform(sequence(1, size(syms) - 1),
@@ -137,24 +214,49 @@ object TextFunctions {
         .filter(col("p").isNotNull)
         .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty) return merges.toSeq
-      val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      merges += ((a, b, n))
-      def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-      val (ea, eb) = (esc(a), esc(b))
-      // greedy non-overlapping left-to-right application: a freshly
-      // merged symbol differs from `a`, so it cannot chain-merge with
-      // the next character in the same round (BPE's contract)
+        .limit(topK).collect()
+      if (top.isEmpty) return (merges.toSeq, rounds)
+      rounds += 1
+      val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var maxInteract = 0L
+      val it = top.iterator
+      var done = false
+      while (it.hasNext && !done && accepted.size < math.min(batchSize, want)) {
+        val row = it.next()
+        val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+        if (accepted.nonEmpty && n <= maxInteract) done = true
+        else if (accepted.exists { case (c, d, _) => d == a || b == c })
+          maxInteract = math.max(maxInteract, n)
+        else if (vocab.contains(a + b)) {
+          // output collides with an existing symbol: exact only as a
+          // single-merge round — accept alone at the head, else defer
+          if (accepted.isEmpty) accepted += ((a, b, n))
+          done = true
+        } else {
+          accepted += ((a, b, n))
+          vocab += a + b
+        }
+      }
+      merges ++= accepted
+      // a head-accepted colliding output joins the vocabulary too
+      vocab ++= accepted.map { case (a, b, _) => a + b }
+      // one map-only pass applies the whole batch: the merged symbol is
+      // always left||right, so the rewrite needs only membership in the
+      // accepted pair set (k ≤ batchSize struct equalities per symbol)
+      val pairArr = accepted
+        .map { case (a, b, _) =>
+          s"struct('${esc(a)}' AS l, '${esc(b)}' AS r)" }
+        .mkString("array(", ", ", ")")
       repr = repr.withColumn("syms", expr(
         s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
               (acc, x) -> CASE
-                WHEN size(acc) > 0 AND element_at(acc, -1) = '$ea' AND x = '$eb'
-                  THEN concat(slice(acc, 1, size(acc) - 1), array('$ea$eb'))
+                WHEN size(acc) > 0 AND exists($pairArr,
+                    m -> m.l = element_at(acc, -1) AND m.r = x)
+                  THEN concat(slice(acc, 1, size(acc) - 1),
+                              array(concat(element_at(acc, -1), x)))
                 ELSE concat(acc, array(x)) END)"""))
         .localCheckpoint()
-      round += 1
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 }

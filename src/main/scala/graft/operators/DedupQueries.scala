@@ -130,7 +130,13 @@ object DedupQueries {
   }
 
   /** Max documents a shingle may appear in before the inverted index
-    * drops it (hot-key guard; identical in the oracle).
+    * drops it (identical in the oracle). Unlike the band-bucket caps —
+    * which adaptiveBucketPairs now routes to a salted lane instead of
+    * dropping — this is a SEMANTIC document-frequency filter, not a skew
+    * guard: a shingle shared by >100 documents is boilerplate, and
+    * counting it toward Jaccard/containment overstates similarity (the
+    * standard IDF-style cut in n-gram dedup pipelines, cf. RefinedWeb /
+    * Lee et al. 2021). d05/d15/d27 keep it deliberately.
     */
   val maxShingleDf = 100
 
@@ -292,6 +298,105 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Semantic drop threshold for ADAPTIVE pair generation: a bucket
+    * larger than this is not paired at all (its members are exact or
+    * near-exact clones whose dedup belongs to the exact-hash pass, d01).
+    * Between `maxLshBucket` and this bound the salted lane pairs the
+    * bucket exhaustively; C(20k,2) ≈ 2×10⁸ pairs split across salt
+    * lanes is the practical ceiling measured in BASELINE.md's salted
+    * A/B (k²/salts per-lane work stays O(10⁷)).
+    */
+  val dropLshBucket = 20000
+
+  /** ADAPTIVE pair generation — the one shared routine behind every
+    * band-bucket pair-expansion site (d03/d07/d24/m07/t05). Routes each
+    * bucket BY ITS OBSERVED SIZE, using the same count-first pass that
+    * [[boundedPostingLists]] already runs, so the choice between the two
+    * expansion shapes is made per bucket from data, not by a static
+    * constant:
+    *
+    *   2..maxBucket rows    → capped in-row posting-list expansion (the
+    *                          cheap shape: one shuffle, no replication);
+    *   maxBucket+1..dropAbove → salted self-join ([[saltedBucketPairs]]
+    *                          shape: exhaustive pairs, O(k²/salts) per
+    *                          lane, AQE-visible);
+    *   > dropAbove          → dropped (exact-clone pathology; belongs to
+    *                          the exact pass — published via observe()).
+    *
+    * Both lanes and the router live in ONE plan: on a healthy corpus the
+    * hot lane's semi-join selects zero buckets, so the salted subtree
+    * processes zero rows and the query costs what the capped path cost —
+    * no driver-side decision, no second job, and a planted hot bucket
+    * switches lanes automatically at ANY scale. The bucket-size
+    * aggregate is computed once and reused by both lane filters
+    * (ReuseExchange; both semi-joins hash on the same keys).
+    *
+    * Returns one row per (bucket, qualifying pair): `keys… , pa, pb`
+    * with `pa < pb` by payload ordering — NOT distinct-ed, because
+    * shingle-count consumers (shared-count aggregates) need the
+    * per-bucket multiplicity; candidate-pair consumers add
+    * `.distinct()`. Payload may be any orderable column (plain id or a
+    * struct with the id leading).
+    *
+    * Observability: `<metric>.dropped_hot_buckets` counts buckets past
+    * `dropAbove` (silent-coverage-loss alarm, as before) and
+    * `<metric>.salted_hot_buckets` counts buckets the salted lane kept —
+    * a pipeline can watch skew migrate between lanes across ingests.
+    */
+  def adaptiveBucketPairs(rows: DataFrame, keys: Seq[String],
+      payload: org.apache.spark.sql.Column, metric: String,
+      maxBucket: Int = maxLshBucket, salts: Int = 16,
+      dropAbove: Int = dropLshBucket): DataFrame = {
+    require(maxBucket >= 2 && dropAbove >= maxBucket,
+      s"need 2 <= maxBucket <= dropAbove, got ($maxBucket, $dropAbove)")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val n = "__graft_bucket_n"
+    val kc = keys.map(col)
+    // The router consumes its input three times (bucket-size aggregate +
+    // one semi-join per lane), and Spark instantiates the upstream
+    // subtree per consumer — for minhash/simhash band inputs that would
+    // triple the signature computation. A LAZY localCheckpoint pins the
+    // (narrow: keys + payload) band table to one materialization shared
+    // by all three consumers, without making DataFrame CONSTRUCTION run
+    // jobs. On a real cluster use reliable checkpoint / a persisted
+    // signature table (d19's shape) — same trade, ~100 B/doc of state.
+    val withP = rows.withColumn("__p", payload).localCheckpoint(eager = false)
+    val sized = withP.groupBy(kc: _*).agg(count(lit(1)).as(n))
+      .observe(metric,
+        sum(when(col(n) > dropAbove, 1L).otherwise(0L))
+          .as("dropped_hot_buckets"),
+        sum(when(col(n) > maxBucket && col(n) <= dropAbove, 1L)
+          .otherwise(0L)).as("salted_hot_buckets"))
+    val small = sized.filter(col(n) > 1 && col(n) <= maxBucket)
+      .select(kc: _*)
+    val hot = sized.filter(col(n) > maxBucket && col(n) <= dropAbove)
+      .select(kc: _*)
+    // capped lane: count-first semi-join guard, then in-row expansion
+    // (see boundedPostingLists for why the guard must precede collect)
+    val smallPairs = withP.join(small, keys, "left_semi")
+      .groupBy(kc: _*)
+      .agg(sort_array(collect_list(col("__p"))).as("docs"))
+      .select(kc :+ explode_outer(expr(
+        """flatten(transform(sequence(1, size(docs) - 1),
+             i -> transform(sequence(0, i - 1),
+               j -> struct(docs[j] AS pa, docs[i] AS pb))))""")).as("__pr"): _*)
+      .select(kc :+ col("__pr.pa").as("pa") :+ col("__pr.pb").as("pb"): _*)
+    // salted lane: the hot semi-join is a broadcast (few hot buckets by
+    // construction), and replication cost is paid only on hot-bucket rows
+    val hotRows = withP.join(hot, keys, "left_semi")
+    val left = hotRows.select(
+      kc :+ col("__p").as("pa") :+
+        pmod(hash(col("__p")), lit(salts)).as("__salt"): _*)
+    val right = hotRows.select(
+      keys.map(k => col(k).as(s"__r_$k")) :+ col("__p").as("pb"): _*)
+      .withColumn("__rsalt", explode(sequence(lit(0), lit(salts - 1))))
+    val cond = keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
+      col("__salt") === col("__rsalt") && col("pa") < col("pb")
+    val hotPairs = left.join(right, cond)
+      .select(kc :+ col("pa") :+ col("pb"): _*)
+    smallPairs.unionByName(hotPairs)
+  }
+
   /** corpus → (doc_id, 32-bit simhash), computed by exploding tokens and
     * hashing each token ONCE, with 32 ±1 partial sums per doc — the
     * per-row `TextFunctions.simhash32` form re-evaluates md5 over every
@@ -332,16 +437,19 @@ object DedupQueries {
 
   /** LSH candidate pairs (doc_a < doc_b), shared by d03 and d08: 4 bands
     * × 2 rows over the MinHash signature; docs sharing any band value are
-    * candidates. One shuffle on the band value, pairs generated inside
-    * each bucket (bounded by `maxLshBucket`, count-first — see
-    * boundedPostingLists) — no self-join, so the minhash subtree runs
-    * once.
+    * candidates. One shuffle on the band value, pairs generated by the
+    * ADAPTIVE router (see adaptiveBucketPairs): small buckets expand
+    * in-row, hot buckets (maxLshBucket..dropLshBucket) go through the
+    * salted lane, larger ones drop to the exact pass — no self-join on
+    * the healthy path, so the minhash subtree runs once.
     */
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = bandsOf(minhashSignatures(s, dir))
-    pairsFromPostingLists(boundedPostingLists(bands, Seq("band", "bval"),
-      $"doc_id", maxLshBucket, "d03_hot_buckets"))
+    adaptiveBucketPairs(bands, Seq("band", "bval"), $"doc_id",
+      "d03_hot_buckets")
+      .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
+      .distinct()
   }
 
   /** Connected-components labels over the LSH candidate graph: every doc
@@ -589,7 +697,7 @@ object DedupQueries {
         bsized AS (
           SELECT band, bval FROM bands WHERE bval IS NOT NULL
           GROUP BY band, bval
-          HAVING COUNT(*) > 1 AND COUNT(*) <= $maxLshBucket),
+          HAVING COUNT(*) > 1 AND COUNT(*) <= $dropLshBucket),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
@@ -954,16 +1062,11 @@ object DedupQueries {
           ($"simhash" % 2048).as("b0"),
           (expr("simhash div 2048") % 2048).as("b1"),
           expr("simhash div 4194304").as("b2"))).as(Seq("band", "bval")))
-        val pairs = boundedPostingLists(bands, Seq("band", "bval"),
-          struct($"doc_id", $"simhash"), maxLshBucket, "d07_hot_buckets")
-          .select(explode_outer(expr(
-            """flatten(transform(sequence(1, size(docs) - 1),
-                 i -> transform(sequence(0, i - 1),
-                   j -> struct(docs[j].doc_id AS doc_a, docs[j].simhash AS sim_a,
-                               docs[i].doc_id AS doc_b, docs[i].simhash AS sim_b))))"""))
-            .as("p"))
-          .select($"p.doc_a", $"p.doc_b",
-            bit_count($"p.sim_a".bitwiseXOR($"p.sim_b")).cast("long").as("hamming"))
+        val pairs = adaptiveBucketPairs(bands, Seq("band", "bval"),
+          struct($"doc_id", $"simhash"), "d07_hot_buckets")
+          .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"),
+            bit_count($"pa.simhash".bitwiseXOR($"pb.simhash"))
+              .cast("long").as("hamming"))
           .distinct()
         pairs.filter($"hamming" <= 2)
           .orderBy($"doc_a", $"doc_b")
@@ -981,7 +1084,7 @@ object DedupQueries {
           UNION ALL SELECT doc_id, simhash, 1, (simhash // 2048) % 2048 FROM sims
           UNION ALL SELECT doc_id, simhash, 2, simhash // 4194304 FROM sims),
         sized AS (SELECT band, bval FROM bands GROUP BY band, bval
-                  HAVING COUNT(*) > 1 AND COUNT(*) <= 1000),
+                  HAVING COUNT(*) > 1 AND COUNT(*) <= $dropLshBucket),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -1852,15 +1955,10 @@ object DedupQueries {
             $"c.bval")
           .filter($"bval".isNotNull)
         val cfgKeys = Seq("bands", "rows_per_band")
-        val pairs = boundedPostingLists(bands,
-          cfgKeys ++ Seq("band", "bval"), $"doc_id", maxLshBucket,
-          "d24_hot_buckets")
-          .select($"bands", $"rows_per_band", explode(expr(
-            """flatten(transform(sequence(1, size(docs) - 1),
-                 i -> transform(sequence(0, i - 1),
-                   j -> struct(docs[j] AS doc_a, docs[i] AS doc_b))))"""))
-            .as("p"))
-          .select($"bands", $"rows_per_band", $"p.doc_a", $"p.doc_b")
+        val pairs = adaptiveBucketPairs(bands,
+          cfgKeys ++ Seq("band", "bval"), $"doc_id", "d24_hot_buckets")
+          .select($"bands", $"rows_per_band", $"pa".as("doc_a"),
+            $"pb".as("doc_b"))
           .distinct()
         val d = Tables.load(s, dir, "documents").select($"doc_id")
         val truth = d.filter($"doc_id" % 10 === 0)
@@ -1894,7 +1992,7 @@ object DedupQueries {
         bsized_$t AS (
           SELECT band, bval FROM bands_$t WHERE bval IS NOT NULL
           GROUP BY band, bval
-          HAVING COUNT(*) > 1 AND COUNT(*) <= $maxLshBucket),
+          HAVING COUNT(*) > 1 AND COUNT(*) <= $dropLshBucket),
         pairs_$t AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands_$t a JOIN bands_$t b

@@ -295,9 +295,10 @@ object MultimodalQueries {
             posexplode(expr(
               "transform(sequence(0, 3), b -> pmod(shiftright(phash, b * 16), 65536))"))
               .as(Seq("band", "bval")))
-        val cand = DedupQueries.pairsFromPostingLists(
-          DedupQueries.boundedPostingLists(bands, Seq("band", "bval"),
-            $"media_id", DedupQueries.maxLshBucket, "m07_hot_buckets"))
+        val cand = DedupQueries.adaptiveBucketPairs(bands,
+          Seq("band", "bval"), $"media_id", "m07_hot_buckets")
+          .select($"pa".as("doc_a"), $"pb".as("doc_b"))
+          .distinct()
         val ha = hashed.select($"media_id".as("doc_a"), $"phash".as("pa"))
         val hb = hashed.select($"media_id".as("doc_b"), $"phash".as("pb"))
         cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -334,7 +335,7 @@ object MultimodalQueries {
           FROM hashed CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
         buckets AS (
           SELECT band, bval FROM inv GROUP BY band, bval
-          HAVING COUNT(*) > 1 AND COUNT(*) <= ${DedupQueries.maxLshBucket}),
+          HAVING COUNT(*) > 1 AND COUNT(*) <= ${DedupQueries.dropLshBucket}),
         cand AS (
           SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
           FROM inv a
@@ -348,6 +349,51 @@ object MultimodalQueries {
         JOIN hashed hb ON hb.media_id = c.doc_b
         WHERE bit_count(xor(ha.phash, hb.phash)) <= 6
         ORDER BY doc_a, doc_b"""),
-      doc = "perceptual media near-dup: strip-cell dHash, banded buckets, XOR+POPCNT Hamming confirm")
+      doc = "perceptual media near-dup: strip-cell dHash, banded buckets, XOR+POPCNT Hamming confirm"),
+
+    // ------------------------------------------------------------------
+    // m08: REAL image decode through the typed media seam — executors
+    // render genuine solid-color PNGs (ImageIO.write) whose decoded
+    // stats have a closed form, then MediaPipeline.decodeImage
+    // (javax.imageio, JDK-built-in) decodes them back: dimensions,
+    // channels, sampled Rec.601 luma (×1000 — integral, engine-exact),
+    // dHash (0 for a solid image). The oracle PREDICTS every feature
+    // arithmetically, so the whole encode→decode→extract loop is
+    // hash-checked, not just smoke-tested. Map-only: render+decode are
+    // per-row in one partition-local pass; no shuffle until the output
+    // sort.
+    QueryDef(
+      "m08_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 0)
+          .select($"doc_id".as("media_id"),
+            ($"n_chars" % 64 + 16).cast("int").as("w"),
+            ($"n_chars" * 7 % 48 + 16).cast("int").as("h"),
+            pmod($"doc_id" * 2654435761L, lit(16777216L)).cast("int").as("rgb"))
+          .as[(Long, Int, Int, Int)]
+        rows.mapPartitions(_.map { case (id, w, h, rgb) =>
+            MediaPipeline.decodeImage(id,
+              MediaPipeline.renderSolidPng(w, h, rgb))
+          })
+          .toDF()
+          .select($"media_id", $"width", $"height", $"channels",
+            $"luma_x1000", $"dhash", $"decode_ok")
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH px AS (
+          SELECT doc_id AS media_id,
+                 CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+                 CAST(n_chars * 7 % 48 + 16 AS INTEGER) AS height,
+                 (doc_id * 2654435761) % 16777216 AS rgb
+          FROM documents WHERE doc_id % 20 = 0)
+        SELECT media_id, width, height, CAST(3 AS INTEGER) AS channels,
+               CAST(299 * (rgb // 65536) + 587 * ((rgb // 256) % 256)
+                    + 114 * (rgb % 256) AS BIGINT) AS luma_x1000,
+               CAST(0 AS BIGINT) AS dhash, TRUE AS decode_ok
+        FROM px ORDER BY media_id"""),
+      doc = "real image decode (javax.imageio): PNG render + decode round-trip, closed-form oracle")
   )
 }

@@ -202,16 +202,10 @@ object TextQueries {
         val keyed = DedupQueries.corpus(s, dir)
           .select($"doc_id", expr("right(text, 16)").as("blk"),
             expr("left(text, 60)").as("head"))
-        DedupQueries.boundedPostingLists(keyed, Seq("blk"),
-          struct($"doc_id", $"head"), 100, "t05_hot_buckets")
-          .select(explode_outer(expr(
-            """flatten(transform(sequence(1, size(docs) - 1),
-                 i -> transform(sequence(0, i - 1),
-                   j -> struct(docs[j].doc_id AS doc_a, docs[j].head AS head_a,
-                               docs[i].doc_id AS doc_b, docs[i].head AS head_b))))"""))
-            .as("p"))
-          .select($"p.doc_a", $"p.doc_b",
-            levenshtein($"p.head_a", $"p.head_b").cast("long").as("edit_dist"))
+        DedupQueries.adaptiveBucketPairs(keyed, Seq("blk"),
+          struct($"doc_id", $"head"), "t05_hot_buckets", maxBucket = 100)
+          .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"),
+            levenshtein($"pa.head", $"pb.head").cast("long").as("edit_dist"))
           .filter($"edit_dist" <= 15)
           .orderBy($"doc_a", $"doc_b")
       },
@@ -220,7 +214,7 @@ object TextQueries {
         keyed AS (SELECT doc_id, right(text, 16) AS blk, left(text, 60) AS head
                   FROM corpus),
         blocks AS (SELECT blk FROM keyed GROUP BY blk
-                   HAVING COUNT(*) > 1 AND COUNT(*) <= 100)
+                   HAVING COUNT(*) > 1 AND COUNT(*) <= ${DedupQueries.dropLshBucket})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
         FROM keyed a

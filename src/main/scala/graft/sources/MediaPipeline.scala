@@ -63,6 +63,81 @@ object MediaPipeline {
     mediaTable(spark, dir).as[MediaRow].mapPartitions(decodeStub)
   }
 
+  /** Features a REAL image decode emits (vs the [[decodeStub]] fake):
+    * pixel dimensions, channel count, sampled mean luminance (×1000,
+    * integer — exact across engines) and a 64-bit dHash over a 9×8
+    * nearest-neighbor grayscale grid. `decode_ok=false` rows carry
+    * sentinel values for undecodable bytes (corrupt or non-image) —
+    * a 100 TB crawl always contains some.
+    */
+  final case class ImageFeatures(
+      media_id: Long, width: Int, height: Int, channels: Int,
+      luma_x1000: Long, dhash: Long, decode_ok: Boolean)
+
+  /** REAL image decoder on `javax.imageio` (JDK-built-in, headless-safe;
+    * no container codec gap): PNG/JPEG/BMP/GIF bytes → [[ImageFeatures]].
+    * Same per-partition iterator seam as [[decodeStub]], so the typed
+    * pipeline (schema, partitioning, batch shape) is identical — the
+    * m-series keeps the deterministic stub as its oracle path, and this
+    * decoder exercises the seam with REAL bytes (m08 + MediaPipelineSpec).
+    *
+    * Determinism: scaling libraries vary, so the 9×8 grid samples pixels
+    * directly (nearest neighbor via integer math) and luminance uses the
+    * Rec.601 weights; ×1000 keeps the value integral (299r+587g+114b),
+    * exact on any engine. dHash bit i*8+j compares grid (row i, col j+1)
+    * vs (row i, col j) — the standard difference-hash layout (m07's
+    * text-derived variant mirrors it).
+    */
+  def decodeImage(mediaId: Long, bytes: Array[Byte]): ImageFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null)
+      ImageFeatures(mediaId, -1, -1, 0, -1L, 0L, decode_ok = false)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val grid = Array.tabulate(8, 9) { (y, x) =>
+        val px = img.getRGB(math.min(x * w / 9, w - 1),
+          math.min(y * h / 8, h - 1))
+        299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
+          114L * (px & 0xff)
+      }
+      var hash = 0L
+      var bit = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (grid(y)(x + 1) > grid(y)(x)) hash |= (1L << bit)
+          bit += 1; x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(mediaId, w, h, img.getColorModel.getNumComponents,
+        grid.map(_.sum).sum / 72L, hash, decode_ok = true)
+    }
+  }
+
+  /** Render a solid-color PNG — real `ImageIO.write` bytes, used by m08
+    * and the spec to drive [[decodeImage]] with genuine image content
+    * whose decoded stats have a closed form (solid ⇒ dhash 0, luma =
+    * 299r+587g+114b).
+    */
+  def renderSolidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** One per-item result of a batched model-inference pass. */
   final case class InferenceOut(
       media_id: Long, batch_id: Long, batch_size: Int, item_index: Int,

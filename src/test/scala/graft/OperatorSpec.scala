@@ -103,6 +103,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(t.sameElements(e))
   }
 
+  test("decodeImage: real javax.imageio round-trip — solid, gradient, corrupt bytes") {
+    import MediaPipeline._
+    // solid: closed-form features (the m08 oracle's contract)
+    val solid = decodeImage(1L, renderSolidPng(40, 30, 0x336699))
+    assert(solid == ImageFeatures(1L, 40, 30, 3,
+      299L * 0x33 + 587L * 0x66 + 114L * 0x99, 0L, decode_ok = true),
+      s"got $solid")
+    // horizontal gradient brightening left→right: every dHash bit set
+    val img = new java.awt.image.BufferedImage(
+      90, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 90) {
+      val v = x * 255 / 89
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val grad = decodeImage(2L, out.toByteArray)
+    assert(grad.decode_ok && grad.width == 90 && grad.height == 16)
+    assert(grad.dhash == -1L, // all 64 bits set
+      s"gradient should set every difference bit, got ${grad.dhash.toHexString}")
+    // a 1-pixel perturbation stays perceptually near: small Hamming
+    img.setRGB(0, 0, 0xffffff)
+    val out2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out2)
+    val pert = decodeImage(3L, out2.toByteArray)
+    assert(java.lang.Long.bitCount(grad.dhash ^ pert.dhash) <= 2)
+    // corrupt bytes: flagged, sentinel features, no exception
+    val bad = decodeImage(4L, Array[Byte](1, 2, 3, 4, 5))
+    assert(bad == ImageFeatures(4L, -1, -1, 0, -1L, 0L, decode_ok = false))
+    // distributed seam: the same decode through mapPartitions on a
+    // Dataset of rendered bytes — the m08 plumbing
+    val ds = Seq((10L, 20, 10, 0xff0000), (11L, 16, 16, 0x00ff00))
+      .toDF("media_id", "w", "h", "rgb")
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h, rgb) =>
+        decodeImage(id, renderSolidPng(w, h, rgb)) })
+      .collect().sortBy(_.media_id)
+    assert(ds(0).luma_x1000 == 299L * 255 && ds(1).luma_x1000 == 587L * 255)
+  }
+
   test("c02 packing invariants: offsets in [0,256), contiguous per-shard layout") {
     val rows = QueryDef.registry.find(_.name == "c02_sequence_packing").get
       .build(spark, sfDir)
@@ -418,6 +458,51 @@ class OperatorSpec extends AnyFunSuite {
     // (a,\) and (\,b) tie at 3; left-asc tiebreak: "\" (0x5C) < "a"
     assert(meta.head == ("\\", "b", 3L), s"got $meta")
     assert(meta(1) == ("a", "\\b", 3L), s"got $meta")
+  }
+
+  test("bpeTrain batches independent merges: rounds << nMerges, sequential answer") {
+    // 8 disjoint-alphabet words with strictly decreasing frequencies:
+    // every round's top pairs share no symbols, so the batch rule can
+    // accept many per distributed pass. Distinct counts keep the
+    // expected sequential order unambiguous.
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val corpus = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(100 - 10 * i)(w) }
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    val (merges, rounds) =
+      TextFunctions.bpeTrainWithStats(docs, "text", 8, batchSize = 8)
+    // the answer is the sequential one: one merge per word, count order
+    assert(merges == words.zipWithIndex.map { case (w, i) =>
+      (w(0).toString, w(1).toString, (100 - 10 * i).toLong) },
+      s"got $merges")
+    // ...but learned in far fewer distributed rounds than merges
+    assert(rounds <= 2, s"8 independent merges should batch, used $rounds rounds")
+
+    // batchSize=1 degrades to the sequential algorithm exactly
+    val (seq1, rounds1) =
+      TextFunctions.bpeTrainWithStats(docs, "text", 8, batchSize = 1)
+    assert(seq1 == merges && rounds1 == 8)
+
+    // sequential-equivalence property: on interaction-dense random
+    // corpora (small alphabet → heavy pair interaction, repeated-letter
+    // runs, merge-output/symbol collisions), the batched trainer must
+    // produce EXACTLY the sequential merge table. batchSize=1 is the
+    // original algorithm, so it is the ground truth.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val words = Seq.fill(24)(
+        (1 to (1 + rnd.nextInt(5))).map(_ => "abcd" (rnd.nextInt(4))).mkString)
+      val corpus = words.flatMap(w => Seq.fill(1 + rnd.nextInt(12))(w))
+      val tdocs = Seq(corpus.mkString(" ")).toDF("text")
+      val (batched, br) =
+        TextFunctions.bpeTrainWithStats(tdocs, "text", 10, batchSize = 8)
+      val (sequential, _) =
+        TextFunctions.bpeTrainWithStats(tdocs, "text", 10, batchSize = 1)
+      assert(batched == sequential,
+        s"trial $trial diverged:\n batched=$batched\n sequential=$sequential")
+      assert(br <= sequential.size,
+        s"trial $trial: batching used MORE rounds ($br) than merges")
+    }
   }
 
   test("d19 persisted-index path equals d13 recompute path row-for-row") {

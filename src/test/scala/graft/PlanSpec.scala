@@ -407,4 +407,65 @@ class PlanSpec extends AnyFunSuite {
     assert(probeLine >= 0, s"bloom_contains probe missing from plan:\n$p")
     assert(joinLine >= 0, s"confirm join missing from plan:\n$p")
   }
+
+  test("d03 adaptive pair routing: both lanes in ONE plan, count-first guards, no cartesian") {
+    val p = plan("d03_lsh_candidate_pairs")
+    // capped lane: the bucket-size guard must be a semi-join BEFORE any
+    // collect_list materializes a bucket (boundedPostingLists contract)
+    assert(p.contains("LeftSemi"), s"count-first semi-join guard missing:\n$p")
+    // hot lane: the salted join subtree is part of the same plan — the
+    // routing decision is per-bucket AT RUNTIME, never a driver re-plan
+    assert(p.contains("__salt"), s"salted lane missing from the plan:\n$p")
+    // and the expansion is never a cartesian / nested-loop blowup
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair expansion degenerated:\n$p")
+  }
+
+  test("m07 perceptual near-dup: banded candidates + keyed Hamming confirm, no cartesian") {
+    val p = plan("m07_perceptual_neardup")
+    assert(p.contains("LeftSemi"), s"hot-bucket guard missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded confirm degenerated:\n$p")
+    // the confirm joins hash on the candidate doc ids (keyed, AQE-splittable)
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"),
+      s"confirm join not keyed:\n$p")
+  }
+
+  test("t23 novelty attribution stays join-free on the ngram axis") {
+    val p = plan("t23_ngram_novelty")
+    // df=1 attribution must come out of the DF aggregation itself
+    // (min(doc_id) carried in the agg), never a corpus×DF-table join:
+    // no join in this plan may key on the 16-char ngram hash
+    val ngramJoins = p.linesIterator.filter(_.contains("Join"))
+      .count(l => l.contains("h#"))
+    assert(ngramJoins == 0, s"novelty joined on the ngram hash:\n$p")
+    assert(p.contains("partial_count"), s"DF agg must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("d28 incremental CC: contracted propagation uses keyed joins only") {
+    val p = plan("d28_incremental_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label propagation degenerated:\n$p")
+    // every propagation round exchanges on the edge key, AQE-visible
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"),
+      s"propagation join not keyed:\n$p")
+  }
+
+  test("deletion-vector masked read (dx23 flagship): broadcast anti-join mask, no rewrite") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("plan_dv").toString
+    val t = new graft.storage.FactTable(dir, spark)
+    val ev = Tables.events(spark, sfDir).limit(2000)
+      .withColumn("date", to_date(col("ts")))
+    t.append(ev, 0)
+    t.softDelete(col("user_id") === 1L, Seq("user_id"))
+    val p = t.read().queryExecution.executedPlan.toString
+    // the mask is a BROADCAST anti-join against the kilobyte tombstone —
+    // a sort-merge mask would shuffle the whole table on every read
+    assert(p.contains("LeftAnti"), s"tombstone mask missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"mask not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"masked read shuffles the fact side:\n$p")
+  }
 }

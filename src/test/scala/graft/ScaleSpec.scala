@@ -296,6 +296,63 @@ class ScaleSpec extends AnyFunSuite {
       s"salting failed to spread the hot bucket: $leftLanes")
   }
 
+  test("adaptive pair routing: per-bucket lane choice from observed size, no code change") {
+    import graft.operators.DedupQueries
+    val healthy = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 7L), ("b", 8L),
+      ("c", 9L)).toDF("bkey", "doc_id")
+    val obs = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var dropped = -1L
+      @volatile var saltedN = -1L
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        qe.observedMetrics.get("adaptive_guard").foreach { r =>
+          dropped = r.getAs[Long]("dropped_hot_buckets")
+          saltedN = r.getAs[Long]("salted_hot_buckets")
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    def adaptive(df: org.apache.spark.sql.DataFrame, dropAbove: Int) =
+      DedupQueries.adaptiveBucketPairs(df, Seq("bkey"), $"doc_id",
+        "adaptive_guard", maxBucket = 1000, salts = 8, dropAbove = dropAbove)
+        .select($"pa".as("doc_a"), $"pb".as("doc_b")).distinct()
+    def await(): Unit = {
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (obs.dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    spark.listenerManager.register(obs)
+    try {
+      // healthy corpus: identical pairs to the capped-only path, and the
+      // salted lane sees zero buckets — the cheap plan is kept
+      val a = adaptive(healthy, dropAbove = 20000)
+        .as[(Long, Long)].collect().toSet
+      assert(a == Set((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L)))
+      await()
+      assert(obs.dropped == 0L && obs.saltedN == 0L,
+        s"healthy corpus routed wrong: dropped=${obs.dropped} salted=${obs.saltedN}")
+
+      // planted 3k-copy hot bucket: routed to the salted lane
+      // automatically — ALL C(3000,2) pairs survive, none dropped
+      obs.dropped = -1L; obs.saltedN = -1L
+      val hot = spark.range(3000)
+        .select(lit("hot").as("bkey"), ($"id" + 100L).as("doc_id"))
+        .unionByName(healthy)
+      assert(adaptive(hot, dropAbove = 20000).count() == 3000L * 2999 / 2 + 4)
+      await()
+      assert(obs.dropped == 0L && obs.saltedN == 1L,
+        s"hot bucket should take the salted lane: dropped=${obs.dropped} salted=${obs.saltedN}")
+
+      // same bucket past the drop threshold: exact-clone pathology is
+      // dropped (belongs to the exact pass), healthy pairs intact
+      obs.dropped = -1L; obs.saltedN = -1L
+      assert(adaptive(hot, dropAbove = 2000).count() == 4L)
+      await()
+      assert(obs.dropped == 1L && obs.saltedN == 0L,
+        s"past-drop bucket should be dropped: dropped=${obs.dropped} salted=${obs.saltedN}")
+    } finally spark.listenerManager.unregister(obs)
+  }
+
   test("bloom prefilter (d23): zero false negatives, disjoint corpus pruned to ~fpp") {
     // the two properties that make the sketch path safe and worthwhile:
     // every true benchmark shingle survives (no false negative → the
