@@ -15,11 +15,11 @@ object Tables {
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Explicit read schema for events.parquet: ts is TIMESTAMP(NANOS),
-    * which Spark's schema inference rejects — but an explicit LongType
-    * request reads the raw nanos without touching any session conf (no
-    * hidden `spark.sql.legacy.parquet.nanosAsLong` mutation, so unrelated
-    * parquet reads stay order-independent).
+  /** Explicit read schema for events.parquet when ts is TIMESTAMP(NANOS),
+    * which Spark's schema inference rejects — an explicit LongType request
+    * reads the raw nanos without touching any session conf (no hidden
+    * `spark.sql.legacy.parquet.nanosAsLong` mutation, so unrelated parquet
+    * reads stay order-independent).
     */
   val eventsRawSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -32,15 +32,35 @@ object Tables {
       StructField("props", StringType)))
   }
 
-  /** events.ts is TIMESTAMP(NANOS) parquet; read it as raw nanos via the
-    * explicit schema and truncate to microseconds — the same ns→µs
-    * truncation DuckDB applies, so oracle comparisons see identical
-    * instants.
+  /** events.ts loader keyed off the parquet footer's actual logical type —
+    * never hardcode the physical encoding (the testdata generator has
+    * shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) variants):
+    *  - TIMESTAMP(MICROS/MILLIS): plain schema inference works; NTZ
+    *    (isAdjustedToUTC=false) is cast to TimestampType, lossless under
+    *    the engine's fixed UTC session timezone.
+    *  - raw int64 with no annotation: treated as epoch nanos.
+    *  - TIMESTAMP(NANOS): inference throws; fall back to the explicit
+    *    LongType schema and truncate ns→µs (the same truncation DuckDB
+    *    applies, so oracle comparisons see identical instants).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val path = s"$dir/events.parquet"
+    scala.util.Try(spark.read.parquet(path)) match {
+      case scala.util.Success(df) =>
+        df.schema.find(_.name == "ts").map(_.dataType) match {
+          case Some(TimestampType) => df
+          case Some(TimestampNTZType) =>
+            df.withColumn("ts", col("ts").cast(TimestampType))
+          case Some(LongType) =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => df
+        }
+      case scala.util.Failure(_) => // TIMESTAMP(NANOS) footer
+        spark.read.schema(eventsRawSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   /** Register every table as a temp view (for spark.sql entry points). */

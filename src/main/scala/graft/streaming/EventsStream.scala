@@ -12,18 +12,41 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet carries TIMESTAMP(NANOS) → read ts as raw nanos via
-    * the shared explicit schema and truncate to micros, matching
-    * Tables.events (no session-conf mutation).
+  /** Fallback schema when events.parquet carries TIMESTAMP(NANOS): read ts
+    * as raw nanos via the shared explicit schema, matching Tables.events
+    * (no session-conf mutation).
     */
   val rawSchema: StructType = graft.Tables.eventsRawSchema
 
+  /** (read schema, ts-normalizing transform) for an events parquet dir,
+    * keyed off the footer's actual logical type like Tables.events — the
+    * stream source needs an explicit schema, so sniff it from a one-off
+    * batch inference instead of hardcoding the physical encoding.
+    */
+  def sniff(spark: SparkSession, dir: String): (StructType, DataFrame => DataFrame) = {
+    val path = s"$dir/events.parquet"
+    scala.util.Try(spark.read.parquet(path).schema) match {
+      case scala.util.Success(s) =>
+        val fix: DataFrame => DataFrame =
+          s.find(_.name == "ts").map(_.dataType) match {
+            case Some(TimestampNTZType) =>
+              _.withColumn("ts", col("ts").cast(TimestampType))
+            case Some(LongType) =>
+              _.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            case _ => identity
+          }
+        (s, fix)
+      case scala.util.Failure(_) => // TIMESTAMP(NANOS) footer
+        (rawSchema, _.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    }
+  }
+
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.readStream
-      .schema(rawSchema)
+    val (schema, fix) = sniff(spark, dir)
+    fix(spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source wants a dir
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
   }
 
   /** Tumbling 15-minute counts/sums per event type, 30-minute watermark. */

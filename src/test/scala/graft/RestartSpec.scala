@@ -20,10 +20,10 @@ class RestartSpec extends AnyFunSuite {
     val src = Paths.get(s"$sfDir/events.parquet")
 
     def runOnce(): Unit = {
-      val stream = spark.readStream
-        .schema(graft.streaming.EventsStream.rawSchema)
-        .parquet(in)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // schema/transform sniffed from the source testdata footer, so the
+      // spec tracks whatever physical ts encoding the generator ships
+      val (schema, fix) = graft.streaming.EventsStream.sniff(spark, sfDir)
+      val stream = fix(spark.readStream.schema(schema).parquet(in))
       val q = stream.writeStream
         .format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
