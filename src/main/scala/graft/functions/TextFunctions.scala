@@ -127,11 +127,24 @@ object TextFunctions {
     * (a new pair (x, ab) arises only from an (x, a) occurrence, so its
     * count is bounded by the interacting pair (x, a)'s). Scanning in
     * global order: accept a non-interacting pair while its count
-    * strictly exceeds every interacting pair's count seen so far; stop
-    * at the first candidate at-or-below that bound (counts of
-    * already-applied-round survivors only decrease; ties resolve by the
-    * same lexicographic order the sequential algorithm uses, and every
-    * unseen pair sorts after the accepted prefix by construction).
+    * strictly exceeds every interacting pair's count seen so far AND
+    * strictly exceeds the NEXT scanned row's count; stop at the first
+    * candidate that fails either bound. The strict-decrease condition is
+    * what makes ties safe: a merge-spawned pair (A||B, y) is bounded by
+    * its source (B, y)'s count, and on an exact tie the new pair's
+    * concatenated left symbol can sort lexicographically BEFORE a later
+    * candidate while the source sorts AFTER it — the source would never
+    * be seen as interacting before that candidate's acceptance. Requiring
+    * each accepted count to strictly exceed the next row's means every
+    * equal-count row precedes the acceptance point and has already been
+    * scanned (accepted, interacting-marked, or batch-closing), so no
+    * unseen or spawned pair can tie with an accepted candidate. The last
+    * row of the top-K has no visible successor (pairs beyond the prefix
+    * are bounded by its count, ties included), so it closes the batch
+    * too — accepted alone only when it heads the round (a single-merge
+    * round is always exact). Counts of already-applied-round survivors
+    * only decrease, so the accepted prefix replayed sequentially picks
+    * the same merges in the same order.
     *
     * One further hazard: a merge OUTPUT string can collide with a symbol
     * that already exists (learn ("ab","c") and ("a","b") when "ab" was
@@ -219,23 +232,33 @@ object TextFunctions {
       rounds += 1
       val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
       var maxInteract = 0L
-      val it = top.iterator
+      var i = 0
       var done = false
-      while (it.hasNext && !done && accepted.size < math.min(batchSize, want)) {
-        val row = it.next()
+      while (i < top.length && !done && accepted.size < math.min(batchSize, want)) {
+        val row = top(i)
         val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+        // strict-decrease bound (see scaladoc): acceptance needs the next
+        // scanned row's count strictly below this one's; the top-K's last
+        // row has no visible successor, so it can never extend a batch
+        // (unseen pairs beyond the prefix are bounded by — and can tie
+        // with — its count)
+        val strictlyAboveNext =
+          i + 1 < top.length && n > top(i + 1).getLong(2)
         if (accepted.nonEmpty && n <= maxInteract) done = true
         else if (accepted.exists { case (c, d, _) => d == a || b == c })
           maxInteract = math.max(maxInteract, n)
-        else if (vocab.contains(a + b)) {
-          // output collides with an existing symbol: exact only as a
-          // single-merge round — accept alone at the head, else defer
+        else if (vocab.contains(a + b) || !strictlyAboveNext) {
+          // output collides with an existing symbol, or a count tie could
+          // hide a merge-spawned pair sorting ahead of a later candidate:
+          // exact only as a single-merge round — accept alone at the
+          // head, else defer to the next round
           if (accepted.isEmpty) accepted += ((a, b, n))
           done = true
         } else {
           accepted += ((a, b, n))
           vocab += a + b
         }
+        i += 1
       }
       merges ++= accepted
       // a head-accepted colliding output joins the vocabulary too

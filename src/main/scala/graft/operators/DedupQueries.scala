@@ -332,7 +332,8 @@ object DedupQueries {
     * (ReuseExchange; both semi-joins hash on the same keys).
     *
     * Returns one row per (bucket, qualifying pair): `keys… , pa, pb`
-    * with `pa < pb` by payload ordering — NOT distinct-ed, because
+    * with STRICTLY `pa < pb` by payload ordering in both lanes (a payload
+    * duplicated within a bucket never self-pairs) — NOT distinct-ed, because
     * shingle-count consumers (shared-count aggregates) need the
     * per-bucket multiplicity; candidate-pair consumers add
     * `.distinct()`. Payload may be any orderable column (plain id or a
@@ -381,6 +382,12 @@ object DedupQueries {
              i -> transform(sequence(0, i - 1),
                j -> struct(docs[j] AS pa, docs[i] AS pb))))""")).as("__pr"): _*)
       .select(kc :+ col("__pr.pa").as("pa") :+ col("__pr.pb").as("pb"): _*)
+      // lane-contract unification: the sorted expansion gives pa <= pb, so
+      // a payload appearing twice in one bucket would emit (p, p) here
+      // while the hot lane's strict `pa < pb` join drops it — a bucket
+      // crossing maxBucket must not change pair semantics. Enforce the
+      // strict contract in BOTH lanes.
+      .filter(col("pa") =!= col("pb"))
     // salted lane: the hot semi-join is a broadcast (few hot buckets by
     // construction), and replication cost is paid only on hot-bucket rows
     val hotRows = withP.join(hot, keys, "left_semi")

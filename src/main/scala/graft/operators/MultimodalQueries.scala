@@ -371,7 +371,12 @@ object MultimodalQueries {
           .select($"doc_id".as("media_id"),
             ($"n_chars" % 64 + 16).cast("int").as("w"),
             ($"n_chars" * 7 % 48 + 16).cast("int").as("h"),
-            pmod($"doc_id" * 2654435761L, lit(16777216L)).cast("int").as("rgb"))
+            // pre-reduce before the Knuth-multiply: doc_id * 2654435761
+            // overflows Long at doc_id ≳ 3.5e9, where Spark (non-ANSI)
+            // wraps silently but the DuckDB oracle raises — the reduced
+            // form is congruent mod 2^24 and never exceeds ~4.5e16
+            pmod(pmod($"doc_id", lit(16777216L)) * 2654435761L,
+              lit(16777216L)).cast("int").as("rgb"))
           .as[(Long, Int, Int, Int)]
         rows.mapPartitions(_.map { case (id, w, h, rgb) =>
             MediaPipeline.decodeImage(id,
@@ -387,7 +392,7 @@ object MultimodalQueries {
           SELECT doc_id AS media_id,
                  CAST(n_chars % 64 + 16 AS INTEGER) AS width,
                  CAST(n_chars * 7 % 48 + 16 AS INTEGER) AS height,
-                 (doc_id * 2654435761) % 16777216 AS rgb
+                 ((doc_id % 16777216) * 2654435761) % 16777216 AS rgb
           FROM documents WHERE doc_id % 20 = 0)
         SELECT media_id, width, height, CAST(3 AS INTEGER) AS channels,
                CAST(299 * (rgb // 65536) + 587 * ((rgb // 256) % 256)

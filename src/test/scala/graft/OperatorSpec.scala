@@ -505,6 +505,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain tie at a batch boundary: spawned pair outranks a tied candidate") {
+    // Adversarial construction for the strict-decrease acceptance rule:
+    //   "azy"×5 → pairs (a,z)=10 with "az"×5 added, (z,y)=5
+    //   "az"×5  → +5 to (a,z)
+    //   "cc"×5  → (c,c)=5
+    // Sequential: merge 1 = (a,z,10). Applying it rewrites every "azy" to
+    // ["az","y"], SPAWNING ("az","y")=5 and erasing (z,y). ("az","y") ties
+    // ("c","c") at 5 and "az" < "c", so sequential merge 2 = (az,y,5) and
+    // merge 3 = (c,c,5). A batcher that accepts (c,c) in round 1 diverges:
+    // the tie's source (z,y) sorts AFTER (c,c) ("z" > "c"), so it is not
+    // yet marked interacting when (c,c) is scanned — only the
+    // strict-decrease bound (candidate count must exceed the NEXT row's)
+    // rejects it. The random small-alphabet property test cannot build
+    // this shape (it needs a multi-char left symbol sorting before a
+    // single-char one at an exact count tie).
+    val corpus = (Seq.fill(5)("azy") ++ Seq.fill(5)("az") ++
+      Seq.fill(5)("cc")).mkString(" ")
+    val docs = Seq(corpus).toDF("text")
+    val (batched, _) =
+      TextFunctions.bpeTrainWithStats(docs, "text", 3, batchSize = 8)
+    val (sequential, _) =
+      TextFunctions.bpeTrainWithStats(docs, "text", 3, batchSize = 1)
+    assert(sequential == Seq(("a", "z", 10L), ("az", "y", 5L), ("c", "c", 5L)),
+      s"sequential ground truth changed: $sequential")
+    assert(batched == sequential,
+      s"batched diverged:\n batched=$batched\n sequential=$sequential")
+  }
+
   test("d19 persisted-index path equals d13 recompute path row-for-row") {
     val recompute = QueryDef.registry.find(_.name == "d13_incremental_dedup").get
       .build(spark, sfDir).collect()

@@ -353,6 +353,54 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(obs)
   }
 
+  test("adaptive pair routing boundaries: off-by-one at both lane edges, no self-pairs") {
+    import graft.operators.DedupQueries
+    // Small maxBucket/dropAbove stand in for the production constants —
+    // the router compares bucket COUNT against the thresholds, so the
+    // off-by-one behavior at (maxBucket, maxBucket+1) and (dropAbove,
+    // dropAbove+1) is identical at any magnitude, and a test at the real
+    // dropLshBucket=20000 would have to materialize C(20k,2)≈2×10⁸ pairs.
+    def bucket(k: String, ids: Seq[Long]) =
+      ids.map(i => (k, i)).toDF("bkey", "doc_id")
+    val df = bucket("m4", (1L to 4L).toSeq)    // == maxBucket   → capped lane
+      .unionByName(bucket("m5", (11L to 15L).toSeq)) // maxBucket+1 → salted lane
+      .unionByName(bucket("d6", (21L to 26L).toSeq)) // == dropAbove → salted, KEPT
+      .unionByName(bucket("d7", (31L to 37L).toSeq)) // dropAbove+1  → dropped
+      .unionByName(bucket("dup", Seq(42L, 42L)))     // duplicated payload
+    val obs = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var dropped = -1L
+      @volatile var saltedN = -1L
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        qe.observedMetrics.get("adaptive_boundary").foreach { r =>
+          dropped = r.getAs[Long]("dropped_hot_buckets")
+          saltedN = r.getAs[Long]("salted_hot_buckets")
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(obs)
+    try {
+      val pairs = DedupQueries.adaptiveBucketPairs(df, Seq("bkey"), $"doc_id",
+        "adaptive_boundary", maxBucket = 4, salts = 2, dropAbove = 6)
+        .select($"bkey", $"pa", $"pb").distinct()
+        .as[(String, Long, Long)].collect().toSet
+      def all(k: String, ids: Seq[Long]) =
+        (for { a <- ids; b <- ids if a < b } yield (k, a, b)).toSet
+      // size==maxBucket pairs fully in the capped lane; size==dropAbove
+      // pairs fully in the salted lane; size==dropAbove+1 contributes
+      // NOTHING; a duplicated payload never self-pairs in either lane
+      assert(pairs == all("m4", (1L to 4L).toSeq) ++
+        all("m5", (11L to 15L).toSeq) ++ all("d6", (21L to 26L).toSeq),
+        s"boundary pair set wrong: ${pairs.toSeq.sorted.take(40)}")
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (obs.dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(obs.dropped == 1L && obs.saltedN == 2L,
+        s"boundary metrics wrong: dropped=${obs.dropped} salted=${obs.saltedN}")
+    } finally spark.listenerManager.unregister(obs)
+  }
+
   test("bloom prefilter (d23): zero false negatives, disjoint corpus pruned to ~fpp") {
     // the two properties that make the sketch path safe and worthwhile:
     // every true benchmark shingle survives (no false negative → the
