@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness (VERDICT r7 #1 / r8 punch #3): measures how the
+  * heavy operator chains behave at 10× and 100× the sf0.1 corpus, the
+  * evidence that the banded/bucketed designs are actually near-linear and
+  * not just asserted to be. Results are recorded in BASELINE.md.
+  *
+  * Derived corpora are SEEDED REPLICATION, not noise: each replica is a
+  * deterministic transform of the base corpus chosen so the base's LOCAL
+  * structure (near-dup clusters, embedding geometry, per-user event
+  * series, key moduli) is preserved within a replica while replicas stay
+  * disjoint — weak scaling, the cluster-relevant regime:
+  *  - documents: every token gets a per-replica suffix, so shingle/minhash
+  *    buckets never span replicas (a verbatim copy would turn every doc
+  *    into an m-way exact clone and measure the hot-bucket pathology
+  *    instead of throughput);
+  *  - embeddings: circular component rotation per replica — norms and
+  *    within-replica inner products are exactly preserved, cross-replica
+  *    vectors decorrelate;
+  *  - events/orders/lineitem: id-shift by a multiple of 10^10 (preserves
+  *    the `% 10`-style moduli queries rely on), timestamps untouched.
+  *
+  * Usage: `sbt "runMain graft.ScaleBench"` — env knobs:
+  *   SPARK_GRAFT_SF_DIR    base corpus (default /root/testdata/sf0.1)
+  *   SCALE_MULTIPLIERS     default "1,10,100"
+  *   SCALE_QUERIES         default: the r8-verdict heavy-chain list
+  *   SCALE_WORK_DIR        default /tmp/graft_scale
+  * Prints one JSON line per (query, multiplier) and a final summary.
+  */
+object ScaleBench {
+  val defaultQueries: Seq[String] = Seq(
+    "d03_lsh_candidate_pairs", "d08_dedup_clusters", "d09_dedup_survivors",
+    "d16_semantic_dedup", "d19_index_backed_dedup", "d20_streaming_dedup",
+    "s14_ivf_stored_index", "s15_ivf_incremental_append",
+    "dx12_replacing_merge", "dx14_summing_merge")
+
+  private val idShift = 10000000000L // multiple of 10 and of 20: query moduli survive
+
+  /** Replicate one table `m`× with the per-table transform; m == 1 is a
+    * passthrough of the base file (no rewrite, scans stay comparable). */
+  private def replicate(spark: SparkSession, baseDir: String, outDir: String,
+      name: String, m: Int): Unit = {
+    val base = Tables.load(spark, baseDir, name)
+    val out = s"$outDir/$name.parquet"
+    val reps = base.crossJoin(
+      spark.range(m).select(col("id").cast("long").as("__r")))
+    val derived: DataFrame = name match {
+      case "documents" => reps.select(
+        (col("doc_id") + col("__r") * idShift).as("doc_id"),
+        when(col("__r") === 0, col("text")).otherwise(array_join(
+          transform(split(col("text"), " "),
+            t => concat(t, lit("~"), col("__r"))), " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      case "embeddings" => reps
+        .withColumn("__s", (col("__r") % size(col("embedding"))).cast("int"))
+        .select(
+          (col("vec_id") + col("__r") * idShift).as("vec_id"),
+          when(col("__s") === 0, col("embedding")).otherwise(concat(
+            expr("slice(embedding, __s + 1, size(embedding) - __s)"),
+            expr("slice(embedding, 1, __s)"))).as("embedding"),
+          col("label"))
+      case "events" => reps.select(
+        (col("event_id") + col("__r") * idShift).as("event_id"), col("ts"),
+        (col("user_id") + col("__r") * idShift).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      case "orders" => reps.select(
+        (col("o_orderkey") + col("__r") * idShift).as("o_orderkey") +:
+          base.columns.filter(_ != "o_orderkey").map(col).toIndexedSeq: _*)
+      case "lineitem" => reps.select(
+        (col("l_orderkey") + col("__r") * idShift).as("l_orderkey") +:
+          base.columns.filter(_ != "l_orderkey").map(col).toIndexedSeq: _*)
+      case _ => base // small dims: unreplicated
+    }
+    // 32 output files so the derived scan parallelizes like the base one
+    derived.repartition(32).write.mode("overwrite").parquet(out)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = sys.env.getOrElse("SCALE_WORK_DIR", "/tmp/graft_scale")
+    val mults = sys.env.getOrElse("SCALE_MULTIPLIERS", "1,10,100")
+      .split(',').map(_.trim.toInt).toSeq
+    val queries = sys.env.get("SCALE_QUERIES")
+      .map(_.split(',').map(_.trim).toSeq).getOrElse(defaultQueries)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "45s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Long, Double)]()
+    mults.foreach { m =>
+      val dir = if (m == 1) baseDir else {
+        val d = s"$workDir/m$m"
+        Tables.all.foreach(t => replicate(spark, baseDir, d, t, m))
+        d
+      }
+      val nDocs = Tables.load(spark, dir, "documents").count()
+      queries.foreach { q =>
+        graft.operators.DedupQueries.clearLabelsCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(q)(spark, dir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $q x$m failed: ${e.getMessage}"); -1L
+        }
+        val s = (System.nanoTime() - t0) / 1e9
+        rows += ((q, m, n, s))
+        println(f"""{"query":"$q","mult":$m,"docs":$nDocs,"out_rows":$n,"seconds":$s%.2f}""")
+      }
+    }
+    println("\n== scaling summary (seconds; linear ⇒ ~mult× the x1 time) ==")
+    val byQ = rows.groupBy(_._1)
+    queries.foreach { q =>
+      val r = byQ.getOrElse(q, Seq.empty).sortBy(_._2)
+      val cells = r.map { case (_, m, n, s) => f"x$m=$s%.1fs($n rows)" }
+      println(f"$q%-28s ${cells.mkString("  ")}")
+    }
+    spark.stop()
+  }
+}
