@@ -399,6 +399,55 @@ object MultimodalQueries {
                     + 114 * (rgb % 256) AS BIGINT) AS luma_x1000,
                CAST(0 AS BIGINT) AS dhash, TRUE AS decode_ok
         FROM px ORDER BY media_id"""),
-      doc = "real image decode (javax.imageio): PNG render + decode round-trip, closed-form oracle")
+      doc = "real image decode (javax.imageio): PNG render + decode round-trip, closed-form oracle"),
+
+    // ------------------------------------------------------------------
+    // m09: NON-SOLID real decode (VERDICT r8 punch #6) — executors render
+    // genuine two-color split PNGs (left/right halves, derived colors)
+    // and decode them with the same javax.imageio path as m08. Unlike a
+    // solid image, the split exercises the dHash transition logic (one
+    // luminance edge per sampled row → dhash 0x1010101010101010 when the
+    // right half is brighter) and a MIXED-color sampled luma — both with
+    // exact closed forms the oracle predicts arithmetically (width is
+    // forced even ≥ 18 so the 9-col grid lands 5 left / 4 right; see
+    // MediaPipeline.renderSplitPng). % 20 == 1 keeps the asset set
+    // disjoint from m08's.
+    QueryDef(
+      "m09_split_decode",
+      (s, dir) => {
+        import s.implicits._
+        MediaPipeline.splitAssets(s, dir)
+          .filter($"media_id" % 20 === 1)
+          .as[(Long, Int, Int, Int, Int)]
+          .mapPartitions(_.map { case (id, w, h, l, r) =>
+            MediaPipeline.decodeImage(id, MediaPipeline.renderSplitPng(w, h, l, r))
+          })
+          .toDF()
+          .select($"media_id", $"width", $"height", $"channels",
+            $"luma_x1000", $"dhash", $"decode_ok")
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH px AS (
+          SELECT doc_id AS media_id,
+                 CAST((n_chars % 30) * 2 + 18 AS INTEGER) AS width,
+                 CAST((n_chars * 7 % 24) * 2 + 16 AS INTEGER) AS height,
+                 ((doc_id % 16777216) * 2654435761) % 16777216 AS rgbl,
+                 ((doc_id % 16777216) * 40503) % 16777216 AS rgbr
+          FROM documents WHERE doc_id % 20 = 1),
+        lum AS (
+          SELECT media_id, width, height,
+                 299 * (rgbl // 65536) + 587 * ((rgbl // 256) % 256)
+                   + 114 * (rgbl % 256) AS ll,
+                 299 * (rgbr // 65536) + 587 * ((rgbr // 256) % 256)
+                   + 114 * (rgbr % 256) AS lr
+          FROM px)
+        SELECT media_id, width, height, CAST(3 AS INTEGER) AS channels,
+               CAST((5 * ll + 4 * lr) // 9 AS BIGINT) AS luma_x1000,
+               CAST(CASE WHEN lr > ll THEN 1157442765409226768 ELSE 0 END
+                    AS BIGINT) AS dhash,
+               TRUE AS decode_ok
+        FROM lum ORDER BY media_id"""),
+      doc = "non-solid real decode: two-color split PNG, dHash edge + mixed luma closed forms")
   )
 }

@@ -138,6 +138,94 @@ object MediaPipeline {
     out.toByteArray
   }
 
+  /** Render a left/right two-color split PNG — the NON-SOLID real-decode
+    * fixture (VERDICT r8 punch #6): columns [0, w/2) are `rgbLeft`,
+    * [w/2, w) are `rgbRight`. With w even and ≥ 16 the 9-column sample
+    * grid of [[decodeImage]] lands exactly 5 columns on the left color
+    * and 4 on the right (floor(4w/9) < w/2 ≤ floor(5w/9)), so every
+    * decoded feature has a closed form:
+    *   luma_x1000 = (5·lumaL + 4·lumaR) div 9
+    *   dhash      = 0x1010101010101010 iff lumaR > lumaL else 0
+    *                (the single per-row transition sits at grid col 4→5,
+    *                 bit y·8+4 for every y)
+    */
+  def renderSplitPng(w: Int, h: Int, rgbLeft: Int, rgbRight: Int): Array[Byte] = {
+    require(w >= 16 && w % 2 == 0, s"closed form needs even w >= 16, got $w")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (x < w / 2) rgbLeft else rgbRight)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Closed-form twin of decoding [[renderSplitPng]] bytes — the
+    * oracle-deterministic STUB side of the config-keyed decoder routing
+    * (and the arithmetic the m09 oracle states in SQL).
+    */
+  def splitFeatures(mediaId: Long, w: Int, h: Int,
+      rgbLeft: Int, rgbRight: Int): ImageFeatures = {
+    def luma(rgb: Int) = 299L * ((rgb >> 16) & 0xff) +
+      587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+    val (ll, lr) = (luma(rgbLeft), luma(rgbRight))
+    ImageFeatures(mediaId, w, h, channels = 3,
+      luma_x1000 = (5 * ll + 4 * lr) / 9,
+      dhash = if (lr > ll) 0x1010101010101010L else 0L,
+      decode_ok = true)
+  }
+
+  /** Config key for decoder routing: `"stub"` (default) computes the
+    * closed-form [[splitFeatures]] directly — deterministic on any
+    * JVM; `"imageio"` renders each asset into REAL split-PNG bytes and
+    * extracts via [[decodeImage]]. Both paths emit identical rows on
+    * valid inputs (MediaPipelineSpec asserts row-for-row equality), so
+    * a pipeline can flip to real decoding with one conf change and no
+    * oracle churn.
+    */
+  val DecoderConf = "spark.graft.media.decoder"
+
+  /** Deterministic split-PNG asset metadata derived from `documents`:
+    * (media_id, w, h, rgbl, rgbr). Width is forced even and ≥ 18 so the
+    * [[renderSplitPng]] closed form holds; both colors pre-reduce
+    * media_id mod 2^24 before their Knuth multiplies (Long-overflow-safe
+    * at any id, mirrored exactly in oracle SQL).
+    */
+  def splitAssets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(
+      col("doc_id").as("media_id"),
+      ((col("n_chars") % 30) * 2 + 18).cast("int").as("w"),
+      ((col("n_chars") * 7 % 24) * 2 + 16).cast("int").as("h"),
+      pmod(pmod(col("doc_id"), lit(16777216L)) * 2654435761L,
+        lit(16777216L)).cast("int").as("rgbl"),
+      pmod(pmod(col("doc_id"), lit(16777216L)) * 40503L,
+        lit(16777216L)).cast("int").as("rgbr"))
+  }
+
+  /** The config-keyed typed decode seam over [[splitAssets]] — see
+    * [[DecoderConf]]. Per-partition map either way; the imageio lane is
+    * the m08/m09-proven real path, the stub lane is its arithmetic twin.
+    */
+  def imageFeaturesRouted(spark: SparkSession, dir: String): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    val real = spark.conf.getOption(DecoderConf).contains("imageio")
+    val assets = splitAssets(spark, dir).as[(Long, Int, Int, Int, Int)]
+    if (real)
+      assets.mapPartitions(_.map { case (id, w, h, l, r) =>
+        decodeImage(id, renderSplitPng(w, h, l, r)) })
+    else
+      assets.mapPartitions(_.map { case (id, w, h, l, r) =>
+        splitFeatures(id, w, h, l, r) })
+  }
+
   /** One per-item result of a batched model-inference pass. */
   final case class InferenceOut(
       media_id: Long, batch_id: Long, batch_size: Int, item_index: Int,

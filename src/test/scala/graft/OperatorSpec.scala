@@ -143,6 +143,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(ds(0).luma_x1000 == 299L * 255 && ds(1).luma_x1000 == 587L * 255)
   }
 
+  test("config-keyed decoder routing: imageio lane equals the closed-form stub lane") {
+    import MediaPipeline._
+    // default (stub) lane: arithmetic twin, no rendering
+    spark.conf.unset(DecoderConf)
+    val stubRows = imageFeaturesRouted(spark, sfDir)
+      .collect().sortBy(_.media_id)
+    assert(stubRows.nonEmpty && stubRows.forall(_.decode_ok))
+    // imageio lane: REAL split-PNG render + decode must reproduce the
+    // closed form row-for-row — the evidence that a pipeline can flip
+    // spark.graft.media.decoder=imageio with no result churn
+    spark.conf.set(DecoderConf, "imageio")
+    try {
+      val realRows = imageFeaturesRouted(spark, sfDir)
+        .collect().sortBy(_.media_id)
+      assert(realRows.sameElements(stubRows),
+        s"lanes diverge, e.g. ${realRows.zip(stubRows).find(p => p._1 != p._2)}")
+      // non-solid evidence: both dhash outcomes occur across the corpus
+      val hashes = realRows.map(_.dhash).toSet
+      assert(hashes.contains(0x1010101010101010L) && hashes.contains(0L),
+        s"split fixtures should produce both edge directions, got $hashes")
+    } finally spark.conf.unset(DecoderConf)
+  }
+
   test("c02 packing invariants: offsets in [0,256), contiguous per-shard layout") {
     val rows = QueryDef.registry.find(_.name == "c02_sequence_packing").get
       .build(spark, sfDir)
