@@ -32,9 +32,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
   val defaultQueries: Seq[String] = Seq(
-    "d03_lsh_candidate_pairs", "d08_dedup_clusters", "d09_dedup_survivors",
-    "d16_semantic_dedup", "d19_index_backed_dedup", "d20_streaming_dedup",
-    "s14_ivf_stored_index", "s15_ivf_incremental_append",
+    "d03_lsh_candidate_pairs", "d06_embedding_neardup", "d08_dedup_clusters",
+    "d09_dedup_survivors", "d16_semantic_dedup", "d19_index_backed_dedup",
+    "d20_streaming_dedup", "s14_ivf_stored_index", "s15_ivf_incremental_append",
     "dx12_replacing_merge", "dx14_summing_merge")
 
   private val idShift = 10000000000L // multiple of 10 and of 20: query moduli survive
@@ -43,6 +43,10 @@ object ScaleBench {
     * passthrough of the base file (no rewrite, scans stay comparable). */
   private def replicate(spark: SparkSession, baseDir: String, outDir: String,
       name: String, m: Int): Unit = {
+    // the (rotation × one flip pattern) family yields 2·dim distinct
+    // embedding transforms — enough for ×128 at dim 64; larger sweeps
+    // need more flip patterns
+    require(m <= 128, s"replication supports m <= 128, got $m")
     val base = Tables.load(spark, baseDir, name)
     val out = s"$outDir/$name.parquet"
     val reps = base.crossJoin(
@@ -55,12 +59,23 @@ object ScaleBench {
             t => concat(t, lit("~"), col("__r"))), " ")).as("text"),
         col("lang"), col("source"), col("n_chars"))
       case "embeddings" => reps
+        // rotation alone collides once r exceeds the dimensionality
+        // (round 9's first ×100 corpus silently duplicated replicas
+        // 64..99 of the 64-dim vectors — d16 then correctly reported
+        // 72k extra cross-replica dups); compose with an odd-component
+        // sign flip per rotation cycle: sign flips preserve norms and
+        // within-replica inner products (both vectors flip the same
+        // components), so replica geometry is still exactly the base's
         .withColumn("__s", (col("__r") % size(col("embedding"))).cast("int"))
+        .withColumn("__f", (col("__r") / size(col("embedding"))).cast("int"))
         .select(
           (col("vec_id") + col("__r") * idShift).as("vec_id"),
-          when(col("__s") === 0, col("embedding")).otherwise(concat(
-            expr("slice(embedding, __s + 1, size(embedding) - __s)"),
-            expr("slice(embedding, 1, __s)"))).as("embedding"),
+          expr("""transform(
+              CASE WHEN __s = 0 THEN embedding
+                   ELSE concat(slice(embedding, __s + 1, size(embedding) - __s),
+                               slice(embedding, 1, __s)) END,
+              (x, i) -> CASE WHEN __f > 0 AND pmod(i, 2) = 1
+                             THEN -x ELSE x END)""").as("embedding"),
           col("label"))
       case "events" => reps.select(
         (col("event_id") + col("__r") * idShift).as("event_id"), col("ts"),

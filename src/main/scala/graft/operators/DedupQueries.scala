@@ -1014,8 +1014,15 @@ object DedupQueries {
           $"embedding".as("ea"), $"norm".as("na"))
         val b = bucketed.select($"bucket", $"vec_id".as("id_b"),
           $"embedding".as("eb"), $"norm".as("nb"))
+        // two-phase scoring (the d16 pattern): the codegen'd double
+        // vec_dot prefilters the within-bucket pair set ~60× cheaper per
+        // pair; only near-threshold survivors run the decimal-exact
+        // kernel. Identical results — double-vs-decimal discrepancy
+        // ≤ ~1e-12 against 5e-4 of slack below the 0.999 cut.
+        graft.plans.VectorExpressions.register(s)
         a.join(b, Seq("bucket"))
           .filter($"id_a" < $"id_b")
+          .filter(expr("vec_dot(ea, eb)") / ($"na" * $"nb") >= 0.9985)
           .select($"id_a", $"id_b",
             round(dotExact("ea", "eb") / ($"na" * $"nb"), 9).as("cosine"))
           .filter($"cosine" >= 0.999)
@@ -1441,14 +1448,25 @@ object DedupQueries {
     // original's and co-clustering is GUARANTEED, not probabilistic
     // (L2 argmin would send the scaled copy to a different cell).
     //
-    // Scale (100 TB): the quadratic within-cluster pair join is bounded
-    // by the cluster size, and SemDeDup's production recipe is precisely
-    // "pick k so n/k stays constant" — the centroid table grows with the
-    // corpus but stays broadcast-sized (100k centroids × 64 floats ≈
-    // 26 MB); assignment is one broadcast join + per-vector argmin, the
-    // pair join shuffles on the cluster id. All float math is
-    // decimal-exact and rounded before compares, so both engines pick
-    // identical clusters and identical duplicate pairs.
+    // Scale (100 TB): the centroid count GROWS WITH THE CORPUS —
+    // nlist = max(8, ceil(sqrt(N))), the flat-IVF sweet spot that keeps
+    // assignment (N·nlist dots) and the within-cluster pair join
+    // (N·(N/nlist) pairs) both at O(N^1.5). Round-9's measured curve
+    // motivated this: a FIXED 8 centroids made the pair stage O(N²/8) —
+    // 265 s at 100× sf0.1, 17× the 10× time (BASELINE.md). The centroid
+    // table stays broadcast-sized (√N rows). Assignment itself is
+    // two-phase so the decimal kernel cost stays ~linear: the codegen'd
+    // double `vec_dot` scores all N·nlist candidates map-side (only
+    // (vec_id, cid, dcos) narrow rows reach the shuffle — embeddings are
+    // never replicated per-centroid), and the decimal-exact kernel
+    // re-scores only the 2e-9 head window per vector. The window
+    // PROVABLY contains every centroid whose 9-dp-rounded exact cosine
+    // can tie the argmax: two cosines rounding to the same 9-dp bucket
+    // differ by < 1e-9 exactly, the double kernel's error is ≤ ~1e-12,
+    // and 1e-9 + 4·1e-12 < 2e-9 — so the exact (round-9 desc, cid asc)
+    // argmax over the window equals the argmax over all centroids, and
+    // both engines pick identical clusters and identical duplicate
+    // pairs.
     QueryDef(
       "d16_semantic_dedup",
       (s, dir) => {
@@ -1459,16 +1477,31 @@ object DedupQueries {
           .select(($"vec_id" + 1000000L).as("vec_id"),
             expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
         // self-norms are per-VECTOR facts (d06's lesson), computed once
-        // BEFORE the centroid cross join — each (vector, centroid) pair
-        // then runs 1 decimal dot kernel, not 3; same doubles as the
-        // inline cosineExact (norm = sqrt(dotExact) either way)
+        // BEFORE the centroid scoring — each (vector, centroid) pair
+        // then runs 1 dot kernel, not 3; same doubles as the inline
+        // cosineExact (norm = sqrt(dotExact) either way). Lazy
+        // localCheckpoint: corp feeds the count, the double scorer, the
+        // exact re-scorer and both pair sides — one materialization.
         val corp = emb.unionByName(copies)
           .withColumn("norm", sqrt(dotExact("embedding", "embedding")))
-        val cents = emb.filter($"vec_id" < 8)
+          .localCheckpoint(eager = false)
+        val nlist = math.max(8L,
+          math.ceil(math.sqrt(corp.count().toDouble)).toLong)
+        val cents = emb.filter($"vec_id" < nlist)
           .select($"vec_id".as("cid"), $"embedding".as("cv"))
           .withColumn("cnorm", sqrt(dotExact("cv", "cv")))
+        graft.plans.VectorExpressions.register(s)
+        val scoredD = corp.crossJoin(broadcast(cents))
+          .select($"vec_id", $"cid",
+            (expr("vec_dot(embedding, cv)") / ($"norm" * $"cnorm")).as("dcos"))
+        val dmax = scoredD.groupBy($"vec_id").agg(max($"dcos").as("dmax"))
+        val candCids = scoredD.join(dmax, "vec_id")
+          .filter($"dcos" >= $"dmax" - 2e-9)
+          .select($"vec_id", $"cid")
         val w = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cid".asc)
-        val assigned = corp.crossJoin(broadcast(cents))
+        val assigned = candCids
+          .join(corp, "vec_id")
+          .join(broadcast(cents), "cid")
           .select($"vec_id", $"embedding", $"norm", $"cid",
             round(dotExact("embedding", "cv") / ($"norm" * $"cnorm"), 9).as("cos_c"))
           .withColumn("rk", row_number().over(w))
@@ -1484,7 +1517,6 @@ object DedupQueries {
         // decimal-exact oracle-grade re-score. Identical results: the
         // double-vs-decimal discrepancy is ≤ ~1e-12 while the prefilter
         // slack is 5e-4, so no pair crossing 0.999 can be lost.
-        graft.plans.VectorExpressions.register(s)
         a.join(b, Seq("cid"))
           .filter($"id_a" < $"id_b")
           .filter(expr("vec_dot(ea, eb)") / ($"na" * $"nb") >= 0.9985)
@@ -1503,7 +1535,10 @@ object DedupQueries {
                  list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
           FROM embeddings WHERE vec_id % 25 = 0),
         cents AS (SELECT vec_id AS cid, embedding AS cv
-                  FROM embeddings WHERE vec_id < 8),
+                  FROM embeddings
+                  WHERE vec_id < (SELECT GREATEST(8,
+                          CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                        FROM corpus)),
         cpairs AS (SELECT e.vec_id, c.cid,
                           unnest(e.embedding) AS x, unnest(c.cv) AS y
                    FROM corpus e CROSS JOIN cents c),
