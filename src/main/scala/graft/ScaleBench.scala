@@ -49,6 +49,10 @@ object ScaleBench {
     require(m <= 128, s"replication supports m <= 128, got $m")
     val base = Tables.load(spark, baseDir, name)
     val out = s"$outDir/$name.parquet"
+    // derived corpora are deterministic in (base, m): reuse an existing
+    // build unless SCALE_REBUILD=1 (a full x100 rewrite is ~5 min)
+    if (new java.io.File(out).isDirectory &&
+        !sys.env.get("SCALE_REBUILD").contains("1")) return
     val reps = base.crossJoin(
       spark.range(m).select(col("id").cast("long").as("__r")))
     val derived: DataFrame = name match {
