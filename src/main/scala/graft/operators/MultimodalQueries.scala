@@ -448,6 +448,58 @@ object MultimodalQueries {
                     AS BIGINT) AS dhash,
                TRUE AS decode_ok
         FROM lum ORDER BY media_id"""),
-      doc = "non-solid real decode: two-color split PNG, dHash edge + mixed luma closed forms")
+      doc = "non-solid real decode: two-color split PNG, dHash edge + mixed luma closed forms"),
+
+    // ------------------------------------------------------------------
+    // m10: REAL audio decode — executors render genuine RIFF/WAVE bytes
+    // (16-bit mono PCM square waves with derived amplitude/period) and
+    // decode them back through javax.sound.sampled (JDK-built-in; WAV
+    // parsing is pure Java, headless-safe), closing the "audio decode is
+    // stubbed" container gap exactly the way m08 closed the image one.
+    // Every extracted statistic is an exact integer with a closed form
+    // the oracle predicts: peak = A, sum_abs = n*A, sum_sq = n*A^2,
+    // zero_crossings = (n-1) div P. Map-only render+decode per
+    // partition; no shuffle before the output sort. % 20 == 2 keeps the
+    // asset set disjoint from m08/m09's.
+    QueryDef(
+      "m10_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 2)
+          .select($"doc_id".as("media_id"),
+            ($"n_chars" % 2000 + 500).cast("int").as("n"),
+            (lit(8000) + ($"n_chars" % 8) * 1000).cast("int").as("rate"),
+            (($"doc_id" % 1000) * 16 + 500).cast("int").as("amp"),
+            ($"n_chars" % 37 + 5).cast("int").as("p"))
+          .as[(Long, Int, Int, Int, Int)]
+        rows.mapPartitions(_.map { case (id, n, rate, amp, p) =>
+            MediaPipeline.decodeAudio(id,
+              MediaPipeline.renderSquareWav(n, rate, amp, p))
+          })
+          .toDF()
+          .select($"media_id", $"n_samples", $"sample_rate", $"channels",
+            $"peak", $"sum_abs", $"sum_sq", $"zero_crossings", $"decode_ok")
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS media_id,
+                 (n_chars % 2000) + 500 AS n,
+                 8000 + (n_chars % 8) * 1000 AS rate,
+                 (doc_id % 1000) * 16 + 500 AS amp,
+                 (n_chars % 37) + 5 AS p
+          FROM documents WHERE doc_id % 20 = 2)
+        SELECT media_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(rate AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(amp AS BIGINT) AS peak,
+               CAST(n * amp AS BIGINT) AS sum_abs,
+               CAST(n * amp * amp AS BIGINT) AS sum_sq,
+               CAST((n - 1) // p AS BIGINT) AS zero_crossings,
+               TRUE AS decode_ok
+        FROM a ORDER BY media_id"""),
+      doc = "real audio decode (javax.sound.sampled): WAV render + decode round-trip, closed-form stats")
   )
 }

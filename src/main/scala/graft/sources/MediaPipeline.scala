@@ -226,6 +226,83 @@ object MediaPipeline {
         splitFeatures(id, w, h, l, r) })
   }
 
+  /** Features a REAL audio decode emits. All integral: for the square-
+    * wave fixtures every statistic has an exact closed form (peak = A,
+    * sum_abs = n·A, sum_sq = n·A², zero_crossings = (n−1) div P), so the
+    * whole encode→decode→extract loop is hash-checked like m08/m09's
+    * image path. `decode_ok=false` rows carry sentinels for undecodable
+    * bytes.
+    */
+  final case class AudioFeatures(
+      media_id: Long, n_samples: Long, sample_rate: Int, channels: Int,
+      peak: Long, sum_abs: Long, sum_sq: Long, zero_crossings: Long,
+      decode_ok: Boolean)
+
+  /** Render a 16-bit mono PCM WAVE file of a square wave: sample i is
+    * +amp when (i div period) is even, −amp otherwise — REAL RIFF/WAVE
+    * bytes (44-byte header + LE PCM16), the audio analog of
+    * [[renderSolidPng]]/[[renderSplitPng]].
+    */
+  def renderSquareWav(nSamples: Int, sampleRate: Int, amp: Int,
+      period: Int): Array[Byte] = {
+    require(amp > 0 && amp <= 32767 && period > 0 && nSamples > 0,
+      s"bad wav params ($nSamples, $sampleRate, $amp, $period)")
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(1) // mono
+    buf.putInt(sampleRate); buf.putInt(sampleRate * 2)
+    buf.putShort(2); buf.putShort(16)
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort((if ((i / period) % 2 == 0) amp else -amp).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL audio decoder on `javax.sound.sampled` (JDK-built-in; WAV/PCM
+    * parsing is pure Java, no audio device or native codec needed):
+    * bytes → [[AudioFeatures]] with exact integer statistics. Same
+    * per-partition iterator seam as [[decodeImage]] — m10 drives it with
+    * genuine rendered WAVs against a closed-form oracle, closing the
+    * "audio decode is stubbed" gap the way m08 closed the image one.
+    */
+  def decodeAudio(mediaId: Long, bytes: Array[Byte]): AudioFeatures =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+      val data = in.readAllBytes()
+      val n = data.length / 2
+      var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+      var prevSign = 0
+      var i = 0
+      while (i < n) {
+        val s = ((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)).toLong
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumAbs += a; sumSq += s * s
+        val sign = java.lang.Long.signum(s)
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) zc += 1
+          prevSign = sign
+        }
+        i += 1
+      }
+      AudioFeatures(mediaId, n, fmt.getSampleRate.toInt, fmt.getChannels,
+        peak, sumAbs, sumSq, zc, decode_ok = true)
+    } catch { case _: Exception =>
+      AudioFeatures(mediaId, -1L, -1, 0, -1L, -1L, -1L, 0L,
+        decode_ok = false)
+    }
+
   /** One per-item result of a batched model-inference pass. */
   final case class InferenceOut(
       media_id: Long, batch_id: Long, batch_size: Int, item_index: Int,

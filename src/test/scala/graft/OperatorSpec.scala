@@ -143,6 +143,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(ds(0).luma_x1000 == 299L * 255 && ds(1).luma_x1000 == 587L * 255)
   }
 
+  test("decodeAudio: real javax.sound round-trip — square wave, edge periods, corrupt bytes") {
+    import MediaPipeline._
+    // closed-form contract on a 1000-sample square wave, period 7
+    val a = decodeAudio(1L, renderSquareWav(1000, 8000, 1234, 7))
+    assert(a == AudioFeatures(1L, 1000L, 8000, 1,
+      1234L, 1000L * 1234, 1000L * 1234 * 1234, 999L / 7,
+      decode_ok = true), s"got $a")
+    // period longer than the clip: constant signal, zero crossings
+    val const = decodeAudio(2L, renderSquareWav(50, 44100, 32767, 100))
+    assert(const.zero_crossings == 0L && const.peak == 32767L)
+    // period 1: alternating every sample → n-1 crossings
+    val alt = decodeAudio(3L, renderSquareWav(64, 16000, 5, 1))
+    assert(alt.zero_crossings == 63L, s"got ${alt.zero_crossings}")
+    // corrupt bytes: flagged with sentinels, no exception
+    val bad = decodeAudio(4L, Array[Byte](9, 9, 9, 9))
+    assert(bad == AudioFeatures(4L, -1L, -1, 0, -1L, -1L, -1L, 0L,
+      decode_ok = false))
+  }
+
   test("config-keyed decoder routing: imageio lane equals the closed-form stub lane") {
     import MediaPipeline._
     // default (stub) lane: arithmetic twin, no rendering
