@@ -500,6 +500,58 @@ object MultimodalQueries {
                CAST((n - 1) // p AS BIGINT) AS zero_crossings,
                TRUE AS decode_ok
         FROM a ORDER BY media_id"""),
-      doc = "real audio decode (javax.sound.sampled): WAV render + decode round-trip, closed-form stats")
+      doc = "real audio decode (javax.sound.sampled): WAV render + decode round-trip, closed-form stats"),
+
+    // ------------------------------------------------------------------
+    // m11: REAL frame sampling over multi-frame assets — executors render
+    // genuine ANIMATED GIFs (one derived solid color per frame; GIF is
+    // lossless ≤ 256 colors so frames round-trip bit-exact) and decode
+    // every 2nd frame through ImageIO's frame-sequence reader: m03's
+    // frame-sample semantics on real decoded frames instead of stub
+    // arithmetic, completing the image (m08/m09) → audio (m10) → frame
+    // sequence (m11) real-decode progression. One output row per SAMPLED
+    // frame with the 9×8 Rec.601 grid luma, whose closed form per frame
+    // the oracle predicts. Map-only flatMap per partition; % 20 == 3
+    // keeps assets disjoint from m08/m09/m10.
+    QueryDef(
+      "m11_frame_sample_decode",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 3)
+          .select($"doc_id".as("media_id"),
+            ($"n_chars" % 6 + 2).cast("int").as("nf"))
+          .as[(Long, Int)]
+        rows.mapPartitions(_.flatMap { case (id, nf) =>
+            val colors = (0 until nf).map(j =>
+              (((id % 16777216L) * 2654435761L + j * 7919L) % 16777216L).toInt)
+            MediaPipeline.sampleFrames(id,
+              MediaPipeline.renderGifFrames(24, 16, colors), stride = 2)
+          })
+          .toDF()
+          .select($"media_id", $"n_frames", $"width", $"height",
+            $"frame_idx", $"luma_x1000", $"decode_ok")
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS media_id, (n_chars % 6) + 2 AS nf
+          FROM documents WHERE doc_id % 20 = 3),
+        frames AS (
+          SELECT media_id, nf, unnest(range(0, nf, 2)) AS frame_idx
+          FROM a),
+        px AS (
+          SELECT media_id, nf, frame_idx,
+                 ((media_id % 16777216) * 2654435761
+                   + frame_idx * 7919) % 16777216 AS rgb
+          FROM frames)
+        SELECT media_id, CAST(nf AS INTEGER) AS n_frames,
+               CAST(24 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(299 * (rgb // 65536) + 587 * ((rgb // 256) % 256)
+                    + 114 * (rgb % 256) AS BIGINT) AS luma_x1000,
+               TRUE AS decode_ok
+        FROM px ORDER BY media_id, frame_idx"""),
+      doc = "real frame sampling: animated-GIF render + every-2nd-frame ImageIO decode, closed-form luma")
   )
 }

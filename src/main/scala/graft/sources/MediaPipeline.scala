@@ -303,6 +303,79 @@ object MediaPipeline {
         decode_ok = false)
     }
 
+  /** One decoded frame of a multi-frame (animated) asset. */
+  final case class FrameFeatures(
+      media_id: Long, n_frames: Int, width: Int, height: Int,
+      frame_idx: Int, luma_x1000: Long, decode_ok: Boolean)
+
+  /** Render a REAL multi-frame animated GIF (one solid color per frame)
+    * via the JDK's ImageIO GIF writer — the video-adjacent fixture:
+    * GIF is lossless for ≤256 colors, so each frame's decoded color is
+    * bit-exact and per-frame features have closed forms.
+    */
+  def renderGifFrames(w: Int, h: Int, rgbs: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    rgbs.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** REAL frame-sampling decoder over multi-frame GIF bytes (the m03
+    * "sample every k-th frame" semantics, on genuine decoded frames):
+    * ImageIO's GIF reader exposes the frame sequence; every `stride`-th
+    * frame is decoded and reduced to the same 9×8 sampled Rec.601 luma
+    * as [[decodeImage]]. Undecodable bytes yield one sentinel row.
+    */
+  def sampleFrames(mediaId: Long, bytes: Array[Byte],
+      stride: Int): Seq[FrameFeatures] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      val rows = (0 until n by stride).map { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val px = img.getRGB(math.min(x * w / 9, w - 1),
+              math.min(y * h / 8, h - 1))
+            sum += 299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
+              114L * (px & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        FrameFeatures(mediaId, n, w, h, i, sum / 72L, decode_ok = true)
+      }
+      reader.dispose()
+      rows
+    } catch { case _: Exception =>
+      Seq(FrameFeatures(mediaId, -1, -1, -1, -1, -1L, decode_ok = false))
+    }
+
   /** One per-item result of a batched model-inference pass. */
   final case class InferenceOut(
       media_id: Long, batch_id: Long, batch_size: Int, item_index: Int,

@@ -162,6 +162,26 @@ class OperatorSpec extends AnyFunSuite {
       decode_ok = false))
   }
 
+  test("sampleFrames: real animated-GIF round-trip — stride, frame count, corrupt bytes") {
+    import MediaPipeline._
+    // 5 frames, stride 2 → frames 0, 2, 4; GIF is lossless for solid
+    // colors so each sampled frame's grid luma is its color's exact luma
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val fs = sampleFrames(1L, renderGifFrames(24, 16, colors), stride = 2)
+    assert(fs.map(_.frame_idx) == Seq(0, 2, 4), s"got $fs")
+    assert(fs.forall(f => f.n_frames == 5 && f.width == 24 && f.height == 16
+      && f.decode_ok))
+    // sampled frames are red (idx 0), blue (idx 2), black (idx 4)
+    assert(fs.map(_.luma_x1000) == Seq(299L * 255, 114L * 255, 0L),
+      s"got ${fs.map(_.luma_x1000)}")
+    // stride 1 decodes every frame
+    assert(sampleFrames(2L, renderGifFrames(16, 16, colors), 1).size == 5)
+    // corrupt bytes: one sentinel row, no exception
+    val bad = sampleFrames(3L, Array[Byte](7, 7, 7), 2)
+    assert(bad == Seq(FrameFeatures(3L, -1, -1, -1, -1, -1L,
+      decode_ok = false)))
+  }
+
   test("config-keyed decoder routing: imageio lane equals the closed-form stub lane") {
     import MediaPipeline._
     // default (stub) lane: arithmetic twin, no rendering
