@@ -431,6 +431,22 @@ class PlanSpec extends AnyFunSuite {
       s"confirm join not keyed:\n$p")
   }
 
+  test("real-decode seams (m08-m11) stay map-only: one exchange, no join/agg") {
+    // render+decode is per-partition imperative work; the only exchange
+    // any of these plans may contain is the output sort's range
+    // partitioning — a second exchange, join or aggregate would mean the
+    // decode stage started shuffling asset bytes
+    Seq("m08_image_decode", "m09_split_decode", "m10_audio_decode",
+        "m11_frame_sample_decode").foreach { q =>
+      val p = plan(q)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$q shuffles before the sort ($exchanges):\n$p")
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q decode stage is not map-only:\n$p")
+      assert(p.contains("MapPartitions"), s"$q lost the typed decode seam:\n$p")
+    }
+  }
+
   test("t23 novelty attribution stays join-free on the ngram axis") {
     val p = plan("t23_ngram_novelty")
     // df=1 attribution must come out of the DF aggregation itself
