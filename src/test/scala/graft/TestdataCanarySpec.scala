@@ -70,6 +70,24 @@ class TestdataCanarySpec extends AnyFunSuite {
     check("embeddings", "embedding", ArrayType(FloatType, containsNull = true))
   }
 
+  test("events loader fallback: raw int64 ts decodes as epoch nanos") {
+    // the driver testdata is TIMESTAMP(MICROS) today, so the nanos
+    // branch would otherwise go untested until the generator drifts back
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev_nanos").toString
+    val t0 = 1704067200000000000L // 2024-01-01T00:00:00Z in nanos
+    Seq((1L, t0, 7L, "click", 1.5, "{}"),
+        (2L, t0 + 86400L * 1000000000L * 29, 8L, "view", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val got = ev.orderBy("event_id").select($"ts".cast("string"))
+      .as[String].collect().toSeq
+    assert(got == Seq("2024-01-01 00:00:00", "2024-01-30 00:00:00"),
+      s"nanos fallback mis-decoded: $got")
+  }
+
   test("referential shape: orders→customer, lineitem→orders keys resolve") {
     assume(exists, s"$sfDir not present")
     val orphanOrders = table("orders").join(
