@@ -2422,6 +2422,98 @@ object DedupQueries {
                round(CAST(SUM(CASE WHEN kept THEN n_toks END) AS DOUBLE)
                      / SUM(n_toks), 6) AS tok_yield
         FROM scored GROUP BY origin ORDER BY origin"""),
-      doc = "dedup yield report: per-stratum doc and token-mass survival after dedup")
+      doc = "dedup yield report: per-stratum doc and token-mass survival after dedup"),
+
+    // ------------------------------------------------------------------
+    // d29: EXACT-SUBSTRING SPAN DEDUP (the Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better"
+    // span-removal shape, fixed-L rolling-window form): a token
+    // position is duplicated iff its L=8-token window occurs in ≥2
+    // distinct documents AND this document is not the window's
+    // canonical owner (min doc_id) — every copy loses the span, the
+    // canonical document keeps it. Flagged window starts then merge
+    // into maximal spans per document (gaps-and-islands: running-max
+    // window end + island counter), and the report is per-doc span
+    // count / removed-token mass — the numbers a span-removal pass
+    // publishes before rewriting the corpus.
+    //
+    // Spark shape vs the suffix-array original: a distributed suffix
+    // array is replaced by ONE gram shuffle keyed on md5(window) —
+    // fixed-width 32-char keys, never raw text (same contract as the
+    // shingle index). Duplication + ownership come from TWO window
+    // aggregates over the gram partition instead of a groupBy+join:
+    // "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id), owner =
+    // min(doc_id) — so the expensive gram kernel (md5 over L-token
+    // slices) is evaluated ONCE and the (doc,pos) rows never meet a
+    // join (a groupBy+join-back shape re-ran the whole explode for
+    // the probe side: measured 5.8 s → 2.6 s at sf0.1). Cost is
+    // O(total tokens) rows through 2 shuffles (gram window, doc
+    // window), both AQE-sized. The islands pass is a per-doc sort
+    // window — per-partition data is bounded by doc length, the same
+    // cost shape at any corpus size. Exact copies (+1e6 ids) must
+    // come out fully removed (removed_tokens = n_tokens) — the
+    // planted-truth invariant the OperatorSpec asserts.
+    QueryDef(
+      "d29_substring_spans",
+      (s, dir) => {
+        import s.implicits._
+        val L = 8
+        val toks = corpus(s, dir).withColumn("toks", tokens($"text"))
+        val grams = toks
+          .select($"doc_id", size($"toks").as("n"), posexplode(expr(
+            s"""CASE WHEN size(toks) >= $L
+                 THEN transform(sequence(0, size(toks) - $L),
+                        i -> md5(array_join(slice(toks, i + 1, $L), ' ')))
+                 ELSE array() END""")).as(Seq("pos", "g")))
+        val wG = Window.partitionBy($"g")
+        val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+        grams
+          .withColumn("owner", min($"doc_id").over(wG))
+          .withColumn("mxdoc", max($"doc_id").over(wG))
+          .filter($"mxdoc" =!= $"owner" && $"doc_id" =!= $"owner")
+          .select($"doc_id", $"n", $"pos", ($"pos" + L).as("e"))
+          .withColumn("pmax", max($"e").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("isNew",
+            when($"pmax".isNull || $"pos" > $"pmax", 1).otherwise(0))
+          .withColumn("island", sum($"isNew").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"doc_id", $"n", $"island")
+          .agg(min($"pos").as("s"), max($"e").as("e2"))
+          .groupBy($"doc_id", $"n")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(($"e2" - $"s").cast("long")).as("removed_tokens"))
+          .select($"doc_id", $"n_spans", $"removed_tokens",
+            $"n".cast("long").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH corpus AS ($corpusSql),
+        tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM corpus),
+        grams AS (
+          SELECT doc_id, len(toks) AS n, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i+7], ' ')) AS g
+          FROM tok, UNNEST(range(1, GREATEST(len(toks) - 6, 1))) AS u(i)),
+        stats AS (SELECT g, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS owner
+                  FROM grams GROUP BY g),
+        cov AS (SELECT gr.doc_id, gr.n, gr.pos, gr.pos + 8 AS e
+                FROM grams gr JOIN stats st USING (g)
+                WHERE st.df >= 2 AND gr.doc_id <> st.owner),
+        isl AS (SELECT doc_id, n, pos, e,
+                  MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM cov),
+        isl2 AS (SELECT doc_id, n, pos, e,
+                  SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM isl),
+        spans AS (SELECT doc_id, n, island, MIN(pos) AS s, MAX(e) AS e2
+                  FROM isl2 GROUP BY 1, 2, 3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e2 - s) AS BIGINT) AS removed_tokens,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM spans GROUP BY doc_id, n ORDER BY doc_id"""),
+      doc = "exact-substring span dedup: L-token rolling windows, df>=2 non-owner flagging, gaps-and-islands span merge (Lee et al. span removal)")
   )
 }

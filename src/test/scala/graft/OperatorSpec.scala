@@ -649,6 +649,40 @@ class OperatorSpec extends AnyFunSuite {
       "originals unexpectedly self-repetitive at 8-token span width")
   }
 
+  test("d29 substring spans: planted copies fully removed, canonicals keep spans") {
+    val rows = QueryDef.registry.find(_.name == "d29_substring_spans").get
+      .build(spark, sfDir)
+      .select($"doc_id", $"n_spans", $"removed_tokens", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", size(TextFunctions.tokens($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // every exact copy (+1e6) of a >=8-token base doc is FULLY removed:
+    // all its windows exist in the lower-id base, so it owns none of them
+    val exactBases = docs.filter { case (id, n) => id % 10 == 0 && n >= 8 }
+    assert(exactBases.nonEmpty)
+    exactBases.foreach { case (id, n) =>
+      val r = byId.get(id + 1000000L)
+      assert(r.exists(x => x._3 == x._4 && x._4 == n),
+        s"exact copy of $id not fully removed: ${r.orNull}")
+    }
+    // near copies (+2e6, first token dropped) are suffix windows of the
+    // base doc — also fully removed
+    val nearBases = docs.filter { case (id, n) => id % 10 == 1 && n - 1 >= 8 }
+    assert(nearBases.nonEmpty)
+    nearBases.foreach { case (id, n) =>
+      val r = byId.get(id + 2000000L)
+      assert(r.exists(x => x._3 == x._4 && x._4 == n - 1),
+        s"near copy of $id not fully removed: ${r.orNull}")
+    }
+    // structural sanity: every flagged doc has >=1 span, a span is at
+    // least one L=8 window, and removal never exceeds the doc
+    rows.foreach { case (id, sp, rm, n) =>
+      assert(sp >= 1 && rm >= 8 && rm <= n, s"bad span row $id: $sp/$rm/$n")
+    }
+  }
+
   test("s16 SQ8: approx ranking is complete, near exact, codes bounded") {
     val rows = QueryDef.registry.find(_.name == "s16_sq8_quantized").get
       .build(spark, sfDir)

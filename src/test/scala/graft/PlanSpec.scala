@@ -275,6 +275,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d29 substring spans: join-free, single gram-kernel evaluation") {
+    val p = plan("d29_substring_spans")
+    // duplication/ownership are window aggregates over the gram
+    // partition — the plan must contain NO join of any kind (a
+    // groupBy+join-back shape re-evaluates the whole gram explode for
+    // the probe side, and any nested-loop would be an all-pairs blowup)
+    assert(!p.contains("Join"), s"substring dedup grew a join:\n$p")
+    // one explode only: the md5-gram kernel must not run twice
+    assert(p.linesIterator.count(_.contains("Generate ")) == 1,
+      s"gram explode evaluated more than once:\n$p")
+    assert(p.contains("Window"), "gram/islands windows missing")
+  }
+
   test("d16 semantic dedup: broadcast centroid assignment, keyed pair join") {
     val p = plan("d16_semantic_dedup")
     // centroid assignment: broadcast nested-loop against the 8-row side
