@@ -47,7 +47,8 @@ object PlanDump {
     "d03_lsh_candidate_pairs" -> "adaptive pair router: capped in-row lane + salted hot lane in ONE plan, cartesian-free",
     "d07_simhash_near_pairs" -> "simhash bands through the same adaptive router; one signature materialization feeds all lanes",
     "m08_image_decode" -> "real-decode seam: map-only per-partition render+decode, no exchange before the output sort",
-    "m09_split_decode" -> "non-solid real decode on the identical map-only seam: dHash edge + mixed luma")
+    "m09_split_decode" -> "non-solid real decode on the identical map-only seam: dHash edge + mixed luma",
+    "d29_substring_spans" -> "substring span removal: join-free gram-window ownership, one explode, islands merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

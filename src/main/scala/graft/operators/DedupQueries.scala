@@ -825,6 +825,44 @@ object DedupQueries {
         ORDER BY new_id"""
   }
 
+  /** Core of d29 (and its DedupSpec edge harness): per-doc duplicate
+    * substring spans over (doc_id, text) rows. A token position is
+    * duplicated iff its L-token window occurs in ≥2 distinct docs and
+    * this doc is not the window's min-doc_id owner; flagged starts merge
+    * into maximal spans (gaps-and-islands). Returns one row per doc with
+    * ≥1 span: (doc_id, n_spans, removed_tokens, n_tokens), doc_id-sorted.
+    * See the d29 QueryDef scaladoc for the scale analysis.
+    */
+  def substringSpans(docs: DataFrame, L: Int = 8): DataFrame = {
+    val grams = docs.withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).as("n"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $L
+             THEN transform(sequence(0, size(toks) - $L),
+                    i -> md5(array_join(slice(toks, i + 1, $L), ' ')))
+             ELSE array() END""")).as(Seq("pos", "g")))
+    val wG = Window.partitionBy(col("g"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams
+      .withColumn("owner", min(col("doc_id")).over(wG))
+      .withColumn("mxdoc", max(col("doc_id")).over(wG))
+      .filter(col("mxdoc") =!= col("owner") && col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("n"), col("pos"), (col("pos") + L).as("e"))
+      .withColumn("pmax", max(col("e")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isNew",
+        when(col("pmax").isNull || col("pos") > col("pmax"), 1).otherwise(0))
+      .withColumn("island", sum(col("isNew")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e2"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("e2") - col("s")).cast("long")).as("removed_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("removed_tokens"),
+        col("n").cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -2455,38 +2493,7 @@ object DedupQueries {
     // planted-truth invariant the OperatorSpec asserts.
     QueryDef(
       "d29_substring_spans",
-      (s, dir) => {
-        import s.implicits._
-        val L = 8
-        val toks = corpus(s, dir).withColumn("toks", tokens($"text"))
-        val grams = toks
-          .select($"doc_id", size($"toks").as("n"), posexplode(expr(
-            s"""CASE WHEN size(toks) >= $L
-                 THEN transform(sequence(0, size(toks) - $L),
-                        i -> md5(array_join(slice(toks, i + 1, $L), ' ')))
-                 ELSE array() END""")).as(Seq("pos", "g")))
-        val wG = Window.partitionBy($"g")
-        val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
-        grams
-          .withColumn("owner", min($"doc_id").over(wG))
-          .withColumn("mxdoc", max($"doc_id").over(wG))
-          .filter($"mxdoc" =!= $"owner" && $"doc_id" =!= $"owner")
-          .select($"doc_id", $"n", $"pos", ($"pos" + L).as("e"))
-          .withColumn("pmax", max($"e").over(
-            wOrd.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("isNew",
-            when($"pmax".isNull || $"pos" > $"pmax", 1).otherwise(0))
-          .withColumn("island", sum($"isNew").over(
-            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy($"doc_id", $"n", $"island")
-          .agg(min($"pos").as("s"), max($"e").as("e2"))
-          .groupBy($"doc_id", $"n")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(($"e2" - $"s").cast("long")).as("removed_tokens"))
-          .select($"doc_id", $"n_spans", $"removed_tokens",
-            $"n".cast("long").as("n_tokens"))
-          .orderBy($"doc_id")
-      },
+      (s, dir) => substringSpans(corpus(s, dir)),
       Some(s"""
         WITH corpus AS ($corpusSql),
         tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks

@@ -60,6 +60,41 @@ class DedupSpec extends AnyFunSuite {
     assert(orphans.count() == 0, "a cluster label is not itself a root")
   }
 
+  test("substringSpans edge semantics: merge, ownership, sub-L immunity") {
+    // token alphabet chosen so no window collides by accident
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"${prefix}$i").mkString(" ")
+    val base = words("a", 12)                      // a0..a11
+    val docs = Seq(
+      (1L, base),                                  // canonical owner
+      (2L, base),                                  // exact copy → fully removed
+      // shares a0..a8 (9 tokens → two overlapping 8-windows → ONE span)
+      (3L, words("a", 9) + " " + words("x", 6)),
+      // shares two DISJOINT 8-runs of doc 1 split by its own tokens:
+      // a0..a7, then y-gap longer than L, then... doc 1 is only 12 long,
+      // so take a0..a7 and the unrelated z-run shared with doc 5 instead
+      (4L, words("a", 8) + " " + words("y", 9) + " " + words("z", 8)),
+      (5L, words("z", 8) + " " + words("w", 4)),   // shares z0..z7 with 4
+      // 7-token overlap with doc 1 — below L, must NOT flag
+      (6L, words("a", 7) + " " + words("q", 8)),
+      (7L, words("v", 5))                          // shorter than L
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.substringSpans(docs, L = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 owns everything it shares; doc 7 too short; doc 6 sub-L;
+    // doc 5 owns z (5 > 4? no — owner is MIN doc_id, so 4 owns z)
+    assert(!got.contains(1L) && !got.contains(6L) && !got.contains(7L),
+      s"owner/sub-L docs wrongly flagged: $got")
+    assert(got(2L) == (1L, 12L, 12L), s"exact copy: ${got.get(2L)}")
+    // doc 3: starts 0 and 1 overlap → one merged span of 9 tokens
+    assert(got(3L) == (1L, 9L, 15L), s"overlap merge: ${got.get(3L)}")
+    // doc 4: only the a-run is non-owned (it owns the z-run) → one span
+    assert(got(4L) == (1L, 8L, 25L), s"doc4: ${got.get(4L)}")
+    // doc 5: z-run owned by doc 4 → one 8-token span
+    assert(got(5L) == (1L, 8L, 12L), s"doc5: ${got.get(5L)}")
+  }
+
   test("labelsCache keys on applicationId and clears on demand") {
     DedupQueries.clearLabelsCache()
     val l1 = DedupQueries.clusterLabels(spark, TestSpark.sfDir)
