@@ -52,8 +52,18 @@ object Bench {
       // checkpoint / shuffle references so the ContextCleaner can reclaim
       // them NOW, instead of letting pressure build into a later query's
       // timing window (see periodicGC.interval note above)
+      // Deterministic scratch cleanup BETWEEN queries (untimed): queries
+      // that localCheckpoint (label propagation, IVF builds) leave their
+      // blocks registered until the ContextCleaner GCs the reference —
+      // across 190+ executions that storage-memory pressure inflates the
+      // mid-run tail 2-3× (d05 measured 4.6 s fresh vs 11.5 s mid-run).
+      // Dropping them eagerly keeps every query's timing independent of
+      // how much ran before it; the periodic System.gc() then releases
+      // broadcast/shuffle scratch the cleaner tracks by weak reference.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       sinceGc += 1
-      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
+      if (sinceGc >= 15) { sinceGc = 0; System.gc() }
       val times = (1 to 2).flatMap { _ =>
         // d08/d09 memoize their label-propagation intermediate; clear it
         // so every timed run pays the full cost (otherwise run 2 of d08

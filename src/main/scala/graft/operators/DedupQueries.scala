@@ -833,7 +833,13 @@ object DedupQueries {
     * ≥1 span: (doc_id, n_spans, removed_tokens, n_tokens), doc_id-sorted.
     * See the d29 QueryDef scaladoc for the scale analysis.
     */
-  def substringSpans(docs: DataFrame, L: Int = 8): DataFrame = {
+  /** Flagged duplicate L-token window starts: (doc_id, n, pos) rows where
+    * the window at `pos` occurs in ≥2 distinct docs and this doc is not
+    * its min-doc_id owner. Shared core of d29 (span report) and c14
+    * (scrubbed rewrite) — see the d29 QueryDef scaladoc for why ownership
+    * is a gram-partition window (single kernel evaluation, join-free).
+    */
+  def duplicateWindows(docs: DataFrame, L: Int = 8): DataFrame = {
     val grams = docs.withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), size(col("toks")).as("n"), posexplode(expr(
         s"""CASE WHEN size(toks) >= $L
@@ -841,11 +847,16 @@ object DedupQueries {
                     i -> md5(array_join(slice(toks, i + 1, $L), ' ')))
              ELSE array() END""")).as(Seq("pos", "g")))
     val wG = Window.partitionBy(col("g"))
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     grams
       .withColumn("owner", min(col("doc_id")).over(wG))
       .withColumn("mxdoc", max(col("doc_id")).over(wG))
       .filter(col("mxdoc") =!= col("owner") && col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("n"), col("pos"))
+  }
+
+  def substringSpans(docs: DataFrame, L: Int = 8): DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    duplicateWindows(docs, L)
       .select(col("doc_id"), col("n"), col("pos"), (col("pos") + L).as("e"))
       .withColumn("pmax", max(col("e")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, -1)))
@@ -2521,6 +2532,62 @@ object DedupQueries {
                CAST(SUM(e2 - s) AS BIGINT) AS removed_tokens,
                CAST(n AS BIGINT) AS n_tokens
         FROM spans GROUP BY doc_id, n ORDER BY doc_id"""),
-      doc = "exact-substring span dedup: L-token rolling windows, df>=2 non-owner flagging, gaps-and-islands span merge (Lee et al. span removal)")
+      doc = "exact-substring span dedup: L-token rolling windows, df>=2 non-owner flagging, gaps-and-islands span merge (Lee et al. span removal)"),
+
+    // ------------------------------------------------------------------
+    // c14: SPAN-SCRUBBED CORPUS EXPORT — the rewrite d29's report
+    // implies: emit every surviving document's text with its duplicated
+    // spans excised (fully-covered docs drop out entirely), plus the
+    // kept-token count. This is the operator a pipeline actually runs
+    // after deciding on span removal; d29 is its audit report.
+    //
+    // Shape: flagged window starts (the d29 core, shared via
+    // duplicateWindows) explode to covered positions (≤ L rows per
+    // flagged start, distinct-folded on (doc, pos)); the corpus
+    // re-explodes to (doc, pos, token) and a LEFT ANTI join drops the
+    // covered positions — both sides shuffle once on doc_id and the
+    // anti join is key-local. Text reassembly is array_sort over the
+    // per-doc collected (pos, token) structs — deterministic total
+    // order, no window. Everything is O(total tokens · L) rows at
+    // worst, no pair expansion anywhere.
+    QueryDef(
+      "c14_span_scrubbed_export",
+      (s, dir) => {
+        import s.implicits._
+        val L = 8
+        val docs = corpus(s, dir)
+        val cov = duplicateWindows(docs, L)
+          .select($"doc_id", explode(expr(s"sequence(pos, pos + ${L - 1})")).as("p"))
+          .distinct()
+        val toksPos = docs.withColumn("toks", tokens($"text"))
+          .select($"doc_id", posexplode($"toks").as(Seq("p", "w")))
+        toksPos.join(cov, Seq("doc_id", "p"), "left_anti")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            expr("array_join(transform(array_sort(collect_list(struct(p, w))), x -> x.w), ' ')")
+              .as("clean_text"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH corpus AS ($corpusSql),
+        tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM corpus),
+        grams AS (SELECT doc_id, len(toks) AS n, i - 1 AS pos,
+                         md5(array_to_string(toks[i:i+7], ' ')) AS g
+                  FROM tok, UNNEST(range(1, GREATEST(len(toks) - 6, 1))) AS u(i)),
+        stats AS (SELECT g, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS owner
+                  FROM grams GROUP BY g),
+        cov AS (SELECT DISTINCT gr.doc_id, gr.pos + o.off AS p
+                FROM grams gr JOIN stats st USING (g), UNNEST(range(0, 8)) AS o(off)
+                WHERE st.df >= 2 AND gr.doc_id <> st.owner),
+        toksp AS (SELECT t.doc_id, u.i - 1 AS p, toks[u.i] AS w
+                  FROM tok t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+        kept AS (SELECT tp.doc_id, tp.p, tp.w FROM toksp tp
+                 LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.p = c.p
+                 WHERE c.p IS NULL)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(w, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "span-scrubbed corpus export: duplicated spans excised from surviving docs, deterministic token reassembly")
   )
 }

@@ -683,6 +683,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("c14 scrub is exactly consistent with d29's span report") {
+    val spans = QueryDef.registry.find(_.name == "d29_substring_spans").get
+      .build(spark, sfDir)
+      .select($"doc_id", $"removed_tokens", $"n_tokens")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val kept = QueryDef.registry.find(_.name == "c14_span_scrubbed_export").get
+      .build(spark, sfDir)
+      .select($"doc_id", $"n_kept", size(TextFunctions.tokens($"clean_text")).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    // reassembled text always tokenizes back to exactly n_kept tokens
+    kept.foreach { case (id, nk, nt) =>
+      assert(nk == nt, s"doc $id: clean_text has $nt tokens, n_kept=$nk")
+    }
+    val keptById = kept.map(r => r._1 -> r._2).toMap
+    // flagged-but-surviving docs keep exactly n_tokens - removed_tokens;
+    // fully-removed docs are absent from the export
+    spans.foreach { case (id, (rm, n)) =>
+      if (rm == n) assert(!keptById.contains(id), s"fully-removed doc $id exported")
+      else assert(keptById.get(id).contains(n - rm),
+        s"doc $id: kept ${keptById.get(id)}, expected ${n - rm}")
+    }
+    // unflagged docs survive whole: export covers every corpus doc that
+    // is not fully removed
+    val corpusN = operators.DedupQueries.corpus(spark, sfDir).count()
+    val fullyRemoved = spans.count { case (_, (rm, n)) => rm == n }
+    assert(kept.length.toLong == corpusN - fullyRemoved,
+      s"export rows ${kept.length} != corpus $corpusN - fullyRemoved $fullyRemoved")
+  }
+
   test("s16 SQ8: approx ranking is complete, near exact, codes bounded") {
     val rows = QueryDef.registry.find(_.name == "s16_sq8_quantized").get
       .build(spark, sfDir)
