@@ -1755,7 +1755,101 @@ object TextQueries {
                round(1.0 - CAST(COUNT(DISTINCT stem) AS DOUBLE)
                      / CAST(COUNT(DISTINCT w) AS DOUBLE), 6) AS vocab_reduction
         FROM stemmed GROUP BY lang ORDER BY lang"""),
-      doc = "stemmed vocabulary profile: stopword removal + S-stemmer, raw vs stemmed vocab per language")
+      doc = "stemmed vocabulary profile: stopword removal + S-stemmer, raw vs stemmed vocab per language"),
+
+    // ------------------------------------------------------------------
+    // t25: SUBWORD TOKENIZER APPLICATION (BPE encode) at corpus scale —
+    // the other half of the trained-tokenizer story (bpeTrain learns
+    // merges; this APPLIES a merge table to every document and reports
+    // the per-doc token counts a data pipeline budgets with). The merge
+    // table here is the one-shot SQL-derivable variant — the global
+    // top-K adjacent character pairs under the total order
+    // (count desc, a, b) — so the ORACLE can derive the identical table
+    // and the whole operator stays hash-checkable end-to-end (the true
+    // sequential trainer is driver-coordinated and lives in
+    // TextFunctions.bpeTrain with its own equivalence specs).
+    //
+    // Encode representation: each word becomes a -delimited
+    // symbol string ("␁a␁␁b␁␁c␁"); applying merge (a,b) is ONE literal
+    // replace of "␁a␁␁b␁" with "␁ab␁". The double separator means a
+    // replacement never consumes a neighbouring symbol's delimiter, so
+    // K sequential replaces == the greedy non-overlapping merge fold,
+    // and BOTH engines share the identical left-to-right replace
+    // semantics. Merged symbols are opaque: a pattern can never match
+    // inside one (its characters lose their delimiters).
+    //
+    // Scale shape: the merge table is a bounded driver artifact (K rows
+    // collected once — the "load the tokenizer" step); encode itself is
+    // a MAP-ONLY in-row fold (transform over the token array, nested
+    // replaces, aggregate sum) — no explode, no shuffle before the
+    // final sort, embarrassingly parallel at any corpus size (PlanSpec
+    // locks zero pre-sort exchanges).
+    QueryDef(
+      "t25_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val K = 12
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val merges: Seq[(String, String)] = docs
+          .select(explode(tokens($"text")).as("w")).filter(length($"w") >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, length(w) - 1),
+                 i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"""))
+            .as("p"))
+          .groupBy($"p.a", $"p.b").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"a".asc, $"b".asc).limit(K)
+          .select($"a", $"b").as[(String, String)].collect().toSeq
+        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+        val wrapped =
+          """concat(chr(1), array_join(transform(sequence(1, length(w)),
+               i -> substring(w, i, 1)), concat(chr(1), chr(1))), chr(1))"""
+        val enc = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+          s"""replace($acc,
+               concat(chr(1), '${esc(a)}', chr(1), chr(1), '${esc(b)}', chr(1)),
+               concat(chr(1), '${esc(a)}${esc(b)}', chr(1)))"""
+        }
+        docs.withColumn("toks",
+            filter(tokens($"text"), w => length(w) >= 1))
+          .filter(size($"toks") > 0)
+          .select($"doc_id",
+            size($"toks").cast("long").as("n_words"),
+            expr("aggregate(toks, 0L, (s, w) -> s + length(w))").as("n_chars"),
+            expr(s"""aggregate(toks, 0L, (s, w) -> s +
+                 (length($enc) - length(replace($enc, concat(chr(1), chr(1)), ''))) div 2 + 1)""")
+              .as("n_bpe_tokens"))
+          .withColumn("chars_per_token",
+            round($"n_chars".cast("double") / $"n_bpe_tokens", 6))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val K = 12
+        val wrapped =
+          """chr(1) || array_to_string(list_transform(range(1, len(u.w) + 1),
+               i -> u.w[i]), chr(1) || chr(1)) || chr(1)"""
+        val enc = (1 to K).foldLeft(wrapped) { (acc, k) =>
+          s"""replace($acc,
+               (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM m WHERE rk = $k),
+               (SELECT chr(1) || a || b || chr(1) FROM m WHERE rk = $k))"""
+        }
+        s"""
+        WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                     FROM documents),
+        wrd AS (SELECT u.w FROM tok, UNNEST(toks) AS u(w) WHERE len(u.w) >= 2),
+        pr AS (SELECT w[i] AS a, w[i+1] AS b
+               FROM wrd, UNNEST(range(1, len(w))) AS g(i)),
+        m AS (SELECT a, b, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, a, b) AS rk
+              FROM pr GROUP BY a, b ORDER BY COUNT(*) DESC, a, b LIMIT $K),
+        per_word AS (
+          SELECT doc_id, len(u.w) AS n_ch,
+                 (length($enc) - length(replace($enc, chr(1) || chr(1), ''))) // 2 + 1 AS n_sym
+          FROM tok, UNNEST(toks) AS u(w) WHERE len(u.w) >= 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+               CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+               round(CAST(SUM(n_ch) AS DOUBLE) / SUM(n_sym), 6) AS chars_per_token
+        FROM per_word GROUP BY doc_id ORDER BY doc_id"""
+      },
+      doc = "subword tokenizer application (BPE encode): SQL-derivable top-K merge table, map-only in-row encode fold, per-doc token budget")
   )
 
   /** t24's stopword-removal set: every language-ID list plus the quality

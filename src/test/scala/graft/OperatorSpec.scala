@@ -713,6 +713,22 @@ class OperatorSpec extends AnyFunSuite {
       s"export rows ${kept.length} != corpus $corpusN - fullyRemoved $fullyRemoved")
   }
 
+  test("t25 bpe encode: token counts bounded by words and chars, net compression") {
+    val rows = QueryDef.registry.find(_.name == "t25_bpe_encode").get
+      .build(spark, sfDir)
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // a word of c chars encodes to between 1 and c symbols, so per doc:
+    // n_words <= n_bpe_tokens <= n_chars
+    rows.foreach { case (id, w, c, t) =>
+      assert(w >= 1 && t >= w && t <= c, s"doc $id: words=$w chars=$c toks=$t")
+    }
+    // the learned merges must actually fire somewhere: corpus-level
+    // token mass strictly below character mass
+    assert(rows.map(_._4).sum < rows.map(_._3).sum, "no merge ever applied")
+  }
+
   test("s16 SQ8: approx ranking is complete, near exact, codes bounded") {
     val rows = QueryDef.registry.find(_.name == "s16_sq8_quantized").get
       .build(spark, sfDir)

@@ -288,6 +288,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), "gram/islands windows missing")
   }
 
+  test("t25 bpe encode: map-only in-row fold, no pre-sort exchange") {
+    val p = plan("t25_bpe_encode")
+    // the encode fold runs inside the row (transform + nested replace +
+    // aggregate); the only exchange allowed is the final orderBy range
+    // partition — any hash exchange means the fold leaked into a shuffle
+    assert(!p.contains("hashpartitioning"),
+      s"encode fold shuffled:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange ")) == 1,
+      s"more than the final sort exchange:\n$p")
+    assert(!p.contains("Join"), "tokenizer application must not join")
+  }
+
   test("d16 semantic dedup: broadcast centroid assignment, keyed pair join") {
     val p = plan("d16_semantic_dedup")
     // centroid assignment: broadcast nested-loop against the 8-row side
