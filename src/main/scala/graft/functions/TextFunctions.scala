@@ -27,6 +27,31 @@ object TextFunctions {
             i -> concat_ws(' ', ${(0 until n).map(k => s"element_at($toksCol, i + $k)").mkString(", ")}))
         ELSE array() END""")
 
+  /** SQL-text encode expression for applying an ordered BPE merge table
+    * to the string variable `w` (a column name or HOF lambda variable):
+    * the word becomes a chr(1)-delimited symbol string ("␁a␁␁b␁␁c␁") and
+    * each merge (a,b) is ONE literal replace of "␁a␁␁b␁" with "␁ab␁".
+    * The double delimiter means a replacement never consumes a
+    * neighbouring symbol's boundary, so K sequential replaces equal the
+    * greedy left-to-right non-overlapping merge fold (the property
+    * TextVectorProps proves against a plain-Scala reference); merged
+    * symbols are opaque — a pattern cannot match inside one because its
+    * characters lose their delimiters. Multi-char symbols on either side
+    * of a merge are supported. Used by t25 and shareable by any encode
+    * surface; symbols are escaped for Spark's literal parser.
+    */
+  def bpeEncodeSymExpr(merges: Seq[(String, String)], w: String = "w"): String = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    val wrapped =
+      s"""concat(chr(1), array_join(transform(sequence(1, length($w)),
+           i -> substring($w, i, 1)), concat(chr(1), chr(1))), chr(1))"""
+    merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      s"""replace($acc,
+           concat(chr(1), '${esc(a)}', chr(1), chr(1), '${esc(b)}', chr(1)),
+           concat(chr(1), '${esc(a)}${esc(b)}', chr(1)))"""
+    }
+  }
+
   /** One MinHash component: min over shingles of a salted md5 prefix.
     * NULL for documents with no shingles (mirrors list_min([]) in DuckDB).
     */

@@ -1799,15 +1799,7 @@ object TextQueries {
           .groupBy($"p.a", $"p.b").agg(count(lit(1)).as("n"))
           .orderBy($"n".desc, $"a".asc, $"b".asc).limit(K)
           .select($"a", $"b").as[(String, String)].collect().toSeq
-        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
-        val wrapped =
-          """concat(chr(1), array_join(transform(sequence(1, length(w)),
-               i -> substring(w, i, 1)), concat(chr(1), chr(1))), chr(1))"""
-        val enc = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
-          s"""replace($acc,
-               concat(chr(1), '${esc(a)}', chr(1), chr(1), '${esc(b)}', chr(1)),
-               concat(chr(1), '${esc(a)}${esc(b)}', chr(1)))"""
-        }
+        val enc = bpeEncodeSymExpr(merges)
         docs.withColumn("toks",
             filter(tokens($"text"), w => length(w) >= 1))
           .filter(size($"toks") > 0)

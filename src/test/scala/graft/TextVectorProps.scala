@@ -89,4 +89,100 @@ object TextVectorProps extends Properties("TextVector") {
         .as[Double].head()
       c == 1.0
     }
+
+  // --------------------------------------------- substring span reference
+
+  /** Plain-Scala reference for DedupQueries.substringSpans: flag every
+    * L-window occurring in ≥2 distinct docs whose doc is not the min-id
+    * owner, merge starts into maximal intervals, summarize per doc.
+    */
+  private def refSpans(docs: Seq[(Long, Seq[String])], L: Int)
+      : Map[Long, (Long, Long, Long)] = {
+    val grams = docs.flatMap { case (id, toks) =>
+      if (toks.size >= L)
+        (0 to toks.size - L).map(p => (toks.slice(p, p + L).mkString(" "), id, p))
+      else Nil
+    }
+    val owners = grams.groupBy(_._1).map { case (g, os) =>
+      g -> (os.map(_._2).distinct.size, os.map(_._2).min) }
+    val flagged = grams.filter { case (g, id, _) =>
+      val (df, owner) = owners(g); df >= 2 && id != owner }
+    flagged.groupBy(_._2).map { case (id, ws) =>
+      var spans = List.empty[(Int, Int)]
+      ws.map(_._3).sorted.foreach { p =>
+        spans match {
+          case (s, e) :: rest if p <= e => spans = (s, math.max(e, p + L)) :: rest
+          case _ => spans = (p, p + L) :: spans
+        }
+      }
+      val n = docs.find(_._1 == id).get._2.size.toLong
+      id -> ((spans.size.toLong, spans.map { case (s, e) => e - s }.sum.toLong, n))
+    }
+  }
+
+  private val spanDocsGen: Gen[Seq[(Long, Seq[String])]] = for {
+    nDocs <- Gen.choose(2, 5)
+    vocab <- Gen.choose(2, 3) // tiny vocab → organic window collisions
+    docs <- Gen.listOfN(nDocs, Gen.choose(0, 14).flatMap(len =>
+      Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i"))))
+    copyFrom <- Gen.choose(0, nDocs - 1) // plant one exact copy
+  } yield (docs :+ docs(copyFrom)).zipWithIndex
+    .map { case (t, i) => ((i + 1).toLong, t.toSeq) }
+
+  property("substringSpans equals the plain-Scala reference (L=4)") =
+    forAll(spanDocsGen) { docs =>
+      val nonEmpty = docs.filter(_._2.nonEmpty)
+      val got = graft.operators.DedupQueries.substringSpans(
+        nonEmpty.map { case (id, ts) => (id, ts.mkString(" ")) }
+          .toDF("doc_id", "text"), L = 4)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      got == refSpans(nonEmpty, 4)
+    }
+
+  // ------------------------------------------------- bpe encode reference
+
+  /** Greedy left-to-right non-overlapping application of one merge. */
+  private def refMergeOnce(syms: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private val mergeChainGen: Gen[(String, Seq[(String, String)])] = for {
+    word <- Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    nMerges <- Gen.choose(0, 6)
+    picks <- Gen.listOfN(nMerges * 2, Gen.choose(0, 99))
+  } yield {
+    // chain merges over the growing symbol set so later merges can have
+    // multi-char sides (the representation must treat symbols opaquely)
+    val symbols = scala.collection.mutable.ArrayBuffer("a", "b", "c")
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    picks.grouped(2).foreach {
+      case Seq(i, j) =>
+        val m = (symbols(i % symbols.size), symbols(j % symbols.size))
+        if (!merges.contains(m) && !symbols.contains(m._1 + m._2)) {
+          merges += m; symbols += (m._1 + m._2)
+        }
+      case _ => ()
+    }
+    (word, merges.toSeq)
+  }
+
+  property("bpeEncodeSymExpr replace-fold equals the greedy merge reference") =
+    forAll(mergeChainGen) { case (word, merges) =>
+      val enc = Seq(Tuple1(word)).toDF("w")
+        .select(expr(TextFunctions.bpeEncodeSymExpr(merges, "w")))
+        .as[String].head()
+      val gotSyms = enc.split('\u0001').filter(_.nonEmpty).toList
+      val want = merges.foldLeft(word.map(_.toString).toList) {
+        case (syms, (a, b)) => refMergeOnce(syms, a, b) }
+      gotSyms == want
+    }
 }
