@@ -1803,11 +1803,15 @@ object TextQueries {
         docs.withColumn("toks",
             filter(tokens($"text"), w => length(w) >= 1))
           .filter(size($"toks") > 0)
+          // bind each word's encoded string ONCE (the symbol count needs
+          // its length twice — inlining $enc in both would run the whole
+          // K-replace fold twice per word)
+          .withColumn("encs", expr(s"transform(toks, w -> $enc)"))
           .select($"doc_id",
             size($"toks").cast("long").as("n_words"),
             expr("aggregate(toks, 0L, (s, w) -> s + length(w))").as("n_chars"),
-            expr(s"""aggregate(toks, 0L, (s, w) -> s +
-                 (length($enc) - length(replace($enc, concat(chr(1), chr(1)), ''))) div 2 + 1)""")
+            expr("""aggregate(encs, 0L, (s, e) -> s +
+                 (length(e) - length(replace(e, concat(chr(1), chr(1)), ''))) div 2 + 1)""")
               .as("n_bpe_tokens"))
           .withColumn("chars_per_token",
             round($"n_chars".cast("double") / $"n_bpe_tokens", 6))
