@@ -839,24 +839,33 @@ object DedupQueries {
     * (scrubbed rewrite) — see the d29 QueryDef scaladoc for why ownership
     * is a gram-partition window (single kernel evaluation, join-free).
     */
-  def duplicateWindows(docs: DataFrame, L: Int = 8): DataFrame = {
-    val grams = docs.withColumn("toks", tokens(col("text")))
+  /** (doc_id, text) → one row per L-token rolling window: (doc_id, n,
+    * pos, g) with g = md5 of the space-joined window. The shared gram
+    * materialization of d29/c14/d30.
+    */
+  def gramsOf(docs: DataFrame, L: Int): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), size(col("toks")).as("n"), posexplode(expr(
         s"""CASE WHEN size(toks) >= $L
              THEN transform(sequence(0, size(toks) - $L),
                     i -> md5(array_join(slice(toks, i + 1, $L), ' ')))
              ELSE array() END""")).as(Seq("pos", "g")))
+
+  def duplicateWindows(docs: DataFrame, L: Int = 8): DataFrame = {
     val wG = Window.partitionBy(col("g"))
-    grams
+    gramsOf(docs, L)
       .withColumn("owner", min(col("doc_id")).over(wG))
       .withColumn("mxdoc", max(col("doc_id")).over(wG))
       .filter(col("mxdoc") =!= col("owner") && col("doc_id") =!= col("owner"))
       .select(col("doc_id"), col("n"), col("pos"))
   }
 
-  def substringSpans(docs: DataFrame, L: Int = 8): DataFrame = {
+  /** Flagged window starts (doc_id, n, pos) → per-doc maximal-span
+    * summary (the gaps-and-islands tail shared by d29 and d30).
+    */
+  def spansFromFlagged(flagged: DataFrame, L: Int): DataFrame = {
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    duplicateWindows(docs, L)
+    flagged
       .select(col("doc_id"), col("n"), col("pos"), (col("pos") + L).as("e"))
       .withColumn("pmax", max(col("e")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, -1)))
@@ -873,6 +882,9 @@ object DedupQueries {
         col("n").cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  def substringSpans(docs: DataFrame, L: Int = 8): DataFrame =
+    spansFromFlagged(duplicateWindows(docs, L), L)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -2588,6 +2600,71 @@ object DedupQueries {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
                string_agg(w, ' ' ORDER BY p) AS clean_text
         FROM kept GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "span-scrubbed corpus export: duplicated spans excised from surviving docs, deterministic token reassembly")
+      doc = "span-scrubbed corpus export: duplicated spans excised from surviving docs, deterministic token reassembly"),
+
+    // ------------------------------------------------------------------
+    // d30: INCREMENTAL substring-span dedup — d29's answer to "a new
+    // crawl batch arrived; do NOT re-scan the corpus" (the d13/d19/d28
+    // pattern applied to the substring family). The corpus splits by
+    // the d28 convention into an existing 75% (doc_id % 4 != 3) and a
+    // new batch (% 4 == 3). The existing side contributes only its
+    // GRAM INDEX — gram → (min owner, present) — which at 100 TB is
+    // the persisted, incrementally-maintained table (built in-query
+    // here so the oracle can see it); its documents are never
+    // re-flagged and their text never re-read by the incremental step.
+    // A batch window is duplicated iff its gram exists in the index OR
+    // in ≥2 distinct batch docs, and the doc is not the GLOBAL owner
+    // (min of index owner and batch min — window aggregates over the
+    // batch gram partition, the d29 shape). Incremental ≡ rebuild IS
+    // the invariant: the oracle is d29's full-recompute SQL verbatim,
+    // restricted to batch docs.
+    QueryDef(
+      "d30_incremental_substring",
+      (s, dir) => {
+        import s.implicits._
+        val L = 8
+        val all = corpus(s, dir)
+        val idx = gramsOf(all.filter($"doc_id" % 4 =!= 3), L)
+          .groupBy($"g").agg(min($"doc_id").as("old_owner"))
+        val wG = Window.partitionBy($"g")
+        val flagged = gramsOf(all.filter($"doc_id" % 4 === 3), L)
+          .withColumn("new_min", min($"doc_id").over(wG))
+          .withColumn("new_max", max($"doc_id").over(wG))
+          .join(idx, Seq("g"), "left")
+          .withColumn("owner", least(coalesce($"old_owner", $"new_min"), $"new_min"))
+          .filter(($"old_owner".isNotNull || $"new_min" =!= $"new_max")
+            && $"doc_id" =!= $"owner")
+          .select($"doc_id", $"n", $"pos")
+        spansFromFlagged(flagged, L)
+      },
+      Some(s"""
+        WITH corpus AS ($corpusSql),
+        tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM corpus),
+        grams AS (
+          SELECT doc_id, len(toks) AS n, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i+7], ' ')) AS g
+          FROM tok, UNNEST(range(1, GREATEST(len(toks) - 6, 1))) AS u(i)),
+        stats AS (SELECT g, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS owner
+                  FROM grams GROUP BY g),
+        cov AS (SELECT gr.doc_id, gr.n, gr.pos, gr.pos + 8 AS e
+                FROM grams gr JOIN stats st USING (g)
+                WHERE st.df >= 2 AND gr.doc_id <> st.owner
+                  AND gr.doc_id % 4 = 3),
+        isl AS (SELECT doc_id, n, pos, e,
+                  MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM cov),
+        isl2 AS (SELECT doc_id, n, pos, e,
+                  SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM isl),
+        spans AS (SELECT doc_id, n, island, MIN(pos) AS s, MAX(e) AS e2
+                  FROM isl2 GROUP BY 1, 2, 3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e2 - s) AS BIGINT) AS removed_tokens,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM spans GROUP BY doc_id, n ORDER BY doc_id"""),
+      doc = "incremental substring-span dedup: batch grams vs stored gram index, global ownership reconstructed; rebuild-equality oracle (d29 restricted to the batch)")
   )
 }

@@ -683,6 +683,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("d30 incremental substring report equals the full rebuild on the batch") {
+    val rebuild = QueryDef.registry.find(_.name == "d29_substring_spans").get
+      .build(spark, sfDir).filter($"doc_id" % 4 === 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val incremental = QueryDef.registry.find(_.name == "d30_incremental_substring").get
+      .build(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(incremental == rebuild,
+      s"incremental diverges: only-inc=${(incremental -- rebuild).take(3)} " +
+        s"only-rebuild=${(rebuild -- incremental).take(3)}")
+    assert(incremental.nonEmpty, "batch had nothing to flag — test corpus degenerate")
+  }
+
   test("c14 scrub is exactly consistent with d29's span report") {
     val spans = QueryDef.registry.find(_.name == "d29_substring_spans").get
       .build(spark, sfDir)

@@ -300,6 +300,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "tokenizer application must not join")
   }
 
+  test("d30 incremental substring: gram-keyed index probe, no pair expansion") {
+    val p = plan("d30_incremental_substring")
+    // the batch joins the stored gram index on the md5 key only — an
+    // equi join; any nested-loop/cartesian would be an all-pairs blowup
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"index probe degenerated:\n$p")
+    // exactly one join: batch grams × index (the existing corpus's text
+    // is read only to build the index, never to re-flag)
+    assert(p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin")) == 1,
+      s"expected exactly the index probe join:\n$p")
+  }
+
   test("d16 semantic dedup: broadcast centroid assignment, keyed pair join") {
     val p = plan("d16_semantic_dedup")
     // centroid assignment: broadcast nested-loop against the 8-row side
