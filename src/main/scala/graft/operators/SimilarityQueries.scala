@@ -1123,8 +1123,153 @@ object SimilarityQueries {
           .limit(5)
       },
       Some(storedIvfOracleSql(" AND a.vec_id % 7 <> 3")),
-      doc = "IVF index delete: key tombstones mask the stored index, no rewrite, no retrain")
+      doc = "IVF index delete: key tombstones mask the stored index, no rewrite, no retrain"),
+
+    // ------------------------------------------------------------------
+    // s19: MMR-diversified retrieval (Maximal Marginal Relevance,
+    // Carbonell & Goldstein 1998) — the standard answer to "the top-k
+    // are all near-duplicates of each other" when sampling eval/demo
+    // sets from a deduplicated-but-still-clumpy corpus. Two stages with
+    // sharply different scale behavior, deliberately separated:
+    //   1. candidate generation — the DISTRIBUTED part: exact top-16 by
+    //      rounded cosine vs the query (s01's plan: broadcast query,
+    //      map-side scoring, TakeOrderedAndProject). At 100 TB this is
+    //      per-query ANN (s07/s09/s14) instead; MMR only ever sees the
+    //      small head.
+    //   2. greedy re-rank — the PER-QUERY part: λ·rel − (1−λ)·max-sim-
+    //      to-selected, λ=0.7, k=6. The candidate head collapses to ONE
+    //      row (array of 16 structs) and the whole greedy loop runs as
+    //      an in-row aggregate() fold — zero driver involvement, zero
+    //      per-step shuffles, and with many queries it parallelizes as
+    //      one row per query (the fold is a plain projection).
+    // Determinism: rel and pairwise sims go through the decimal-exact
+    // dot fold rounded to 9 (the s01 contract); the MMR score arithmetic
+    // is double with identical literals/association both sides; every
+    // argmax tie-breaks to the smaller vec_id (struct-max over
+    // (score, -vec_id)). Seed convention: the first pick is argmax rel
+    // and records score = rel (max over an empty selected set).
+    QueryDef(
+      "s19_mmr_diversified",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        val cands = emb.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id", $"embedding".as("emb"),
+            round(cosineExact("embedding", "qv"), 9).as("rel"),
+            sqrt(dotExact("embedding", "embedding")).as("na"))
+          .orderBy($"rel".desc, $"vec_id".asc)
+          .limit(16)
+        // collapse the head to one array row, rel-desc/vec_id-asc sorted:
+        // nk = -(rel·1e9 as long) is a faithful descending key for a
+        // 9-rounded |rel| ≤ 1 (integral, far inside 2^53)
+        val packed = cands.agg(expr(
+          """sort_array(collect_list(named_struct(
+               'nk', -CAST(round(rel * 1e9) AS BIGINT),
+               'vec_id', vec_id, 'rel', rel, 'na', na, 'emb', emb)))""")
+          .as("cs"))
+        packed.select(expr(mmrGreedySql).as("sel"))
+          .select(posexplode($"sel").as(Seq("i", "r")))
+          .select(($"i" + 1).cast("long").as("rank"), $"r.vec_id".as("vec_id"),
+            $"r.rel".as("rel"), $"r.score".as("score"))
+          .orderBy($"rank")
+      },
+      Some(mmrOracleSql),
+      doc = "MMR-diversified top-k: distributed candidate head + in-row greedy λ·rel − (1−λ)·max-sim re-rank, argmax ties to smaller vec_id")
   )
+
+  /** The s19 greedy MMR loop as ONE in-row fold over the packed
+    * candidate array `cs` (rel-desc sorted structs of
+    * (nk, vec_id, rel, na, emb)). State: (sel, rem); five steps append
+    * the argmax of round(0.7·rel − 0.3·max-sim-to-sel, 9) with ties to
+    * the smaller vec_id via struct-max over (score, -vec_id). The best
+    * candidate is recomputed per field access — N=16, k=6 makes the
+    * redundancy irrelevant, and it keeps the fold a single expression
+    * (SQL lambdas have no let-binding).
+    */
+  private def mmrGreedySql: String = {
+    val sim =
+      """round(CAST(aggregate(
+           zip_with(c.emb, s.emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           CAST(0 AS DECIMAL(38,18)),
+           (acc, p) -> CAST(acc + CAST(p AS DECIMAL(38,18)) AS DECIMAL(38,18)))
+         AS DOUBLE) / (c.na * s.na), 9)"""
+    val score =
+      s"""round(CAST(0.7 AS DOUBLE) * c.rel
+            - CAST(0.3 AS DOUBLE) * array_max(transform(st.sel, s -> $sim)), 9)"""
+    val best =
+      s"""array_max(transform(st.rem, c ->
+            named_struct('score', $score, 'negid', -c.vec_id, 'c', c)))"""
+    s"""aggregate(
+          sequence(2, 6),
+          named_struct(
+            'sel', array(named_struct('vec_id', cs[0].vec_id, 'rel', cs[0].rel,
+                                      'score', cs[0].rel, 'na', cs[0].na,
+                                      'emb', cs[0].emb)),
+            'rem', slice(cs, 2, size(cs) - 1)),
+          (st, step) -> named_struct(
+            'sel', concat(st.sel, array(named_struct(
+              'vec_id', $best.c.vec_id, 'rel', $best.c.rel,
+              'score', $best.score, 'na', $best.c.na, 'emb', $best.c.emb))),
+            'rem', filter(st.rem, r -> r.vec_id != $best.c.vec_id)),
+          st -> st.sel)"""
+  }
+
+  /** s19's oracle: the same two stages in DuckDB — candidate head +
+    * pairwise candidate sims as tables, then the k=6 greedy unrolled as
+    * a chained-CTE argmax (ORDER BY score DESC, vec_id LIMIT 1 per
+    * step; max-sim via a correlated lookup into the symmetric sims
+    * table). Generated programmatically so each step's "selected so
+    * far" union stays textually exact. The step CTEs are MATERIALIZED:
+    * DuckDB inlines plain CTEs, and each step referencing all previous
+    * steps 3× would otherwise expand the chain exponentially (measured:
+    * the inlined form never finishes; materialized runs in <0.5 s).
+    */
+  private def mmrOracleSql: String = {
+    val steps = (2 to 6).map { k =>
+      val prev = (1 until k).map(i => s"SELECT vec_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s""",
+        sel$k AS MATERIALIZED (
+          SELECT c.vec_id, c.rel,
+                 round(CAST(0.7 AS DOUBLE) * c.rel
+                   - CAST(0.3 AS DOUBLE) * (
+                     SELECT MAX(sm.sim) FROM sims sm
+                     WHERE (sm.va = c.vec_id AND sm.vb IN ($prev))
+                        OR (sm.vb = c.vec_id AND sm.va IN ($prev))), 9) AS score,
+                 $k AS rank
+          FROM cand c
+          WHERE c.vec_id NOT IN ($prev)
+          ORDER BY score DESC, c.vec_id ASC LIMIT 1)"""
+    }.mkString
+    val union = (1 to 6).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qpairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+                   FROM embeddings e, q WHERE e.vec_id <> 0),
+        reld AS (SELECT vec_id,
+                        ${oCosineSums()}
+                 FROM qpairs GROUP BY vec_id),
+        rels AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS rel
+                 FROM reld),
+        cand AS MATERIALIZED (SELECT vec_id, rel FROM rels
+                 ORDER BY rel DESC, vec_id ASC LIMIT 16),
+        cpair AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                         unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+                  FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+                  JOIN embeddings ea ON ea.vec_id = a.vec_id
+                  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        simd AS (SELECT va, vb,
+                        ${oCosineSums("nb")}
+                 FROM cpair GROUP BY va, vb),
+        sims AS MATERIALIZED (SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 9) AS sim
+                 FROM simd),
+        sel1 AS MATERIALIZED (SELECT vec_id, rel, rel AS score, 1 AS rank FROM cand
+                 ORDER BY rel DESC, vec_id ASC LIMIT 1)$steps
+        SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, score
+        FROM ($union) ORDER BY rank"""
+  }
 
   /** s14/s15/s18 shared oracle (s04's search semantics): the one-shot
     * build, the build+incremental-append, and the build+delete must all

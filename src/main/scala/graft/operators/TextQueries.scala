@@ -59,6 +59,54 @@ object TextQueries {
         $"avg_logp")
   }
 
+  /** c02's packing layout as a reusable builder: every document's
+    * (source, doc_id, n_toks, pack_id, pack_offset) under the
+    * deterministic per-source concat-and-chunk order. The cumulative sum
+    * is a per-source window — partitioned by source the way a production
+    * packer works per input shard, so the sort never becomes one global
+    * order at 100 TB. Exact long arithmetic end to end. Shared by c02
+    * (per-document view) and c15 (per-window manifest).
+    */
+  private def packAssignments(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "documents")
+      .withColumn("n_toks", size(tokens($"text")).cast("long"))
+      .withColumn("prev_cum", coalesce(sum($"n_toks").over(w), lit(0L)))
+      .select($"source", $"doc_id", $"n_toks",
+        expr("prev_cum div 256").as("pack_id"),
+        ($"prev_cum" % 256).as("pack_offset"))
+  }
+
+  /** The packing oracle's CTE chain up to
+    * `packed(source, doc_id, n_toks, pack_id, pack_offset)` — shared
+    * verbatim by the c02 and c15 oracles (the DuckDB mirror of
+    * `packAssignments`; HUGEINT running sum cast back to BIGINT).
+    */
+  private val packSqlCtes: String = """
+        WITH tok AS (
+          SELECT source, doc_id,
+                 CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                      AS BIGINT) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_toks,
+                 CAST(COALESCE(SUM(n_toks) OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS prev_cum
+          FROM tok),
+        packed AS (
+          SELECT source, doc_id, n_toks,
+                 prev_cum // 256 AS pack_id,
+                 prev_cum % 256 AS pack_offset
+          FROM c)"""
+
   /** The t18 oracle's CTE chain up to `scores(doc_id, n_bigrams,
     * avg_logp)` — shared verbatim by the t18 and c10 oracles.
     */
@@ -786,38 +834,11 @@ object TextQueries {
     // end (the oracle casts DuckDB's HUGEINT running sum back to BIGINT).
     QueryDef(
       "c02_sequence_packing",
-      (s, dir) => {
-        import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"source")
-          .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        Tables.load(s, dir, "documents")
-          .withColumn("n_toks", size(tokens($"text")).cast("long"))
-          .withColumn("prev_cum", coalesce(sum($"n_toks").over(w), lit(0L)))
-          .select($"source", $"doc_id", $"n_toks",
-            expr("prev_cum div 256").as("pack_id"),
-            ($"prev_cum" % 256).as("pack_offset"))
-          .orderBy($"doc_id")
-      },
-      Some("""
-        WITH tok AS (
-          SELECT source, doc_id,
-                 CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
-                      AS BIGINT) AS n_toks
-          FROM documents),
-        c AS (
-          SELECT source, doc_id, n_toks,
-                 CAST(COALESCE(SUM(n_toks) OVER (
-                        PARTITION BY source
-                        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                      AS BIGINT) AS prev_cum
-          FROM tok)
-        SELECT source, doc_id, n_toks,
-               prev_cum // 256 AS pack_id,
-               prev_cum % 256 AS pack_offset
-        FROM c ORDER BY doc_id"""),
+      (s, dir) => packAssignments(s, dir).orderBy("doc_id"),
+      Some(s"""
+        $packSqlCtes
+        SELECT source, doc_id, n_toks, pack_id, pack_offset
+        FROM packed ORDER BY doc_id"""),
       doc = "sequence packing: per-shard concat-and-chunk into 256-token windows"),
 
     // ------------------------------------------------------------------
@@ -1845,7 +1866,146 @@ object TextQueries {
                round(CAST(SUM(n_ch) AS DOUBLE) / SUM(n_sym), 6) AS chars_per_token
         FROM per_word GROUP BY doc_id ORDER BY doc_id"""
       },
-      doc = "subword tokenizer application (BPE encode): SQL-derivable top-K merge table, map-only in-row encode fold, per-doc token budget")
+      doc = "subword tokenizer application (BPE encode): SQL-derivable top-K merge table, map-only in-row encode fold, per-doc token budget"),
+
+    // ------------------------------------------------------------------
+    // c15: packed-window manifest (the trainer-facing dual of c02): one
+    // row per 256-token context window with the in-window document
+    // boundary offsets — exactly what a training loader needs to reset
+    // attention masks at document boundaries (the "attention doc
+    // masking" convention of T5/LLaMA packing) and to loss-mask the
+    // head tokens that continue a document from the previous window.
+    // Derivable entirely from c02's layout: a window's boundaries are
+    // the pack_offsets of documents STARTING in it; carry_in (= first
+    // boundary) counts continuation tokens spilling in from the
+    // previous window because packing is dense concatenation; fill
+    // clamps the last document's overhang at the window edge, so
+    // pad > 0 only on each source's tail window. One groupBy over the
+    // c02 window output — at 100 TB this is a per-source-shard
+    // aggregation with no extra global order. Windows fully inside a
+    // single long document start no documents and by contract do not
+    // appear (their mask is trivially "all continuation").
+    QueryDef(
+      "c15_pack_manifest",
+      (s, dir) => {
+        import s.implicits._
+        packAssignments(s, dir)
+          .groupBy($"source", $"pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sort_array(collect_list($"pack_offset")).as("boundaries"),
+            min($"pack_offset").as("carry_in"),
+            least(lit(256L), max($"pack_offset" + $"n_toks")).as("fill"))
+          .withColumn("pad", lit(256L) - $"fill")
+          .orderBy($"source", $"pack_id")
+      },
+      Some(s"""
+        $packSqlCtes
+        SELECT source, pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               list(pack_offset ORDER BY pack_offset) AS boundaries,
+               MIN(pack_offset) AS carry_in,
+               LEAST(256, MAX(pack_offset + n_toks)) AS fill,
+               256 - LEAST(256, MAX(pack_offset + n_toks)) AS pad
+        FROM packed GROUP BY source, pack_id
+        ORDER BY source, pack_id"""),
+      doc = "packed-window manifest: per-context-window doc-boundary offsets + continuation carry-in for attention/loss masking"),
+
+    // ------------------------------------------------------------------
+    // t26: Unicode script-mix profile — the script-level dual of t03's
+    // n-gram language ID, and the standard spam/obfuscation signal
+    // (mixed-script text is the classic homoglyph/keyword-stuffing
+    // tell; script histograms also drive per-script tokenizer routing).
+    // Non-Latin runs are PLANTED deterministically (the base corpus is
+    // ASCII) with the t12 convention — literal UTF-8 suffixes keyed on
+    // doc_id residues, identical in both engines. Counting is
+    // per-codepoint regexp extraction over explicit BMP ranges (the
+    // Java pattern holds the same codepoints the oracle's \\x{...}
+    // ranges name); dominant script is a fixed-precedence CASE shared
+    // textually with the oracle. Strictly map-only — profile columns
+    // never shuffle; the only exchange is the presentation sort.
+    QueryDef(
+      "t26_script_profile",
+      (s, dir) => {
+        import s.implicits._
+        // actual BMP chars in the Java character classes (Scala string
+        // escapes resolve at compile time; the pattern sees the chars)
+        val latinRe = "[A-Za-z]"
+        val cyrRe = "[Ѐ-ӿ]"
+        val cjkRe = "[一-鿿]"
+        val greekRe = "[Ͱ-Ͽ]"
+        val digitRe = "[0-9]"
+        def cnt(re: String) =
+          size(regexp_extract_all($"text", lit(re), lit(0))).cast("long")
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", concat($"text",
+            when($"doc_id" % 7 === 3, lit(" привет мир")).otherwise(lit("")),
+            when($"doc_id" % 11 === 4, lit(" 世界你好")).otherwise(lit("")),
+            when($"doc_id" % 13 === 5, lit(" αβγδε")).otherwise(lit("")),
+            // rare long plants flip the DOMINANT script (not just mix):
+            // every arm of the precedence CASE is exercised
+            when($"doc_id" % 97 === 13, expr("repeat(' привет мир', 40)"))
+              .otherwise(lit("")),
+            when($"doc_id" % 89 === 7, expr("repeat(' 世界你好', 80)"))
+              .otherwise(lit("")),
+            when($"doc_id" % 83 === 11, expr("repeat(' αβγδε', 80)"))
+              .otherwise(lit("")))
+            .as("text"))
+          .select($"doc_id", $"source",
+            length($"text").cast("long").as("n_chars"),
+            cnt(latinRe).as("n_latin"), cnt(cyrRe).as("n_cyr"),
+            cnt(cjkRe).as("n_cjk"), cnt(greekRe).as("n_greek"),
+            cnt(digitRe).as("n_digit"))
+          .withColumn("n_scripts", expr(
+            """CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+               CASE WHEN n_cyr   > 0 THEN 1 ELSE 0 END +
+               CASE WHEN n_cjk   > 0 THEN 1 ELSE 0 END +
+               CASE WHEN n_greek > 0 THEN 1 ELSE 0 END""").cast("long"))
+          .withColumn("dominant", expr(
+            """CASE WHEN n_latin >= n_cyr AND n_latin >= n_cjk AND n_latin >= n_greek AND n_latin > 0 THEN 'latin'
+                    WHEN n_cyr >= n_cjk AND n_cyr >= n_greek AND n_cyr > 0 THEN 'cyrillic'
+                    WHEN n_cjk >= n_greek AND n_cjk > 0 THEN 'cjk'
+                    WHEN n_greek > 0 THEN 'greek'
+                    ELSE 'none' END"""))
+          .withColumn("mixed", ($"n_scripts" >= 2).cast("long"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id, source,
+                 text
+                 || CASE WHEN doc_id % 7 = 3 THEN ' привет мир' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 4 THEN ' 世界你好' ELSE '' END
+                 || CASE WHEN doc_id % 13 = 5 THEN ' αβγδε' ELSE '' END
+                 || CASE WHEN doc_id % 97 = 13 THEN repeat(' привет мир', 40) ELSE '' END
+                 || CASE WHEN doc_id % 89 = 7 THEN repeat(' 世界你好', 80) ELSE '' END
+                 || CASE WHEN doc_id % 83 = 11 THEN repeat(' αβγδε', 80) ELSE '' END AS text
+          FROM documents),
+        counts AS (
+          SELECT doc_id, source,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+                 CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyr,
+                 CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+                 CAST(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+                 CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+          FROM planted)
+        SELECT doc_id, source, n_chars, n_latin, n_cyr, n_cjk, n_greek, n_digit,
+               CAST(CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+                    CASE WHEN n_cyr   > 0 THEN 1 ELSE 0 END +
+                    CASE WHEN n_cjk   > 0 THEN 1 ELSE 0 END +
+                    CASE WHEN n_greek > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_scripts,
+               CASE WHEN n_latin >= n_cyr AND n_latin >= n_cjk AND n_latin >= n_greek AND n_latin > 0 THEN 'latin'
+                    WHEN n_cyr >= n_cjk AND n_cyr >= n_greek AND n_cyr > 0 THEN 'cyrillic'
+                    WHEN n_cjk >= n_greek AND n_cjk > 0 THEN 'cjk'
+                    WHEN n_greek > 0 THEN 'greek'
+                    ELSE 'none' END AS dominant,
+               CAST(CASE WHEN (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+                               CASE WHEN n_cyr   > 0 THEN 1 ELSE 0 END +
+                               CASE WHEN n_cjk   > 0 THEN 1 ELSE 0 END +
+                               CASE WHEN n_greek > 0 THEN 1 ELSE 0 END) >= 2
+                         THEN 1 ELSE 0 END AS BIGINT) AS mixed
+        FROM counts ORDER BY doc_id"""),
+      doc = "Unicode script-mix profile: per-script codepoint counts over planted multi-script text, fixed-precedence dominant script, mixed-script flag")
   )
 
   /** t24's stopword-removal set: every language-ID list plus the quality

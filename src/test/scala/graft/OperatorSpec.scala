@@ -851,6 +851,101 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("s19 MMR matches a plain-Scala greedy reference") {
+    // independent double-math reimplementation of the two stages; the
+    // query's decimal-exact folds agree to 9 decimals, so the selected
+    // SEQUENCE must match exactly and scores within 2e-9
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap.map { case (id, v) => id -> v.map(_.toDouble) }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qv = emb(0L)
+    val nq = math.sqrt(dot(qv, qv))
+    val vecs = emb - 0L
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val rel = vecs.map { case (id, v) => id -> rnd(dot(v, qv) / (norms(id) * nq)) }
+    val cand = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(16)
+    def sim(a: Long, b: Long): Double =
+      rnd(dot(vecs(a), vecs(b)) / (norms(a) * norms(b)))
+    var sel = Vector((cand.head._1, cand.head._2, cand.head._2))
+    var rem = cand.tail
+    for (_ <- 2 to 6) {
+      val scored = rem.map { case (c, r) =>
+        val maxSim = sel.map(s => sim(c, s._1)).max
+        (c, r, rnd(0.7 * r - 0.3 * maxSim))
+      }
+      val best = scored.minBy { case (c, _, sc) => (-sc, c) }
+      sel :+= best
+      rem = rem.filterNot(_._1 == best._1)
+    }
+    val got = SparkEntry.queries("s19_mmr_diversified")(spark, sfDir)
+      .select($"rank", $"vec_id", $"rel", $"score")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == sel.map(_._1),
+      s"selected sequence diverged: got ${got.map(_._2).toSeq} want ${sel.map(_._1)}")
+    got.zip(sel).foreach { case ((_, _, gr, gs), (_, wr, ws)) =>
+      assert(math.abs(gr - wr) < 2e-9 && math.abs(gs - ws) < 2e-9)
+    }
+    // the MMR objective is monotone non-increasing: each step maximizes
+    // over a shrunk candidate set against a grown selected set
+    got.toSeq.sliding(2).collect { case Seq(a, b) =>
+      assert(b._4 <= a._4 + 2e-9, s"MMR objective increased: $a -> $b")
+    }.toList
+  }
+
+  test("c15 pack manifest is exactly the per-window rollup of c02's layout") {
+    val c02 = SparkEntry.queries("c02_sequence_packing")(spark, sfDir)
+      .select($"source", $"pack_id", $"pack_offset", $"n_toks")
+      .as[(String, Long, Long, Long)].collect()
+    val want = c02.groupBy(r => (r._1, r._2)).map { case ((src, pid), rs) =>
+      val offs = rs.map(_._3).sorted.toSeq
+      val fill = math.min(256L, rs.map(r => r._3 + r._4).max)
+      (src, pid) -> ((rs.length.toLong, offs, offs.head, fill, 256L - fill))
+    }
+    val got = SparkEntry.queries("c15_pack_manifest")(spark, sfDir)
+      .select($"source", $"pack_id", $"n_docs", $"boundaries", $"carry_in",
+        $"fill", $"pad")
+      .as[(String, Long, Long, Seq[Long], Long, Long, Long)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (src, pid, nd, bs, ci, fl, pd) =>
+      assert(want((src, pid)) == ((nd, bs, ci, fl, pd)), s"window ($src,$pid)")
+    }
+    // dense concatenation: every window except each source's tail is full
+    val lastPack = got.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+    got.foreach { case (src, pid, _, _, _, fl, _) =>
+      if (pid != lastPack(src)) assert(fl == 256L, s"mid-stream ($src,$pid) not full")
+    }
+  }
+
+  test("t26 script profile: plants flip mixed and dominant as designed") {
+    val rows = SparkEntry.queries("t26_script_profile")(spark, sfDir)
+      .select($"doc_id", $"n_chars", $"n_latin", $"n_cyr", $"n_cjk",
+        $"n_greek", $"n_scripts", $"dominant", $"mixed")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String, Long)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (id, nc, la, cy, cj, gr, ns, dom, mx) =>
+      assert(la + cy + cj + gr <= nc, s"doc $id counts exceed length")
+      assert((ns >= 2) == (mx == 1L), s"doc $id mixed flag inconsistent")
+      if (id % 7 == 3) assert(cy > 0, s"doc $id missing cyrillic plant")
+      if (id % 11 == 4) assert(cj > 0, s"doc $id missing cjk plant")
+      if (id % 13 == 5) assert(gr > 0, s"doc $id missing greek plant")
+      // independent Scala recomputation of the fixed-precedence argmax
+      val wantDom =
+        if (la >= cy && la >= cj && la >= gr && la > 0) "latin"
+        else if (cy >= cj && cy >= gr && cy > 0) "cyrillic"
+        else if (cj >= gr && cj > 0) "cjk"
+        else if (gr > 0) "greek" else "none"
+      assert(dom == wantDom, s"doc $id dominant $dom != recomputed $wantDom")
+    }
+    assert(rows.count(_._9 == 1L) > 0, "no mixed-script docs at this SF")
+    assert(Set("latin", "cyrillic", "cjk", "greek")
+      .subsetOf(rows.map(_._8).toSet), "some dominant branch never taken")
+    assert(byId.values.exists(_._8 == "latin"))
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)

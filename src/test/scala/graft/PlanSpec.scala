@@ -300,6 +300,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "tokenizer application must not join")
   }
 
+  test("t26 script profile is map-only regexp counting (one sort exchange)") {
+    val p = plan("t26_script_profile")
+    // per-script counts are in-row regexp extraction — no join, no agg,
+    // no shuffle but the presentation ORDER BY
+    assert(p.linesIterator.count(_.contains("Exchange ")) <= 1,
+      s"expected only the ORDER BY exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("ScalaUDF"),
+      s"script counting left the row:\n$p")
+  }
+
+  test("c15 pack manifest reuses c02's per-source partitioning for the rollup") {
+    val p = plan("c15_pack_manifest")
+    // the window shuffles once on source; the (source, pack_id) groupBy
+    // is satisfied by that same partitioning (subset clustering) — a
+    // second hash exchange would mean the rollup re-shuffled the corpus
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange:\n$p")
+    assert(p.contains("Window"), "packing layout window missing")
+  }
+
+  test("s19 MMR: distributed candidate head + in-row greedy (no re-join)") {
+    val p = plan("s19_mmr_diversified")
+    // stage 1 is s01's shape: broadcast query, top-k via
+    // TakeOrderedAndProject; stage 2 is ONE fold over ONE collected row —
+    // no join or shuffle may reference the corpus again
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate head is a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"greedy stage re-joined the corpus:\n$p")
+    assert(!p.contains("ScalaUDF"), "greedy fold fell back to a UDF")
+  }
+
   test("d30 incremental substring: gram-keyed index probe, no pair expansion") {
     val p = plan("d30_incremental_substring")
     // the batch joins the stored gram index on the md5 key only — an
