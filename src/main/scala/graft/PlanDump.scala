@@ -48,7 +48,10 @@ object PlanDump {
     "d07_simhash_near_pairs" -> "simhash bands through the same adaptive router; one signature materialization feeds all lanes",
     "m08_image_decode" -> "real-decode seam: map-only per-partition render+decode, no exchange before the output sort",
     "m09_split_decode" -> "non-solid real decode on the identical map-only seam: dHash edge + mixed luma",
-    "d29_substring_spans" -> "substring span removal: join-free gram-window ownership, one explode, islands merge")
+    "d29_substring_spans" -> "substring span removal: join-free gram-window ownership, one explode, islands merge",
+    "s19_mmr_diversified" -> "MMR: distributed TakeOrdered candidate head; greedy re-rank folds in-row, no re-join",
+    "c15_pack_manifest" -> "window rollup reuses the packing window's source partitioning: one hash exchange total",
+    "t26_script_profile" -> "per-script codepoint counts fully in-row; only the presentation sort exchanges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -36,7 +36,8 @@ object ScaleBench {
     "d09_dedup_survivors", "d16_semantic_dedup", "d19_index_backed_dedup",
     "d20_streaming_dedup", "s14_ivf_stored_index", "s15_ivf_incremental_append",
     "dx12_replacing_merge", "dx14_summing_merge", "d29_substring_spans",
-    "c14_span_scrubbed_export", "t25_bpe_encode")
+    "c14_span_scrubbed_export", "t25_bpe_encode", "c15_pack_manifest",
+    "s19_mmr_diversified")
 
   private val idShift = 10000000000L // multiple of 10 and of 20: query moduli survive
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.WeightedAvgAggregator
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -1671,6 +1672,59 @@ object ExtendedQueries {
                       / CAST(next_day - prev_day AS DOUBLE))), 6)
                  AS filled_value
         FROM w ORDER BY user_id, day"""),
-      doc = "gap fill + interpolation (WITH FILL): per-user day spine, IGNORE NULLS bracket windows")
+      doc = "gap fill + interpolation (WITH FILL): per-user day spine, IGNORE NULLS bracket windows"),
+
+    // ------------------------------------------------------------------
+    // q72: quantile-sketch accuracy audit (quantile / quantileExact +
+    // quantileTiming families): per-group approx_percentile sketches
+    // checked against the exact interpolated quantiles with RANK-bound
+    // verdicts — the q61 pattern for quantiles. approx_percentile
+    // returns an actual element of the group; its sorted position
+    // r ∈ [count(<v)+1, count(<=v)] must straddle the continuous
+    // target rank t = 1 + p·(n−1) within the sketch's rank tolerance
+    // (ε·n + slack). Shape: both quantile legs are ONE grouped pass
+    // (the sketch is partial-aggregable — the production path at
+    // 100 TB, mergeable across executors); the exact leg needs the full
+    // per-group value multiset and exists to certify the sketch at
+    // audit time — on a sampled slice at production scale. The rank
+    // check re-scans events against the broadcast 5-row stats table
+    // (map-side), then one more keyed agg. Oracle emits the exact leg
+    // + literal-TRUE verdicts: a sketch outside tolerance hash-fails.
+    QueryDef(
+      "q72_quantile_sketch_audit",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).select($"event_type", $"value")
+        val stats = ev.groupBy($"event_type").agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
+          round(expr("percentile(value, 0.9D)"), 6).as("p90_exact"),
+          expr("approx_percentile(value, array(0.5D, 0.9D), 10000)").as("ap"))
+          .select($"event_type", $"n", $"p50_exact", $"p90_exact",
+            $"ap".getItem(0).as("av50"), $"ap".getItem(1).as("av90"))
+        val ranks = ev.join(broadcast(stats), Seq("event_type"))
+          .groupBy($"event_type").agg(
+            sum(when($"value" < $"av50", 1L).otherwise(0L)).as("lo50"),
+            sum(when($"value" <= $"av50", 1L).otherwise(0L)).as("hi50"),
+            sum(when($"value" < $"av90", 1L).otherwise(0L)).as("lo90"),
+            sum(when($"value" <= $"av90", 1L).otherwise(0L)).as("hi90"))
+        def ok(p: Double, lo: Column, hi: Column): Column = {
+          val t = lit(1.0) + lit(p) * ($"n" - 1).cast("double")
+          val tol = lit(2.0) + $"n".cast("double") / 1000.0
+          ((lo + 1).cast("double") <= t + tol) && (hi.cast("double") >= t - tol)
+        }
+        stats.join(ranks, Seq("event_type"))
+          .select($"event_type", $"n", $"p50_exact", $"p90_exact",
+            ok(0.5, $"lo50", $"hi50").as("p50_ok"),
+            ok(0.9, $"lo90", $"hi90").as("p90_ok"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               round(quantile_cont(value, 0.5), 6) AS p50_exact,
+               round(quantile_cont(value, 0.9), 6) AS p90_exact,
+               TRUE AS p50_ok, TRUE AS p90_ok
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "quantile-sketch accuracy audit: mergeable approx_percentile vs exact interpolated quantiles, rank-bound verdicts")
   )
 }

@@ -2005,7 +2005,63 @@ object TextQueries {
                                CASE WHEN n_greek > 0 THEN 1 ELSE 0 END) >= 2
                          THEN 1 ELSE 0 END AS BIGINT) AS mixed
         FROM counts ORDER BY doc_id"""),
-      doc = "Unicode script-mix profile: per-script codepoint counts over planted multi-script text, fixed-precedence dominant script, mixed-script flag")
+      doc = "Unicode script-mix profile: per-script codepoint counts over planted multi-script text, fixed-precedence dominant script, mixed-script flag"),
+
+    // ------------------------------------------------------------------
+    // c16: curriculum ordering — a sequence-length curriculum (short =
+    // easy first), deterministic within each difficulty band: every doc
+    // gets its GLOBAL training position without any global sort. c08's
+    // sharded-window trick, band-stratified: the order is
+    // (band, shard, h, doc_id) where shard = first 2 md5 hex chars —
+    // a PREFIX of h, so the composite order collapses to
+    // (band, h, doc_id) and the oracle can state it as one global
+    // ROW_NUMBER. Spark assembles it scalably: row_number per
+    // (band, shard) partition (~768 balanced partitions), plus a tiny
+    // (band, shard) count rollup cumsum'd into start offsets (768 rows,
+    // broadcast back). At 100 TB the only wide exchange is the one
+    // hash partition on (band, shard); nothing ever funnels through a
+    // single-partition window.
+    QueryDef(
+      "c16_curriculum_order",
+      (s, dir) => {
+        import s.implicits._
+        val h = md5(concat(lit("cur:"), $"doc_id"))
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"),
+            h.as("h"))
+          .withColumn("band",
+            when($"n_toks" < 40, 0L).when($"n_toks" < 80, 1L).otherwise(2L))
+          .withColumn("shard", substring($"h", 1, 2))
+        val w = Window.partitionBy($"band", $"shard")
+          .orderBy($"h".asc, $"doc_id".asc)
+        val pos = docs.withColumn("within", row_number().over(w).cast("long"))
+        val wOff = Window.orderBy($"band".asc, $"shard".asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = docs.groupBy($"band", $"shard").agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum($"cnt").over(wOff), lit(0L)))
+          .select($"band", $"shard", $"off")
+        pos.join(broadcast(offs), Seq("band", "shard"))
+          .select($"doc_id", $"band",
+            ($"off" + $"within" - 1).as("curriculum_pos"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                      AS BIGINT) AS n_toks,
+                 md5('cur:' || doc_id) AS h
+          FROM documents),
+        b AS (
+          SELECT doc_id, h,
+                 CASE WHEN n_toks < 40 THEN 0
+                      WHEN n_toks < 80 THEN 1 ELSE 2 END AS band
+          FROM t)
+        SELECT doc_id, CAST(band AS BIGINT) AS band,
+               CAST(ROW_NUMBER() OVER (ORDER BY band ASC, h ASC, doc_id ASC) - 1
+                    AS BIGINT) AS curriculum_pos
+        FROM b ORDER BY doc_id"""),
+      doc = "curriculum ordering: length-banded easy-first global positions from sharded windows + tiny offset rollup, no global sort")
   )
 
   /** t24's stopword-removal set: every language-ID list plus the quality

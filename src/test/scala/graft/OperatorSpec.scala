@@ -946,6 +946,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(byId.values.exists(_._8 == "latin"))
   }
 
+  test("q72 sketch audit: verdicts hold and group sizes conserve") {
+    val rows = SparkEntry.queries("q72_quantile_sketch_audit")(spark, sfDir)
+      .select($"event_type", $"n", $"p50_exact", $"p90_exact",
+        $"p50_ok", $"p90_ok")
+      .as[(String, Long, Double, Double, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, p50, p90, ok50, ok90) =>
+      assert(ok50 && ok90, s"sketch out of rank tolerance for $et")
+      assert(p50 <= p90, s"$et p50 > p90")
+      assert(n > 0)
+    }
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total, "per-type group sizes must conserve")
+  }
+
+  test("c16 curriculum positions are a permutation respecting band order") {
+    val rows = SparkEntry.queries("c16_curriculum_order")(spark, sfDir)
+      .select($"doc_id", $"band", $"curriculum_pos")
+      .as[(Long, Long, Long)].collect()
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (0L until n.toLong),
+      "positions must be a permutation of 0..N-1")
+    // easy-first: every band-b position precedes every band-(b+1) position
+    val byBand = rows.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    byBand.keys.toSeq.sorted.sliding(2).collect { case Seq(a, b) =>
+      assert(byBand(a).max < byBand(b).min, s"band $a overlaps band $b")
+    }.toList
+    assert(byBand.size == 3, "all three difficulty bands expected at this SF")
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)

@@ -333,6 +333,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "greedy fold fell back to a UDF")
   }
 
+  test("q72 sketch audit: rank pass joins the 5-row stats as a broadcast") {
+    val p = plan("q72_quantile_sketch_audit")
+    // both quantile legs partial-aggregate per event_type; the rank
+    // re-scan must see the stats table as a broadcast, never a shuffle
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rank pass shuffled the join:\n$p")
+  }
+
+  test("c16 curriculum: sharded windows + broadcast offsets, no global funnel") {
+    val p = plan("c16_curriculum_order")
+    // per-(band, shard) window partitions the corpus ~768 ways; the
+    // offset rollup is tiny and joins back as a broadcast
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    // the corpus-side window must be partitioned (only the 768-row
+    // offsets cumsum may run unpartitioned)
+    assert(p.contains("hashpartitioning(band"),
+      s"corpus window lost its shard partitioning:\n$p")
+  }
+
   test("d30 incremental substring: gram-keyed index probe, no pair expansion") {
     val p = plan("d30_incremental_substring")
     // the batch joins the stored gram index on the md5 key only — an
