@@ -552,6 +552,67 @@ object MultimodalQueries {
                     + 114 * (rgb % 256) AS BIGINT) AS luma_x1000,
                TRUE AS decode_ok
         FROM px ORDER BY media_id, frame_idx"""),
-      doc = "real frame sampling: animated-GIF render + every-2nd-frame ImageIO decode, closed-form luma")
+      doc = "real frame sampling: animated-GIF render + every-2nd-frame ImageIO decode, closed-form luma"),
+
+    // ------------------------------------------------------------------
+    // m12: container-metadata sniffing WITHOUT decode — the "don't
+    // decode what you don't need" rule that makes multimodal curation
+    // tractable at 100 TB: filtering/routing on dimensions or format
+    // must cost a few header bytes per asset, not a full image decode
+    // (m08's ImageIO path costs ~1000× more than reading IHDR). The
+    // sniff is PURE native expressions over the binary column — PNG
+    // signature check plus big-endian IHDR fields via
+    // conv(hex(substring(bytes, off, len)), 16, 10) — all codegen'd,
+    // zero UDF, zero mapPartitions in the metadata stage (the only
+    // imperative code is the executor-side test-asset render, m08's).
+    // Every 3rd asset is corrupted (leading byte dropped) to prove the
+    // signature guard: fields report -1 instead of garbage. Oracle is
+    // closed-form from the render parameters; the real ImageIO writer's
+    // IHDR must carry bit depth 8 / color type 2 (truecolor) for the
+    // hash to match.
+    QueryDef(
+      "m12_metadata_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 0)
+          .select($"doc_id".as("media_id"),
+            ($"n_chars" % 64 + 16).cast("int").as("w"),
+            ($"n_chars" * 7 % 48 + 16).cast("int").as("h"),
+            pmod(pmod($"doc_id", lit(16777216L)) * 2654435761L,
+              lit(16777216L)).cast("int").as("rgb"))
+          .as[(Long, Int, Int, Int)]
+        val assets = rows.mapPartitions(_.map { case (id, w, h, rgb) =>
+            val png = MediaPipeline.renderSolidPng(w, h, rgb)
+            (id, if (id % 3 == 0) png.drop(1) else png)
+          }).toDF("media_id", "png")
+        def be(off: Int, len: Int) =
+          expr(s"CAST(conv(hex(substring(png, $off, $len)), 16, 10) AS BIGINT)")
+        assets.select($"media_id",
+            (hex(expr("substring(png, 1, 8)")) === "89504E470D0A1A0A")
+              .as("sig_ok"),
+            be(17, 4).as("w0"), be(21, 4).as("h0"),
+            be(25, 1).as("d0"), be(26, 1).as("c0"))
+          .select($"media_id", $"sig_ok",
+            when($"sig_ok", $"w0").otherwise(lit(-1L)).as("width"),
+            when($"sig_ok", $"h0").otherwise(lit(-1L)).as("height"),
+            when($"sig_ok", $"d0").otherwise(lit(-1L)).as("bit_depth"),
+            when($"sig_ok", $"c0").otherwise(lit(-1L)).as("color_type"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH px AS (
+          SELECT doc_id AS media_id,
+                 CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+                 CAST(n_chars * 7 % 48 + 16 AS BIGINT) AS h
+          FROM documents WHERE doc_id % 20 = 0)
+        SELECT media_id,
+               media_id % 3 <> 0 AS sig_ok,
+               CASE WHEN media_id % 3 <> 0 THEN w ELSE -1 END AS width,
+               CASE WHEN media_id % 3 <> 0 THEN h ELSE -1 END AS height,
+               CAST(CASE WHEN media_id % 3 <> 0 THEN 8 ELSE -1 END AS BIGINT) AS bit_depth,
+               CAST(CASE WHEN media_id % 3 <> 0 THEN 2 ELSE -1 END AS BIGINT) AS color_type
+        FROM px ORDER BY media_id"""),
+      doc = "container-metadata sniff: PNG signature + big-endian IHDR fields as pure native expressions over binary, no decode; corrupt assets guarded")
   )
 }
