@@ -94,6 +94,7 @@ object Bench {
       // the search itself is a sub-100ms bucket probe. d19/d20 likewise
       // build their persisted dedup index tables in-body.
       "s14_ivf_stored_index", "s15_ivf_incremental_append",
+      "s21_streaming_ann_ingest",
       "d19_index_backed_dedup", "d20_streaming_dedup",
       // dx19 appends twice + deletes + reads three log versions of a
       // temp FactTable; q66 round-trips ORC and CSV sinks on disk

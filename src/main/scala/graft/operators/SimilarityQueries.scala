@@ -874,14 +874,7 @@ object SimilarityQueries {
         val emb = Tables.load(s, dir, "embeddings")
         val cents = emb.filter($"vec_id" < 8)
           .select($"vec_id".as("cid"), $"embedding".as("cv"))
-        def assign(v: DataFrame): DataFrame = {
-          val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
-          v.crossJoin(broadcast(cents))
-            .select($"vec_id", $"embedding", $"cid",
-              round(l2SqExact("embedding", "cv"), 9).as("dist2"))
-            .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-            .select($"vec_id", $"cid", $"embedding")
-        }
+        def assign(v: DataFrame): DataFrame = assignToFrozen(cents, v)
         val dt = to_date(lit("2024-01-01"))
         val idxT = new graft.storage.FactTable(java.nio.file.Files
           .createTempDirectory("s15_ivf_idx").toString, s)
@@ -1176,8 +1169,71 @@ object SimilarityQueries {
           .orderBy($"rank")
       },
       Some(mmrOracleSql),
-      doc = "MMR-diversified top-k: distributed candidate head + in-row greedy λ·rel − (1−λ)·max-sim re-rank, argmax ties to smaller vec_id")
+      doc = "MMR-diversified top-k: distributed candidate head + in-row greedy λ·rel − (1−λ)·max-sim re-rank, argmax ties to smaller vec_id"),
+
+    // ------------------------------------------------------------------
+    // s21: STREAMING ANN INGEST, batch shadow — the s-series d20: the
+    // whole corpus arrives as a SEQUENCE of micro-batches (vec_id % 4)
+    // that build the stored IVF index via frozen-centroid assignment
+    // and per-batch txn-idempotent appends; nothing is ever clustered
+    // or read twice. Because `assignToFrozen` is per-vector
+    // deterministic and order-independent, ANY batching of the corpus
+    // builds byte-identical index content — so the searched result
+    // equals s14's one-shot build and the oracle is s14's verbatim.
+    // That equality is the delivery contract that lets the real
+    // `streaming/AnnStream.AnnIngest` foreachBatch path (StreamingSpec:
+    // stream-built index ≡ this fold, replay convergence) ingest
+    // vectors forever between retrains. The quantizer (8 centroids) is
+    // the offline-trained artifact that must exist before ingest
+    // starts — the retrain cadence is an index-lifecycle decision
+    // (s14 build / s15 append / s18 delete), not an ingest-path one.
+    QueryDef(
+      "s21_streaming_ann_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val dt = to_date(lit("2024-01-01"))
+        val idxT = new graft.storage.FactTable(java.nio.file.Files
+          .createTempDirectory("s21_ivf_idx").toString, s)
+        (0 to 3).foreach { k =>
+          idxT.append(
+            assignToFrozen(cents, emb.filter($"vec_id" % 4 === k))
+              .withColumn("date", dt), k.toLong)
+        }
+        val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
+        val q = idx.filter($"vec_id" === 0)
+          .select($"cid".as("qcid"), $"embedding".as("qv"))
+        idx.join(broadcast(q), $"cid" === $"qcid")
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(5)
+      },
+      Some(storedIvfOracleSql()),
+      doc = "streaming ANN ingest (batch shadow): whole corpus as sequential micro-batch appends to the stored IVF index; any batching == rebuild")
   )
+
+  /** Frozen-centroid IVF assignment — the ingest-path kernel shared by
+    * s15 (late-batch append), s21 (multi-batch sequential shadow) and
+    * the streaming `AnnIngest` (`streaming/AnnStream.scala`): each
+    * vector of `v` joins the broadcast centroid table and keeps its
+    * nearest centroid (decimal-exact L2², ties to the smaller cid).
+    * Per-vector deterministic and order-independent, which is exactly
+    * why append-in-any-batching ≡ rebuild holds for the stored index.
+    */
+  private[graft] def assignToFrozen(cents: DataFrame, v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("cid").asc)
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+  }
 
   /** The s19 greedy MMR loop as ONE in-row fold over the packed
     * candidate array `cs` (rel-desc sorted structs of

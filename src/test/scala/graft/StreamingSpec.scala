@@ -298,6 +298,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest builds the s14 index; search matches, replay is a no-op") {
+    import graft.storage.FactTable
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val batches = (0 to 3).map(k =>
+      emb.filter($"vec_id" % 4 === k)
+        .as[(Long, Seq[Float])].collect().toSeq)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val idxT = new FactTable(tmp("ann_idx_s"), spark)
+    val live = new graft.streaming.AnnIngest(cents, idxT)
+    val q = live.start(mem.toDF().toDF("vec_id", "embedding"), tmp("ann_ckpt"))
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      // index CONTENT equality vs the one-shot assignment of the corpus
+      val streamedIdx = idxT.read().select($"vec_id", $"cid")
+        .as[(Long, Long)].collect().sorted
+      val oneShot = graft.operators.SimilarityQueries
+        .assignToFrozen(cents, emb).select($"vec_id", $"cid")
+        .as[(Long, Long)].collect().sorted
+      assert(streamedIdx.sameElements(oneShot),
+        "stream-built index content diverged from the one-shot build")
+      // searched RESULT equality vs the s21 batch shadow (== s14 build)
+      val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
+      val probe = idx.filter($"vec_id" === 0)
+        .select($"cid".as("qcid"), $"embedding".as("qv"))
+      val got = idx.join(broadcast(probe), $"cid" === $"qcid")
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id",
+          round(graft.functions.VectorFunctions
+            .cosineExact("embedding", "qv"), 9).as("cosine"))
+        .orderBy($"cosine".desc, $"vec_id".asc).limit(5)
+        .as[(Long, Double)].collect()
+      val want = SparkEntry.queries("s21_streaming_ann_ingest")(spark, sfDir)
+        .as[(Long, Double)].collect()
+      assert(got.sameElements(want),
+        "stream-built search diverged from the s21 batch shadow")
+      // checkpoint-replay of a committed batch: txn-idempotent no-op
+      val before = idxT.read().count()
+      live.addBatch(batches(3).toDF("vec_id", "embedding"), 3L)
+      assert(idxT.read().count() == before, "replay must not re-append")
+    } finally q.stop()
+  }
+
   test("transformWithState anomaly detector matches the batch shadow across batches") {
     // transformWithState requires the RocksDB state store — scope the
     // provider override to this query's lifetime
