@@ -1213,7 +1213,48 @@ object SimilarityQueries {
           .limit(5)
       },
       Some(storedIvfOracleSql()),
-      doc = "streaming ANN ingest (batch shadow): whole corpus as sequential micro-batch appends to the stored IVF index; any batching == rebuild")
+      doc = "streaming ANN ingest (batch shadow): whole corpus as sequential micro-batch appends to the stored IVF index; any batching == rebuild"),
+
+    // ------------------------------------------------------------------
+    // s20: IVF bucket-balance report — the index-maintenance signal the
+    // s14/s15/s21 lifecycle decides RETRAINS on: per-centroid population
+    // and share, plus a hot flag (bucket > 2× the even share) marking
+    // quantizer drift. A skewed inverted file loses exactly what IVF
+    // buys — probe cost is the probed bucket's size, so one hot bucket
+    // makes every query landing there pay the skew (the ANN twin of the
+    // d03 hot-bucket problem; there the router salts around skew, here
+    // the report tells the operator to retrain/split). Everything is
+    // exact integer arithmetic: share in ppm via integer div, hot via
+    // cross-multiplication (8·n > 2·total) — no float thresholds to
+    // drift across engines. Shape: the assignment is the broadcast
+    // centroid join (nlist rows), the report one 8-group partial agg +
+    // a broadcast of the 1-row total; at any corpus size this is a
+    // map-side-combined scan.
+    QueryDef(
+      "s20_ivf_balance_report",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val buckets = assignToFrozen(cents, emb)
+          .groupBy($"cid").agg(count(lit(1)).as("n_vecs"))
+        val total = buckets.agg(sum($"n_vecs").as("total"))
+        buckets.crossJoin(broadcast(total))
+          .select($"cid", $"n_vecs",
+            expr("n_vecs * 1000000 div total").as("share_ppm"),
+            ($"n_vecs" * 8 > $"total" * 2).as("hot"))
+          .orderBy($"cid")
+      },
+      Some(s"""
+        $ivfAssignSqlCtes,
+        buckets AS (SELECT cid, COUNT(*) AS n_vecs FROM assigned GROUP BY cid),
+        tot AS (SELECT SUM(n_vecs) AS total FROM buckets)
+        SELECT cid, CAST(n_vecs AS BIGINT) AS n_vecs,
+               CAST(n_vecs * 1000000 // total AS BIGINT) AS share_ppm,
+               n_vecs * 8 > total * 2 AS hot
+        FROM buckets, tot ORDER BY cid"""),
+      doc = "IVF bucket-balance report: per-centroid population/share + integer-exact hot flag — the retrain signal for the stored-index lifecycle")
   )
 
   /** Frozen-centroid IVF assignment — the ingest-path kernel shared by
@@ -1333,7 +1374,12 @@ object SimilarityQueries {
     * (surviving) vectors. `bucketExtra` narrows the candidate bucket —
     * s18 passes the tombstoned-id exclusion.
     */
-  private def storedIvfOracleSql(bucketExtra: String = ""): String = s"""
+  /** The 8-centroid frozen assignment as a reusable oracle CTE chain up
+    * to `assigned(vec_id, cid)` — the DuckDB mirror of `assignToFrozen`,
+    * shared by the stored-index search oracles (s14/s15/s18/s21) and the
+    * s20 balance report.
+    */
+  private def ivfAssignSqlCtes: String = s"""
         WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
         cpairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
                    FROM embeddings e CROSS JOIN cents c),
@@ -1345,7 +1391,10 @@ object SimilarityQueries {
                        SELECT vec_id, cid,
                               ROW_NUMBER() OVER (PARTITION BY vec_id
                                                  ORDER BY dist2 ASC, cid ASC) AS rk
-                       FROM distsr) t WHERE rk = 1),
+                       FROM distsr) t WHERE rk = 1)"""
+
+  private def storedIvfOracleSql(bucketExtra: String = ""): String = s"""
+        $ivfAssignSqlCtes,
         bucket AS (SELECT a.vec_id FROM assigned a
                    WHERE a.cid = (SELECT cid FROM assigned WHERE vec_id = 0)
                      AND a.vec_id <> 0$bucketExtra),

@@ -976,6 +976,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(byBand.size == 3, "all three difficulty bands expected at this SF")
   }
 
+  test("s20 balance report conserves the corpus and bounds the shares") {
+    val rows = SparkEntry.queries("s20_ivf_balance_report")(spark, sfDir)
+      .select($"cid", $"n_vecs", $"share_ppm", $"hot")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 8, "one row per centroid expected")
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == corpus, "bucket populations must conserve")
+    // integer-div shares sum to at most 1e6 and within 8 ppm of it
+    val ppm = rows.map(_._3).sum
+    assert(ppm <= 1000000L && ppm >= 1000000L - 8, s"shares sum $ppm")
+    rows.foreach { case (cid, n, share, hot) =>
+      assert(hot == (n * 8 > corpus * 2), s"hot flag wrong for $cid")
+      assert(share == n * 1000000L / corpus)
+    }
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
