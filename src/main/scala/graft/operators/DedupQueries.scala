@@ -2665,6 +2665,91 @@ object DedupQueries {
                CAST(SUM(e2 - s) AS BIGINT) AS removed_tokens,
                CAST(n AS BIGINT) AS n_tokens
         FROM spans GROUP BY doc_id, n ORDER BY doc_id"""),
-      doc = "incremental substring-span dedup: batch grams vs stored gram index, global ownership reconstructed; rebuild-equality oracle (d29 restricted to the batch)")
+      doc = "incremental substring-span dedup: batch grams vs stored gram index, global ownership reconstructed; rebuild-equality oracle (d29 restricted to the batch)"),
+
+    // ------------------------------------------------------------------
+    // d31: STRUCTURED-RECORD linkage dedup (Fellegi-Sunter blocking +
+    // agreement scoring) — the dedup family applied to RECORDS instead
+    // of text/embeddings/media: dirty copies of customers (one
+    // OCR-style digit→letter substitution in the name, planted for
+    // custkey ≡ 5 mod 17 at key+10⁹) are re-identified by blocking on
+    // (nationkey, name-suffix) and scoring each in-block pair on an
+    // agreement vector: levenshtein(name) ≤ 1 (+40), segment equality
+    // (+30), balance equality (+30); threshold 75 forces all three, so
+    // survivors are exactly the planted links while near-miss
+    // candidates (base customers colliding on a block with lev-1
+    // names but differing balances) are generated AND rejected — the
+    // false-positive surface is exercised, not avoided. Blocking
+    // reuses `adaptiveBucketPairs`, so a pathological block (one
+    // nation+suffix holding millions) routes through the same capped /
+    // salted / dropped lanes as every LSH bucket; candidate scoring is
+    // two keyed joins back to the records. levenshtein is the same
+    // classic edit distance in both engines.
+    QueryDef(
+      "d31_record_linkage",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.load(s, dir, "customer")
+        val dirty = base.filter($"c_custkey" % 17 === 5)
+          .select(($"c_custkey" + 1000000000L).as("c_custkey"),
+            concat(substring($"c_name", 1, 9), lit("O"),
+              substring($"c_name", 11, 8)).as("c_name"),
+            $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+        val recs = base.select($"c_custkey", $"c_name", $"c_nationkey",
+            $"c_acctbal", $"c_mktsegment")
+          .unionByName(dirty)
+          .withColumn("bkey", concat($"c_nationkey".cast("string"), lit(":"),
+            substring($"c_name", 15, 4)))
+        val pairs = adaptiveBucketPairs(recs.select($"bkey", $"c_custkey"),
+          Seq("bkey"), $"c_custkey", "d31_blocks")
+          .select($"pa", $"pb")
+        val a = recs.select($"c_custkey".as("pa"), $"c_name".as("name_a"),
+          $"c_acctbal".as("bal_a"), $"c_mktsegment".as("seg_a"))
+        val b = recs.select($"c_custkey".as("pb"), $"c_name".as("name_b"),
+          $"c_acctbal".as("bal_b"), $"c_mktsegment".as("seg_b"))
+        pairs.join(a, Seq("pa")).join(b, Seq("pb"))
+          .select($"pa".as("a_key"), $"pb".as("b_key"),
+            levenshtein($"name_a", $"name_b").cast("long").as("name_lev"),
+            ($"seg_a" === $"seg_b").as("seg_eq"),
+            ($"bal_a" === $"bal_b").as("bal_eq"))
+          .withColumn("score",
+            when($"name_lev" <= 1, 40L).otherwise(0L)
+              + when($"seg_eq", 30L).otherwise(0L)
+              + when($"bal_eq", 30L).otherwise(0L))
+          .filter($"score" >= 75)
+          .orderBy($"a_key", $"b_key")
+      },
+      Some("""
+        WITH dirty AS (
+          SELECT c_custkey + 1000000000 AS c_custkey,
+                 substr(c_name, 1, 9) || 'O' || substr(c_name, 11, 8) AS c_name,
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 17 = 5),
+        recs AS (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          FROM customer
+          UNION ALL SELECT * FROM dirty),
+        keyed AS (
+          SELECT CAST(c_nationkey AS VARCHAR) || ':' || substr(c_name, 15, 4)
+                   AS bkey,
+                 c_custkey, c_name, c_acctbal, c_mktsegment
+          FROM recs),
+        cand AS (
+          SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+                 CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_lev,
+                 a.c_mktsegment = b.c_mktsegment AS seg_eq,
+                 a.c_acctbal = b.c_acctbal AS bal_eq
+          FROM keyed a JOIN keyed b
+            ON a.bkey = b.bkey AND a.c_custkey < b.c_custkey),
+        scored AS (
+          SELECT a_key, b_key, name_lev, seg_eq, bal_eq,
+                 CAST(CASE WHEN name_lev <= 1 THEN 40 ELSE 0 END
+                      + CASE WHEN seg_eq THEN 30 ELSE 0 END
+                      + CASE WHEN bal_eq THEN 30 ELSE 0 END AS BIGINT) AS score
+          FROM cand)
+        SELECT a_key, b_key, name_lev, seg_eq, bal_eq, score
+        FROM scored WHERE score >= 75
+        ORDER BY a_key, b_key"""),
+      doc = "structured-record linkage dedup: blocking via the adaptive pair router + agreement-vector scoring (name edit distance, segment, balance); planted OCR variants re-identified, near-miss candidates rejected")
   )
 }

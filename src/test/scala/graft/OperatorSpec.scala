@@ -992,6 +992,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("d31 record linkage recovers exactly the planted dirty copies") {
+    val got = SparkEntry.queries("d31_record_linkage")(spark, sfDir)
+      .select($"a_key", $"b_key", $"name_lev", $"score")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val planted = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select($"c_custkey").as[Long].collect()
+      .filter(_ % 17 == 5).sorted
+    assert(got.map(_._1).toSeq == planted.toSeq,
+      "matched left keys must be exactly the planted originals")
+    got.foreach { case (ak, bk, lev, score) =>
+      assert(bk == ak + 1000000000L, "match must link original to its copy")
+      assert(lev == 1L && score == 100L)
+    }
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)

@@ -353,6 +353,15 @@ class PlanSpec extends AnyFunSuite {
       s"corpus window lost its shard partitioning:\n$p")
   }
 
+  test("d31 record linkage blocks through the adaptive router, joins keyed") {
+    val p = plan("d31_record_linkage")
+    // blocking inherits the router's guarantees: count-first semi-join
+    // guard, no cartesian/nested-loop blowup anywhere in the plan
+    assert(p.contains("LeftSemi"), s"bucket-size guard missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair expansion degenerated:\n$p")
+  }
+
   test("d30 incremental substring: gram-keyed index probe, no pair expansion") {
     val p = plan("d30_incremental_substring")
     // the batch joins the stored gram index on the md5 key only — an
