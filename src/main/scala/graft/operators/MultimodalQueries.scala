@@ -613,6 +613,69 @@ object MultimodalQueries {
                CAST(CASE WHEN media_id % 3 <> 0 THEN 8 ELSE -1 END AS BIGINT) AS bit_depth,
                CAST(CASE WHEN media_id % 3 <> 0 THEN 2 ELSE -1 END AS BIGINT) AS color_type
         FROM px ORDER BY media_id"""),
-      doc = "container-metadata sniff: PNG signature + big-endian IHDR fields as pure native expressions over binary, no decode; corrupt assets guarded")
+      doc = "container-metadata sniff: PNG signature + big-endian IHDR fields as pure native expressions over binary, no decode; corrupt assets guarded"),
+
+    // ------------------------------------------------------------------
+    // m13: RIFF/WAVE metadata sniff — m12's little-endian twin, because
+    // real container formats split about evenly between byte orders
+    // (PNG/JPEG big-endian, RIFF/AVI/WAV little-endian) and an engine
+    // claiming header-level routing must do both. Little-endian integers
+    // come out of the same native toolbox with the byte order reversed
+    // in the hex concatenation: conv(concat(hex(b_hi)..hex(b_lo)), 16,
+    // 10) over per-byte substrings — still zero UDF, zero decode. The
+    // sniff reads the PCM fmt chunk (audio format, channels, sample
+    // rate, bit depth) and the data-chunk length, each checkable
+    // closed-form against the render parameters (mono 16-bit PCM,
+    // data_len = 2·n_samples). Corruption guard as in m12 (leading
+    // byte dropped for media_id ≡ 1 mod 3 → -1 fields).
+    QueryDef(
+      "m13_wav_metadata_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 2)
+          .select($"doc_id".as("media_id"),
+            ($"n_chars" % 2000 + 500).cast("int").as("n"),
+            (lit(8000) + ($"n_chars" % 8) * 1000).cast("int").as("rate"),
+            (($"doc_id" % 1000) * 16 + 500).cast("int").as("amp"),
+            ($"n_chars" % 37 + 5).cast("int").as("p"))
+          .as[(Long, Int, Int, Int, Int)]
+        val assets = rows.mapPartitions(_.map { case (id, n, rate, amp, p) =>
+            val wav = MediaPipeline.renderSquareWav(n, rate, amp, p)
+            (id, if (id % 3 == 1) wav.drop(1) else wav)
+          }).toDF("media_id", "wav")
+        def le(off: Int, len: Int) = expr(
+          (off + len - 1).to(off, -1)
+            .map(i => s"hex(substring(wav, $i, 1))")
+            .mkString("CAST(conv(concat(", ", ", "), 16, 10) AS BIGINT)"))
+        assets.select($"media_id",
+            (hex(expr("substring(wav, 1, 4)")) === "52494646" &&
+              hex(expr("substring(wav, 9, 8)")) === "57415645666D7420")
+              .as("riff_ok"),
+            le(21, 2).as("f0"), le(23, 2).as("c0"), le(25, 4).as("r0"),
+            le(35, 2).as("b0"), le(41, 4).as("d0"))
+          .select($"media_id", $"riff_ok",
+            when($"riff_ok", $"f0").otherwise(lit(-1L)).as("audio_format"),
+            when($"riff_ok", $"c0").otherwise(lit(-1L)).as("channels"),
+            when($"riff_ok", $"r0").otherwise(lit(-1L)).as("sample_rate"),
+            when($"riff_ok", $"b0").otherwise(lit(-1L)).as("bits_per_sample"),
+            when($"riff_ok", $"d0").otherwise(lit(-1L)).as("data_len"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS media_id,
+                 CAST((n_chars % 2000) + 500 AS BIGINT) AS n,
+                 CAST(8000 + (n_chars % 8) * 1000 AS BIGINT) AS rate
+          FROM documents WHERE doc_id % 20 = 2)
+        SELECT media_id,
+               media_id % 3 <> 1 AS riff_ok,
+               CAST(CASE WHEN media_id % 3 <> 1 THEN 1 ELSE -1 END AS BIGINT) AS audio_format,
+               CAST(CASE WHEN media_id % 3 <> 1 THEN 1 ELSE -1 END AS BIGINT) AS channels,
+               CASE WHEN media_id % 3 <> 1 THEN rate ELSE -1 END AS sample_rate,
+               CAST(CASE WHEN media_id % 3 <> 1 THEN 16 ELSE -1 END AS BIGINT) AS bits_per_sample,
+               CASE WHEN media_id % 3 <> 1 THEN n * 2 ELSE -1 END AS data_len
+        FROM a ORDER BY media_id"""),
+      doc = "RIFF/WAVE metadata sniff: little-endian fmt/data fields via reversed hex concatenation, native expressions only; corrupt assets guarded")
   )
 }

@@ -538,7 +538,8 @@ class PlanSpec extends AnyFunSuite {
     // partitioning — a second exchange, join or aggregate would mean the
     // decode stage started shuffling asset bytes
     Seq("m08_image_decode", "m09_split_decode", "m10_audio_decode",
-        "m11_frame_sample_decode", "m12_metadata_sniff").foreach { q =>
+        "m11_frame_sample_decode", "m12_metadata_sniff",
+        "m13_wav_metadata_sniff").foreach { q =>
       val p = plan(q)
       val exchanges = p.linesIterator.count(_.contains("Exchange"))
       assert(exchanges <= 1, s"$q shuffles before the sort ($exchanges):\n$p")
@@ -551,6 +552,8 @@ class PlanSpec extends AnyFunSuite {
     // over binary never fall back to a UDF
     assert(!plan("m12_metadata_sniff").contains("ScalaUDF"),
       "m12 metadata extraction fell back to a UDF")
+    assert(!plan("m13_wav_metadata_sniff").contains("ScalaUDF"),
+      "m13 metadata extraction fell back to a UDF")
   }
 
   test("t23 novelty attribution stays join-free on the ngram axis") {
