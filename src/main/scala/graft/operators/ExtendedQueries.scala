@@ -1725,6 +1725,78 @@ object ExtendedQueries {
                round(quantile_cont(value, 0.9), 6) AS p90_exact,
                TRUE AS p50_ok, TRUE AS p90_ok
         FROM events GROUP BY event_type ORDER BY event_type"""),
-      doc = "quantile-sketch accuracy audit: mergeable approx_percentile vs exact interpolated quantiles, rank-bound verdicts")
+      doc = "quantile-sketch accuracy audit: mergeable approx_percentile vs exact interpolated quantiles, rank-bound verdicts"),
+
+    // ------------------------------------------------------------------
+    // q73: VARIANT shredding of heterogeneous semi-structured events —
+    // Spark 4's open-format answer to ClickHouse's JSON/Object column:
+    // each event type carries a DIFFERENT payload shape (clicks nest a
+    // pos struct, purchases carry amount + currency, the rest only the
+    // base key), synthesized deterministically from row values. The
+    // payloads parse ONCE into the binary VARIANT encoding and typed
+    // paths shred out via variant_get — absent paths are typed NULLs,
+    // not errors, which is the whole point: schema drift across a
+    // 100 TB event stream becomes per-row nullability instead of a
+    // pipeline stoppage. Everything downstream is an ordinary grouped
+    // aggregation (null-skipping counts/sums make per-shape stats fall
+    // out of one pass). Money stays integral (floor to cents, both
+    // engines' double floor) so no float ever enters a JSON literal.
+    QueryDef(
+      "q73_variant_shred",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .withColumn("jdoc", expr("""
+            CASE event_type
+              WHEN 'click' THEN concat('{"k": ', event_id % 97,
+                ', "pos": {"x": ', user_id % 100,
+                ', "y": ', event_id % 100, '}}')
+              WHEN 'purchase' THEN concat('{"k": ', event_id % 97,
+                ', "amount_cents": ', CAST(floor(value * 100) AS BIGINT),
+                ', "cur": "usd"}')
+              ELSE concat('{"k": ', event_id % 97, '}')
+            END"""))
+          .withColumn("v", expr("parse_json(jdoc)"))
+        ev.select($"event_type",
+            expr("variant_get(v, '$.k', 'bigint')").as("k"),
+            expr("variant_get(v, '$.pos.x', 'bigint')").as("x"),
+            expr("variant_get(v, '$.amount_cents', 'bigint')").as("cents"),
+            expr("variant_get(v, '$.cur', 'string')").as("cur"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"k").as("sum_k"),
+            count($"x").as("n_pos"),
+            coalesce(sum($"cents"), lit(0L)).as("sum_cents"),
+            count(when($"cur" === "usd", 1)).as("n_usd"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id % 97 AS k, user_id % 100 AS x,
+                 event_id % 100 AS y,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events),
+        j AS (
+          SELECT event_type,
+                 CASE event_type
+                   WHEN 'click' THEN '{"k": ' || k || ', "pos": {"x": ' || x
+                     || ', "y": ' || y || '}}'
+                   WHEN 'purchase' THEN '{"k": ' || k || ', "amount_cents": '
+                     || cents || ', "cur": "usd"}'
+                   ELSE '{"k": ' || k || '}'
+                 END AS jdoc
+          FROM e)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(jdoc, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(COUNT(json_extract_string(jdoc, '$.pos.x')) AS BIGINT)
+                 AS n_pos,
+               CAST(COALESCE(SUM(CAST(json_extract_string(jdoc,
+                    '$.amount_cents') AS BIGINT)), 0) AS BIGINT) AS sum_cents,
+               CAST(COUNT(CASE WHEN json_extract_string(jdoc, '$.cur') = 'usd'
+                               THEN 1 END) AS BIGINT) AS n_usd
+        FROM j GROUP BY event_type ORDER BY event_type"""),
+      doc = "VARIANT shredding: heterogeneous per-type JSON parsed once into the binary variant encoding, typed-path extraction with NULL-on-absent schema drift, one grouped pass")
   )
 }
