@@ -51,7 +51,9 @@ object PlanDump {
     "d29_substring_spans" -> "substring span removal: join-free gram-window ownership, one explode, islands merge",
     "s19_mmr_diversified" -> "MMR: distributed TakeOrdered candidate head; greedy re-rank folds in-row, no re-join",
     "c15_pack_manifest" -> "window rollup reuses the packing window's source partitioning: one hash exchange total",
-    "t26_script_profile" -> "per-script codepoint counts fully in-row; only the presentation sort exchanges")
+    "t26_script_profile" -> "per-script codepoint counts fully in-row; only the presentation sort exchanges",
+    "d31_record_linkage" -> "record blocking through the adaptive router; keyed joins back, no cartesian",
+    "q73_variant_shred" -> "variant parse + typed path extraction stay in one map stage before the grouped pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
