@@ -2061,7 +2061,89 @@ object TextQueries {
                CAST(ROW_NUMBER() OVER (ORDER BY band ASC, h ASC, doc_id ASC) - 1
                     AS BIGINT) AS curriculum_pos
         FROM b ORDER BY doc_id"""),
-      doc = "curriculum ordering: length-banded easy-first global positions from sharded windows + tiny offset rollup, no global sort")
+      doc = "curriculum ordering: length-banded easy-first global positions from sharded windows + tiny offset rollup, no global sort"),
+
+    // ------------------------------------------------------------------
+    // t27: corpus drift between crawls — smoothed KL divergence of the
+    // per-source token distributions across two snapshot halves (the
+    // c04 fingerprint diff says WHICH docs changed; this says whether
+    // the LANGUAGE changed — the distribution-shift alarm a training
+    // pipeline watches between crawl ingests). Add-one smoothing over
+    // the per-source union vocabulary keeps every term finite, so
+    // new-in-B and vanished-from-B tokens contribute instead of
+    // breaking the sum; the vocab-churn counts are reported alongside.
+    // Determinism: each KL term is IEEE double (same literals and
+    // association both engines — ln parity established by t18), summed
+    // as DECIMAL(38,18) so partial-agg order can't move the total,
+    // rounded to 6. Shape: one (source, token) shuffle with map-side
+    // combine, per-source totals broadcast back, terms fold map-side
+    // into the final tiny per-source agg — the 100 TB drift monitor is
+    // one wide shuffle over fixed-width token keys.
+    QueryDef(
+      "t27_corpus_drift_kl",
+      (s, dir) => {
+        import s.implicits._
+        // halves split on md5 parity, NOT doc_id parity: source is a
+        // residue of doc_id in the testdata, so an arithmetic split
+        // degenerates (whole sources land in one half)
+        val toks = Tables.load(s, dir, "documents")
+          .select($"source",
+            (substring(md5($"doc_id".cast("string")), 1, 1) < "8").as("ha"),
+            explode(tokens($"text")).as("t"))
+        val counts = toks.groupBy($"source", $"t").agg(
+          sum(when($"ha", 1L).otherwise(0L)).as("ca"),
+          sum(when(!$"ha", 1L).otherwise(0L)).as("cb"))
+        val totals = counts.groupBy($"source").agg(
+          sum($"ca").as("na"), sum($"cb").as("nb"), count(lit(1)).as("v"))
+        counts.join(broadcast(totals), Seq("source"))
+          .select($"source", $"ca", $"cb", expr(
+            """CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                 * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                      / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
+               AS DECIMAL(38,18))""").as("term"))
+          .groupBy($"source")
+          .agg(round(sum($"term").cast("double"), 6).as("kl_a_b"),
+            sum(when($"ca" === 0, 1L).otherwise(0L)).as("new_in_b"),
+            sum(when($"cb" === 0, 1L).otherwise(0L)).as("gone_in_b"))
+          .join(broadcast(totals), Seq("source"))
+          .select($"source", $"v", $"na", $"nb", $"kl_a_b",
+            $"new_in_b", $"gone_in_b")
+          .orderBy($"source")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS ha,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+          FROM documents),
+        counts AS (
+          SELECT source, t,
+                 CAST(SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN NOT ha THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM tok GROUP BY source, t),
+        tot AS (
+          SELECT source, CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM counts GROUP BY source),
+        terms AS (
+          SELECT c.source, ca, cb,
+                 CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                   * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                        / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
+                   AS DECIMAL(38,18)) AS term
+          FROM counts c JOIN tot USING (source)),
+        agg AS (
+          SELECT source,
+                 round(CAST(SUM(term) AS DOUBLE), 6) AS kl_a_b,
+                 CAST(SUM(CASE WHEN ca = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_in_b,
+                 CAST(SUM(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS gone_in_b
+          FROM terms GROUP BY source)
+        SELECT source, v, na, nb, kl_a_b, new_in_b, gone_in_b
+        FROM agg JOIN tot USING (source)
+        ORDER BY source"""),
+      doc = "corpus drift monitor: per-source smoothed KL divergence between snapshot halves over the union vocabulary + vocab-churn counts, decimal-summed terms")
   )
 
   /** t24's stopword-removal set: every language-ID list plus the quality

@@ -1007,6 +1007,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t27 drift KL is non-negative with churn bounded by the vocab") {
+    val rows = SparkEntry.queries("t27_corpus_drift_kl")(spark, sfDir)
+      .select($"source", $"v", $"na", $"nb", $"kl_a_b", $"new_in_b",
+        $"gone_in_b")
+      .as[(String, Long, Long, Long, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, v, na, nb, kl, newB, goneB) =>
+      // smoothed P and Q are proper distributions over the union vocab,
+      // so Gibbs' inequality bounds the divergence below by zero
+      assert(kl >= -1e-6, s"$src KL negative: $kl")
+      assert(newB + goneB <= v, s"$src churn exceeds vocab")
+      assert(na > 0 && nb > 0, s"$src has an empty half")
+    }
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)

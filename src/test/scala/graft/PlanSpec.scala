@@ -353,6 +353,13 @@ class PlanSpec extends AnyFunSuite {
       s"corpus window lost its shard partitioning:\n$p")
   }
 
+  test("t27 drift KL broadcasts the per-source totals; counts combine map-side") {
+    val p = plan("t27_corpus_drift_kl")
+    assert(p.contains("BroadcastHashJoin"), s"totals not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("partial_sum"), "token counts not map-side combined")
+  }
+
   test("d31 record linkage blocks through the adaptive router, joins keyed") {
     val p = plan("d31_record_linkage")
     // blocking inherits the router's guarantees: count-first semi-join
