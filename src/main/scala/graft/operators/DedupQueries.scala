@@ -860,10 +860,13 @@ object DedupQueries {
       .select(col("doc_id"), col("n"), col("pos"))
   }
 
-  /** Flagged window starts (doc_id, n, pos) → per-doc maximal-span
-    * summary (the gaps-and-islands tail shared by d29 and d30).
+  /** Flagged window starts (doc_id, n, pos) → merged maximal covered
+    * intervals, one row per island: (doc_id, n, island, s, e2). The
+    * gaps-and-islands core shared by d29/d30 (span report tail) and c14
+    * (interval-complement rewrite). Window partitions are per-doc, so
+    * partition size is bounded by doc length at any corpus size.
     */
-  def spansFromFlagged(flagged: DataFrame, L: Int): DataFrame = {
+  def mergedSpanIntervals(flagged: DataFrame, L: Int): DataFrame = {
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged
       .select(col("doc_id"), col("n"), col("pos"), (col("pos") + L).as("e"))
@@ -875,6 +878,13 @@ object DedupQueries {
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("n"), col("island"))
       .agg(min(col("pos")).as("s"), max(col("e")).as("e2"))
+  }
+
+  /** Flagged window starts (doc_id, n, pos) → per-doc maximal-span
+    * summary (the gaps-and-islands tail shared by d29 and d30).
+    */
+  def spansFromFlagged(flagged: DataFrame, L: Int): DataFrame = {
+    mergedSpanIntervals(flagged, L)
       .groupBy(col("doc_id"), col("n"))
       .agg(count(lit(1)).as("n_spans"),
         sum((col("e2") - col("s")).cast("long")).as("removed_tokens"))
@@ -2553,31 +2563,44 @@ object DedupQueries {
     // kept-token count. This is the operator a pipeline actually runs
     // after deciding on span removal; d29 is its audit report.
     //
-    // Shape: flagged window starts (the d29 core, shared via
-    // duplicateWindows) explode to covered positions (≤ L rows per
-    // flagged start, distinct-folded on (doc, pos)); the corpus
-    // re-explodes to (doc, pos, token) and a LEFT ANTI join drops the
-    // covered positions — both sides shuffle once on doc_id and the
-    // anti join is key-local. Text reassembly is array_sort over the
-    // per-doc collected (pos, token) structs — deterministic total
-    // order, no window. Everything is O(total tokens · L) rows at
-    // worst, no pair expansion anywhere.
+    // Shape (round-9 scale rewrite): the flagged starts collapse to
+    // per-doc MERGED INTERVALS first (the shared d29 islands core —
+    // rows ∝ flagged windows only), aggregate to one small sorted
+    // interval array per flagged doc, and join the corpus ONCE at doc
+    // granularity (AQE broadcasts the interval side on healthy
+    // corpora — the corpus never shuffles). Reassembly is then pure
+    // in-row: the kept segments are the complement of the merged
+    // intervals ([0,s₁)∪[e₁,s₂)∪…∪[eₖ,n)), each sliced out of the
+    // token array and flattened back — O(kept tokens) work per doc,
+    // zero token-granular shuffles. The previous shape anti-joined
+    // (doc, pos, token) rows against exploded covered positions and
+    // re-collected them — two full-token shuffles that measured 90.8 s
+    // at the ×100 scale sweep; this form removes both (token rows
+    // never leave their document row).
     QueryDef(
       "c14_span_scrubbed_export",
       (s, dir) => {
         import s.implicits._
         val L = 8
         val docs = corpus(s, dir)
-        val cov = duplicateWindows(docs, L)
-          .select($"doc_id", explode(expr(s"sequence(pos, pos + ${L - 1})")).as("p"))
-          .distinct()
-        val toksPos = docs.withColumn("toks", tokens($"text"))
-          .select($"doc_id", posexplode($"toks").as(Seq("p", "w")))
-        toksPos.join(cov, Seq("doc_id", "p"), "left_anti")
+        val spans = mergedSpanIntervals(duplicateWindows(docs, L), L)
           .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_kept"),
-            expr("array_join(transform(array_sort(collect_list(struct(p, w))), x -> x.w), ' ')")
-              .as("clean_text"))
+          .agg(sort_array(collect_list(struct($"s", $"e2"))).as("sp"))
+        docs.withColumn("toks", tokens($"text"))
+          .select($"doc_id", $"toks", size($"toks").as("n"))
+          .join(spans, Seq("doc_id"), "left")
+          .withColumn("kept", expr(
+            """CASE WHEN sp IS NULL THEN toks ELSE
+                 flatten(transform(
+                   filter(transform(sequence(0, size(sp)),
+                     i -> struct(IF(i = 0, 0, sp[i - 1].e2) AS b,
+                                 IF(i = size(sp), n, sp[i].s) AS t)),
+                     g -> g.t > g.b),
+                   g -> slice(toks, g.b + 1, g.t - g.b)))
+               END"""))
+          .filter(size($"kept") > 0)
+          .select($"doc_id", size($"kept").cast("long").as("n_kept"),
+            array_join($"kept", " ").as("clean_text"))
           .orderBy($"doc_id")
       },
       Some(s"""
