@@ -1797,6 +1797,143 @@ object ExtendedQueries {
                CAST(COUNT(CASE WHEN json_extract_string(jdoc, '$.cur') = 'usd'
                                THEN 1 END) AS BIGINT) AS n_usd
         FROM j GROUP BY event_type ORDER BY event_type"""),
-      doc = "VARIANT shredding: heterogeneous per-type JSON parsed once into the binary variant encoding, typed-path extraction with NULL-on-absent schema drift, one grouped pass")
+      doc = "VARIANT shredding: heterogeneous per-type JSON parsed once into the binary variant encoding, typed-path extraction with NULL-on-absent schema drift, one grouped pass"),
+
+    // ------------------------------------------------------------------
+    // q74: sumMap-style keyed-map rollup (ClickHouse sumMap /
+    // SummingMergeTree map columns): per day, the event-type→metric
+    // maps summed key-wise, emitted ClickHouse-style as the aligned
+    // (keys[], values[]) arrays of the sorted map. Two shuffles, both
+    // partial-aggregable — the (day, type) pre-aggregate does the heavy
+    // lifting map-side, and the per-day map assembly only ever sees
+    // ≤ |event types| rows per day, so the collect_list is bounded by
+    // key cardinality (the sumMap contract), never by row count. Money
+    // stays integral (floor-to-cents, the q73 convention); the map type
+    // itself flows through the plan via map_from_entries/map_keys/
+    // map_values rather than being faked with parallel arrays.
+    QueryDef(
+      "q74_summap_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select(to_date($"ts").as("day"), $"event_type",
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+          .groupBy($"day", $"event_type")
+          .agg(count(lit(1)).as("cnt"), sum($"cents").as("scents"))
+          .groupBy($"day")
+          .agg(
+            map_from_entries(sort_array(collect_list(
+              struct($"event_type", $"cnt")))).as("mn"),
+            map_from_entries(sort_array(collect_list(
+              struct($"event_type", $"scents")))).as("mc"))
+          .select($"day", map_keys($"mn").as("types"),
+            map_values($"mn").as("n"), map_values($"mc").as("sum_cents"))
+          .orderBy($"day")
+      },
+      Some("""
+        WITH pre AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 COUNT(*) AS cnt,
+                 SUM(CAST(floor(value * 100) AS BIGINT)) AS scents
+          FROM events GROUP BY 1, 2)
+        SELECT day,
+               list(event_type ORDER BY event_type) AS types,
+               list(cnt ORDER BY event_type) AS n,
+               list(scents ORDER BY event_type) AS sum_cents
+        FROM pre GROUP BY day ORDER BY day"""),
+      doc = "sumMap keyed-map rollup: per-day event-type maps summed key-wise, sorted (keys, values) array emission, map type through the plan"),
+
+    // ------------------------------------------------------------------
+    // q75: PIVOT reshape (the wide dual of q68's unpivot) — per-day
+    // event counts and purchase revenue spread into one column per
+    // event type via the DataFrame pivot API with an EXPLICIT value
+    // list. The explicit list matters at scale: without it Spark runs
+    // an extra distinct-values collect over the fact table before it
+    // can even plan; with it the pivot compiles straight to one
+    // grouped aggregate of `count(CASE WHEN type = …)` columns — a
+    // single shuffle, fully partial-aggregable, identical to the
+    // conditional-aggregation SQL the oracle spells out. Missing
+    // (day, type) cells surface as typed zeros.
+    QueryDef(
+      "q75_pivot_event_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = Tables.events(s, dir)
+          .select(to_date($"ts").as("day"), $"event_type",
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+          .groupBy($"day")
+          .pivot("event_type", types)
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        wide.select($"day" +:
+            types.map(t => coalesce(col(s"${t}_n"), lit(0L)).as(s"n_$t")) :+
+            coalesce(col("purchase_cents"), lit(0L)).as("purchase_cents"): _*)
+          .orderBy($"day")
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) FILTER (event_type = 'click')    AS n_click,
+               COUNT(*) FILTER (event_type = 'error')    AS n_error,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+               COUNT(*) FILTER (event_type = 'view')     AS n_view,
+               CAST(COALESCE(SUM(CAST(floor(value * 100) AS BIGINT))
+                 FILTER (event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents
+        FROM events GROUP BY 1 ORDER BY day"""),
+      doc = "PIVOT reshape: explicit-value-list pivot compiling to one conditional-aggregation pass, typed zero fill"),
+
+    // ------------------------------------------------------------------
+    // q76: exact equi-depth histogram (ClickHouse histogram() made
+    // deterministic): k=8 buckets over l_extendedprice where a value's
+    // bucket is floor(strict_lower_rank · k / N) — pure integer math,
+    // so both engines agree bit-for-bit with no interpolated-boundary
+    // ties (the q72 sketch audit is the approximate path; this is the
+    // exact one). Shape is the q69 distinct-value idiom: a grouped
+    // pre-aggregate collapses rows to (value, cnt) BEFORE the global
+    // window, so the sort window sees distinct prices only, and the
+    // strict-lower cumulative rank comes from one running sum. Ties
+    // (equal prices) land in one bucket whole — bucket populations
+    // deviate from N/k only by tie mass, the standard equi-depth
+    // contract.
+    QueryDef(
+      "q76_equidepth_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val k = 8
+        val vals = Tables.load(s, dir, "lineitem")
+          .groupBy($"l_extendedprice".as("v"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("dsum"))
+        val total = vals.agg(sum($"cnt").as("total_n"))
+        val w = Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        vals
+          .withColumn("lower", sum($"cnt").over(w) - $"cnt")
+          .crossJoin(broadcast(total))
+          .withColumn("bucket", expr(s"(lower * $k) div total_n"))
+          .groupBy($"bucket")
+          .agg(sum($"cnt").as("n_rows"), count(lit(1)).as("n_values"),
+            min($"v").as("lo"), max($"v").as("hi"),
+            sum($"dsum").cast("double").as("sum_price"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH vals AS (
+          SELECT l_extendedprice AS v, COUNT(*) AS cnt,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsum
+          FROM lineitem GROUP BY 1),
+        ranked AS (
+          SELECT v, cnt, dsum,
+                 SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                   AS lower_rank
+          FROM vals)
+        SELECT CAST((lower_rank * 8) // (SELECT COUNT(*) FROM lineitem)
+                 AS BIGINT) AS bucket,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_values,
+               MIN(v) AS lo, MAX(v) AS hi,
+               CAST(SUM(dsum) AS DOUBLE) AS sum_price
+        FROM ranked GROUP BY 1 ORDER BY bucket"""),
+      doc = "exact equi-depth histogram: integer strict-lower-rank buckets over the distinct-value pre-aggregate, tie mass whole-bucketed")
   )
 }
