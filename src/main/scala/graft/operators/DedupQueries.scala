@@ -2773,6 +2773,104 @@ object DedupQueries {
         SELECT a_key, b_key, name_lev, seg_eq, bal_eq, score
         FROM scored WHERE score >= 75
         ORDER BY a_key, b_key"""),
-      doc = "structured-record linkage dedup: blocking via the adaptive pair router + agreement-vector scoring (name edit distance, segment, balance); planted OCR variants re-identified, near-miss candidates rejected")
+      doc = "structured-record linkage dedup: blocking via the adaptive pair router + agreement-vector scoring (name edit distance, segment, balance); planted OCR variants re-identified, near-miss candidates rejected"),
+
+    // ------------------------------------------------------------------
+    // d32: MinHash ESTIMATOR-ACCURACY AUDIT — the q61/q72 "trust but
+    // verify the sketch" pattern applied to the dedup sketch itself:
+    // for every LSH candidate pair, the signature-agreement estimate
+    // (matching lanes / 8, the textbook unbiased MinHash estimator of
+    // Jaccard) is compared against the EXACT shingle-set Jaccard, with
+    // an integer cross-multiplied tolerance verdict (|m/8 − i/u| ≤ ¼
+    // ⟺ |m·u − 8·i| ≤ 2·u — no float boundary can disagree between
+    // engines). This is the calibration report that justifies the d03
+    // banding parameters in production: systematic verdict failures
+    // mean the 8-lane signature is too coarse for the corpus.
+    //
+    // Shape: candidates come from the shared adaptive-router core
+    // (never all-pairs); the signature join is fixed-width (8×16-char
+    // lanes) and the only heavy join is the doc-granular shingle-set
+    // fetch (arrays travel once, per candidate side). Exact Jaccard is
+    // in-row array_intersect — no shingle ever re-shuffles.
+    QueryDef(
+      "d32_minhash_estimator_audit",
+      (s, dir) => {
+        import s.implicits._
+        val sig = minhashSignatures(s, dir)
+        def side(sfx: String) = sig.select(
+          col("doc_id").as(s"doc_$sfx") +:
+            (0 until 8).map(p => col(s"mh$p").as(s"mh${p}_$sfx")): _*)
+        val sets = corpus(s, dir)
+          .withColumn("toks", tokens($"text"))
+          .withColumn("ss", array_distinct(
+            transform(shingles("toks"), x => substring(md5(x), 1, 16))))
+          .select($"doc_id", $"ss")
+        lshCandidatePairs(s, dir)
+          .join(side("a"), "doc_a").join(side("b"), "doc_b")
+          .withColumn("matches",
+            (0 until 8).map(p =>
+              when(col(s"mh${p}_a") === col(s"mh${p}_b"), 1L).otherwise(0L))
+              .reduce(_ + _))
+          .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), "doc_a")
+          .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb")), "doc_b")
+          .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+          .withColumn("uni",
+            size($"sa").cast("long") + size($"sb").cast("long") - $"inter")
+          .select($"doc_a", $"doc_b", $"matches", $"inter", $"uni",
+            (abs($"matches" * $"uni" - lit(8L) * $"inter") <= lit(2L) * $"uni")
+              .as("within_tol"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""$lshPairsSqlCore,
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(sh, x -> substr(md5(x), 1, 16)))
+                   AS ss
+          FROM shi),
+        audited AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(${(0 until 8).map(i =>
+                   s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+                   .mkString(" + ")} AS BIGINT) AS matches,
+                 CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS inter,
+                 CAST(len(sa.ss) + len(sb.ss)
+                      - len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS uni
+          FROM pairs p
+          JOIN sig a ON a.doc_id = p.doc_a
+          JOIN sig b ON b.doc_id = p.doc_b
+          JOIN sets sa ON sa.doc_id = p.doc_a
+          JOIN sets sb ON sb.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, matches, inter, uni,
+               abs(matches * uni - 8 * inter) <= 2 * uni AS within_tol
+        FROM audited ORDER BY doc_a, doc_b"""),
+      doc = "MinHash estimator-accuracy audit: per-candidate signature-agreement estimate vs exact shingle Jaccard, integer cross-multiplied tolerance verdicts"),
+
+    // ------------------------------------------------------------------
+    // c17: DEDUP PROVENANCE MANIFEST — the lineage record a curation
+    // pipeline must publish alongside d09's survivor corpus: for every
+    // multi-document cluster, the canonical survivor plus the SORTED
+    // list of documents it absorbed. This is what makes a dedup pass
+    // auditable (and reversible) downstream: takedown requests, license
+    // audits, and eval-contamination tracebacks all resolve through it.
+    // Shape: one grouped pass over the shared memoized cluster labels
+    // (collect_list is bounded by cluster size — the same contract as
+    // q74's per-day key cardinality), no joins beyond the label read.
+    QueryDef(
+      "c17_dedup_provenance",
+      (s, dir) => {
+        import s.implicits._
+        clusterLabels(s, dir)
+          .filter($"canon" =!= $"doc_id")
+          .groupBy($"canon".as("survivor"))
+          .agg(count(lit(1)).as("n_removed"),
+            sort_array(collect_list($"doc_id")).as("removed"))
+          .orderBy($"survivor")
+      },
+      Some(s"""$labelsSqlCore
+        SELECT canon AS survivor, COUNT(*) AS n_removed,
+               list(doc_id ORDER BY doc_id) AS removed
+        FROM labels WHERE canon <> doc_id
+        GROUP BY canon ORDER BY survivor"""),
+      doc = "dedup provenance manifest: per-cluster survivor with the sorted absorbed-document list — the lineage record takedowns and contamination tracebacks resolve through")
   )
 }

@@ -2143,7 +2143,70 @@ object TextQueries {
         SELECT source, v, na, nb, kl_a_b, new_in_b, gone_in_b
         FROM agg JOIN tot USING (source)
         ORDER BY source"""),
-      doc = "corpus drift monitor: per-source smoothed KL divergence between snapshot halves over the union vocabulary + vocab-churn counts, decimal-summed terms")
+      doc = "corpus drift monitor: per-source smoothed KL divergence between snapshot halves over the union vocabulary + vocab-churn counts, decimal-summed terms"),
+
+    // ------------------------------------------------------------------
+    // t28: DISTINCTIVE-TERMS KEYNESS REPORT — the corpus-linguistics
+    // "keyness" profile (log-likelihood/lift family) a curation team
+    // reads to understand what each source actually contains: per
+    // source, the top-5 tokens most over-represented vs the whole
+    // corpus. The score is pure-integer lift in ppm — (tf_src · 10⁶)
+    // div tf_all — with (score, tf, token) as the deterministic total
+    // order, so both engines rank identically with no float boundary
+    // (per source, total_src and total_all are constants, so ordering
+    // by tf_src/tf_all IS ordering by true lift). A min-df floor cuts
+    // hapax noise, exactly mirrored in the oracle.
+    //
+    // Shape: one (source, token) count shuffle with map-side combine;
+    // the global token frequency rides a window over the token
+    // partition (same exchange family, no join-back); the per-source
+    // top-5 is a bounded ROW_NUMBER head. At 100 TB this is a
+    // fixed-width token-key shuffle + a tiny per-source head — the
+    // t27 drift-monitor cost shape.
+    QueryDef(
+      "t28_keyness_report",
+      (s, dir) => {
+        import s.implicits._
+        val minDf = 10L
+        val counts = Tables.load(s, dir, "documents")
+          .select($"source", explode(tokens($"text")).as("t"))
+          .groupBy($"source", $"t").agg(count(lit(1)).as("tf"))
+        val wTok = Window.partitionBy($"t")
+        val wSrc = Window.partitionBy($"source")
+          .orderBy($"score_ppm".desc, $"tf".desc, $"t")
+        counts
+          .withColumn("tf_all", sum($"tf").over(wTok))
+          .filter($"tf_all" >= minDf)
+          .withColumn("score_ppm", expr("(tf * 1000000L) div tf_all"))
+          .withColumn("rnk", row_number().over(wSrc))
+          .filter($"rnk" <= 5)
+          .select($"source", $"rnk".cast("long").as("rnk"), $"t",
+            $"tf", $"tf_all", $"score_ppm")
+          .orderBy($"source", $"rnk")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT source,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+                FROM documents)
+          GROUP BY source, t),
+        gfreq AS (
+          SELECT source, t, tf,
+                 CAST(SUM(tf) OVER (PARTITION BY t) AS BIGINT) AS tf_all
+          FROM counts),
+        scored AS (
+          SELECT source, t, tf, tf_all,
+                 CAST((tf * 1000000) // tf_all AS BIGINT) AS score_ppm
+          FROM gfreq WHERE tf_all >= 10),
+        ranked AS (
+          SELECT source, t, tf, tf_all, score_ppm,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY score_ppm DESC, tf DESC, t) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT source, rnk, t, tf, tf_all, score_ppm
+        FROM ranked WHERE rnk <= 5 ORDER BY source, rnk"""),
+      doc = "distinctive-terms keyness report: per-source top-5 over-represented tokens by integer ppm lift, deterministic total-order ranking, min-df floor")
   )
 
   /** t24's stopword-removal set: every language-ID list plus the quality
