@@ -1254,7 +1254,74 @@ object SimilarityQueries {
                CAST(n_vecs * 1000000 // total AS BIGINT) AS share_ppm,
                n_vecs * 8 > total * 2 AS hot
         FROM buckets, tot ORDER BY cid"""),
-      doc = "IVF bucket-balance report: per-centroid population/share + integer-exact hot flag — the retrain signal for the stored-index lifecycle")
+      doc = "IVF bucket-balance report: per-centroid population/share + integer-exact hot flag — the retrain signal for the stored-index lifecycle"),
+
+    // ------------------------------------------------------------------
+    // s22: RANGE SEARCH (FAISS range_search / radius retrieval) — the
+    // threshold dual of the s11 k-NN join: for a broadcast probe SET,
+    // ALL corpus vectors with cosine ≥ τ, not a fixed top-k. This is
+    // the retrieval mode dedup-adjacent pipelines actually want ("give
+    // me every near-copy", where k is unknowable a priori); the corpus
+    // plants ×2-scaled copies (the d06 convention), which are
+    // cosine-1.0 hits for their probes. Two-phase scoring (the
+    // d06/d16 pattern): the codegen'd double vec_dot prefilters the
+    // probe×corpus candidate stream map-side against the broadcast
+    // probes — no shuffle at all before the final sort — and only
+    // near-threshold survivors (1e-6 slack vs ~1e-12 double error, so
+    // provably no boundary loss) run the decimal-exact kernel that
+    // decides τ bit-identically to the oracle. At 100 TB this is one
+    // scan of the corpus with a fixed per-row cost of |probes| double
+    // dots — the shape a brute-force range scan must have; the IVF
+    // bucket route (s14) bounds it further when τ is tight.
+    QueryDef(
+      "s22_range_search",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.dotExact
+        val tau = 0.95
+        val base = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val copies = base.filter($"vec_id" % 25 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))")
+              .as("embedding"))
+        val corpus = base.unionByName(copies)
+          .withColumn("norm", sqrt(dotExact("embedding", "embedding")))
+        val probes = base.filter($"vec_id" < 4 || $"vec_id" === 25)
+          .withColumn("qnorm", sqrt(dotExact("embedding", "embedding")))
+          .select($"vec_id".as("qid"), $"embedding".as("qv"), $"qnorm")
+        graft.plans.VectorExpressions.register(s)
+        corpus.crossJoin(broadcast(probes))
+          .filter($"vec_id" =!= $"qid")
+          .filter(expr("vec_dot(embedding, qv)") / ($"norm" * $"qnorm")
+            >= tau - 1e-6)
+          .select($"qid", $"vec_id",
+            round(dotExact("embedding", "qv") / ($"norm" * $"qnorm"), 9)
+              .as("cosine"))
+          .filter($"cosine" >= tau)
+          .orderBy($"qid", $"vec_id")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+          FROM embeddings WHERE vec_id % 25 = 0),
+        probes AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < 4 OR vec_id = 25),
+        flat AS (SELECT c.vec_id, p.qid, unnest(c.embedding) AS x,
+                        unnest(p.qv) AS y
+                 FROM corpus c CROSS JOIN probes p WHERE c.vec_id <> p.qid),
+        dots AS (SELECT qid, vec_id,
+                        ${graft.operators.OracleFragments.oCosineSums()}
+                 FROM flat GROUP BY qid, vec_id)
+        SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM dots
+        WHERE round(dot / (sqrt(na) * sqrt(nq)), 9) >= 0.95
+        ORDER BY qid, vec_id"""),
+      doc = "range search: threshold retrieval over a broadcast probe set — all cosine >= tau hits, two-phase double-prefilter + decimal-exact confirm, map-side until the final sort")
   )
 
   /** Frozen-centroid IVF assignment — the ingest-path kernel shared by
