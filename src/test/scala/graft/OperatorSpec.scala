@@ -1022,6 +1022,87 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q76 equi-depth histogram: conservation, bucket bounds, monotone ranges") {
+    val rows = QueryDef.registry.find(_.name == "q76_equidepth_histogram").get
+      .build(spark, sfDir)
+      .select($"bucket", $"n_rows", $"lo", $"hi")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val total = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(rows.map(_._2).sum == total, "bucket populations must sum to N")
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 8), "bucket ids in [0, 8)")
+    // value ranges are disjoint and ordered: each bucket's hi < next lo
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3, s"overlap ${a._1}->${b._1}")
+      case _ =>
+    }
+    // equi-depth: every bucket within 2x of the even share (tie mass is
+    // tiny for near-distinct prices)
+    rows.foreach { case (b, n, _, _) =>
+      assert(n <= 2 * total / 8 + 1, s"bucket $b overweight: $n")
+    }
+  }
+
+  test("d32 estimator audit: planted exact copies estimate and measure J=1") {
+    val rows = QueryDef.registry.find(_.name == "d32_minhash_estimator_audit").get
+      .build(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"matches", $"inter", $"uni", $"within_tol")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // an exact copy (doc + 1000000) shares every shingle AND every lane
+    val exactPairs = rows.filter { case (a, b, _, _, _, _) => b == a + 1000000L }
+    assert(exactPairs.nonEmpty, "no planted exact-copy candidates surfaced")
+    exactPairs.foreach { case (a, b, m, i, u, ok) =>
+      assert(m == 8L, s"($a,$b): exact copy must match all 8 lanes, got $m")
+      assert(i == u, s"($a,$b): exact copy must have Jaccard 1")
+      assert(ok, s"($a,$b): J=1 with m=8 must pass the tolerance verdict")
+    }
+    // estimator sanity everywhere: inter <= uni, matches in [0, 8]
+    rows.foreach { case (a, b, m, i, u, _) =>
+      assert(m >= 0 && m <= 8 && i <= u && u > 0, s"($a,$b) bounds violated")
+    }
+  }
+
+  test("c17 provenance manifest is exactly the dropped set d09 reports") {
+    val manifest = QueryDef.registry.find(_.name == "c17_dedup_provenance").get
+      .build(spark, sfDir)
+      .select($"survivor", $"n_removed", $"removed")
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(manifest.nonEmpty)
+    manifest.foreach { case (srv, n, rem) =>
+      assert(rem.size.toLong == n, s"$srv count mismatch")
+      assert(rem == rem.sorted, s"$srv removed list not sorted")
+      assert(!rem.contains(srv), s"$srv absorbed itself")
+      assert(rem.forall(_ > srv), s"$srv is not the minimum of its cluster")
+    }
+    // total absorbed docs == d09's n_dropped total
+    val dropped = QueryDef.registry.find(_.name == "d09_dedup_survivors").get
+      .build(spark, sfDir)
+      .select(sum($"n_dropped")).as[Long].head()
+    assert(manifest.map(_._2).sum == dropped,
+      s"manifest mass ${manifest.map(_._2).sum} != d09 dropped $dropped")
+  }
+
+  test("t28 keyness: bounded heads, deterministic order, lift sanity") {
+    val rows = QueryDef.registry.find(_.name == "t28_keyness_report").get
+      .build(spark, sfDir)
+      .select($"source", $"rnk", $"tf", $"tf_all", $"score_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, gs) =>
+      val ranks = gs.map(_._2).sorted
+      assert(ranks.length <= 5 && ranks.toSeq == (1L to ranks.length),
+        s"$src ranks not a 1..k prefix: ${ranks.toSeq}")
+      // scores never increase down the ranked head
+      val byRank = gs.sortBy(_._2).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"$src scores not non-increasing")
+    }
+    rows.foreach { case (src, _, tf, tfAll, ppm) =>
+      assert(tf <= tfAll && tfAll >= 10, s"$src df floor violated")
+      assert(ppm == tf * 1000000L / tfAll, s"$src ppm math drifted")
+    }
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
