@@ -53,7 +53,11 @@ object PlanDump {
     "c15_pack_manifest" -> "window rollup reuses the packing window's source partitioning: one hash exchange total",
     "t26_script_profile" -> "per-script codepoint counts fully in-row; only the presentation sort exchanges",
     "d31_record_linkage" -> "record blocking through the adaptive router; keyed joins back, no cartesian",
-    "q73_variant_shred" -> "variant parse + typed path extraction stay in one map stage before the grouped pass")
+    "q73_variant_shred" -> "variant parse + typed path extraction stay in one map stage before the grouped pass",
+    "c14_span_scrubbed_export" -> "interval-complement scrub: merged spans join docs once, token rows never leave their row",
+    "q75_pivot_event_matrix" -> "explicit-list pivot: ONE conditional-agg pass, no distinct-values pre-collect",
+    "s22_range_search" -> "range search: broadcast probes, double prefilter map-side, decimal confirm on survivors",
+    "t28_keyness_report" -> "keyness: token-key shuffle with map-side combine, global freq via token window, bounded head")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
