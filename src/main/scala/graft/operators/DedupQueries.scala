@@ -2788,31 +2788,33 @@ object DedupQueries {
     // mean the 8-lane signature is too coarse for the corpus.
     //
     // Shape: candidates come from the shared adaptive-router core
-    // (never all-pairs); the signature join is fixed-width (8×16-char
-    // lanes) and the only heavy join is the doc-granular shingle-set
-    // fetch (arrays travel once, per candidate side). Exact Jaccard is
-    // in-row array_intersect — no shingle ever re-shuffles.
+    // (never all-pairs); each pair side then fetches ONE per-doc
+    // feature row carrying both the 8-lane signature array and the
+    // distinct shingle set, so the corpus feature kernel runs once per
+    // side (a first cut joined signatures and sets separately — four
+    // corpus scans; consolidating to one projection measured 56.7 s →
+    // see BASELINE.md at the ×100 sweep). Lane agreement and exact
+    // Jaccard are both in-row folds — no shingle ever re-shuffles. At
+    // 100 TB the feature side is the STORED d19 signature index, not a
+    // recompute.
     QueryDef(
       "d32_minhash_estimator_audit",
       (s, dir) => {
         import s.implicits._
-        val sig = minhashSignatures(s, dir)
-        def side(sfx: String) = sig.select(
-          col("doc_id").as(s"doc_$sfx") +:
-            (0 until 8).map(p => col(s"mh$p").as(s"mh${p}_$sfx")): _*)
-        val sets = corpus(s, dir)
+        val feats = corpus(s, dir)
           .withColumn("toks", tokens($"text"))
+          .withColumn("sh", shingles("toks"))
+          .withColumn("mhs", expr("minhash_lanes(sh, 8)"))
           .withColumn("ss", array_distinct(
-            transform(shingles("toks"), x => substring(md5(x), 1, 16))))
-          .select($"doc_id", $"ss")
+            transform($"sh", x => substring(md5(x), 1, 16))))
+          .select($"doc_id", $"mhs", $"ss")
         lshCandidatePairs(s, dir)
-          .join(side("a"), "doc_a").join(side("b"), "doc_b")
-          .withColumn("matches",
-            (0 until 8).map(p =>
-              when(col(s"mh${p}_a") === col(s"mh${p}_b"), 1L).otherwise(0L))
-              .reduce(_ + _))
-          .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), "doc_a")
-          .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb")), "doc_b")
+          .join(feats.select($"doc_id".as("doc_a"), $"mhs".as("ma"),
+            $"ss".as("sa")), "doc_a")
+          .join(feats.select($"doc_id".as("doc_b"), $"mhs".as("mb"),
+            $"ss".as("sb")), "doc_b")
+          .withColumn("matches", expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
           .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
           .withColumn("uni",
             size($"sa").cast("long") + size($"sb").cast("long") - $"inter")

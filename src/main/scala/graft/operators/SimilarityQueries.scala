@@ -1321,7 +1321,94 @@ object SimilarityQueries {
         FROM dots
         WHERE round(dot / (sqrt(na) * sqrt(nq)), 9) >= 0.95
         ORDER BY qid, vec_id"""),
-      doc = "range search: threshold retrieval over a broadcast probe set — all cosine >= tau hits, two-phase double-prefilter + decimal-exact confirm, map-side until the final sort")
+      doc = "range search: threshold retrieval over a broadcast probe set — all cosine >= tau hits, two-phase double-prefilter + decimal-exact confirm, map-side until the final sort"),
+
+    // ------------------------------------------------------------------
+    // s23: JL RANDOM PROJECTION + DISTORTION AUDIT — 64-dim embeddings
+    // compressed to 16 dims with an Achlioptas ±1 sign matrix (the
+    // storage/bandwidth lever for a 100 TB vector corpus: 4× smaller
+    // vectors with Johnson-Lindenstrauss distance guarantees), plus the
+    // audit that makes the compression trustworthy: for a planted
+    // sample of pairs, the projected-vs-original squared-distance ratio
+    // (×16 normalization folded into the denominator so no vector is
+    // ever divided). The sign matrix is a pure function of (row, dim) —
+    // md5 parity, 'jl:' salt — folded to a literal at plan build (the
+    // s07 hyperplane trick), so projection is MAP-ONLY: 16 decimal
+    // folds per row, no shuffle anywhere before the audit's pair join.
+    // Components surface as correctly-rounded doubles of exact decimal
+    // sums, so both engines see bit-identical projections; distances
+    // then go through the shared l2SqExact kernel.
+    QueryDef(
+      "s23_jl_projection_audit",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.l2SqExact
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val signsLit = typedLit((1 to 16).map { j =>
+          (0 until 64).map { d =>
+            val hex = md.digest(s"jl:$j:$d".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            if (hex.head < '8') -1.0 else 1.0
+          }
+        })
+        val proj = Tables.load(s, dir, "embeddings")
+          .filter($"vec_id" < 64)
+          .select($"vec_id", $"embedding", signsLit.as("sg"))
+          .withColumn("proj", expr(
+            """transform(sequence(1, 16), j ->
+                 CAST(aggregate(
+                   zip_with(embedding, element_at(sg, j),
+                     (x, h) -> CAST(x AS DOUBLE) * h),
+                   CAST(0 AS DECIMAL(38,18)),
+                   (acc, v) -> CAST(acc + CAST(v AS DECIMAL(38,18))
+                               AS DECIMAL(38,18)))
+                 AS DOUBLE))"""))
+          .select($"vec_id", $"embedding", $"proj")
+        val a = proj.filter($"vec_id" % 2 === 0)
+          .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"proj".as("pa"))
+        val b = proj.filter($"vec_id" % 2 === 1)
+          .select($"vec_id".as("id_b"), $"embedding".as("eb"), $"proj".as("pb"))
+        a.join(b, $"id_b" === $"id_a" + 1)
+          .select($"id_a", $"id_b",
+            round(l2SqExact("ea", "eb"), 9).as("d2_orig"),
+            round(l2SqExact("pa", "pb"), 9).as("d2_proj"))
+          .withColumn("ratio",
+            round($"d2_proj" / (lit(16.0) * $"d2_orig"), 6))
+          .withColumn("ok", abs($"ratio" - 1.0) <= 0.8)
+          .orderBy($"id_a")
+      },
+      Some(s"""
+        WITH comp AS (
+          SELECT e.vec_id, t.j,
+                 CAST(SUM(CAST(CAST(e.embedding[u.d + 1] AS DOUBLE)
+                   * (CASE WHEN substr(md5('jl:' || t.j || ':' || u.d), 1, 1)
+                           < '8' THEN -1.0 ELSE 1.0 END)
+                   AS DECIMAL(38,18))) AS DOUBLE) AS p
+          FROM embeddings e, range(1, 17) t(j), range(0, 64) u(d)
+          WHERE e.vec_id < 64
+          GROUP BY e.vec_id, t.j),
+        projv AS (SELECT vec_id, list(p ORDER BY j) AS proj
+                  FROM comp GROUP BY vec_id),
+        prs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ea.embedding AS ea, eb.embedding AS eb,
+                 a.proj AS pa, b.proj AS pb
+          FROM projv a JOIN projv b ON b.vec_id = a.vec_id + 1
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE a.vec_id % 2 = 0),
+        flato AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM prs),
+        flatp AS (SELECT id_a, id_b, unnest(pa) AS x, unnest(pb) AS y FROM prs),
+        d2o AS (SELECT id_a, id_b, round(${graft.operators.OracleFragments
+          .oL2Sq("x", "y")}, 9) AS d2_orig FROM flato GROUP BY id_a, id_b),
+        d2p AS (SELECT id_a, id_b, round(${graft.operators.OracleFragments
+          .oL2Sq("x", "y")}, 9) AS d2_proj FROM flatp GROUP BY id_a, id_b)
+        SELECT d2o.id_a, d2o.id_b, d2_orig, d2_proj,
+               round(d2_proj / (16.0 * d2_orig), 6) AS ratio,
+               abs(round(d2_proj / (16.0 * d2_orig), 6) - 1.0) <= 0.8 AS ok
+        FROM d2o JOIN d2p ON d2o.id_a = d2p.id_a AND d2o.id_b = d2p.id_b
+        ORDER BY d2o.id_a"""),
+      doc = "JL random projection (64->16, Achlioptas sign matrix as a folded literal) + distortion audit: projected-vs-original squared-distance ratios over planted pairs, map-only projection, decimal-exact kernels")
   )
 
   /** Frozen-centroid IVF assignment — the ingest-path kernel shared by
