@@ -748,6 +748,63 @@ object DocsisQueries {
       doc = "MERGE INTO upsert: broadcast-keyed update+insert over stats-scoped victim parts"),
 
     // ------------------------------------------------------------------
+    // dx27: SHALLOW CLONE + independent evolution (Delta CLONE TABLE):
+    // a dev/staging fork of a production table for one metadata write —
+    // the clone's v0 lists the source's live parts BY REFERENCE (the
+    // require proves every v0 path lives under the source root, i.e.
+    // zero bytes copied), then the clone takes a backfill append and a
+    // takedown softDelete while the source's row count is proven
+    // untouched. The clone read must mask error rows through tombstones
+    // whose victim lists point at SOURCE part paths — the path-keyed
+    // deletion-vector design working unchanged across the table
+    // boundary. At 100 TB this is how experiment tables, migration
+    // rehearsals, and GDPR what-if audits get source-scale data for the
+    // cost of a log entry.
+    QueryDef(
+      "dx27_shallow_clone",
+      (s, sfDir) => {
+        import s.implicits._
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("dx27_src").toString
+        val cloneDir = java.nio.file.Files
+          .createTempDirectory("dx27_clone").toString
+        val src = new graft.storage.FactTable(srcDir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+        src.append(ev, 0)
+        src.compact(sortCols = Seq("event_id"))
+        val srcRows = src.read().count()
+        val clone = src.cloneShallowTo(cloneDir)
+        val v0 = clone.snapshot().files
+        require(v0.nonEmpty && v0.forall(_.path.contains("dx27_src")),
+          s"clone v0 must reference source parts only at $cloneDir")
+        val backfill = ev.filter($"event_id" % 97 === 0)
+          .withColumn("event_id", $"event_id" + 10000000L)
+          .withColumn("event_type", lit("backfill"))
+        clone.append(backfill, 1)
+        clone.softDelete($"event_type" === "error", Seq("event_id"))
+        require(src.read().count() == srcRows,
+          s"source table mutated by clone activity at $srcDir")
+        clone.read()
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(25, 6))).cast("double").as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH backfill AS (
+          SELECT 'backfill' AS event_type, value
+          FROM events WHERE event_id % 97 = 0),
+        allr AS (
+          SELECT event_type, value FROM events WHERE event_type <> 'error'
+          UNION ALL SELECT * FROM backfill)
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM allr GROUP BY event_type ORDER BY event_type"""),
+      doc = "shallow clone: zero-copy metadata fork + independent append/delete evolution, source proven untouched, tombstone masks across the table boundary"),
+
+    // ------------------------------------------------------------------
     // dx16: BLOOM skip-index point lookup (ClickHouse bloom_filter
     // secondary index): events are HASH-clustered on user_id, so parts
     // hold interleaved key subsets whose [min,max] mostly straddle any

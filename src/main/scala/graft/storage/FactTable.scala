@@ -191,6 +191,34 @@ class FactTable(val root: String, spark: SparkSession,
     v
   }
 
+  /** Zero-copy SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE`
+    * / Iceberg snapshot-ref analog): the clone's version-0 commit lists
+    * the source's live snapshot BY REFERENCE — every data part,
+    * tombstone, and its stats — so cloning a 100 TB table is one
+    * metadata write, zero bytes moved. The two tables then evolve
+    * independently: the clone's appends/deletes/compactions land under
+    * its own root and never touch the source; the source's later
+    * commits are invisible to the clone (it forked at this snapshot).
+    * Tombstone masks and stats pruning work unchanged on the clone
+    * because both key on the referenced part PATHS.
+    *
+    * Safety contract (same as Delta): `vacuum()` only ever physically
+    * deletes files under its OWN table root, so a clone dropping
+    * cloned-in parts (e.g. via compaction) merely de-references them —
+    * physical reclaim of source bytes stays the source's job, and a
+    * source vacuum cannot be triggered by clone activity. Source txn
+    * ids are deliberately NOT carried: the clone is a new table and its
+    * writers' idempotence keys start fresh.
+    */
+  def cloneShallowTo(destRoot: String): FactTable = {
+    val dest = new FactTable(destRoot, spark, bloomCols, projections)
+    require(fs.listStatus(dest.logDir).isEmpty,
+      s"shallow clone target $destRoot already has a log")
+    val snap = snapshot()
+    dest.commit(0L, None, snap.files, Nil)
+    dest
+  }
+
   private def commit(version: Long, txn: Option[Long], adds: Seq[FileEntry],
       removes: Seq[String]): Unit = {
     val node = mapper.createObjectNode()
@@ -346,7 +374,17 @@ class FactTable(val root: String, spark: SparkSession,
     }
     // a file removed at version v was last live at v-1; it is needed by
     // some retained snapshot iff v > keepFrom
-    val victims = removedAt.collect { case (p, v) if v <= keepFrom => p }
+    //
+    // Ownership guard (the Delta CLONE/VACUUM contract): only files
+    // under THIS table's root are physically deleted. Shallow-cloned-in
+    // parts live under the source table's root — dropping them from
+    // this log de-references them, but reclaiming the bytes is the
+    // source's retention decision, never the clone's.
+    val rootQ = fs.makeQualified(rootPath).toString + Path.SEPARATOR
+    val victims = removedAt.collect {
+      case (p, v) if v <= keepFrom &&
+        fs.makeQualified(new Path(p)).toString.startsWith(rootQ) => p
+    }
     victims.foreach { p =>
       // bloom sidecars live next to the data, outside the log — reclaim
       // them (and their lazy-loaded cache entries) with their part, or a

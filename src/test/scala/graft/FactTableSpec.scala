@@ -964,4 +964,39 @@ class FactTableSpec extends AnyFunSuite {
     assert(t.read().count() == 1)
     assert(t.read().filter($"modem_name".isNull).count() == 0)
   }
+
+  test("shallow clone: zero-copy fork, independent evolution both ways") {
+    val src = freshTable()
+    src.append(rows(10, "2024-03-01", "m1"), 0)
+    src.append(rows(5, "2024-03-02", "m2"), 1)
+    val clone = src.cloneShallowTo(
+      java.nio.file.Files.createTempDirectory("fact_clone").toString)
+    // v0 is pure references — no data under the clone's root
+    assert(clone.snapshot().files.forall(_.path.contains("fact_table")))
+    assert(clone.read().count() == 15)
+    // clone-side append is invisible to the source
+    clone.append(rows(3, "2024-03-03", "m3"), 0)
+    assert(clone.read().count() == 18 && src.read().count() == 15)
+    // source-side append is invisible to the clone (forked at v0)
+    src.append(rows(4, "2024-03-04", "m4"), 2)
+    assert(src.read().count() == 19 && clone.read().count() == 18)
+    // clone-side delete masks rows held in SOURCE parts, source unharmed
+    assert(clone.softDelete($"modem_name" === "m1", Seq("modem_name")) == 1L)
+    assert(clone.read().count() == 8 && src.read().count() == 19)
+  }
+
+  test("clone vacuum never deletes source bytes (ownership guard)") {
+    val src = freshTable()
+    src.append(rows(10, "2024-03-01", "m1"), 0)
+    val clone = src.cloneShallowTo(
+      java.nio.file.Files.createTempDirectory("fact_clone").toString)
+    // compaction rewrites the cloned-in parts into clone-local ones,
+    // REMOVING the source paths from the clone's log...
+    clone.compact()
+    assert(clone.snapshot().files.forall(_.path.contains("fact_clone")))
+    // ...and an aggressive vacuum must still leave the source intact
+    clone.vacuum(0L)
+    assert(src.read().count() == 10, "source data deleted by clone vacuum")
+    assert(clone.read().count() == 10)
+  }
 }
