@@ -1934,6 +1934,40 @@ object ExtendedQueries {
                MIN(v) AS lo, MAX(v) AS hi,
                CAST(SUM(dsum) AS DOUBLE) AS sum_price
         FROM ranked GROUP BY 1 ORDER BY bucket"""),
-      doc = "exact equi-depth histogram: integer strict-lower-rank buckets over the distinct-value pre-aggregate, tie mass whole-bucketed")
+      doc = "exact equi-depth histogram: integer strict-lower-rank buckets over the distinct-value pre-aggregate, tie mass whole-bucketed"),
+
+    // ------------------------------------------------------------------
+    // q77: NDV-SKETCH ACCURACY AUDIT (uniq vs uniqExact) — completes
+    // the sketch-audit family (q61 topK, q72 quantiles, d32 MinHash):
+    // per event type, the mergeable HLL++ estimate is checked against
+    // the exact distinct count with the standard-error bound promoted
+    // to a verdict (|approx − exact| ≤ 5%·exact + 5, generous vs the
+    // 2% rsd the sketch is configured for). The sketch VALUE never
+    // reaches the output — it is engine-specific by nature — only the
+    // exact count and the boolean the audit exists to produce, which
+    // is how all sketch rows stay hash-checkable. Both aggregates are
+    // partial-aggregable, so the audit costs one map-side-combined
+    // pass at any scale; the exact side's shuffle carries (type, user)
+    // pairs only.
+    QueryDef(
+      "q77_ndv_sketch_audit",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"user_id").as("exact_ndv"),
+            approx_count_distinct($"user_id", 0.02).as("approx"))
+          .select($"event_type", $"n", $"exact_ndv",
+            (abs($"approx" - $"exact_ndv")
+              <= $"exact_ndv" / lit(20L) + lit(5L)).as("ndv_ok"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS exact_ndv,
+               TRUE AS ndv_ok
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "NDV-sketch accuracy audit: mergeable HLL++ estimate vs exact distinct count, error-bound verdict, sketch value never surfaced")
   )
 }
