@@ -2206,7 +2206,122 @@ object TextQueries {
           FROM scored)
         SELECT source, rnk, t, tf, tf_all, score_ppm
         FROM ranked WHERE rnk <= 5 ORDER BY source, rnk"""),
-      doc = "distinctive-terms keyness report: per-source top-5 over-represented tokens by integer ppm lift, deterministic total-order ranking, min-df floor")
+      doc = "distinctive-terms keyness report: per-source top-5 over-represented tokens by integer ppm lift, deterministic total-order ranking, min-df floor"),
+
+    // ------------------------------------------------------------------
+    // c18: INCREMENTAL CURATION FUNNEL — c01's recipe (quality gate →
+    // exact dedup → per-source cap, cap=15 so it BINDS) under the
+    // d13/d19/d30 contract: a new crawl batch arrives and the old
+    // corpus's TEXT is never re-read — the old side contributes only
+    // its stored funnel INDEX (hash → min-id winner + source; built
+    // in-query here so the oracle can see it, a persisted table at
+    // 100 TB). The split is md5-parity (NOT doc_id arithmetic: source
+    // is a doc_id residue in the testdata, so an arithmetic split
+    // batches whole sources and the interesting paths go dead — the
+    // t27 lesson), ids are remapped ×10, and the batch plants copies
+    // of old docs at id·10−5: smaller than their originals, unused in
+    // the ×10 id space. That forces BOTH evictions naive incremental
+    // curation gets wrong: a smaller-id duplicate takes over its
+    // hash's dedup slot, and small batch ids entering a full source
+    // cap displace that source's largest admitted ids. Both fall out
+    // of re-ranking the METADATA union (old index ∪ batch
+    // hash-minima) — rows ∝ distinct hashes, never corpus text. The
+    // report counts final/new/evicted per source; incremental ≡
+    // full-rerun IS the oracle: the SQL runs the whole funnel on the
+    // union corpus and on the old corpus and diffs the admitted sets.
+    QueryDef(
+      "c18_incremental_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val cap = 15
+        val base = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text", $"source",
+            (substring(md5($"doc_id".cast("string")), 1, 1) >= "c").as("nb"))
+        val oldDocs = base.filter(!$"nb")
+          .select(($"doc_id" * 10).as("doc_id"), $"text", $"source")
+        val batch = base.filter($"nb")
+          .select(($"doc_id" * 10).as("doc_id"), $"text", $"source")
+          .unionByName(base.filter(!$"nb" && $"doc_id" % 40 === 0)
+            .select(($"doc_id" * 10 - 5).as("doc_id"), $"text", $"source"))
+        def quality(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("n_toks", size(tokens($"text")).cast("long"))
+          .withColumn("punct_ratio",
+            length(regexp_replace(lower($"text"), "[a-z0-9\\s]", "")).cast("double")
+              / length($"text"))
+          .filter($"n_toks" >= 10 && $"punct_ratio" < 0.3)
+          .select($"doc_id", $"source", md5($"text").as("h"))
+        val oldIdx = quality(oldDocs)
+          .groupBy($"h").agg(min(struct($"doc_id", $"source")).as("m"))
+          .select($"h", $"m.doc_id".as("doc_id"), $"m.source".as("source"))
+        val batchMin = quality(batch)
+          .groupBy($"h").agg(min(struct($"doc_id", $"source")).as("m"))
+          .select($"h", $"m.doc_id".as("bdoc"), $"m.source".as("bsource"))
+        val takeBatch = $"doc_id".isNull ||
+          ($"bdoc".isNotNull && $"bdoc" < $"doc_id")
+        val winners = oldIdx.join(batchMin, Seq("h"), "full_outer")
+          .select(
+            when(takeBatch, $"bdoc").otherwise($"doc_id").as("wid"),
+            when(takeBatch, $"bsource").otherwise($"source").as("wsource"),
+            when(takeBatch, lit(true)).otherwise(lit(false)).as("isnew"))
+        val wCap = Window.partitionBy($"wsource").orderBy($"wid")
+        val admitted = winners
+          .withColumn("rk", row_number().over(wCap)).filter($"rk" <= cap)
+        val wCapOld = Window.partitionBy($"source").orderBy($"doc_id")
+        val oldAdmitted = oldIdx
+          .withColumn("rk", row_number().over(wCapOld)).filter($"rk" <= cap)
+        val evicted = oldAdmitted
+          .join(admitted.select($"wid".as("doc_id")), Seq("doc_id"), "left_anti")
+          .groupBy($"source").agg(count(lit(1)).as("evicted_old"))
+        admitted.groupBy($"wsource".as("source"))
+          .agg(count(lit(1)).as("final_count"),
+            count(when($"isnew", 1)).as("new_admitted"))
+          .join(evicted, Seq("source"), "left")
+          .na.fill(0L, Seq("evicted_old"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH unionc AS (
+          SELECT doc_id * 10 AS doc_id, text, source,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS isnew
+          FROM documents
+          UNION ALL
+          SELECT doc_id * 10 - 5, text, source, TRUE
+          FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+            AND doc_id % 40 = 0),
+        q AS (
+          SELECT doc_id, source, isnew, md5(text) AS h FROM unionc
+          WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 10
+            AND CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+                AS DOUBLE) / length(text) < 0.3),
+        win AS (SELECT doc_id, source, isnew FROM (
+                  SELECT doc_id, source, isnew,
+                         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+                  FROM q) t WHERE rk = 1),
+        adm AS (SELECT doc_id, source, isnew FROM (
+                  SELECT doc_id, source, isnew,
+                         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+                  FROM win) t WHERE rk <= 15),
+        oldwin AS (SELECT doc_id, source FROM (
+                     SELECT doc_id, source,
+                            ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+                     FROM q WHERE NOT isnew) t WHERE rk = 1),
+        oldadm AS (SELECT doc_id, source FROM (
+                     SELECT doc_id, source,
+                            ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+                     FROM oldwin) t WHERE rk <= 15),
+        ev AS (SELECT o.source, COUNT(*) AS evicted_old
+               FROM oldadm o LEFT JOIN adm a ON o.doc_id = a.doc_id
+               WHERE a.doc_id IS NULL GROUP BY o.source),
+        fin AS (SELECT source, COUNT(*) AS final_count,
+                       COUNT(CASE WHEN isnew THEN 1 END) AS new_admitted
+                FROM adm GROUP BY source)
+        SELECT f.source, f.final_count,
+               CAST(f.new_admitted AS BIGINT) AS new_admitted,
+               CAST(COALESCE(ev.evicted_old, 0) AS BIGINT) AS evicted_old
+        FROM fin f LEFT JOIN ev ON f.source = ev.source
+        ORDER BY f.source"""),
+      doc = "incremental curation funnel: batch curated against the stored funnel index (old text never re-read), dedup-swap and cap-displacement evictions via metadata re-rank; full-rerun oracle proves incremental == rebuild")
   )
 
   /** t24's stopword-removal set: every language-ID list plus the quality

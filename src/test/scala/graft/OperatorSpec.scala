@@ -1103,6 +1103,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("c18 incremental funnel: caps bind, evictions live, conservation") {
+    val rows = QueryDef.registry.find(_.name == "c18_incremental_funnel").get
+      .build(spark, sfDir)
+      .select($"source", $"final_count", $"new_admitted", $"evicted_old")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the cap must BIND (a non-binding cap means the displacement path
+    // is dead code — the degenerate corpus shape this operator's first
+    // cut shipped with)
+    assert(rows.forall(_._2 == 15L), "per-source cap must bind at 15")
+    assert(rows.exists(_._3 > 0), "no batch doc was ever admitted")
+    assert(rows.exists(_._4 > 0), "no old doc was ever evicted")
+    // with a full old cap, every new admit displaces exactly one old doc
+    rows.foreach { case (src, fin, nw, ev) =>
+      assert(nw == ev, s"$src: $nw admits but $ev evictions with a full cap")
+      assert(nw <= fin, s"$src: more admits than slots")
+    }
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
