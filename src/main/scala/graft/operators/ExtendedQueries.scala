@@ -1848,12 +1848,14 @@ object ExtendedQueries {
     // event counts and purchase revenue spread into one column per
     // event type via the DataFrame pivot API with an EXPLICIT value
     // list. The explicit list matters at scale: without it Spark runs
-    // an extra distinct-values collect over the fact table before it
-    // can even plan; with it the pivot compiles straight to one
-    // grouped aggregate of `count(CASE WHEN type = …)` columns — a
-    // single shuffle, fully partial-aggregable, identical to the
-    // conditional-aggregation SQL the oracle spells out. Missing
-    // (day, type) cells surface as typed zeros.
+    // an extra distinct-values collect JOB over the fact table before
+    // it can even plan. With it the pivot compiles to the
+    // (day, type) pre-aggregate + a `pivotfirst` re-aggregate on day —
+    // both phases partial-aggregable (the first shuffle carries one
+    // row per (day, type), the second one row per day), semantically
+    // identical to the conditional-aggregation SQL the oracle spells
+    // out. Missing (day, type) cells surface as typed zeros. PlanSpec
+    // locks the no-Expand / bounded-exchange shape.
     QueryDef(
       "q75_pivot_event_matrix",
       (s, dir) => {

@@ -600,4 +600,38 @@ class PlanSpec extends AnyFunSuite {
       s"mask not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"masked read shuffles the fact side:\n$p")
   }
+
+  test("c14 scrub joins intervals to docs by broadcast — corpus tokens never shuffle") {
+    val p = plan("c14_span_scrubbed_export")
+    // the round-9 rewrite's contract: the merged-interval side broadcasts
+    // into a left-outer join against the doc rows; the old shape's two
+    // token-granular exchanges (anti-join + re-collect) must not return
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"interval join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token-granular shuffle returned:\n$p")
+  }
+
+  test("q75 explicit-list pivot: no Expand, partial-agg chain, bounded exchanges") {
+    val p = plan("q75_pivot_event_matrix")
+    assert(!p.contains("Expand"), s"pivot expanded rows:\n$p")
+    assert(p.contains("partial_pivotfirst"), s"pivot not partial-aggregable:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // (day, type) pre-agg + day pivot re-agg + the presentation sort;
+    // every exchange carries aggregated rows, never the fact table
+    assert(exchanges <= 3, s"pivot plans $exchanges exchanges:\n$p")
+  }
+
+  test("t28 keyness derives global token frequency without a join") {
+    val p = plan("t28_keyness_report")
+    assert(!p.contains("Join"), s"keyness joined instead of windowing:\n$p")
+  }
+
+  test("s22 range search: broadcast probes, native prefilter, no shuffle join") {
+    val p = plan("s22_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe set not broadcast:\n$p")
+    assert(p.contains("vec_dot") && !p.contains("ScalaUDF"),
+      s"prefilter not the native kernel:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"range search shuffle-joined:\n$p")
+  }
 }
