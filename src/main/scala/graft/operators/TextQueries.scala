@@ -2209,6 +2209,9 @@ object TextQueries {
       doc = "distinctive-terms keyness report: per-source top-5 over-represented tokens by integer ppm lift, deterministic total-order ranking, min-df floor"),
 
     // ------------------------------------------------------------------
+    // (core: `incrementalFunnel` below, injectable so the OperatorSpec
+    // can replay hand-computed eviction scenarios on synthetic frames)
+    //
     // c18: INCREMENTAL CURATION FUNNEL — c01's recipe (quality gate →
     // exact dedup → per-source cap, cap=15 so it BINDS) under the
     // d13/d19/d30 contract: a new crawl batch arrives and the old
@@ -2233,7 +2236,6 @@ object TextQueries {
       "c18_incremental_funnel",
       (s, dir) => {
         import s.implicits._
-        val cap = 15
         val base = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text", $"source",
             (substring(md5($"doc_id".cast("string")), 1, 1) >= "c").as("nb"))
@@ -2243,41 +2245,7 @@ object TextQueries {
           .select(($"doc_id" * 10).as("doc_id"), $"text", $"source")
           .unionByName(base.filter(!$"nb" && $"doc_id" % 40 === 0)
             .select(($"doc_id" * 10 - 5).as("doc_id"), $"text", $"source"))
-        def quality(df: org.apache.spark.sql.DataFrame) = df
-          .withColumn("n_toks", size(tokens($"text")).cast("long"))
-          .withColumn("punct_ratio",
-            length(regexp_replace(lower($"text"), "[a-z0-9\\s]", "")).cast("double")
-              / length($"text"))
-          .filter($"n_toks" >= 10 && $"punct_ratio" < 0.3)
-          .select($"doc_id", $"source", md5($"text").as("h"))
-        val oldIdx = quality(oldDocs)
-          .groupBy($"h").agg(min(struct($"doc_id", $"source")).as("m"))
-          .select($"h", $"m.doc_id".as("doc_id"), $"m.source".as("source"))
-        val batchMin = quality(batch)
-          .groupBy($"h").agg(min(struct($"doc_id", $"source")).as("m"))
-          .select($"h", $"m.doc_id".as("bdoc"), $"m.source".as("bsource"))
-        val takeBatch = $"doc_id".isNull ||
-          ($"bdoc".isNotNull && $"bdoc" < $"doc_id")
-        val winners = oldIdx.join(batchMin, Seq("h"), "full_outer")
-          .select(
-            when(takeBatch, $"bdoc").otherwise($"doc_id").as("wid"),
-            when(takeBatch, $"bsource").otherwise($"source").as("wsource"),
-            when(takeBatch, lit(true)).otherwise(lit(false)).as("isnew"))
-        val wCap = Window.partitionBy($"wsource").orderBy($"wid")
-        val admitted = winners
-          .withColumn("rk", row_number().over(wCap)).filter($"rk" <= cap)
-        val wCapOld = Window.partitionBy($"source").orderBy($"doc_id")
-        val oldAdmitted = oldIdx
-          .withColumn("rk", row_number().over(wCapOld)).filter($"rk" <= cap)
-        val evicted = oldAdmitted
-          .join(admitted.select($"wid".as("doc_id")), Seq("doc_id"), "left_anti")
-          .groupBy($"source").agg(count(lit(1)).as("evicted_old"))
-        admitted.groupBy($"wsource".as("source"))
-          .agg(count(lit(1)).as("final_count"),
-            count(when($"isnew", 1)).as("new_admitted"))
-          .join(evicted, Seq("source"), "left")
-          .na.fill(0L, Seq("evicted_old"))
-          .orderBy($"source")
+        incrementalFunnel(oldDocs, batch, cap = 15)
       },
       Some("""
         WITH unionc AS (
@@ -2323,6 +2291,55 @@ object TextQueries {
         ORDER BY f.source"""),
       doc = "incremental curation funnel: batch curated against the stored funnel index (old text never re-read), dedup-swap and cap-displacement evictions via metadata re-rank; full-rerun oracle proves incremental == rebuild")
   )
+
+  /** The c18 incremental-funnel core over (doc_id, text, source) frames:
+    * quality gate → hash-minimum dedup merge of the old INDEX with the
+    * batch minima (a full-outer on hash, rows ∝ distinct hashes) →
+    * per-source cap re-rank of the metadata union → per-source report
+    * (final_count, new_admitted, evicted_old). The old side's text is
+    * read exactly once, to build its index — at 100 TB that index is the
+    * persisted table and the old text never loads at all. Injectable so
+    * specs can replay hand-computed dedup-swap / cap-displacement
+    * scenarios on synthetic frames.
+    */
+  def incrementalFunnel(oldDocs: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame = {
+    def quality(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double")
+          / length(col("text")))
+      .filter(col("n_toks") >= 10 && col("punct_ratio") < 0.3)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val oldIdx = quality(oldDocs)
+      .groupBy(col("h")).agg(min(struct(col("doc_id"), col("source"))).as("m"))
+      .select(col("h"), col("m.doc_id").as("doc_id"), col("m.source").as("source"))
+    val batchMin = quality(batch)
+      .groupBy(col("h")).agg(min(struct(col("doc_id"), col("source"))).as("m"))
+      .select(col("h"), col("m.doc_id").as("bdoc"), col("m.source").as("bsource"))
+    val takeBatch = col("doc_id").isNull ||
+      (col("bdoc").isNotNull && col("bdoc") < col("doc_id"))
+    val winners = oldIdx.join(batchMin, Seq("h"), "full_outer")
+      .select(
+        when(takeBatch, col("bdoc")).otherwise(col("doc_id")).as("wid"),
+        when(takeBatch, col("bsource")).otherwise(col("source")).as("wsource"),
+        when(takeBatch, lit(true)).otherwise(lit(false)).as("isnew"))
+    val wCap = Window.partitionBy(col("wsource")).orderBy(col("wid"))
+    val admitted = winners
+      .withColumn("rk", row_number().over(wCap)).filter(col("rk") <= cap)
+    val wCapOld = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val oldAdmitted = oldIdx
+      .withColumn("rk", row_number().over(wCapOld)).filter(col("rk") <= cap)
+    val evicted = oldAdmitted
+      .join(admitted.select(col("wid").as("doc_id")), Seq("doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("evicted_old"))
+    admitted.groupBy(col("wsource").as("source"))
+      .agg(count(lit(1)).as("final_count"),
+        count(when(col("isnew"), 1)).as("new_admitted"))
+      .join(evicted, Seq("source"), "left")
+      .na.fill(0L, Seq("evicted_old"))
+      .orderBy(col("source"))
+  }
 
   /** t24's stopword-removal set: every language-ID list plus the quality
     * list, deduplicated and sorted so the literal embeds identically in

@@ -1122,6 +1122,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("c18 core: hand-computed dedup-swap and cap-displacement evictions") {
+    // every text passes the quality gate (>= 10 tokens, low punct)
+    def txt(tag: String) = s"alpha beta gamma delta epsilon zeta eta theta iota $tag"
+    // old source A: ids 10, 20, 30 admitted under cap=2 -> {10, 20}
+    val old = Seq(
+      (10L, txt("a"), "A"), (20L, txt("b"), "A"), (30L, txt("c"), "A"),
+      (10L + 1, txt("x"), "B"), (21L, txt("y"), "B"))
+      .toDF("doc_id", "text", "source")
+    // batch: id 5 duplicates text "a" (smaller id -> dedup SWAP evicts 10);
+    // id 15 is fresh (enters between 5-swap and 20 -> cap DISPLACES 20)
+    val batch = Seq((5L, txt("a"), "A"), (15L, txt("fresh"), "A"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.TextQueries.incrementalFunnel(old, batch, cap = 2)
+      .select($"source", $"final_count", $"new_admitted", $"evicted_old")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    // source A final = {5 (swap winner), 15}: 2 new admits, both old
+    // admitted docs (10 via swap, 20 via displacement) evicted
+    assert(got("A") == ((2L, 2L, 2L)), s"A: ${got("A")}")
+    // source B untouched by the batch
+    assert(got("B") == ((2L, 0L, 0L)), s"B: ${got("B")}")
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
