@@ -2873,6 +2873,65 @@ object DedupQueries {
                list(doc_id ORDER BY doc_id) AS removed
         FROM labels WHERE canon <> doc_id
         GROUP BY canon ORDER BY survivor"""),
-      doc = "dedup provenance manifest: per-cluster survivor with the sorted absorbed-document list — the lineage record takedowns and contamination tracebacks resolve through")
+      doc = "dedup provenance manifest: per-cluster survivor with the sorted absorbed-document list — the lineage record takedowns and contamination tracebacks resolve through"),
+
+    // ------------------------------------------------------------------
+    // d33: BAG-OF-WORDS (reordering-invariant) dedup — the blind spot
+    // between d01 and d03: a copy whose sentences/paragraphs were
+    // SHUFFLED has a different exact hash AND mostly different
+    // shingles (every 3-gram spanning a cut point changes), yet it is
+    // the same document. The order-free fingerprint md5(sorted token
+    // multiset) catches exactly this class: the corpus plants
+    // token-rotated copies (first word moved to the end — a minimal
+    // reorder no shingle window survives intact at the boundary), and
+    // the report keeps clusters where >1 docs share a bag but carry
+    // >1 distinct exact texts, i.e. reordering is actually involved.
+    // Shape: fingerprint is one in-row sort_array over the token
+    // array (map-only — a doc's tokens never leave its row), then a
+    // single 32-byte-key groupBy; the cheapest near-dup pass there is,
+    // which is why real pipelines run it between exact and MinHash.
+    QueryDef(
+      "d33_bag_of_words_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val rotated = docs.filter($"doc_id" % 10 === 3)
+          .select(($"doc_id" + 4000000L).as("doc_id"),
+            when(instr($"text", " ") > 0, concat(
+              expr("substring(text, instr(text, ' ') + 1)"), lit(" "),
+              expr("substring(text, 1, instr(text, ' ') - 1)")))
+              .otherwise($"text").as("text"))
+        docs.unionByName(rotated)
+          .withColumn("bag", md5(array_join(sort_array(tokens($"text")), " ")))
+          .withColumn("exact", md5($"text"))
+          .groupBy($"bag")
+          .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_docs"),
+            countDistinct($"exact").as("n_texts"))
+          .filter($"n_docs" > 1 && $"n_texts" > 1)
+          .select($"keeper", $"n_docs", $"n_texts")
+          .orderBy($"keeper")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 4000000,
+                 CASE WHEN instr(text, ' ') > 0
+                      THEN substr(text, instr(text, ' ') + 1) || ' '
+                           || substr(text, 1, instr(text, ' ') - 1)
+                      ELSE text END
+          FROM documents WHERE doc_id % 10 = 3),
+        fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(
+                   regexp_split_to_array(lower(trim(text)), '\s+')), ' ')) AS bag,
+                 md5(text) AS ex
+          FROM corpus)
+        SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_docs,
+               COUNT(DISTINCT ex) AS n_texts
+        FROM fp GROUP BY bag
+        HAVING COUNT(*) > 1 AND COUNT(DISTINCT ex) > 1
+        ORDER BY keeper"""),
+      doc = "bag-of-words reordering-invariant dedup: md5(sorted token multiset) fingerprint, map-only, catches shuffled copies exact hash and shingles both miss")
   )
 }
