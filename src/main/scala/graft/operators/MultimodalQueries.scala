@@ -676,6 +676,76 @@ object MultimodalQueries {
                CAST(CASE WHEN media_id % 3 <> 1 THEN 16 ELSE -1 END AS BIGINT) AS bits_per_sample,
                CASE WHEN media_id % 3 <> 1 THEN n * 2 ELSE -1 END AS data_len
         FROM a ORDER BY media_id"""),
-      doc = "RIFF/WAVE metadata sniff: little-endian fmt/data fields via reversed hex concatenation, native expressions only; corrupt assets guarded")
+      doc = "RIFF/WAVE metadata sniff: little-endian fmt/data fields via reversed hex concatenation, native expressions only; corrupt assets guarded"),
+
+    // ------------------------------------------------------------------
+    // m14: PERCEPTUAL AUDIO NEAR-DUP — m07's dHash story for the audio
+    // modality, on the REAL decode path (m10's javax.sound pipeline):
+    // executors render genuine WAVs, decode them, and fingerprint the
+    // PCM stream with per-window zero-crossing counts — a
+    // LOUDNESS-INVARIANT key (amplitude never enters), so the planted
+    // re-encodes at ~half gain (amp/2+1, different bytes, different
+    // peak) collide with their originals while signals with different
+    // periods stay apart. Clusters are one 32-byte-key groupBy over the
+    // map-only fingerprint (assets never shuffle; the m08-m11 seam),
+    // and max_peak > min_peak in every reported cluster PROVES the
+    // match crossed a gain change — the thing exact byte dedup (m05)
+    // can never find. Oracle: the square wave's crossing structure has
+    // a closed form ((hi−1)//p − (max(lo,1)−1)//p per window), so the
+    // whole perceptual pipeline stays hash-checkable.
+    QueryDef(
+      "m14_audio_perceptual_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val base = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 4)
+          .select($"doc_id".as("media_id"),
+            ($"n_chars" % 2000 + 500).cast("int").as("n"),
+            (($"doc_id" % 1000) * 16 + 500).cast("int").as("amp"),
+            ($"n_chars" % 37 + 5).cast("int").as("p"))
+        val reencoded = base.filter($"media_id" % 60 === 4)
+          .select(($"media_id" + 5000000L).as("media_id"), $"n",
+            (expr("amp div 2") + 1).cast("int").as("amp"), $"p")
+        base.unionByName(reencoded)
+          .as[(Long, Int, Int, Int)]
+          .mapPartitions(_.map { case (id, n, amp, p) =>
+            graft.sources.MediaPipeline.audioFingerprint(id,
+              graft.sources.MediaPipeline.renderSquareWav(n, 8000, amp, p), 8)
+          })
+          .toDF()
+          .groupBy($"fp")
+          .agg(min($"media_id").as("keeper"),
+            count(lit(1)).as("n_assets"),
+            min($"peak").as("min_peak"), max($"peak").as("max_peak"))
+          .filter($"n_assets" > 1)
+          .select($"keeper", $"n_assets", $"min_peak", $"max_peak")
+          .orderBy($"keeper")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id AS media_id,
+                 (n_chars % 2000) + 500 AS n,
+                 (doc_id % 1000) * 16 + 500 AS amp,
+                 (n_chars % 37) + 5 AS p
+          FROM documents WHERE doc_id % 20 = 4),
+        assets AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT media_id + 5000000, n, amp // 2 + 1, p
+          FROM base WHERE media_id % 60 = 4),
+        fps AS (
+          SELECT media_id, amp,
+                 array_to_string(list_transform(range(0, 8), w ->
+                   CAST((((w + 1) * n) // 8 - 1) // p
+                        - (CASE WHEN (w * n) // 8 = 0 THEN 0
+                                ELSE ((w * n) // 8 - 1) // p END) AS VARCHAR)),
+                   '-') AS fp
+          FROM assets)
+        SELECT MIN(media_id) AS keeper, COUNT(*) AS n_assets,
+               CAST(MIN(amp) AS BIGINT) AS min_peak,
+               CAST(MAX(amp) AS BIGINT) AS max_peak
+        FROM fps GROUP BY fp HAVING COUNT(*) > 1
+        ORDER BY keeper"""),
+      doc = "perceptual audio near-dup: real decode + loudness-invariant per-window zero-crossing fingerprint; gain-changed re-encodes collide, byte dedup provably cannot find them")
   )
 }

@@ -238,6 +238,58 @@ object MediaPipeline {
       peak: Long, sum_abs: Long, sum_sq: Long, zero_crossings: Long,
       decode_ok: Boolean)
 
+  /** Loudness-invariant perceptual audio fingerprint: per-window
+    * zero-crossing counts over the REAL-decoded PCM stream (the audio
+    * analog of m07's dHash strips — crossing structure survives gain
+    * changes, re-encoding, and amplitude normalization, which is what
+    * makes it a dedup key). `fp` is the dash-joined count vector.
+    */
+  final case class AudioFingerprint(
+      media_id: Long, n_samples: Long, peak: Long, fp: String,
+      decode_ok: Boolean)
+
+  /** Decode `bytes` via javax.sound and fingerprint: split the sample
+    * stream into `nWindows` equal spans (integer boundaries w·n/nW) and
+    * count sign flips inside each span — amplitude never enters, so two
+    * renditions of the same signal at different gain collide exactly.
+    * `peak` is carried alongside to PROVE the loudness difference of
+    * colliding assets downstream.
+    */
+  def audioFingerprint(mediaId: Long, bytes: Array[Byte],
+      nWindows: Int): AudioFingerprint =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+      val data = in.readAllBytes()
+      val n = data.length / 2
+      def sample(i: Int): Int =
+        (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+      var peak = 0L
+      var i = 0
+      while (i < n) {
+        val a = math.abs(sample(i).toLong)
+        if (a > peak) peak = a
+        i += 1
+      }
+      val counts = (0 until nWindows).map { w =>
+        val lo = w * n / nWindows
+        val hi = (w + 1) * n / nWindows
+        var c = 0
+        var j = math.max(lo, 1)
+        while (j < hi) {
+          if (Integer.signum(sample(j)) != Integer.signum(sample(j - 1))) c += 1
+          j += 1
+        }
+        c
+      }
+      AudioFingerprint(mediaId, n, peak, counts.mkString("-"),
+        decode_ok = true)
+    } catch { case _: Exception =>
+      AudioFingerprint(mediaId, -1L, -1L, "", decode_ok = false)
+    }
+
   /** Render a 16-bit mono PCM WAVE file of a square wave: sample i is
     * +amp when (i div period) is even, −amp otherwise — REAL RIFF/WAVE
     * bytes (44-byte header + LE PCM16), the audio analog of
