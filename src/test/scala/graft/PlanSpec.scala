@@ -601,6 +601,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"masked read shuffles the fact side:\n$p")
   }
 
+  test("join hints steer the planner: BROADCAST beats the size heuristic, MERGE forces SMJ") {
+    Tables.registerAll(spark, sfDir)
+    // orders ⋈ lineitem is above the autoBroadcast threshold default at
+    // larger SFs; the point here is that explicit hints OVERRIDE whatever
+    // the size heuristic picks — the manual override knob a 100 TB plan
+    // sometimes needs when stats mislead
+    val broadcasted = spark.sql(
+      "SELECT /*+ BROADCAST(orders) */ count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(broadcasted.contains("BroadcastHashJoin"),
+      s"BROADCAST hint ignored:\n$broadcasted")
+    val merged = spark.sql(
+      "SELECT /*+ MERGE(o) */ count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(merged.contains("SortMergeJoin"), s"MERGE hint ignored:\n$merged")
+  }
+
   test("c14 scrub joins intervals to docs by broadcast — corpus tokens never shuffle") {
     val p = plan("c14_span_scrubbed_export")
     // the round-9 rewrite's contract: the merged-interval side broadcasts
