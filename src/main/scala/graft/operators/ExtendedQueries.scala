@@ -1970,6 +1970,65 @@ object ExtendedQueries {
                COUNT(DISTINCT user_id) AS exact_ndv,
                TRUE AS ndv_ok
         FROM events GROUP BY event_type ORDER BY event_type"""),
-      doc = "NDV-sketch accuracy audit: mergeable HLL++ estimate vs exact distinct count, error-bound verdict, sketch value never surfaced")
+      doc = "NDV-sketch accuracy audit: mergeable HLL++ estimate vs exact distinct count, error-bound verdict, sketch value never surfaced"),
+
+    // ------------------------------------------------------------------
+    // q78: CORRELATION / COVARIANCE aggregates (ClickHouse corr /
+    // covarSamp / covarPop) — q55's exact-moment discipline applied to
+    // the bivariate statistics: both engines' built-in corr() accumulate
+    // in floating point with engine-specific merge orders, so instead
+    // the five decimal power sums (Σx, Σy, Σxy, Σx², Σy²) are computed
+    // exactly (partial-aggregable, one shuffle) and the textbook
+    // formulas assemble them from bit-identical doubles — corr =
+    // (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)), covar_samp =
+    // (nΣxy − ΣxΣy) / (n(n−1)). Values stay decimal until the final
+    // assembly: quantity has 2 decimals, price 2, so DECIMAL(38,8)
+    // sums are exact at any corpus size.
+    QueryDef(
+      "q78_corr_covar",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+          .select($"l_returnflag",
+            expr("CAST(l_quantity AS DECIMAL(18,2))").as("x"),
+            expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("y"))
+        li.groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"x").cast("double").as("sx"),
+            sum($"y").cast("double").as("sy"),
+            sum(expr("CAST(x * y AS DECIMAL(38,8))")).cast("double").as("sxy"),
+            sum(expr("CAST(x * x AS DECIMAL(38,8))")).cast("double").as("sxx"),
+            sum(expr("CAST(y * y AS DECIMAL(38,8))")).cast("double").as("syy"))
+          .select($"l_returnflag", $"n",
+            round(($"n" * $"sxy" - $"sx" * $"sy") /
+              sqrt(($"n" * $"sxx" - $"sx" * $"sx")
+                * ($"n" * $"syy" - $"sy" * $"sy")), 6).as("corr_qty_price"),
+            round(($"n" * $"sxy" - $"sx" * $"sy") /
+              ($"n" * ($"n" - 1)).cast("double"), 4).as("covar_samp"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,8)))
+                   AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,8)))
+                   AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,8)))
+                   AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 AS corr_qty_price,
+               round((n * sxy - sx * sy) / CAST(n * (n - 1) AS DOUBLE), 4)
+                 AS covar_samp
+        FROM m ORDER BY l_returnflag"""),
+      doc = "correlation/covariance aggregates from five exact decimal power sums (partial-aggregable), textbook assembly from bit-identical doubles")
   )
 }

@@ -1145,6 +1145,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(got("B") == ((2L, 0L, 0L)), s"B: ${got("B")}")
   }
 
+  test("d33 bag fingerprint is invariant under any token permutation") {
+    val texts = Seq("one two three four five", "b a", "z z y y x")
+    val rng = new scala.util.Random(7)
+    val rows = texts.flatMap { t =>
+      val toks = t.split(" ").toSeq
+      Seq(t, rng.shuffle(toks).mkString(" "), toks.reverse.mkString(" "))
+        .map(v => (t, v))
+    }.toDF("orig", "variant")
+    val fps = rows.select($"orig",
+        md5(array_join(sort_array(TextFunctions.tokens($"variant")), " ")).as("fp"))
+      .distinct().groupBy($"orig").agg(countDistinct($"fp").as("nfp"))
+      .as[(String, Long)].collect()
+    fps.foreach { case (t, n) =>
+      assert(n == 1L, s"permutations of '$t' produced $n distinct bags")
+    }
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
