@@ -805,6 +805,52 @@ object DocsisQueries {
       doc = "shallow clone: zero-copy metadata fork + independent append/delete evolution, source proven untouched, tombstone masks across the table boundary"),
 
     // ------------------------------------------------------------------
+    // dx28: CHANGE DATA FEED (Delta CDF / table_changes()) — the
+    // producer side of the repo's incremental-everything story: the
+    // table's history REPLAYED as row-level (insert | delete) changes,
+    // which is what d20/d30/c18-style incremental consumers subscribe
+    // to instead of diffing table states. The lifecycle exercises all
+    // three commit classes: two appends (insert feeds, read straight
+    // from the committed files), a compaction (a reorganization — must
+    // emit NOTHING though it rewrites every byte), and a soft delete
+    // (delete feed reconstructed from the tombstone's victim parts +
+    // key tuples at the pre-commit snapshot). The oracle is the
+    // closed-form change log of that history over the events table.
+    QueryDef(
+      "dx28_change_data_feed",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx28_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+        t.append(ev.filter($"event_id" % 2 === 0), 0) // v1: insert feed
+        t.append(ev.filter($"event_id" % 2 === 1), 1) // v2: insert feed
+        t.compact(sortCols = Seq("event_id"))         // v3: reorg, silent
+        t.softDelete($"event_type" === "error", Seq("event_id")) // v4: delete feed
+        val head = t.snapshot().nextVersion - 1
+        t.changesBetween(0, head)
+          .groupBy($"_change_type", $"event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"_commit_version").as("n_commits"))
+          .orderBy($"_change_type", $"event_type")
+      },
+      Some("""
+        WITH feed AS (
+          SELECT 'insert' AS _change_type, event_type,
+                 CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS v
+          FROM events
+          UNION ALL
+          SELECT 'delete', event_type, 4 FROM events
+          WHERE event_type = 'error')
+        SELECT _change_type, event_type, COUNT(*) AS n_rows,
+               COUNT(DISTINCT v) AS n_commits
+        FROM feed GROUP BY _change_type, event_type
+        ORDER BY _change_type, event_type"""),
+      doc = "change data feed: table history replayed as row-level insert/delete changes; appends feed from committed files, deletes reconstruct from tombstone victims, reorganizations provably silent"),
+
+    // ------------------------------------------------------------------
     // dx16: BLOOM skip-index point lookup (ClickHouse bloom_filter
     // secondary index): events are HASH-clustered on user_id, so parts
     // hold interleaved key subsets whose [min,max] mostly straddle any

@@ -219,6 +219,73 @@ class FactTable(val root: String, spark: SparkSession,
     dest
   }
 
+  /** CHANGE DATA FEED (the Delta CDF / `table_changes()` analog) for the
+    * ingest path: row-level changes committed in versions
+    * `[fromVersion, toVersion]` (both inclusive, Delta's
+    * startingVersion/endingVersion convention — version 0 is a real
+    * commit here), each row tagged `_change_type`
+    * ('insert' | 'delete') and `_commit_version`. Commit classification
+    * is structural, from the log alone:
+    *
+    *  - data-part adds with no removes  → an APPEND; its files' rows
+    *    are the inserts (read directly — no diffing).
+    *  - a tombstone add                 → a SOFT DELETE; the deleted
+    *    rows are the pre-commit masked view of its victim parts
+    *    semi-joined to the tombstone's key tuples — exactly the rows
+    *    the delete removed, already-deleted rows excluded because the
+    *    pre-commit mask applies every EARLIER tombstone.
+    *  - anything with removes           → a REORGANIZATION (compact /
+    *    TTL / applyTombstones / backfill / merge rewrite): no logical
+    *    change is emitted. Like Delta's CDF, reorganizations are
+    *    declared change-free; writers that rewrite rows (mergeInto,
+    *    replacePartition) are outside this feed's contract.
+    *
+    * This is what downstream INCREMENTAL consumers (d20's dedup ingest,
+    * d30's gram index, c18's funnel index) subscribe to instead of
+    * re-diffing table states: cost is O(rows actually changed) — the
+    * append files are read once and the delete reconstruction touches
+    * only the tombstone's victim parts, never the table.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val frames = (fromVersion to toVersion).flatMap { v =>
+      val p = new Path(logDir, s"$v.json")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val node = try mapper.readTree(in) finally in.close()
+        val adds = {
+          val b = Seq.newBuilder[FileEntry]
+          node.get("adds").forEach(a => b += entryOf(a))
+          b.result()
+        }
+        val nRemoves = node.get("removes").size()
+        val tombAdds = adds.filter(_.tier == TierTomb)
+        val dataAdds = adds.filterNot(_.tier == TierTomb)
+        if (nRemoves > 0 || adds.isEmpty) None // reorganization / no-op
+        else if (tombAdds.nonEmpty) {
+          val pre = snapshot(asOf = v - 1)
+          val dels = tombAdds.map { t =>
+            val vict = victimsOf(t.path)
+            val victims = pre.dataFiles.filter(f => vict.contains(f.path))
+            val keys = spark.read.parquet(t.path)
+            masked(victims, pre.tombFiles)
+              .join(broadcast(keys), keys.columns.toSeq, "left_semi")
+          }
+          Some(dels.reduce(_.unionByName(_))
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        } else
+          Some(readFiles(dataAdds)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+      }
+    }
+    if (frames.isEmpty)
+      throw new IllegalStateException(
+        s"no data-change commits in [$fromVersion, $toVersion] at $root")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   private def commit(version: Long, txn: Option[Long], adds: Seq[FileEntry],
       removes: Seq[String]): Unit = {
     val node = mapper.createObjectNode()

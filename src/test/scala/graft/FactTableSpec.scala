@@ -985,6 +985,41 @@ class FactTableSpec extends AnyFunSuite {
     assert(clone.read().count() == 8 && src.read().count() == 19)
   }
 
+  test("change data feed: inserts from appends, deletes from tombstones, reorgs silent") {
+    val t = freshTable()
+    t.append(rows(6, "2024-03-01", "m1"), 0)              // v0: 6 inserts
+    t.append(rows(4, "2024-03-02", "m2"), 1)              // v1: 4 inserts
+    t.compact()                                            // v2: reorg
+    t.softDelete($"modem_name" === "m2", Seq("modem_name")) // v3: 4 deletes
+    val head = t.snapshot().nextVersion - 1
+    val feed = t.changesBetween(0, head)
+      .groupBy($"_change_type", $"_commit_version")
+      .agg(count(lit(1)).as("n")).as[(String, Long, Long)].collect().toSet
+    assert(feed == Set(("insert", 0L, 6L), ("insert", 1L, 4L),
+      ("delete", 3L, 4L)), s"feed: $feed")
+    // windowing: a range holding only the compaction has no changes
+    intercept[IllegalStateException](t.changesBetween(2, 2))
+    // the delete feed carries the deleted rows' actual columns
+    val delRows = t.changesBetween(3, head)
+      .filter($"_change_type" === "delete")
+      .select($"modem_name").distinct().as[String].collect().toSeq
+    assert(delRows == Seq("m2"))
+  }
+
+  test("change data feed excludes rows an earlier tombstone already removed") {
+    val t = freshTable()
+    t.append(rows(8, "2024-03-01", "m1"), 0)
+    t.softDelete($"uptime" <= 3L, Seq("modem_name", "timestamp", "uptime"))
+    t.softDelete($"uptime" <= 5L, Seq("modem_name", "timestamp", "uptime"))
+    val head = t.snapshot().nextVersion - 1
+    val byV = t.changesBetween(1, head)
+      .groupBy($"_commit_version").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // v1 deletes uptimes {1,2,3}; v2 must report ONLY {4,5} — not re-list
+    // the three rows the first tombstone already masked
+    assert(byV == Map(1L -> 3L, 2L -> 2L), s"per-version deletes: $byV")
+  }
+
   test("clone vacuum never deletes source bytes (ownership guard)") {
     val src = freshTable()
     src.append(rows(10, "2024-03-01", "m1"), 0)
