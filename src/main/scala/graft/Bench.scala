@@ -106,8 +106,9 @@ object Bench {
       "dx22_collapsing_merge", "dx23_deletion_vectors",
       "dx24_quantile_state_merge", "s18_ivf_tombstone_delete",
       "dx25_partition_backfill", "dx26_merge_upsert",
-      // round-9: shallow clone builds source + clone FactTables in-body
-      "dx27_shallow_clone")
+      // round-9: shallow clone builds source + clone FactTables in-body;
+      // the change-data-feed lifecycle appends/compacts/deletes in-body
+      "dx27_shallow_clone", "dx28_change_data_feed")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

@@ -1020,6 +1020,29 @@ class FactTableSpec extends AnyFunSuite {
     assert(byV == Map(1L -> 3L, 2L -> 2L), s"per-version deletes: $byV")
   }
 
+  test("change data feed drives an incremental consumer (c18 funnel subscribe)") {
+    // the end-to-end subscribe story: a docs table takes an old corpus
+    // (v0) and a new crawl (v1); the consumer reads ONLY v1's feed and
+    // must produce the same funnel report as being handed the batch
+    def txt(tag: String) = s"alpha beta gamma delta epsilon zeta eta theta iota $tag"
+    val old = Seq((10L, txt("a"), "A"), (20L, txt("b"), "A"), (31L, txt("c"), "B"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq((5L, txt("a"), "A"), (15L, txt("fresh"), "A"))
+      .toDF("doc_id", "text", "source")
+    val t = new FactTable(
+      java.nio.file.Files.createTempDirectory("fact_docs").toString, spark)
+    t.append(old, 0)
+    t.append(batch, 1)
+    val fed = t.changesBetween(1, 1)
+      .filter($"_change_type" === "insert")
+      .select($"doc_id", $"text", $"source")
+    val viaFeed = operators.TextQueries.incrementalFunnel(old, fed, cap = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val direct = operators.TextQueries.incrementalFunnel(old, batch, cap = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(viaFeed == direct && viaFeed.nonEmpty, s"feed-driven: $viaFeed vs $direct")
+  }
+
   test("clone vacuum never deletes source bytes (ownership guard)") {
     val src = freshTable()
     src.append(rows(10, "2024-03-01", "m1"), 0)
