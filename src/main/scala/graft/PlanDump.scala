@@ -57,7 +57,10 @@ object PlanDump {
     "c14_span_scrubbed_export" -> "interval-complement scrub: merged spans join docs once, token rows never leave their row",
     "q75_pivot_event_matrix" -> "explicit-list pivot: ONE conditional-agg pass, no distinct-values pre-collect",
     "s22_range_search" -> "range search: broadcast probes, double prefilter map-side, decimal confirm on survivors",
-    "t28_keyness_report" -> "keyness: token-key shuffle with map-side combine, global freq via token window, bounded head")
+    "t28_keyness_report" -> "keyness: token-key shuffle with map-side combine, global freq via token window, bounded head",
+    "c18_incremental_funnel" -> "incremental funnel: metadata-union re-rank, old corpus contributes only its index",
+    "d33_bag_of_words_dedup" -> "bag fingerprint: in-row sort_array, one 32-byte-key groupBy, no pair expansion",
+    "m14_audio_perceptual_dedup" -> "audio near-dup: map-partition render+decode+fingerprint, one groupBy, assets never shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
