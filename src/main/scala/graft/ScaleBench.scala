@@ -37,7 +37,8 @@ object ScaleBench {
     "d20_streaming_dedup", "s14_ivf_stored_index", "s15_ivf_incremental_append",
     "dx12_replacing_merge", "dx14_summing_merge", "d29_substring_spans",
     "c14_span_scrubbed_export", "t25_bpe_encode", "c15_pack_manifest",
-    "s19_mmr_diversified")
+    "s19_mmr_diversified", "d32_minhash_estimator_audit",
+    "c18_incremental_funnel", "m14_audio_perceptual_dedup")
 
   private val idShift = 10000000000L // multiple of 10 and of 20: query moduli survive
 
