@@ -108,7 +108,8 @@ object Bench {
       "dx25_partition_backfill", "dx26_merge_upsert",
       // round-9: shallow clone builds source + clone FactTables in-body;
       // the change-data-feed lifecycle appends/compacts/deletes in-body
-      "dx27_shallow_clone", "dx28_change_data_feed")
+      "dx27_shallow_clone", "dx28_change_data_feed",
+      "dx29_parts_introspection")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

@@ -848,7 +848,53 @@ object DocsisQueries {
                COUNT(DISTINCT v) AS n_commits
         FROM feed GROUP BY _change_type, event_type
         ORDER BY _change_type, event_type"""),
-      doc = "change data feed: table history replayed as row-level insert/delete changes; appends feed from committed files, deletes reconstruct from tombstone victims, reorganizations provably silent"),
+      doc = "change data feed: table history replayed as row-level insert/delete changes; appends feed from committed files, deletes reconstruct from tombstone victims, reorganizations provably silent",
+    ),
+
+    // ------------------------------------------------------------------
+    // dx29: PARTS INTROSPECTION (ClickHouse system.parts / Delta
+    // DESCRIBE DETAIL): the operational report every table owner
+    // queries — per-partition row mass and key ranges — answered FROM
+    // THE LOG ALONE: after the lifecycle below, not one data file is
+    // opened; row counts come from the commit entries and the key
+    // ranges from the footer stats the log already carries. That is
+    // the 100 TB point: fleet-wide storage dashboards poll tables
+    // constantly, and a metadata-only answer costs O(parts) driver
+    // work instead of a cluster scan. The oracle recomputes the same
+    // report from the raw events — so the log's bookkeeping (rows,
+    // stats, partition values, compaction swaps) is what is actually
+    // being verified, end to end.
+    QueryDef(
+      "dx29_parts_introspection",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx29_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+        t.append(ev.filter($"event_id" % 2 === 0), 0)
+        t.append(ev.filter($"event_id" % 2 === 1), 1)
+        t.compact(sortCols = Seq("event_id")) // day-partitioned generation
+        // ---- log-only from here: no parquet footer or page is read ----
+        val files = t.snapshot().dataFiles
+        require(files.nonEmpty && files.forall(f =>
+          f.stats.get("date").exists(cs => cs.min == cs.max)),
+          s"post-compact parts must be single-day at $dir")
+        files.map(f => (f.stats("date").min.toLong, f.rows,
+            f.stats("event_id").min.toLong, f.stats("event_id").max.toLong))
+          .toDF("epoch_day", "rows", "id_min", "id_max")
+          .groupBy(date_add(lit("1970-01-01").cast("date"),
+            $"epoch_day".cast("int")).as("date"))
+          .agg(sum($"rows").as("n_rows"),
+            min($"id_min").as("min_event"), max($"id_max").as("max_event"))
+          .orderBy($"date")
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n_rows,
+               MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        FROM events GROUP BY 1 ORDER BY date"""),
+      doc = "parts introspection (system.parts / DESCRIBE DETAIL): per-partition row mass and key ranges answered from the transaction log alone — zero data files opened"),
 
     // ------------------------------------------------------------------
     // dx16: BLOOM skip-index point lookup (ClickHouse bloom_filter
