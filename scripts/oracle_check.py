@@ -22,7 +22,14 @@ def norm(v):
             return "NaN"
         return v
     if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+        # The DRIVER's comparator does NOT tolerate list values: pandas
+        # sort_values raises TypeError on unhashable numpy arrays
+        # (round-9 lesson: c15/c17/q74 passed here, died at the driver).
+        # Mirror that behavior — fail loudly instead of tuple-normalizing.
+        raise TypeError(
+            "top-level ARRAY/MAP output column — serialize it to a "
+            "canonical string (concat_ws / array_to_string, the q64 "
+            "pattern); the driver comparator crashes on raw arrays")
     if hasattr(v, "isoformat"):
         try:
             s = v.isoformat(sep=" ")  # datetime
@@ -54,8 +61,13 @@ def main(sf_dir, out_dir):
             continue
         tbl = pq.read_table(files[0])
         s_cols = tbl.column_names
-        s_rows = rows_of(s_cols, [list(r.values())
-                                  for r in tbl.to_pylist()])
+        try:
+            s_rows = rows_of(s_cols, [list(r.values())
+                                      for r in tbl.to_pylist()])
+        except TypeError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         try:
             cur = con.execute(sql)
             d_cols = [d[0] for d in cur.description]

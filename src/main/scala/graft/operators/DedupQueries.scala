@@ -2865,12 +2865,19 @@ object DedupQueries {
           .filter($"canon" =!= $"doc_id")
           .groupBy($"canon".as("survivor"))
           .agg(count(lit(1)).as("n_removed"),
-            sort_array(collect_list($"doc_id")).as("removed"))
+            sort_array(collect_list($"doc_id")).as("removed_arr"))
+          // Raw ARRAY output crashes the driver's pandas comparator
+          // (unhashable numpy arrays under sort_values — the q64
+          // lesson). Serialize the absorbed-doc list to its canonical
+          // CSV string, matching the oracle's array_to_string exactly.
+          .select($"survivor", $"n_removed",
+            expr("concat_ws(',', cast(removed_arr as array<string>))")
+              .as("removed"))
           .orderBy($"survivor")
       },
       Some(s"""$labelsSqlCore
         SELECT canon AS survivor, COUNT(*) AS n_removed,
-               list(doc_id ORDER BY doc_id) AS removed
+               array_to_string(list(doc_id ORDER BY doc_id), ',') AS removed
         FROM labels WHERE canon <> doc_id
         GROUP BY canon ORDER BY survivor"""),
       doc = "dedup provenance manifest: per-cluster survivor with the sorted absorbed-document list — the lineage record takedowns and contamination tracebacks resolve through"),

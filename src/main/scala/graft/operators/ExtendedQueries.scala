@@ -1826,8 +1826,17 @@ object ExtendedQueries {
               struct($"event_type", $"cnt")))).as("mn"),
             map_from_entries(sort_array(collect_list(
               struct($"event_type", $"scents")))).as("mc"))
-          .select($"day", map_keys($"mn").as("types"),
-            map_values($"mn").as("n"), map_values($"mc").as("sum_cents"))
+          // The map type flows through the aggregation plan; only the
+          // FINAL projection serializes the aligned (keys, values)
+          // arrays to canonical CSV strings — raw ARRAY output is
+          // unhashable in the driver's pandas comparator (q64 lesson).
+          .select($"day",
+            expr("concat_ws(',', cast(map_keys(mn) as array<string>))")
+              .as("types"),
+            expr("concat_ws(',', cast(map_values(mn) as array<string>))")
+              .as("n"),
+            expr("concat_ws(',', cast(map_values(mc) as array<string>))")
+              .as("sum_cents"))
           .orderBy($"day")
       },
       Some("""
@@ -1837,9 +1846,11 @@ object ExtendedQueries {
                  SUM(CAST(floor(value * 100) AS BIGINT)) AS scents
           FROM events GROUP BY 1, 2)
         SELECT day,
-               list(event_type ORDER BY event_type) AS types,
-               list(cnt ORDER BY event_type) AS n,
-               list(scents ORDER BY event_type) AS sum_cents
+               array_to_string(list(event_type ORDER BY event_type), ',')
+                 AS types,
+               array_to_string(list(cnt ORDER BY event_type), ',') AS n,
+               array_to_string(list(scents ORDER BY event_type), ',')
+                 AS sum_cents
         FROM pre GROUP BY day ORDER BY day"""),
       doc = "sumMap keyed-map rollup: per-day event-type maps summed key-wise, sorted (keys, values) array emission, map type through the plan"),
 

@@ -1892,17 +1892,26 @@ object TextQueries {
         packAssignments(s, dir)
           .groupBy($"source", $"pack_id")
           .agg(count(lit(1)).as("n_docs"),
-            sort_array(collect_list($"pack_offset")).as("boundaries"),
+            sort_array(collect_list($"pack_offset")).as("boundaries_arr"),
             min($"pack_offset").as("carry_in"),
             least(lit(256L), max($"pack_offset" + $"n_toks")).as("fill"))
           .withColumn("pad", lit(256L) - $"fill")
+          // The driver comparator pandas-sorts every column; raw ARRAY
+          // output is unhashable there (the q64 lesson). Serialize the
+          // boundary list to its canonical CSV string, bit-identical to
+          // the oracle's array_to_string.
+          .select($"source", $"pack_id", $"n_docs",
+            expr("concat_ws(',', cast(boundaries_arr as array<string>))")
+              .as("boundaries"),
+            $"carry_in", $"fill", $"pad")
           .orderBy($"source", $"pack_id")
       },
       Some(s"""
         $packSqlCtes
         SELECT source, pack_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               list(pack_offset ORDER BY pack_offset) AS boundaries,
+               array_to_string(list(pack_offset ORDER BY pack_offset), ',')
+                 AS boundaries,
                MIN(pack_offset) AS carry_in,
                LEAST(256, MAX(pack_offset + n_toks)) AS fill,
                256 - LEAST(256, MAX(pack_offset + n_toks)) AS pad

@@ -1171,4 +1171,26 @@ class OperatorSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no oracle-checked query emits a raw array/map/struct output column") {
+    // The driver's comparator pandas-sorts every output column; a raw
+    // ARRAY/MAP/STRUCT column is unhashable there and nulls out the whole
+    // row/schema/hash check (round-9: c15/c17/q74 shipped red this way).
+    // Complex types are fine INSIDE the plan — the contract is only that
+    // the final projection serializes them (concat_ws(',', cast(... as
+    // array<string>)) on the Spark side, array_to_string on the oracle
+    // side — the q64 pattern).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = QueryDef.registry.filter(_.oracle.isDefined).flatMap { q =>
+      val bad = q.build(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${q.name}.${f.name}"
+      }
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"unserialized complex output columns (driver comparator will crash): " +
+        offenders.mkString(", "))
+  }
 }
