@@ -40,7 +40,12 @@ object ScaleBench {
     "s19_mmr_diversified", "d32_minhash_estimator_audit",
     "c18_incremental_funnel", "m14_audio_perceptual_dedup")
 
-  private val idShift = 10000000000L // multiple of 10 and of 20: query moduli survive
+  // multiple of every doc/event/order id modulus the swept queries key
+  // on (10, 20, 100, 1000): each replica reproduces the base's planted
+  // structure exactly (m14's re-encode plant deliberately uses % 100,
+  // which divides this shift — a % 60 plant would vanish in replicas
+  // where 40·r % 60 ≠ 0)
+  private val idShift = 10000000000L
 
   /** Replicate one table `m`× with the per-table transform; m == 1 is a
     * passthrough of the base file (no rewrite, scans stay comparable). */
@@ -64,7 +69,12 @@ object ScaleBench {
         when(col("__r") === 0, col("text")).otherwise(array_join(
           transform(split(col("text"), " "),
             t => concat(t, lit("~"), col("__r"))), " ")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"),
+        // per-replica duration offset: m14's audio fingerprints derive
+        // (n, p) from n_chars, so verbatim replication would hash every
+        // replica's assets into the BASE replica's clusters — ×100 then
+        // measures one giant hot-key groupBy instead of cluster growth
+        (col("n_chars") + col("__r")).as("n_chars"))
       case "embeddings" => reps
         // rotation alone collides once r exceeds the dimensionality
         // (round 9's first ×100 corpus silently duplicated replicas

@@ -703,7 +703,10 @@ object MultimodalQueries {
             ($"n_chars" % 2000 + 500).cast("int").as("n"),
             (($"doc_id" % 1000) * 16 + 500).cast("int").as("amp"),
             ($"n_chars" % 37 + 5).cast("int").as("p"))
-        val reencoded = base.filter($"media_id" % 60 === 4)
+        // plant modulus 100 (not 60): it divides ScaleBench's 10^10
+        // idShift, so every replica plants the same re-encode density
+        // and the weak-scaling row measures real cluster growth
+        val reencoded = base.filter($"media_id" % 100 === 4)
           .select(($"media_id" + 5000000L).as("media_id"), $"n",
             (expr("amp div 2") + 1).cast("int").as("amp"), $"p")
         base.unionByName(reencoded)
@@ -713,6 +716,9 @@ object MultimodalQueries {
               graft.sources.MediaPipeline.renderSquareWav(n, 8000, amp, p), 8)
           })
           .toDF()
+          // the m13 convention: corrupt assets decode to fp="", peak=-1 —
+          // never let them collapse into one bogus "cluster"
+          .filter($"decode_ok")
           .groupBy($"fp")
           .agg(min($"media_id").as("keeper"),
             count(lit(1)).as("n_assets"),
@@ -732,7 +738,7 @@ object MultimodalQueries {
           SELECT * FROM base
           UNION ALL
           SELECT media_id + 5000000, n, amp // 2 + 1, p
-          FROM base WHERE media_id % 60 = 4),
+          FROM base WHERE media_id % 100 = 4),
         fps AS (
           SELECT media_id, amp,
                  array_to_string(list_transform(range(0, 8), w ->

@@ -262,22 +262,47 @@ class FactTable(val root: String, spark: SparkSession,
         val tombAdds = adds.filter(_.tier == TierTomb)
         val dataAdds = adds.filterNot(_.tier == TierTomb)
         if (nRemoves > 0 || adds.isEmpty) None // reorganization / no-op
-        else if (tombAdds.nonEmpty) {
-          val pre = snapshot(asOf = v - 1)
-          val dels = tombAdds.map { t =>
+        else {
+          // Mixed commits are real: cloneShallowTo's v0 carries the
+          // source's live data files AND its tombstones in ONE commit.
+          // The data adds are inserts; a tombstone contributes deletes
+          // only when its victim parts exist in THIS log's pre-commit
+          // state (a clone's carried tombstones have none — they are
+          // inherited state, not a change event).
+          // mask the inserts with the SAME commit's tombstones (their
+          // victims can include the carried data files — clone v0 —
+          // while an earlier commit's tombstones never cover files that
+          // did not exist yet): the feed then replays to exactly the
+          // post-commit live state
+          val inserts =
+            if (dataAdds.isEmpty) None
+            else Some(masked(dataAdds, tombAdds)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v)))
+          lazy val pre = snapshot(asOf = v - 1)
+          val dels = tombAdds.flatMap { t =>
             val vict = victimsOf(t.path)
-            val victims = pre.dataFiles.filter(f => vict.contains(f.path))
-            val keys = spark.read.parquet(t.path)
-            masked(victims, pre.tombFiles)
-              .join(broadcast(keys), keys.columns.toSeq, "left_semi")
+            val victims =
+              if (v == 0) Nil
+              else pre.dataFiles.filter(f => vict.contains(f.path))
+            if (victims.isEmpty) None
+            else {
+              val keys = spark.read.parquet(t.path)
+              val m = masked(victims, pre.tombFiles)
+              // null-safe <=> mirrors masked(): softDelete tombstones
+              // NULL key tuples, which a plain equi-semi-join would
+              // silently drop from the change feed (incremental
+              // consumers would diverge from table state).
+              val cond =
+                keys.columns.map(c => m(c) <=> keys(c)).reduce(_ && _)
+              Some(m.join(broadcast(keys), cond, "left_semi"))
+            }
           }
-          Some(dels.reduce(_.unionByName(_))
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v)))
-        } else
-          Some(readFiles(dataAdds)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v)))
+          val deletes = dels.reduceOption(_.unionByName(_))
+            .map(_.withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          (inserts.toSeq ++ deletes.toSeq).reduceOption(_.unionByName(_))
+        }
       }
     }
     if (frames.isEmpty)

@@ -1020,6 +1020,44 @@ class FactTableSpec extends AnyFunSuite {
     assert(byV == Map(1L -> 3L, 2L -> 2L), s"per-version deletes: $byV")
   }
 
+  test("change feed reports deletes whose tombstone keys are NULL") {
+    val t = freshTable()
+    val df = Seq(
+      (Option.empty[String], java.sql.Timestamp.valueOf("2024-03-01 00:00:01"), 1L),
+      (Some("m1"), java.sql.Timestamp.valueOf("2024-03-01 00:00:02"), 2L),
+      (Some("m2"), java.sql.Timestamp.valueOf("2024-03-01 00:00:03"), 3L))
+      .toDF("modem_name", "timestamp", "uptime")
+      .withColumn("date", to_date($"timestamp"))
+    t.append(df.coalesce(1), 0)
+    // tombstone key tuple is (NULL): masked() removes the row null-safely,
+    // so the feed must report it too — a plain equi-semi-join would drop
+    // it and incremental consumers would diverge from table state
+    assert(t.softDelete($"uptime" === 1L, Seq("modem_name")) == 1L)
+    val dels = t.changesBetween(1, 1)
+      .filter($"_change_type" === "delete")
+      .select($"uptime").as[Long].collect().toSeq
+    assert(dels == Seq(1L), s"feed deletes: $dels")
+    assert(t.read().count() == 2)
+  }
+
+  test("change feed over a clone's v0 mixed commit replays to the live state") {
+    val src = freshTable()
+    src.append(rows(10, "2024-03-01", "m1").coalesce(1), 0)
+    assert(src.softDelete($"uptime" <= 3L,
+      Seq("modem_name", "timestamp", "uptime")) == 3L)
+    // v0 of the clone carries the source's data files AND its tombstone
+    // in ONE commit: the feed must emit the 7 live rows as inserts (not
+    // 10, not crash on an empty pre-clone snapshot) and no deletes —
+    // the carried tombstone is inherited state, not a change event
+    val clone = src.cloneShallowTo(
+      java.nio.file.Files.createTempDirectory("fact_clone_cdf").toString)
+    val feed = clone.changesBetween(0, 0)
+      .groupBy($"_change_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("insert" -> 7L), s"clone v0 feed: $feed")
+    assert(clone.read().count() == 7)
+  }
+
   test("change data feed drives an incremental consumer (c18 funnel subscribe)") {
     // the end-to-end subscribe story: a docs table takes an old corpus
     // (v0) and a new crawl (v1); the consumer reads ONLY v1's feed and
