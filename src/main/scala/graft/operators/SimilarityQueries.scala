@@ -1408,7 +1408,78 @@ object SimilarityQueries {
                abs(round(d2_proj / (16.0 * d2_orig), 6) - 1.0) <= 0.8 AS ok
         FROM d2o JOIN d2p ON d2o.id_a = d2p.id_a AND d2o.id_b = d2p.id_b
         ORDER BY d2o.id_a"""),
-      doc = "JL random projection (64->16, Achlioptas sign matrix as a folded literal) + distortion audit: projected-vs-original squared-distance ratios over planted pairs, map-only projection, decimal-exact kernels")
+      doc = "JL random projection (64->16, Achlioptas sign matrix as a folded literal) + distortion audit: projected-vs-original squared-distance ratios over planted pairs, map-only projection, decimal-exact kernels"),
+
+    // ------------------------------------------------------------------
+    // s24: STORED-INDEX MULTI-PROBE — s14's serving path at a production
+    // recall target (VERDICT r9 #3): the persisted IVF index answers the
+    // query by probing the nprobe=2 buckets nearest the QUERY VECTOR
+    // (s06's knob), still with ZERO re-clustering. Probe selection reads
+    // only the STORED centroid table: 8 rows join the single query row
+    // on a constant key (a broadcast hash join, not a cross join), rank
+    // by exact L2², keep 2 via orderBy+limit — a TakeOrderedAndProject
+    // over nlist rows, no Window, no per-vector argmin. The probed
+    // centroids then broadcast into the bucket-clustered store exactly
+    // like s14's single probe. At 100 TB: probe selection is
+    // O(nlist · nqueries) broadcast work (the ONE nested-loop join in
+    // the plan, over the nlist-row centroid table — never the corpus),
+    // bucket scan cost grows linearly in nprobe while recall approaches
+    // brute force — the same curve s06 demonstrates on the recompute
+    // path, now amortized over the offline build. PlanSpec locks: no
+    // Window anywhere, the single NLJ, broadcast bucket probe.
+    QueryDef(
+      "s24_ivf_stored_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        // ---- offline build (identical assignment to s02/s04/s14)
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"embedding", $"cid",
+            round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .select($"vec_id", $"cid", $"embedding")
+        val dt = to_date(lit("2024-01-01"))
+        val idxT = new graft.storage.FactTable(java.nio.file.Files
+          .createTempDirectory("s24_ivf_idx").toString, s)
+        idxT.append(assigned.withColumn("date", dt), 0)
+        val centT = new graft.storage.FactTable(java.nio.file.Files
+          .createTempDirectory("s24_ivf_cent").toString, s)
+        centT.append(cents.withColumn("date", dt), 0)
+        // ---- online search: stored tables only
+        val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
+        val q = idx.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        val probes = centT.read().select($"cid", $"cv")
+          .crossJoin(broadcast(q))
+          .select($"cid", $"qv", round(l2SqExact("cv", "qv"), 9).as("dist2"))
+          .orderBy($"dist2".asc, $"cid".asc)
+          .limit(2)
+          .select($"cid".as("pcid"), $"qv")
+        idx.join(broadcast(probes), $"cid" === $"pcid")
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id", $"cid",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some(s"""
+        $ivfAssignSqlCtes,
+        probes AS (SELECT cid FROM (
+                     SELECT cid, ROW_NUMBER() OVER (ORDER BY dist2 ASC, cid ASC) AS rk
+                     FROM distsr WHERE vec_id = 0) t WHERE rk <= 2),
+        bucket AS (SELECT a.vec_id, a.cid FROM assigned a
+                   JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> 0),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        pairs AS (SELECT b.vec_id, b.cid, unnest(e.embedding) AS x, unnest(q.qv) AS y
+                  FROM bucket b JOIN embeddings e ON e.vec_id = b.vec_id, q),
+        dots AS (SELECT vec_id, cid,
+                        ${oCosineSums()}
+                 FROM pairs GROUP BY vec_id, cid)
+        SELECT vec_id, cid, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
+      doc = "stored-index multi-probe IVF: persisted centroid table ranks nprobe=2 buckets for the query, bucket-clustered store probed via broadcast — production recall knob with zero re-clustering")
   )
 
   /** Frozen-centroid IVF assignment — the ingest-path kernel shared by

@@ -440,6 +440,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("s24 stored multi-probe search never re-clusters the corpus") {
+    val p = plan("s24_ivf_stored_multiprobe")
+    // re-clustering's signature is the per-vector argmin Window over the
+    // corpus — the search plan must have NO Window at all; probe
+    // selection is a TakeOrderedAndProject(limit=2) over the stored
+    // centroid table instead
+    assert(!p.contains("Window"),
+      s"stored multi-probe recomputed the argmin assignment:\n$p")
+    // exactly ONE nested-loop join is legitimate: the nlist-row stored
+    // centroid table × the single broadcast query row (probe selection).
+    // A second one would mean the CORPUS hit a cross join.
+    val nlj = p.linesIterator.count(_.contains("NestedLoopJoin"))
+    assert(nlj == 1 && !p.contains("CartesianProduct"),
+      s"expected exactly the centroid-table NLJ, got $nlj:\n$p")
+    assert(p.contains("limit=2"), "probe selection must be orderBy+limit(2)")
+    assert(p.contains("BroadcastHashJoin"), "bucket probe should be a broadcast join")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
   test("c08 epoch shuffle is sharded windows, never one global row_number") {
     val p = plan("c08_training_order_shuffle")
     assert(p.contains("Window"), "per-shard position must be a window")
