@@ -38,7 +38,9 @@ object ScaleBench {
     "dx12_replacing_merge", "dx14_summing_merge", "d29_substring_spans",
     "c14_span_scrubbed_export", "t25_bpe_encode", "c15_pack_manifest",
     "s19_mmr_diversified", "d32_minhash_estimator_audit",
-    "c18_incremental_funnel", "m14_audio_perceptual_dedup")
+    "c18_incremental_funnel", "m14_audio_perceptual_dedup",
+    "c17_dedup_provenance", "d35_stored_label_lifecycle",
+    "s24_ivf_stored_multiprobe")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

@@ -102,6 +102,28 @@ class DedupSpec extends AnyFunSuite {
     assert(l1 eq l2, "second call must return the memoized DataFrame")
     DedupQueries.clearLabelsCache()
     val l3 = DedupQueries.clusterLabels(spark, TestSpark.sfDir)
-    assert(!(l1 eq l3), "clearLabelsCache must force a recompute")
+    assert(!(l1 eq l3), "clearLabelsCache must force a re-resolution")
+  }
+
+  test("label STORE survives the cache clear: cold consumers read, not re-derive") {
+    DedupQueries.clearLabelsCache()
+    val first = DedupQueries.clusterLabels(spark, TestSpark.sfDir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    // the store root clusterLabels derives for this (app, dir)
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(TestSpark.sfDir))
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_labels_${spark.sparkContext.applicationId}_$key").toString
+    val t = new graft.storage.FactTable(root, spark)
+    val v = t.snapshot().nextVersion
+    assert(v > 0, "first consumer must have materialized the store")
+    DedupQueries.clearLabelsCache()
+    val second = DedupQueries.clusterLabels(spark, TestSpark.sfDir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(second == first, "cold read must return the stored labels")
+    // append(txnId=0) is checked BEFORE any computation: a cold session
+    // neither re-runs propagation nor lands a duplicate commit
+    assert(t.snapshot().nextVersion == v,
+      "cold consumer must not re-commit the label build")
   }
 }
