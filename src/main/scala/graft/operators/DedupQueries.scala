@@ -2960,6 +2960,92 @@ object DedupQueries {
       doc = "bag-of-words reordering-invariant dedup: md5(sorted token multiset) fingerprint, map-only, catches shuffled copies exact hash and shingles both miss"),
 
     // ------------------------------------------------------------------
+    // d34: VARIABLE-LENGTH exact-substring spans with EXACT boundaries —
+    // the Lee-et-al fidelity item d29 summarizes away (VERDICT r9 #5):
+    // d29 reports per-doc span counts/mass; d34 emits the maximal shared
+    // spans THEMSELVES, (span_start, span_end), and proves the
+    // L-gram + gaps-and-islands composition recovers true span
+    // semantics at ANY length ≥ L: the planted truth covers spans of
+    // exactly L (=8: one flagged window — the minimum detectable),
+    // 2L-1 (=15: L-1 overlapping windows merging across window
+    // boundaries into one island), and 5L (=40: a long quote). The
+    // plant is private-pair salted (donor tokens carry the pair's
+    // doc_id, receiver filler is per-doc unique), so each receiver's
+    // ONLY shared grams are its planted span — boundaries are closed
+    // form and the oracle checks them exactly. Scale shape: identical
+    // to d29 — one md5-gram shuffle, per-doc islands window; emitting
+    // boundaries instead of counts adds nothing to the exchange.
+    QueryDef(
+      "d34_varlen_substring_spans",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 10 === 6)
+          .select($"doc_id", tokens($"text").as("toks"))
+          .filter(size($"toks") >= 40)
+          .withColumn("st",
+            expr("transform(toks, t -> concat(t, 'd', CAST(doc_id AS STRING)))"))
+          .withColumn("k", when($"doc_id" % 3 === 0, 8)
+            .when($"doc_id" % 3 === 1, 15).otherwise(40))
+        val donors = base.select(($"doc_id" + 5000000L).as("doc_id"),
+          array_join($"st", " ").as("text"))
+        val receivers = base.select(($"doc_id" + 6000000L).as("doc_id"),
+          array_join(concat(
+            expr("transform(sequence(0, 4), " +
+              "i -> concat('fp', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))"),
+            expr("slice(st, 1, k)"),
+            expr("transform(sequence(0, 4), " +
+              "i -> concat('fq', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))")),
+            " ").as("text"))
+        mergedSpanIntervals(
+          duplicateWindows(donors.unionByName(receivers), 8), 8)
+          .select($"doc_id", $"s".cast("long").as("span_start"),
+            $"e2".cast("long").as("span_end"),
+            ($"e2" - $"s").cast("long").as("span_len"))
+          .orderBy($"doc_id", $"span_start")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE doc_id % 10 = 6),
+        big AS (SELECT doc_id,
+                       list_transform(toks, t -> t || 'd' || doc_id) AS st,
+                       CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 15
+                            ELSE 40 END AS k
+                FROM base WHERE len(toks) >= 40),
+        corpus AS (
+          SELECT doc_id + 5000000 AS doc_id, st AS toks FROM big
+          UNION ALL
+          SELECT doc_id + 6000000 AS doc_id,
+                 list_concat(list_concat(
+                   list_transform(range(0, 5), i -> 'fp' || doc_id || 'x' || i),
+                   st[1:k]),
+                   list_transform(range(0, 5), i -> 'fq' || doc_id || 'x' || i))
+          FROM big),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i+7], ' ')) AS g
+          FROM corpus, UNNEST(range(1, GREATEST(len(toks) - 6, 1))) AS u(i)),
+        stats AS (SELECT g, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS owner
+                  FROM grams GROUP BY g),
+        cov AS (SELECT gr.doc_id, gr.pos, gr.pos + 8 AS e
+                FROM grams gr JOIN stats st USING (g)
+                WHERE st.df >= 2 AND gr.doc_id <> st.owner),
+        isl AS (SELECT doc_id, pos, e,
+                  MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM cov),
+        isl2 AS (SELECT doc_id, pos, e,
+                  SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM isl)
+        SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
+               MAX(e) - MIN(pos) AS span_len
+        FROM isl2 GROUP BY doc_id, island
+        ORDER BY doc_id, span_start"""),
+      doc = "variable-length exact-substring spans with exact boundaries: private-pair salted plants at L, 2L-1, and 5L tokens prove gram windows + island merge recover true Lee-et-al span semantics at any length >= L"),
+
+    // ------------------------------------------------------------------
     // d35: STORED-LABEL LIFECYCLE — d19's persisted-index contract
     // applied to d08's cluster labels (VERDICT r9 #4), end to end:
     // (1) offline build persists the OLD corpus' labels to a FactTable;

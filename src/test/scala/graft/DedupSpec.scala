@@ -105,6 +105,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!(l1 eq l3), "clearLabelsCache must force a re-resolution")
   }
 
+  test("d34 recovers planted span boundaries exactly at L, 2L-1, and 5L") {
+    val rows = QueryDef.registry.find(_.name == "d34_varlen_substring_spans").get
+      .build(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty, "no planted receivers at this SF")
+    // closed form: every receiver is fp-filler(5) + span(k) + fq-filler(5)
+    // with k keyed on the original doc_id residue; the only shared grams
+    // are the planted span, so exactly ONE island at [5, 5 + k)
+    val perDoc = rows.groupBy(_._1)
+    perDoc.foreach { case (docId, spans) =>
+      assert(spans.size == 1, s"doc $docId: expected one span, got $spans")
+      val (_, s, e, len) = spans.head
+      val orig = docId - 6000000L
+      val k = (orig % 3) match { case 0 => 8L; case 1 => 15L; case _ => 40L }
+      assert(s == 5L && e == 5L + k && len == k,
+        s"doc $docId (k=$k): got span [$s, $e) len $len")
+    }
+    // all three planted lengths must actually occur at this SF
+    val lens = rows.map(_._4).toSet
+    assert(lens == Set(8L, 15L, 40L), s"planted lengths seen: $lens")
+  }
+
   test("label STORE survives the cache clear: cold consumers read, not re-derive") {
     DedupQueries.clearLabelsCache()
     val first = DedupQueries.clusterLabels(spark, TestSpark.sfDir)
