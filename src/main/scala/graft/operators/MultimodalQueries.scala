@@ -752,6 +752,69 @@ object MultimodalQueries {
                CAST(MAX(amp) AS BIGINT) AS max_peak
         FROM fps GROUP BY fp HAVING COUNT(*) > 1
         ORDER BY keeper"""),
-      doc = "perceptual audio near-dup: real decode + loudness-invariant per-window zero-crossing fingerprint; gain-changed re-encodes collide, byte dedup provably cannot find them")
+      doc = "perceptual audio near-dup: real decode + loudness-invariant per-window zero-crossing fingerprint; gain-changed re-encodes collide, byte dedup provably cannot find them"),
+
+    // ------------------------------------------------------------------
+    // m15: MP4/ISO-BMFF CONTAINER SNIFF — the third container format
+    // after PNG (m12) and RIFF/WAVE (m13), and the first whose walk is
+    // genuinely DYNAMIC: box offsets are not fixed (ISO 14496-12 says
+    // "read the 4-byte big-endian size, skip to the next box"), so the
+    // moov/mvhd fields are located from the PARSED ftyp size, not a
+    // hardcoded offset — substring positions are column arithmetic,
+    // still pure native expressions over the binary column (no UDF, no
+    // decode; the m12/m13 PlanSpec lock extends to m15). Corrupt assets
+    // (leading byte dropped, the m13 plant) fail the ftyp magic and are
+    // guarded to -1/'' sentinels. Assets are REAL ISO-BMFF bytes
+    // rendered executor-side (map-partition parallel, assets never
+    // shuffle); oracle = the closed form of what was rendered.
+    QueryDef(
+      "m15_mp4_metadata_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 8)
+          .select($"doc_id".as("media_id"),
+            (($"n_chars" % 9 + 1) * 600).cast("int").as("ts"),
+            (($"n_chars" % 2000 + 500) * 3).cast("int").as("dur"))
+          .as[(Long, Int, Int)]
+        val assets = rows.mapPartitions(_.map { case (id, ts, dur) =>
+            val mp4 = MediaPipeline.renderMp4(ts, dur)
+            (id, if (id % 3 == 1) mp4.drop(1) else mp4)
+          }).toDF("media_id", "mp4")
+        def be(pos: String, len: Int) = expr(
+          s"CAST(conv(hex(substring(mp4, CAST($pos AS INT), $len)), 16, 10) AS BIGINT)")
+        assets
+          .withColumn("fsz", be("1", 4))
+          .withColumn("ftyp_ok",
+            hex(expr("substring(mp4, 5, 4)")) === "66747970" && $"fsz" >= 16L)
+          .withColumn("box_ok", $"ftyp_ok" &&
+            hex(expr("substring(mp4, CAST(fsz + 5 AS INT), 4)")) === "6D6F6F76" &&
+            hex(expr("substring(mp4, CAST(fsz + 13 AS INT), 4)")) === "6D766864")
+          .select($"media_id", $"box_ok",
+            when($"ftyp_ok", expr("decode(substring(mp4, 9, 4), 'UTF-8')"))
+              .otherwise(lit("")).as("major_brand"),
+            when($"ftyp_ok", be("13", 4)).otherwise(lit(-1L)).as("minor_version"),
+            when($"box_ok", be("fsz + 1", 4)).otherwise(lit(-1L)).as("moov_size"),
+            when($"box_ok", be("fsz + 29", 4)).otherwise(lit(-1L)).as("timescale"),
+            when($"box_ok", be("fsz + 33", 4)).otherwise(lit(-1L)).as("duration"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS media_id,
+                 CAST((n_chars % 9 + 1) * 600 AS BIGINT) AS ts,
+                 CAST((n_chars % 2000 + 500) * 3 AS BIGINT) AS dur
+          FROM documents WHERE doc_id % 20 = 8)
+        SELECT media_id,
+               media_id % 3 <> 1 AS box_ok,
+               CASE WHEN media_id % 3 <> 1 THEN 'isom' ELSE '' END AS major_brand,
+               CAST(CASE WHEN media_id % 3 <> 1 THEN 512 ELSE -1 END AS BIGINT)
+                 AS minor_version,
+               CAST(CASE WHEN media_id % 3 <> 1 THEN 116 ELSE -1 END AS BIGINT)
+                 AS moov_size,
+               CASE WHEN media_id % 3 <> 1 THEN ts ELSE -1 END AS timescale,
+               CASE WHEN media_id % 3 <> 1 THEN dur ELSE -1 END AS duration
+        FROM a ORDER BY media_id"""),
+      doc = "MP4/ISO-BMFF container sniff: dynamic big-endian box walk (ftyp size locates moov/mvhd) as pure native expressions over binary; corrupt assets guarded")
   )
 }

@@ -318,6 +318,31 @@ object MediaPipeline {
     buf.array()
   }
 
+  /** Minimal ISO-BMFF (MP4) container: an `ftyp` box (major brand
+    * `isom`, minor version 512, one compatible brand `mp42`) followed by
+    * a `moov` box holding a version-0 `mvhd` with the given
+    * timescale/duration — the box grammar m15 walks natively. All box
+    * sizes and fields are big-endian per ISO 14496-12; the remaining
+    * mvhd fields (rate already set to 1.0, volume/matrix/next_track_id)
+    * stay zero, which keeps the box lengths honest without mattering to
+    * the sniff.
+    */
+  def renderMp4(timescale: Int, duration: Int): Array[Byte] = {
+    require(timescale > 0 && duration >= 0,
+      s"bad mp4 params ($timescale, $duration)")
+    val bb = java.nio.ByteBuffer.allocate(136) // 20 (ftyp) + 116 (moov)
+    bb.putInt(20); bb.put("ftyp".getBytes("US-ASCII"))
+    bb.put("isom".getBytes("US-ASCII")); bb.putInt(512)
+    bb.put("mp42".getBytes("US-ASCII"))
+    bb.putInt(116); bb.put("moov".getBytes("US-ASCII"))
+    bb.putInt(108); bb.put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0)               // version + flags
+    bb.putInt(0); bb.putInt(0) // creation / modification time
+    bb.putInt(timescale); bb.putInt(duration)
+    bb.putInt(0x00010000)      // rate 1.0; rest of mvhd stays zero
+    bb.array()
+  }
+
   /** REAL audio decoder on `javax.sound.sampled` (JDK-built-in; WAV/PCM
     * parsing is pure Java, no audio device or native codec needed):
     * bytes → [[AudioFeatures]] with exact integer statistics. Same

@@ -565,7 +565,7 @@ class PlanSpec extends AnyFunSuite {
     // decode stage started shuffling asset bytes
     Seq("m08_image_decode", "m09_split_decode", "m10_audio_decode",
         "m11_frame_sample_decode", "m12_metadata_sniff",
-        "m13_wav_metadata_sniff").foreach { q =>
+        "m13_wav_metadata_sniff", "m15_mp4_metadata_sniff").foreach { q =>
       val p = plan(q)
       val exchanges = p.linesIterator.count(_.contains("Exchange"))
       assert(exchanges <= 1, s"$q shuffles before the sort ($exchanges):\n$p")
@@ -573,13 +573,15 @@ class PlanSpec extends AnyFunSuite {
         s"$q decode stage is not map-only:\n$p")
       assert(p.contains("MapPartitions"), s"$q lost the typed decode seam:\n$p")
     }
-    // m12's header sniff must additionally stay a NATIVE projection: the
+    // the header sniffs must additionally stay NATIVE projections: the
     // only imperative stage is the asset render — conv/hex/substring
-    // over binary never fall back to a UDF
-    assert(!plan("m12_metadata_sniff").contains("ScalaUDF"),
-      "m12 metadata extraction fell back to a UDF")
-    assert(!plan("m13_wav_metadata_sniff").contains("ScalaUDF"),
-      "m13 metadata extraction fell back to a UDF")
+    // over binary (m15's included the box-walk column arithmetic)
+    // never fall back to a UDF
+    Seq("m12_metadata_sniff", "m13_wav_metadata_sniff",
+        "m15_mp4_metadata_sniff").foreach { q =>
+      assert(!plan(q).contains("ScalaUDF"),
+        s"$q metadata extraction fell back to a UDF")
+    }
   }
 
   test("t23 novelty attribution stays join-free on the ngram axis") {
