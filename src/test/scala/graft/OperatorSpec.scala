@@ -908,9 +908,12 @@ class OperatorSpec extends AnyFunSuite {
     val got = SparkEntry.queries("c15_pack_manifest")(spark, sfDir)
       .select($"source", $"pack_id", $"n_docs", $"boundaries", $"carry_in",
         $"fill", $"pad")
-      .as[(String, Long, Long, Seq[Long], Long, Long, Long)].collect()
+      .as[(String, Long, Long, String, Long, Long, Long)].collect()
     assert(got.length == want.size)
-    got.foreach { case (src, pid, nd, bs, ci, fl, pd) =>
+    got.foreach { case (src, pid, nd, bsCsv, ci, fl, pd) =>
+      // boundaries ship as the canonical CSV string (driver-comparator
+      // contract); parse back for the structural assertion
+      val bs = bsCsv.split(',').map(_.toLong).toSeq
       assert(want((src, pid)) == ((nd, bs, ci, fl, pd)), s"window ($src,$pid)")
     }
     // dense concatenation: every window except each source's tail is full
@@ -1066,9 +1069,12 @@ class OperatorSpec extends AnyFunSuite {
     val manifest = QueryDef.registry.find(_.name == "c17_dedup_provenance").get
       .build(spark, sfDir)
       .select($"survivor", $"n_removed", $"removed")
-      .as[(Long, Long, Seq[Long])].collect()
+      .as[(Long, Long, String)].collect()
     assert(manifest.nonEmpty)
-    manifest.foreach { case (srv, n, rem) =>
+    manifest.foreach { case (srv, n, remCsv) =>
+      // removed ships as the canonical CSV string (driver-comparator
+      // contract); parse back for the structural assertions
+      val rem = remCsv.split(',').map(_.toLong).toSeq
       assert(rem.size.toLong == n, s"$srv count mismatch")
       assert(rem == rem.sorted, s"$srv removed list not sorted")
       assert(!rem.contains(srv), s"$srv absorbed itself")
