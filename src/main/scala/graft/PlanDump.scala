@@ -60,7 +60,11 @@ object PlanDump {
     "t28_keyness_report" -> "keyness: token-key shuffle with map-side combine, global freq via token window, bounded head",
     "c18_incremental_funnel" -> "incremental funnel: metadata-union re-rank, old corpus contributes only its index",
     "d33_bag_of_words_dedup" -> "bag fingerprint: in-row sort_array, one 32-byte-key groupBy, no pair expansion",
-    "m14_audio_perceptual_dedup" -> "audio near-dup: map-partition render+decode+fingerprint, one groupBy, assets never shuffle")
+    "m14_audio_perceptual_dedup" -> "audio near-dup: map-partition render+decode+fingerprint, one groupBy, assets never shuffle",
+    "s24_ivf_stored_multiprobe" -> "stored multi-probe: centroid-table TakeOrdered probe selection, broadcast bucket probe, no Window",
+    "d34_varlen_substring_spans" -> "variable-length spans: same join-free gram kernel as d29, boundary emission adds no exchange",
+    "d35_stored_label_lifecycle" -> "stored labels: one-scan cold read + size rollup; maintenance merges only the changed-label delta",
+    "m15_mp4_metadata_sniff" -> "MP4 sniff: dynamic box walk as native expressions, map-only before the output sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -106,6 +106,21 @@ object ScaleBench {
       case "lineitem" => reps.select(
         (col("l_orderkey") + col("__r") * idShift).as("l_orderkey") +:
           base.columns.filter(_ != "l_orderkey").map(col).toIndexedSeq: _*)
+      case "customer" => reps.select(
+        // d31's linkage corpus: keep the TPC-H name shape (18 chars,
+        // 'Customer#' + 9 digits) but salt the last-4-digit window —
+        // d31's blocking key is substring(c_name, 15, 4), so the salt
+        // keeps blocks replica-local; char 10 (the dirty-plant edit
+        // site) is untouched, so the planted lev-1 structure
+        // reproduces in every replica. idShift mod 17 = 2, so the
+        // % 17 plant density survives the key shift too.
+        Seq((col("c_custkey") + col("__r") * idShift).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 14),
+            lpad(pmod(expr("CAST(substring(c_name, 15, 4) AS BIGINT)")
+              + col("__r") * 7919L, lit(10000L)).cast("string"), 4, "0"))
+            .as("c_name")) ++
+          base.columns.filterNot(Set("c_custkey", "c_name"))
+            .map(col).toIndexedSeq: _*)
       case _ => base // small dims: unreplicated
     }
     // 32 output files so the derived scan parallelizes like the base one
