@@ -40,7 +40,7 @@ object ScaleBench {
     "s19_mmr_diversified", "d32_minhash_estimator_audit",
     "c18_incremental_funnel", "m14_audio_perceptual_dedup",
     "c17_dedup_provenance", "d35_stored_label_lifecycle",
-    "s24_ivf_stored_multiprobe")
+    "s24_ivf_stored_multiprobe", "d36_subscribed_label_maintenance")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

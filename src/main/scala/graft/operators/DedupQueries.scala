@@ -3097,6 +3097,79 @@ object DedupQueries {
         SELECT l.doc_id, l.canon, s.cluster_size
         FROM labels l JOIN sizes s ON l.canon = s.canon
         ORDER BY l.doc_id"""),
-      doc = "stored cluster-label lifecycle: offline label build persisted via FactTable, star-contracted incremental merge of only the changed labels, one-scan stored read; incremental == rebuild oracle")
+      doc = "stored cluster-label lifecycle: offline label build persisted via FactTable, star-contracted incremental merge of only the changed labels, one-scan stored read; incremental == rebuild oracle"),
+
+    // ------------------------------------------------------------------
+    // d36: SUBSCRIBED LABEL MAINTENANCE — the full production subscribe
+    // loop, closing what d35 shortcuts: d35 derives the new batch's
+    // pairs by filtering the FULL corpus pair graph (touches every
+    // document); d36's maintenance path touches only (a) the CHANGE
+    // FEED (dx28's changesBetween — the batch rows, O(batch)), (b) the
+    // STORED band index (d19's contract — one indexed-table read,
+    // batch bands broadcast against it, corpus text never re-read),
+    // and (c) the STORED labels (star contraction, d28). The changed
+    // labels delta-merge back and the band index grows by the batch's
+    // bands — both tables then serve the next batch. This is exactly
+    // the cadence a 100 TB deployment runs between periodic rebuilds:
+    // per batch, work ∝ batch size. Oracle: full-graph rebuild (d28's
+    // contract, asserted through BOTH stores); the band-join pair
+    // derivation equals the adaptive router's at gate SFs because no
+    // cap/drop lane fires there (d03's own oracle asserts that).
+    QueryDef(
+      "d36_subscribed_label_maintenance",
+      (s, dir) => {
+        import s.implicits._
+        val all = corpus(s, dir)
+        val old = all.filter($"doc_id" % 4 =!= 3)
+        val dt = to_date(lit("2024-01-01"))
+        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        // ---- offline state: docs table (v0 old, v1 batch), band index,
+        // label store — the artifacts a deployment already has
+        val docsT = new graft.storage.FactTable(tmp("d36_docs"), s)
+        docsT.append(old.withColumn("date", dt), 0)
+        docsT.append(all.filter($"doc_id" % 4 === 3).withColumn("date", dt), 1)
+        val bandT = new graft.storage.FactTable(tmp("d36_bands"), s)
+        bandT.append(bandIndexOf(old).withColumn("date", dt), 0)
+        val labelT = new graft.storage.FactTable(tmp("d36_labels"), s)
+        labelT.append(propagateMinLabels(truncate(lshCandidatePairs(s, dir))
+          .filter($"doc_a" % 4 =!= 3 && $"doc_b" % 4 =!= 3))
+          .withColumn("date", dt), 0)
+        // ---- maintenance: driven entirely by the change feed
+        val fed = docsT.changesBetween(1, 1)
+          .filter($"_change_type" === "insert").select($"doc_id", $"text")
+        val newBands = bandIndexOf(fed)
+        bandT.append(newBands.withColumn("date", dt), 1) // index growth
+        val probe = newBands.select($"doc_id".as("nid"), $"band", $"bval")
+        val newPairs = bandT.read().select($"doc_id", $"band", $"bval")
+          .join(broadcast(probe), Seq("band", "bval"))
+          .filter($"doc_id" =!= $"nid")
+          .select(least($"doc_id", $"nid").as("doc_a"),
+            greatest($"doc_id", $"nid").as("doc_b"))
+          .distinct()
+        val stored = labelT.read().select($"doc_id", $"canon")
+        val contracted = stored.filter($"doc_id" =!= $"canon")
+          .select($"doc_id".as("doc_a"), $"canon".as("doc_b"))
+          .unionByName(newPairs)
+        val updated = propagateMinLabels(contracted)
+        val delta = updated
+          .join(stored.withColumnRenamed("canon", "old_canon"),
+            Seq("doc_id"), "left")
+          .filter($"old_canon".isNull || $"old_canon" =!= $"canon")
+          .select($"doc_id", $"canon")
+        labelT.mergeInto(delta.withColumn("date", dt), Seq("doc_id"))
+        // ---- consumer: one stored-table scan + the d28 report
+        val lab = labelT.read().select($"doc_id", $"canon")
+        val sizes = lab.groupBy($"canon").agg(count(lit(1)).as("cluster_size"))
+        lab.join(sizes, "canon")
+          .select($"doc_id", $"canon", $"cluster_size")
+          .orderBy($"doc_id")
+      },
+      Some(s"""$labelsSqlCore,
+        sizes AS (SELECT canon, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                  FROM labels GROUP BY canon)
+        SELECT l.doc_id, l.canon, s.cluster_size
+        FROM labels l JOIN sizes s ON l.canon = s.canon
+        ORDER BY l.doc_id"""),
+      doc = "subscribed label maintenance: change feed -> batch bands broadcast against the stored band index -> star contraction against stored labels -> delta merge; per-batch work proportional to the batch, full-rebuild oracle through both stores")
   )
 }

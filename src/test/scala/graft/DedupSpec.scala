@@ -127,6 +127,17 @@ class DedupSpec extends AnyFunSuite {
     assert(lens == Set(8L, 15L, 40L), s"planted lengths seen: $lens")
   }
 
+  test("d36 subscribed maintenance equals d28's incremental rebuild row-for-row") {
+    def rows(name: String) =
+      QueryDef.registry.find(_.name == name).get
+        .build(spark, TestSpark.sfDir)
+        .as[(Long, Long, Long)].collect().toSet
+    val viaFeed = rows("d36_subscribed_label_maintenance")
+    val direct = rows("d28_incremental_clusters")
+    assert(viaFeed == direct && viaFeed.nonEmpty,
+      s"feed-driven labels diverge: ${viaFeed.diff(direct).take(5)} vs ${direct.diff(viaFeed).take(5)}")
+  }
+
   test("label STORE survives the cache clear: cold consumers read, not re-derive") {
     DedupQueries.clearLabelsCache()
     val first = DedupQueries.clusterLabels(spark, TestSpark.sfDir)
