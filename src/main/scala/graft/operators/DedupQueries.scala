@@ -3130,9 +3130,16 @@ object DedupQueries {
         docsT.append(all.filter($"doc_id" % 4 === 3).withColumn("date", dt), 1)
         val bandT = new graft.storage.FactTable(tmp("d36_bands"), s)
         bandT.append(bandIndexOf(old).withColumn("date", dt), 0)
+        // the offline labels are built FROM the stored band index (the
+        // minhash kernel runs once, for the index write; restricting
+        // bands to old docs yields exactly the old-old pair set)
         val labelT = new graft.storage.FactTable(tmp("d36_labels"), s)
-        labelT.append(propagateMinLabels(truncate(lshCandidatePairs(s, dir))
-          .filter($"doc_a" % 4 =!= 3 && $"doc_b" % 4 =!= 3))
+        labelT.append(propagateMinLabels(
+          adaptiveBucketPairs(
+            bandT.read().select($"band", $"bval", $"doc_id"),
+            Seq("band", "bval"), $"doc_id", "d36_blocks")
+            .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
+            .distinct())
           .withColumn("date", dt), 0)
         // ---- maintenance: driven entirely by the change feed
         val fed = docsT.changesBetween(1, 1)
