@@ -1479,7 +1479,58 @@ object SimilarityQueries {
                  FROM pairs GROUP BY vec_id, cid)
         SELECT vec_id, cid, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
-      doc = "stored-index multi-probe IVF: persisted centroid table ranks nprobe=2 buckets for the query, bucket-clustered store probed via broadcast — production recall knob with zero re-clustering")
+      doc = "stored-index multi-probe IVF: persisted centroid table ranks nprobe=2 buckets for the query, bucket-clustered store probed via broadcast — production recall knob with zero re-clustering"),
+
+    // ------------------------------------------------------------------
+    // s25: SUBSCRIBED ANN INDEX MAINTENANCE — d36's change-feed loop for
+    // the vector modality, closing what s15 shortcuts: s15's late batch
+    // is a recomputed filter over the corpus; s25's batch arrives as
+    // dx28's CHANGE FEED of a vector FactTable (v1's inserts — the only
+    // vector rows the maintenance path ever touches). The feed rows
+    // assign to the FROZEN stored centroids (broadcast, O(batch) work)
+    // and append to the stored index; because frozen-centroid
+    // assignment is per-vector deterministic, feed-driven append ≡
+    // rebuild — so the oracle is s14's verbatim, through the store.
+    // This is the ingest cadence of a production vector store: vectors
+    // land in the fact table, the index tails its change feed.
+    QueryDef(
+      "s25_subscribed_ann_maintenance",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val dt = to_date(lit("2024-01-01"))
+        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        // vector fact table: v0 = base corpus, v1 = the late batch
+        val vecT = new graft.storage.FactTable(tmp("s25_vecs"), s)
+        vecT.append(emb.filter($"vec_id" % 5 =!= 4)
+          .select($"vec_id", $"embedding").withColumn("date", dt), 0)
+        vecT.append(emb.filter($"vec_id" % 5 === 4)
+          .select($"vec_id", $"embedding").withColumn("date", dt), 1)
+        // offline index build over v0 (frozen centroids, s15's kernel)
+        val idxT = new graft.storage.FactTable(tmp("s25_idx"), s)
+        idxT.append(assignToFrozen(cents,
+          vecT.read(0).select($"vec_id", $"embedding"))
+          .withColumn("date", dt), 0)
+        // maintenance: ONLY the change feed flows into the index
+        val fed = vecT.changesBetween(1, 1)
+          .filter($"_change_type" === "insert")
+          .select($"vec_id", $"embedding")
+        idxT.append(assignToFrozen(cents, fed).withColumn("date", dt), 1)
+        // search the stored index (s14's single-probe shape)
+        val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
+        val q = idx.filter($"vec_id" === 0)
+          .select($"cid".as("qcid"), $"embedding".as("qv"))
+        idx.join(broadcast(q), $"cid" === $"qcid")
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc)
+          .limit(5)
+      },
+      Some(storedIvfOracleSql()),
+      doc = "subscribed ANN maintenance: vector fact table's change feed assigned to frozen stored centroids and appended to the stored index — feed-driven append == rebuild, O(batch) ingest work")
   )
 
   /** Frozen-centroid IVF assignment — the ingest-path kernel shared by

@@ -766,6 +766,16 @@ class OperatorSpec extends AnyFunSuite {
       "frozen-centroid append diverged from the full rebuild")
   }
 
+  test("s25 feed-driven append equals the one-shot s14 build row-for-row") {
+    val oneShot = QueryDef.registry.find(_.name == "s14_ivf_stored_index").get
+      .build(spark, sfDir).collect()
+    val subscribed = QueryDef.registry
+      .find(_.name == "s25_subscribed_ann_maintenance").get
+      .build(spark, sfDir).collect()
+    assert(oneShot.sameElements(subscribed),
+      "change-feed-driven index append diverged from the full rebuild")
+  }
+
   test("s18 delete-then-search equals a rebuild over the surviving vectors") {
     import org.apache.spark.sql.expressions.Window
     import VectorFunctions.{cosineExact, l2SqExact}
