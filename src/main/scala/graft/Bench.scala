@@ -109,7 +109,13 @@ object Bench {
       // round-9: shallow clone builds source + clone FactTables in-body;
       // the change-data-feed lifecycle appends/compacts/deletes in-body
       "dx27_shallow_clone", "dx28_change_data_feed",
-      "dx29_parts_introspection")
+      "dx29_parts_introspection",
+      // round-10 store lifecycles: s24 builds the same offline IVF index
+      // as s14 before its multi-probe search; d35/d36/s25 write docs /
+      // band / label / vector FactTables in-body so the rebuild-equality
+      // oracles run through real stores
+      "s24_ivf_stored_multiprobe", "d35_stored_label_lifecycle",
+      "d36_subscribed_label_maintenance", "s25_subscribed_ann_maintenance")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum
