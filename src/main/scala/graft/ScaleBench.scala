@@ -158,6 +158,11 @@ object ScaleBench {
       val nDocs = Tables.load(spark, dir, "documents").count()
       queries.foreach { q =>
         graft.operators.DedupQueries.clearLabelsCache()
+        // Bench's scratch-cleanup discipline: without it, localCheckpoint
+        // blocks and cached relations from earlier chains inflate the
+        // ×100 tail 2-4× (d03 measured 60.2 s mid-sweep vs 13.8 s fresh)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.gc()
         val t0 = System.nanoTime()
         val n = try SparkEntry.queries(q)(spark, dir).count()

@@ -343,6 +343,41 @@ object MediaPipeline {
     bb.array()
   }
 
+  /** [[renderMp4]] extended with one VIDEO track: moov holds mvhd +
+    * trak(tkhd + mdia(mdhd)) — the three-level box nesting m16 descends
+    * dynamically. tkhd carries width/height as 16.16 fixed-point at box
+    * offsets 84/88, mdhd the media timescale/duration at offsets 20/24
+    * (ISO 14496-12 version-0 layouts; unwritten fields stay zero, box
+    * sizes honest).
+    */
+  def renderMp4Video(mvhdTs: Int, mvhdDur: Int, w: Int, h: Int,
+      mdTs: Int, mdDur: Int): Array[Byte] = {
+    require(mvhdTs > 0 && w > 0 && h > 0 && mdTs > 0,
+      s"bad mp4 video params ($mvhdTs, $w, $h, $mdTs)")
+    val bb = java.nio.ByteBuffer.allocate(276) // ftyp 20 + moov 256
+    bb.putInt(20); bb.put("ftyp".getBytes("US-ASCII"))
+    bb.put("isom".getBytes("US-ASCII")); bb.putInt(512)
+    bb.put("mp42".getBytes("US-ASCII"))
+    bb.putInt(256); bb.put("moov".getBytes("US-ASCII"))
+    bb.putInt(108); bb.put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // ver/flags, ctime, mtime
+    bb.putInt(mvhdTs); bb.putInt(mvhdDur); bb.putInt(0x00010000)
+    bb.position(136) // rest of mvhd zero
+    bb.putInt(140); bb.put("trak".getBytes("US-ASCII"))
+    bb.putInt(92); bb.put("tkhd".getBytes("US-ASCII"))
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // ver/flags, ctime, mtime
+    bb.putInt(1)        // track id
+    bb.putInt(0)        // reserved
+    bb.putInt(mvhdDur)  // track duration (movie timescale)
+    bb.position(144 + 84) // reserved/layer/volume/matrix zero
+    bb.putInt(w << 16); bb.putInt(h << 16)
+    bb.putInt(40); bb.put("mdia".getBytes("US-ASCII"))
+    bb.putInt(32); bb.put("mdhd".getBytes("US-ASCII"))
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // ver/flags, ctime, mtime
+    bb.putInt(mdTs); bb.putInt(mdDur)        // language/predefined zero
+    bb.array()
+  }
+
   /** REAL audio decoder on `javax.sound.sampled` (JDK-built-in; WAV/PCM
     * parsing is pure Java, no audio device or native codec needed):
     * bytes → [[AudioFeatures]] with exact integer statistics. Same
