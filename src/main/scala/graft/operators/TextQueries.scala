@@ -1466,10 +1466,38 @@ object TextQueries {
         val scores = bigramLmScores(s, dir).filter($"n_bigrams" > 0)
         val docs = Tables.load(s, dir, "documents")
           .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_toks"))
-        val w = Window.partitionBy($"lang")
+        // ntile(3) OVER (PARTITION BY lang) puts a whole language in ONE
+        // window task — at 100 TB the dominant language is most of the
+        // corpus (round-10 sweep: 64 s at ×100, 60 of them this sort).
+        // The c08/c16 sharded-rank rewrite, banded on the ORDER key:
+        // floor(avg_logp·16) is monotone in the sort key, so global
+        // rank = (rows in better bands) + (row_number within my band) —
+        // window partitions shrink to (lang, band) while ties stay in
+        // one band and keep their doc_id order. The tiny per-(lang,
+        // band) count table broadcasts back, and ntile's exact
+        // first-(n mod k)-buckets-get-one-extra split is closed-form in
+        // (rank, n). Bit-identical buckets, no single-task sort.
+        val joined = docs.join(scores, Seq("doc_id"))
+          .withColumn("band", floor($"avg_logp" * 16).cast("long"))
+        val wB = Window.partitionBy($"lang", $"band")
           .orderBy($"avg_logp".desc, $"doc_id".asc)
-        docs.join(scores, Seq("doc_id"))
-          .withColumn("bucket", ntile(3).over(w))
+        val wOff = Window.partitionBy($"lang").orderBy($"band".desc)
+        val offsets = joined.groupBy($"lang", $"band")
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum($"bn").over(
+            wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n", sum($"bn").over(Window.partitionBy($"lang")))
+          .select($"lang", $"band", $"off", $"n")
+        joined.withColumn("rnk", row_number().over(wB))
+          .join(broadcast(offsets), Seq("lang", "band"))
+          .withColumn("r", $"off" + $"rnk")
+          .withColumn("base", expr("n div 3"))
+          .withColumn("rem", $"n" % 3)
+          .withColumn("bucket", expr(
+            """CAST(IF(rem > 0 AND r <= rem * (base + 1),
+                       (r + base) div (base + 1),
+                       rem + (r - rem * (base + 1) + base - 1) div base)
+               AS INT)"""))
           .withColumn("tier", expr(
             "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"))
           .groupBy($"lang", $"bucket", $"tier")

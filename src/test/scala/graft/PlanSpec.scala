@@ -459,6 +459,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("c10 terciles are banded windows, never one whole-language ntile sort") {
+    val p = plan("c10_perplexity_mixture")
+    // ntile over PARTITION BY lang sorts a whole language in one task —
+    // the dominant language IS the corpus at 100 TB (measured 64 s at
+    // ×100, ~60 of them that sort). The rewrite ranks within (lang,
+    // band-of-the-sort-key) windows and reconstructs exact ntile from
+    // broadcast band offsets.
+    assert(!p.contains("ntile"), s"whole-language ntile came back:\n$p")
+    val rnWindow = p.linesIterator
+      .find(l => l.contains("Window") && l.contains("row_number"))
+    assert(rnWindow.exists(l => l.contains("lang") && l.contains("band")),
+      s"rank window not banded:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "band offsets should join back as a broadcast")
+  }
+
   test("c08 epoch shuffle is sharded windows, never one global row_number") {
     val p = plan("c08_training_order_shuffle")
     assert(p.contains("Window"), "per-shard position must be a window")
