@@ -251,7 +251,11 @@ object ExtendedQueries {
 
     // ------------------------------------------------------------------
     // q31: remaining window-function shapes — ntile buckets, first/nth
-    // value over a frame.
+    // value over a frame. Surface-coverage query: ntile over the 3-value
+    // o_orderstatus deliberately exercises the operator itself; the
+    // at-scale form of a low-cardinality-partition ntile is c10's
+    // banded-rank rewrite (rank within (key, band-of-sort-key) windows +
+    // closed-form ntile from broadcast band offsets).
     QueryDef(
       "q31_window_shapes",
       (s, dir) => {
