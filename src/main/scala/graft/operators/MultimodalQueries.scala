@@ -897,7 +897,121 @@ object MultimodalQueries {
                CASE WHEN media_id % 3 <> 2 THEN mdur ELSE -1 END
                  AS media_duration
         FROM a ORDER BY media_id"""),
-      doc = "video track sniff: three-level dynamic ISO-BMFF descent (moov -> trak -> tkhd/mdia/mdhd) via parsed box sizes, 16.16 fixed-point dimensions, pure native expressions; corrupt assets guarded")
+      doc = "video track sniff: three-level dynamic ISO-BMFF descent (moov -> trak -> tkhd/mdia/mdhd) via parsed box sizes, 16.16 fixed-point dimensions, pure native expressions; corrupt assets guarded"),
+
+    // ------------------------------------------------------------------
+    // m17: VIDEO PERCEPTUAL NEAR-DUP — m14's re-encode-collision story
+    // for the frame-sequence modality, on REAL decode (m11's animated-GIF
+    // frame reader, stride 1): the fingerprint is the sequence of
+    // CONSECUTIVE-FRAME LUMA DIFFERENCES, which a global brightness shift
+    // cannot move — adding d to every channel of every frame adds exactly
+    // 1000·d to each frame's luma_x1000 (Rec.601 weights sum to 1000), so
+    // the temporal gradient is bit-identical while every frame's bytes
+    // (and md5) differ. Planted "re-encodes" (one per media_id % 100 == 7
+    // base asset, all channels +((id % 30)+10)) therefore collide with
+    // their originals and byte-level dedup provably cannot find them;
+    // luma_spread_x1000 = 1000·delta in the output is the proof the
+    // cluster spans distinct brightness levels. Corrupt plants
+    // (media_id % 50 == 17, leading byte dropped — GIF signature gone)
+    // decode to a decode_ok=false sentinel and are filtered BEFORE the
+    // fingerprint groupBy (the m13/m14 guard convention), so they can
+    // never collapse into a bogus cluster. Scale shape: render+decode is
+    // mapPartitions-parallel and assets never shuffle — only (media_id,
+    // frame luma) rows do (≤ 8 per asset), then one fingerprint groupBy
+    // whose per-key population is the planted cluster size. Both plant
+    // moduli (100, 50) divide ScaleBench's 10^10 idShift, so weak-scaling
+    // replicas reproduce the base's cluster density exactly.
+    QueryDef(
+      "m17_video_perceptual_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val base = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 7)
+          .select($"doc_id".as("media_id"),
+            ($"n_chars" % 6 + 3).cast("int").as("nf"),
+            lit(0).cast("int").as("delta"))
+        val reencoded = base.filter($"media_id" % 100 === 7)
+          .select(($"media_id" + 5000000L).as("media_id"), $"nf",
+            ($"media_id" % 30 + 10).cast("int").as("delta"))
+        base.unionByName(reencoded)
+          .as[(Long, Int, Int)]
+          .mapPartitions(_.flatMap { case (id, nf, delta) =>
+            // channels in [0,199] so +delta (<= 39) can never clamp; the
+            // COLOR STRUCTURE derives from the canonical (pre-re-encode)
+            // id — a re-encode is the same footage, brighter
+            val canonical = if (delta > 0) id - 5000000L else id
+            val colors = (0 until nf).map { j =>
+              val h = (canonical % 16777216L) * 2654435761L + j * 7919L
+              val r = (h % 200L).toInt + delta
+              val g = (h / 200L % 200L).toInt + delta
+              val b = (h / 40000L % 200L).toInt + delta
+              (r << 16) | (g << 8) | b
+            }
+            val gif = MediaPipeline.renderGifFrames(24, 16, colors)
+            MediaPipeline.sampleFrames(id,
+              if (id % 50 == 17) gif.drop(1) else gif, stride = 1)
+          })
+          .toDF()
+          .filter($"decode_ok")
+          .groupBy($"media_id")
+          .agg(min($"n_frames").as("nf"),
+            sort_array(collect_list(struct($"frame_idx", $"luma_x1000")))
+              .as("fl"))
+          .select($"media_id", $"nf",
+            expr("element_at(fl, 1).luma_x1000").as("luma0"),
+            concat($"nf".cast("string"), lit("-"), expr(
+              """concat_ws(',', transform(sequence(2, size(fl)),
+                   i -> CAST(element_at(fl, i).luma_x1000
+                             - element_at(fl, i - 1).luma_x1000 AS STRING)))"""))
+              .as("fp"))
+          .groupBy($"fp")
+          .agg(min($"media_id").as("keeper"),
+            count(lit(1)).as("n_assets"),
+            min($"nf").cast("long").as("n_frames"),
+            (max($"luma0") - min($"luma0")).as("luma_spread_x1000"))
+          .filter($"n_assets" > 1)
+          .select($"keeper", $"n_assets", $"n_frames", $"luma_spread_x1000")
+          .orderBy($"keeper")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id AS media_id, doc_id AS canonical,
+                 (n_chars % 6) + 3 AS nf, 0 AS delta
+          FROM documents WHERE doc_id % 20 = 7),
+        assets AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT media_id + 5000000, media_id, nf, (media_id % 30) + 10
+          FROM base WHERE media_id % 100 = 7),
+        ok AS (SELECT * FROM assets WHERE media_id % 50 <> 17),
+        frames AS (
+          SELECT media_id, canonical, nf, delta,
+                 unnest(range(0, nf)) AS j
+          FROM ok),
+        lumas AS (
+          SELECT media_id, nf, j,
+                 299 * (((canonical % 16777216) * 2654435761 + j * 7919)
+                          % 200 + delta)
+                 + 587 * (((canonical % 16777216) * 2654435761 + j * 7919)
+                          // 200 % 200 + delta)
+                 + 114 * (((canonical % 16777216) * 2654435761 + j * 7919)
+                          // 40000 % 200 + delta) AS luma
+          FROM frames),
+        seqs AS (
+          SELECT media_id, nf, list(luma ORDER BY j) AS ls
+          FROM lumas GROUP BY media_id, nf),
+        fps AS (
+          SELECT media_id, nf, ls[1] AS luma0,
+                 CAST(nf AS VARCHAR) || '-' || array_to_string(
+                   list_transform(range(2, nf + 1),
+                     i -> CAST(ls[i] - ls[i-1] AS VARCHAR)), ',') AS fp
+          FROM seqs)
+        SELECT MIN(media_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(MIN(nf) AS BIGINT) AS n_frames,
+               CAST(MAX(luma0) - MIN(luma0) AS BIGINT) AS luma_spread_x1000
+        FROM fps GROUP BY fp HAVING COUNT(*) > 1
+        ORDER BY keeper"""),
+      doc = "video perceptual near-dup: real animated-GIF frame decode + brightness-invariant temporal-gradient fingerprint; brightness-shifted re-encodes collide, byte dedup provably cannot find them")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`

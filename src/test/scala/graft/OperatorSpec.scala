@@ -103,6 +103,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(t.sameElements(e))
   }
 
+  test("m17: brightness shift preserves the temporal-gradient fingerprint through real decode") {
+    import MediaPipeline._
+    // the invariance claim at the decode level: +d on every channel of
+    // every frame moves each frame's luma_x1000 by exactly 1000·d, so
+    // consecutive-frame diffs are bit-identical while the bytes differ
+    val colors = Seq(0x102030, 0x405060, 0x0a141e, 0x232323)
+    def shift(c: Int, d: Int) =
+      (((c >> 16) & 0xff) + d << 16) | (((c >> 8) & 0xff) + d << 8) |
+        ((c & 0xff) + d)
+    val a = sampleFrames(1L, renderGifFrames(24, 16, colors), stride = 1)
+    val b = sampleFrames(2L,
+      renderGifFrames(24, 16, colors.map(shift(_, 25))), stride = 1)
+    assert(a.forall(_.decode_ok) && b.forall(_.decode_ok))
+    val la = a.sortBy(_.frame_idx).map(_.luma_x1000)
+    val lb = b.sortBy(_.frame_idx).map(_.luma_x1000)
+    assert(la != lb, "shifted frames must have different absolute lumas")
+    assert(lb.zip(la).forall { case (y, x) => y - x == 25000L },
+      s"each frame should move by exactly 1000*25, got ${lb.zip(la)}")
+    assert(la.sliding(2).map(p => p(1) - p(0)).toSeq ==
+      lb.sliding(2).map(p => p(1) - p(0)).toSeq)
+    // the corrupt plant: a dropped leading byte kills the GIF signature
+    val corrupt = sampleFrames(3L,
+      renderGifFrames(24, 16, colors).drop(1), stride = 1)
+    assert(corrupt.forall(!_.decode_ok))
+  }
+
+  test("m17 recovers planted brightness-shifted re-encode clusters") {
+    val out = QueryDef.registry.find(_.name == "m17_video_perceptual_dedup")
+      .get.build(spark, sfDir).collect()
+    assert(out.nonEmpty, "sf0.001 plants at least one re-encode pair")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_assets") >= 2L)
+      // every planted cluster is {original, brighter re-encode}: the
+      // spread is exactly 1000·delta with delta = (id % 30) + 10
+      val spread = r.getAs[Long]("luma_spread_x1000")
+      assert(spread % 1000L == 0L && spread >= 10000L && spread <= 39000L,
+        s"spread $spread is not a planted 1000*delta")
+    }
+  }
+
   test("decodeImage: real javax.imageio round-trip — solid, gradient, corrupt bytes") {
     import MediaPipeline._
     // solid: closed-form features (the m08 oracle's contract)
