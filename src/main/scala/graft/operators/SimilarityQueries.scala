@@ -469,34 +469,7 @@ object SimilarityQueries {
           .orderBy($"adc".asc, $"vec_id".asc)
           .limit(10)
       },
-      Some(s"""
-        WITH sp AS (SELECT unnest(range(0, 8)) AS sp),
-        subs AS (
-          SELECT e.vec_id, sp.sp, e.embedding[(8*sp.sp+1):(8*sp.sp+8)] AS sv
-          FROM embeddings e CROSS JOIN sp),
-        cents AS (
-          SELECT vec_id AS cid, sp AS csp, sv AS cv FROM subs
-          WHERE vec_id BETWEEN 1 AND 4),
-        dpairs AS (
-          SELECT su.vec_id, su.sp, c.cid, unnest(su.sv) AS x, unnest(c.cv) AS y
-          FROM subs su JOIN cents c ON su.sp = c.csp),
-        dists AS (
-          SELECT vec_id, sp, cid,
-                 ${oL2SqDec("x", "y")} AS d2
-          FROM dpairs GROUP BY vec_id, sp, cid),
-        codes AS (
-          SELECT vec_id, sp, cid AS code,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id, sp
-                                    ORDER BY d2 ASC, cid ASC) AS rk
-          FROM dists),
-        qd AS (SELECT sp AS qsp, cid AS qcid, d2 AS qd2 FROM dists WHERE vec_id = 0),
-        adc AS (
-          SELECT c.vec_id, SUM(q.qd2) AS adc_dec
-          FROM codes c JOIN qd q ON c.sp = q.qsp AND c.code = q.qcid
-          WHERE c.rk = 1 AND c.vec_id <> 0
-          GROUP BY c.vec_id)
-        SELECT vec_id, round(CAST(adc_dec AS DOUBLE), 9) AS adc
-        FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10"""),
+      Some(pqAdcOracleSql),
       doc = "product quantization + ADC lookup (decimal-exact codes and ranking)"),
 
     // ------------------------------------------------------------------
@@ -1530,8 +1503,102 @@ object SimilarityQueries {
           .limit(5)
       },
       Some(storedIvfOracleSql()),
-      doc = "subscribed ANN maintenance: vector fact table's change feed assigned to frozen stored centroids and appended to the stored index — feed-driven append == rebuild, O(batch) ingest work")
+      doc = "subscribed ANN maintenance: vector fact table's change feed assigned to frozen stored centroids and appended to the stored index — feed-driven append == rebuild, O(batch) ingest work"),
+
+    // ------------------------------------------------------------------
+    // s26: STORED PQ-CODE INDEX — the persisted-serving half of s08, and
+    // the memory story a 100 TB vector corpus actually needs: the store
+    // holds 8 SMALL CODES per vector plus a 32-row codebook, NOT the 64
+    // floats (the 8× scan compression is the whole point of PQ). The
+    // offline build runs s08's encode ONCE (subspace slices, broadcast
+    // codebook join, per-(vec,sp) argmin) and persists codes + codebook
+    // via FactTable; the SERVING path touches only the stored tables —
+    // the query's raw vector is sliced against the STORED codebook into
+    // a 32-entry lookup table (broadcast; 32 sub-distances total, no
+    // per-corpus-vector distance work), and ranking is one lookup-join +
+    // sum over the stored codes. The corpus embeddings are never read at
+    // serving time and the encode argmin never re-runs (PlanSpec: the
+    // search plan has NO Window). Decimal-exact end-to-end, so the
+    // stored-serving ranking is bit-identical to s08's recompute path —
+    // the oracle is s08's verbatim, and that equality is the contract
+    // that lets the store serve forever between re-encodes.
+    QueryDef(
+      "s26_pq_stored_codes",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.l2SqDecimal
+        val emb = Tables.load(s, dir, "embeddings")
+        // ---- offline build: s08's encode, persisted
+        val subs = emb.select($"vec_id", posexplode_outer(expr(
+          "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"))
+          .as(Seq("sp", "sv")))
+        val cents = subs.filter($"vec_id".between(1, 4))
+          .select($"vec_id".as("cid"), $"sp".as("csp"), $"sv".as("cv"))
+        val dists = subs.join(broadcast(cents), $"sp" === $"csp")
+          .select($"vec_id", $"sp", $"cid", l2SqDecimal("sv", "cv").as("d2"))
+        val w = Window.partitionBy($"vec_id", $"sp")
+          .orderBy($"d2".asc, $"cid".asc)
+        val codes = dists.withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1).select($"vec_id", $"sp", $"cid".as("code"))
+        val dt = to_date(lit("2024-01-01"))
+        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        val codesT = new graft.storage.FactTable(tmp("s26_codes"), s)
+        codesT.append(codes.withColumn("date", dt), 0)
+        val bookT = new graft.storage.FactTable(tmp("s26_book"), s)
+        bookT.append(cents.withColumn("date", dt), 0)
+        // ---- serving: stored codes + stored codebook only; the raw
+        // query vector arrives from outside the index (production shape)
+        val book = bookT.read().select($"cid", $"csp", $"cv")
+        val qsubs = emb.filter($"vec_id" === 0)
+          .select(posexplode_outer(expr(
+            "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"))
+            .as(Seq("qsp", "qv")))
+        val qd = qsubs.join(broadcast(book), $"qsp" === $"csp")
+          .select($"qsp", $"cid".as("qcid"), l2SqDecimal("qv", "cv").as("qd2"))
+        codesT.read().select($"vec_id", $"sp", $"code")
+          .filter($"vec_id" =!= 0)
+          .join(broadcast(qd), $"sp" === $"qsp" && $"code" === $"qcid")
+          .groupBy($"vec_id").agg(sum($"qd2").as("adc_dec"))
+          .select($"vec_id", round($"adc_dec".cast("double"), 9).as("adc"))
+          .orderBy($"adc".asc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some(pqAdcOracleSql),
+      doc = "stored PQ-code index: offline encode persisted as 8 codes/vector + 32-row codebook, serving = broadcast 32-entry query lookup table + one lookup-join over stored codes, corpus raw vectors never read — stored-serving ranking == s08's recompute path")
   )
+
+  /** s08's full PQ/ADC pipeline in DuckDB — shared verbatim by s26,
+    * whose stored-serving path must rank bit-identically to the
+    * recompute path (same codes, same decimal query sub-distances).
+    */
+  private def pqAdcOracleSql: String = s"""
+        WITH sp AS (SELECT unnest(range(0, 8)) AS sp),
+        subs AS (
+          SELECT e.vec_id, sp.sp, e.embedding[(8*sp.sp+1):(8*sp.sp+8)] AS sv
+          FROM embeddings e CROSS JOIN sp),
+        cents AS (
+          SELECT vec_id AS cid, sp AS csp, sv AS cv FROM subs
+          WHERE vec_id BETWEEN 1 AND 4),
+        dpairs AS (
+          SELECT su.vec_id, su.sp, c.cid, unnest(su.sv) AS x, unnest(c.cv) AS y
+          FROM subs su JOIN cents c ON su.sp = c.csp),
+        dists AS (
+          SELECT vec_id, sp, cid,
+                 ${oL2SqDec("x", "y")} AS d2
+          FROM dpairs GROUP BY vec_id, sp, cid),
+        codes AS (
+          SELECT vec_id, sp, cid AS code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+                                    ORDER BY d2 ASC, cid ASC) AS rk
+          FROM dists),
+        qd AS (SELECT sp AS qsp, cid AS qcid, d2 AS qd2 FROM dists WHERE vec_id = 0),
+        adc AS (
+          SELECT c.vec_id, SUM(q.qd2) AS adc_dec
+          FROM codes c JOIN qd q ON c.sp = q.qsp AND c.code = q.qcid
+          WHERE c.rk = 1 AND c.vec_id <> 0
+          GROUP BY c.vec_id)
+        SELECT vec_id, round(CAST(adc_dec AS DOUBLE), 9) AS adc
+        FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10"""
 
   /** Frozen-centroid IVF assignment — the ingest-path kernel shared by
     * s15 (late-batch append), s21 (multi-batch sequential shadow) and

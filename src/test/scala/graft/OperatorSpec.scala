@@ -816,6 +816,15 @@ class OperatorSpec extends AnyFunSuite {
       "change-feed-driven index append diverged from the full rebuild")
   }
 
+  test("s26 stored-code ADC serving equals the s08 recompute path row-for-row") {
+    val recompute = QueryDef.registry.find(_.name == "s08_pq_adc").get
+      .build(spark, sfDir).collect()
+    val stored = QueryDef.registry.find(_.name == "s26_pq_stored_codes").get
+      .build(spark, sfDir).collect()
+    assert(recompute.sameElements(stored),
+      "stored-code ADC ranking diverged from the recompute path")
+  }
+
   test("s18 delete-then-search equals a rebuild over the surviving vectors") {
     import org.apache.spark.sql.expressions.Window
     import VectorFunctions.{cosineExact, l2SqExact}

@@ -459,6 +459,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("s26 stored-code serving never re-encodes the corpus") {
+    val p = plan("s26_pq_stored_codes")
+    // the encode argmin (per-(vec,sp) Window) ran once in the eager
+    // build; the SERVING plan must be lookup-join + sum over the stored
+    // codes — a Window here means the corpus was re-encoded per query
+    assert(!p.contains("Window"),
+      s"stored-code serving recomputed the PQ encode argmin:\n$p")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"serving path hit a cross join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 32-entry query lookup table must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
   test("c10 terciles are banded windows, never one whole-language ntile sort") {
     val p = plan("c10_perplexity_mixture")
     // ntile over PARTITION BY lang sorts a whole language in one task —
