@@ -940,12 +940,22 @@ object MultimodalQueries {
             // COLOR STRUCTURE derives from the canonical (pre-re-encode)
             // id — a re-encode is the same footage, brighter
             val canonical = if (delta > 0) id - 5000000L else id
+            // md5-derived channels, NOT an arithmetic progression: any
+            // AP-in-j color hash (even multiplied) steps each channel by
+            // one of ~2 values per frame, so the DIFF fingerprint
+            // collapses to ~8 combos per step and unrelated videos merge
+            // at corpus scale (the ×10 sweep measured 145 clusters where
+            // ~500 planted pairs exist). md5 per (canonical, frame) makes
+            // consecutive-frame diffs effectively uniform over ±199k
+            // luma units — accidental collisions vanish at 500k docs.
+            // JVM MD5 == SQL md5 (the hyperplaneBands precedent), so the
+            // oracle reproduces the channels exactly.
+            val md = java.security.MessageDigest.getInstance("MD5")
             val colors = (0 until nf).map { j =>
-              val h = (canonical % 16777216L) * 2654435761L + j * 7919L
-              val r = (h % 200L).toInt + delta
-              val g = (h / 200L % 200L).toInt + delta
-              val b = (h / 40000L % 200L).toInt + delta
-              (r << 16) | (g << 8) | b
+              val hex = md.digest(s"$canonical:$j".getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              def ch(o: Int) = Integer.parseInt(hex.substring(o, o + 2), 16) % 200
+              (ch(0) + delta << 16) | (ch(2) + delta << 8) | (ch(4) + delta)
             }
             val gif = MediaPipeline.renderGifFrames(24, 16, colors)
             MediaPipeline.sampleFrames(id,
@@ -988,15 +998,19 @@ object MultimodalQueries {
           SELECT media_id, canonical, nf, delta,
                  unnest(range(0, nf)) AS j
           FROM ok),
+        hx AS (
+          SELECT media_id, nf, j, delta,
+                 md5(canonical || ':' || j) AS hex
+          FROM frames),
         lumas AS (
           SELECT media_id, nf, j,
-                 299 * (((canonical % 16777216) * 2654435761 + j * 7919)
+                 299 * (CAST(concat('0x', substr(hex, 1, 2)) AS INTEGER)
                           % 200 + delta)
-                 + 587 * (((canonical % 16777216) * 2654435761 + j * 7919)
-                          // 200 % 200 + delta)
-                 + 114 * (((canonical % 16777216) * 2654435761 + j * 7919)
-                          // 40000 % 200 + delta) AS luma
-          FROM frames),
+                 + 587 * (CAST(concat('0x', substr(hex, 3, 2)) AS INTEGER)
+                          % 200 + delta)
+                 + 114 * (CAST(concat('0x', substr(hex, 5, 2)) AS INTEGER)
+                          % 200 + delta) AS luma
+          FROM hx),
         seqs AS (
           SELECT media_id, nf, list(luma ORDER BY j) AS ls
           FROM lumas GROUP BY media_id, nf),
