@@ -911,16 +911,23 @@ object MultimodalQueries {
     // base asset, all channels +((id % 30)+10)) therefore collide with
     // their originals and byte-level dedup provably cannot find them;
     // luma_spread_x1000 = 1000·delta in the output is the proof the
-    // cluster spans distinct brightness levels. Corrupt plants
-    // (media_id % 50 == 17, leading byte dropped — GIF signature gone)
-    // decode to a decode_ok=false sentinel and are filtered BEFORE the
-    // fingerprint groupBy (the m13/m14 guard convention), so they can
-    // never collapse into a bogus cluster. Scale shape: render+decode is
-    // mapPartitions-parallel and assets never shuffle — only (media_id,
-    // frame luma) rows do (≤ 8 per asset), then one fingerprint groupBy
-    // whose per-key population is the planted cluster size. Both plant
-    // moduli (100, 50) divide ScaleBench's 10^10 idShift, so weak-scaling
-    // replicas reproduce the base's cluster density exactly.
+    // cluster spans distinct brightness levels. The decode_ok guard
+    // (the m13/m14 convention) filters failed decodes BEFORE the
+    // fingerprint groupBy; unlike m12/m13, m17 plants no in-query
+    // corrupt assets — the ×100 sweep showed truncated GIF streams can
+    // PARTIALLY decode (ImageIO resyncs to 1-2 garbage frames with no
+    // error), so corrupt-asset behavior is content-dependent and has no
+    // closed-form oracle. The guard itself is unit-tested at the decode
+    // level (OperatorSpec: a truncated fixture collapses to the
+    // sentinel), and the fingerprint transform is hardened to tolerate
+    // sub-2-frame groups (Spark's sequence(2, 1) is DESCENDING, not
+    // empty — it would index out of bounds). Scale shape: render+decode
+    // is mapPartitions-parallel and assets never shuffle — only
+    // (media_id, frame luma) rows do (≤ 8 per asset), then one
+    // fingerprint groupBy whose per-key population is the planted
+    // cluster size. The plant modulus 100 divides ScaleBench's 10^10
+    // idShift, so weak-scaling replicas reproduce the base's cluster
+    // density exactly.
     QueryDef(
       "m17_video_perceptual_dedup",
       (s, dir) => {
@@ -957,9 +964,8 @@ object MultimodalQueries {
               def ch(o: Int) = Integer.parseInt(hex.substring(o, o + 2), 16) % 200
               (ch(0) + delta << 16) | (ch(2) + delta << 8) | (ch(4) + delta)
             }
-            val gif = MediaPipeline.renderGifFrames(24, 16, colors)
             MediaPipeline.sampleFrames(id,
-              if (id % 50 == 17) gif.drop(1) else gif, stride = 1)
+              MediaPipeline.renderGifFrames(24, 16, colors), stride = 1)
           })
           .toDF()
           .filter($"decode_ok")
@@ -970,7 +976,8 @@ object MultimodalQueries {
           .select($"media_id", $"nf",
             expr("element_at(fl, 1).luma_x1000").as("luma0"),
             concat($"nf".cast("string"), lit("-"), expr(
-              """concat_ws(',', transform(sequence(2, size(fl)),
+              """concat_ws(',', transform(
+                   filter(sequence(1, size(fl)), i -> i >= 2),
                    i -> CAST(element_at(fl, i).luma_x1000
                              - element_at(fl, i - 1).luma_x1000 AS STRING)))"""))
               .as("fp"))
@@ -993,11 +1000,10 @@ object MultimodalQueries {
           UNION ALL
           SELECT media_id + 5000000, media_id, nf, (media_id % 30) + 10
           FROM base WHERE media_id % 100 = 7),
-        ok AS (SELECT * FROM assets WHERE media_id % 50 <> 17),
         frames AS (
           SELECT media_id, canonical, nf, delta,
                  unnest(range(0, nf)) AS j
-          FROM ok),
+          FROM assets),
         hx AS (
           SELECT media_id, nf, j, delta,
                  md5(canonical || ':' || j) AS hex
