@@ -64,7 +64,9 @@ object PlanDump {
     "s24_ivf_stored_multiprobe" -> "stored multi-probe: centroid-table TakeOrdered probe selection, broadcast bucket probe, no Window",
     "d34_varlen_substring_spans" -> "variable-length spans: same join-free gram kernel as d29, boundary emission adds no exchange",
     "d35_stored_label_lifecycle" -> "stored labels: one-scan cold read + size rollup; maintenance merges only the changed-label delta",
-    "m15_mp4_metadata_sniff" -> "MP4 sniff: dynamic box walk as native expressions, map-only before the output sort")
+    "m15_mp4_metadata_sniff" -> "MP4 sniff: dynamic box walk as native expressions, map-only before the output sort",
+    "m17_video_perceptual_dedup" -> "video near-dup: map-partition render+decode, bounded per-asset frame groupBy, one fingerprint groupBy",
+    "s26_pq_stored_codes" -> "stored PQ codes: serving is lookup-join + sum over the codes store, no Window, corpus vectors unread")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
