@@ -263,7 +263,17 @@ object MultimodalQueries {
       "m07_perceptual_neardup",
       (s, dir) => {
         import s.implicits._
+        // min-size guard — the icon problem: an asset below 2 source
+        // units per fingerprint cell leaves trailing strips EMPTY, and
+        // md5('') is a constant — every tiny asset shares the same
+        // trailing cells, so the tiny population forms a near-clique
+        // whose pair mass grows QUADRATICALLY with the corpus (the ×100
+        // sweep measured 1.09M pairs, 1387× the ×1 output, almost all
+        // from sub-64-char docs). Real perceptual dedup excludes
+        // below-minimum assets for exactly this reason; ≥ 128 chars
+        // keeps every strip at w ≥ 2.
         val docs = graft.Tables.load(s, dir, "documents")
+          .filter(length($"text") >= 128)
           .select($"doc_id".as("media_id"), $"text")
         val perturbed = docs.filter($"media_id" % 10 === 2)
           .select(($"media_id" + 3000000L).as("media_id"),
@@ -311,9 +321,10 @@ object MultimodalQueries {
       Some(s"""
         WITH media AS (
           SELECT doc_id AS media_id, text FROM documents
+          WHERE length(text) >= 128
           UNION ALL
           SELECT doc_id + 3000000, 'x' || substr(text, 2)
-          FROM documents WHERE doc_id % 10 = 2),
+          FROM documents WHERE doc_id % 10 = 2 AND length(text) >= 128),
         hashed AS (
           SELECT media_id,
                  CAST(list_sum(list_transform(range(0, 62), i ->

@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object MediaPipeline {
 
+  // ImageIO's default stream cache is a TEMP FILE PER STREAM on executor
+  // disk — at 32 concurrent decode tasks over a 500k-asset corpus the
+  // cache-file churn is pure overhead and can fail outright ("Can't
+  // create cache file!", the ×100 m11 sweep). Every asset here is
+  // KB-sized, so the in-memory cache is strictly better; a real 100 TB
+  // deployment wants the same setting for any decode that fits in a
+  // task's arrow batch. Class-load-once: executors initialize it with
+  // the object, the driver likewise.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque content + typed metadata. */
   final case class MediaRow(
       media_id: Long, content: Array[Byte], fmt: String,
