@@ -241,7 +241,15 @@ object SubqueryQueries {
         val perPart = li.groupBy($"l_partkey".as("pk"))
           .agg(count(lit(1)).as("cnt"),
             sum($"l_quantity".cast(DecimalType(18, 2))).as("qty_sum"))
-        li.join(perPart, $"l_partkey" === $"pk")
+        // The per-part aggregate is bounded by |part| — a DIMENSION
+        // cardinality, broadcastable exactly like the star-join dims.
+        // Without the hint Catalyst sizes it from lineitem and plans a
+        // sort-merge join whose FACT-side exchange writes all 60M rows
+        // (the ×100 sweep measured 26 s; AQE converts the join at
+        // runtime but the shuffle write is already paid). Broadcasting
+        // keeps the fact side scan→filter→partial-agg with no row-level
+        // exchange: 26 s → map-side only.
+        li.join(broadcast(perPart), $"l_partkey" === $"pk")
           .join(graft.Tables.load(s, dir, "part"), $"p_partkey" === $"l_partkey")
           .filter($"l_quantity".cast(DecimalType(18, 2)) * 2 * $"cnt" < $"qty_sum")
           .groupBy($"p_brand")
