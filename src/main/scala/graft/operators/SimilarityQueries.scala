@@ -1564,7 +1564,137 @@ object SimilarityQueries {
           .limit(10)
       },
       Some(pqAdcOracleSql),
-      doc = "stored PQ-code index: offline encode persisted as 8 codes/vector + 32-row codebook, serving = broadcast 32-entry query lookup table + one lookup-join over stored codes, corpus raw vectors never read — stored-serving ranking == s08's recompute path")
+      doc = "stored PQ-code index: offline encode persisted as 8 codes/vector + 32-row codebook, serving = broadcast 32-entry query lookup table + one lookup-join over stored codes, corpus raw vectors never read — stored-serving ranking == s08's recompute path"),
+
+    // ------------------------------------------------------------------
+    // s27: STORED IVF-PQ SERVING — the assembled production stack the
+    // s-series has been building toward (the Faiss IVFPQ shape): s24's
+    // persisted multi-probe bucket pruning composed with s26's persisted
+    // PQ codes. The offline build runs coarse assignment (s02) + PQ
+    // encode (s08) ONCE and persists three tables — bucket-tagged codes
+    // (vec_id, icid, 8 codes), the nlist-row coarse centroids, and the
+    // 32-row PQ codebook. SERVING touches only the stores: the raw query
+    // ranks the stored centroid table for nprobe=2 buckets (orderBy +
+    // limit, no Window), slices itself against the stored codebook into
+    // a broadcast 32-entry lookup table, and ADC-ranks ONLY the probed
+    // buckets' stored codes — at 100 TB that is a partition-pruned scan
+    // of ~nprobe/nlist of an 8×-compressed index, with every join a
+    // broadcast. Decimal-exact throughout, so the oracle is the closed
+    // recompute form (s09's CTEs with rank ≤ 2 probe selection).
+    QueryDef(
+      "s27_ivfpq_stored_serving",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.l2SqDecimal
+        val emb = Tables.load(s, dir, "embeddings")
+        val slices =
+          "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"
+        // ---- offline build: coarse assign + PQ encode, persisted
+        val icents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("icid"), $"embedding".as("icv"))
+        val wA = Window.partitionBy($"vec_id").orderBy($"idist".asc, $"icid".asc)
+        val assigned = emb.crossJoin(broadcast(icents))
+          .select($"vec_id", $"embedding", $"icid",
+            round(l2SqExact("embedding", "icv"), 9).as("idist"))
+          .withColumn("rk", row_number().over(wA)).filter($"rk" === 1)
+          .select($"vec_id", $"embedding", $"icid")
+        val pqCents = emb.filter($"vec_id".between(1, 4))
+          .select($"vec_id".as("cid"),
+            posexplode_outer(expr(slices)).as(Seq("csp", "cv")))
+        val wC = Window.partitionBy($"vec_id", $"sp")
+          .orderBy($"d2".asc, $"cid".asc)
+        val codes = assigned
+          .select($"vec_id", $"icid", posexplode_outer(expr(slices)).as(Seq("sp", "sv")))
+          .join(broadcast(pqCents), $"sp" === $"csp")
+          .select($"vec_id", $"icid", $"sp", $"cid",
+            l2SqDecimal("sv", "cv").as("d2"))
+          .withColumn("rk", row_number().over(wC)).filter($"rk" === 1)
+          .select($"vec_id", $"icid", $"sp", $"cid".as("code"))
+        val dt = to_date(lit("2024-01-01"))
+        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        val codesT = new graft.storage.FactTable(tmp("s27_codes"), s)
+        codesT.append(codes.withColumn("date", dt), 0)
+        val centT = new graft.storage.FactTable(tmp("s27_icent"), s)
+        centT.append(icents.withColumn("date", dt), 0)
+        val bookT = new graft.storage.FactTable(tmp("s27_book"), s)
+        bookT.append(pqCents.withColumn("date", dt), 0)
+        // ---- serving: stored tables only; the raw query arrives from
+        // outside the index
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        val probes = centT.read().select($"icid", $"icv")
+          .crossJoin(broadcast(q))
+          .select($"icid", round(l2SqExact("icv", "qv"), 9).as("dist2"))
+          .orderBy($"dist2".asc, $"icid".asc).limit(2)
+          .select($"icid".as("pcid"))
+        val qd = emb.filter($"vec_id" === 0)
+          .select(posexplode_outer(expr(slices)).as(Seq("qsp0", "qv")))
+          .join(broadcast(bookT.read().select($"cid", $"csp", $"cv")),
+            $"qsp0" === $"csp")
+          .select($"qsp0".as("qsp"), $"cid".as("qcid"),
+            l2SqDecimal("qv", "cv").as("qd2"))
+        codesT.read().select($"vec_id", $"icid", $"sp", $"code")
+          .join(broadcast(probes), $"icid" === $"pcid")
+          .filter($"vec_id" =!= 0)
+          .join(broadcast(qd), $"sp" === $"qsp" && $"code" === $"qcid")
+          .groupBy($"vec_id").agg(sum($"qd2").as("adc_dec"))
+          .select($"vec_id", round($"adc_dec".cast("double"), 9).as("adc"))
+          .orderBy($"adc".asc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH icents AS (SELECT vec_id AS icid, embedding AS icv
+                        FROM embeddings WHERE vec_id < 8),
+        ipairs AS (SELECT e.vec_id, c.icid,
+                          unnest(e.embedding) AS x, unnest(c.icv) AS y
+                   FROM embeddings e CROSS JOIN icents c),
+        idists AS (SELECT vec_id, icid,
+                          round(${oL2Sq("x", "y")}, 9) AS idist
+                   FROM ipairs GROUP BY vec_id, icid),
+        iassign AS (SELECT vec_id, icid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY idist ASC, icid ASC) AS rk
+                    FROM idists),
+        assigned AS (SELECT vec_id, icid FROM iassign WHERE rk = 1),
+        probes AS (SELECT icid FROM iassign WHERE vec_id = 0 AND rk <= 2),
+        bucket AS (SELECT a.vec_id FROM assigned a JOIN probes p
+                   ON a.icid = p.icid WHERE a.vec_id <> 0),
+        spn AS (SELECT unnest(range(0, 8)) AS sp),
+        pqcents AS (
+          SELECT e.vec_id AS cid, spn.sp AS csp,
+                 e.embedding[(8*spn.sp+1):(8*spn.sp+8)] AS cv
+          FROM embeddings e CROSS JOIN spn WHERE e.vec_id BETWEEN 1 AND 4),
+        subs AS (
+          SELECT b.vec_id, spn.sp, e.embedding[(8*spn.sp+1):(8*spn.sp+8)] AS sv
+          FROM bucket b JOIN embeddings e ON e.vec_id = b.vec_id CROSS JOIN spn),
+        dpairs AS (
+          SELECT su.vec_id, su.sp, c.cid, unnest(su.sv) AS x, unnest(c.cv) AS y
+          FROM subs su JOIN pqcents c ON su.sp = c.csp),
+        dists AS (
+          SELECT vec_id, sp, cid,
+                 ${oL2SqDec("x", "y")} AS d2
+          FROM dpairs GROUP BY vec_id, sp, cid),
+        codes AS (
+          SELECT vec_id, sp, cid AS code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+                                    ORDER BY d2 ASC, cid ASC) AS rk
+          FROM dists),
+        qpairs AS (
+          SELECT spn.sp, c.cid, unnest(e.embedding[(8*spn.sp+1):(8*spn.sp+8)]) AS x,
+                 unnest(c.cv) AS y
+          FROM embeddings e CROSS JOIN spn
+          JOIN pqcents c ON spn.sp = c.csp
+          WHERE e.vec_id = 0),
+        qd AS (
+          SELECT sp AS qsp, cid AS qcid,
+                 ${oL2SqDec("x", "y")} AS qd2
+          FROM qpairs GROUP BY sp, cid),
+        adc AS (
+          SELECT c.vec_id, SUM(q.qd2) AS adc_dec
+          FROM codes c JOIN qd q ON c.sp = q.qsp AND c.code = q.qcid
+          WHERE c.rk = 1 GROUP BY c.vec_id)
+        SELECT vec_id, round(CAST(adc_dec AS DOUBLE), 9) AS adc
+        FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10"""),
+      doc = "stored IVF-PQ serving: nprobe=2 bucket pruning from the stored centroid table + ADC over the probed buckets' stored codes — the assembled production ANN stack, every serving join a broadcast")
   )
 
   /** s08's full PQ/ADC pipeline in DuckDB — shared verbatim by s26,

@@ -459,6 +459,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("s27 stored IVF-PQ serving: no Window, one probe NLJ, broadcasts everywhere") {
+    val p = plan("s27_ivfpq_stored_serving")
+    // the build's two argmin Windows (coarse assign + PQ encode) ran
+    // eagerly into the stores; the SERVING plan must have neither
+    assert(!p.contains("Window"),
+      s"stored IVF-PQ serving recomputed an argmin:\n$p")
+    // exactly ONE nested-loop join: the nlist-row stored centroid table
+    // × the single broadcast query row (probe selection, s24's shape)
+    val nlj = p.linesIterator.count(_.contains("NestedLoopJoin"))
+    assert(nlj == 1 && !p.contains("CartesianProduct"),
+      s"expected exactly the centroid-table NLJ, got $nlj:\n$p")
+    assert(p.contains("limit=2"), "probe selection must be orderBy+limit(2)")
+    assert(p.contains("BroadcastHashJoin"),
+      "probed-bucket and lookup-table joins must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
   test("s26 stored-code serving never re-encodes the corpus") {
     val p = plan("s26_pq_stored_codes")
     // the encode argmin (per-(vec,sp) Window) ran once in the eager
