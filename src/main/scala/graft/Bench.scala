@@ -115,7 +115,10 @@ object Bench {
       // band / label / vector FactTables in-body so the rebuild-equality
       // oracles run through real stores
       "s24_ivf_stored_multiprobe", "d35_stored_label_lifecycle",
-      "d36_subscribed_label_maintenance", "s25_subscribed_ann_maintenance")
+      "d36_subscribed_label_maintenance", "s25_subscribed_ann_maintenance",
+      // round-10: the PQ-code store and the assembled IVF-PQ stack both
+      // persist codes/codebook/centroid FactTables in-body before serving
+      "s26_pq_stored_codes", "s27_ivfpq_stored_serving")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum
