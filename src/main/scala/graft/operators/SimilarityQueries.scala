@@ -1694,7 +1694,154 @@ object SimilarityQueries {
           WHERE c.rk = 1 GROUP BY c.vec_id)
         SELECT vec_id, round(CAST(adc_dec AS DOUBLE), 9) AS adc
         FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10"""),
-      doc = "stored IVF-PQ serving: nprobe=2 bucket pruning from the stored centroid table + ADC over the probed buckets' stored codes — the assembled production ANN stack, every serving join a broadcast")
+      doc = "stored IVF-PQ serving: nprobe=2 bucket pruning from the stored centroid table + ADC over the probed buckets' stored codes — the assembled production ANN stack, every serving join a broadcast"),
+
+    // ------------------------------------------------------------------
+    // s28: IVF-PQ RECALL AUDIT — the third leg of the recall-audit
+    // family (d18 quantifies dedup recall, s10 LSH recall): how much of
+    // the EXACT L2 top-10 does the s27 serving stack (nprobe=2 coarse
+    // pruning + 8×8 PQ/ADC ranking) actually return? Both error sources
+    // are in play — bucket pruning can drop a true neighbor assigned to
+    // an unprobed centroid, and code quantization can re-rank the
+    // survivors — and the audit attributes misses: in_probed_bucket
+    // distinguishes a pruning miss (false) from a quantization miss
+    // (true but not in the ADC top-10). Both legs are the exact shapes
+    // already locked elsewhere (brute-force TakeOrdered; s27's serving
+    // CTEs), so this also pins their agreement into the correctness
+    // gate. In production the truth leg runs on a sampled query set
+    // only; the audit is a cheap nightly job against the live index.
+    QueryDef(
+      "s28_ivfpq_recall",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.l2SqDecimal
+        val emb = Tables.load(s, dir, "embeddings")
+        val slices =
+          "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        // exact L2 top-10 ground truth (decimal-exact, ties to smaller id)
+        val truth = emb.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id", round(l2SqExact("embedding", "qv"), 9).as("l2"))
+          .orderBy($"l2".asc, $"vec_id".asc)
+          .limit(10)
+        // the s27 serving pipeline (recomputed here — the audit must not
+        // depend on a store side effect): coarse assign, nprobe=2, ADC
+        val icents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("icid"), $"embedding".as("icv"))
+        val wA = Window.partitionBy($"vec_id").orderBy($"idist".asc, $"icid".asc)
+        val assigned = emb.crossJoin(broadcast(icents))
+          .select($"vec_id", $"embedding", $"icid",
+            round(l2SqExact("embedding", "icv"), 9).as("idist"))
+          .withColumn("rk", row_number().over(wA)).filter($"rk" === 1)
+          .select($"vec_id", $"embedding", $"icid")
+        val probes = assigned.filter($"vec_id" === 0)
+          .select($"embedding".as("qe"))
+          .crossJoin(broadcast(icents))
+          .select($"icid", round(l2SqExact("icv", "qe"), 9).as("dist2"))
+          .orderBy($"dist2".asc, $"icid".asc).limit(2)
+          .select($"icid".as("pcid"))
+        val bucket = assigned.join(broadcast(probes), $"icid" === $"pcid")
+          .filter($"vec_id" =!= 0)
+        val pqCents = emb.filter($"vec_id".between(1, 4))
+          .select($"vec_id".as("cid"),
+            posexplode_outer(expr(slices)).as(Seq("csp", "cv")))
+        val wC = Window.partitionBy($"vec_id", $"sp")
+          .orderBy($"d2".asc, $"cid".asc)
+        val codes = bucket
+          .select($"vec_id", posexplode_outer(expr(slices)).as(Seq("sp", "sv")))
+          .join(broadcast(pqCents), $"sp" === $"csp")
+          .select($"vec_id", $"sp", $"cid", l2SqDecimal("sv", "cv").as("d2"))
+          .withColumn("rk", row_number().over(wC)).filter($"rk" === 1)
+          .select($"vec_id", $"sp", $"cid".as("code"))
+        val qd = emb.filter($"vec_id" === 0)
+          .select(posexplode_outer(expr(slices)).as(Seq("qsp0", "qvs")))
+          .join(broadcast(pqCents), $"qsp0" === $"csp")
+          .select($"qsp0".as("qsp"), $"cid".as("qcid"),
+            l2SqDecimal("qvs", "cv").as("qd2"))
+        val served = codes
+          .join(broadcast(qd), $"sp" === $"qsp" && $"code" === $"qcid")
+          .groupBy($"vec_id").agg(sum($"qd2").as("adc_dec"))
+          .select($"vec_id", round($"adc_dec".cast("double"), 9).as("adc"))
+          .orderBy($"adc".asc, $"vec_id".asc)
+          .limit(10)
+          .select($"vec_id", lit(true).as("hit"))
+        val probedIds = bucket.select($"vec_id", lit(true).as("probed"))
+        truth
+          .join(served, Seq("vec_id"), "left")
+          .join(probedIds, Seq("vec_id"), "left")
+          .select($"vec_id", $"l2",
+            coalesce($"probed", lit(false)).as("in_probed_bucket"),
+            coalesce($"hit", lit(false)).as("found_by_ivfpq"))
+          .orderBy($"l2".asc, $"vec_id".asc)
+      },
+      Some(s"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        tpairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+                   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        truth AS (
+          SELECT vec_id, round(${oL2Sq("x", "y")}, 9) AS l2
+          FROM tpairs GROUP BY vec_id
+          ORDER BY l2 ASC, vec_id ASC LIMIT 10),
+        icents AS (SELECT vec_id AS icid, embedding AS icv
+                   FROM embeddings WHERE vec_id < 8),
+        ipairs AS (SELECT e.vec_id, c.icid,
+                          unnest(e.embedding) AS x, unnest(c.icv) AS y
+                   FROM embeddings e CROSS JOIN icents c),
+        idists AS (SELECT vec_id, icid,
+                          round(${oL2Sq("x", "y")}, 9) AS idist
+                   FROM ipairs GROUP BY vec_id, icid),
+        iassign AS (SELECT vec_id, icid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY idist ASC, icid ASC) AS rk
+                    FROM idists),
+        assigned AS (SELECT vec_id, icid FROM iassign WHERE rk = 1),
+        probes AS (SELECT icid FROM iassign WHERE vec_id = 0 AND rk <= 2),
+        bucket AS (SELECT a.vec_id FROM assigned a JOIN probes p
+                   ON a.icid = p.icid WHERE a.vec_id <> 0),
+        spn AS (SELECT unnest(range(0, 8)) AS sp),
+        pqcents AS (
+          SELECT e.vec_id AS cid, spn.sp AS csp,
+                 e.embedding[(8*spn.sp+1):(8*spn.sp+8)] AS cv
+          FROM embeddings e CROSS JOIN spn WHERE e.vec_id BETWEEN 1 AND 4),
+        subs AS (
+          SELECT b.vec_id, spn.sp, e.embedding[(8*spn.sp+1):(8*spn.sp+8)] AS sv
+          FROM bucket b JOIN embeddings e ON e.vec_id = b.vec_id CROSS JOIN spn),
+        dpairs AS (
+          SELECT su.vec_id, su.sp, c.cid, unnest(su.sv) AS x, unnest(c.cv) AS y
+          FROM subs su JOIN pqcents c ON su.sp = c.csp),
+        dists AS (
+          SELECT vec_id, sp, cid,
+                 ${oL2SqDec("x", "y")} AS d2
+          FROM dpairs GROUP BY vec_id, sp, cid),
+        codes AS (
+          SELECT vec_id, sp, cid AS code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+                                    ORDER BY d2 ASC, cid ASC) AS rk
+          FROM dists),
+        qpairs AS (
+          SELECT spn.sp, c.cid, unnest(e.embedding[(8*spn.sp+1):(8*spn.sp+8)]) AS x,
+                 unnest(c.cv) AS y
+          FROM embeddings e CROSS JOIN spn
+          JOIN pqcents c ON spn.sp = c.csp
+          WHERE e.vec_id = 0),
+        qd AS (
+          SELECT sp AS qsp, cid AS qcid,
+                 ${oL2SqDec("x", "y")} AS qd2
+          FROM qpairs GROUP BY sp, cid),
+        served AS (
+          SELECT c.vec_id, SUM(q.qd2) AS adc_dec
+          FROM codes c JOIN qd q ON c.sp = q.qsp AND c.code = q.qcid
+          WHERE c.rk = 1 GROUP BY c.vec_id
+          ORDER BY round(CAST(adc_dec AS DOUBLE), 9) ASC, vec_id ASC
+          LIMIT 10)
+        SELECT t.vec_id, t.l2,
+               EXISTS (SELECT 1 FROM bucket b WHERE b.vec_id = t.vec_id)
+                 AS in_probed_bucket,
+               EXISTS (SELECT 1 FROM served s WHERE s.vec_id = t.vec_id)
+                 AS found_by_ivfpq
+        FROM truth t ORDER BY t.l2 ASC, t.vec_id ASC"""),
+      doc = "IVF-PQ recall audit: exact L2 top-10 truth vs the s27 serving stack, misses attributed to bucket pruning vs code quantization")
   )
 
   /** s08's full PQ/ADC pipeline in DuckDB — shared verbatim by s26,
