@@ -1612,28 +1612,51 @@ object SimilarityQueries {
           .select($"vec_id", $"icid", $"sp", $"cid".as("code"))
         val dt = to_date(lit("2024-01-01"))
         def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        // codes land CLUSTERED by coarse bucket: repartitionByRange with
+        // an EXPLICIT partition count (AQE coalesces a count-less
+        // repartition of a small build into one file, killing the stats)
+        // gives each file a tight contiguous icid range, so the log's
+        // per-file min/max stats on icid let a probe-time filter SKIP
+        // every non-probed file at plan time (the dx10 machinery —
+        // ClickHouse's sparse PK / Delta file stats). This is what makes
+        // "scan ~nprobe/nlist of the index" literal, not aspirational.
+        // hash-repartition with an EXPLICIT count, not repartitionByRange:
+        // range sampling re-executes the whole encode pipeline a second
+        // time (measured 107 s at ×100), and a count-less repartition is
+        // AQE-coalesced into one file on a small build (killing the
+        // stats). Hash with 32 buckets over nlist=8 ids leaves each file
+        // covering one icid (rarely two on a hash collision) — tight
+        // enough for the min/max skip — at the cost of one plain
+        // exchange of the skinny code rows.
         val codesT = new graft.storage.FactTable(tmp("s27_codes"), s)
-        codesT.append(codes.withColumn("date", dt), 0)
+        codesT.append(codes.repartition(32, $"icid")
+          .withColumn("date", dt), 0)
         val centT = new graft.storage.FactTable(tmp("s27_icent"), s)
         centT.append(icents.withColumn("date", dt), 0)
         val bookT = new graft.storage.FactTable(tmp("s27_book"), s)
         bookT.append(pqCents.withColumn("date", dt), 0)
         // ---- serving: stored tables only; the raw query arrives from
-        // outside the index
+        // outside the index. Probe selection COLLECTS nprobe=2 centroid
+        // ids — a bounded driver artifact (this is how a vector store
+        // plans: read the tiny centroid index, then issue pruned scans).
         val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
-        val probes = centT.read().select($"icid", $"icv")
+        val probeCids = centT.read().select($"icid", $"icv")
           .crossJoin(broadcast(q))
           .select($"icid", round(l2SqExact("icv", "qv"), 9).as("dist2"))
           .orderBy($"dist2".asc, $"icid".asc).limit(2)
-          .select($"icid".as("pcid"))
+          .select($"icid").as[Long].collect().toSeq
+        val probeCond = $"icid".isin(probeCids: _*)
+        val (kept, total) = codesT.pruneReport(probeCond)
+        require(kept < total,
+          s"codes-store probe pruning regressed: $kept/$total files kept")
         val qd = emb.filter($"vec_id" === 0)
           .select(posexplode_outer(expr(slices)).as(Seq("qsp0", "qv")))
           .join(broadcast(bookT.read().select($"cid", $"csp", $"cv")),
             $"qsp0" === $"csp")
           .select($"qsp0".as("qsp"), $"cid".as("qcid"),
             l2SqDecimal("qv", "cv").as("qd2"))
-        codesT.read().select($"vec_id", $"icid", $"sp", $"code")
-          .join(broadcast(probes), $"icid" === $"pcid")
+        codesT.readWhere(probeCond)
+          .select($"vec_id", $"sp", $"code")
           .filter($"vec_id" =!= 0)
           .join(broadcast(qd), $"sp" === $"qsp" && $"code" === $"qcid")
           .groupBy($"vec_id").agg(sum($"qd2").as("adc_dec"))

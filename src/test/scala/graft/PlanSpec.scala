@@ -459,21 +459,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
-  test("s27 stored IVF-PQ serving: no Window, one probe NLJ, broadcasts everywhere") {
+  test("s27 stored IVF-PQ serving: no Window, no join against the centroid table, broadcasts everywhere") {
     val p = plan("s27_ivfpq_stored_serving")
     // the build's two argmin Windows (coarse assign + PQ encode) ran
-    // eagerly into the stores; the SERVING plan must have neither
+    // eagerly into the stores, and probe selection COLLECTED its two
+    // centroid ids before this plan was built — the SERVING plan must
+    // be: stats-pruned codes scan + broadcast lookup join + one agg.
     assert(!p.contains("Window"),
       s"stored IVF-PQ serving recomputed an argmin:\n$p")
-    // exactly ONE nested-loop join: the nlist-row stored centroid table
-    // × the single broadcast query row (probe selection, s24's shape)
-    val nlj = p.linesIterator.count(_.contains("NestedLoopJoin"))
-    assert(nlj == 1 && !p.contains("CartesianProduct"),
-      s"expected exactly the centroid-table NLJ, got $nlj:\n$p")
-    assert(p.contains("limit=2"), "probe selection must be orderBy+limit(2)")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"serving plan hit a cross join:\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      "probed-bucket and lookup-table joins must broadcast")
+      "the 32-entry query lookup table must broadcast")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    // the probe filter must reach the scan (the stats-pruned readWhere
+    // leaves an icid IN (...) residual over the kept files)
+    assert(p.contains("icid"), s"probe filter vanished from the plan:\n$p")
   }
 
   test("s26 stored-code serving never re-encodes the corpus") {
