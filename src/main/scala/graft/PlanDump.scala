@@ -66,7 +66,9 @@ object PlanDump {
     "d35_stored_label_lifecycle" -> "stored labels: one-scan cold read + size rollup; maintenance merges only the changed-label delta",
     "m15_mp4_metadata_sniff" -> "MP4 sniff: dynamic box walk as native expressions, map-only before the output sort",
     "m17_video_perceptual_dedup" -> "video near-dup: map-partition render+decode, bounded per-asset frame groupBy, one fingerprint groupBy",
-    "s26_pq_stored_codes" -> "stored PQ codes: serving is lookup-join + sum over the codes store, no Window, corpus vectors unread")
+    "s26_pq_stored_codes" -> "stored PQ codes: serving is lookup-join + sum over the codes store, no Window, corpus vectors unread",
+    "s27_ivfpq_stored_serving" -> "stored IVF-PQ serving: stats-pruned codes scan (probe filter skips non-probed files) + broadcast ADC lookup",
+    "s28_ivfpq_recall" -> "IVF-PQ recall audit: exact truth leg + serving leg, misses attributed to pruning vs quantization")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
