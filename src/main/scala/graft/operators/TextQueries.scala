@@ -2326,7 +2326,101 @@ object TextQueries {
                CAST(COALESCE(ev.evicted_old, 0) AS BIGINT) AS evicted_old
         FROM fin f LEFT JOIN ev ON f.source = ev.source
         ORDER BY f.source"""),
-      doc = "incremental curation funnel: batch curated against the stored funnel index (old text never re-read), dedup-swap and cap-displacement evictions via metadata re-rank; full-rerun oracle proves incremental == rebuild")
+      doc = "incremental curation funnel: batch curated against the stored funnel index (old text never re-read), dedup-swap and cap-displacement evictions via metadata re-rank; full-rerun oracle proves incremental == rebuild"),
+
+    // ------------------------------------------------------------------
+    // c19: DATA-QUALITY EXPECTATIONS + QUARANTINE — the Delta Live
+    // expectations / dbt-test surface every ingest pipeline puts in
+    // front of a 100 TB table: declared rules validated and violating
+    // rows quarantined WITH attribution. The scale contract is that N
+    // rules cost ONE scan, not N: every rule evaluates into a per-row
+    // boolean in a single projection (the referential rule via one
+    // broadcast of the dimension's keys — never a shuffle of the fact),
+    // and the per-rule counts + quarantine/clean split all come from
+    // one partial-aggregable pass over those booleans. Violations are
+    // PLANTED in-query (deterministic perturbations by o_orderkey
+    // modulus — negative price, out-of-range date, bogus enum, dangling
+    // FK; moduli chosen disjoint so each row violates exactly the rule
+    // its plant targets, and 10^10-divisible so weak-scaling replicas
+    // reproduce the density) because the synthetic corpus itself is
+    // clean — the query must prove it CATCHES dirt, not that the
+    // generator made none.
+    QueryDef(
+      "c19_expectations_quarantine",
+      (s, dir) => {
+        import s.implicits._
+        val custKeys = Tables.load(s, dir, "customer")
+          .select($"c_custkey".as("ck"))
+        val dirty = Tables.load(s, dir, "orders")
+          .select($"o_orderkey",
+            when($"o_orderkey" % 1000 === 7, -$"o_totalprice")
+              .otherwise($"o_totalprice").as("price"),
+            when($"o_orderkey" % 1000 === 13,
+              add_months(to_date($"o_orderdate"), 120))
+              .otherwise(to_date($"o_orderdate")).as("odate"),
+            when($"o_orderkey" % 1000 === 21, lit("X-BOGUS"))
+              .otherwise($"o_orderpriority").as("prio"),
+            when($"o_orderkey" % 1000 === 34, $"o_custkey" + 1000000000L)
+              .otherwise($"o_custkey").as("ck"))
+        val flagged = dirty
+          .join(broadcast(custKeys.withColumn("known", lit(true))),
+            Seq("ck"), "left")
+          .select($"o_orderkey",
+            ($"price" > 0).as("ok_price"),
+            $"odate".between("1995-01-01", "2001-12-31").as("ok_date"),
+            $"prio".isin("1-URGENT", "2-HIGH", "3-MEDIUM",
+              "4-NOT SPECIFIED", "5-LOW").as("ok_prio"),
+            coalesce($"known", lit(false)).as("ok_fk"))
+        flagged.agg(
+            count(lit(1)).as("n_rows"),
+            count(when(!$"ok_price", 1)).as("viol_positive_price"),
+            count(when(!$"ok_date", 1)).as("viol_date_range"),
+            count(when(!$"ok_prio", 1)).as("viol_priority_enum"),
+            count(when(!$"ok_fk", 1)).as("viol_customer_fk"),
+            count(when(!($"ok_price" && $"ok_date" && $"ok_prio" && $"ok_fk"),
+              1)).as("quarantined"),
+            count(when($"ok_price" && $"ok_date" && $"ok_prio" && $"ok_fk",
+              1)).as("clean"))
+          .select($"n_rows", $"viol_positive_price", $"viol_date_range",
+            $"viol_priority_enum", $"viol_customer_fk", $"quarantined",
+            $"clean")
+      },
+      Some("""
+        WITH dirty AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 1000 = 7 THEN -o_totalprice
+                      ELSE o_totalprice END AS price,
+                 CASE WHEN o_orderkey % 1000 = 13
+                      THEN CAST(o_orderdate AS DATE) + INTERVAL 120 MONTH
+                      ELSE CAST(o_orderdate AS DATE) END AS odate,
+                 CASE WHEN o_orderkey % 1000 = 21 THEN 'X-BOGUS'
+                      ELSE o_orderpriority END AS prio,
+                 CASE WHEN o_orderkey % 1000 = 34
+                      THEN o_custkey + 1000000000
+                      ELSE o_custkey END AS ck
+          FROM orders),
+        flagged AS (
+          SELECT d.o_orderkey,
+                 d.price > 0 AS ok_price,
+                 d.odate BETWEEN DATE '1995-01-01' AND DATE '2001-12-31'
+                   AS ok_date,
+                 d.prio IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                            '4-NOT SPECIFIED', '5-LOW') AS ok_prio,
+                 c.c_custkey IS NOT NULL AS ok_fk
+          FROM dirty d LEFT JOIN customer c ON c.c_custkey = d.ck)
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN NOT ok_price THEN 1 END)
+                 AS viol_positive_price,
+               COUNT(CASE WHEN NOT ok_date THEN 1 END) AS viol_date_range,
+               COUNT(CASE WHEN NOT ok_prio THEN 1 END)
+                 AS viol_priority_enum,
+               COUNT(CASE WHEN NOT ok_fk THEN 1 END) AS viol_customer_fk,
+               COUNT(CASE WHEN NOT (ok_price AND ok_date AND ok_prio
+                                    AND ok_fk) THEN 1 END) AS quarantined,
+               COUNT(CASE WHEN ok_price AND ok_date AND ok_prio AND ok_fk
+                          THEN 1 END) AS clean
+        FROM flagged"""),
+      doc = "data-quality expectations: N declared rules in ONE scan (per-row bitmask, referential via broadcast dim), per-rule violation counts + quarantine/clean split, planted dirt caught exactly")
   )
 
   /** The c18 incremental-funnel core over (doc_id, text, source) frames:

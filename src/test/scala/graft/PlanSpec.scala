@@ -341,6 +341,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"rank pass shuffled the join:\n$p")
   }
 
+  test("c19 expectations: N rules in one scan, referential via broadcast, no fact shuffle") {
+    val p = plan("c19_expectations_quarantine")
+    // all rules fold into one projection over a single orders scan; the
+    // customer-FK rule joins a BROADCAST of the dimension keys; the only
+    // exchange is the single-row final-aggregate gather
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders"))
+    assert(scans == 1, s"expectations must cost ONE fact scan, got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the referential rule must broadcast the dimension keys")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact side shuffled for a rule check:\n$p")
+  }
+
   test("c16 curriculum: sharded windows + broadcast offsets, no global funnel") {
     val p = plan("c16_curriculum_order")
     // per-(band, shard) window partitions the corpus ~768 ways; the
