@@ -40,7 +40,13 @@ object ScaleBench {
     "s19_mmr_diversified", "d32_minhash_estimator_audit",
     "c18_incremental_funnel", "m14_audio_perceptual_dedup",
     "c17_dedup_provenance", "d35_stored_label_lifecycle",
-    "s24_ivf_stored_multiprobe", "d36_subscribed_label_maintenance")
+    "s24_ivf_stored_multiprobe", "d36_subscribed_label_maintenance",
+    // round-10 additions with their own sweep history (BASELINE sweeps
+    // #2-#5): keep them in the default list so regressions surface
+    "m17_video_perceptual_dedup", "s26_pq_stored_codes",
+    "s27_ivfpq_stored_serving", "s28_ivfpq_recall",
+    "c19_expectations_quarantine", "m07_perceptual_neardup",
+    "q50_small_qty_revenue_fused")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted
