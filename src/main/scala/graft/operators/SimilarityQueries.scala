@@ -1864,7 +1864,243 @@ object SimilarityQueries {
                EXISTS (SELECT 1 FROM served s WHERE s.vec_id = t.vec_id)
                  AS found_by_ivfpq
         FROM truth t ORDER BY t.l2 ASC, t.vec_id ASC"""),
-      doc = "IVF-PQ recall audit: exact L2 top-10 truth vs the s27 serving stack, misses attributed to bucket pruning vs code quantization")
+      doc = "IVF-PQ recall audit: exact L2 top-10 truth vs the s27 serving stack, misses attributed to bucket pruning vs code quantization"),
+
+    // ------------------------------------------------------------------
+    // s29: HYBRID RETRIEVAL with reciprocal-rank fusion — the production
+    // retrieval stack every RAG / retrieval-augmented training pipeline
+    // runs: a lexical BM25 leg (k1=1.2, b=0.75, the +1 "BM25+" idf that
+    // never goes negative) over document text, and a dense cosine leg
+    // over the row-aligned embeddings table, fused per query by RRF
+    // (score = Σ legs 1/(60+rank)) — rank-only fusion, so the two legs
+    // need NO score calibration. Three query documents probe both legs;
+    // each leg's top-20 fuses into a final top-10 per query.
+    //   Determinism: per-term BM25 contributions round to 6 digits THEN
+    // DECIMAL-sum (order-independent across partial aggregation); the
+    // dense leg is the s01 decimal-cosine kernel rounded to 9; the RRF
+    // score is INTEGER micro-points (10^9 div (60+rank)), so the fused
+    // ordering is exact integer math; every rank ties to smaller doc_id.
+    //   Scale (100 TB): query terms and query vectors are tiny
+    // broadcasts; df / N / avgdl corpus statistics partial-aggregate
+    // map-side; each leg's per-query rank is a WindowGroupLimit top-20
+    // over only the candidate-matched rows (docs sharing ≥1 query term /
+    // all-candidate cosine), and the fusion full-outer join sees ≤ 20
+    // rows per leg per query. Document text shuffles once (the tf
+    // aggregate); embeddings never shuffle at all.
+    QueryDef(
+      "s29_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.tokens
+        val qids = Seq(0L, 7L, 13L)
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val toks = docs
+          .select($"doc_id", explode_outer(tokens($"text")).as("token"))
+          .filter($"token" =!= "")
+        val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        val corpus = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+        val qterms = tf.filter($"doc_id".isin(qids: _*))
+          .select($"doc_id".as("qid"), $"token")
+        // df only matters for the ~|query vocab| tokens that can score:
+        // restricting the df aggregate to them keeps its OUTPUT tiny
+        // (→ broadcastable below) while the counts still come from the
+        // FULL corpus tf — identical values to the oracle's global df.
+        val qtok = qterms.select($"token").distinct()
+        val dfreq = tf.join(broadcast(qtok), "token")
+          .groupBy($"token").agg(count(lit(1)).as("df"))
+        val wLex = Window.partitionBy($"qid")
+          .orderBy($"lex_dec".desc, $"doc_id".asc)
+        val lexTop = tf.filter(!$"doc_id".isin(qids: _*))
+          .join(broadcast(qterms), "token")
+          .join(dl, "doc_id")
+          .join(broadcast(dfreq), "token")
+          .crossJoin(broadcast(corpus))
+          // textually identical arithmetic to the oracle: every
+          // intermediate is a deterministic IEEE double, rounded to 6
+          // before the order-independent decimal sum
+          .withColumn("sterm", expr(
+            """CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                 ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl * n_docs) / tot_dl))), 6)
+               AS DECIMAL(28,6))"""))
+          .groupBy($"qid", $"doc_id").agg(sum($"sterm").as("lex_dec"))
+          .withColumn("lex_rk", row_number().over(wLex).cast("long"))
+          .filter($"lex_rk" <= 20)
+          .select($"qid", $"doc_id", $"lex_rk")
+        val emb = Tables.load(s, dir, "embeddings")
+        val qvecs = emb.filter($"vec_id".isin(qids: _*))
+          .select($"vec_id".as("qid"), $"embedding".as("qv"))
+        val wVec = Window.partitionBy($"qid")
+          .orderBy($"cosine".desc, $"doc_id".asc)
+        val vecTop = emb.filter(!$"vec_id".isin(qids: _*))
+          .crossJoin(broadcast(qvecs))
+          .select($"qid", $"vec_id".as("doc_id"),
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .withColumn("vec_rk", row_number().over(wVec).cast("long"))
+          .filter($"vec_rk" <= 20)
+          .select($"qid", $"doc_id", $"vec_rk")
+        val wFuse = Window.partitionBy($"qid")
+          .orderBy($"rrf_micro".desc, $"doc_id".asc)
+        lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("rrf_micro", expr(
+            """coalesce(1000000000 div (60 + lex_rk), CAST(0 AS BIGINT))
+               + coalesce(1000000000 div (60 + vec_rk), CAST(0 AS BIGINT))"""))
+          .withColumn("rk", row_number().over(wFuse).cast("long"))
+          .filter($"rk" <= 10)
+          .select($"qid", $"rk", $"doc_id", $"rrf_micro", $"lex_rk", $"vec_rk")
+          .orderBy($"qid", $"rk")
+      },
+      Some(s"""
+        WITH toksraw AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS token
+          FROM documents),
+        tok AS (SELECT doc_id, token FROM toksraw WHERE token <> ''),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM tok GROUP BY doc_id, token),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+        qterms AS (SELECT doc_id AS qid, token FROM tf
+                   WHERE doc_id IN (0, 7, 13)),
+        lexterm AS (
+          SELECT qt.qid, t.doc_id,
+                 CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                   ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + (0.75 * d.dl * n_docs) / tot_dl))), 6)
+                 AS DECIMAL(28,6)) AS sterm
+          FROM tf t
+          JOIN qterms qt ON t.token = qt.token
+          JOIN dl d ON d.doc_id = t.doc_id
+          JOIN dfreq f ON f.token = t.token
+          CROSS JOIN corpus
+          WHERE t.doc_id NOT IN (0, 7, 13)),
+        lexs AS (SELECT qid, doc_id, SUM(sterm) AS lex_dec
+                 FROM lexterm GROUP BY qid, doc_id),
+        lexr AS (SELECT qid, doc_id,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY lex_dec DESC, doc_id ASC) AS lex_rk
+                 FROM lexs),
+        lextop AS (SELECT qid, doc_id, lex_rk FROM lexr WHERE lex_rk <= 20),
+        qv AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id IN (0, 7, 13)),
+        vpairs AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS x,
+                          unnest(q.qv) AS y
+                   FROM embeddings e CROSS JOIN qv q
+                   WHERE e.vec_id NOT IN (0, 7, 13)),
+        vdots AS (SELECT qid, vec_id, ${oCosineSums()}
+                  FROM vpairs GROUP BY qid, vec_id),
+        vrank AS (SELECT qid, vec_id AS doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
+                                    vec_id ASC) AS vec_rk
+                  FROM vdots),
+        vtop AS (SELECT qid, doc_id, vec_rk FROM vrank WHERE vec_rk <= 20),
+        fused AS (
+          SELECT COALESCE(l.qid, v.qid) AS qid,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 l.lex_rk, v.vec_rk,
+                 CAST(COALESCE(1000000000 // (60 + l.lex_rk), 0)
+                      + COALESCE(1000000000 // (60 + v.vec_rk), 0)
+                   AS BIGINT) AS rrf_micro
+          FROM lextop l FULL OUTER JOIN vtop v
+            ON l.qid = v.qid AND l.doc_id = v.doc_id),
+        ranked AS (SELECT qid, doc_id, rrf_micro, lex_rk, vec_rk,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+                   FROM fused)
+        SELECT qid, rk, doc_id, rrf_micro, lex_rk, vec_rk
+        FROM ranked WHERE rk <= 10 ORDER BY qid, rk"""),
+      doc = "hybrid retrieval: BM25 lexical leg + exact-cosine dense leg fused by integer reciprocal-rank fusion — rank-only fusion needs no score calibration; broadcast query terms/vectors, WindowGroupLimit top-k per leg"),
+
+    // ------------------------------------------------------------------
+    // s30: NPROBE RECALL/COST SWEEP — the measured trade-off curve for
+    // the IVF family (the similarity dual of d24's LSH banding sweep):
+    // for nprobe ∈ {1,2,4,8} over the 8-centroid index, how many
+    // candidates does the probe scan and how many of the exact top-10
+    // does it recover? Serving inside the probed buckets is exact
+    // cosine, so every miss is attributable to bucket PRUNING alone —
+    // this is the table an operator reads to pick the production nprobe
+    // (s24/s27 ship nprobe=2; this query shows what that buys).
+    //   One pass: each candidate row carries its centroid's probe rank
+    // and replicates only into the levels that would scan it (explode of
+    // a 4-element literal); per-level top-10 is a WindowGroupLimit; the
+    // truth set is a broadcast 10-row join. All-integer output.
+    QueryDef(
+      "s30_nprobe_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        // probe order: centroids ranked by L2 to the query (8 rows —
+        // the unpartitioned window is a deliberate driver-size sort)
+        val crank = cents.crossJoin(broadcast(q))
+          .select($"cid", round(l2SqExact("cv", "qv"), 9).as("cdist"))
+          .withColumn("crk", row_number()
+            .over(Window.orderBy($"cdist".asc, $"cid".asc)).cast("long"))
+          .select($"cid", $"crk")
+        val wA = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+        val assigned = emb.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(cents))
+          .select($"vec_id", $"embedding", $"cid",
+            round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+          .withColumn("rk", row_number().over(wA)).filter($"rk" === 1)
+          .select($"vec_id", $"embedding", $"cid")
+        val truth = exactCosineTopK(s, dir, 10)
+          .select($"vec_id", lit(true).as("in_truth"))
+        val wS = Window.partitionBy($"nprobe")
+          .orderBy($"cosine".desc, $"vec_id".asc)
+        assigned.join(broadcast(crank), "cid")
+          .crossJoin(broadcast(q))
+          .withColumn("cosine", round(cosineExact("embedding", "qv"), 9))
+          .withColumn("nprobe", explode(typedLit(Seq(1L, 2L, 4L, 8L))))
+          .filter($"crk" <= $"nprobe")
+          .withColumn("srk", row_number().over(wS).cast("long"))
+          .join(broadcast(truth), Seq("vec_id"), "left")
+          .groupBy($"nprobe")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when($"srk" <= 10 && $"in_truth", lit(1L)).otherwise(lit(0L)))
+              .as("hits_at_10"))
+          .orderBy($"nprobe")
+      },
+      Some(s"""
+        $ivfAssignSqlCtes,
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        ccpairs AS (SELECT c.cid, unnest(c.cv) AS x, unnest(q.qv) AS y
+                    FROM cents c CROSS JOIN q),
+        cdists AS (SELECT cid, round(${oL2Sq("x", "y")}, 9) AS cdist
+                   FROM ccpairs GROUP BY cid),
+        crank AS (SELECT cid, ROW_NUMBER() OVER
+                    (ORDER BY cdist ASC, cid ASC) AS crk
+                  FROM cdists),
+        tpairs AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+                          unnest(q.qv) AS y
+                   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        tdots AS (SELECT vec_id, ${oCosineSums()}
+                  FROM tpairs GROUP BY vec_id),
+        cosines AS (SELECT vec_id,
+                           round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+                    FROM tdots),
+        truth AS (SELECT vec_id FROM cosines
+                  ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+        lvl AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+        cand AS (SELECT l.nprobe, a.vec_id, co.cosine
+                 FROM assigned a
+                 JOIN crank r ON a.cid = r.cid
+                 JOIN cosines co ON co.vec_id = a.vec_id
+                 CROSS JOIN lvl l
+                 WHERE a.vec_id <> 0 AND r.crk <= l.nprobe),
+        srk AS (SELECT nprobe, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY nprobe
+                         ORDER BY cosine DESC, vec_id ASC) AS srk
+                FROM cand)
+        SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN srk <= 10 AND vec_id IN
+                      (SELECT vec_id FROM truth) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits_at_10
+        FROM srk GROUP BY nprobe ORDER BY nprobe"""),
+      doc = "nprobe recall/cost sweep: per probe depth, candidates scanned + exact-top-10 hits recovered — misses attributable to bucket pruning alone; the production nprobe selection table")
   )
 
   /** s08's full PQ/ADC pipeline in DuckDB — shared verbatim by s26,

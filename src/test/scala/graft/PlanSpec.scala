@@ -735,4 +735,23 @@ class PlanSpec extends AnyFunSuite {
       s"prefilter not the native kernel:\n$p")
     assert(!p.contains("SortMergeJoin"), s"range search shuffle-joined:\n$p")
   }
+
+  test("s29 hybrid RRF: query terms + df broadcast, legs group-limited, no cartesian") {
+    val p = plan("s29_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"hybrid fusion went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term / df probes must be broadcast joins:\n$p")
+    // each leg's per-query top-20 must push the rank limit below the
+    // window (WindowGroupLimit) so no leg ever fully sorts its partition
+    assert(p.contains("WindowGroupLimit"), s"leg top-k not group-limited:\n$p")
+  }
+
+  test("s30 nprobe sweep: broadcast centroid/truth sides, partial-agg rollup, no cartesian") {
+    val p = plan("s30_nprobe_sweep")
+    assert(!p.contains("CartesianProduct"), s"sweep went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-rank / truth joins must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-nprobe rollup must partial-aggregate:\n$p")
+  }
 }
