@@ -46,7 +46,11 @@ object ScaleBench {
     "m17_video_perceptual_dedup", "s26_pq_stored_codes",
     "s27_ivfpq_stored_serving", "s28_ivfpq_recall",
     "c19_expectations_quarantine", "m07_perceptual_neardup",
-    "q50_small_qty_revenue_fused")
+    "q50_small_qty_revenue_fused",
+    // fixed query set over a growing corpus — the weak-scaling shape a
+    // retrieval serving path must hold (legs are corpus-linear scans +
+    // group-limited top-k; fusion is O(queries))
+    "s29_hybrid_rrf", "s30_nprobe_sweep")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted
