@@ -118,7 +118,10 @@ object Bench {
       "d36_subscribed_label_maintenance", "s25_subscribed_ann_maintenance",
       // round-10: the PQ-code store and the assembled IVF-PQ stack both
       // persist codes/codebook/centroid FactTables in-body before serving
-      "s26_pq_stored_codes", "s27_ivfpq_stored_serving")
+      "s26_pq_stored_codes", "s27_ivfpq_stored_serving",
+      // round-10: batch serving builds the same index + centroid stores
+      // as s24 in-body before the batched probe
+      "s31_ivf_batch_serving")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

@@ -2100,7 +2100,92 @@ object SimilarityQueries {
                       (SELECT vec_id FROM truth) THEN 1 ELSE 0 END)
                  AS BIGINT) AS hits_at_10
         FROM srk GROUP BY nprobe ORDER BY nprobe"""),
-      doc = "nprobe recall/cost sweep: per probe depth, candidates scanned + exact-top-10 hits recovered — misses attributable to bucket pruning alone; the production nprobe selection table")
+      doc = "nprobe recall/cost sweep: per probe depth, candidates scanned + exact-top-10 hits recovered — misses attributable to bucket pruning alone; the production nprobe selection table"),
+
+    // ------------------------------------------------------------------
+    // s31: BATCH SERVING over the stored IVF index — s24 answers ONE
+    // query; a production vector store answers a BATCH (the s12 LSH
+    // batch-retrieval pattern applied to the persisted index). The
+    // query set reads from the store itself, broadcasts against the
+    // tiny stored centroid table for per-query nprobe=2 probe selection
+    // (a WindowGroupLimit over nlist×nqueries rows — never the corpus),
+    // and the (qid, probed-bucket, query-vector) triples broadcast into
+    // the bucket-clustered store: each corpus vector is scored only
+    // against the queries that probed its bucket. Per-query top-5 via
+    // group-limited window. At 100 TB the serving cost is
+    // O(Σ probed-bucket sizes), independent of the query count's
+    // interaction with the full corpus — the batched amortization every
+    // vector-store serving tier relies on. Zero re-clustering.
+    QueryDef(
+      "s31_ivf_batch_serving",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val qids = Seq(0L, 9L, 21L)
+        // ---- offline build (s24's store: assignment + centroid table)
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"embedding", $"cid",
+            round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .select($"vec_id", $"cid", $"embedding")
+        val dt = to_date(lit("2024-01-01"))
+        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        val idxT = new graft.storage.FactTable(tmp("s31_idx"), s)
+        idxT.append(assigned.withColumn("date", dt), 0)
+        val centT = new graft.storage.FactTable(tmp("s31_cent"), s)
+        centT.append(cents.withColumn("date", dt), 0)
+        // ---- online batch search: stored tables only
+        val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
+        val queries = idx.filter($"vec_id".isin(qids: _*))
+          .select($"vec_id".as("qid"), $"embedding".as("qv"))
+        val wP = Window.partitionBy($"qid").orderBy($"qdist".asc, $"cid".asc)
+        val probes = centT.read().select($"cid", $"cv")
+          .crossJoin(broadcast(queries))
+          .select($"qid", $"cid", $"qv",
+            round(l2SqExact("cv", "qv"), 9).as("qdist"))
+          .withColumn("prk", row_number().over(wP)).filter($"prk" <= 2)
+          .select($"qid", $"cid".as("pcid"), $"qv")
+        val wR = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id".asc)
+        idx.join(broadcast(probes), $"cid" === $"pcid")
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .withColumn("rk", row_number().over(wR).cast("long"))
+          .filter($"rk" <= 5)
+          .select($"qid", $"rk", $"vec_id", $"cosine")
+          .orderBy($"qid", $"rk")
+      },
+      Some(s"""
+        $ivfAssignSqlCtes,
+        qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id IN (0, 9, 21)),
+        qprobe AS (SELECT q.qid, d.cid,
+                          ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY d.dist2 ASC, d.cid ASC) AS rk
+                   FROM qs q JOIN distsr d ON d.vec_id = q.qid),
+        probes AS (SELECT qid, cid FROM qprobe WHERE rk <= 2),
+        bucket AS (SELECT p.qid, a.vec_id FROM assigned a
+                   JOIN probes p ON a.cid = p.cid
+                   WHERE a.vec_id <> p.qid),
+        bpairs AS (SELECT b.qid, b.vec_id, unnest(e.embedding) AS x,
+                          unnest(q2.qv) AS y
+                   FROM bucket b
+                   JOIN embeddings e ON e.vec_id = b.vec_id
+                   JOIN qs q2 ON q2.qid = b.qid),
+        bdots AS (SELECT qid, vec_id, ${oCosineSums()}
+                  FROM bpairs GROUP BY qid, vec_id),
+        rankd AS (SELECT qid, vec_id,
+                         round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
+                                    vec_id ASC) AS rk
+                  FROM bdots)
+        SELECT qid, rk, vec_id, cosine FROM rankd
+        WHERE rk <= 5 ORDER BY qid, rk"""),
+      doc = "batch serving over the stored IVF index: broadcast query set, per-query nprobe=2 probe selection from the stored centroid table, each corpus vector scored only against the queries that probed its bucket — the batched vector-store serving tier, zero re-clustering")
   )
 
   /** s08's full PQ/ADC pipeline in DuckDB — shared verbatim by s26,

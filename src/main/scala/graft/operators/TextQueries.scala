@@ -2420,7 +2420,90 @@ object TextQueries {
                COUNT(CASE WHEN ok_price AND ok_date AND ok_prio AND ok_fk
                           THEN 1 END) AS clean
         FROM flagged"""),
-      doc = "data-quality expectations: N declared rules in ONE scan (per-row bitmask, referential via broadcast dim), per-rule violation counts + quarantine/clean split, planted dirt caught exactly")
+      doc = "data-quality expectations: N declared rules in ONE scan (per-row bitmask, referential via broadcast dim), per-rule violation counts + quarantine/clean split, planted dirt caught exactly"),
+
+    // ------------------------------------------------------------------
+    // t29: FEATURE-HASHING DOCUMENT VECTORIZER — the hashing trick
+    // (sklearn HashingVectorizer / Spark MLlib HashingTF shape) that
+    // turns raw text into fixed-width vectors with NO vocabulary state:
+    // bucket = first md5 hex digit (16 dims), sign = second digit's top
+    // bit (the signed variant that debiases collisions), component =
+    // Σ ±1 over token instances, then L2 normalization. This is the
+    // stateless text→vector bridge a pipeline runs when no trained
+    // embedding model is in the loop (and the input the s-series ANN
+    // stack would index).
+    //   Determinism: components are INTEGER sums of ±1; the only
+    // doubles are one division by the L2 norm (of bit-identical ints on
+    // both engines) and its micro-scaling — the serialized vector is
+    // integer micro-units (round(1e6·v/l2)), never formatted doubles
+    // (double→string formatting differs across engines; integers
+    // don't). CSV serialization per the q64 array lesson.
+    //   Scale: two partial-aggregable shuffles, both keyed on doc_id —
+    // (doc, bucket) component sums, then a per-doc assembly that sees
+    // ≤ 16 rows per doc (the q74 bounded-key contract). Map-side
+    // combine does the heavy lifting; text never shuffles.
+    QueryDef(
+      "t29_hashing_vectorizer",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.tokens
+        val sums = Tables.load(s, dir, "documents")
+          .select($"doc_id", explode_outer(tokens($"text")).as("t"))
+          .filter($"t" =!= "")
+          .withColumn("h", md5($"t"))
+          .withColumn("bucket", expr(
+            "CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT)"))
+          .withColumn("sgn", expr(
+            "CASE WHEN substring(h, 2, 1) >= '8' THEN -1L ELSE 1L END"))
+          .groupBy($"doc_id", $"bucket").agg(sum($"sgn").as("v"))
+        sums.groupBy($"doc_id")
+          .agg(map_from_entries(collect_list(struct($"bucket", $"v"))).as("m"),
+            sum($"v" * $"v").as("sq"),
+            sum(when($"v" =!= 0, 1L).otherwise(0L)).as("nnz"))
+          .withColumn("l2", sqrt($"sq".cast("double")))
+          .withColumn("comps", expr(
+            """transform(sequence(0, 15), b ->
+                 CAST(round(CASE WHEN l2 = 0.0 THEN 0.0
+                   ELSE 1000000 * coalesce(element_at(m, CAST(b AS BIGINT)), 0L) / l2
+                 END, 0) AS BIGINT))"""))
+          .select($"doc_id", $"nnz", round($"l2", 6).as("l2norm"),
+            expr("concat_ws(',', cast(comps as array<string>))").as("vec"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH toksraw AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS t
+          FROM documents),
+        tok AS (SELECT doc_id, t, md5(t) AS h FROM toksraw WHERE t <> ''),
+        hashed AS (
+          SELECT doc_id,
+                 CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                   AS BIGINT) AS bucket,
+                 CASE WHEN substr(h, 2, 1) >= '8' THEN -1 ELSE 1 END AS sgn
+          FROM tok),
+        sums AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+                 FROM hashed GROUP BY doc_id, bucket),
+        agg AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS sq,
+                       CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS nnz
+                FROM sums GROUP BY doc_id),
+        spine AS (SELECT a.doc_id, sqrt(CAST(a.sq AS DOUBLE)) AS l2, bb.b
+                  FROM agg a CROSS JOIN
+                    (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS b) bb),
+        filled AS (SELECT sp.doc_id, sp.b, sp.l2, COALESCE(s.v, 0) AS v
+                   FROM spine sp LEFT JOIN sums s
+                     ON s.doc_id = sp.doc_id AND s.bucket = sp.b),
+        comps AS (SELECT doc_id,
+                         list(CAST(round(CASE WHEN l2 = 0 THEN 0.0
+                                ELSE 1000000 * v / l2 END, 0) AS BIGINT)
+                              ORDER BY b) AS cl
+                  FROM filled GROUP BY doc_id)
+        SELECT a.doc_id, a.nnz, round(sqrt(CAST(a.sq AS DOUBLE)), 6) AS l2norm,
+               array_to_string(c.cl, ',') AS vec
+        FROM agg a JOIN comps c ON c.doc_id = a.doc_id
+        ORDER BY a.doc_id"""),
+      doc = "feature-hashing vectorizer (signed hashing trick): stateless 16-dim text->vector bridge, integer component sums, L2-normalized integer-micro serialization; two bounded partial-agg shuffles, text never shuffles")
   )
 
   /** The c18 incremental-funnel core over (doc_id, text, source) frames:

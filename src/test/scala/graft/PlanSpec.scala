@@ -754,4 +754,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"per-nprobe rollup must partial-aggregate:\n$p")
   }
+
+  test("s31 batch serving: broadcast probe triples into the stored index, group-limited top-k") {
+    val p = plan("s31_ivf_batch_serving")
+    assert(!p.contains("CartesianProduct"), s"batch serving went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (qid, bucket, qv) probe set must broadcast into the store:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k not group-limited:\n$p")
+  }
+
+  test("t29 hashing vectorizer is join-free: two keyed partial aggs, text never shuffles") {
+    val p = plan("t29_hashing_vectorizer")
+    assert(!p.contains("Join"), s"vectorizer joined instead of aggregating:\n$p")
+    assert(p.contains("partial_sum"), s"component sums not partial-aggregated:\n$p")
+  }
 }
