@@ -1227,6 +1227,46 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t29 hashed vectors: 16 dims, unit norm within micro rounding, nnz bounded") {
+    val rows = SparkEntry.queries("t29_hashing_vectorizer")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nnz = r.getAs[Long]("nnz")
+      val comps = r.getAs[String]("vec").split(",", -1).map(_.toLong)
+      assert(comps.length == 16, s"doc ${r.get(0)}: ${comps.length} dims")
+      assert(nnz >= 0 && nnz <= 16)
+      // micro components are v/l2 scaled by 1e6: the squared sum must be
+      // 1 within the 16-term rounding budget (±5e-7 each, cross terms
+      // bounded by 2·16·5e-7); a micro comp can round to 0 while v ≠ 0,
+      // so nonzero comps never exceed nnz
+      if (nnz > 0) {
+        val ss = comps.map(c => (c / 1e6) * (c / 1e6)).sum
+        assert(math.abs(ss - 1.0) < 5e-5, s"doc ${r.get(0)}: norm² = $ss")
+        assert(r.getAs[Double]("l2norm") > 0)
+      }
+      assert(comps.count(_ != 0) <= nnz)
+    }
+  }
+
+  test("s29 fusion scores recompute exactly from the leg ranks") {
+    val rows = SparkEntry.queries("s29_hybrid_rrf")(spark, sfDir).collect()
+    assert(rows.length == 30) // 3 queries × fused top-10
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 7L, 13L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 10L),
+        "fused ranks must be dense 1..10 per query")
+      rs.foreach { r =>
+        def contrib(field: String): Long =
+          Option(r.getAs[java.lang.Long](field))
+            .map(v => 1000000000L / (60L + v)).getOrElse(0L)
+        assert(r.getAs[Long]("rrf_micro") ==
+          contrib("lex_rk") + contrib("vec_rk"),
+          s"rrf_micro must be exactly the integer rank contributions: $r")
+      }
+    }
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
