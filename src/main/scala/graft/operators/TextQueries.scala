@@ -2504,6 +2504,81 @@ object TextQueries {
         FROM agg a JOIN comps c ON c.doc_id = a.doc_id
         ORDER BY a.doc_id"""),
       doc = "feature-hashing vectorizer (signed hashing trick): stateless 16-dim text->vector bridge, integer component sums, L2-normalized integer-micro serialization; two bounded partial-agg shuffles, text never shuffles")
+,
+    // ------------------------------------------------------------------
+    // c20: DIFFERENTIALLY-PRIVATE NOISED RELEASE — the privacy-preserving
+    // statistics a data owner publishes about a corpus it cannot release
+    // raw (the c12 dataset card's public sibling): per-source document
+    // counts and token mass with Laplace noise at sensitivity-calibrated
+    // scale, plus the epsilon accounting line. DP correctness
+    // prerequisites are real: per-document token contribution is CLIPPED
+    // at 50 (bounding one document's influence on the mass statistic, so
+    // b = clip/eps), counts have sensitivity 1 (b = 1/eps), and the two
+    // releases compose to eps_spent = 2.0.
+    //   Determinism (the testable-DP trick): the Laplace draw is the
+    // standard inverse-CDF transform of a uniform, but the uniform is a
+    // SEEDED HASH of the release key (md5 -> 32-bit int -> [-0.5, 0.5)),
+    // not an RNG — so both engines draw bit-identical noise and the
+    // whole release is oracle-checkable. A production deployment swaps
+    // the seed for a secret; the plumbing is identical.
+    //   Scale: one grouped pass over documents (map-side partial agg on
+    // source); the noise math runs on the |sources|-row grouped output.
+    QueryDef(
+      "c20_dp_release",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.tokens
+        def lap(tag: String, b: String) = expr(
+          s"""round(-($b) * (CASE WHEN
+                (CAST(conv(substring(md5(concat('$tag', source)), 1, 8), 16, 10) AS BIGINT)
+                 / 4294967296.0 - 0.5) < 0 THEN -1.0 ELSE 1.0 END)
+              * ln(greatest(1.0 - 2.0 * abs(
+                  CAST(conv(substring(md5(concat('$tag', source)), 1, 8), 16, 10) AS BIGINT)
+                  / 4294967296.0 - 0.5), 1e-12)), 6)""")
+        Tables.load(s, dir, "documents")
+          // count only non-empty tokens (leading-whitespace split artifacts
+          // would otherwise count on the Spark side but not the oracle's)
+          .select($"source", size(filter(tokens($"text"), t => t =!= ""))
+            .cast("long").as("n_toks"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(least($"n_toks", lit(50L))).as("mass_clipped"))
+          .withColumn("noise_docs", lap("dp-docs:", "1.0"))
+          .withColumn("noise_mass", lap("dp-mass:", "50.0"))
+          .select($"source", $"n_docs", $"mass_clipped",
+            round($"n_docs" + $"noise_docs", 6).as("docs_noised"),
+            round($"mass_clipped" + $"noise_mass", 6).as("mass_noised"),
+            lit(2.0).as("eps_spent"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH stats AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(LEAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   t -> t <> '')), 50)) AS BIGINT) AS mass_clipped
+          FROM documents GROUP BY source),
+        noised AS (
+          SELECT source, n_docs, mass_clipped,
+                 round(-(1.0) * (CASE WHEN
+                     (CAST('0x' || substr(md5('dp-docs:' || source), 1, 8) AS BIGINT)
+                      / 4294967296.0 - 0.5) < 0 THEN -1.0 ELSE 1.0 END)
+                   * ln(greatest(1.0 - 2.0 * abs(
+                       CAST('0x' || substr(md5('dp-docs:' || source), 1, 8) AS BIGINT)
+                       / 4294967296.0 - 0.5), 1e-12)), 6) AS noise_docs,
+                 round(-(50.0) * (CASE WHEN
+                     (CAST('0x' || substr(md5('dp-mass:' || source), 1, 8) AS BIGINT)
+                      / 4294967296.0 - 0.5) < 0 THEN -1.0 ELSE 1.0 END)
+                   * ln(greatest(1.0 - 2.0 * abs(
+                       CAST('0x' || substr(md5('dp-mass:' || source), 1, 8) AS BIGINT)
+                       / 4294967296.0 - 0.5), 1e-12)), 6) AS noise_mass
+          FROM stats)
+        SELECT source, n_docs, mass_clipped,
+               round(n_docs + noise_docs, 6) AS docs_noised,
+               round(mass_clipped + noise_mass, 6) AS mass_noised,
+               2.0 AS eps_spent
+        FROM noised ORDER BY source"""),
+      doc = "differentially-private noised release: per-source counts + clipped token mass with seeded-hash Laplace noise (inverse-CDF of a keyed uniform — bit-identical across engines), sensitivity clipping at 50, eps accounting; one partial-agg pass, noise on the grouped output only")
   )
 
   /** The c18 incremental-funnel core over (doc_id, text, source) frames:

@@ -1267,6 +1267,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("c20 DP noise is nonzero, Laplace-bounded, and seed-deterministic") {
+    val rows = SparkEntry.queries("c20_dp_release")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // |noise| = b·|ln(1-2|u|)| with u a 32-bit hash uniform: bounded by
+    // b·ln(2^32) ≈ 22.18·b; zero noise would mean a broken seed pipe
+    // (u = exactly 0 for every source)
+    val dn = rows.map(r => r.getAs[Double]("docs_noised") - r.getAs[Long]("n_docs"))
+    val mn = rows.map(r => r.getAs[Double]("mass_noised") - r.getAs[Long]("mass_clipped"))
+    assert(dn.forall(n => math.abs(n) <= 1.0 * 22.2))
+    assert(mn.forall(n => math.abs(n) <= 50.0 * 22.2))
+    assert(dn.exists(n => math.abs(n) > 1e-6), "every docs noise draw is zero")
+    assert(rows.forall(_.getAs[Double]("eps_spent") == 2.0))
+    // determinism: a second run draws identical noise
+    val again = SparkEntry.queries("c20_dp_release")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)

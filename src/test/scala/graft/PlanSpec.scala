@@ -769,4 +769,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"vectorizer joined instead of aggregating:\n$p")
     assert(p.contains("partial_sum"), s"component sums not partial-aggregated:\n$p")
   }
+
+  test("c20 DP release: one scan, join-free, noise math on the grouped output only") {
+    val p = plan("c20_dp_release")
+    assert(!p.contains("Join"), s"DP release joined:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"DP release made $scans scans:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-source stats not partial-aggregated:\n$p")
+  }
 }
