@@ -1897,8 +1897,15 @@ object SimilarityQueries {
         val toks = docs
           .select($"doc_id", explode_outer(tokens($"text")).as("token"))
           .filter($"token" =!= "")
+        // tf feeds FOUR consumers (query terms, df, doc lengths, the
+        // scored candidates) — without pinning it, each consumer would
+        // re-run the corpus tokenize+aggregate (the d32 4×-re-read
+        // pathology). A lazy localCheckpoint computes it once; dl then
+        // derives from tf (sum of tf == token count), not from a second
+        // pass over the raw tokens.
         val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-        val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+          .localCheckpoint(eager = false)
+        val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
         val corpus = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
         val qterms = tf.filter($"doc_id".isin(qids: _*))
           .select($"doc_id".as("qid"), $"token")
