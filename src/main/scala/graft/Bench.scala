@@ -120,8 +120,9 @@ object Bench {
       // persist codes/codebook/centroid FactTables in-body before serving
       "s26_pq_stored_codes", "s27_ivfpq_stored_serving",
       // round-10: batch serving builds the same index + centroid stores
-      // as s24 in-body before the batched probe
-      "s31_ivf_batch_serving")
+      // as s24 in-body before the batched probe; the assembled hybrid
+      // stack (s32) builds them too for its dense leg
+      "s31_ivf_batch_serving", "s32_hybrid_stored_serving")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

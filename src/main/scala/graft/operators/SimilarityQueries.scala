@@ -1891,49 +1891,8 @@ object SimilarityQueries {
       "s29_hybrid_rrf",
       (s, dir) => {
         import s.implicits._
-        import graft.functions.TextFunctions.tokens
         val qids = Seq(0L, 7L, 13L)
-        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
-        val toks = docs
-          .select($"doc_id", explode_outer(tokens($"text")).as("token"))
-          .filter($"token" =!= "")
-        // tf feeds FOUR consumers (query terms, df, doc lengths, the
-        // scored candidates) — without pinning it, each consumer would
-        // re-run the corpus tokenize+aggregate (the d32 4×-re-read
-        // pathology). A lazy localCheckpoint computes it once; dl then
-        // derives from tf (sum of tf == token count), not from a second
-        // pass over the raw tokens.
-        val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-          .localCheckpoint(eager = false)
-        val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-        val corpus = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
-        val qterms = tf.filter($"doc_id".isin(qids: _*))
-          .select($"doc_id".as("qid"), $"token")
-        // df only matters for the ~|query vocab| tokens that can score:
-        // restricting the df aggregate to them keeps its OUTPUT tiny
-        // (→ broadcastable below) while the counts still come from the
-        // FULL corpus tf — identical values to the oracle's global df.
-        val qtok = qterms.select($"token").distinct()
-        val dfreq = tf.join(broadcast(qtok), "token")
-          .groupBy($"token").agg(count(lit(1)).as("df"))
-        val wLex = Window.partitionBy($"qid")
-          .orderBy($"lex_dec".desc, $"doc_id".asc)
-        val lexTop = tf.filter(!$"doc_id".isin(qids: _*))
-          .join(broadcast(qterms), "token")
-          .join(dl, "doc_id")
-          .join(broadcast(dfreq), "token")
-          .crossJoin(broadcast(corpus))
-          // textually identical arithmetic to the oracle: every
-          // intermediate is a deterministic IEEE double, rounded to 6
-          // before the order-independent decimal sum
-          .withColumn("sterm", expr(
-            """CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-                 ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl * n_docs) / tot_dl))), 6)
-               AS DECIMAL(28,6))"""))
-          .groupBy($"qid", $"doc_id").agg(sum($"sterm").as("lex_dec"))
-          .withColumn("lex_rk", row_number().over(wLex).cast("long"))
-          .filter($"lex_rk" <= 20)
-          .select($"qid", $"doc_id", $"lex_rk")
+        val lexTop = bm25LexTop(s, dir, qids, 20)
         val emb = Tables.load(s, dir, "embeddings")
         val qvecs = emb.filter($"vec_id".isin(qids: _*))
           .select($"vec_id".as("qid"), $"embedding".as("qv"))
@@ -1958,36 +1917,7 @@ object SimilarityQueries {
           .orderBy($"qid", $"rk")
       },
       Some(s"""
-        WITH toksraw AS (
-          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
-                   AS token
-          FROM documents),
-        tok AS (SELECT doc_id, token FROM toksraw WHERE token <> ''),
-        tf AS (SELECT doc_id, token, COUNT(*) AS tf
-               FROM tok GROUP BY doc_id, token),
-        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-        corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
-        qterms AS (SELECT doc_id AS qid, token FROM tf
-                   WHERE doc_id IN (0, 7, 13)),
-        lexterm AS (
-          SELECT qt.qid, t.doc_id,
-                 CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-                   ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + (0.75 * d.dl * n_docs) / tot_dl))), 6)
-                 AS DECIMAL(28,6)) AS sterm
-          FROM tf t
-          JOIN qterms qt ON t.token = qt.token
-          JOIN dl d ON d.doc_id = t.doc_id
-          JOIN dfreq f ON f.token = t.token
-          CROSS JOIN corpus
-          WHERE t.doc_id NOT IN (0, 7, 13)),
-        lexs AS (SELECT qid, doc_id, SUM(sterm) AS lex_dec
-                 FROM lexterm GROUP BY qid, doc_id),
-        lexr AS (SELECT qid, doc_id,
-                        ROW_NUMBER() OVER (PARTITION BY qid
-                          ORDER BY lex_dec DESC, doc_id ASC) AS lex_rk
-                 FROM lexs),
-        lextop AS (SELECT qid, doc_id, lex_rk FROM lexr WHERE lex_rk <= 20),
+        WITH ${bm25LexSqlCtes("0, 7, 13", 20)},
         qv AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
                WHERE vec_id IN (0, 7, 13)),
         vpairs AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS x,
@@ -2127,48 +2057,205 @@ object SimilarityQueries {
       "s31_ivf_batch_serving",
       (s, dir) => {
         import s.implicits._
-        val emb = Tables.load(s, dir, "embeddings")
-        val qids = Seq(0L, 9L, 21L)
-        // ---- offline build (s24's store: assignment + centroid table)
-        val cents = emb.filter($"vec_id" < 8)
-          .select($"vec_id".as("cid"), $"embedding".as("cv"))
-        val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
-        val assigned = emb.crossJoin(broadcast(cents))
-          .select($"vec_id", $"embedding", $"cid",
-            round(l2SqExact("embedding", "cv"), 9).as("dist2"))
-          .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-          .select($"vec_id", $"cid", $"embedding")
-        val dt = to_date(lit("2024-01-01"))
-        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
-        val idxT = new graft.storage.FactTable(tmp("s31_idx"), s)
-        idxT.append(assigned.withColumn("date", dt), 0)
-        val centT = new graft.storage.FactTable(tmp("s31_cent"), s)
-        centT.append(cents.withColumn("date", dt), 0)
-        // ---- online batch search: stored tables only
-        val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
-        val queries = idx.filter($"vec_id".isin(qids: _*))
-          .select($"vec_id".as("qid"), $"embedding".as("qv"))
-        val wP = Window.partitionBy($"qid").orderBy($"qdist".asc, $"cid".asc)
-        val probes = centT.read().select($"cid", $"cv")
-          .crossJoin(broadcast(queries))
-          .select($"qid", $"cid", $"qv",
-            round(l2SqExact("cv", "qv"), 9).as("qdist"))
-          .withColumn("prk", row_number().over(wP)).filter($"prk" <= 2)
-          .select($"qid", $"cid".as("pcid"), $"qv")
-        val wR = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id".asc)
-        idx.join(broadcast(probes), $"cid" === $"pcid")
-          .filter($"vec_id" =!= $"qid")
-          .select($"qid", $"vec_id",
-            round(cosineExact("embedding", "qv"), 9).as("cosine"))
-          .withColumn("rk", row_number().over(wR).cast("long"))
-          .filter($"rk" <= 5)
-          .select($"qid", $"rk", $"vec_id", $"cosine")
+        storedIvfBatchRank(s, dir, Seq(0L, 9L, 21L), "s31")
+          .filter($"srk" <= 5)
+          .select($"qid", $"srk".as("rk"), $"vec_id", $"cosine")
           .orderBy($"qid", $"rk")
       },
       Some(s"""
         $ivfAssignSqlCtes,
+        ${storedIvfBatchSqlCtes("0, 9, 21")}
+        SELECT qid, rk, vec_id, cosine FROM rankd
+        WHERE rk <= 5 ORDER BY qid, rk"""),
+      doc = "batch serving over the stored IVF index: broadcast query set, per-query nprobe=2 probe selection from the stored centroid table, each corpus vector scored only against the queries that probed its bucket — the batched vector-store serving tier, zero re-clustering"),
+
+    // ------------------------------------------------------------------
+    // s32: the ASSEMBLED HYBRID SERVING STACK — s29's fusion semantics
+    // with the dense leg swapped from brute-force cosine to the STORED
+    // IVF batch-serving path (s31's kernel): this is the retrieval tier
+    // a production RAG system actually deploys — lexical BM25 + an ANN
+    // index, rank-fused by RRF. The dense leg now ranks only within each
+    // query's nprobe=2 probed buckets (the recall/cost trade the index
+    // buys), so its ranks — and therefore the fusion — legitimately
+    // differ from s29's exact-dense reference: comparing the two queries
+    // IS the end-to-end recall measurement for the assembled stack.
+    // Scale: the lexical leg is s29's (one pinned tf aggregate, tiny
+    // broadcasts, group-limited top-20); the dense leg is s31's
+    // (bucket-bounded stored scan); fusion joins ≤ 20 rows per leg per
+    // query. Everything heavy is shared, oracle-checked code.
+    QueryDef(
+      "s32_hybrid_stored_serving",
+      (s, dir) => {
+        import s.implicits._
+        val qids = Seq(0L, 7L, 13L)
+        val lexTop = bm25LexTop(s, dir, qids, 20)
+        val vecTop = storedIvfBatchRank(s, dir, qids, "s32")
+          .filter($"srk" <= 20)
+          .select($"qid", $"vec_id".as("doc_id"), $"srk".as("vec_rk"))
+        val wFuse = Window.partitionBy($"qid")
+          .orderBy($"rrf_micro".desc, $"doc_id".asc)
+        lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("rrf_micro", expr(
+            """coalesce(1000000000 div (60 + lex_rk), CAST(0 AS BIGINT))
+               + coalesce(1000000000 div (60 + vec_rk), CAST(0 AS BIGINT))"""))
+          .withColumn("rk", row_number().over(wFuse).cast("long"))
+          .filter($"rk" <= 10)
+          .select($"qid", $"rk", $"doc_id", $"rrf_micro", $"lex_rk", $"vec_rk")
+          .orderBy($"qid", $"rk")
+      },
+      Some(s"""
+        $ivfAssignSqlCtes,
+        ${bm25LexSqlCtes("0, 7, 13", 20)},
+        ${storedIvfBatchSqlCtes("0, 7, 13")},
+        vtop AS (SELECT qid, vec_id AS doc_id, rk AS vec_rk
+                 FROM rankd WHERE rk <= 20),
+        fused AS (
+          SELECT COALESCE(l.qid, v.qid) AS qid,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 l.lex_rk, v.vec_rk,
+                 CAST(COALESCE(1000000000 // (60 + l.lex_rk), 0)
+                      + COALESCE(1000000000 // (60 + v.vec_rk), 0)
+                   AS BIGINT) AS rrf_micro
+          FROM lextop l FULL OUTER JOIN vtop v
+            ON l.qid = v.qid AND l.doc_id = v.doc_id),
+        franked AS (SELECT qid, doc_id, rrf_micro, lex_rk, vec_rk,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+                    FROM fused)
+        SELECT qid, rk, doc_id, rrf_micro, lex_rk, vec_rk
+        FROM franked WHERE rk <= 10 ORDER BY qid, rk"""),
+      doc = "assembled hybrid serving stack: BM25 lexical leg + STORED-IVF batch-served dense leg fused by integer RRF — the deployed RAG retrieval tier; dense ranks come from the probed buckets, so s29-vs-s32 diff IS the stack's recall cost")
+  )
+
+  /** s29's lexical BM25 leg as a reusable builder (shared with s32): the
+    * per-query top-k (qid, doc_id, lex_rk) over the documents table for
+    * a literal query-doc id set. k1=1.2, b=0.75, never-negative BM25+
+    * idf; per-term scores round to 6 digits then DECIMAL-sum so partial
+    * aggregation is order-independent. tf feeds four consumers — pinned
+    * once via lazy localCheckpoint (the d32 re-read lesson); df is
+    * restricted to the query vocabulary so its join side broadcasts.
+    */
+  private def bm25LexTop(s: SparkSession, dir: String,
+      qids: Seq[Long], k: Int): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val toks = docs
+      .select($"doc_id", explode_outer(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+    val qterms = tf.filter($"doc_id".isin(qids: _*))
+      .select($"doc_id".as("qid"), $"token")
+    val qtok = qterms.select($"token").distinct()
+    val dfreq = tf.join(broadcast(qtok), "token")
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val wLex = Window.partitionBy($"qid")
+      .orderBy($"lex_dec".desc, $"doc_id".asc)
+    tf.filter(!$"doc_id".isin(qids: _*))
+      .join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(corpus))
+      // textually identical arithmetic to the oracle: every intermediate
+      // is a deterministic IEEE double, rounded to 6 before the
+      // order-independent decimal sum
+      .withColumn("sterm", expr(
+        """CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+             ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl * n_docs) / tot_dl))), 6)
+           AS DECIMAL(28,6))"""))
+      .groupBy($"qid", $"doc_id").agg(sum($"sterm").as("lex_dec"))
+      .withColumn("lex_rk", row_number().over(wLex).cast("long"))
+      .filter($"lex_rk" <= k)
+      .select($"qid", $"doc_id", $"lex_rk")
+  }
+
+  /** The matching DuckDB CTE chain (no leading WITH): toksraw…lextop,
+    * ending in lextop(qid, doc_id, lex_rk ≤ k). Shared by s29 and s32. */
+  private def bm25LexSqlCtes(qidList: String, k: Int): String = s"""
+        toksraw AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS token
+          FROM documents),
+        tok AS (SELECT doc_id, token FROM toksraw WHERE token <> ''),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM tok GROUP BY doc_id, token),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+        qterms AS (SELECT doc_id AS qid, token FROM tf
+                   WHERE doc_id IN ($qidList)),
+        lexterm AS (
+          SELECT qt.qid, t.doc_id,
+                 CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                   ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + (0.75 * d.dl * n_docs) / tot_dl))), 6)
+                 AS DECIMAL(28,6)) AS sterm
+          FROM tf t
+          JOIN qterms qt ON t.token = qt.token
+          JOIN dl d ON d.doc_id = t.doc_id
+          JOIN dfreq f ON f.token = t.token
+          CROSS JOIN corpus
+          WHERE t.doc_id NOT IN ($qidList)),
+        lexs AS (SELECT qid, doc_id, SUM(sterm) AS lex_dec
+                 FROM lexterm GROUP BY qid, doc_id),
+        lexr AS (SELECT qid, doc_id,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY lex_dec DESC, doc_id ASC) AS lex_rk
+                 FROM lexs),
+        lextop AS (SELECT qid, doc_id, lex_rk FROM lexr WHERE lex_rk <= $k)"""
+
+  /** s31's stored-index batch ranking as a reusable builder (shared with
+    * s32): builds the bucket-tagged index + centroid FactTable stores,
+    * then ranks every probed-bucket vector per query — returns
+    * (qid, vec_id, cosine, srk) UNLIMITED; callers cut at their k. The
+    * query set reads from the store itself; probe selection is a
+    * WindowGroupLimit over nlist×nqueries rows; the (qid, bucket, qv)
+    * triples broadcast into the store.
+    */
+  private def storedIvfBatchRank(s: SparkSession, dir: String,
+      qids: Seq[Long], tag: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cid",
+        round(l2SqExact("embedding", "cv"), 9).as("dist2"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"vec_id", $"cid", $"embedding")
+    val dt = to_date(lit("2024-01-01"))
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val idxT = new graft.storage.FactTable(tmp(s"${tag}_idx"), s)
+    idxT.append(assigned.withColumn("date", dt), 0)
+    val centT = new graft.storage.FactTable(tmp(s"${tag}_cent"), s)
+    centT.append(cents.withColumn("date", dt), 0)
+    val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
+    val queries = idx.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val wP = Window.partitionBy($"qid").orderBy($"qdist".asc, $"cid".asc)
+    val probes = centT.read().select($"cid", $"cv")
+      .crossJoin(broadcast(queries))
+      .select($"qid", $"cid", $"qv",
+        round(l2SqExact("cv", "qv"), 9).as("qdist"))
+      .withColumn("prk", row_number().over(wP)).filter($"prk" <= 2)
+      .select($"qid", $"cid".as("pcid"), $"qv")
+    val wR = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id".asc)
+    idx.join(broadcast(probes), $"cid" === $"pcid")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(cosineExact("embedding", "qv"), 9).as("cosine"))
+      .withColumn("srk", row_number().over(wR).cast("long"))
+  }
+
+  /** The matching DuckDB CTE chain (no leading WITH; expects
+    * `$ivfAssignSqlCtes` upstream): qs…rankd, ending in
+    * rankd(qid, vec_id, cosine, rk). Shared by s31 and s32. */
+  private def storedIvfBatchSqlCtes(qidList: String): String = s"""
         qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-               WHERE vec_id IN (0, 9, 21)),
+               WHERE vec_id IN ($qidList)),
         qprobe AS (SELECT q.qid, d.cid,
                           ROW_NUMBER() OVER (PARTITION BY q.qid
                             ORDER BY d.dist2 ASC, d.cid ASC) AS rk
@@ -2189,11 +2276,7 @@ object SimilarityQueries {
                          ROW_NUMBER() OVER (PARTITION BY qid
                            ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
                                     vec_id ASC) AS rk
-                  FROM bdots)
-        SELECT qid, rk, vec_id, cosine FROM rankd
-        WHERE rk <= 5 ORDER BY qid, rk"""),
-      doc = "batch serving over the stored IVF index: broadcast query set, per-query nprobe=2 probe selection from the stored centroid table, each corpus vector scored only against the queries that probed its bucket — the batched vector-store serving tier, zero re-clustering")
-  )
+                  FROM bdots)"""
 
   /** s08's full PQ/ADC pipeline in DuckDB — shared verbatim by s26,
     * whose stored-serving path must rank bit-identically to the

@@ -770,6 +770,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"component sums not partial-aggregated:\n$p")
   }
 
+  test("s32 assembled hybrid stack: broadcast legs, group-limited, no cartesian") {
+    val p = plan("s32_hybrid_stored_serving")
+    assert(!p.contains("CartesianProduct"), s"assembled stack went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term / probe joins must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"leg top-k not group-limited:\n$p")
+  }
+
   test("c20 DP release: one scan, join-free, noise math on the grouped output only") {
     val p = plan("c20_dp_release")
     assert(!p.contains("Join"), s"DP release joined:\n$p")
