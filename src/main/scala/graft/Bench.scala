@@ -122,7 +122,8 @@ object Bench {
       // round-10: batch serving builds the same index + centroid stores
       // as s24 in-body before the batched probe; the assembled hybrid
       // stack (s32) builds them too for its dense leg
-      "s31_ivf_batch_serving", "s32_hybrid_stored_serving")
+      "s31_ivf_batch_serving", "s32_hybrid_stored_serving",
+      "s33_hybrid_recall_audit")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

@@ -1892,27 +1892,7 @@ object SimilarityQueries {
       (s, dir) => {
         import s.implicits._
         val qids = Seq(0L, 7L, 13L)
-        val lexTop = bm25LexTop(s, dir, qids, 20)
-        val emb = Tables.load(s, dir, "embeddings")
-        val qvecs = emb.filter($"vec_id".isin(qids: _*))
-          .select($"vec_id".as("qid"), $"embedding".as("qv"))
-        val wVec = Window.partitionBy($"qid")
-          .orderBy($"cosine".desc, $"doc_id".asc)
-        val vecTop = emb.filter(!$"vec_id".isin(qids: _*))
-          .crossJoin(broadcast(qvecs))
-          .select($"qid", $"vec_id".as("doc_id"),
-            round(cosineExact("embedding", "qv"), 9).as("cosine"))
-          .withColumn("vec_rk", row_number().over(wVec).cast("long"))
-          .filter($"vec_rk" <= 20)
-          .select($"qid", $"doc_id", $"vec_rk")
-        val wFuse = Window.partitionBy($"qid")
-          .orderBy($"rrf_micro".desc, $"doc_id".asc)
-        lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
-          .withColumn("rrf_micro", expr(
-            """coalesce(1000000000 div (60 + lex_rk), CAST(0 AS BIGINT))
-               + coalesce(1000000000 div (60 + vec_rk), CAST(0 AS BIGINT))"""))
-          .withColumn("rk", row_number().over(wFuse).cast("long"))
-          .filter($"rk" <= 10)
+        rrfFuse(bm25LexTop(s, dir, qids, 20), exactVecTop(s, dir, qids, 20), 10)
           .select($"qid", $"rk", $"doc_id", $"rrf_micro", $"lex_rk", $"vec_rk")
           .orderBy($"qid", $"rk")
       },
@@ -2088,18 +2068,10 @@ object SimilarityQueries {
       (s, dir) => {
         import s.implicits._
         val qids = Seq(0L, 7L, 13L)
-        val lexTop = bm25LexTop(s, dir, qids, 20)
         val vecTop = storedIvfBatchRank(s, dir, qids, "s32")
           .filter($"srk" <= 20)
           .select($"qid", $"vec_id".as("doc_id"), $"srk".as("vec_rk"))
-        val wFuse = Window.partitionBy($"qid")
-          .orderBy($"rrf_micro".desc, $"doc_id".asc)
-        lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
-          .withColumn("rrf_micro", expr(
-            """coalesce(1000000000 div (60 + lex_rk), CAST(0 AS BIGINT))
-               + coalesce(1000000000 div (60 + vec_rk), CAST(0 AS BIGINT))"""))
-          .withColumn("rk", row_number().over(wFuse).cast("long"))
-          .filter($"rk" <= 10)
+        rrfFuse(bm25LexTop(s, dir, qids, 20), vecTop, 10)
           .select($"qid", $"rk", $"doc_id", $"rrf_micro", $"lex_rk", $"vec_rk")
           .orderBy($"qid", $"rk")
       },
@@ -2124,8 +2096,138 @@ object SimilarityQueries {
                     FROM fused)
         SELECT qid, rk, doc_id, rrf_micro, lex_rk, vec_rk
         FROM franked WHERE rk <= 10 ORDER BY qid, rk"""),
-      doc = "assembled hybrid serving stack: BM25 lexical leg + STORED-IVF batch-served dense leg fused by integer RRF — the deployed RAG retrieval tier; dense ranks come from the probed buckets, so s29-vs-s32 diff IS the stack's recall cost")
+      doc = "assembled hybrid serving stack: BM25 lexical leg + STORED-IVF batch-served dense leg fused by integer RRF — the deployed RAG retrieval tier; dense ranks come from the probed buckets, so s29-vs-s32 diff IS the stack's recall cost"),
+
+    // ------------------------------------------------------------------
+    // s33: HYBRID RECALL AUDIT — the measurement s32's scaladoc promises
+    // (the fourth recall-audit leg after d18/s10/s28): s29's exact
+    // hybrid top-10 is the truth set, s32's served hybrid top-10 is the
+    // system under test, and every miss is attributed to the only
+    // approximation in the stack — the dense leg's bucket pruning
+    // (in_probed_bucket=false ⇒ the doc was invisible to the served
+    // dense leg; =true ⇒ the miss came from rank displacement inside the
+    // fusion, not from pruning). This is the end-to-end number a team
+    // quotes when deciding whether nprobe=2 is enough for their hybrid
+    // tier — per-leg recall (s28, s30) provably does not compose into
+    // fused recall, which is why the audit exists. Both sides recompute
+    // through the SHARED oracle-checked cores; the lexical leg is built
+    // once and pinned (it feeds both fusions).
+    QueryDef(
+      "s33_hybrid_recall_audit",
+      (s, dir) => {
+        import s.implicits._
+        val qids = Seq(0L, 7L, 13L)
+        // the lexical leg feeds BOTH fusions: pin its ≤ 20·|q| rows
+        val lex = bm25LexTop(s, dir, qids, 20).localCheckpoint(eager = false)
+        val truth = rrfFuse(lex, exactVecTop(s, dir, qids, 20), 10)
+          .select($"qid", $"rk", $"doc_id")
+        val servedRank = storedIvfBatchRank(s, dir, qids, "s33")
+        val served = rrfFuse(lex, servedRank.filter($"srk" <= 20)
+            .select($"qid", $"vec_id".as("doc_id"), $"srk".as("vec_rk")), 10)
+          .select($"qid", $"doc_id", lit(true).as("found"))
+        // every (qid, vec) pair the stored dense leg COULD see — the
+        // ranking before its top-20 cut is exactly the probed buckets
+        val probed = servedRank
+          .select($"qid", $"vec_id".as("doc_id"), lit(true).as("probed"))
+        truth
+          .join(served, Seq("qid", "doc_id"), "left")
+          .join(probed, Seq("qid", "doc_id"), "left")
+          .select($"qid", $"rk", $"doc_id",
+            coalesce($"found", lit(false)).as("found_by_served"),
+            coalesce($"probed", lit(false)).as("in_probed_bucket"))
+          .orderBy($"qid", $"rk")
+      },
+      Some(s"""
+        $ivfAssignSqlCtes,
+        ${bm25LexSqlCtes("0, 7, 13", 20)},
+        ${storedIvfBatchSqlCtes("0, 7, 13")},
+        qv AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id IN (0, 7, 13)),
+        vpairs AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS x,
+                          unnest(q.qv) AS y
+                   FROM embeddings e CROSS JOIN qv q
+                   WHERE e.vec_id NOT IN (0, 7, 13)),
+        vdots AS (SELECT qid, vec_id, ${oCosineSums()}
+                  FROM vpairs GROUP BY qid, vec_id),
+        vrank AS (SELECT qid, vec_id AS doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
+                                    vec_id ASC) AS vec_rk
+                  FROM vdots),
+        vtop AS (SELECT qid, doc_id, vec_rk FROM vrank WHERE vec_rk <= 20),
+        tfused AS (
+          SELECT COALESCE(l.qid, v.qid) AS qid,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 CAST(COALESCE(1000000000 // (60 + l.lex_rk), 0)
+                      + COALESCE(1000000000 // (60 + v.vec_rk), 0)
+                   AS BIGINT) AS rrf_micro
+          FROM lextop l FULL OUTER JOIN vtop v
+            ON l.qid = v.qid AND l.doc_id = v.doc_id),
+        tranked AS (SELECT qid, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+                    FROM tfused),
+        svtop AS (SELECT qid, vec_id AS doc_id, rk AS vec_rk
+                  FROM rankd WHERE rk <= 20),
+        sfused AS (
+          SELECT COALESCE(l.qid, v.qid) AS qid,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 CAST(COALESCE(1000000000 // (60 + l.lex_rk), 0)
+                      + COALESCE(1000000000 // (60 + v.vec_rk), 0)
+                   AS BIGINT) AS rrf_micro
+          FROM lextop l FULL OUTER JOIN svtop v
+            ON l.qid = v.qid AND l.doc_id = v.doc_id),
+        sranked AS (SELECT qid, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+                    FROM sfused)
+        SELECT t.qid, t.rk, t.doc_id,
+               EXISTS (SELECT 1 FROM sranked sr WHERE sr.qid = t.qid
+                         AND sr.doc_id = t.doc_id AND sr.rk <= 10)
+                 AS found_by_served,
+               EXISTS (SELECT 1 FROM bucket b WHERE b.qid = t.qid
+                         AND b.vec_id = t.doc_id)
+                 AS in_probed_bucket
+        FROM tranked t WHERE t.rk <= 10 ORDER BY t.qid, t.rk"""),
+      doc = "hybrid recall audit: exact-hybrid top-10 truth vs the s32 served stack, misses attributed to dense-leg bucket pruning vs fusion rank displacement — per-leg recall does not compose into fused recall; this measures the composition")
   )
+
+  /** The exact-cosine dense leg of the hybrid stack (shared by s29 and
+    * the s33 audit's truth side): per-query top-k (qid, doc_id, vec_rk)
+    * over the full embeddings table — broadcast query vectors, one
+    * group-limited window, the s01 decimal-cosine kernel.
+    */
+  private def exactVecTop(s: SparkSession, dir: String,
+      qids: Seq[Long], k: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val qvecs = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val wVec = Window.partitionBy($"qid").orderBy($"cosine".desc, $"doc_id".asc)
+    emb.filter(!$"vec_id".isin(qids: _*))
+      .crossJoin(broadcast(qvecs))
+      .select($"qid", $"vec_id".as("doc_id"),
+        round(cosineExact("embedding", "qv"), 9).as("cosine"))
+      .withColumn("vec_rk", row_number().over(wVec).cast("long"))
+      .filter($"vec_rk" <= k)
+      .select($"qid", $"doc_id", $"vec_rk")
+  }
+
+  /** Integer reciprocal-rank fusion (shared by s29/s32/s33): full-outer
+    * join of (qid, doc_id, lex_rk) with (qid, doc_id, vec_rk), RRF
+    * micro-points 10^9 div (60+rank) per present leg, fused top-k with
+    * ties to the smaller doc_id. Exact integer math end to end.
+    */
+  private def rrfFuse(lexTop: DataFrame, vecTop: DataFrame, k: Int): DataFrame = {
+    val wFuse = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_micro", expr(
+        """coalesce(1000000000 div (60 + lex_rk), CAST(0 AS BIGINT))
+           + coalesce(1000000000 div (60 + vec_rk), CAST(0 AS BIGINT))"""))
+      .withColumn("rk", row_number().over(wFuse).cast("long"))
+      .filter(col("rk") <= k)
+  }
 
   /** s29's lexical BM25 leg as a reusable builder (shared with s32): the
     * per-query top-k (qid, doc_id, lex_rk) over the documents table for

@@ -778,6 +778,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"leg top-k not group-limited:\n$p")
   }
 
+  test("s33 hybrid recall audit: both fusions broadcast-joined, no cartesian") {
+    val p = plan("s33_hybrid_recall_audit")
+    assert(!p.contains("CartesianProduct"), s"audit went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"served/probed membership joins must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"leg top-k not group-limited:\n$p")
+  }
+
   test("c20 DP release: one scan, join-free, noise math on the grouped output only") {
     val p = plan("c20_dp_release")
     assert(!p.contains("Join"), s"DP release joined:\n$p")
