@@ -70,7 +70,8 @@ object PlanDump {
     "s27_ivfpq_stored_serving" -> "stored IVF-PQ serving: stats-pruned codes scan (probe filter skips non-probed files) + broadcast ADC lookup",
     "s28_ivfpq_recall" -> "IVF-PQ recall audit: exact truth leg + serving leg, misses attributed to pruning vs quantization",
     "c19_expectations_quarantine" -> "expectations gate: N rules as one bitmask projection over ONE fact scan, referential rule broadcast",
-    "s29_hybrid_rrf" -> "hybrid RRF: broadcast query terms/df, per-leg WindowGroupLimit top-20, fusion join sees ≤20 rows per leg per query")
+    "s29_hybrid_rrf" -> "hybrid RRF: broadcast query terms/df, per-leg WindowGroupLimit top-20, fusion join sees ≤20 rows per leg per query",
+    "s32_hybrid_stored_serving" -> "assembled hybrid stack: BM25 leg + stored-IVF batch-served dense leg, integer RRF fusion over ≤20-row legs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
