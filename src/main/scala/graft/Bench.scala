@@ -123,7 +123,10 @@ object Bench {
       // as s24 in-body before the batched probe; the assembled hybrid
       // stack (s32) builds them too for its dense leg
       "s31_ivf_batch_serving", "s32_hybrid_stored_serving",
-      "s33_hybrid_recall_audit")
+      "s33_hybrid_recall_audit",
+      // round-10: the set skip-index lifecycle writes + prunes a temp
+      // FactTable in-body like dx16's bloom
+      "dx30_set_skip_index")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

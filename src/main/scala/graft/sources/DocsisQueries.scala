@@ -1274,7 +1274,57 @@ object DocsisQueries {
         FROM orders
         WHERE NOT (o_orderkey % 7 <> 0 AND o_orderkey % 13 = 0)
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
-      doc = "collapsing merge: CDC cancel-row updates/deletes netted out at compaction (VersionedCollapsingMergeTree)")
+      doc = "collapsing merge: CDC cancel-row updates/deletes netted out at compaction (VersionedCollapsingMergeTree)"),
+
+    // ------------------------------------------------------------------
+    // dx30: SET skip-index point lookup (ClickHouse `set(N)` secondary
+    // index): per-part sidecars list an indexed low-cardinality column's
+    // EXACT distinct values (≤ 64, else no sidecar), so an equality
+    // probe skips a part iff its value is provably absent — no
+    // false-positive rate, and real skipping power precisely where
+    // min/max stats have none: values that INTERLEAVE across parts. The
+    // fixture engineers that regime: tag = 'tag%02d' of event_id % 16,
+    // parts routed on (tag-index % 8), so each part holds a ~2-value set
+    // whose [min,max] STRING RANGE spans half the domain (e.g.
+    // {tag04, tag12} brackets tag05..tag11) — stats keep most parts, the
+    // set sidecar keeps only the parts that truly contain the probe, and
+    // the in-body require() proves the strict improvement. At 100 TB
+    // this is the enum/status/country-code index: the bloom (dx16)
+    // answers high-cardinality point probes, the set index answers
+    // low-cardinality ones exactly.
+    QueryDef(
+      "dx30_set_skip_index",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx30_fact").toString
+        val t = new graft.storage.FactTable(dir, s,
+          setIndexCols = Seq("tag"))
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+          .withColumn("tag", format_string("tag%02d", $"event_id" % 16))
+        t.append(ev.repartition(8, $"event_id" % 16 % 8), 0)
+        val probe = $"tag" === "tag05"
+        val files = t.snapshot().files
+        val statTouched = files.count(f =>
+          !graft.storage.StatsPruning.canPrune(probe, f.stats))
+        val (touched, total) = t.pruneReport(probe)
+        require(touched < statTouched,
+          s"set index must prune strictly beyond min/max stats " +
+            s"(set $touched vs stats $statTouched of $total) at $dir")
+        t.readWhere(probe)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events WHERE printf('tag%02d', event_id % 16) = 'tag05'
+        GROUP BY event_type ORDER BY event_type"""),
+      doc = "set(N) skip-index point lookup: per-part exact distinct-value sidecars skip interleaved low-cardinality values that min/max stats provably cannot")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -63,7 +63,8 @@ import org.apache.spark.sql.functions._
   */
 class FactTable(val root: String, spark: SparkSession,
     bloomCols: Seq[String] = Nil,
-    projections: Seq[FactTable.ProjectionSpec] = Nil) {
+    projections: Seq[FactTable.ProjectionSpec] = Nil,
+    setIndexCols: Seq[String] = Nil) {
   import FactTable._
 
   private val rootPath = new Path(root)
@@ -211,7 +212,8 @@ class FactTable(val root: String, spark: SparkSession,
     * writers' idempotence keys start fresh.
     */
   def cloneShallowTo(destRoot: String): FactTable = {
-    val dest = new FactTable(destRoot, spark, bloomCols, projections)
+    val dest = new FactTable(destRoot, spark, bloomCols, projections,
+      setIndexCols)
     require(fs.listStatus(dest.logDir).isEmpty,
       s"shallow clone target $destRoot already has a log")
     val snap = snapshot()
@@ -486,6 +488,11 @@ class FactTable(val root: String, spark: SparkSession,
         fs.delete(new Path(p + ".bloom." + c), false)
         bloomCache.remove(p + ".bloom." + c)
       }
+      // set skip-index sidecars: same lifecycle as the blooms
+      setIndexCols.foreach { c =>
+        fs.delete(new Path(p + ".set." + c), false)
+        setCache.remove(p + ".set." + c)
+      }
       // projection sidecars are parquet DIRECTORIES — recursive delete
       projections.foreach(s => fs.delete(new Path(p + ".proj." + s.name), true))
       // deletion-vector sidecars of reconciled tombstone parts
@@ -683,7 +690,8 @@ class FactTable(val root: String, spark: SparkSession,
       partitionCol: String = "date"): Long = {
     val snap = snapshot()
     val victims = snap.dataFiles.filterNot(f =>
-      StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f))
+      StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f) ||
+        setPruned(cond, f))
     if (victims.isEmpty) return 0L
     val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
     // DELETE semantics: remove only rows where cond is TRUE. A bare
@@ -892,7 +900,8 @@ class FactTable(val root: String, spark: SparkSession,
     // stats+bloom pruning scopes the tombstone: parts that provably hold
     // no matching row are never masked (and never rewritten later)
     val victims = snap.dataFiles.filterNot(f =>
-      StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f))
+      StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f) ||
+        setPruned(cond, f))
     if (victims.isEmpty) return 0L
     val target = new Path(dataDir, s"tomb-${java.util.UUID.randomUUID()}")
     masked(victims, snap.tombFiles)
@@ -1040,7 +1049,8 @@ class FactTable(val root: String, spark: SparkSession,
     val snap = snapshot(asOfVersion)
     val all = snap.dataFiles
     val kept = all.filterNot(f =>
-      StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f))
+      StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f) ||
+        setPruned(cond, f))
     if (kept.isEmpty) // schema from any live file, zero rows
       readFiles(all.take(1)).where(lit(false))
     else masked(kept, snap.tombFiles).where(cond)
@@ -1054,7 +1064,8 @@ class FactTable(val root: String, spark: SparkSession,
       asOfVersion: Long = Long.MaxValue): (Int, Int) = {
     val files = snapshot(asOfVersion).dataFiles
     (files.count(f =>
-      !StatsPruning.canPrune(cond, f.stats) && !bloomPruned(cond, f)),
+      !StatsPruning.canPrune(cond, f.stats) && !bloomPruned(cond, f) &&
+        !setPruned(cond, f)),
       files.size)
   }
 
@@ -1125,6 +1136,7 @@ class FactTable(val root: String, spark: SparkSession,
           StatsPruning.footerInfo(new Path(f.path), hadoopConf)
         if (tier != TierTomb) { // key tombstones are not data parts
           bloomCols.foreach(c => writeBloomSidecar(f.path, c, rows))
+          setIndexCols.foreach(c => writeSetSidecar(f.path, c))
           projections.foreach(p => writeProjSidecar(f.path, dir, p))
         }
         FileEntry(f.path, rows, f.bytes, tier, now, stats)
@@ -1175,6 +1187,81 @@ class FactTable(val root: String, spark: SparkSession,
         probeMatchesStatType(f, attr, v) &&
         bloomOf(f.path, attr).exists(bf =>
           scala.util.Try(!bf.mightContain(v)).getOrElse(false))
+    }
+
+  // ------------------------------------------------- set skip index
+
+  /** ClickHouse `set(N)` secondary-index analog: a part whose indexed
+    * column holds ≤ N distinct values gets a `<part>.set.<col>` sidecar
+    * listing them EXACTLY — a point/equality predicate then skips the
+    * part iff its value is absent, with NO false-positive rate (unlike
+    * the bloom) and real power on low-cardinality columns whose values
+    * interleave across every part (where [min,max] spans the domain and
+    * can never prune). A part exceeding N distinct values writes no
+    * sidecar; absence always means "cannot prune". Only integral and
+    * string columns are indexed (the types `equalityProbes` can match
+    * safely); NULL never matches an equality probe, so nulls are
+    * excluded from the set.
+    */
+  private val MaxSetSize = 64
+
+  private val setCache =
+    scala.collection.concurrent.TrieMap[String, Option[(String, Set[String])]]()
+
+  private def writeSetSidecar(part: String, c: String): Unit = {
+    val df = spark.read.parquet(part)
+    if (!df.columns.contains(c)) return // schema evolution: column absent
+    import org.apache.spark.sql.types._
+    val tag = df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => "long"
+      case StringType => "string"
+      case _ => return // other types: no sidecar, never prune
+    }
+    val vals = df.select(col(c)).na.drop().distinct()
+      .limit(MaxSetSize + 1).collect().map(_.get(0).toString)
+    if (vals.length > MaxSetSize) return // high cardinality: not indexable
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("t", tag)
+    val arr = node.putArray("v")
+    vals.sorted.foreach(arr.add)
+    val out = fs.create(new Path(part + ".set." + c), true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+  }
+
+  private def setOf(part: String, c: String): Option[(String, Set[String])] =
+    setCache.getOrElseUpdate(part + ".set." + c, {
+      val p = new Path(part + ".set." + c)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val node = new ObjectMapper().readTree(in)
+          val b = Set.newBuilder[String]
+          node.get("v").forEach(v => b += v.asText())
+          Some((node.get("t").asText(), b.result()))
+        } finally in.close()
+      }
+    })
+
+  /** True iff some `col = v` conjunct of `cond` over a set-indexed
+    * column is PROVEN absent from the part by its exact value set.
+    * Conservative: missing sidecar / non-equality predicates never
+    * prune, and the probe's JVM type must match the sidecar's recorded
+    * type (the bloom path's coercion hazard applies identically).
+    */
+  private def setPruned(cond: org.apache.spark.sql.Column,
+      f: FileEntry): Boolean =
+    setIndexCols.nonEmpty && StatsPruning.equalityProbes(cond).exists {
+      case (attr, v) => setIndexCols.contains(attr) &&
+        setOf(f.path, attr).exists { case (tag, vals) =>
+          val typed = (tag, v) match {
+            case ("long", _: Long | _: Int | _: Short | _: Byte) => true
+            case ("string", _: String) => true
+            case _ => false
+          }
+          typed && !vals.contains(v.toString)
+        }
     }
 
   // ---------------------------------------------------- projections

@@ -445,6 +445,61 @@ class FactTableSpec extends AnyFunSuite {
     assert((before -- after).size == 1)
   }
 
+  test("set skip index: exact-set pruning, cardinality cap, vacuum reclaim") {
+    val dir = java.nio.file.Files.createTempDirectory("fact_set").toString
+    val t = new FactTable(dir, spark, setIndexCols = Seq("modem_name"))
+    // interleaved string sets: part0 {aa, zz}, part1 {ab, zy} — every
+    // part's [min,max] spans the domain, only the exact set separates
+    t.append(rows(3, "2024-03-01", "aa").unionByName(rows(3, "2024-03-01", "zz"))
+      .coalesce(1), 0)
+    t.append(rows(4, "2024-03-01", "ab").unionByName(rows(4, "2024-03-01", "zy"))
+      .coalesce(1), 1)
+    val probe = $"modem_name" === "zy"
+    assert(t.snapshot().files.forall(f =>
+      !graft.storage.StatsPruning.canPrune(probe, f.stats)))
+    assert(t.pruneReport(probe) == ((1, 2)))
+    assert(t.readWhere(probe).count() == 4)
+    // a value in NO part: the set index (unlike a bloom) proves total
+    // absence — zero parts touched
+    assert(t.pruneReport($"modem_name" === "mm")._1 == 0)
+    // non-equality and OR predicates never set-prune (conservative)
+    assert(t.pruneReport($"modem_name" > "a")._1 == 2)
+    assert(t.pruneReport($"modem_name" === "zy" || $"modem_name" === "aa")._1 == 2)
+    // mismatched probe type never prunes (the bloom coercion hazard)
+    val tl = new FactTable(
+      java.nio.file.Files.createTempDirectory("fact_set2").toString,
+      spark, setIndexCols = Seq("uptime"))
+    tl.append(rows(3, "2024-03-01", "m1").coalesce(1), 0)
+    assert(tl.pruneReport($"uptime" === "2")._1 == 1)
+    // > MaxSetSize distinct values: no sidecar is written, never prunes
+    val hi = new FactTable(
+      java.nio.file.Files.createTempDirectory("fact_set3").toString,
+      spark, setIndexCols = Seq("uptime"))
+    // 100 distinct EVEN values: probe an odd gap value inside [min,max]
+    // — stats keep the part, and with >64 distinct values no sidecar
+    // exists to prune it either
+    hi.append((1 to 100).map(i => ("m", java.sql.Timestamp.valueOf(
+      "2024-03-01 00:00:01"), i.toLong * 2)).toDF("modem_name", "timestamp", "uptime")
+      .withColumn("date", to_date($"timestamp")).coalesce(1), 0)
+    assert(hi.pruneReport($"uptime" === 101L)._1 == 1,
+      "high-cardinality column must not write a set sidecar")
+    // compaction + vacuum reclaim the replaced part's sidecar
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sessionState.newHadoopConf())
+    def sidecars() = {
+      val it = fsys.listFiles(new org.apache.hadoop.fs.Path(dir, "data"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.contains(".set."))
+        n += 1 }
+      n
+    }
+    assert(sidecars() == 2)
+    t.compact()
+    t.vacuum(keepFromVersion = Long.MaxValue)
+    assert(sidecars() == 1, "vacuum must reclaim replaced parts' sidecars")
+    assert(t.readWhere(probe).count() == 4, "post-compact set index still serves")
+  }
+
   test("deleteWhere keeps rows where the predicate evaluates to NULL") {
     val t = freshTable()
     // fw_version is NULL for m1 rows — DELETE WHERE fw_version = 'bad'
