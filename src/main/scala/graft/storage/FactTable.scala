@@ -1251,18 +1251,27 @@ class FactTable(val root: String, spark: SparkSession,
     * type (the bloom path's coercion hazard applies identically).
     */
   private def setPruned(cond: org.apache.spark.sql.Column,
-      f: FileEntry): Boolean =
-    setIndexCols.nonEmpty && StatsPruning.equalityProbes(cond).exists {
-      case (attr, v) => setIndexCols.contains(attr) &&
-        setOf(f.path, attr).exists { case (tag, vals) =>
-          val typed = (tag, v) match {
-            case ("long", _: Long | _: Int | _: Short | _: Byte) => true
-            case ("string", _: String) => true
-            case _ => false
-          }
-          typed && !vals.contains(v.toString)
+      f: FileEntry): Boolean = {
+    def absent(attr: String, v: Any): Boolean =
+      setOf(f.path, attr).exists { case (tag, vals) =>
+        val typed = (tag, v) match {
+          case ("long", _: Long | _: Int | _: Short | _: Byte) => true
+          case ("string", _: String) => true
+          case _ => false
         }
-    }
+        typed && !vals.contains(v.toString)
+      }
+    setIndexCols.nonEmpty && (
+      StatsPruning.equalityProbes(cond).exists {
+        case (attr, v) => setIndexCols.contains(attr) && absent(attr, v)
+      } ||
+      // IN-list conjunct: the part is dead iff EVERY listed value is
+      // provably absent from its exact value set
+      StatsPruning.inProbes(cond).exists {
+        case (attr, vs) => setIndexCols.contains(attr) &&
+          vs.forall(v => absent(attr, v))
+      })
+  }
 
   // ---------------------------------------------------- projections
 

@@ -213,6 +213,35 @@ object StatsPruning {
     }
   }
 
+  /** Top-level-conjunct IN probes `(column, external values)` — the set
+    * skip index can reject a part when EVERY listed value is absent from
+    * its exact value set (a bloom cannot: each value needs its own
+    * membership test, which `equalityProbes` already covers for `=`).
+    * Same conservatism as `equalityProbes`: only `col IN (literals...)`
+    * conjuncts qualify; any non-foldable element disqualifies the list.
+    */
+  def inProbes(cond: Column): Seq[(String, Seq[Any])] = {
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def external(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case x => x
+    }
+    conjuncts(normalize(
+      org.apache.spark.sql.GraftColumnBridge.expression(cond))).flatMap {
+      case ce.In(a, vs) if vs.nonEmpty =>
+        attrName(a).flatMap { name =>
+          val folded = vs.map(foldedValue)
+          if (folded.forall(_.isDefined))
+            Some(name -> folded.map(f => external(f.get)))
+          else None
+        }
+      case _ => None
+    }
+  }
+
   // ------------------------------------------------- V1 source filters
 
   /** Prune test for `org.apache.spark.sql.sources.Filter` trees — the

@@ -465,6 +465,10 @@ class FactTableSpec extends AnyFunSuite {
     // non-equality and OR predicates never set-prune (conservative)
     assert(t.pruneReport($"modem_name" > "a")._1 == 2)
     assert(t.pruneReport($"modem_name" === "zy" || $"modem_name" === "aa")._1 == 2)
+    // IN-list: a part dies iff EVERY listed value is absent from its set
+    assert(t.pruneReport($"modem_name".isin("zy", "ab"))._1 == 1)
+    assert(t.pruneReport($"modem_name".isin("mm", "nn"))._1 == 0)
+    assert(t.pruneReport($"modem_name".isin("zy", "aa"))._1 == 2)
     // mismatched probe type never prunes (the bloom coercion hazard)
     val tl = new FactTable(
       java.nio.file.Files.createTempDirectory("fact_set2").toString,
