@@ -71,4 +71,36 @@ object FactTableProps extends Properties("FactTable") {
         got == want
       }
     }
+
+  /** Property: the set skip index NEVER changes results — for any part
+    * layout (random interleaved key sets per part) and any equality or
+    * IN probe (present, absent, or mixed), `readWhere` returns exactly
+    * `read().where`. This is the contract every skipping structure must
+    * hold: pruning may only drop files PROVEN empty of matches.
+    */
+  property("set-index pruned reads equal unpruned reads for any probe") =
+    forAll(for {
+      nParts <- Gen.choose(1, 3)
+      parts <- Gen.listOfN(nParts, Gen.nonEmptyListOf(Gen.choose(0, 9)))
+      probe <- Gen.choose(0, 9)
+      inKeys <- Gen.nonEmptyListOf(Gen.choose(0, 9)).map(_.distinct.take(4))
+    } yield (parts, probe, inKeys)) { case (parts, probe, inKeys) =>
+      val t = new FactTable(
+        java.nio.file.Files.createTempDirectory("fact_setprop").toString,
+        spark, setIndexCols = Seq("modem_name"))
+      parts.zipWithIndex.foreach { case (keys, i) =>
+        val df = keys.zipWithIndex.map { case (k, j) => (f"k$k%02d",
+          java.sql.Timestamp.valueOf(f"2024-03-01 00:00:${j % 60}%02d"),
+          j.toLong) }
+          .toDF("modem_name", "timestamp", "uptime")
+          .withColumn("date",
+            org.apache.spark.sql.functions.to_date($"timestamp"))
+        t.append(df.coalesce(1), i.toLong)
+      }
+      val all = t.read()
+      val eqCond = $"modem_name" === f"k$probe%02d"
+      val inCond = $"modem_name".isin(inKeys.map(k => f"k$k%02d"): _*)
+      t.readWhere(eqCond).count() == all.where(eqCond).count() &&
+        t.readWhere(inCond).count() == all.where(inCond).count()
+    }
 }
