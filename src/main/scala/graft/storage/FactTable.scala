@@ -1250,6 +1250,14 @@ class FactTable(val root: String, spark: SparkSession,
     * prune, and the probe's JVM type must match the sidecar's recorded
     * type (the bloom path's coercion hazard applies identically).
     */
+  /** Combined sidecar prune test for the V1 SQL surface (GraftRelation):
+    * true iff the bloom or the set sidecar PROVES the file empty of
+    * matches for `cond`. Same conservatism as the readWhere path.
+    */
+  private[storage] def sidecarPruned(cond: org.apache.spark.sql.Column,
+      f: FileEntry): Boolean =
+    bloomPruned(cond, f) || setPruned(cond, f)
+
   private def setPruned(cond: org.apache.spark.sql.Column,
       f: FileEntry): Boolean = {
     def absent(attr: String, v: Any): Boolean =

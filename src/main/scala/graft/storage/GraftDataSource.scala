@@ -18,8 +18,14 @@ import org.apache.spark.sql.types.StructType
   * re-applies all pushed filters on top (V1 filters are advisory), so a
   * conservative prune can never change results. Options:
   *
-  *   - `path`        table root (also the `load(path)` argument)
-  *   - `versionAsOf` optional time travel to an earlier log version
+  *   - `path`         table root (also the `load(path)` argument)
+  *   - `versionAsOf`  optional time travel to an earlier log version
+  *   - `bloomCols`    comma list of bloom-indexed columns: equality
+  *                    filters additionally consult the parts' bloom
+  *                    sidecars (the writer must have declared the same
+  *                    columns — sidecars are written at commit time)
+  *   - `setIndexCols` comma list of set-indexed columns: equality and
+  *                    IN filters consult the exact-value-set sidecars
   */
 class GraftDataSource extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -28,7 +34,10 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
     val root = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft data source requires a 'path' option"))
     val asOf = parameters.get("versionAsOf").map(_.toLong).getOrElse(Long.MaxValue)
-    new GraftRelation(root, asOf, sqlContext.sparkSession)
+    def cols(k: String) = parameters.get(k)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    new GraftRelation(root, asOf, sqlContext.sparkSession,
+      cols("bloomCols"), cols("setIndexCols"))
   }
 }
 
@@ -39,10 +48,28 @@ object GraftRelation {
   @volatile var lastPrune: Option[(String, Int, Int)] = None
 }
 
-class GraftRelation(root: String, asOf: Long, spark: SparkSession)
+class GraftRelation(root: String, asOf: Long, spark: SparkSession,
+    bloomCols: Seq[String] = Nil, setIndexCols: Seq[String] = Nil)
     extends BaseRelation with PrunedFilteredScan {
 
-  private val table = new FactTable(root, spark)
+  private val table = new FactTable(root, spark, bloomCols,
+    Nil, setIndexCols)
+
+  /** V1 filters re-expressed as Column conds for the sidecar prune
+    * tests — only the exact shapes the sidecars can answer (equality,
+    * IN over literals); everything else is None and never prunes.
+    */
+  private def sidecarCond(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.{sources => sf}
+    import org.apache.spark.sql.functions.lit
+    f match {
+      case sf.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sf.EqualNullSafe(a, v) if v != null => Some(col(a) === lit(v))
+      case sf.In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        Some(col(a).isin(vs.toIndexedSeq: _*))
+      case _ => None
+    }
+  }
 
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = table.read(asOf).schema
@@ -51,8 +78,10 @@ class GraftRelation(root: String, asOf: Long, spark: SparkSession)
       filters: Array[Filter]): RDD[Row] = {
     val snap = table.snapshot(asOf)
     val files = snap.dataFiles
+    val conds = filters.flatMap(sidecarCond)
     val kept = files.filterNot(f =>
-      filters.exists(fl => StatsPruning.canPrune(fl, f.stats)))
+      filters.exists(fl => StatsPruning.canPrune(fl, f.stats)) ||
+        conds.exists(c => table.sidecarPruned(c, f)))
     GraftRelation.lastPrune = Some((root, kept.size, files.size))
     if (kept.isEmpty) spark.sparkContext.emptyRDD[Row]
     else {

@@ -100,4 +100,32 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .collect().toSeq
     assert(viaDs == direct)
   }
+
+  test("setIndexCols option rides the sidecars through the SQL surface") {
+    // interleaved key sets per part: min/max stats keep every part for
+    // the probes below, only the set sidecars can skip
+    val t = new FactTable(
+      java.nio.file.Files.createTempDirectory("graft_ds_set").toString,
+      spark, setIndexCols = Seq("modem_name"))
+    t.append(rows(3, "2024-03-01", "aa")
+      .unionByName(rows(3, "2024-03-01", "zz")).coalesce(1), 0)
+    t.append(rows(4, "2024-03-01", "ab")
+      .unionByName(rows(4, "2024-03-01", "zy")).coalesce(1), 1)
+    val df = spark.read.format("graft")
+      .option("setIndexCols", "modem_name").load(t.root)
+    // equality: one part proven dead by its exact value set
+    assert(df.filter($"modem_name" === "zy").count() == 4)
+    assert(GraftRelation.lastPrune.exists { case (r, kept, total) =>
+      r == t.root && kept == 1 && total == 2 }, GraftRelation.lastPrune)
+    // IN-list spanning both parts: nothing prunable, results exact
+    assert(df.filter($"modem_name".isin("zy", "aa")).count() == 7)
+    assert(GraftRelation.lastPrune.exists(_._2 == 2))
+    // absent-everywhere probe: all parts skipped, zero rows, no error
+    assert(df.filter($"modem_name" === "mm").count() == 0)
+    assert(GraftRelation.lastPrune.exists(_._2 == 0))
+    // without the option the same probe keeps both parts (stats-only)
+    val plain = spark.read.format("graft").load(t.root)
+    assert(plain.filter($"modem_name" === "zy").count() == 4)
+    assert(GraftRelation.lastPrune.exists(_._2 == 2))
+  }
 }
