@@ -1958,28 +1958,46 @@ object SimilarityQueries {
             .over(Window.orderBy($"cdist".asc, $"cid".asc)).cast("long"))
           .select($"cid", $"crk")
         val wA = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+        // the assignment argmin feeds both the count and the hit pass —
+        // pinned so it computes once (in production this is the STORED
+        // s14/s24 index read, not a recompute at all)
         val assigned = emb.filter($"vec_id" =!= 0)
           .crossJoin(broadcast(cents))
           .select($"vec_id", $"embedding", $"cid",
             round(l2SqExact("embedding", "cv"), 9).as("dist2"))
           .withColumn("rk", row_number().over(wA)).filter($"rk" === 1)
           .select($"vec_id", $"embedding", $"cid")
+          .localCheckpoint(eager = false)
         val truth = exactCosineTopK(s, dir, 10)
           .select($"vec_id", lit(true).as("in_truth"))
         val wS = Window.partitionBy($"nprobe")
           .orderBy($"cosine".desc, $"vec_id".asc)
-        assigned.join(broadcast(crank), "cid")
+        // n_candidates per level is DERIVED, not scanned: per-centroid
+        // bucket sizes (an 8-row partial aggregate) summed over the
+        // centroids each level probes — the corpus is never re-read to
+        // count itself.
+        val counts = assigned.groupBy($"cid").agg(count(lit(1)).as("bn"))
+          .join(broadcast(crank), "cid")
+          .withColumn("nprobe", explode(typedLit(Seq(1L, 2L, 4L, 8L))))
+          .filter($"crk" <= $"nprobe")
+          .groupBy($"nprobe").agg(sum($"bn").as("n_candidates"))
+        // The rank filter sits DIRECTLY on the row_number so
+        // WindowGroupLimit fires — without it the nprobe=8 window is
+        // one task fully sorting the whole corpus, the classic 100-TB
+        // window scale-killer (the first cut had the rank test buried
+        // inside the aggregate and planned exactly that).
+        val hits = assigned.join(broadcast(crank), "cid")
           .crossJoin(broadcast(q))
           .withColumn("cosine", round(cosineExact("embedding", "qv"), 9))
           .withColumn("nprobe", explode(typedLit(Seq(1L, 2L, 4L, 8L))))
           .filter($"crk" <= $"nprobe")
           .withColumn("srk", row_number().over(wS).cast("long"))
+          .filter($"srk" <= 10)
           .join(broadcast(truth), Seq("vec_id"), "left")
           .groupBy($"nprobe")
-          .agg(count(lit(1)).as("n_candidates"),
-            sum(when($"srk" <= 10 && $"in_truth", lit(1L)).otherwise(lit(0L)))
-              .as("hits_at_10"))
-          .orderBy($"nprobe")
+          .agg(sum(when($"in_truth", lit(1L)).otherwise(lit(0L)))
+            .as("hits_at_10"))
+        counts.join(hits, "nprobe").orderBy($"nprobe")
       },
       Some(s"""
         $ivfAssignSqlCtes,

@@ -753,6 +753,10 @@ class PlanSpec extends AnyFunSuite {
       s"probe-rank / truth joins must broadcast:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"per-nprobe rollup must partial-aggregate:\n$p")
+    // the per-nprobe top-10 must be group-limited: without it the
+    // nprobe=8 window is ONE task sorting the whole corpus
+    assert(p.contains("WindowGroupLimit"),
+      s"per-nprobe rank not group-limited:\n$p")
   }
 
   test("s31 batch serving: broadcast probe triples into the stored index, group-limited top-k") {
