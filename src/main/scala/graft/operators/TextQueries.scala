@@ -513,15 +513,27 @@ object TextQueries {
           .withColumn("toks", tokens($"text"))
         for (l <- langOrder)
           df = df.withColumn(s"s_$l", stopwordHits("toks", stopwords(l)))
+        // slim (lang, doc_id) projection pinned once: it feeds both the
+        // per-stratum total and the top-K count. The rank filter sits
+        // DIRECTLY on the row_number so WindowGroupLimit fires — the
+        // first cut buried `rk <= 40` inside the aggregate, which
+        // planned each language's window as ONE task sorting the whole
+        // stratum (the s30 lesson; with ~5 languages at 100 TB that is
+        // a fifth of the corpus in a single sort).
         val lang = df.withColumn("predicted_lang",
           expr(s"CASE $langCase ELSE 'und' END"))
+          .select($"predicted_lang", $"doc_id")
+          .localCheckpoint(eager = false)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"predicted_lang")
           .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
-        lang.withColumn("rk", row_number().over(w))
-          .groupBy($"predicted_lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when($"rk" <= 40, 1).otherwise(0)).as("n_kept"))
+        val counts = lang.groupBy($"predicted_lang")
+          .agg(count(lit(1)).as("n_docs"))
+        val kept = lang.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 40)
+          .groupBy($"predicted_lang").agg(count(lit(1)).as("n_kept"))
+        counts.join(kept, "predicted_lang")
+          .select($"predicted_lang", $"n_docs", $"n_kept")
           .orderBy($"predicted_lang")
       },
       Some {

@@ -782,6 +782,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"leg top-k not group-limited:\n$p")
   }
 
+  test("t10 balanced sample: per-stratum top-K is group-limited") {
+    val p = plan("t10_balanced_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"stratum sampling must not fully sort each language partition:\n$p")
+  }
+
   test("s33 hybrid recall audit: both fusions broadcast-joined, no cartesian") {
     val p = plan("s33_hybrid_recall_audit")
     assert(!p.contains("CartesianProduct"), s"audit went cartesian:\n$p")
