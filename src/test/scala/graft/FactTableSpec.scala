@@ -502,6 +502,19 @@ class FactTableSpec extends AnyFunSuite {
     t.vacuum(keepFromVersion = Long.MaxValue)
     assert(sidecars() == 1, "vacuum must reclaim replaced parts' sidecars")
     assert(t.readWhere(probe).count() == 4, "post-compact set index still serves")
+    // deleteWhere rides the same set sidecars: with interleaved sets in
+    // two fresh parts, only the part whose set holds the key is rewritten
+    val td = new FactTable(
+      java.nio.file.Files.createTempDirectory("fact_set4").toString,
+      spark, setIndexCols = Seq("modem_name"))
+    td.append(rows(3, "2024-03-01", "aa").unionByName(rows(3, "2024-03-01", "zz"))
+      .coalesce(1), 0)
+    td.append(rows(4, "2024-03-01", "ab").unionByName(rows(4, "2024-03-01", "zy"))
+      .coalesce(1), 1)
+    val before = td.snapshot().files.map(_.path).toSet
+    assert(td.deleteWhere($"modem_name" === "zy") == 4L)
+    val after = td.snapshot().files.map(_.path).toSet
+    assert((before -- after).size == 1, "delete must rewrite only the set-matched part")
   }
 
   test("deleteWhere keeps rows where the predicate evaluates to NULL") {
