@@ -2044,6 +2044,71 @@ object ExtendedQueries {
                round((n * sxy - sx * sy) / CAST(n * (n - 1) AS DOUBLE), 4)
                  AS covar_samp
         FROM m ORDER BY l_returnflag"""),
-      doc = "correlation/covariance aggregates from five exact decimal power sums (partial-aggregable), textbook assembly from bit-identical doubles")
+      doc = "correlation/covariance aggregates from five exact decimal power sums (partial-aggregable), textbook assembly from bit-identical doubles"),
+
+    // ------------------------------------------------------------------
+    // q79: AUDIENCE-OVERLAP via sketch set algebra — the uniqTheta /
+    // Druid-theta-sketch workload: how many distinct users did event
+    // types A and B share? HLL sketches cannot intersect directly, so
+    // production systems use inclusion–exclusion over the mergeable
+    // union: |A∩B| ≈ est(A) + est(B) − est(A∪B). Per type-pair this
+    // query emits the EXACT overlap (from per-user type sets — one
+    // user-keyed shuffle, ≤ |types| per user, partial-aggregable pair
+    // counts) plus a tolerance VERDICT on the sketch estimate — the
+    // q27/q61/q77 recipe: the estimate itself never surfaces (it is
+    // engine-specific), but the row only hashes green if inclusion–
+    // exclusion really lands within the bound, so the oracle checks the
+    // sketch pipeline end to end. lgK=14 keeps per-type sketch error
+    // ≈0.8%; the bound 0.05·(na+nb)+100 absorbs the 3-term compounding
+    // on small overlaps. Scale: sketches and counts are mergeable
+    // partial aggregates; the pair join is |types|² tiny rows.
+    QueryDef(
+      "q79_overlap_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val ut = Tables.events(s, dir)
+          .select($"event_type".as("t"), $"user_id").distinct()
+        val perType = ut.groupBy($"t")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+            count(lit(1)).as("n"))
+        val pairs = perType.as("a")
+          .join(broadcast(perType.as("b")), $"a.t" < $"b.t")
+          .select($"a.t".as("etype_a"), $"b.t".as("etype_b"),
+            $"a.n".as("na"), $"b.n".as("nb"),
+            (expr("hll_sketch_estimate(a.sk)")
+              + expr("hll_sketch_estimate(b.sk)")
+              - expr("hll_sketch_estimate(hll_union(a.sk, b.sk))"))
+              .as("est_overlap"))
+        val exact = ut.groupBy($"user_id")
+          .agg(sort_array(collect_set($"t")).as("ts"))
+          .select(explode(expr(
+            """flatten(transform(ts, x ->
+                 transform(filter(ts, y -> y > x),
+                   y -> struct(x AS etype_a, y AS etype_b))))""")).as("p"))
+          .groupBy($"p.etype_a".as("etype_a"), $"p.etype_b".as("etype_b"))
+          .agg(count(lit(1)).as("exact_overlap"))
+        pairs.join(exact, Seq("etype_a", "etype_b"), "left")
+          .select($"etype_a", $"etype_b", $"na", $"nb",
+            coalesce($"exact_overlap", lit(0L)).as("exact_overlap"),
+            (abs($"est_overlap" - coalesce($"exact_overlap", lit(0L)))
+              <= lit(0.05) * ($"na" + $"nb") + lit(100.0)).as("est_ok"))
+          .orderBy($"etype_a", $"etype_b")
+      },
+      Some("""
+        WITH ut AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+        n AS (SELECT t, COUNT(*) AS n FROM ut GROUP BY t),
+        ov AS (SELECT a.t AS etype_a, b.t AS etype_b,
+                      COUNT(*) AS exact_overlap
+               FROM ut a JOIN ut b
+                 ON a.user_id = b.user_id AND a.t < b.t
+               GROUP BY a.t, b.t)
+        SELECT na.t AS etype_a, nb.t AS etype_b,
+               na.n AS na, nb.n AS nb,
+               COALESCE(ov.exact_overlap, 0) AS exact_overlap,
+               TRUE AS est_ok
+        FROM n na JOIN n nb ON na.t < nb.t
+        LEFT JOIN ov ON ov.etype_a = na.t AND ov.etype_b = nb.t
+        ORDER BY etype_a, etype_b"""),
+      doc = "audience overlap via sketch set algebra: HLL inclusion-exclusion per event-type pair, exact overlap + tolerance verdict (estimate never surfaced, the q77 recipe); mergeable sketches, tiny pair join")
   )
 }

@@ -782,6 +782,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"leg top-k not group-limited:\n$p")
   }
 
+  test("q79 overlap sketch: mergeable partial aggs, tiny pair join, no cartesian") {
+    val p = plan("q79_overlap_sketch")
+    assert(!p.contains("CartesianProduct"), s"pair join went cartesian:\n$p")
+    assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_count"),
+      s"sketches must partial-aggregate map-side:\n$p")
+  }
+
   test("t10 balanced sample: per-stratum top-K is group-limited") {
     val p = plan("t10_balanced_sample")
     assert(p.contains("WindowGroupLimit"),
