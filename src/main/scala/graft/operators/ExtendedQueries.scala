@@ -2109,6 +2109,52 @@ object ExtendedQueries {
         FROM n na JOIN n nb ON na.t < nb.t
         LEFT JOIN ov ON ov.etype_a = na.t AND ov.etype_b = nb.t
         ORDER BY etype_a, etype_b"""),
-      doc = "audience overlap via sketch set algebra: HLL inclusion-exclusion per event-type pair, exact overlap + tolerance verdict (estimate never surfaced, the q77 recipe); mergeable sketches, tiny pair join")
+      doc = "audience overlap via sketch set algebra: HLL inclusion-exclusion per event-type pair, exact overlap + tolerance verdict (estimate never surfaced, the q77 recipe); mergeable sketches, tiny pair join"),
+
+    // ------------------------------------------------------------------
+    // q80: CAPPED DISTINCT COUNT — the ClickHouse uniqUpTo(N) aggregate:
+    // exact NDV while ≤ N, saturating at N+1, with O(N) state per group
+    // REGARDLESS of group size. This is the missing point on the
+    // distinct-count spectrum the registry already spans — exact
+    // count(distinct) (q10) pays O(NDV) state, approx_count_distinct
+    // (q27/q77) pays fixed state for a probabilistic answer — while the
+    // extremely common "does this key have more than N variants" gate
+    // needs neither: uniqUpTo is EXACT below the cap and its buffer
+    // can never exceed N+1 values (the bounded-state test pushes 10k
+    // distinct values through one buffer). Implemented as a typed
+    // Aggregator (SURVEY §2.D UDF surface, q23's seam) registered via
+    // functions.udaf — Spark plans it as two-phase ObjectHashAggregate,
+    // partial states merging by sorted-set union + truncate. Three
+    // lanes prove the semantics: cap-4 over l_suppkey SATURATES (NDV 10+
+    // per group → always 5), cap-4 over l_orderkey%3 stays BELOW cap
+    // (exact 3), cap-1000 over l_suppkey is exact at gate scale —
+    // LEAST(COUNT(DISTINCT x), N+1) on the oracle side reproduces all
+    // three from first principles.
+    QueryDef(
+      "q80_uniq_upto",
+      (s, dir) => {
+        import s.implicits._
+        val upto4 = udaf(new graft.functions.UniqUpToAggregator(4))
+        val upto1000 = udaf(new graft.functions.UniqUpToAggregator(1000))
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_linenumber")
+          .agg(count(lit(1)).as("n_rows"),
+            upto4($"l_suppkey").as("uniq_supp_upto4"),
+            upto4($"l_orderkey" % 3).as("uniq_mod3_upto4"),
+            upto1000($"l_suppkey").as("uniq_supp_upto1000"))
+          .withColumn("hit_cap", $"uniq_supp_upto1000" > 4)
+          .orderBy($"l_returnflag", $"l_linenumber")
+      },
+      Some("""
+        SELECT l_returnflag, l_linenumber,
+               COUNT(*) AS n_rows,
+               LEAST(COUNT(DISTINCT l_suppkey), 5) AS uniq_supp_upto4,
+               LEAST(COUNT(DISTINCT l_orderkey % 3), 5) AS uniq_mod3_upto4,
+               LEAST(COUNT(DISTINCT l_suppkey), 1001) AS uniq_supp_upto1000,
+               COUNT(DISTINCT l_suppkey) > 4 AS hit_cap
+        FROM lineitem
+        GROUP BY l_returnflag, l_linenumber
+        ORDER BY l_returnflag, l_linenumber"""),
+      doc = "uniqUpTo(N) capped distinct: exact below the cap, saturates at N+1, O(N) state per group via a typed Aggregator (two-phase ObjectHashAggregate); saturated, below-cap, and wide-cap lanes all oracle-checked")
   )
 }

@@ -1042,7 +1042,104 @@ object MultimodalQueries {
                CAST(MAX(luma0) - MIN(luma0) AS BIGINT) AS luma_spread_x1000
         FROM fps GROUP BY fp HAVING COUNT(*) > 1
         ORDER BY keeper"""),
-      doc = "video perceptual near-dup: real animated-GIF frame decode + brightness-invariant temporal-gradient fingerprint; brightness-shifted re-encodes collide, byte dedup provably cannot find them")
+      doc = "video perceptual near-dup: real animated-GIF frame decode + brightness-invariant temporal-gradient fingerprint; brightness-shifted re-encodes collide, byte dedup provably cannot find them"),
+
+    // ------------------------------------------------------------------
+    // m18: MP3/ID3v2 SNIFF — the fourth container in the sniff family,
+    // chosen because it completes the DECODING-IDIOM coverage rather
+    // than just adding a format: PNG/MP4 read plain big-endian integers
+    // (m12/m15), WAVE plain little-endian (m13); ID3v2 sizes are
+    // SYNCSAFE base-128 integers (7 data bits per byte, high bit
+    // forbidden — id3.org §3.1, so a 28-bit size spans 4 bytes with
+    // weights 2^21/2^14/2^7/1), and the MPEG audio frame header packs
+    // its fields at SUB-BYTE granularity (bitrate index = high nibble
+    // of byte 3, sample-rate index = bits 3-2). The sniff therefore
+    // does positional base-128 arithmetic, div/mod bit-field
+    // extraction, and table lookups (element_at over a 14-entry literal
+    // bitrate array) — all still pure native expressions over the
+    // binary column, zero UDF, zero decode (the m12/m13/m15/m16
+    // PlanSpec lock extends to m18). The first audio frame is located
+    // DYNAMICALLY from the parsed syncsafe tag size (m15's box-walk
+    // rule: offsets are column arithmetic), the syncsafe validity bits
+    // (every size byte < 0x80) are part of the magic check, and the
+    // derived frame_len = ⌊144000·bitrate/sample_rate⌋ is the byte
+    // count a router uses to skip frame-to-frame without decoding.
+    // Corrupt assets (leading byte dropped, the m12 plant) fail the ID3
+    // magic → -1/'false' sentinels.
+    QueryDef(
+      "m18_mp3_metadata_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 6)
+          .select($"doc_id".as("media_id"),
+            ($"n_chars" % 200 + 50).cast("int").as("tagsz"),
+            ($"n_chars" % 14 + 1).cast("int").as("bi"),
+            ($"n_chars" % 3).cast("int").as("si"))
+          .as[(Long, Int, Int, Int)]
+        val assets = rows.mapPartitions(_.map { case (id, tagsz, bi, si) =>
+            val mp3 = MediaPipeline.renderMp3(tagsz, bi, si)
+            (id, if (id % 3 == 0) mp3.drop(1) else mp3)
+          }).toDF("media_id", "mp3")
+        // one byte at a (possibly computed) 1-based offset, as BIGINT
+        def u8(pos: String): String =
+          s"CAST(conv(hex(substring(mp3, CAST($pos AS INT), 1)), 16, 10) AS BIGINT)"
+        assets
+          .withColumn("id3_ok", expr(
+            s"""hex(substring(mp3, 1, 3)) = '494433'
+                AND ${u8("7")} < 128 AND ${u8("8")} < 128
+                AND ${u8("9")} < 128 AND ${u8("10")} < 128"""))
+          .withColumn("tsz", expr(
+            s"""CASE WHEN id3_ok THEN ${u8("7")} * 2097152 + ${u8("8")} * 16384
+                     + ${u8("9")} * 128 + ${u8("10")} ELSE -1 END"""))
+          .withColumn("mp3_ok", expr(
+            s"id3_ok AND ${u8("tsz + 11")} = 255 AND ${u8("tsz + 12")} = 251"))
+          .withColumn("b3", expr(
+            s"CASE WHEN mp3_ok THEN ${u8("tsz + 13")} ELSE 0 END"))
+          .withColumn("bitrate_kbps", expr(
+            """CASE WHEN mp3_ok THEN element_at(
+                 array(32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L,
+                       128L, 160L, 192L, 224L, 256L, 320L),
+                 CAST(b3 DIV 16 AS INT))
+               ELSE -1L END"""))
+          .withColumn("sample_rate", expr(
+            """CASE WHEN mp3_ok THEN element_at(
+                 array(44100L, 48000L, 32000L),
+                 CAST((b3 DIV 4) % 4 AS INT) + 1)
+               ELSE -1L END"""))
+          .select($"media_id", $"mp3_ok",
+            expr(s"CASE WHEN mp3_ok THEN ${u8("4")} ELSE -1 END")
+              .as("tag_version"),
+            expr("CASE WHEN mp3_ok THEN tsz ELSE -1 END").as("tag_size"),
+            $"bitrate_kbps", $"sample_rate",
+            expr("""CASE WHEN mp3_ok THEN (144000 * bitrate_kbps) DIV sample_rate
+                    ELSE -1 END""").as("frame_len"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS media_id,
+                 CAST(n_chars % 200 + 50 AS BIGINT) AS tag_size,
+                 CAST(n_chars % 14 + 1 AS INTEGER) AS bi,
+                 CAST(n_chars % 3 AS INTEGER) AS si,
+                 doc_id % 3 <> 0 AS ok
+          FROM documents WHERE doc_id % 20 = 6),
+        b AS (
+          SELECT media_id, ok, tag_size,
+                 CAST(list_extract([32, 40, 48, 56, 64, 80, 96, 112,
+                                    128, 160, 192, 224, 256, 320], bi)
+                      AS BIGINT) AS br,
+                 CAST(list_extract([44100, 48000, 32000], si + 1)
+                      AS BIGINT) AS sr
+          FROM a)
+        SELECT media_id, ok AS mp3_ok,
+               CAST(CASE WHEN ok THEN 3 ELSE -1 END AS BIGINT) AS tag_version,
+               CASE WHEN ok THEN tag_size ELSE -1 END AS tag_size,
+               CASE WHEN ok THEN br ELSE -1 END AS bitrate_kbps,
+               CASE WHEN ok THEN sr ELSE -1 END AS sample_rate,
+               CASE WHEN ok THEN (144000 * br) // sr ELSE -1 END AS frame_len
+        FROM b ORDER BY media_id"""),
+      doc = "MP3/ID3v2 sniff: syncsafe base-128 tag size + sub-byte frame-header bit fields + literal-array bitrate lookup, pure native expressions over binary, no decode; corrupt assets guarded")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`

@@ -388,6 +388,36 @@ object MediaPipeline {
     bb.array()
   }
 
+  /** Minimal MP3: an ID3v2.3 tag (10-byte header whose 28-bit size is
+    * SYNCSAFE-encoded — 7 data bits per byte, high bit always 0, per
+    * id3.org §3.1 — followed by a zero-filled payload of `tagSize`
+    * bytes) and then one MPEG-1 Layer III frame header (0xFF 0xFB, then
+    * the bit-packed bitrate index in the high nibble and sample-rate
+    * index in bits 3-2 of byte 3). The two decoding idioms m18 exercises
+    * — syncsafe base-128 integers and sub-byte bit fields — are exactly
+    * the ones PNG/WAVE/MP4 (m12/m13/m15) do not have.
+    */
+  def renderMp3(tagSize: Int, bitrateIdx: Int, srIdx: Int): Array[Byte] = {
+    require(tagSize >= 0 && tagSize < (1 << 28) &&
+      bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx >= 0 && srIdx <= 2,
+      s"bad mp3 params ($tagSize, $bitrateIdx, $srIdx)")
+    val out = new Array[Byte](10 + tagSize + 4)
+    out(0) = 'I'.toByte; out(1) = 'D'.toByte; out(2) = '3'.toByte
+    out(3) = 3; out(4) = 0 // ID3v2.3.0
+    out(5) = 0             // flags
+    out(6) = ((tagSize >> 21) & 0x7F).toByte
+    out(7) = ((tagSize >> 14) & 0x7F).toByte
+    out(8) = ((tagSize >> 7) & 0x7F).toByte
+    out(9) = (tagSize & 0x7F).toByte
+    // tag payload stays zero (ID3 padding); first audio frame follows
+    val f = 10 + tagSize
+    out(f) = 0xFF.toByte
+    out(f + 1) = 0xFB.toByte // sync(3) + MPEG-1(11) + Layer III(01) + noCRC(1)
+    out(f + 2) = ((bitrateIdx << 4) | (srIdx << 2)).toByte
+    out(f + 3) = 0 // stereo, no mode extension
+    out
+  }
+
   /** REAL audio decoder on `javax.sound.sampled` (JDK-built-in; WAV/PCM
     * parsing is pure Java, no audio device or native codec needed):
     * bytes → [[AudioFeatures]] with exact integer statistics. Same

@@ -1284,6 +1284,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("renderMp3: syncsafe tag size + bit-packed frame header round-trip") {
+    import MediaPipeline._
+    // a tag size that exercises all four syncsafe bytes (> 2^21)
+    val sz = 5000000 // = 0x4C4B40 → syncsafe 02 31 16 40
+    val mp3 = renderMp3(sz, bitrateIdx = 9, srIdx = 1)
+    assert(new String(mp3.take(3), "US-ASCII") == "ID3" && mp3(3) == 3)
+    val ss = mp3.slice(6, 10).map(_.toInt & 0xFF)
+    assert(ss.forall(_ < 0x80), s"syncsafe high bit set: ${ss.toSeq}")
+    // decoding per id3.org §3.1 recovers the size exactly
+    assert((ss(0) << 21 | ss(1) << 14 | ss(2) << 7 | ss(3)) == sz)
+    // NOT plain base-256: for any size with a 7-bit carry the two differ
+    assert((ss(0) << 24 | ss(1) << 16 | ss(2) << 8 | ss(3)) != sz)
+    // first audio frame sits at exactly 10 + tag_size
+    val f = 10 + sz
+    assert(mp3.length == f + 4)
+    assert((mp3(f) & 0xFF) == 0xFF && (mp3(f + 1) & 0xFF) == 0xFB)
+    // byte 3: bitrate index in the high nibble, sample-rate index bits 3-2
+    assert(((mp3(f + 2) & 0xFF) >> 4) == 9 && (((mp3(f + 2) & 0xFF) >> 2) & 3) == 1)
+    // boundary sizes stay syncsafe-valid
+    for (s <- Seq(0, 127, 128, (1 << 21) - 1, 1 << 21)) {
+      val b = renderMp3(s, 1, 0).slice(6, 10).map(_.toInt & 0xFF)
+      assert(b.forall(_ < 0x80) &&
+        (b(0) << 21 | b(1) << 14 | b(2) << 7 | b(3)) == s, s"size $s")
+    }
+  }
+
+  test("UniqUpToAggregator: exact below cap, saturates at N+1, state stays bounded") {
+    val agg = new graft.functions.UniqUpToAggregator(4)
+    // 10k distinct values through ONE buffer: the state never exceeds
+    // N+1 elements — the bounded-memory contract that is the operator's
+    // reason to exist (vs O(NDV) count-distinct state)
+    val big = (1L to 10000L).foldLeft(agg.zero)(agg.reduce)
+    assert(big.vals.length == 5, s"buffer grew past the cap: ${big.vals.length}")
+    assert(agg.finish(big) == 5L) // = N+1: "more than 4"
+    // exact below the cap, duplicates ignored
+    val small = Seq(7L, 7L, 3L, 9L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(small) == 3L && small.vals == Seq(3L, 7L, 9L))
+    // merge is order-independent and truncation never changes the answer
+    val parts = (1L to 100L).grouped(10)
+      .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val ltr = parts.reduce(agg.merge)
+    val rtl = parts.reverse.reduce(agg.merge)
+    assert(ltr == rtl && agg.finish(ltr) == 5L)
+    // disjoint sub-cap states merge exactly
+    val m = agg.merge(
+      Seq(1L, 2L).foldLeft(agg.zero)(agg.reduce),
+      Seq(3L, 4L).foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(m) == 4L && m.vals == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
