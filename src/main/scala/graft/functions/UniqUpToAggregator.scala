@@ -19,14 +19,16 @@ final case class UniqUpToBuf(vals: Seq[Long])
   * N+1 elements no matter how much data flows through (the OperatorSpec
   * bounded-state test pushes 10k distinct values through one buffer).
   *
-  * Determinism: the buffer keeps the SMALLEST N+1 distinct values
-  * (sorted merge + truncate), so partial states are identical under any
-  * partitioning/merge order — not that it matters for the output, which
-  * only exposes min(NDV, N+1): once any N+1 distinct values are
-  * witnessed the true NDV is ≥ N+1, so truncation never changes the
-  * answer, and below the cap every value is retained so the count is
-  * exact. Spark plans this via ObjectHashAggregate with partial merge —
-  * the same two-phase shape as the built-in aggregates.
+  * Determinism: the OUTPUT is invariant under any partitioning or
+  * merge order, because it only exposes min(NDV, N+1) — below the cap
+  * every partial retains every value it saw (exact), and a buffer can
+  * only reach N+1 elements by witnessing N+1 distinct values, so a
+  * saturated length always means true NDV > N. The buffer itself is
+  * kept sorted (merge truncates to the smallest N+1) so membership
+  * tests are a binary search, not a linear scan — at cap=1000 over a
+  * wide fact table that is the difference between O(log N) and O(N)
+  * per input row. Spark plans this via ObjectHashAggregate with
+  * partial merge — the same two-phase shape as the built-in aggregates.
   */
 final class UniqUpToAggregator(n: Int)
     extends Aggregator[Long, UniqUpToBuf, Long] {
@@ -36,8 +38,31 @@ final class UniqUpToAggregator(n: Int)
   override def zero: UniqUpToBuf = UniqUpToBuf(Vector.empty)
 
   override def reduce(b: UniqUpToBuf, x: Long): UniqUpToBuf =
-    if (b.vals.length >= cap || b.vals.contains(x)) b
-    else UniqUpToBuf((b.vals :+ x).sorted)
+    if (b.vals.length >= cap) b
+    else {
+      // vals is sorted: binary-search the insertion point instead of a
+      // linear contains + full re-sort (O(log n) vs O(n log n) per row)
+      val i = search(b.vals, x)
+      if (i >= 0) b
+      else {
+        val at = -i - 1
+        UniqUpToBuf((b.vals.take(at) :+ x) ++ b.vals.drop(at))
+      }
+    }
+
+  /** Binary search over a sorted Seq[Long]: index if found, else
+    * -(insertionPoint)-1 (the java.util.Arrays convention). */
+  private def search(vs: Seq[Long], x: Long): Int = {
+    var lo = 0; var hi = vs.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = vs(mid)
+      if (v < x) lo = mid + 1
+      else if (v > x) hi = mid - 1
+      else return mid
+    }
+    -(lo + 1)
+  }
 
   override def merge(a: UniqUpToBuf, b: UniqUpToBuf): UniqUpToBuf =
     UniqUpToBuf((a.vals ++ b.vals).distinct.sorted.take(cap))
