@@ -53,7 +53,8 @@ object ScaleBench {
     "s29_hybrid_rrf", "s30_nprobe_sweep",
     "s31_ivf_batch_serving", "t29_hashing_vectorizer", "c20_dp_release",
     "s32_hybrid_stored_serving", "s33_hybrid_recall_audit",
-    "dx30_set_skip_index", "q79_overlap_sketch")
+    "dx30_set_skip_index", "q79_overlap_sketch",
+    "m18_mp3_metadata_sniff", "q80_uniq_upto")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted
