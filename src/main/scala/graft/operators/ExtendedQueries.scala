@@ -2155,6 +2155,191 @@ object ExtendedQueries {
         FROM lineitem
         GROUP BY l_returnflag, l_linenumber
         ORDER BY l_returnflag, l_linenumber"""),
-      doc = "uniqUpTo(N) capped distinct: exact below the cap, saturates at N+1, O(N) state per group via a typed Aggregator (two-phase ObjectHashAggregate); saturated, below-cap, and wide-cap lanes all oracle-checked")
+      doc = "uniqUpTo(N) capped distinct: exact below the cap, saturates at N+1, O(N) state per group via a typed Aggregator (two-phase ObjectHashAggregate); saturated, below-cap, and wide-cap lanes all oracle-checked"),
+
+    // ------------------------------------------------------------------
+    // q81: COUNT-MIN SKETCH frequency estimation — the third sketch
+    // family after HLL (q27/q77/q79: distinct counts) and KLL/GK
+    // (q72: quantiles): point-frequency queries with O(d·w) state
+    // (4×64 = 256 cells here) regardless of key cardinality. The cell
+    // grid is one partial-aggregable groupBy (map-side combine collapses
+    // every partition to ≤256 rows before the exchange — at 100 TB the
+    // shuffle moves KB, not data), probe keys come from the data
+    // (user_id % 10 = 7), and the estimate is the min over the d=4
+    // hash rows of the probe's cell counts via a broadcast join of the
+    // 256-cell grid. Hash rows use md5 (`j:key`), so the DuckDB oracle
+    // reproduces the sketch BIT-IDENTICALLY (OracleFragments.oHexInt is
+    // the conv(hex,16,10) analog) — est_cm itself hash-checks, not just
+    // a tolerance verdict. The structural CM guarantees still surface:
+    // overcount = est − true is ≥ 0 by construction (every cell counts a
+    // superset of its probe's occurrences), and within_eps audits the
+    // e·N/w error bound (all 15 probes inside it at the gate SF).
+    QueryDef(
+      "q81_countmin_frequency",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).select($"user_id")
+        val depths = (0 to 3).map(lit(_))
+        // bucket_j(key) = first 4 md5 nibbles of "j:key", mod the width;
+        // the hash-row index travels as the column named `jc`
+        val bucket: Column =
+          expr("CAST(conv(substring(md5(concat(CAST(jc AS STRING), ':', CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 64")
+        val cells = ev
+          .select($"user_id", explode(array(depths: _*)).as("jc"))
+          .withColumn("bucket", bucket)
+          .groupBy($"jc".as("j"), $"bucket".as("b"))
+          .agg(count(lit(1)).as("c"))
+        val total = ev.agg(count(lit(1)).as("total"))
+        val probes = ev.filter($"user_id" % 10 === 7)
+          .groupBy($"user_id").agg(count(lit(1)).as("true_n"))
+        probes
+          .select($"user_id", $"true_n", explode(array(depths: _*)).as("jc"))
+          .withColumn("bucket", bucket)
+          .join(broadcast(cells), $"jc" === $"j" && $"bucket" === $"b")
+          .groupBy($"user_id", $"true_n")
+          .agg(min($"c").as("est_cm"))
+          .crossJoin(broadcast(total))
+          .select($"user_id", $"true_n", $"est_cm",
+            ($"est_cm" - $"true_n").as("overcount"),
+            ($"est_cm" - $"true_n" <=
+              ceil(lit(2.718281828459045) * $"total" / 64).cast("long"))
+              .as("within_eps"))
+          .orderBy($"user_id")
+      },
+      Some(s"""
+        WITH ev AS (SELECT user_id FROM events),
+        n AS (SELECT COUNT(*) AS total FROM ev),
+        cells AS (
+          SELECT js.j,
+                 ${OracleFragments.oHexInt("substr(md5(js.j || ':' || user_id), 1, 4)", 4)} % 64 AS bucket,
+                 COUNT(*) AS c
+          FROM ev, (SELECT unnest([0,1,2,3]) AS j) js
+          GROUP BY 1, 2),
+        probes AS (SELECT user_id, COUNT(*) AS true_n FROM ev
+                   WHERE user_id % 10 = 7 GROUP BY 1),
+        pe AS (
+          SELECT p.user_id, p.true_n, MIN(c.c) AS est_cm
+          FROM probes p CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) js
+          JOIN cells c ON c.j = js.j
+            AND c.bucket = ${OracleFragments.oHexInt("substr(md5(js.j || ':' || p.user_id), 1, 4)", 4)} % 64
+          GROUP BY 1, 2)
+        SELECT pe.user_id, pe.true_n, pe.est_cm,
+               pe.est_cm - pe.true_n AS overcount,
+               pe.est_cm - pe.true_n <=
+                 CAST(ceil(2.718281828459045 * n.total / 64) AS BIGINT) AS within_eps
+        FROM pe, n ORDER BY pe.user_id"""),
+      doc = "count-min sketch point-frequency estimation: 4x64 cell grid as one partial-aggregable groupBy, min-over-rows probe via broadcast of the 256-cell sketch; md5 hash rows make the estimate itself cross-engine hash-checkable, with the >=true and e*N/w bounds audited"),
+
+    // ------------------------------------------------------------------
+    // q82: WEIGHTED SAMPLING WITHOUT REPLACEMENT — Efraimidis–Spirakis
+    // A-ES: each row gets rank key u^(1/w) (u uniform, w the weight) and
+    // the top-k keys per group are EXACTLY a weight-proportional sample
+    // without replacement — in ONE pass with O(k) state per group, the
+    // only sampling design that both respects weights and never needs a
+    // second "how many did I get" pass at 100 TB. u derives from
+    // md5(doc_id) (the q45 determinism recipe: reproducible across
+    // engines AND across cluster re-runs — a rand()-based sample changes
+    // under retry, poisoning dedup/provenance downstream), and the
+    // monotone transform ln(u)/w replaces u^(1/w) so the DuckDB oracle
+    // computes the identical ordering. The rank filter sits directly on
+    // row_number, so Spark plans a WindowGroupLimit: each partition
+    // keeps only its local top-10 per source BEFORE the shuffle — the
+    // two-phase top-k shape, not a global per-group sort.
+    QueryDef(
+      "q82_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          // u ∈ (0, 1]: (v+1)/2^32 over the first 8 md5 nibbles — +1
+          // dodges ln(0); every step exact in double on both engines
+          .withColumn("akey", expr(
+            """ln((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) + 1)
+                  / 4294967296.0) / n_chars"""))
+        docs
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"source").orderBy($"akey".desc, $"doc_id".asc)))
+          .filter($"rnk" <= 10)
+          .select($"source", $"rnk".cast("long").as("rnk"), $"doc_id", $"n_chars")
+          .orderBy($"source", $"rnk")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source, doc_id, n_chars,
+                 ln((${OracleFragments.oHexInt("md5(CAST(doc_id AS VARCHAR))", 8)} + 1)
+                    / 4294967296.0) / n_chars AS akey
+          FROM documents),
+        r AS (SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY akey DESC, doc_id) AS rnk
+              FROM d)
+        SELECT source, rnk, doc_id, n_chars FROM r
+        WHERE rnk <= 10 ORDER BY source, rnk"""),
+      doc = "Efraimidis-Spirakis weighted sampling without replacement: deterministic md5-derived uniforms, rank key ln(u)/w, per-source top-k via group-limited window (one pass, O(k) state); inclusion probability proportional to n_chars, reproducible across engines and retries"),
+
+    // ------------------------------------------------------------------
+    // q83: MAX CONCURRENT INTERVALS (ClickHouse maxIntersections) — the
+    // sweep-line workload: each event opens an interval [ts, ts +
+    // floor(value·10) s] and the answer is the peak number of
+    // simultaneously open intervals per type. The classic formulation is
+    // ONE running sum over all ±1 boundary points per key — a
+    // single-task sort per key, the 100-TB window killer when keys are
+    // few (5 types here). So the engine side computes it DECOMPOSED:
+    // level 1 windows over (type, day) partitions — bounded, parallel —
+    // yielding each day's internal running max and net delta; level 2
+    // prefix-sums the net deltas over the tiny (type, day) table to get
+    // each day's carry-in count, and max(carry + day_max) is EXACTLY the
+    // global running max (every prefix of the global sweep belongs to
+    // one day; its value = that day's carry + a within-day prefix). The
+    // oracle computes the naive single window — the decomposition must
+    // reproduce it bit-for-bit. Ordering puts starts before ends at
+    // equal timestamps (d DESC), so touching intervals count as
+    // concurrent on both sides.
+    QueryDef(
+      "q83_max_intersections",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_type", $"event_id",
+            expr("unix_micros(ts)").as("st"),
+            (expr("unix_micros(ts)") +
+              expr("CAST(floor(value * 10) AS BIGINT)") * 1000000L).as("en"))
+        val pts = ev.select($"event_type", $"event_id", explode(array(
+            struct($"st".as("t"), lit(1).as("d")),
+            struct($"en".as("t"), lit(-1).as("d")))).as("p"))
+          .select($"event_type", $"event_id", $"p.t".as("t"), $"p.d".as("d"))
+          .withColumn("day", expr("t div 86400000000"))
+        val w1 = Window.partitionBy($"event_type", $"day")
+          .orderBy($"t".asc, $"d".desc, $"event_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val daily = pts.withColumn("run", sum($"d").over(w1))
+          .groupBy($"event_type", $"day")
+          .agg(max($"run").as("day_max"), sum($"d").as("day_sum"),
+            sum(when($"d" === 1, 1L).otherwise(0L)).as("day_starts"))
+        val w2 = Window.partitionBy($"event_type").orderBy($"day".asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        daily
+          .withColumn("carry", coalesce(sum($"day_sum").over(w2), lit(0L)))
+          .groupBy($"event_type")
+          .agg(sum($"day_starts").as("n_intervals"),
+            max($"carry" + $"day_max").as("max_concurrent"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT event_type, event_id, epoch_us(ts) AS t, 1 AS d FROM events
+          UNION ALL
+          SELECT event_type, event_id,
+                 epoch_us(ts) + CAST(floor(value * 10) AS BIGINT) * 1000000,
+                 -1 FROM events),
+        r AS (SELECT event_type, d,
+                     SUM(d) OVER (PARTITION BY event_type
+                                  ORDER BY t, d DESC, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run
+              FROM pts)
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE d = 1) AS n_intervals,
+               CAST(MAX(run) AS BIGINT) AS max_concurrent
+        FROM r GROUP BY event_type ORDER BY event_type"""),
+      doc = "max concurrent intervals (maxIntersections) via day-decomposed sweep-line: per-(type,day) bounded windows + carry-in prefix over the tiny day table reproduce the single global running sum bit-for-bit -- no single-task per-key sort at scale; oracle computes the naive global window")
   )
 }

@@ -35,4 +35,17 @@ private[operators] object OracleFragments {
   /** Decimal-exact squared L2 distance surfaced as DOUBLE. */
   def oL2Sq(x: String, y: String): String =
     s"CAST(${oL2SqDec(x, y)} AS DOUBLE)"
+
+  /** DuckDB analog of Spark's `CAST(conv(substring(h, 1, n), 16, 10) AS
+    * BIGINT)`: the first `nibbles` hex digits of `hexExpr` as an integer.
+    * DuckDB has no base-conversion function, so the fragment positionally
+    * accumulates nibble·16^k — every term is an exact power-of-two-scaled
+    * integer in DOUBLE and the sum stays < 2^53, so the value is
+    * bit-identical to Spark's. Shared by the q81/q82 hash-derived
+    * bucket/uniform constructions.
+    */
+  def oHexInt(hexExpr: String, nibbles: Int): String =
+    s"""CAST(list_sum(list_transform(range(1, ${nibbles + 1}),
+           i -> (strpos('0123456789abcdef', substr($hexExpr, i, 1)) - 1)
+                * 16**($nibbles - i))) AS BIGINT)"""
 }

@@ -812,4 +812,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"per-source stats not partial-aggregated:\n$p")
   }
+
+  test("q81 count-min: cell grid partial-aggregates; sketch probe joins broadcast") {
+    val p = plan("q81_countmin_frequency")
+    // the 4xN exploded rows must collapse map-side to <=256 cells before
+    // any exchange — the whole reason a sketch beats exact counting
+    assert(p.contains("partial_count"), s"cell counts not map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"256-cell grid not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"probe join shuffled the sketch:\n$p")
+  }
+
+  test("q82 weighted sample: per-source top-k is group-limited, not a full sort") {
+    val p = plan("q82_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"A-ES top-k must keep O(k) rows per partition before the shuffle:\n$p")
+  }
+
+  test("q83 max intersections: sweep windows stay day-partitioned (no per-type global sort)") {
+    val p = plan("q83_max_intersections")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, s"no window in the sweep plan:\n$p")
+    // every window must involve the day bucket — w1 partitions by
+    // (type, day), w2 orders the tiny day table by day. A naive global
+    // sweep (partition by event_type, order by t) mentions no day at
+    // all: the single-task per-key sort this query exists to avoid.
+    specs.foreach { l =>
+      assert(l.contains("day"),
+        s"a window runs without the day decomposition (single-task sort at scale):\n$l\n$p")
+    }
+  }
 }
