@@ -71,7 +71,11 @@ object PlanDump {
     "s28_ivfpq_recall" -> "IVF-PQ recall audit: exact truth leg + serving leg, misses attributed to pruning vs quantization",
     "c19_expectations_quarantine" -> "expectations gate: N rules as one bitmask projection over ONE fact scan, referential rule broadcast",
     "s29_hybrid_rrf" -> "hybrid RRF: broadcast query terms/df, per-leg WindowGroupLimit top-20, fusion join sees ≤20 rows per leg per query",
-    "s32_hybrid_stored_serving" -> "assembled hybrid stack: BM25 leg + stored-IVF batch-served dense leg, integer RRF fusion over ≤20-row legs")
+    "s32_hybrid_stored_serving" -> "assembled hybrid stack: BM25 leg + stored-IVF batch-served dense leg, integer RRF fusion over ≤20-row legs",
+    "m18_mp3_metadata_sniff" -> "MP3 sniff: syncsafe sizes + sub-byte bit fields as native expressions, map-only before the output sort",
+    "q81_countmin_frequency" -> "count-min: exploded hash rows partial-agg to ≤256 cells, probe joins the broadcast grid, min over rows",
+    "q82_weighted_sample" -> "A-ES weighted sample: WindowGroupLimit keeps each partition's top-k before the source shuffle",
+    "q83_max_intersections" -> "max intersections: (type,day)-partitioned sweep windows + carry prefix over the tiny day table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

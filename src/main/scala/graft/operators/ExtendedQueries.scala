@@ -27,6 +27,34 @@ object ExtendedQueries {
            WHEN t = 'purchase' AND acc % 4 = 2 THEN acc + 2
            ELSE acc END) div 4""")
 
+  /** q83's day-decomposed sweep-line core, shared with the property test
+    * that replays random interval sets (including multi-day spans)
+    * against a naive single-pass reference. Input: ±1 boundary points
+    * with columns (event_type, event_id, t, d) — t in epoch micros, d =
+    * +1 open / -1 close. Output: (event_type, n_intervals,
+    * max_concurrent), exactly the naive global running-sum max.
+    */
+  def maxIntersectionsDecomposed(pts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val day = expr("t div 86400000000")
+    val w1 = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("t").asc, col("d").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = pts.withColumn("day", day)
+      .withColumn("run", sum(col("d")).over(w1))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("run")).as("day_max"), sum(col("d")).as("day_sum"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("day_starts"))
+    val w2 = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("carry", coalesce(sum(col("day_sum")).over(w2), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("day_starts")).as("n_intervals"),
+        max(col("carry") + col("day_max")).as("max_concurrent"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -2307,22 +2335,7 @@ object ExtendedQueries {
             struct($"st".as("t"), lit(1).as("d")),
             struct($"en".as("t"), lit(-1).as("d")))).as("p"))
           .select($"event_type", $"event_id", $"p.t".as("t"), $"p.d".as("d"))
-          .withColumn("day", expr("t div 86400000000"))
-        val w1 = Window.partitionBy($"event_type", $"day")
-          .orderBy($"t".asc, $"d".desc, $"event_id".asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val daily = pts.withColumn("run", sum($"d").over(w1))
-          .groupBy($"event_type", $"day")
-          .agg(max($"run").as("day_max"), sum($"d").as("day_sum"),
-            sum(when($"d" === 1, 1L).otherwise(0L)).as("day_starts"))
-        val w2 = Window.partitionBy($"event_type").orderBy($"day".asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        daily
-          .withColumn("carry", coalesce(sum($"day_sum").over(w2), lit(0L)))
-          .groupBy($"event_type")
-          .agg(sum($"day_starts").as("n_intervals"),
-            max($"carry" + $"day_max").as("max_concurrent"))
-          .orderBy($"event_type")
+        maxIntersectionsDecomposed(pts)
       },
       Some("""
         WITH pts AS (

@@ -1334,6 +1334,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg.finish(m) == 4L && m.vals == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("q83 core: day decomposition equals a naive global sweep on random multi-day intervals") {
+    // Deterministic LCG — the corpus plants only same-day-ish intervals,
+    // so this replays the edge the decomposition must survive: spans
+    // crossing 1..5 day boundaries, zero-length intervals, and start/end
+    // collisions at the same microsecond.
+    var seed = 0xC0FFEEL
+    def next(bound: Long): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 17, bound)
+    }
+    val day = 86400000000L
+    val intervals = (0 until 400).map { i =>
+      val typ = s"ty${next(5)}"
+      val st = next(6 * day)
+      val dur = next(3) match {
+        case 0 => 0L                      // momentary
+        case 1 => next(day / 4)           // same-day-ish
+        case _ => day + next(4 * day)     // crosses 1..5 midnights
+      }
+      (typ, i.toLong, st, dur)
+    }
+    val pts = intervals.flatMap { case (ty, id, st, dur) =>
+      Seq((ty, id, st, 1), (ty, id, st + dur, -1))
+    }.toDF("event_type", "event_id", "t", "d")
+    val got = graft.operators.ExtendedQueries.maxIntersectionsDecomposed(pts)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // naive reference: one global running sum per type, starts before
+    // ends at equal timestamps
+    val ref = pts.as[(String, Long, Long, Int)].collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (ty, rows) =>
+        val ordered = rows.sortBy { case (_, id, t, d) => (t, -d, id) }
+        var run = 0L; var best = Long.MinValue
+        ordered.foreach { p => run += p._4; best = math.max(best, run) }
+        (ty, rows.length.toLong / 2, best)
+      }
+    assert(got == ref, s"decomposed sweep diverged:\ngot $got\nref $ref")
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
