@@ -126,7 +126,11 @@ object Bench {
       "s33_hybrid_recall_audit",
       // round-10: the set skip-index lifecycle writes + prunes a temp
       // FactTable in-body like dx16's bloom
-      "dx30_set_skip_index")
+      "dx30_set_skip_index",
+      // round-10: the co-located join materializes BOTH fact tables
+      // bucketed on the join key in-body (the one-time layout write the
+      // query exists to amortize)
+      "q84_bucketed_colocated_join")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

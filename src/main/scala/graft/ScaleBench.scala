@@ -55,7 +55,8 @@ object ScaleBench {
     "s32_hybrid_stored_serving", "s33_hybrid_recall_audit",
     "dx30_set_skip_index", "q79_overlap_sketch",
     "m18_mp3_metadata_sniff", "q80_uniq_upto",
-    "q81_countmin_frequency", "q82_weighted_sample", "q83_max_intersections")
+    "q81_countmin_frequency", "q82_weighted_sample", "q83_max_intersections",
+    "q84_bucketed_colocated_join")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

@@ -2353,6 +2353,67 @@ object ExtendedQueries {
                COUNT(*) FILTER (WHERE d = 1) AS n_intervals,
                CAST(MAX(run) AS BIGINT) AS max_concurrent
         FROM r GROUP BY event_type ORDER BY event_type"""),
-      doc = "max concurrent intervals (maxIntersections) via day-decomposed sweep-line: per-(type,day) bounded windows + carry-in prefix over the tiny day table reproduce the single global running sum bit-for-bit -- no single-task per-key sort at scale; oracle computes the naive global window")
+      doc = "max concurrent intervals (maxIntersections) via day-decomposed sweep-line: per-(type,day) bounded windows + carry-in prefix over the tiny day table reproduce the single global running sum bit-for-bit -- no single-task per-key sort at scale; oracle computes the naive global window"),
+
+    // ------------------------------------------------------------------
+    // q84: BUCKETED CO-LOCATED JOIN — the storage-layout join the brief
+    // names alongside broadcast: when BOTH sides of a recurring
+    // fact-to-fact join are written bucketed on the join key (same
+    // bucket count, hash-partitioned at write time), the join's
+    // Exchange disappears ENTIRELY — each task merge-joins bucket i of
+    // lineitem against bucket i of orders straight off disk. Broadcast
+    // (q03/q05) covers small dims; this covers the case where neither
+    // side fits in memory — at 100 TB, shuffling either fact table for
+    // every join is the dominant cost, and bucketing amortizes ONE
+    // layout write across every subsequent join/agg on that key. The
+    // write repartitions to exactly one file per bucket, so the
+    // bucket-sorted order is also trusted at read time. The merge hint
+    // pins SortMergeJoin (broadcast would hide the co-location proof);
+    // PlanSpec asserts the join runs over bucketed scans with zero
+    // exchanges below it. Materialization is idempotent per session
+    // (catalog check) and lands in a corpus-keyed scratch dir.
+    QueryDef(
+      "q84_bucketed_colocated_join",
+      (s, dir) => {
+        import s.implicits._
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val liTbl = s"graft_bkt_${tag}_lineitem"
+        val ordTbl = s"graft_bkt_${tag}_orders"
+        if (!s.catalog.tableExists(liTbl) || !s.catalog.tableExists(ordTbl)) {
+          // Bucket count derived from the BIG side (~2M rows/bucket,
+          // floor 8): a fixed count is a hidden parallelism cap — with 8
+          // buckets the ×100 sweep's 60M-row write ran 8-wide on 32
+          // cores (111 s); deriving it restores linear write scaling.
+          // Both sides MUST share the count or co-location breaks.
+          val buckets = math.min(256,
+            math.max(8L, (Tables.load(s, dir, "lineitem").count()
+              + 1999999L) / 2000000L)).toInt
+          def bucketize(name: String, key: String, tbl: String): Unit =
+            Tables.load(s, dir, name)
+              .repartition(buckets, col(key))
+              .write
+              .bucketBy(buckets, key).sortBy(key)
+              .option("path", s"/tmp/graft_bucketed/$tag/$name")
+              .mode("overwrite")
+              .format("parquet")
+              .saveAsTable(tbl)
+          bucketize("lineitem", "l_orderkey", liTbl)
+          bucketize("orders", "o_orderkey", ordTbl)
+        }
+        val li = s.table(liTbl)
+        val ord = s.table(ordTbl)
+        li.hint("merge").join(ord, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum($"l_quantity".cast(DecimalType(18, 2))).cast("double")
+              .as("sum_qty"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "bucketed co-located fact-to-fact join: both sides written bucketBy(derived count, join key) with one file per bucket, merge-join runs with ZERO exchanges below it -- the storage layout that amortizes one write across every subsequent join on the key; oracle joins the raw parquet")
   )
 }

@@ -829,6 +829,18 @@ class PlanSpec extends AnyFunSuite {
       s"A-ES top-k must keep O(k) rows per partition before the shuffle:\n$p")
   }
 
+  test("q84 bucketed join: merge join runs over bucketed scans with no exchange below it") {
+    val p = plan("q84_bucketed_colocated_join")
+    assert(p.contains("SortMergeJoin"), s"co-location demo lost its merge join:\n$p")
+    // the join consumes bucket i of each table directly: the only
+    // exchanges in the whole plan are the post-join agg + output sort
+    assert(p.contains("Bucketed: true"), s"scans not bucketed:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("reuse"))
+    assert(exchanges <= 2,
+      s"bucketed join still shuffles a fact side ($exchanges exchanges):\n$p")
+  }
+
   test("q83 max intersections: sweep windows stay day-partitioned (no per-type global sort)") {
     val p = plan("q83_max_intersections")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
