@@ -75,7 +75,8 @@ object PlanDump {
     "m18_mp3_metadata_sniff" -> "MP3 sniff: syncsafe sizes + sub-byte bit fields as native expressions, map-only before the output sort",
     "q81_countmin_frequency" -> "count-min: exploded hash rows partial-agg to ≤256 cells, probe joins the broadcast grid, min over rows",
     "q82_weighted_sample" -> "A-ES weighted sample: WindowGroupLimit keeps each partition's top-k before the source shuffle",
-    "q83_max_intersections" -> "max intersections: (type,day)-partitioned sweep windows + carry prefix over the tiny day table")
+    "q83_max_intersections" -> "max intersections: (type,day)-partitioned sweep windows + carry prefix over the tiny day table",
+    "q84_bucketed_colocated_join" -> "bucketed co-located join: merge join over bucket-aligned scans, zero exchanges below the join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
