@@ -1372,6 +1372,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == ref, s"decomposed sweep diverged:\ngot $got\nref $ref")
   }
 
+  test("q82 math: A-ES inclusion frequency is proportional to weight (k=1, md5 uniforms)") {
+    // The oracle proves q82's determinism, not its SEMANTICS. This
+    // replays the exact key construction (u from the first 4 md5 bytes,
+    // key = ln((v+1)/2^32)/w) over 2000 salted trials with k=1, where
+    // A-ES is provably exact: P(argmax key = i) = w_i / Σw. Weights
+    // 1..50 → the heaviest item should win ≈ 2000·50/1275 ≈ 78 times,
+    // the lightest ≈ 1.6. Deterministic (md5), so the bounds are safe.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(s: String): Double = {
+      val h = md.digest(s.getBytes("UTF-8"))
+      val v = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+        ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+      (v + 1).toDouble / 4294967296.0
+    }
+    val weights = (1 to 50).map(_.toDouble)
+    val wins = new Array[Int](51)
+    for (trial <- 0 until 2000) {
+      val best = (1 to 50).maxBy(i => math.log(u(s"$trial:$i")) / weights(i - 1))
+      wins(best) += 1
+    }
+    assert(wins(50) >= 40 && wins(50) <= 130,
+      s"heaviest item won ${wins(50)} of 2000 (expected ~78)")
+    assert(wins(1) <= 10, s"lightest item won ${wins(1)} of 2000 (expected ~1.6)")
+    val heavyTen = (41 to 50).map(wins).sum
+    val lightTen = (1 to 10).map(wins).sum
+    assert(heavyTen > 3 * lightTen,
+      s"top-decile weights won $heavyTen vs bottom decile $lightTen — not weight-proportional")
+  }
+
   test("registry sanity: unique names, every oracle key is a query") {
     val names = QueryDef.registry.map(_.name)
     assert(names.distinct.size == names.size)
