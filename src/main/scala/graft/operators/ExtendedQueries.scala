@@ -2414,6 +2414,55 @@ object ExtendedQueries {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
-      doc = "bucketed co-located fact-to-fact join: both sides written bucketBy(derived count, join key) with one file per bucket, merge-join runs with ZERO exchanges below it -- the storage layout that amortizes one write across every subsequent join on the key; oracle joins the raw parquet")
+      doc = "bucketed co-located fact-to-fact join: both sides written bucketBy(derived count, join key) with one file per bucket, merge-join runs with ZERO exchanges below it -- the storage layout that amortizes one write across every subsequent join on the key; oracle joins the raw parquet"),
+
+    // ------------------------------------------------------------------
+    // q85: M4 TIME-SERIES DOWNSAMPLING — the dashboard-serving
+    // aggregation (Jugel et al., VLDB'14; what Grafana/Timescale/
+    // ClickHouse GROUP BY toStartOfInterval serve): per (series, pixel
+    // bucket), keep first/last/min/max of the value — the four points
+    // that make the downsampled line VISUALLY identical to the raw
+    // series at that pixel width. Chosen over LTTB because M4 is fully
+    // PARTIAL-AGGREGABLE (min/max/min_by/max_by all combine map-side):
+    // 100 TB of raw points reduce to series×pixels rows with the
+    // shuffle carrying only combined partials, while LTTB's
+    // previous-selected-point recurrence is inherently sequential and
+    // cannot distribute. first/last need a TOTAL order to be
+    // deterministic: the order key is lpad(t)||':'||lpad(event_id)
+    // (fixed-width decimal strings compare like the numbers; (t, id) is
+    // unique) because DuckDB's arg_min cannot take a composite — the
+    // same string computes on both sides. Values surface RAW (selected,
+    // not summed — no float-accumulation order to pin).
+    QueryDef(
+      "q85_m4_downsample",
+      (s, dir) => {
+        import s.implicits._
+        val ord = expr(
+          "lpad(CAST(t AS STRING), 20, '0') || ':' || lpad(CAST(event_id AS STRING), 20, '0')")
+        Tables.events(s, dir)
+          .select($"event_type", $"event_id", $"value",
+            expr("unix_micros(ts)").as("t"))
+          .withColumn("bucket", expr("t div 3600000000"))
+          .withColumn("ord", ord)
+          .groupBy($"event_type", $"bucket")
+          .agg(count(lit(1)).as("n"),
+            min_by($"value", $"ord").as("first_v"),
+            max_by($"value", $"ord").as("last_v"),
+            min($"value").as("min_v"), max($"value").as("max_v"))
+          .orderBy($"event_type", $"bucket")
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_type, epoch_us(ts) AS t, event_id, value,
+                 epoch_us(ts) // 3600000000 AS bucket
+          FROM events)
+        SELECT event_type, bucket, COUNT(*) AS n,
+               arg_min(value, lpad(CAST(t AS VARCHAR), 20, '0') || ':'
+                 || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS first_v,
+               arg_max(value, lpad(CAST(t AS VARCHAR), 20, '0') || ':'
+                 || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS last_v,
+               MIN(value) AS min_v, MAX(value) AS max_v
+        FROM p GROUP BY 1, 2 ORDER BY event_type, bucket"""),
+      doc = "M4 time-series downsampling (dashboard serving): per (series, pixel bucket) first/last/min/max -- fully partial-aggregable (unlike sequential LTTB), raw points reduce map-side to series*pixels rows; first/last pinned by a total (t,id) order key identical on both engines")
   )
 }

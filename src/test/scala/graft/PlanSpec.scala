@@ -841,6 +841,16 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join still shuffles a fact side ($exchanges exchanges):\n$p")
   }
 
+  test("q85 M4 downsample: one scan, no window, all four extrema partial-aggregate") {
+    val p = plan("q85_m4_downsample")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"M4 made $scans scans:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"M4 must be a grouped aggregate, not a window (LTTB-shaped plans don't scale):\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"extrema not map-side combined:\n$p")
+  }
+
   test("q83 max intersections: sweep windows stay day-partitioned (no per-type global sort)") {
     val p = plan("q83_max_intersections")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
