@@ -56,7 +56,8 @@ object ScaleBench {
     "dx30_set_skip_index", "q79_overlap_sketch",
     "m18_mp3_metadata_sniff", "q80_uniq_upto",
     "q81_countmin_frequency", "q82_weighted_sample", "q83_max_intersections",
-    "q84_bucketed_colocated_join", "q85_m4_downsample")
+    "q84_bucketed_colocated_join", "q85_m4_downsample",
+    "d37_weighted_jaccard_rerank")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

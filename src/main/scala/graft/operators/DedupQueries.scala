@@ -3177,6 +3177,72 @@ object DedupQueries {
         SELECT l.doc_id, l.canon, s.cluster_size
         FROM labels l JOIN sizes s ON l.canon = s.canon
         ORDER BY l.doc_id"""),
-      doc = "subscribed label maintenance: change feed -> batch bands broadcast against the stored band index -> star contraction against stored labels -> delta merge; per-batch work proportional to the batch, full-rebuild oracle through both stores")
+      doc = "subscribed label maintenance: change feed -> batch bands broadcast against the stored band index -> star contraction against stored labels -> delta merge; per-batch work proportional to the batch, full-rebuild oracle through both stores"),
+
+    // ------------------------------------------------------------------
+    // d37: WEIGHTED (bag) JACCARD RE-RANK of the LSH candidates — the
+    // refinement the unweighted set measure (d05) misses: two docs that
+    // share a short boilerplate vocabulary repeated many times look
+    // near-identical to SET Jaccard (every repeated token collapses to
+    // one element), while weighted Jaccard Σmin(tf_a,tf_b)/Σmax(tf_a,
+    // tf_b) scores the actual token-mass overlap — the SlimPajama-style
+    // second pass. Computed EXACTLY on candidate pairs only (d03's LSH
+    // kernel bounds the quadratic; the corpus never self-pairs), with
+    // pure integer math: Σmax = n_a + n_b − Σmin identities keep the
+    // score a ppm integer — no float division to drift cross-engine.
+    // Pairs with no shared tokens surface as wmin = 0 (left join), so
+    // the re-rank also AUDITS the LSH layer: a candidate with tiny
+    // weighted overlap is a banding false positive.
+    QueryDef(
+      "d37_weighted_jaccard_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = lshCandidatePairs(s, dir)
+        val tf = corpus(s, dir)
+          .select($"doc_id", explode(tokens($"text")).as("token"))
+          .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        val sz = tf.groupBy($"doc_id").agg(sum($"tf").as("n"))
+        val inter = pairs
+          .join(tf.as("ta"), $"doc_a" === $"ta.doc_id")
+          .join(tf.as("tb"),
+            $"doc_b" === $"tb.doc_id" && $"ta.token" === $"tb.token")
+          .groupBy($"doc_a", $"doc_b")
+          .agg(sum(least($"ta.tf", $"tb.tf")).as("wmin"))
+        pairs
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0L, Seq("wmin"))
+          .join(sz.as("sa"), $"doc_a" === $"sa.doc_id")
+          .join(sz.as("sb"), $"doc_b" === $"sb.doc_id")
+          .select($"doc_a", $"doc_b",
+            $"sa.n".as("n_a"), $"sb.n".as("n_b"), $"wmin",
+            expr("(1000000 * wmin) div (sa.n + sb.n - wmin)").as("wj_ppm"))
+          .withColumn("is_dup", $"wj_ppm" >= 500000)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""$lshPairsSqlCore,
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS token FROM tok)
+               GROUP BY 1, 2),
+        sz AS (SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY 1),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, SUM(LEAST(a.tf, b.tf)) AS wmin
+          FROM pairs p
+          JOIN tf a ON a.doc_id = p.doc_a
+          JOIN tf b ON b.doc_id = p.doc_b AND b.token = a.token
+          GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(COALESCE(i.wmin, 0) AS BIGINT) AS wmin,
+               (1000000 * CAST(COALESCE(i.wmin, 0) AS BIGINT))
+                 // CAST(sa.n + sb.n - COALESCE(i.wmin, 0) AS BIGINT) AS wj_ppm,
+               (1000000 * CAST(COALESCE(i.wmin, 0) AS BIGINT))
+                 // CAST(sa.n + sb.n - COALESCE(i.wmin, 0) AS BIGINT)
+                 >= 500000 AS is_dup
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sz sa ON sa.doc_id = p.doc_a
+        JOIN sz sb ON sb.doc_id = p.doc_b
+        ORDER BY p.doc_a, p.doc_b"""),
+      doc = "weighted (bag) Jaccard re-rank of LSH candidates: exact integer token-mass overlap (Sum-min / Sum-max via the n_a+n_b-wmin identity, ppm score, no float division) on candidate pairs only; zero-overlap candidates expose banding false positives")
   )
 }

@@ -841,6 +841,14 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join still shuffles a fact side ($exchanges exchanges):\n$p")
   }
 
+  test("d37 weighted-Jaccard re-rank: cartesian-free, tf counts partial-aggregate") {
+    val p = plan("d37_weighted_jaccard_rerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair scoring went quadratic:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"token frequencies not map-side combined:\n$p")
+  }
+
   test("q85 M4 downsample: one scan, no window, all four extrema partial-aggregate") {
     val p = plan("q85_m4_downsample")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
