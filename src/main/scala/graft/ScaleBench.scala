@@ -57,7 +57,11 @@ object ScaleBench {
     "m18_mp3_metadata_sniff", "q80_uniq_upto",
     "q81_countmin_frequency", "q82_weighted_sample", "q83_max_intersections",
     "q84_bucketed_colocated_join", "q85_m4_downsample",
-    "d37_weighted_jaccard_rerank")
+    "d37_weighted_jaccard_rerank",
+    // per-user in-row folds (one shuffle, DP never crosses the wire) and
+    // the compressed-signature audit riding the shared router
+    "q86_sequence_match_gap", "q87_exp_moving_avg",
+    "d38_bbit_minhash_audit")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

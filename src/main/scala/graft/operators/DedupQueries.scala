@@ -3243,6 +3243,92 @@ object DedupQueries {
         JOIN sz sa ON sa.doc_id = p.doc_a
         JOIN sz sb ON sb.doc_id = p.doc_b
         ORDER BY p.doc_a, p.doc_b"""),
-      doc = "weighted (bag) Jaccard re-rank of LSH candidates: exact integer token-mass overlap (Sum-min / Sum-max via the n_a+n_b-wmin identity, ppm score, no float division) on candidate pairs only; zero-overlap candidates expose banding false positives")
+      doc = "weighted (bag) Jaccard re-rank of LSH candidates: exact integer token-mass overlap (Sum-min / Sum-max via the n_a+n_b-wmin identity, ppm score, no float division) on candidate pairs only; zero-overlap candidates expose banding false positives"),
+
+    // ------------------------------------------------------------------
+    // d38: b-BIT MINHASH AUDIT (Li & König, "b-Bit Minwise Hashing",
+    // WWW'10) — the signature-COMPRESSION counterpart of d32's accuracy
+    // audit. Production near-dup indexes at 100 TB are storage-bound:
+    // the d19 stored index carries 8 × 64-bit lanes per document, and
+    // b-bit minhashing keeps only the low b bits of each lane — at
+    // b = 1 that is a 64× smaller index. The estimator changes: for
+    // 1-bit lanes E[agreement] = ½ + J/2 (two unrelated sets still
+    // agree on half their bits by chance), so Ĵ = 2·(agree/k) − 1.
+    // This entry reports, per LSH candidate pair, the 1-bit agreement
+    // count, the debiased estimate, and an integer cross-multiplied
+    // tolerance verdict against the EXACT shingle Jaccard
+    // (|(2a−k)/k − i/u| ≤ ½ ⟺ |(2a−8)·u − 8·i| ≤ 4u at k = 8 — no
+    // float boundary can disagree between engines). Systematic verdict
+    // failures at a chosen b mean the compressed index needs more lanes
+    // (the paper's k·b tradeoff) — the calibration a production
+    // deployment runs BEFORE shrinking its index.
+    //
+    // The low bit of each 16-hex-char lane is its last hex digit's
+    // parity — a byte-compare both engines spell identically. Shape =
+    // d32: candidates from the shared adaptive router (never
+    // all-pairs), ONE per-doc feature projection per side, bit
+    // agreement and exact Jaccard both in-row folds.
+    QueryDef(
+      "d38_bbit_minhash_audit",
+      (s, dir) => {
+        import s.implicits._
+        val lowBits =
+          "transform(mhs, x -> IF(substring(x, 16, 1) IN " +
+            "('1','3','5','7','9','b','d','f'), 1L, 0L))"
+        val feats = corpus(s, dir)
+          .withColumn("toks", tokens($"text"))
+          .withColumn("sh", shingles("toks"))
+          .withColumn("mhs", expr("minhash_lanes(sh, 8)"))
+          .withColumn("bits", expr(lowBits))
+          .withColumn("ss", array_distinct(
+            transform($"sh", x => substring(md5(x), 1, 16))))
+          .select($"doc_id", $"bits", $"ss")
+        lshCandidatePairs(s, dir)
+          .join(feats.select($"doc_id".as("doc_a"), $"bits".as("ba"),
+            $"ss".as("sa")), "doc_a")
+          .join(feats.select($"doc_id".as("doc_b"), $"bits".as("bb"),
+            $"ss".as("sb")), "doc_b")
+          .withColumn("agree", expr(
+            "aggregate(zip_with(ba, bb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
+          .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+          .withColumn("uni",
+            size($"sa").cast("long") + size($"sb").cast("long") - $"inter")
+          .select($"doc_a", $"doc_b", $"agree",
+            (lit(2L) * $"agree" - lit(8L)).as("jhat_x8"),
+            $"inter", $"uni",
+            (abs((lit(2L) * $"agree" - lit(8L)) * $"uni" - lit(8L) * $"inter")
+              <= lit(4L) * $"uni").as("within_tol"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""$lshPairsSqlCore,
+        bits AS (
+          SELECT doc_id,
+                 ${(0 until 8).map(i =>
+                   s"CASE WHEN substr(mh$i, 16, 1) IN " +
+                     "('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END " +
+                     s"AS b$i").mkString(", ")}
+          FROM sig),
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(sh, x -> substr(md5(x), 1, 16)))
+                   AS ss
+          FROM shi),
+        audited AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(${(0 until 8).map(i =>
+                   s"CASE WHEN a.b$i = b.b$i THEN 1 ELSE 0 END")
+                   .mkString(" + ")} AS BIGINT) AS agree,
+                 CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS inter,
+                 CAST(len(sa.ss) + len(sb.ss)
+                      - len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS uni
+          FROM pairs p
+          JOIN bits a ON a.doc_id = p.doc_a
+          JOIN bits b ON b.doc_id = p.doc_b
+          JOIN sets sa ON sa.doc_id = p.doc_a
+          JOIN sets sb ON sb.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, agree, 2 * agree - 8 AS jhat_x8, inter, uni,
+               abs((2 * agree - 8) * uni - 8 * inter) <= 4 * uni AS within_tol
+        FROM audited ORDER BY doc_a, doc_b"""),
+      doc = "b-bit (b=1) MinHash compression audit: low-bit lane agreement with the 2a/k-1 debiased Jaccard estimate vs exact shingle Jaccard, integer cross-multiplied tolerance — the k*b calibration run before shrinking a stored near-dup index 64x")
   )
 }

@@ -27,6 +27,42 @@ object ExtendedQueries {
            WHEN t = 'purchase' AND acc % 4 = 2 THEN acc + 2
            ELSE acc END) div 4""")
 
+  /** q86's gap-constrained sequence-match DP as a fold over a SORTED
+    * array of struct(ts, event_id, event_type): state = the LATEST
+    * timestamp (unix micros, −1 = unset) completing stages 1..k, each
+    * adjacent gap ≤ `gapMicros`. Monotone-optimal: l_k only grows
+    * during the scan, so extending from the current l_k dominates every
+    * earlier choice. Shared by the QueryDef and the property test that
+    * replays random sequences against a brute-force all-subsequences
+    * reference (OperatorSpec).
+    */
+  def gapDpCol(evsCol: String, gapMicros: Long): org.apache.spark.sql.Column =
+    expr(s"""aggregate($evsCol,
+         named_struct('l1', -1L, 'l2', -1L, 'l3', -1L),
+         (acc, e) -> named_struct(
+           'l1', IF(e.event_type = 'view', unix_micros(e.ts), acc.l1),
+           'l2', IF(e.event_type = 'click' AND acc.l1 >= 0
+                    AND unix_micros(e.ts) - acc.l1 <= ${gapMicros}L,
+                    unix_micros(e.ts), acc.l2),
+           'l3', IF(e.event_type = 'purchase' AND acc.l2 >= 0
+                    AND unix_micros(e.ts) - acc.l2 <= ${gapMicros}L,
+                    unix_micros(e.ts), acc.l3)))""")
+
+  /** q87's EMA recurrence e_n = 0.25·x_n + 0.75·e_{n−1} (e_1 = x_1) as a
+    * fold over a SORTED array of struct(ts, event_id, value), surfaced
+    * as floor(e·1e6). The multiply-add order is pinned — the property
+    * test (OperatorSpec) replays the identical Scala fold and the
+    * DuckDB oracle spells the identical recursive walk, so all three
+    * run the same IEEE op sequence.
+    */
+  def emaMicrosCol(evsCol: String): org.apache.spark.sql.Column =
+    expr(s"""CAST(floor(aggregate($evsCol,
+         named_struct('started', false, 'e', CAST(0.0 AS DOUBLE)),
+         (acc, p) -> named_struct(
+           'started', true,
+           'e', IF(acc.started, 0.25D * p.value + 0.75D * acc.e, p.value)),
+         acc -> acc.e) * 1000000D) AS BIGINT)""")
+
   /** q83's day-decomposed sweep-line core, shared with the property test
     * that replays random interval sets (including multi-day spans)
     * against a naive single-pass reference. Input: ±1 boundary points
@@ -2463,6 +2499,125 @@ object ExtendedQueries {
                  || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS last_v,
                MIN(value) AS min_v, MAX(value) AS max_v
         FROM p GROUP BY 1, 2 ORDER BY event_type, bucket"""),
-      doc = "M4 time-series downsampling (dashboard serving): per (series, pixel bucket) first/last/min/max -- fully partial-aggregable (unlike sequential LTTB), raw points reduce map-side to series*pixels rows; first/last pinned by a total (t,id) order key identical on both engines")
+      doc = "M4 time-series downsampling (dashboard serving): per (series, pixel bucket) first/last/min/max -- fully partial-aggregable (unlike sequential LTTB), raw points reduce map-side to series*pixels rows; first/last pinned by a total (t,id) order key identical on both engines"),
+
+    // ------------------------------------------------------------------
+    // q86: GAP-CONSTRAINED SEQUENCE MATCH — the ClickHouse
+    // sequenceMatch('(?1)(?t<=3600)(?2)(?t<=3600)(?3)') signature: did
+    // this user do view → click → purchase where EACH adjacent gap is
+    // ≤ 1 hour? This is the missing member of the ordered-pattern
+    // battery: q54's windowFunnel bounds the WHOLE chain from its
+    // anchor, q62 counts unconstrained chains — neither constrains the
+    // per-step gap, and gap-constrained matching is NOT expressible as
+    // either (a late view can enable a match the earliest view misses).
+    //
+    // Semantics: the monotone latest-completion DP. Scanning the user's
+    // events in (ts, event_id) order, keep l_k = the LATEST timestamp
+    // completing stages 1..k; an event of type k+1 at time t extends
+    // iff t − l_k ≤ gap, and taking the CURRENT l_k is optimal because
+    // l_k only grows during the scan (a larger anchor is always at
+    // least as permissive for the next gap). l_3 set ⟺ a match exists;
+    // the reached stage is the largest set l_k. A property test replays
+    // random event sequences against a brute-force all-subsequences
+    // reference (SequenceMatchProps).
+    //
+    // Shape: identical to q62 — ONE user-partitioned shuffle building
+    // the sorted per-user array (bounded by per-user event count, the
+    // same contract every sessionization query carries), then the DP is
+    // an in-row aggregate() fold; at 100 TB nothing but (user, bounded
+    // event list) ever crosses the wire, vs the 3-way self-join
+    // spelling that shuffles the event table once per stage. The
+    // oracle spells the SAME DP as a recursive-CTE walk, so both
+    // engines execute one fold, not two different algorithms.
+    QueryDef(
+      "q86_sequence_match_gap",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id")
+          .agg(sort_array(collect_list(
+            struct($"ts", $"event_id", $"event_type"))).as("evs"))
+          .withColumn("st", gapDpCol("evs", 3600000000L))
+          .select($"user_id",
+            expr("""CAST(CASE WHEN st.l3 >= 0 THEN 3
+                              WHEN st.l2 >= 0 THEN 2
+                              WHEN st.l1 >= 0 THEN 1
+                              ELSE 0 END AS INT)""").as("gap_stage"),
+            ($"st.l3" >= 0).as("matched"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS tu,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i
+          FROM events),
+        hi AS (SELECT user_id, MAX(i) AS m FROM ev GROUP BY user_id),
+        walk(user_id, i, l1, l2, l3) AS (
+          SELECT user_id, 0, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                 CAST(-1 AS BIGINT) FROM hi
+          UNION ALL
+          SELECT w.user_id, w.i + 1,
+                 CASE WHEN e.event_type = 'view' THEN e.tu ELSE w.l1 END,
+                 CASE WHEN e.event_type = 'click' AND w.l1 >= 0
+                           AND e.tu - w.l1 <= 3600000000
+                      THEN e.tu ELSE w.l2 END,
+                 CASE WHEN e.event_type = 'purchase' AND w.l2 >= 0
+                           AND e.tu - w.l2 <= 3600000000
+                      THEN e.tu ELSE w.l3 END
+          FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.i = w.i + 1)
+        SELECT w.user_id,
+               CAST(CASE WHEN l3 >= 0 THEN 3 WHEN l2 >= 0 THEN 2
+                         WHEN l1 >= 0 THEN 1 ELSE 0 END AS INT) AS gap_stage,
+               l3 >= 0 AS matched
+        FROM walk w JOIN hi ON w.user_id = hi.user_id AND w.i = hi.m
+        ORDER BY w.user_id"""),
+      doc = "sequenceMatch with per-step time-gap constraints ((?t<=1h) between adjacent steps): monotone latest-completion DP as one in-row fold after a single user-partitioned shuffle — the pattern shape neither windowFunnel (anchor-window) nor sequenceCount (unconstrained) covers"),
+
+    // ------------------------------------------------------------------
+    // q87: EXPONENTIAL MOVING AVERAGE (ClickHouse
+    // exponentialMovingAverage / Prometheus-style smoothing): per-user
+    // EMA over the event values in (ts, event_id) order, α = 0.25.
+    // The recurrence e_n = 0.25·x_n + 0.75·e_{n−1} is inherently
+    // sequential — no window frame expresses it and the closed-form
+    // Σ α(1−α)^{n−i}x_i overflows pow() at production row counts — so
+    // it runs as an in-row fold over the per-user sorted array (the
+    // q62/q86 shape: one user-partitioned shuffle, DP never crosses the
+    // wire). Cross-engine float determinism: both engines execute the
+    // IDENTICAL multiply-add sequence on IEEE doubles (0.25 and 0.75
+    // are exact binary fractions; same inputs + same op order = same
+    // bits), and the surfaced value is floor(e·1e6) (the q73
+    // floor-to-integer convention) so no rounding-mode difference can
+    // leak. A property test replays random sequences against a plain
+    // Scala fold (EmaProps).
+    QueryDef(
+      "q87_exp_moving_avg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id")
+          .agg(sort_array(collect_list(
+            struct($"ts", $"event_id", $"value"))).as("evs"))
+          .select($"user_id", size($"evs").cast("long").as("n_events"),
+            emaMicrosCol("evs").as("ema_micros"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i
+          FROM events),
+        hi AS (SELECT user_id, MAX(i) AS m FROM ev GROUP BY user_id),
+        walk(user_id, i, e) AS (
+          SELECT ev.user_id, 1, ev.value FROM ev WHERE ev.i = 1
+          UNION ALL
+          SELECT w.user_id, w.i + 1, 0.25 * e2.value + 0.75 * w.e
+          FROM walk w JOIN ev e2 ON e2.user_id = w.user_id AND e2.i = w.i + 1)
+        SELECT w.user_id, CAST(hi.m AS BIGINT) AS n_events,
+               CAST(floor(w.e * 1000000) AS BIGINT) AS ema_micros
+        FROM walk w JOIN hi ON w.user_id = hi.user_id AND w.i = hi.m
+        ORDER BY w.user_id"""),
+      doc = "exponentialMovingAverage: per-user sequential smoothing recurrence as one in-row fold after a single user-partitioned shuffle; identical IEEE multiply-add order on both engines, floor-to-integer surfaced value")
   )
 }

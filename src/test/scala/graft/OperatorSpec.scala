@@ -515,6 +515,79 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 gap DP equals brute-force subsequence search on 200 random sequences") {
+    val rnd = new scala.util.Random(86)
+    val alphabet = Array("view", "click", "purchase", "error", "signup")
+    val gap = 3600000000L // 1h in micros
+    // ts increments 0..5000 s: some inter-event gaps exceed the 1h
+    // constraint, some equal-ts pairs exercise the tie path
+    val seqs = (0 until 200).map { i =>
+      var t = 1700000000000000L
+      val evs = (0 until rnd.nextInt(25)).map { j =>
+        t += rnd.nextInt(5001).toLong * 1000000L *
+          (if (rnd.nextInt(10) == 0) 0L else 1L)
+        (t, (i * 1000 + j).toLong, alphabet(rnd.nextInt(alphabet.length)))
+      }
+      (i.toLong, evs)
+    }
+    // brute force: largest k with an index-ordered subsequence
+    // view(<=gap)click(<=gap)purchase through stage k
+    def ref(evs: Seq[(Long, Long, String)]): Int = {
+      val n = evs.length
+      var best = 0
+      for (i <- 0 until n if evs(i)._3 == "view") {
+        best = best.max(1)
+        for (j <- i + 1 until n
+             if evs(j)._3 == "click" && evs(j)._1 - evs(i)._1 <= gap) {
+          best = best.max(2)
+          for (k <- j + 1 until n
+               if evs(k)._3 == "purchase" && evs(k)._1 - evs(j)._1 <= gap)
+            best = best.max(3)
+        }
+      }
+      best
+    }
+    val got = seqs.toDF("id", "raw")
+      .withColumn("evs", expr(
+        """transform(raw, e -> named_struct(
+             'ts', timestamp_micros(e._1), 'event_id', e._2,
+             'event_type', e._3))"""))
+      .withColumn("st", operators.ExtendedQueries.gapDpCol("evs", gap))
+      .select($"id", expr(
+        """CASE WHEN st.l3 >= 0 THEN 3 WHEN st.l2 >= 0 THEN 2
+                WHEN st.l1 >= 0 THEN 1 ELSE 0 END""").as("stage"))
+      .as[(Long, Int)].collect().toMap
+    seqs.foreach { case (id, evs) =>
+      assert(got(id) == ref(evs), s"seq $id: ${evs.mkString(",")}")
+    }
+  }
+
+  test("q87 EMA fold is bit-identical to the Scala reference recurrence") {
+    val rnd = new scala.util.Random(87)
+    val seqs = (0 until 200).map { i =>
+      val evs = (0 until 1 + rnd.nextInt(20)).map { j =>
+        (1700000000000000L + j * 1000000L, (i * 100 + j).toLong,
+          math.floor(rnd.nextDouble() * 2000 - 1000) / 10.0)
+      }
+      (i.toLong, evs)
+    }
+    def ref(xs: Seq[Double]): Long = {
+      var e = xs.head
+      xs.tail.foreach(x => e = 0.25 * x + 0.75 * e)
+      math.floor(e * 1000000.0).toLong
+    }
+    val got = seqs.toDF("id", "raw")
+      .withColumn("evs", expr(
+        """transform(raw, e -> named_struct(
+             'ts', timestamp_micros(e._1), 'event_id', e._2,
+             'value', e._3))"""))
+      .select($"id", operators.ExtendedQueries.emaMicrosCol("evs").as("m"))
+      .as[(Long, Long)].collect().toMap
+    seqs.foreach { case (id, evs) =>
+      assert(got(id) == ref(evs.map(_._3)), s"seq $id: ${evs.mkString(",")}")
+    }
+  }
+
   test("c06 export fingerprints are valid JSON lines and cover every doc") {
     val df = QueryDef.registry.find(_.name == "c06_jsonl_export").get
       .build(spark, sfDir)

@@ -872,4 +872,36 @@ class PlanSpec extends AnyFunSuite {
         s"a window runs without the day decomposition (single-task sort at scale):\n$l\n$p")
     }
   }
+
+  test("q86/q87 sequence folds: one scan, one user shuffle, DP stays in-row") {
+    for (name <- Seq("q86_sequence_match_gap", "q87_exp_moving_avg")) {
+      val p = plan(name)
+      val scans = p.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 1, s"$name made $scans scans:\n$p")
+      assert(!p.contains("Join"),
+        s"$name must be join-free (a per-stage self-join shuffles events once per step):\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$name's DP is an in-row fold, not a window:\n$p")
+      // exactly one data exchange: the user_id grouping that builds the
+      // sorted per-user array (the presentation sort adds a rangepartition)
+      val hashEx = p.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1, s"$name shuffled $hashEx times:\n$p")
+    }
+  }
+
+  test("d38 b-bit audit: cartesian-free, one feature projection per pair side") {
+    val p = plan("d38_bbit_minhash_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d38 exploded to a cartesian:\n$p")
+    // the d32 lesson: both the bits and the shingle set must ride ONE
+    // per-doc projection per pair side, not four separate corpus scans —
+    // lock d38 to the already-adjudicated d32 shape (same router, same
+    // feature-projection count; the only delta is the lane→bit map)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    val d32Scans = plan("d32_minhash_estimator_audit")
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= d32Scans,
+      s"d38 re-reads the corpus ($scans scans vs d32's $d32Scans):\n$p")
+  }
 }
