@@ -130,7 +130,10 @@ object Bench {
       // round-10: the co-located join materializes BOTH fact tables
       // bucketed on the join key in-body (the one-time layout write the
       // query exists to amortize)
-      "q84_bucketed_colocated_join")
+      "q84_bucketed_colocated_join",
+      // round-10: the materialized-view lifecycle writes base + view
+      // FactTables, replays a txn, and converges the view in-body
+      "dx31_materialized_view")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

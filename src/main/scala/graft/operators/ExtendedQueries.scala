@@ -2519,7 +2519,7 @@ object ExtendedQueries {
     // least as permissive for the next gap). l_3 set ⟺ a match exists;
     // the reached stage is the largest set l_k. A property test replays
     // random event sequences against a brute-force all-subsequences
-    // reference (SequenceMatchProps).
+    // reference (OperatorSpec "q86 gap DP").
     //
     // Shape: identical to q62 — ONE user-partitioned shuffle building
     // the sorted per-user array (bounded by per-user event count, the
@@ -2589,7 +2589,7 @@ object ExtendedQueries {
     // bits), and the surfaced value is floor(e·1e6) (the q73
     // floor-to-integer convention) so no rounding-mode difference can
     // leak. A property test replays random sequences against a plain
-    // Scala fold (EmaProps).
+    // Scala fold (OperatorSpec "q87 EMA fold").
     QueryDef(
       "q87_exp_moving_avg",
       (s, dir) => {

@@ -1324,7 +1324,82 @@ object DocsisQueries {
                  AS cents
         FROM events WHERE printf('tag%02d', event_id % 16) = 'tag05'
         GROUP BY event_type ORDER BY event_type"""),
-      doc = "set(N) skip-index point lookup: per-part exact distinct-value sidecars skip interleaved low-cardinality values that min/max stats provably cannot")
+      doc = "set(N) skip-index point lookup: per-part exact distinct-value sidecars skip interleaved low-cardinality values that min/max stats provably cannot"),
+
+    // ------------------------------------------------------------------
+    // dx31: INSERT-MAINTAINED MATERIALIZED VIEW (ClickHouse
+    // `CREATE MATERIALIZED VIEW ... ENGINE = SummingMergeTree AS SELECT
+    // ... GROUP BY`): every insert lands the raw batch in the base table
+    // AND the batch's pre-aggregated delta in a separate view table,
+    // under ONE txn id — the dashboard aggregate is then served from the
+    // view alone, never rescanning the fact table. Completes the rollup
+    // family: dx14 maintains the aggregate BY MERGES (same table), dx20
+    // stores it as part-local projections (same table's parts); the MV
+    // is the INSERT-time trigger feeding an independent table — the
+    // shape ClickHouse deployments actually use for serving tiers.
+    //
+    // The lifecycle exercises the contract's three load-bearing claims:
+    // a REPLAYED insert (same batch, same txn) no-ops on BOTH tables
+    // (per-table txn markers make the pair self-healing — a writer
+    // dying between the two commits is healed by the standard un-acked
+    // replay); the aggregate is identical before and after the view's
+    // physical summingCompact convergence (the SummingMergeTree read
+    // rule: re-sum partials at query time, merges only make it cheap);
+    // and the served result never reads the base (asserted structurally:
+    // the plan scans the view's generation directories only). Oracle =
+    // the same aggregate recomputed from raw events, so incremental
+    // maintenance ≡ rebuild is the row-hash gate itself.
+    QueryDef(
+      "dx31_materialized_view",
+      (s, sfDir) => {
+        import s.implicits._
+        val bdir = java.nio.file.Files
+          .createTempDirectory("dx31_base").toString
+        val vdir = java.nio.file.Files
+          .createTempDirectory("dx31_view").toString
+        val mv = new graft.storage.AggView(bdir, vdir, s,
+          keyCols = Seq("event_type"), sumCols = Seq("cents"))
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+          .withColumn("cents",
+            expr("CAST(floor(value * 100) AS BIGINT)"))
+          .select($"date", $"event_type", $"event_id", $"cents")
+        mv.insert(ev.filter($"event_id" % 3 === 0), 0)
+        mv.insert(ev.filter($"event_id" % 3 === 1), 1)
+        val pre = mv.readAggregate().orderBy($"date", $"event_type")
+          .collect().toSeq
+        mv.insert(ev.filter($"event_id" % 3 === 2), 2)
+        // replay of an already-committed batch: BOTH sides must no-op
+        val replay = mv.insert(ev.filter($"event_id" % 3 === 1), 1)
+        require(replay == ((false, false)),
+          s"replayed txn was not idempotent on both tables: $replay")
+        // partial rows before convergence: bounded by keys × batches,
+        // not base rows — the maintenance-cost contract
+        val partials = mv.view.read().count()
+        require(partials < ev.count(),
+          s"view carries $partials rows — not a pre-aggregate")
+        // physical convergence must not change any answer
+        val preConverge = mv.readAggregate()
+          .orderBy($"date", $"event_type").collect().toSeq
+        mv.converge()
+        val post = mv.readAggregate()
+          .orderBy($"date", $"event_type").collect().toSeq
+        require(preConverge == post,
+          "summingCompact changed the served aggregate")
+        require(pre != post, "third batch never reached the view")
+        val served = mv.readAggregate().orderBy($"date", $"event_type")
+        // the serving guarantee, structurally: no scan of the base table
+        val plan = served.queryExecution.executedPlan.toString
+        require(!plan.contains(bdir), "served aggregate reads the base table")
+        served
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS date, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY 1, 2 ORDER BY date, event_type"""),
+      doc = "insert-maintained materialized view: per-batch pre-aggregated deltas feed a separate SummingMergeTree-style view table under the base append's txn id (replay-idempotent pair, self-healing), served aggregate re-sums view partials only — never rescans the fact table; physical convergence proven answer-neutral")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

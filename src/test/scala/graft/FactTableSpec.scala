@@ -29,6 +29,34 @@ class FactTableSpec extends AnyFunSuite {
     assert(t.read().count() == 8)
   }
 
+  test("AggView heals a writer crash between the base and view commits") {
+    val bdir = java.nio.file.Files.createTempDirectory("aggv_base").toString
+    val vdir = java.nio.file.Files.createTempDirectory("aggv_view").toString
+    val mv = new graft.storage.AggView(bdir, vdir, spark,
+      keyCols = Seq("modem_name"), sumCols = Seq("uptime"))
+    mv.insert(rows(5, "2024-03-01", "m1"), 0)
+    // simulate the crash: batch 1 reaches the BASE only (the writer died
+    // before the view commit) — the view now lags the base
+    val crashed = rows(4, "2024-03-01", "m2")
+    assert(mv.base.append(crashed, 1))
+    val lagging = mv.readAggregate().agg(sum($"n")).as[Long].head()
+    assert(lagging == 5, "view must not see the half-committed batch")
+    // the standard un-acked replay heals exactly the missing side
+    assert(mv.insert(crashed, 1) == ((false, true)))
+    val healed = mv.readAggregate()
+      .orderBy($"modem_name").as[(java.sql.Date, String, Long, Long)]
+      .collect().toSeq
+    assert(healed.map(_._3).sum == 9)
+    // a further replay is a full no-op on both sides
+    assert(mv.insert(crashed, 1) == ((false, false)))
+    assert(mv.readAggregate().orderBy($"modem_name")
+      .as[(java.sql.Date, String, Long, Long)].collect().toSeq == healed)
+    // convergence is answer-neutral here too
+    mv.converge()
+    assert(mv.readAggregate().orderBy($"modem_name")
+      .as[(java.sql.Date, String, Long, Long)].collect().toSeq == healed)
+  }
+
   test("compact merges buffer parts, preserves rows, swaps atomically") {
     val t = freshTable()
     (0 until 4).foreach(i => t.append(rows(10, "2024-03-01", s"m$i"), i))
