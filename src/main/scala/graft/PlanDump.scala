@@ -76,7 +76,24 @@ object PlanDump {
     "q81_countmin_frequency" -> "count-min: exploded hash rows partial-agg to ≤256 cells, probe joins the broadcast grid, min over rows",
     "q82_weighted_sample" -> "A-ES weighted sample: WindowGroupLimit keeps each partition's top-k before the source shuffle",
     "q83_max_intersections" -> "max intersections: (type,day)-partitioned sweep windows + carry prefix over the tiny day table",
-    "q84_bucketed_colocated_join" -> "bucketed co-located join: merge join over bucket-aligned scans, zero exchanges below the join")
+    "q84_bucketed_colocated_join" -> "bucketed co-located join: merge join over bucket-aligned scans, zero exchanges below the join",
+    "q86_sequence_match_gap" -> "gap-constrained sequence match: one user-key exchange, the DP folds in-row — no per-stage self-join, no window",
+    "d38_bbit_minhash_audit" -> "b-bit MinHash audit: adaptive-router candidates, one feature projection per pair side, bit agreement and exact Jaccard fold in-row")
+
+  /** `runMain graft.PlanDump <sfDir> counts:<q1,q2,...>` — the
+    * duplicated-work detector: per-query occurrence counts of the heavy
+    * expression kernels in the executed plan, for when a new entry
+    * benches far off its structural twin (e.g. d38 vs d32).
+    */
+  private def dumpCounts(spark: SparkSession, sfDir: String,
+      names: String): Unit =
+    for (n <- names.split(",")) {
+      val p = SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      println(s"===== $n =====")
+      for (k <- Seq("minhash_lanes", "lambdafunction", "md5", "Scan parquet"))
+        println(s"  $k: " + k.r.findAllIn(p).size)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
@@ -90,6 +107,10 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (out.startsWith("counts:")) {
+      dumpCounts(spark, sfDir, out.stripPrefix("counts:"))
+      spark.stop(); return
+    }
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. Each plan is the\n")
