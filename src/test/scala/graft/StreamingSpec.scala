@@ -393,4 +393,68 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState gap-sequence DP matches the q86 batch output across batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // the REAL sf events, globally event-time-ordered (micro-exact),
+      // replayed in three micro-batches so the per-user DP state must
+      // survive two store roundtrips mid-funnel
+      val evs = graft.Tables.events(spark, sfDir)
+        .select($"user_id", $"event_id",
+          expr("unix_micros(ts)").as("tsu"), $"event_type")
+        .as[(Long, Long, Long, String)].collect()
+        .sortBy(r => (r._3, r._2)).toSeq
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val events = mem.toDF().toDF("user_id", "event_id", "tsu", "event_type")
+        .withColumn("ts", expr("timestamp_micros(tsu)"))
+      val q = graft.streaming.SequenceMatchStream.track(events)
+        .writeStream.format("memory").queryName("seqmatch_mem")
+        .outputMode("append").start()
+      try {
+        val third = (evs.length + 2) / 3
+        evs.grouped(third).foreach { slice =>
+          mem.addData(slice)
+          q.processAllAvailable()
+        }
+        // a planted user completing the chain with 10-minute gaps, its
+        // three steps split across THREE further micro-batches so every
+        // stage transition crosses a state-store roundtrip (no sf0.001
+        // user completes the chain within 1-hour gaps — without the
+        // plant the matched=true path would go untested)
+        val planted = 999999L
+        val t0 = evs.last._3 + 1000000L
+        Seq("view", "click", "purchase").zipWithIndex.foreach { case (ty, i) =>
+          mem.addData(Seq((planted, 900000L + i, t0 + i * 600000000L, ty)))
+          q.processAllAvailable()
+        }
+        // the DP state only advances, so each user's FINAL state is the
+        // componentwise max over its emitted per-batch rows
+        val got = spark.table("seqmatch_mem")
+          .groupBy($"user_id")
+          .agg(max($"l1").as("l1"), max($"l2").as("l2"), max($"l3").as("l3"))
+          .collect()
+          .map { r =>
+            val s = (r.getLong(1), r.getLong(2), r.getLong(3))
+            (r.getLong(0),
+              graft.streaming.SequenceMatchStream.stageOf(s), s._3 >= 0)
+          }.toSet
+        val batch = SparkEntry.queries("q86_sequence_match_gap")(spark, sfDir)
+          .as[(Long, Int, Boolean)].collect().toSet
+        assert(got.filterNot(_._1 == planted) == batch,
+          s"stream DP diverged from q86 batch: ${got.diff(batch)} / ${batch.diff(got)}")
+        assert(got.contains((planted, 3, true)),
+          s"planted cross-batch funnel must complete: ${got.filter(_._1 == planted)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
