@@ -14,7 +14,10 @@ cd "$(dirname "$0")/.."
 FILTER="${1:-}"
 FAILED=0
 for SF in sf0.001 sf0.01; do
-  OUT="/tmp/check_${SF}"
+  # per-invocation dir: a concurrent filtered run must not clobber a
+  # full gate's in-flight dump (PID-scoped, cleaned on exit)
+  OUT="/tmp/check_${SF}_$$"
+  trap 'rm -rf /tmp/check_sf0.001_$$ /tmp/check_sf0.01_$$' EXIT
   rm -rf "$OUT"
   echo "=== $SF: Verify → $OUT ==="
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/$SF $OUT $FILTER" 2>&1 \

@@ -3329,6 +3329,109 @@ object DedupQueries {
         SELECT doc_a, doc_b, agree, 2 * agree - 8 AS jhat_x8, inter, uni,
                abs((2 * agree - 8) * uni - 8 * inter) <= 4 * uni AS within_tol
         FROM audited ORDER BY doc_a, doc_b"""),
-      doc = "b-bit (b=1) MinHash compression audit: low-bit lane agreement with the 2a/k-1 debiased Jaccard estimate vs exact shingle Jaccard, integer cross-multiplied tolerance — the k*b calibration run before shrinking a stored near-dup index 64x")
+      doc = "b-bit (b=1) MinHash compression audit: low-bit lane agreement with the 2a/k-1 debiased Jaccard estimate vs exact shingle Jaccard, integer cross-multiplied tolerance — the k*b calibration run before shrinking a stored near-dup index 64x"),
+
+    // ------------------------------------------------------------------
+    // d39: ONE-PERMUTATION HASHING audit (Li, Owen & Zhang, NIPS'12;
+    // rotation densification per Shrivastava & Li, ICML'14) — the
+    // COMPUTE half of the signature-cost story, alongside d38's storage
+    // half: classic k-lane MinHash hashes every shingle k times
+    // (minhash_lanes evaluates k salted hashes per element), while OPH
+    // hashes each shingle ONCE and partitions the hash space into k
+    // bins, taking the min within each bin — a k× hashing-cost
+    // reduction that matters when the 100 TB corpus pays the signature
+    // kernel on every document. Empty bins (the small-document regime)
+    // are densified by borrowing the nearest non-empty bin clockwise
+    // (the rotation scheme), keeping collision probability ≈ J.
+    //
+    // Lanes are per-bin minima of the 16-hex shingle fingerprints the
+    // d32 pipeline already carries; the bin is the fingerprint's last
+    // nibble mod 8 (bin bits and min order share one hash — standard
+    // OPH). Densification is an 8-term clockwise coalesce — closed-form
+    // and identical in both engines. The audit mirrors d32/d38: per LSH
+    // candidate pair, densified-lane agreement (the OPH Jaccard
+    // estimator) vs exact shingle Jaccard with the integer
+    // cross-multiplied ±¼ tolerance, plus each side's empty-bin count
+    // (the densification-pressure diagnostic: high n_empty = the doc is
+    // too small for this k, the knob the paper's variance analysis
+    // turns on).
+    QueryDef(
+      "d39_oph_minhash_audit",
+      (s, dir) => {
+        import s.implicits._
+        val binMins =
+          """transform(sequence(0, 7), b ->
+               array_min(filter(ss, e ->
+                 CAST(conv(substring(e, 16, 1), 16, 10) AS INT) % 8 = b)))"""
+        val densified =
+          "transform(sequence(0, 7), b -> coalesce(" +
+            (0 until 8).map(r => s"element_at(m, (b + $r) % 8 + 1)")
+              .mkString(", ") + "))"
+        val feats = corpus(s, dir)
+          .withColumn("toks", tokens($"text"))
+          .withColumn("sh", shingles("toks"))
+          .withColumn("ss", array_distinct(
+            transform($"sh", x => substring(md5(x), 1, 16))))
+          .withColumn("m", expr(binMins))
+          .withColumn("oph", expr(densified))
+          .withColumn("n_empty", expr(
+            "size(filter(m, x -> x IS NULL))").cast("long"))
+          .select($"doc_id", $"oph", $"n_empty", $"ss")
+        lshCandidatePairs(s, dir)
+          .join(feats.select($"doc_id".as("doc_a"), $"oph".as("oa"),
+            $"n_empty".as("n_empty_a"), $"ss".as("sa")), "doc_a")
+          .join(feats.select($"doc_id".as("doc_b"), $"oph".as("ob"),
+            $"n_empty".as("n_empty_b"), $"ss".as("sb")), "doc_b")
+          .withColumn("agree", expr(
+            "aggregate(zip_with(oa, ob, (x, y) -> IF(x <=> y, 1L, 0L)), 0L, (a, v) -> a + v)"))
+          .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+          .withColumn("uni",
+            size($"sa").cast("long") + size($"sb").cast("long") - $"inter")
+          .select($"doc_a", $"doc_b", $"agree", $"n_empty_a", $"n_empty_b",
+            $"inter", $"uni",
+            (abs($"agree" * $"uni" - lit(8L) * $"inter") <= lit(2L) * $"uni")
+              .as("within_tol"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some {
+        def oBin(e: String) =
+          s"(strpos('0123456789abcdef', substr($e, 16, 1)) - 1) % 8"
+        val oMins = (0 until 8).map(b =>
+          s"list_min(list_filter(ss, e -> ${oBin("e")} = $b)) AS m$b")
+          .mkString(", ")
+        val oDens = (0 until 8).map { b =>
+          "COALESCE(" + (0 until 8).map(r => s"m${(b + r) % 8}")
+            .mkString(", ") + s") AS o$b"
+        }.mkString(", ")
+        val oEmpty = (0 until 8).map(b =>
+          s"CASE WHEN m$b IS NULL THEN 1 ELSE 0 END").mkString(" + ")
+        val oAgree = (0 until 8).map(b =>
+          s"CASE WHEN a.o$b IS NOT DISTINCT FROM b.o$b THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$lshPairsSqlCore,
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(sh, x -> substr(md5(x), 1, 16)))
+                   AS ss
+          FROM shi),
+        mins AS (SELECT doc_id, ss, $oMins FROM sets),
+        oph AS (
+          SELECT doc_id, ss, $oDens, CAST($oEmpty AS BIGINT) AS n_empty
+          FROM mins),
+        audited AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST($oAgree AS BIGINT) AS agree,
+                 a.n_empty AS n_empty_a, b.n_empty AS n_empty_b,
+                 CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter,
+                 CAST(len(a.ss) + len(b.ss)
+                      - len(list_intersect(a.ss, b.ss)) AS BIGINT) AS uni
+          FROM pairs p
+          JOIN oph a ON a.doc_id = p.doc_a
+          JOIN oph b ON b.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, agree, n_empty_a, n_empty_b, inter, uni,
+               abs(agree * uni - 8 * inter) <= 2 * uni AS within_tol
+        FROM audited ORDER BY doc_a, doc_b"""
+      },
+      doc = "one-permutation MinHash (OPH) audit: one hash per shingle binned into k=8 lanes with clockwise rotation densification of empty bins — the k-times hashing-cost reduction of the signature kernel — estimator agreement vs exact shingle Jaccard with integer tolerance, per-doc empty-bin pressure surfaced")
   )
 }

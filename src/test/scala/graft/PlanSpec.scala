@@ -890,18 +890,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("d38 b-bit audit: cartesian-free, one feature projection per pair side") {
-    val p = plan("d38_bbit_minhash_audit")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"d38 exploded to a cartesian:\n$p")
-    // the d32 lesson: both the bits and the shingle set must ride ONE
-    // per-doc projection per pair side, not four separate corpus scans —
-    // lock d38 to the already-adjudicated d32 shape (same router, same
-    // feature-projection count; the only delta is the lane→bit map)
-    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+  test("d38/d39 signature audits: cartesian-free, one feature projection per pair side") {
+    // the d32 lesson: signature and shingle set must ride ONE per-doc
+    // projection per pair side, not four separate corpus scans — lock
+    // both audits to the already-adjudicated d32 shape (same router,
+    // same feature-projection count; the only deltas are the lane→bit
+    // map (d38) and the bin-min/densify lanes (d39))
     val d32Scans = plan("d32_minhash_estimator_audit")
       .linesIterator.count(_.contains("Scan parquet"))
-    assert(scans <= d32Scans,
-      s"d38 re-reads the corpus ($scans scans vs d32's $d32Scans):\n$p")
+    for (name <- Seq("d38_bbit_minhash_audit", "d39_oph_minhash_audit")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name exploded to a cartesian:\n$p")
+      val scans = p.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans <= d32Scans,
+        s"$name re-reads the corpus ($scans scans vs d32's $d32Scans):\n$p")
+    }
   }
 }
