@@ -457,4 +457,49 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState EMA is bit-identical to the q87 batch fold across batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // the float-state stress: the double EMA must survive two RocksDB
+      // roundtrips mid-series and still floor() to the batch value
+      val evs = graft.Tables.events(spark, sfDir)
+        .select($"user_id", $"event_id",
+          expr("unix_micros(ts)").as("tsu"), $"value")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._3, r._2)).toSeq
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      val events = mem.toDF().toDF("user_id", "event_id", "tsu", "value")
+        .withColumn("ts", expr("timestamp_micros(tsu)"))
+      val q = graft.streaming.EmaStream.track(events)
+        .writeStream.format("memory").queryName("ema_mem")
+        .outputMode("append").start()
+      try {
+        val third = (evs.length + 2) / 3
+        evs.grouped(third).foreach { slice =>
+          mem.addData(slice)
+          q.processAllAvailable()
+        }
+        // n_seen is monotone per user: max row = final state
+        val got = spark.table("ema_mem")
+          .groupBy($"user_id")
+          .agg(max(struct($"n_seen", $"ema_micros")).as("f"))
+          .select($"user_id", $"f.n_seen", $"f.ema_micros")
+          .as[(Long, Long, Long)].collect().toSet
+        val batch = SparkEntry.queries("q87_exp_moving_avg")(spark, sfDir)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == batch,
+          s"stream EMA diverged from q87 batch: ${got.diff(batch)} / ${batch.diff(got)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
