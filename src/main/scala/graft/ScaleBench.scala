@@ -61,7 +61,8 @@ object ScaleBench {
     // per-user in-row folds (one shuffle, DP never crosses the wire) and
     // the compressed-signature audit riding the shared router
     "q86_sequence_match_gap", "q87_exp_moving_avg",
-    "d38_bbit_minhash_audit", "d39_oph_minhash_audit")
+    "d38_bbit_minhash_audit", "d39_oph_minhash_audit",
+    "q88_welch_ttest")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

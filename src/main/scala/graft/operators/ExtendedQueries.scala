@@ -63,6 +63,32 @@ object ExtendedQueries {
            'e', IF(acc.started, 0.25D * p.value + 0.75D * acc.e, p.value)),
          acc -> acc.e) * 1000000D) AS BIGINT)""")
 
+  /** q88's Welch formulas as ONE dialect-neutral SQL string each,
+    * spliced verbatim into the Spark projection AND the DuckDB oracle —
+    * the strongest form of the cross-engine float-determinism argument:
+    * not "the same algorithm", the same expression tree. Inputs are the
+    * BIGINT columns (n_a, s1_a, s2_a, n_b, s1_b, s2_b); sample variance
+    * uses the n−1 denominator; se² = var/n.
+    */
+  private[graft] def welchSe2(side: String): String =
+    s"""((CAST(s2_$side AS DOUBLE)
+         - CAST(s1_$side AS DOUBLE) * CAST(s1_$side AS DOUBLE)
+           / CAST(n_$side AS DOUBLE))
+        / CAST(n_$side - 1 AS DOUBLE) / CAST(n_$side AS DOUBLE))"""
+  private[graft] val welchTx1e6: String =
+    s"""CAST(floor((CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   / sqrt(${welchSe2("a")} + ${welchSe2("b")})
+                   * 1000000) AS BIGINT)"""
+  private[graft] val welchDfx1e3: String =
+    s"""CAST(floor((${welchSe2("a")} + ${welchSe2("b")})
+                   * (${welchSe2("a")} + ${welchSe2("b")})
+                   / (${welchSe2("a")} * ${welchSe2("a")}
+                        / CAST(n_a - 1 AS DOUBLE)
+                      + ${welchSe2("b")} * ${welchSe2("b")}
+                        / CAST(n_b - 1 AS DOUBLE))
+                   * 1000) AS BIGINT)"""
+
   /** q83's day-decomposed sweep-line core, shared with the property test
     * that replays random interval sets (including multi-day spans)
     * against a naive single-pass reference. Input: ±1 boundary points
@@ -2618,6 +2644,65 @@ object ExtendedQueries {
                CAST(floor(w.e * 1000000) AS BIGINT) AS ema_micros
         FROM walk w JOIN hi ON w.user_id = hi.user_id AND w.i = hi.m
         ORDER BY w.user_id"""),
-      doc = "exponentialMovingAverage: per-user sequential smoothing recurrence as one in-row fold after a single user-partitioned shuffle; identical IEEE multiply-add order on both engines, floor-to-integer surfaced value")
+      doc = "exponentialMovingAverage: per-user sequential smoothing recurrence as one in-row fold after a single user-partitioned shuffle; identical IEEE multiply-add order on both engines, floor-to-integer surfaced value"),
+
+    // ------------------------------------------------------------------
+    // q88: WELCH'S t-TEST (ClickHouse welchTTest / the A/B-experiment
+    // readout): for every pair of event types, the unequal-variance
+    // t statistic and Welch–Satterthwaite degrees of freedom over the
+    // value distributions. The scale story is the textbook one: the
+    // WHOLE test reduces to three exact integer moments per arm
+    // (n, Σcents, Σcents²) — fully partial-aggregable, so 100 TB of
+    // observations combine map-side into |arms| rows and the float
+    // stage runs on a handful of scalars. Cross-engine float
+    // determinism by construction: the moment sums are exact longs
+    // (floor-to-cents, the q73 convention) and the t/df formulas are
+    // spliced from ONE shared SQL string into both engines — identical
+    // expression tree ⟹ identical IEEE op order ⟹ identical doubles
+    // (sqrt is correctly rounded per IEEE 754) — surfaced floored
+    // (t·1e6, df·1e3), with the significance verdict compared on the
+    // floored integer so no float boundary can flip it.
+    QueryDef(
+      "q88_welch_ttest",
+      (s, dir) => {
+        import s.implicits._
+        val stats = Tables.events(s, dir)
+          .select($"event_type",
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("s1"),
+            sum($"cents" * $"cents").as("s2"))
+        val a = stats.select($"event_type".as("arm_a"), $"n".as("n_a"),
+          $"s1".as("s1_a"), $"s2".as("s2_a"))
+        val b = stats.select($"event_type".as("arm_b"), $"n".as("n_b"),
+          $"s1".as("s1_b"), $"s2".as("s2_b"))
+        a.join(broadcast(b), $"arm_a" < $"arm_b")
+          .selectExpr("arm_a", "arm_b", "n_a", "n_b",
+            s"$welchTx1e6 AS t_x1e6", s"$welchDfx1e3 AS df_x1e3")
+          .withColumn("significant", abs($"t_x1e6") > 1960000L)
+          .orderBy($"arm_a", $"arm_b")
+      },
+      Some(s"""
+        WITH stats AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s1,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                          * CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s2
+          FROM events GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS arm_a, b.event_type AS arm_b,
+                 a.n AS n_a, a.s1 AS s1_a, a.s2 AS s2_a,
+                 b.n AS n_b, b.s1 AS s1_b, b.s2 AS s2_b
+          FROM stats a JOIN stats b ON a.event_type < b.event_type),
+        t AS (
+          SELECT arm_a, arm_b, n_a, n_b,
+                 $welchTx1e6 AS t_x1e6, $welchDfx1e3 AS df_x1e3
+          FROM pairs)
+        SELECT arm_a, arm_b, n_a, n_b, t_x1e6, df_x1e3,
+               abs(t_x1e6) > 1960000 AS significant
+        FROM t ORDER BY arm_a, arm_b"""),
+      doc = "Welch's t-test between every event-type pair: three exact integer moments per arm (fully partial-aggregable — 100 TB reduces map-side to |arms| rows), t and Welch-Satterthwaite df from ONE SQL string spliced into both engines (identical IEEE op order), floored-integer significance verdict")
   )
 }

@@ -588,6 +588,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q88 Welch formulas reproduce a hand-computed t and df on planted moments") {
+    // arm a: cents {100, 200, 300} → n=3, s1=600, s2=140000
+    // arm b: cents {100, 100, 400, 400} → n=4, s1=1000, s2=340000
+    val xa = Seq(100.0, 200.0, 300.0)
+    val xb = Seq(100.0, 100.0, 400.0, 400.0)
+    def mom(x: Seq[Double]) = (x.length.toLong,
+      x.sum.toLong, x.map(v => v * v).sum.toLong)
+    val ((na, s1a, s2a), (nb, s1b, s2b)) = (mom(xa), mom(xb))
+    def se2(n: Long, s1: Long, s2: Long) =
+      (s2.toDouble - s1.toDouble * s1.toDouble / n.toDouble) /
+        (n - 1).toDouble / n.toDouble
+    val (va, vb) = (se2(na, s1a, s2a), se2(nb, s1b, s2b))
+    val expT = math.floor((s1a.toDouble / na - s1b.toDouble / nb) /
+      math.sqrt(va + vb) * 1e6).toLong
+    val expDf = math.floor((va + vb) * (va + vb) /
+      (va * va / (na - 1) + vb * vb / (nb - 1)) * 1e3).toLong
+    val got = Seq((na, s1a, s2a, nb, s1b, s2b))
+      .toDF("n_a", "s1_a", "s2_a", "n_b", "s1_b", "s2_b")
+      .selectExpr(
+        s"${operators.ExtendedQueries.welchTx1e6} AS t",
+        s"${operators.ExtendedQueries.welchDfx1e3} AS df")
+      .as[(Long, Long)].head()
+    assert(got == ((expT, expDf)), s"got $got expected ($expT, $expDf)")
+    assert(expDf >= 2000 && expDf < 6000, "df must land between min(n)-1 and n_a+n_b-2")
+  }
+
   test("c06 export fingerprints are valid JSON lines and cover every doc") {
     val df = QueryDef.registry.find(_.name == "c06_jsonl_export").get
       .build(spark, sfDir)

@@ -890,6 +890,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q88 Welch test: moments partial-aggregate; only |arms|-row aggregates meet the pair join") {
+    val p = plan("q88_welch_ttest")
+    // the scale contract: the float stage runs on aggregate outputs only
+    // (a BroadcastNestedLoopJoin is expected and FINE here — the non-equi
+    // arm_a < arm_b pairing joins two ≤|arms|-row aggregates, never scans)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"moments not map-side combined:\n$p")
+    val joinIdx = p.linesIterator.indexWhere(_.contains("Join"))
+    val aggIdx = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"the pair join must sit ABOVE the aggregates (join row counts bounded by arms):\n$p")
+  }
+
   test("d38/d39 signature audits: cartesian-free, one feature projection per pair side") {
     // the d32 lesson: signature and shingle set must ride ONE per-doc
     // projection per pair side, not four separate corpus scans — lock
