@@ -13,11 +13,20 @@ cd "$(dirname "$0")/.."
 
 FILTER="${1:-}"
 FAILED=0
+# per-invocation dirs (PID-scoped so a concurrent filtered run can't
+# clobber a full gate's in-flight dump); removed only on a PASSING
+# exit — on any failure (gate FAIL, set -e abort, ctrl-C) the dumps
+# persist for post-mortem and the trap prints where they are
+cleanup() {
+  if [ "${OK:-0}" -eq 1 ]; then
+    rm -rf "/tmp/check_sf0.001_$$" "/tmp/check_sf0.01_$$"
+  else
+    echo "dumps preserved: /tmp/check_sf0.001_$$ /tmp/check_sf0.01_$$" >&2
+  fi
+}
+trap cleanup EXIT
 for SF in sf0.001 sf0.01; do
-  # per-invocation dir: a concurrent filtered run must not clobber a
-  # full gate's in-flight dump (PID-scoped, cleaned on exit)
   OUT="/tmp/check_${SF}_$$"
-  trap 'rm -rf /tmp/check_sf0.001_$$ /tmp/check_sf0.01_$$' EXIT
   rm -rf "$OUT"
   echo "=== $SF: Verify → $OUT ==="
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/$SF $OUT $FILTER" 2>&1 \
@@ -39,4 +48,5 @@ for SF in sf0.001 sf0.01; do
   fi
 done
 if [ "$FAILED" -ne 0 ]; then echo "CHECK FAILED"; exit 1; fi
+OK=1
 echo "CHECK OK (both SFs)"

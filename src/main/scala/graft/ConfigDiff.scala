@@ -58,7 +58,7 @@ object ConfigDiff {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.codegen.wholeStage" -> "true",
       "spark.sql.shuffle.partitions" -> cpus)
-    var nQueries = 0; var nMismatch = 0
+    var nQueries = 0; var nMismatch = 0; var nErrors = 0
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
@@ -82,14 +82,19 @@ object ConfigDiff {
           println(s"MISMATCH $name  ${bad.mkString("; ")}")
         }
       } catch {
-        case e: Throwable =>
-          nQueries += 1; nMismatch += 1
-          println(s"MISMATCH $name  harness error: ${e.getMessage}")
+        // harness errors are NOT robustness mismatches: count them
+        // separately (still gate-failing) and let fatal JVM errors
+        // (OOM, stack overflow) propagate — a dying JVM must crash the
+        // sweep loudly, not be folded into the mismatch tally
+        case scala.util.control.NonFatal(e) =>
+          nQueries += 1; nErrors += 1
+          println(s"ERROR $name  harness error: ${e.getMessage}")
       }
     }
     println(s"""{"metric":"config_diff","queries":$nQueries,""" +
-      s""""variants":${variants.size},"mismatches":$nMismatch,"sf":"$sfDir"}""")
+      s""""variants":${variants.size},"mismatches":$nMismatch,""" +
+      s""""errors":$nErrors,"sf":"$sfDir"}""")
     spark.stop()
-    if (nMismatch > 0) sys.exit(1)
+    if (nMismatch > 0 || nErrors > 0) sys.exit(1)
   }
 }

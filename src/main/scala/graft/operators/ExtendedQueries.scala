@@ -2655,8 +2655,10 @@ object ExtendedQueries {
     // (n, Σcents, Σcents²) — fully partial-aggregable, so 100 TB of
     // observations combine map-side into |arms| rows and the float
     // stage runs on a handful of scalars. Cross-engine float
-    // determinism by construction: the moment sums are exact longs
-    // (floor-to-cents, the q73 convention) and the t/df formulas are
+    // determinism by construction: the moment sums are exact integers
+    // — floor-to-cents (the q73 convention) accumulated in
+    // DECIMAL(38,0) on Spark and HUGEINT in DuckDB, so no row count
+    // reachable at 100 TB can wrap them — and the t/df formulas are
     // spliced from ONE shared SQL string into both engines — identical
     // expression tree ⟹ identical IEEE op order ⟹ identical doubles
     // (sqrt is correctly rounded per IEEE 754) — surfaced floored
@@ -2670,8 +2672,14 @@ object ExtendedQueries {
           .select($"event_type",
             expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
           .groupBy($"event_type")
-          .agg(count(lit(1)).as("n"), sum($"cents").as("s1"),
-            sum($"cents" * $"cents").as("s2"))
+          // moments accumulate in DECIMAL(38,0) — the per-row cents²
+          // product is an exact long (requires |value| < ~3e7 so
+          // cents² < 2⁶³), but the SUM over 100 TB of rows would wrap
+          // a long silently in non-ANSI Spark; decimal accumulation is
+          // exact to ~1e38, matching the oracle's HUGEINT accumulation
+          .agg(count(lit(1)).as("n"),
+            sum($"cents".cast("decimal(38,0)")).as("s1"),
+            sum(($"cents" * $"cents").cast("decimal(38,0)")).as("s2"))
         val a = stats.select($"event_type".as("arm_a"), $"n".as("n_a"),
           $"s1".as("s1_a"), $"s2".as("s2_a"))
         val b = stats.select($"event_type".as("arm_b"), $"n".as("n_b"),
@@ -2684,12 +2692,13 @@ object ExtendedQueries {
       },
       Some(s"""
         WITH stats AS (
+          -- moment sums stay in DuckDB's HUGEINT accumulator (exact),
+          -- mirroring the Spark side's DECIMAL(38,0) accumulation; both
+          -- engines only narrow to DOUBLE inside the shared formula
           SELECT event_type, COUNT(*) AS n,
-                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-                   AS s1,
-                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)
-                          * CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-                   AS s2
+                 SUM(CAST(floor(value * 100) AS BIGINT)) AS s1,
+                 SUM(CAST(floor(value * 100) AS BIGINT)
+                     * CAST(floor(value * 100) AS BIGINT)) AS s2
           FROM events GROUP BY event_type),
         pairs AS (
           SELECT a.event_type AS arm_a, b.event_type AS arm_b,

@@ -16,35 +16,53 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * bit-exactly — StreamingSpec asserts final floor(e·1e6) values equal
   * the q87 batch output on the identical event set.
   *
-  * State per key: one boolean + one double. Rows are sorted by event
-  * time within each micro-batch (the iterator carries no order
-  * contract); cross-batch order is the trigger's responsibility.
+  * Ordering contract — ENFORCED, not assumed: the EMA is a sequential
+  * fold, so one cross-batch out-of-order event would silently corrupt a
+  * user's state forever. The state therefore carries the last-applied
+  * (tsMicros, event_id); any row at or before that watermark is DROPPED
+  * and counted, and every emitted row surfaces the running `n_dropped`
+  * so contract violations are observable at the sink instead of silent.
+  * Within a micro-batch rows are sorted (the iterator carries no order
+  * contract); across batches the monotone check is the guard.
+  *
+  * State per key: (started, e, n, lastTs, lastEid, nDropped) — two
+  * longs of watermark + a counter on top of the boolean + double.
   */
 object EmaStream {
   case class Obs(user_id: Long, event_id: Long, tsMicros: Long,
       value: Double)
-  case class Ema(user_id: Long, n_seen: Long, ema_micros: Long)
+  case class Ema(user_id: Long, n_seen: Long, ema_micros: Long,
+      n_dropped: Long)
 
   /** One recurrence step — q87's multiply-add order, verbatim. */
   def step(started: Boolean, e: Double, x: Double): Double =
     if (started) 0.25 * x + 0.75 * e else x
 
+  case class St(started: Boolean, e: Double, n: Long,
+      lastTs: Long, lastEid: Long, nDropped: Long)
+
   private class Processor extends StatefulProcessor[Long, Obs, Ema] {
-    @transient private var st: ValueState[(Boolean, Double, Long)] = _
+    @transient private var st: ValueState[St] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[(Boolean, Double, Long)]("ema",
-        Encoders.product[(Boolean, Double, Long)], TTLConfig.NONE)
+      st = getHandle.getValueState[St]("ema",
+        Encoders.product[St], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[Obs],
         timers: TimerValues): Iterator[Ema] = {
-      var (started, e, n) = if (st.exists()) st.get()
-        else (false, 0.0, 0L)
+      var s = if (st.exists()) st.get()
+        else St(false, 0.0, 0L, Long.MinValue, Long.MinValue, 0L)
       rows.toSeq.sortBy(r => (r.tsMicros, r.event_id)).foreach { r =>
-        e = step(started, e, r.value); started = true; n += 1
+        val inOrder = r.tsMicros > s.lastTs ||
+          (r.tsMicros == s.lastTs && r.event_id > s.lastEid)
+        s = if (inOrder)
+          St(true, step(s.started, s.e, r.value), s.n + 1,
+            r.tsMicros, r.event_id, s.nDropped)
+        else s.copy(nDropped = s.nDropped + 1)
       }
-      st.update((started, e, n))
-      Iterator.single(Ema(key, n, math.floor(e * 1000000.0).toLong))
+      st.update(s)
+      Iterator.single(Ema(key, s.n,
+        math.floor(s.e * 1000000.0).toLong, s.nDropped))
     }
   }
 

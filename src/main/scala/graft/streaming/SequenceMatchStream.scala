@@ -22,8 +22,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * batch side): l1 tracks the latest 'view'; l2 the latest 'click'
   * within `GapMicros` of l1; l3 the latest 'purchase' within `GapMicros`
   * of l2. Rows are sorted by event time within each micro-batch (the
-  * iterator carries no order contract); cross-batch order is the
-  * trigger's responsibility, as with every event-time streaming op.
+  * iterator carries no order contract); cross-batch the per-key
+  * last-seen watermark in state drops-and-counts out-of-order arrivals
+  * (see `St`), so a source that violates event-time order is detected
+  * rather than silently corrupting the DP.
   *
   * State per key is three longs in a `ValueState` — O(users) tiny rows
   * on the RocksDB store. Each batch emits the key's updated stage, so
@@ -35,7 +37,7 @@ object SequenceMatchStream {
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long,
       event_type: String)
   case class Stage(user_id: Long, gap_stage: Int, matched: Boolean,
-      l1: Long, l2: Long, l3: Long)
+      l1: Long, l2: Long, l3: Long, n_dropped: Long)
 
   /** One DP step — the gapDpCol lambda in plain Scala. */
   def advance(s: (Long, Long, Long), typ: String, t: Long)
@@ -51,21 +53,39 @@ object SequenceMatchStream {
   def stageOf(s: (Long, Long, Long)): Int =
     if (s._3 >= 0) 3 else if (s._2 >= 0) 2 else if (s._1 >= 0) 1 else 0
 
+  /** DP state + ordering watermark: the DP is only replay-safe when
+    * events apply in event-time order (a late 'view' would overwrite l1
+    * backwards), so the state carries the last-applied (tsMicros,
+    * event_id); rows at or before it are dropped and counted, and every
+    * emitted Stage surfaces the running drop count — contract
+    * violations are observable at the sink instead of silently
+    * corrupting the funnel.
+    */
+  case class St(l1: Long, l2: Long, l3: Long,
+      lastTs: Long, lastEid: Long, nDropped: Long)
+
   private class Processor extends StatefulProcessor[Long, Ev, Stage] {
-    @transient private var dp: ValueState[(Long, Long, Long)] = _
+    @transient private var dp: ValueState[St] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      dp = getHandle.getValueState[(Long, Long, Long)]("dp",
-        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+      dp = getHandle.getValueState[St]("dp",
+        Encoders.product[St], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         timers: TimerValues): Iterator[Stage] = {
-      var s = if (dp.exists()) dp.get() else (-1L, -1L, -1L)
-      rows.toSeq.sortBy(r => (r.tsMicros, r.event_id))
-        .foreach(r => s = advance(s, r.event_type, r.tsMicros))
+      var s = if (dp.exists()) dp.get()
+        else St(-1L, -1L, -1L, Long.MinValue, Long.MinValue, 0L)
+      rows.toSeq.sortBy(r => (r.tsMicros, r.event_id)).foreach { r =>
+        val inOrder = r.tsMicros > s.lastTs ||
+          (r.tsMicros == s.lastTs && r.event_id > s.lastEid)
+        s = if (inOrder) {
+          val d = advance((s.l1, s.l2, s.l3), r.event_type, r.tsMicros)
+          St(d._1, d._2, d._3, r.tsMicros, r.event_id, s.nDropped)
+        } else s.copy(nDropped = s.nDropped + 1)
+      }
       dp.update(s)
-      Iterator.single(
-        Stage(key, stageOf(s), s._3 >= 0, s._1, s._2, s._3))
+      Iterator.single(Stage(key, stageOf((s.l1, s.l2, s.l3)), s.l3 >= 0,
+        s.l1, s.l2, s.l3, s.nDropped))
     }
   }
 

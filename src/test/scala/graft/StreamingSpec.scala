@@ -432,6 +432,11 @@ class StreamingSpec extends AnyFunSuite {
           mem.addData(Seq((planted, 900000L + i, t0 + i * 600000000L, ty)))
           q.processAllAvailable()
         }
+        // an out-of-order 'view' for the planted user (earlier than its
+        // last applied event): if applied it would rewind l1 and break
+        // the funnel; the ordering guard must drop-and-count it instead
+        mem.addData(Seq((planted, 900010L, t0 - 1000000L, "view")))
+        q.processAllAvailable()
         // the DP state only advances, so each user's FINAL state is the
         // componentwise max over its emitted per-batch rows
         val got = spark.table("seqmatch_mem")
@@ -443,6 +448,13 @@ class StreamingSpec extends AnyFunSuite {
             (r.getLong(0),
               graft.streaming.SequenceMatchStream.stageOf(s), s._3 >= 0)
           }.toSet
+        val plantedDrops = spark.table("seqmatch_mem")
+          .filter($"user_id" === planted)
+          .agg(max($"n_dropped"), min($"l1")).as[(Long, Long)].head()
+        assert(plantedDrops._1 == 1L,
+          s"out-of-order event must be counted once: $plantedDrops")
+        assert(plantedDrops._2 == t0,
+          s"late view must not rewind l1: $plantedDrops")
         val batch = SparkEntry.queries("q86_sequence_match_gap")(spark, sfDir)
           .as[(Long, Int, Boolean)].collect().toSet
         assert(got.filterNot(_._1 == planted) == batch,
@@ -484,6 +496,13 @@ class StreamingSpec extends AnyFunSuite {
           mem.addData(slice)
           q.processAllAvailable()
         }
+        // an out-of-order replay of one user's FIRST event, arriving
+        // after its whole series: if applied it would corrupt the EMA
+        // forever; the ordering guard must drop-and-count it so the
+        // batch comparison below still holds exactly
+        val victim = evs.head
+        mem.addData(Seq(victim))
+        q.processAllAvailable()
         // n_seen is monotone per user: max row = final state
         val got = spark.table("ema_mem")
           .groupBy($"user_id")
@@ -494,6 +513,11 @@ class StreamingSpec extends AnyFunSuite {
           .as[(Long, Long, Long)].collect().toSet
         assert(got == batch,
           s"stream EMA diverged from q87 batch: ${got.diff(batch)} / ${batch.diff(got)}")
+        val victimDrops = spark.table("ema_mem")
+          .filter($"user_id" === victim._1)
+          .agg(max($"n_dropped")).as[Long].head()
+        assert(victimDrops == 1L,
+          s"out-of-order replay must be counted once, got $victimDrops")
       } finally q.stop()
     } finally {
       prev match {
