@@ -1399,7 +1399,81 @@ object DocsisQueries {
                CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                  AS cents
         FROM events GROUP BY 1, 2 ORDER BY date, event_type"""),
-      doc = "insert-maintained materialized view: per-batch pre-aggregated deltas feed a separate SummingMergeTree-style view table under the base append's txn id (replay-idempotent pair, self-healing), served aggregate re-sums view partials only — never rescans the fact table; physical convergence proven answer-neutral")
+      doc = "insert-maintained materialized view: per-batch pre-aggregated deltas feed a separate SummingMergeTree-style view table under the base append's txn id (replay-idempotent pair, self-healing), served aggregate re-sums view partials only — never rescans the fact table; physical convergence proven answer-neutral"),
+
+    // ------------------------------------------------------------------
+    // dx32: TOKEN-BLOOM text skip index (ClickHouse `tokenbf_v1`,
+    // tables.sql's engine family) — the keyword-search member that
+    // completes the skip-index family after minmax (dx10), bloom (dx16)
+    // and set (dx30). Free text has no exploitable order, so min/max
+    // stats are PROVABLY powerless on a token-membership predicate (the
+    // in-body require asserts statTouched == total); each part's fixed
+    // 8 KiB token bloom, built in ONE distributed pass at commit time,
+    // proves which parts cannot contain the probed token. At 100 TB this
+    // is the difference between a full corpus scan and a pruned one for
+    // every `hasToken` keyword filter. The probe is the corpus's RAREST
+    // token (data-derived, like dx16's median user — exists at every SF
+    // and prunes meaningfully because rarity × 16-doc parts keeps many
+    // parts token-free); the oracle hash-checks the read-back rows, so
+    // the pruned path must also be exactly correct, bloom false
+    // positives included (readWhere re-applies the predicate in full).
+    // The surfaced per-part false-positive rate must stay under 1% —
+    // the saturation observability contract.
+    QueryDef(
+      "dx32_token_bloom_skip_index",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx32_fact").toString
+        val t = new graft.storage.FactTable(dir, s,
+          tokenBloomCols = Seq("text"))
+        val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        // fixed ~16-doc parts: prune power depends on token-frequency ×
+        // docs-per-part, so part SIZE (not count) is the held constant —
+        // the MergeTree part-granularity analog
+        val nParts = math.max(1, math.ceil(docs.count() / 16.0).toInt)
+        t.append(docs.repartition(nParts, $"doc_id"), 0)
+        val tok = docs
+          .select($"doc_id", explode(split($"text",
+            graft.storage.StatsPruning.TokenSplitRe)).as("tok"))
+          .filter($"tok" =!= "")
+          .groupBy($"tok").agg(countDistinct($"doc_id").as("d"))
+          .orderBy($"d".asc, $"tok".asc).head().getString(0)
+        val probe = graft.storage.FactTable.hasToken($"text", tok)
+        val files = t.snapshot().files
+        val statTouched = files.count(f =>
+          !graft.storage.StatsPruning.canPrune(probe, f.stats))
+        val (touched, total) = t.pruneReport(probe)
+        require(statTouched == total,
+          s"min/max stats cannot prune token predicates " +
+            s"($statTouched of $total) at $dir")
+        require(touched < total,
+          s"token bloom must prune ($touched of $total kept) at $dir")
+        val fpps = t.tokenBloomFpp("text")
+        require(fpps.nonEmpty && fpps.forall(_._2 < 0.01),
+          s"token blooms saturated: ${fpps.map(_._2).max} at $dir")
+        t.readWhere(probe)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+            min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(text, '[^A-Za-z0-9]+')) AS tok
+          FROM documents),
+        rare AS (
+          SELECT tok FROM toks WHERE tok <> ''
+          GROUP BY tok ORDER BY COUNT(DISTINCT doc_id) ASC, tok ASC LIMIT 1)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM documents, rare
+        WHERE list_contains(
+                string_split_regex(text, '[^A-Za-z0-9]+'), rare.tok)
+        GROUP BY lang ORDER BY lang"""),
+      doc = "tokenbf_v1 text skip index: per-part fixed-size token blooms (one distributed build pass per commit) prune hasToken keyword filters that min/max stats provably cannot; false-positive rate surfaced and bounded in-body")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -61,10 +61,25 @@ import org.apache.spark.sql.functions._
   *   die with them at vacuum. At 100 TB a rollup query touches
   *   O(parts × groups-per-part) sidecar rows and never the base data.
   */
+/** @param tokenBloomCols text columns to index with a per-part TOKEN
+  *   Bloom skip index (the ClickHouse `tokenbf_v1` secondary-index
+  *   analog): every part gets a fixed-size `<part>.tokbf.<col>` sidecar
+  *   holding a Bloom filter over the column's alphanumeric tokens
+  *   (`StatsPruning.TokenSplitRe`), and `readWhere`/`pruneReport`
+  *   consult it for `FactTable.hasToken(col, 'tok')` conjuncts. This is
+  *   the keyword-search index: min/max stats can NEVER prune a
+  *   token-membership predicate (free text has no useful order), so at
+  *   100 TB every `hasToken` filter is a full corpus scan without it.
+  *   Sidecars are built in ONE distributed pass per staged generation
+  *   (fixed-size partial filters merge map-side — the same move Delta
+  *   makes collecting per-file stats from the write tasks), not one
+  *   driver job per part.
+  */
 class FactTable(val root: String, spark: SparkSession,
     bloomCols: Seq[String] = Nil,
     projections: Seq[FactTable.ProjectionSpec] = Nil,
-    setIndexCols: Seq[String] = Nil) {
+    setIndexCols: Seq[String] = Nil,
+    tokenBloomCols: Seq[String] = Nil) {
   import FactTable._
 
   private val rootPath = new Path(root)
@@ -213,7 +228,7 @@ class FactTable(val root: String, spark: SparkSession,
     */
   def cloneShallowTo(destRoot: String): FactTable = {
     val dest = new FactTable(destRoot, spark, bloomCols, projections,
-      setIndexCols)
+      setIndexCols, tokenBloomCols)
     require(fs.listStatus(dest.logDir).isEmpty,
       s"shallow clone target $destRoot already has a log")
     val snap = snapshot()
@@ -493,6 +508,11 @@ class FactTable(val root: String, spark: SparkSession,
         fs.delete(new Path(p + ".set." + c), false)
         setCache.remove(p + ".set." + c)
       }
+      // token-bloom skip-index sidecars: same lifecycle as the blooms
+      tokenBloomCols.foreach { c =>
+        fs.delete(new Path(p + ".tokbf." + c), false)
+        tokenBloomCache.remove(p + ".tokbf." + c)
+      }
       // projection sidecars are parquet DIRECTORIES — recursive delete
       projections.foreach(s => fs.delete(new Path(p + ".proj." + s.name), true))
       // deletion-vector sidecars of reconciled tombstone parts
@@ -691,7 +711,7 @@ class FactTable(val root: String, spark: SparkSession,
     val snap = snapshot()
     val victims = snap.dataFiles.filterNot(f =>
       StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f) ||
-        setPruned(cond, f))
+        setPruned(cond, f) || tokenBloomPruned(cond, f))
     if (victims.isEmpty) return 0L
     val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
     // DELETE semantics: remove only rows where cond is TRUE. A bare
@@ -901,7 +921,7 @@ class FactTable(val root: String, spark: SparkSession,
     // no matching row are never masked (and never rewritten later)
     val victims = snap.dataFiles.filterNot(f =>
       StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f) ||
-        setPruned(cond, f))
+        setPruned(cond, f) || tokenBloomPruned(cond, f))
     if (victims.isEmpty) return 0L
     val target = new Path(dataDir, s"tomb-${java.util.UUID.randomUUID()}")
     masked(victims, snap.tombFiles)
@@ -1050,7 +1070,7 @@ class FactTable(val root: String, spark: SparkSession,
     val all = snap.dataFiles
     val kept = all.filterNot(f =>
       StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f) ||
-        setPruned(cond, f))
+        setPruned(cond, f) || tokenBloomPruned(cond, f))
     if (kept.isEmpty) // schema from any live file, zero rows
       readFiles(all.take(1)).where(lit(false))
     else masked(kept, snap.tombFiles).where(cond)
@@ -1065,7 +1085,7 @@ class FactTable(val root: String, spark: SparkSession,
     val files = snapshot(asOfVersion).dataFiles
     (files.count(f =>
       !StatsPruning.canPrune(cond, f.stats) && !bloomPruned(cond, f) &&
-        !setPruned(cond, f)),
+        !setPruned(cond, f) && !tokenBloomPruned(cond, f)),
       files.size)
   }
 
@@ -1141,7 +1161,15 @@ class FactTable(val root: String, spark: SparkSession,
         }
         FileEntry(f.path, rows, f.bytes, tier, now, stats)
       } }
-      Await.result(Future.sequence(futs), Duration.Inf)
+      val entries = Await.result(Future.sequence(futs), Duration.Inf)
+      // token blooms are built in ONE distributed job over the whole
+      // staged generation (per indexed column), not per part — fixed-size
+      // partial filters combine map-side, so a commit staging thousands
+      // of parts costs one shuffle of #parts × bloom-size, never
+      // thousands of driver-coordinated jobs
+      if (tier != TierTomb && files.nonEmpty)
+        writeTokenBloomSidecars(files.map(_.path))
+      entries
     } finally pool.shutdown()
   }
 
@@ -1256,7 +1284,7 @@ class FactTable(val root: String, spark: SparkSession,
     */
   private[storage] def sidecarPruned(cond: org.apache.spark.sql.Column,
       f: FileEntry): Boolean =
-    bloomPruned(cond, f) || setPruned(cond, f)
+    bloomPruned(cond, f) || setPruned(cond, f) || tokenBloomPruned(cond, f)
 
   private def setPruned(cond: org.apache.spark.sql.Column,
       f: FileEntry): Boolean = {
@@ -1280,6 +1308,90 @@ class FactTable(val root: String, spark: SparkSession,
           vs.forall(v => absent(attr, v))
       })
   }
+
+  // ------------------------------------------- token-bloom skip index
+
+  /** One distributed pass writes every staged part's token-bloom
+    * sidecar: tokenize the indexed column, group by source file, OR the
+    * fixed-size partial filters together (map-side combine keeps the
+    * shuffle at #parts × 8 KiB regardless of row count), then write one
+    * `<part>.tokbf.<col>` per part. A part contributing no tokens (all
+    * NULL/empty, or the column physically absent from the file — its
+    * rows read back as NULL, which no token predicate matches) gets an
+    * EMPTY bloom, which correctly proves every token absent; a MISSING
+    * sidecar stays reserved for "legacy part, cannot prune".
+    */
+  private def writeTokenBloomSidecars(parts: Seq[String]): Unit = {
+    if (tokenBloomCols.isEmpty || parts.isEmpty) return
+    // keyed by scheme-stripped ABSOLUTE path: a partitioned write reuses
+    // one file name across partition directories, so names collide
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val byPath = parts.map(p => norm(p) -> p).toMap
+    val df0 = spark.read.parquet(parts: _*)
+    tokenBloomCols.foreach { c =>
+      val have = df0.columns.contains(c)
+      val built: Map[String, Array[Byte]] = if (!have) Map.empty else {
+        val agg = udaf(new FactTable.TokenBloomAgg,
+          org.apache.spark.sql.Encoders.STRING)
+        df0.select(input_file_name().as("__f"),
+            explode(split(coalesce(col(c), lit("")),
+              StatsPruning.TokenSplitRe)).as("__t"))
+          .filter(col("__t") =!= "")
+          .groupBy(col("__f")).agg(agg(col("__t")).as("__b"))
+          .collect()
+          .map(r => norm(r.getString(0)) -> r.getAs[Array[Byte]](1)).toMap
+      }
+      if (have) parts.foreach { part =>
+        val bytes = built.getOrElse(norm(part),
+          FactTable.TokenBloom.toBytes(FactTable.TokenBloom.emptyBits))
+        val out = fs.create(new Path(part + ".tokbf." + c), true)
+        try out.write(bytes) finally out.close()
+      }
+    }
+  }
+
+  private val tokenBloomCache =
+    scala.collection.concurrent.TrieMap[String, Option[Array[Long]]]()
+
+  private def tokenBloomOf(part: String, c: String): Option[Array[Long]] =
+    tokenBloomCache.getOrElseUpdate(part + ".tokbf." + c, {
+      val p = new Path(part + ".tokbf." + c)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](FactTable.TokenBloom.SidecarBytes)
+          in.readFully(buf)
+          Some(FactTable.TokenBloom.fromBytes(buf))
+        } finally in.close()
+      }
+    })
+
+  /** True iff some `hasToken(col, 'tok')` conjunct of `cond` over a
+    * token-indexed column is PROVEN absent from the part by its token
+    * bloom. Conservative: missing sidecar / unrecognized predicates
+    * never prune; a "maybe" keeps the file (false positives cost a
+    * read, never a row — readWhere re-applies the predicate in full).
+    */
+  private def tokenBloomPruned(cond: org.apache.spark.sql.Column,
+      f: FileEntry): Boolean =
+    tokenBloomCols.nonEmpty && StatsPruning.tokenProbes(cond).exists {
+      case (attr, tok) => tokenBloomCols.contains(attr) &&
+        tokenBloomOf(f.path, attr).exists(bits =>
+          !FactTable.TokenBloom.mightContain(bits, tok))
+    }
+
+  /** Per-part expected false-positive rate of the token bloom on `c` —
+    * `(fraction of set bits)^k`, the standard saturation estimate. The
+    * observability hook: a saturated filter (fpp → 1) still prunes
+    * nothing incorrectly, it just stops pruning; surfacing the rate is
+    * how an operator notices the fixed 8 KiB sidecar needs re-sizing
+    * for a fatter per-part vocabulary.
+    */
+  def tokenBloomFpp(c: String): Seq[(String, Double)] =
+    snapshot().dataFiles.flatMap(f =>
+      tokenBloomOf(f.path, c).map(bits =>
+        f.path -> FactTable.TokenBloom.expectedFpp(bits)))
 
   // ---------------------------------------------------- projections
 
@@ -1423,6 +1535,105 @@ object FactTable {
     */
   final case class ProjectionSpec(name: String, keyCols: Seq[String],
       sumCols: Seq[String])
+
+  /** Token-membership predicate over a text column — the probe shape
+    * the token-bloom skip index (`tokenBloomCols`) can prune. Built
+    * from the SAME tokenizer the sidecar writer uses, so index and
+    * predicate can never disagree on token boundaries. The token must
+    * itself be a single token (no separators), or no row could ever
+    * match it.
+    */
+  def hasToken(c: org.apache.spark.sql.Column, tok: String)
+      : org.apache.spark.sql.Column = {
+    require(tok.nonEmpty && tok.matches("[A-Za-z0-9]+"),
+      s"'$tok' is not a single alphanumeric token")
+    array_contains(split(c, StatsPruning.TokenSplitRe), lit(tok))
+  }
+
+  /** Fixed-geometry Bloom filter over string tokens — the ClickHouse
+    * `tokenbf_v1(size, hashes, seed)` analog with engine-fixed defaults
+    * (8 KiB, k=7, Kirsch–Mitzenmacher double hashing over two murmur3
+    * seeds). Fixed geometry is what makes the per-part partials
+    * OR-mergeable in one distributed aggregation; 8 KiB holds ~6k
+    * tokens at <1% fpp, and saturation beyond that degrades pruning
+    * power, never correctness (see `tokenBloomFpp`).
+    */
+  object TokenBloom {
+    val NumBits = 1 << 16
+    val NumHashes = 7
+    val NumWords: Int = NumBits / 64
+    val SidecarBytes: Int = NumWords * 8
+
+    def emptyBits: Array[Long] = new Array[Long](NumWords)
+
+    private def bitAt(tok: String, i: Int): Int = {
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x85ebca6b)
+      (((h1.toLong + i.toLong * h2.toLong) & 0x7fffffffffffffffL)
+        % NumBits).toInt
+    }
+
+    def put(bits: Array[Long], tok: String): Unit = {
+      var i = 0
+      while (i < NumHashes) {
+        val b = bitAt(tok, i); bits(b >> 6) |= 1L << (b & 63); i += 1
+      }
+    }
+
+    def mightContain(bits: Array[Long], tok: String): Boolean = {
+      var i = 0
+      while (i < NumHashes) {
+        val b = bitAt(tok, i)
+        if ((bits(b >> 6) & (1L << (b & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+
+    def expectedFpp(bits: Array[Long]): Double = {
+      var ones = 0L
+      var i = 0
+      while (i < bits.length) { ones += java.lang.Long.bitCount(bits(i)); i += 1 }
+      math.pow(ones.toDouble / NumBits, NumHashes.toDouble)
+    }
+
+    def toBytes(bits: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(SidecarBytes)
+      bits.foreach(bb.putLong)
+      bb.array()
+    }
+
+    def fromBytes(bytes: Array[Byte]): Array[Long] = {
+      require(bytes.length == SidecarBytes,
+        s"token-bloom sidecar must be $SidecarBytes bytes, got ${bytes.length}")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Array.fill(NumWords)(bb.getLong())
+    }
+  }
+
+  /** Distributed per-part token-bloom build: fixed-size bit arrays OR
+    * together associatively/commutatively, so Spark's partial
+    * aggregation combines them map-side and the shuffle carries one
+    * 8 KiB buffer per (part, partition) — never the tokens themselves.
+    */
+  private[storage] class TokenBloomAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Array[Long], Array[Byte]] {
+    def zero: Array[Long] = TokenBloom.emptyBits
+    def reduce(b: Array[Long], tok: String): Array[Long] = {
+      TokenBloom.put(b, tok); b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Byte] = TokenBloom.toBytes(b)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
 
   final case class FileEntry(path: String, rows: Long, bytes: Long,
       tier: String, addedMs: Long,

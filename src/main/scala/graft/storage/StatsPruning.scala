@@ -213,6 +213,72 @@ object StatsPruning {
     }
   }
 
+  /** The tokenizer shared by `FactTable.hasToken` and the token-bloom
+    * sidecar writer: maximal alphanumeric runs, everything else is a
+    * separator (ClickHouse `tokenbf_v1`'s tokenization, case-sensitive).
+    * DuckDB's `string_split_regex(text, '[^A-Za-z0-9]+')` produces the
+    * identical token stream, so oracle SQL can mirror the predicate.
+    */
+  val TokenSplitRe = "[^A-Za-z0-9]+"
+
+  /** Top-level-conjunct token probes `(column, token)` — the shape a
+    * per-part token-Bloom skip index (tokenbf_v1) can test. Recognizes
+    * `array_contains(split(col, TokenSplitRe), 'tok')` — the tree
+    * `FactTable.hasToken` builds — in both its unresolved Column-DSL
+    * form and the resolved Catalyst form. Only a split on EXACTLY the
+    * shared tokenizer regex qualifies: a different separator produces a
+    * different token stream than the sidecar indexed, and pruning on it
+    * would drop live rows. Anything under an OR is ignored.
+    */
+  def tokenProbes(cond: Column): Seq[(String, String)] = {
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    object SplitTokens {
+      def unapply(e: ce.Expression): Option[String] = e match {
+        case ce.StringSplit(a, re, _) =>
+          foldedValue(re).collect {
+            case s if s.toString == TokenSplitRe => ()
+          }.flatMap(_ => attrName(a))
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.length == 1 &&
+              f.nameParts.head.equalsIgnoreCase("split") &&
+              f.arguments.size >= 2 =>
+          foldedValue(f.arguments(1)).collect {
+            case s if s.toString == TokenSplitRe => ()
+          }.flatMap(_ => attrName(f.arguments.head))
+        case _ => None
+      }
+    }
+    object TokenPredicate {
+      def unapply(e: ce.Expression): Option[(String, String)] = {
+        val args: Option[(ce.Expression, ce.Expression)] = e match {
+          case ce.ArrayContains(arr, v) => Some((arr, v))
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.nameParts.length == 1 &&
+                f.nameParts.head.equalsIgnoreCase("array_contains") &&
+                f.arguments.size == 2 =>
+            Some((f.arguments.head, f.arguments(1)))
+          case _ => None
+        }
+        args.flatMap {
+          case (SplitTokens(attr), v) =>
+            foldedValue(v).collect {
+              case u: UTF8String => attr -> u.toString
+              case s: String => attr -> s
+            }
+          case _ => None
+        }
+      }
+    }
+    conjuncts(normalize(
+      org.apache.spark.sql.GraftColumnBridge.expression(cond))).flatMap {
+      case TokenPredicate(attr, tok) => Some(attr -> tok)
+      case _ => None
+    }
+  }
+
   /** Top-level-conjunct IN probes `(column, external values)` — the set
     * skip index can reject a part when EVERY listed value is absent from
     * its exact value set (a bloom cannot: each value needs its own

@@ -604,6 +604,72 @@ class FactTableSpec extends AnyFunSuite {
       s"orphan sidecars left behind: $remaining")
   }
 
+  test("token-bloom skip index: hasToken pruning, conservatism, fpp, lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("fact_tokbf").toString
+    val t = new FactTable(dir, spark, tokenBloomCols = Seq("text"))
+    def docs(id0: Long, day: String, texts: Seq[String]) =
+      texts.zipWithIndex.map { case (tx, i) => (id0 + i, tx) }
+        .toDF("doc_id", "text")
+        .withColumn("date", to_date(lit(day)))
+    t.append(docs(0, "2024-03-01",
+      Seq("alpha beta common", "beta common alpha")).coalesce(1), 0)
+    t.append(docs(10, "2024-03-01",
+      Seq("gamma delta common", "delta gamma, common!")).coalesce(1), 1)
+    val probe = FactTable.hasToken($"text", "gamma")
+    // min/max stats are powerless on token membership — always
+    assert(t.snapshot().files.forall(f =>
+      !graft.storage.StatsPruning.canPrune(probe, f.stats)))
+    // the bloom keeps only the part that holds the token
+    assert(t.pruneReport(probe) == ((1, 2)))
+    assert(t.readWhere(probe).count() == 2)
+    // token present everywhere: nothing prunes, nothing lost
+    assert(t.pruneReport(FactTable.hasToken($"text", "common")) == ((2, 2)))
+    assert(t.readWhere(FactTable.hasToken($"text", "common")).count() == 4)
+    // conjunct of two probes: either side's absence prunes the part —
+    // no single part holds both alpha and gamma
+    assert(t.pruneReport(FactTable.hasToken($"text", "gamma") &&
+      FactTable.hasToken($"text", "alpha")) == ((0, 2)))
+    // OR never prunes (conservative)
+    assert(t.pruneReport(FactTable.hasToken($"text", "gamma") ||
+      FactTable.hasToken($"text", "alpha")) == ((2, 2)))
+    // a DIFFERENT tokenizer in the predicate must not consult the index:
+    // its token stream differs from what the sidecar indexed
+    assert(t.pruneReport(
+      array_contains(split($"text", " "), "gamma")) == ((2, 2)))
+    // surfaced per-part fpp: tiny vocab in an 8 KiB filter
+    val fpps = t.tokenBloomFpp("text")
+    assert(fpps.size == 2 && fpps.forall(_._2 < 0.01), fpps.toString)
+    // a part with no tokens at all: the EMPTY bloom proves every token
+    // absent (and never corrupts results)
+    t.append(docs(20, "2024-03-02", Seq("", "  ")).coalesce(1), 2)
+    assert(t.pruneReport(probe) == ((1, 3)))
+    assert(t.readWhere(probe).count() == 2)
+    // compact regenerates sidecars for the merged parts; answers hold
+    t.compact(sortCols = Seq("doc_id"))
+    assert(t.readWhere(probe).count() == 2)
+    val (keptC, totalC) = t.pruneReport(probe)
+    assert(keptC < totalC, s"post-compact bloom lost its power ($keptC/$totalC)")
+    // vacuum reclaims superseded sidecars — no orphans next to dead parts
+    t.vacuum()
+    val orphans = scala.collection.mutable.ArrayBuffer[String]()
+    val live = t.snapshot().files.map(_.path.stripPrefix("file:")).toSet
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+      if (p.toString.contains(".tokbf.") &&
+          !p.getFileName.toString.startsWith(".") &&
+          !live.exists(lp => p.toString.startsWith(lp))) orphans += p.toString
+    }
+    assert(orphans.isEmpty, s"orphan token-bloom sidecars: $orphans")
+    // missing sidecar (legacy part): conservative — never prunes,
+    // results stay exact
+    t.snapshot().files.foreach { f =>
+      val sc = new java.io.File(f.path.stripPrefix("file:") + ".tokbf.text")
+      if (sc.exists()) assert(sc.delete())
+    }
+    val t2 = new FactTable(dir, spark, tokenBloomCols = Seq("text"))
+    assert(t2.pruneReport(probe)._1 == t2.pruneReport(probe)._2)
+    assert(t2.readWhere(probe).count() == 2)
+  }
+
   test("concurrent appends: version-race loser retries and both commits land") {
     val root = java.nio.file.Files.createTempDirectory("fact_cc").toString
     val other = new FactTable(root, spark)
