@@ -2712,6 +2712,54 @@ object ExtendedQueries {
         SELECT arm_a, arm_b, n_a, n_b, t_x1e6, df_x1e3,
                abs(t_x1e6) > 1960000 AS significant
         FROM t ORDER BY arm_a, arm_b"""),
-      doc = "Welch's t-test between every event-type pair: three exact integer moments per arm (fully partial-aggregable — 100 TB reduces map-side to |arms| rows), t and Welch-Satterthwaite df from ONE SQL string spliced into both engines (identical IEEE op order), floored-integer significance verdict")
+      doc = "Welch's t-test between every event-type pair: three exact integer moments per arm (fully partial-aggregable — 100 TB reduces map-side to |arms| rows), t and Welch-Satterthwaite df from ONE SQL string spliced into both engines (identical IEEE op order), floored-integer significance verdict"),
+
+    // ------------------------------------------------------------------
+    // q89: deltaSum COUNTER RATE AS AN AGGREGATE (ClickHouse
+    // deltaSumTimestamp): q18's answer — Σ of non-negative consecutive
+    // per-user deltas — WITHOUT the per-read lag window. The window
+    // formulation shuffles every row to rebuild each user's sorted
+    // timeline on every dashboard read; the typed Aggregator reduces
+    // each time-range partition map-side into per-user sorted SEGMENTS
+    // (first/last sample + exact inner sum) and folds segment
+    // boundaries at finish, so only O(users × partitions) fixed-size
+    // summaries ever shuffle. The range-partition + within-partition
+    // sort pre-shape below stands in for the fact table's native
+    // time-clustered layout (parts sorted, date-partitioned) — on the
+    // stored table the scan is ALREADY in this shape and the aggregate
+    // runs shuffle-free before the final per-user merge. Oracle =
+    // q18's lag-window SQL verbatim: incremental-aggregate ≡ window is
+    // the row-hash gate itself.
+    QueryDef(
+      "q89_delta_sum_aggregate",
+      (s, dir) => {
+        import s.implicits._
+        val ds = udaf(new graft.functions.DeltaSumAggregator,
+          org.apache.spark.sql.Encoders.product[graft.functions.DeltaSumIn])
+        Tables.events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("tsm"),
+            $"event_id", $"value")
+          .repartitionByRange($"tsm", $"event_id")
+          .sortWithinPartitions($"tsm", $"event_id")
+          .groupBy($"user_id")
+          .agg(ds($"tsm", $"event_id", $"value").as("d"))
+          .select($"user_id",
+            $"d.sum_increase".as("sum_increase"),
+            $"d.n_increases".as("n_increases"),
+            $"d.n_events".as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id,
+               CAST(SUM(CAST(delta AS DECIMAL(18,6))) AS DOUBLE) AS sum_increase,
+               COUNT(delta) AS n_increases,
+               COUNT(*) AS n_events
+        FROM (
+          SELECT user_id, CASE WHEN d < 0.0 THEN NULL ELSE d END AS delta FROM (
+            SELECT user_id, value - LAG(value, 1) OVER
+                   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS d
+            FROM events) t1) t2
+        GROUP BY user_id ORDER BY user_id"""),
+      doc = "deltaSumTimestamp counter rate as a partial-aggregable typed Aggregator: per-partition sorted segments with boundary-aware merge replace q18's per-read lag-window sort; oracle is q18's window SQL verbatim")
   )
 }

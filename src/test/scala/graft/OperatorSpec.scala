@@ -1433,6 +1433,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg.finish(m) == 4L && m.vals == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("DeltaSumAggregator: merge-order independence, equals the window fold, bounded state") {
+    import graft.functions.{DeltaSumAggregator, DeltaSumIn}
+    val agg = new DeltaSumAggregator
+    // reference: q18's window formulation as a plain fold over the
+    // fully sorted timeline (negative delta ignored, HALF_UP to 1e-6)
+    def windowRef(rows: Seq[DeltaSumIn]): (Double, Long, Long) = {
+      val sorted = rows.sortBy(r => (r.tsMicros, r.eventId))
+      var sumU = 0L; var incr = 0L
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          val d = b.value - a.value
+          if (!(d < 0.0)) {
+            incr += 1
+            sumU += java.math.BigDecimal.valueOf(d)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+          }
+        case _ => ()
+      }
+      (new java.math.BigDecimal(java.math.BigInteger.valueOf(sumU), 6)
+        .doubleValue(), incr, sorted.size.toLong)
+    }
+    def out(b: graft.functions.DeltaSumBuf) = {
+      val o = agg.finish(b); (o.sum_increase, o.n_increases, o.n_events)
+    }
+    // a counter with resets (negative deltas) and duplicate-ts ties
+    val rnd = new scala.util.Random(42)
+    var v = 100.0
+    val rows = (0 until 400).map { i =>
+      v = if (rnd.nextInt(10) == 0) rnd.nextDouble() * 10
+          else v + rnd.nextDouble() * 5
+      DeltaSumIn((i / 2).toLong * 1000000L, i.toLong, math.floor(v * 1e4) / 1e4)
+    }
+    val expected = windowRef(rows)
+    // contiguous sorted chunks = time-clustered partitions
+    val parts = rows.grouped(37).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val ltr = parts.reduce(agg.merge)
+    val rtl = parts.reverse.reduce(agg.merge)
+    val shuffled = rnd.shuffle(parts).reduce(agg.merge)
+    // binary merge tree (the shape Spark's final aggregation actually uses)
+    def tree(ps: Seq[graft.functions.DeltaSumBuf]): graft.functions.DeltaSumBuf =
+      if (ps.size == 1) ps.head
+      else tree(ps.grouped(2).map(g => g.reduce(agg.merge)).toSeq)
+    assert(out(ltr) == expected)
+    assert(out(rtl) == expected)
+    assert(out(shuffled) == expected)
+    assert(out(tree(rnd.shuffle(parts))) == expected)
+    // state bounded by partial count, never row count
+    assert(ltr.runs.size <= parts.size,
+      s"buffer grew past partial count: ${ltr.runs.size}")
+    // single sorted pass collapses to ONE segment
+    val one = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(one.runs.size == 1 && out(one) == expected)
+    // all-descending counter: every delta ignored, sum 0, count 0
+    val desc = (0 until 50).map(i =>
+      DeltaSumIn(i.toLong * 1000, i.toLong, 1000.0 - i))
+    assert(out(desc.foldLeft(agg.zero)(agg.reduce)) == ((0.0, 0L, 50L)))
+  }
+
   test("q83 core: day decomposition equals a naive global sweep on random multi-day intervals") {
     // Deterministic LCG — the corpus plants only same-day-ish intervals,
     // so this replays the edge the decomposition must survive: spans

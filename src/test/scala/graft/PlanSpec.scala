@@ -42,6 +42,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial_count"))
   }
 
+  test("q89 deltaSum is a two-phase object aggregate, not a window sort") {
+    val p = plan("q89_delta_sum_aggregate")
+    assert(p.contains("ObjectHashAggregate"),
+      s"deltaSum must plan as an ObjectHashAggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"deltaSum partials not map-side combined:\n$p")
+    assert(!p.contains("Window"),
+      s"q89 must not fall back to a window:\n$p")
+  }
+
   test("hot paths run inside whole-stage codegen / native expressions") {
     // AQE prints pre-execution plans without codegen stages — ask the
     // codegen explain mode instead.
