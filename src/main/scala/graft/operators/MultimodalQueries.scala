@@ -1139,7 +1139,132 @@ object MultimodalQueries {
                CASE WHEN ok THEN sr ELSE -1 END AS sample_rate,
                CASE WHEN ok THEN (144000 * br) // sr ELSE -1 END AS frame_len
         FROM b ORDER BY media_id"""),
-      doc = "MP3/ID3v2 sniff: syncsafe base-128 tag size + sub-byte frame-header bit fields + literal-array bitrate lookup, pure native expressions over binary, no decode; corrupt assets guarded")
+      doc = "MP3/ID3v2 sniff: syncsafe base-128 tag size + sub-byte frame-header bit fields + literal-array bitrate lookup, pure native expressions over binary, no decode; corrupt assets guarded"),
+
+    // ------------------------------------------------------------------
+    // m19: JPEG/EXIF SNIFF — the most common real-world image container,
+    // and two decoding idioms none of m12-m18 has: (a) SWITCHABLE
+    // endianness — the TIFF body inside APP1 declares its own byte
+    // order ('II' little / 'MM' big) while the JPEG layer around it
+    // stays big-endian, so one walk switches conventions mid-stream on
+    // a per-row data value; (b) a TAG-DIRECTORY SCAN — IFD0 entries are
+    // (tag, type, count, value) records located by a parsed entry
+    // count, searched by tag id (0x0112 Orientation, 0x0100/0x0101
+    // dimensions) with filter()/transform() higher-order functions, not
+    // fixed offsets. The SOF frame header (true encoded dimensions +
+    // component count, written by the REAL ImageIO encoder) is located
+    // by a bounded aggregate() fold over the marker chain — the m15
+    // box-walk generalized to "skip unknown segments until a SOF
+    // marker". All pure native expressions over the binary column, zero
+    // UDF, zero decode (the m12-m18 PlanSpec lock extends to m19).
+    // Corrupt assets (leading byte dropped) fail the SOI magic →
+    // sentinels.
+    QueryDef(
+      "m19_jpeg_exif_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 16)
+          .select($"doc_id".as("media_id"),
+            ($"n_chars" % 200 + 16).cast("int").as("w"),
+            ($"n_chars" * 7 % 150 + 16).cast("int").as("h"),
+            ($"n_chars" % 8 + 1).cast("int").as("ori"),
+            ($"doc_id" % 2 === 1).as("be"),
+            ($"n_chars" % 4 === 0).as("gray"))
+          .as[(Long, Int, Int, Int, Boolean, Boolean)]
+        val assets = rows.mapPartitions(_.map {
+            case (id, w, h, ori, be, gray) =>
+              val jpg = MediaPipeline.renderJpegExif(w, h, ori, be, gray)
+              (id, if (id % 3 == 1) jpg.drop(1) else jpg)
+          }).toDF("media_id", "jpg")
+        // one byte at a (possibly computed) 1-based offset, as BIGINT
+        def u8(pos: String): String =
+          s"CAST(conv(hex(substring(jpg, CAST(($pos) AS INT), 1)), 16, 10) AS BIGINT)"
+        // JPEG-layer integers: always big-endian
+        def be16(pos: String): String =
+          s"(256 * ${u8(pos)} + ${u8(s"($pos) + 1")})"
+        // TIFF-layer integers: byte order from the per-row `le` column
+        def eu16(pos: String): String =
+          s"""(CASE WHEN le THEN ${u8(pos)} + 256 * ${u8(s"($pos) + 1")}
+                    ELSE 256 * ${u8(pos)} + ${u8(s"($pos) + 1")} END)"""
+        def eu32(pos: String): String =
+          s"""(CASE WHEN le THEN ${eu16(pos)} + 65536 * ${eu16(s"($pos) + 2")}
+                    ELSE 65536 * ${eu16(pos)} + ${eu16(s"($pos) + 2")} END)"""
+        assets
+          .withColumn("hdr_ok", expr(
+            """hex(substring(jpg, 1, 2)) = 'FFD8'
+               AND hex(substring(jpg, 3, 2)) = 'FFE1'
+               AND hex(substring(jpg, 7, 6)) = '457869660000'"""))
+          .withColumn("endian", when($"hdr_ok",
+            expr("decode(substring(jpg, 13, 2), 'UTF-8')")).otherwise(""))
+          .withColumn("le", $"endian" === "II")
+          .withColumn("tiff_ok", expr(s"""hdr_ok
+            AND endian IN ('II', 'MM') AND ${eu16("15")} = 42"""))
+          .withColumn("ifd", expr(
+            s"CASE WHEN tiff_ok THEN 13 + ${eu32("17")} ELSE -1 END"))
+          .withColumn("nent", expr(
+            s"CASE WHEN tiff_ok THEN ${eu16("ifd")} ELSE -1 END"))
+          // the tag directory, scanned (not offset-assumed): every IFD0
+          // entry's (tag, short value, long value), searchable by tag
+          .withColumn("ents", expr(s"""
+            CASE WHEN tiff_ok AND nent BETWEEN 1 AND 64 THEN
+              transform(sequence(0, CAST(nent AS INT) - 1),
+                i -> struct(${eu16("ifd + 2 + 12 * i")} AS tag,
+                            ${eu16("ifd + 2 + 12 * i + 8")} AS v16,
+                            ${eu32("ifd + 2 + 12 * i + 8")} AS v32))
+            ELSE NULL END"""))
+          // marker chain: skip segments (BE length at pos+2) until a
+          // SOF0/1/2 marker; found position is encoded as -(pos)-10 so
+          // the fold freezes, -1 = lost sync, still-positive = not found
+          .withColumn("sofp", expr(s"""
+            CASE WHEN hdr_ok THEN
+              aggregate(sequence(1, 16), CAST(5 + ${be16("5")} AS BIGINT),
+                (pos, x) -> CASE
+                  WHEN pos < 0 THEN pos
+                  WHEN ${u8("pos")} <> 255 THEN CAST(-1 AS BIGINT)
+                  WHEN ${u8("pos + 1")} IN (192, 193, 194) THEN -pos - 10
+                  ELSE pos + 2 + ${be16("pos + 2")} END)
+            ELSE -1 END"""))
+          .withColumn("sof", expr(
+            "CASE WHEN sofp <= -11 THEN -sofp - 10 ELSE CAST(-1 AS BIGINT) END"))
+          .withColumn("sniff_ok", $"tiff_ok" && $"sof" > 0L)
+          .select($"media_id", $"sniff_ok", $"endian",
+            expr("COALESCE(filter(ents, e -> e.tag = 274)[0].v16, -1)")
+              .as("orientation"),
+            expr("COALESCE(filter(ents, e -> e.tag = 256)[0].v32, -1)")
+              .as("exif_width"),
+            expr("COALESCE(filter(ents, e -> e.tag = 257)[0].v32, -1)")
+              .as("exif_height"),
+            expr(s"CASE WHEN sniff_ok THEN ${be16("sof + 7")} ELSE -1 END")
+              .as("sof_width"),
+            expr(s"CASE WHEN sniff_ok THEN ${be16("sof + 5")} ELSE -1 END")
+              .as("sof_height"),
+            expr(s"CASE WHEN sniff_ok THEN ${u8("sof + 9")} ELSE -1 END")
+              .as("n_components"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS media_id,
+                 CAST(n_chars % 200 + 16 AS BIGINT) AS w,
+                 CAST(n_chars * 7 % 150 + 16 AS BIGINT) AS h,
+                 CAST(n_chars % 8 + 1 AS BIGINT) AS ori,
+                 doc_id % 2 = 1 AS be,
+                 n_chars % 4 = 0 AS gray,
+                 doc_id % 3 <> 1 AS ok
+          FROM documents WHERE doc_id % 20 = 16)
+        SELECT media_id, ok AS sniff_ok,
+               CASE WHEN ok THEN (CASE WHEN be THEN 'MM' ELSE 'II' END)
+                    ELSE '' END AS endian,
+               CASE WHEN ok THEN ori ELSE -1 END AS orientation,
+               CASE WHEN ok THEN w ELSE -1 END AS exif_width,
+               CASE WHEN ok THEN h ELSE -1 END AS exif_height,
+               CASE WHEN ok THEN w ELSE -1 END AS sof_width,
+               CASE WHEN ok THEN h ELSE -1 END AS sof_height,
+               CAST(CASE WHEN ok THEN (CASE WHEN gray THEN 1 ELSE 3 END)
+                    ELSE -1 END AS BIGINT) AS n_components
+        FROM a ORDER BY media_id"""),
+      doc = "JPEG/EXIF sniff: per-row switchable TIFF endianness (II/MM) inside a big-endian JPEG marker walk, tag-directory scan via higher-order functions, SOF located by a bounded aggregate fold over unknown segments — pure native expressions, zero decode; corrupt assets guarded")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`

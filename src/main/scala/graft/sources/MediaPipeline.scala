@@ -418,6 +418,61 @@ object MediaPipeline {
     out
   }
 
+  /** A REAL JPEG (ImageIO-encoded baseline JFIF) with a hand-built EXIF
+    * APP1 segment spliced immediately after SOI — where the EXIF spec
+    * puts it. The TIFF body inside APP1 is written in the REQUESTED
+    * byte order ('II' little / 'MM' big — the only mainstream container
+    * whose endianness is per-file data, not per-format), with IFD0
+    * holding ImageWidth (0x0100, LONG), ImageLength (0x0101, LONG) and
+    * Orientation (0x0112, SHORT — inline value left-justified in the
+    * 4-byte field per TIFF 6.0) in ascending-tag order. The JPEG layer
+    * around it (marker lengths, SOF dimensions) stays big-endian
+    * regardless — m19's sniff must switch conventions mid-walk.
+    */
+  def renderJpegExif(w: Int, h: Int, orientation: Int,
+      bigEndian: Boolean, gray: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && orientation >= 1 && orientation <= 8,
+      s"bad jpeg params ($w, $h, $orientation)")
+    val img = new java.awt.image.BufferedImage(w, h,
+      if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 7 + y * 13) % 255) * 0x010101); x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpg = bos.toByteArray
+    val tiff = scala.collection.mutable.ArrayBuffer[Byte]()
+    def u16(v: Int): Unit =
+      if (bigEndian) tiff ++= Seq(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      else tiff ++= Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def u32(v: Int): Unit =
+      if (bigEndian) { u16((v >> 16) & 0xFFFF); u16(v & 0xFFFF) }
+      else { u16(v & 0xFFFF); u16((v >> 16) & 0xFFFF) }
+    tiff ++= (if (bigEndian) "MM" else "II").getBytes("US-ASCII")
+    u16(42); u32(8) // magic + IFD0 offset
+    u16(3)          // three directory entries
+    def entry(tag: Int, typ: Int, put: () => Unit): Unit = {
+      u16(tag); u16(typ); u32(1); put()
+    }
+    entry(0x0100, 4, () => u32(w))
+    entry(0x0101, 4, () => u32(h))
+    entry(0x0112, 3, () => { u16(orientation); u16(0) }) // left-justified
+    u32(0)          // no next IFD
+    val app1 = scala.collection.mutable.ArrayBuffer[Byte](
+      0xFF.toByte, 0xE1.toByte)
+    val len = 2 + 6 + tiff.size // JPEG segment length is ALWAYS big-endian
+    app1 ++= Seq(((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte)
+    app1 ++= "Exif".getBytes("US-ASCII"); app1 ++= Seq(0.toByte, 0.toByte)
+    app1 ++= tiff
+    jpg.take(2) ++ app1 ++ jpg.drop(2)
+  }
+
   /** REAL audio decoder on `javax.sound.sampled` (JDK-built-in; WAV/PCM
     * parsing is pure Java, no audio device or native codec needed):
     * bytes → [[AudioFeatures]] with exact integer statistics. Same

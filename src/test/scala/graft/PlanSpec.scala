@@ -638,7 +638,8 @@ class PlanSpec extends AnyFunSuite {
     Seq("m08_image_decode", "m09_split_decode", "m10_audio_decode",
         "m11_frame_sample_decode", "m12_metadata_sniff",
         "m13_wav_metadata_sniff", "m15_mp4_metadata_sniff",
-        "m16_video_track_sniff", "m18_mp3_metadata_sniff").foreach { q =>
+        "m16_video_track_sniff", "m18_mp3_metadata_sniff",
+        "m19_jpeg_exif_sniff").foreach { q =>
       val p = plan(q)
       val exchanges = p.linesIterator.count(_.contains("Exchange"))
       assert(exchanges <= 1, s"$q shuffles before the sort ($exchanges):\n$p")
@@ -652,7 +653,7 @@ class PlanSpec extends AnyFunSuite {
     // never fall back to a UDF
     Seq("m12_metadata_sniff", "m13_wav_metadata_sniff",
         "m15_mp4_metadata_sniff", "m16_video_track_sniff",
-        "m18_mp3_metadata_sniff").foreach { q =>
+        "m18_mp3_metadata_sniff", "m19_jpeg_exif_sniff").foreach { q =>
       assert(!plan(q).contains("ScalaUDF"),
         s"$q metadata extraction fell back to a UDF")
     }
