@@ -307,4 +307,113 @@ object TextFunctions {
     }
     (merges.toSeq, rounds)
   }
+
+  /** Viterbi segmentation of one word under a unigram piece model:
+    * the segmentation maximizing Π p(piece), pieces limited to
+    * `maxPieceLen` characters, ties broken toward the SHORTER piece
+    * ending at each position (a longer candidate must be strictly
+    * better) — the same deterministic tie rule t30's in-row SQL fold
+    * uses. Pieces absent from the model score 0 (never chosen while
+    * any covered path exists); single characters should be in the
+    * model for total coverage. Returns Nil when no segmentation covers
+    * the word.
+    */
+  def viterbiSegment(word: String, p: Map[String, Double],
+      maxPieceLen: Int = 4): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val best = Array.fill(n + 1)(-1.0)
+    val back = new Array[Int](n + 1) // piece length chosen at position i
+    best(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= math.min(maxPieceLen, i)) {
+        if (best(i - j) > 0.0) {
+          val piece = word.substring(i - j, i)
+          val v = p.get(piece).map(best(i - j) * _).getOrElse(-1.0)
+          if (v > best(i)) { best(i) = v; back(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (best(n) <= 0.0) return Nil
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var at = n
+    while (at > 0) { out += word.substring(at - back(at), at); at -= back(at) }
+    out.reverse.toSeq
+  }
+
+  /** SentencePiece-style unigram-LM tokenizer training (Kudo 2018),
+    * driver-coordinated like [[bpeTrain]]: the corpus-sized work — the
+    * word-frequency table, the substring seed counts, and every
+    * E-step's Viterbi re-segmentation — runs DISTRIBUTED (the vocabulary
+    * broadcasts to the segmenters, piece counts reduce map-side); the
+    * driver holds only vocabulary-sized tables between rounds. The
+    * word-frequency table is the standard sufficient statistic: at
+    * 100 TB the corpus collapses to |distinct words| rows in one
+    * partial-aggregated shuffle and EM never touches the raw text
+    * again.
+    *
+    * This is hard-EM (Viterbi counts), the documented SentencePiece
+    * variant: E-step segments each word under the current model and
+    * counts chosen pieces weighted by word frequency; M-step
+    * renormalizes counts into probabilities. After `nIters` rounds the
+    * vocabulary is pruned to the `vocabSize` most probable pieces,
+    * with every single character retained unconditionally so encode
+    * coverage is total (SentencePiece's required-character rule).
+    * Fully deterministic: all ties in seeding and pruning break on
+    * (count desc, piece asc).
+    */
+  def unigramTrain(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, nIters: Int = 3, seedSize: Int = 200)
+      : Seq[(String, Double)] = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && nIters >= 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .localCheckpoint()
+    // seed: every substring up to maxPieceLen, weighted by word
+    // frequency; top seedSize by (weight desc, piece asc) + all chars
+    val subCounts = words.toDF("w", "cnt")
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+              i -> transform(sequence(1, least($maxPieceLen, length(w) - i + 1)),
+                j -> substring(w, i, j))))""")).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+    val chars = subCounts.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect()
+    val seed = subCounts
+      .orderBy(col("n").desc, col("piece").asc).limit(seedSize)
+      .as[(String, Long)].collect()
+    var counts: Map[String, Long] = (seed ++ chars).toMap
+    var it = 0
+    while (it < nIters) {
+      val total = counts.values.sum.toDouble
+      val probs = counts.map { case (k, v) => k -> v / total }
+      val bc = spark.sparkContext.broadcast(probs)
+      counts = words.mapPartitions(_.flatMap { case (w, cnt) =>
+          viterbiSegment(w, bc.value, maxPieceLen).map(piece => (piece, cnt))
+        })
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .collect().map { case (k, v) => k -> v }.toMap
+      // required characters survive even if no Viterbi path chose them
+      counts = counts ++ chars.collect {
+        case (c, _) if !counts.contains(c) => c -> 1L
+      }
+      it += 1
+    }
+    val kept = counts.toSeq
+      .sortBy { case (p, n) => (-n, p) }
+      .take(vocabSize)
+    val withChars = (kept ++ counts.toSeq.filter(_._1.length == 1)).distinct
+    val total = withChars.map(_._2).sum.toDouble
+    withChars.map { case (p, n) => p -> n / total }
+      .sortBy { case (p, prob) => (-prob, p) }
+  }
 }

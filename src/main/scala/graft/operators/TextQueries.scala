@@ -2590,7 +2590,156 @@ object TextQueries {
                round(mass_clipped + noise_mass, 6) AS mass_noised,
                2.0 AS eps_spent
         FROM noised ORDER BY source"""),
-      doc = "differentially-private noised release: per-source counts + clipped token mass with seeded-hash Laplace noise (inverse-CDF of a keyed uniform — bit-identical across engines), sensitivity clipping at 50, eps accounting; one partial-agg pass, noise on the grouped output only")
+      doc = "differentially-private noised release: per-source counts + clipped token mass with seeded-hash Laplace noise (inverse-CDF of a keyed uniform — bit-identical across engines), sensitivity clipping at 50, eps accounting; one partial-agg pass, noise on the grouped output only"),
+
+    // ------------------------------------------------------------------
+    // t30: UNIGRAM-LM TOKENIZER (SentencePiece-style Viterbi encode) —
+    // the second tokenizer family after BPE (t19/t25): instead of
+    // replaying ordered merges, each word takes the segmentation
+    // MAXIMIZING Π p(piece) under a unigram piece model — Viterbi over
+    // piece boundaries, here as an in-row aggregate() DP fold (the q86
+    // shape) whose state is the per-position array of
+    // struct(best probability, piece count). The piece model is the
+    // one-shot SQL-derivable variant (the t25 convention): substring
+    // counts up to length 3, top-40 by (count desc, piece asc) plus
+    // every single character (SentencePiece's required-character rule,
+    // so coverage is total); the true EM trainer is driver-coordinated
+    // and lives in TextFunctions.unigramTrain with its own specs.
+    // Cross-engine float determinism WITHOUT trusting libm: the DP
+    // uses only integer-ratio division and multiplication (correctly
+    // rounded per IEEE in both engines) in one shared parenthesization
+    // — no ln/exp anywhere — and ties break toward the shorter piece
+    // via strict > comparisons. Scale shape: the piece table is a
+    // bounded driver artifact; encode is a MAP-ONLY in-row fold — no
+    // explode, no shuffle before the presentation sort.
+    QueryDef(
+      "t30_unigram_tokenizer",
+      (s, dir) => {
+        import s.implicits._
+        val L = 3; val K = 40
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val sub = docs
+          .select(explode(filter(tokens($"text"), w => length(w) >= 1)).as("w"))
+          .select(explode(expr(
+            s"""flatten(transform(sequence(1, length(w)),
+                  i -> transform(sequence(1, least($L, length(w) - i + 1)),
+                    j -> substring(w, i, j))))""")).as("piece"))
+          .groupBy($"piece").agg(count(lit(1)).as("cnt"))
+        val kept = sub.orderBy($"cnt".desc, $"piece".asc).limit(K)
+          .unionByName(sub.filter(length($"piece") === 1))
+          .dropDuplicates("piece")
+          .select($"piece", $"cnt").as[(String, Long)].collect().toSeq
+          .sortBy(_._1)
+        val total = kept.map(_._2).sum
+        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+        val mapLit = kept
+          .map { case (p, c) => s"'${esc(p)}', ${c}L" }
+          .mkString("map(", ", ", ")")
+        // candidate ending at position i with piece length j: previous
+        // state index i-j+1, probability multiplied by cnt/total — the
+        // division-then-multiply order is the shared parenthesization
+        def v(j: Int) =
+          s"""CASE WHEN i >= $j THEN coalesce(
+                element_at(st, i - $j + 1).p *
+                  (CAST(element_at(m, substring(w, i - $j + 1, $j)) AS DOUBLE)
+                   / CAST($total AS DOUBLE)),
+                CAST(-1.0 AS DOUBLE)) ELSE CAST(-1.0 AS DOUBLE) END"""
+        def kk(j: Int) =
+          s"""CASE WHEN i >= $j THEN element_at(st, i - $j + 1).k + 1L
+              ELSE 0L END"""
+        val dp =
+          s"""aggregate(sequence(1, length(w)),
+                array(struct(CAST(1.0 AS DOUBLE) AS p, 0L AS k)),
+                (st, i) -> array_append(st,
+                  CASE WHEN ${v(3)} > ${v(2)} AND ${v(3)} > ${v(1)}
+                         THEN struct(${v(3)} AS p, ${kk(3)} AS k)
+                       WHEN ${v(2)} > ${v(1)}
+                         THEN struct(${v(2)} AS p, ${kk(2)} AS k)
+                       ELSE struct(${v(1)} AS p, ${kk(1)} AS k) END),
+                st -> element_at(st, -1))"""
+        docs
+          .withColumn("toks", filter(tokens($"text"), w => length(w) >= 1))
+          .filter(size($"toks") > 0)
+          .withColumn("m", expr(mapLit))
+          .withColumn("encs", expr(s"transform(toks, w -> $dp)"))
+          .select($"doc_id",
+            size($"toks").cast("long").as("n_words"),
+            expr("aggregate(encs, 0L, (s, e) -> s + e.k)").as("n_pieces"),
+            expr("""aggregate(encs, 0L, (s, e) ->
+                 s + CASE WHEN e.k = 1 THEN 1L ELSE 0L END)""")
+              .as("n_whole_words"))
+          .withColumn("pieces_per_word",
+            round($"n_pieces".cast("double") / $"n_words", 6))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   t -> len(t) >= 1) AS toks
+          FROM documents),
+        wrd AS (
+          SELECT doc_id, g.i AS widx, toks[g.i] AS w
+          FROM tok, UNNEST(range(1, len(toks) + 1)) AS g(i)),
+        sub AS (
+          SELECT substr(w, ii.i, jj.j) AS piece, COUNT(*) AS cnt
+          FROM wrd,
+               UNNEST(range(1, len(w) + 1)) AS ii(i),
+               UNNEST(range(1, least(3, len(w) - ii.i + 1) + 1)) AS jj(j)
+          GROUP BY 1),
+        kept AS (
+          -- top-40 by (cnt desc, piece) PLUS every single character; a
+          -- UNION here would silently stop deduplicating under
+          -- WITH RECURSIVE in DuckDB, so rank-filter one scan instead
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+            FROM sub) t
+          WHERE rk <= 40 OR length(piece) = 1),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM kept),
+        walk AS (
+          SELECT doc_id, widx, w, 0 AS i,
+                 CAST(1.0 AS DOUBLE) AS p0, CAST(0 AS BIGINT) AS k0,
+                 CAST(-1.0 AS DOUBLE) AS p1, CAST(0 AS BIGINT) AS k1,
+                 CAST(-1.0 AS DOUBLE) AS p2, CAST(0 AS BIGINT) AS k2
+          FROM wrd
+          UNION ALL
+          SELECT doc_id, widx, w, i + 1,
+                 CASE WHEN COALESCE(p2 * (CAST(m3.cnt AS DOUBLE) / tot.t), -1.0)
+                        > COALESCE(p1 * (CAST(m2.cnt AS DOUBLE) / tot.t), -1.0)
+                      AND COALESCE(p2 * (CAST(m3.cnt AS DOUBLE) / tot.t), -1.0)
+                        > COALESCE(p0 * (CAST(m1.cnt AS DOUBLE) / tot.t), -1.0)
+                        THEN COALESCE(p2 * (CAST(m3.cnt AS DOUBLE) / tot.t), -1.0)
+                      WHEN COALESCE(p1 * (CAST(m2.cnt AS DOUBLE) / tot.t), -1.0)
+                        > COALESCE(p0 * (CAST(m1.cnt AS DOUBLE) / tot.t), -1.0)
+                        THEN COALESCE(p1 * (CAST(m2.cnt AS DOUBLE) / tot.t), -1.0)
+                      ELSE COALESCE(p0 * (CAST(m1.cnt AS DOUBLE) / tot.t), -1.0)
+                      END,
+                 CASE WHEN COALESCE(p2 * (CAST(m3.cnt AS DOUBLE) / tot.t), -1.0)
+                        > COALESCE(p1 * (CAST(m2.cnt AS DOUBLE) / tot.t), -1.0)
+                      AND COALESCE(p2 * (CAST(m3.cnt AS DOUBLE) / tot.t), -1.0)
+                        > COALESCE(p0 * (CAST(m1.cnt AS DOUBLE) / tot.t), -1.0)
+                        THEN k2 + 1
+                      WHEN COALESCE(p1 * (CAST(m2.cnt AS DOUBLE) / tot.t), -1.0)
+                        > COALESCE(p0 * (CAST(m1.cnt AS DOUBLE) / tot.t), -1.0)
+                        THEN k1 + 1
+                      ELSE k0 + 1 END,
+                 p0, k0, p1, k1
+          FROM walk
+          CROSS JOIN tot
+          LEFT JOIN kept m1 ON m1.piece = substr(walk.w, walk.i + 1, 1)
+          LEFT JOIN kept m2 ON walk.i >= 1 AND m2.piece = substr(walk.w, walk.i, 2)
+          LEFT JOIN kept m3 ON walk.i >= 2 AND m3.piece = substr(walk.w, walk.i - 1, 3)
+          WHERE walk.i < len(walk.w)),
+        fin AS (
+          SELECT doc_id, widx, k0 AS k FROM walk WHERE i = len(w))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(k) AS BIGINT) AS n_pieces,
+               CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_whole_words,
+               round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
+        FROM fin GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "unigram-LM tokenizer (SentencePiece family): Viterbi segmentation maximizing the piece-probability product as an in-row DP fold over struct(prob, count) states; SQL-derivable top-K+required-chars piece table, division/multiply-only float path (no libm), map-only encode")
   )
 
   /** The c18 incremental-funnel core over (doc_id, text, source) frames:

@@ -1433,6 +1433,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg.finish(m) == 4L && m.vals == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("viterbiSegment: optimal product vs brute-force enumeration, coverage edge cases") {
+    import graft.functions.TextFunctions.viterbiSegment
+    val rnd = new scala.util.Random(7)
+    def score(pieces: Seq[String], p: Map[String, Double]): Double =
+      pieces.foldLeft(1.0)((acc, x) => acc * p(x))
+    def allSegs(w: String, p: Map[String, Double], L: Int): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(L, w.length)).flatMap { j =>
+        val piece = w.substring(0, j)
+        if (!p.contains(piece)) Nil
+        else allSegs(w.substring(j), p, L).map(piece +: _)
+      }
+    (0 until 200).foreach { _ =>
+      val alpha = "abc"
+      val vocab = scala.collection.mutable.Map[String, Double]()
+      alpha.foreach(c => vocab(c.toString) = 0.05 + rnd.nextDouble() * 0.2)
+      (0 until 6).foreach { _ =>
+        val len = 2 + rnd.nextInt(3)
+        val piece = Seq.fill(len)(alpha(rnd.nextInt(3))).mkString
+        vocab(piece) = 0.05 + rnd.nextDouble() * 0.5
+      }
+      val p = vocab.toMap
+      val w = Seq.fill(1 + rnd.nextInt(8))(alpha(rnd.nextInt(3))).mkString
+      val got = viterbiSegment(w, p, 4)
+      assert(got.mkString == w, s"segmentation must cover '$w': $got")
+      val best = allSegs(w, p, 4).map(score(_, p)).max
+      assert(score(got, p) == best,
+        s"'$w': viterbi ${score(got, p)} vs brute $best")
+    }
+    // uncovered character → no segmentation
+    assert(viterbiSegment("axb", Map("a" -> 0.5, "b" -> 0.5), 4) == Nil)
+    assert(viterbiSegment("", Map("a" -> 1.0), 4) == Nil)
+  }
+
+  test("unigramTrain: hand-computed Viterbi-EM round, required chars, mass") {
+    import spark.implicits._
+    // corpus: abab×2, ab, cd. Seed substring counts (weighted, L=2):
+    // a:5 b:5 ab:5 ba:2 c:1 d:1 cd:1 (total 20). E-step segments
+    // abab→[ab,ab], ab→[ab], cd→[cd] ⇒ counts ab:5, cd:1; required
+    // chars a,b,c,d re-enter at 1. Prune to top-3 (ab,a,b) + all
+    // singles ⇒ {ab:5, a:1, b:1, c:1, d:1}, total 9.
+    val docs = Seq("abab abab ab cd").toDF("text")
+    val model = graft.functions.TextFunctions.unigramTrain(
+      docs, "text", vocabSize = 3, maxPieceLen = 2, nIters = 1)
+    val m = model.toMap
+    assert(model.head._1 == "ab" && math.abs(m("ab") - 5.0 / 9) < 1e-12, model)
+    assert(Seq("a", "b", "c", "d").forall(c => math.abs(m(c) - 1.0 / 9) < 1e-12),
+      model)
+    assert(m.size == 5 && math.abs(m.values.sum - 1.0) < 1e-9)
+    // determinism: training twice gives the identical model
+    assert(graft.functions.TextFunctions.unigramTrain(
+      docs, "text", 3, 2, 1) == model)
+    // more EM rounds keep mass normalized and coverage total
+    val m3 = graft.functions.TextFunctions.unigramTrain(
+      docs, "text", 4, 2, 3).toMap
+    assert(math.abs(m3.values.sum - 1.0) < 1e-9)
+    assert(Seq("a", "b", "c", "d").forall(m3.contains))
+  }
+
   test("DeltaSumAggregator: merge-order independence, equals the window fold, bounded state") {
     import graft.functions.{DeltaSumAggregator, DeltaSumIn}
     val agg = new DeltaSumAggregator

@@ -310,6 +310,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "tokenizer application must not join")
   }
 
+  test("t30 unigram encode: map-only Viterbi fold, no pre-sort exchange") {
+    val p = plan("t30_unigram_tokenizer")
+    // the piece table is a bounded driver artifact (map literal); the
+    // Viterbi DP is an in-row aggregate() fold — the encode side of the
+    // plan must be map-only like t25's (one range exchange for the sort)
+    assert(!p.contains("hashpartitioning"), s"viterbi fold shuffled:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange ")) == 1,
+      s"more than the final sort exchange:\n$p")
+    assert(!p.contains("Join"), "tokenizer application must not join")
+  }
+
   test("t26 script profile is map-only regexp counting (one sort exchange)") {
     val p = plan("t26_script_profile")
     // per-script counts are in-row regexp extraction — no join, no agg,
