@@ -2760,6 +2760,85 @@ object ExtendedQueries {
                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS d
             FROM events) t1) t2
         GROUP BY user_id ORDER BY user_id"""),
-      doc = "deltaSumTimestamp counter rate as a partial-aggregable typed Aggregator: per-partition sorted segments with boundary-aware merge replace q18's per-read lag-window sort; oracle is q18's window SQL verbatim")
+      doc = "deltaSumTimestamp counter rate as a partial-aggregable typed Aggregator: per-partition sorted segments with boundary-aware merge replace q18's per-read lag-window sort; oracle is q18's window SQL verbatim"),
+
+    // ------------------------------------------------------------------
+    // q90: WATERMARK-DROP DIFFERENTIAL — the one streaming semantic the
+    // q58-q60/q67/q86/q87 shadows did not oracle-check: which rows a
+    // watermarked operator DROPS as too late. The model is exactly
+    // Spark's: arrival order = event_id, triggers of 100 rows, and the
+    // watermark in effect during trigger t is the high-water mark of
+    // everything seen in triggers < t minus the 30-minute delay (Spark
+    // advances the watermark between batches, never within one); a row
+    // is late iff its event time <= that watermark — the boundary row
+    // AT the watermark drops (WatermarkSupport's <= eviction predicate;
+    // the StreamingSpec replay pins this boundary against a real
+    // stream). Lateness is planted
+    // (event_id % 17 == 3 → event time − 5 days) on top of the corpus's
+    // natural id/ts disorder, so drops occur at every SF. Output is the
+    // per-trigger drop ledger (watermark, arrived/dropped/kept, kept
+    // value mass) — the numbers an operator reads off
+    // StreamingQueryProgress in production. Scale shape: one partial-agg
+    // pass to the per-trigger maxima (rows-per-trigger is bounded, so
+    // this table is ~rows/100), a single-partition prefix-max window
+    // over THAT bounded table only, broadcast back to the row-level
+    // pass. StreamingSpec replays the same arrival schedule through a
+    // real watermarked stream and asserts stream ≡ this model.
+    QueryDef(
+      "q90_watermark_drop_shadow",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .withColumn("tsa", when($"event_id" % 17 === 3,
+            $"ts" - expr("INTERVAL 5 DAYS")).otherwise($"ts"))
+          .withColumn("trig", expr("event_id div 100"))
+        val wmPerTrig = ev.groupBy($"trig").agg(max($"tsa").as("tmax"))
+          .withColumn("wm",
+            max($"tmax").over(Window.orderBy($"trig")
+              .rowsBetween(Window.unboundedPreceding, -1))
+              - expr("INTERVAL 30 MINUTES"))
+          .select($"trig", $"wm")
+        val dropped = ($"wm".isNotNull && $"tsa" <= $"wm")
+        val out = ev.join(broadcast(wmPerTrig), "trig")
+          .groupBy($"trig", $"wm")
+          .agg(count(lit(1)).as("n_arrived"),
+            sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(!dropped, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!dropped,
+              expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L))
+              .as("kept_cents"))
+          .select($"trig", coalesce(unix_micros($"wm"), lit(-1L)).as("wm_micros"),
+            $"n_arrived", $"n_dropped", $"n_kept", $"kept_cents")
+          .orderBy($"trig")
+        require(out.agg(sum($"n_dropped")).head.getLong(0) > 0L,
+          "watermark model dropped nothing — the differential is vacuous")
+        out
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 17 = 3 THEN ts - INTERVAL 5 DAY
+                      ELSE ts END AS tsa,
+                 value, event_id // 100 AS trig
+          FROM events),
+        wm AS (
+          SELECT trig,
+                 MAX(tmax) OVER (ORDER BY trig ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING) - INTERVAL 30 MINUTE AS wm
+          FROM (SELECT trig, MAX(tsa) AS tmax FROM ev GROUP BY 1) t)
+        SELECT e.trig,
+               COALESCE(epoch_us(w.wm), -1) AS wm_micros,
+               COUNT(*) AS n_arrived,
+               CAST(SUM(CASE WHEN w.wm IS NOT NULL AND e.tsa <= w.wm
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN w.wm IS NULL OR e.tsa > w.wm
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN w.wm IS NULL OR e.tsa > w.wm
+                    THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                 AS BIGINT) AS kept_cents
+        FROM ev e JOIN wm w USING (trig)
+        GROUP BY e.trig, w.wm
+        ORDER BY trig"""),
+      doc = "watermark-drop differential: per-trigger high-watermark model (prefix max event time minus delay, advanced between triggers) with planted late arrivals; the drop ledger an operator reads off StreamingQueryProgress, oracle-checked; StreamingSpec replays the schedule through a real watermarked stream")
   )
 }

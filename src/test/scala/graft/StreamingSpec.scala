@@ -90,6 +90,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark late-drop: a real stream drops exactly the q90-model rows") {
+    // q90's model: watermark during trigger t = max event time over
+    // triggers < t minus the delay; a row is dropped iff ts <= watermark
+    // (the boundary row AT the watermark drops — WatermarkSupport's <=
+    // eviction predicate, which row 9 below exists to pin).
+    // Replay the same trigger schedule through a REAL watermarked
+    // operator (dropDuplicates applies the late-row filter on the event
+    // time column directly) and assert the survivors are the model's.
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def at(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    // (event_id, minutes): batch 2's 20' is behind wm=30' (max 60' - 30'),
+    // 40' and 31' survive; batch 3's 25' and 39' are behind wm=40' and
+    // the boundary row AT 40' drops too (<=), 95' survives
+    val batches = Seq(
+      Seq((1L, 0L), (2L, 10L), (3L, 60L)),
+      Seq((4L, 20L), (5L, 40L), (6L, 31L), (7L, 70L)),
+      Seq((8L, 25L), (9L, 40L), (10L, 95L), (11L, 39L)))
+    val keptModel = {
+      var wmMin = Long.MinValue
+      var seenMax = Long.MinValue
+      batches.flatMap { b =>
+        val kept = b.collect { case (id, m) if wmMin == Long.MinValue || m > wmMin => id }
+        seenMax = math.max(seenMax, b.map(_._2).max)
+        wmMin = seenMax - 30L
+        kept
+      }.toSet
+    }
+    assert(keptModel == Set(1L, 2L, 3L, 5L, 6L, 7L, 10L),
+      s"fixture self-check: $keptModel")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("wm_drop_mem")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        mem.addData(b.map { case (id, m) => (id, at(m)) })
+        q.processAllAvailable()
+      }
+      val got = spark.table("wm_drop_mem").select($"event_id")
+        .as[Long].collect().toSet
+      assert(got == keptModel, s"stream kept $got, model kept $keptModel")
+    } finally q.stop()
+  }
+
   test("events file stream: windowed counts match the batch equivalent") {
     val stream = EventsStream.windowedCounts(
       EventsStream.readStream(spark, sfDir))
