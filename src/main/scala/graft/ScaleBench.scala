@@ -62,7 +62,19 @@ object ScaleBench {
     // the compressed-signature audit riding the shared router
     "q86_sequence_match_gap", "q87_exp_moving_avg",
     "d38_bbit_minhash_audit", "d39_oph_minhash_audit",
-    "q88_welch_ttest")
+    "q88_welch_ttest",
+    // round-11 additions: the MV lifecycle (VERDICT r10 punch #6 — its
+    // served-read bound is also asserted in-body), the deltaSum
+    // aggregate vs its window predecessor, the watermark-drop ledger,
+    // the unigram encode fold, and the JPEG sniff (render-bound like
+    // m12). dx32 is deliberately NOT swept: its fixed 16-doc parts are
+    // sized to the demo corpus's 31-token vocabulary (prune power =
+    // token rarity × docs/part), so replication just multiplies tiny
+    // files; its scale mechanism — the one-pass distributed sidecar
+    // build — is exercised at sf0.1's 313 parts every bench run
+    "dx31_materialized_view", "q89_delta_sum_aggregate",
+    "q90_watermark_drop_shadow", "t30_unigram_tokenizer",
+    "m19_jpeg_exif_sniff")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted
