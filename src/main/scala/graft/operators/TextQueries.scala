@@ -2635,20 +2635,34 @@ object TextQueries {
         val mapLit = kept
           .map { case (p, c) => s"'${esc(p)}', ${c}L" }
           .mkString("map(", ", ", ")")
+        // the piece-count probe for each (position, length) is hoisted
+        // into one per-word pass — the map-literal lookup is a linear
+        // scan, and the naive inline form re-probes it up to 9× per
+        // character (measured 3× the whole query's cost at ×10);
+        // transform(array(X), cs -> body) is SQL's let-binding
+        val cnts =
+          s"""transform(sequence(1, length(w)), i -> struct(
+                CAST(element_at(m, substring(w, i, 1)) AS DOUBLE) AS c1,
+                CASE WHEN i >= 2 THEN
+                  CAST(element_at(m, substring(w, i - 1, 2)) AS DOUBLE)
+                  ELSE CAST(NULL AS DOUBLE) END AS c2,
+                CASE WHEN i >= 3 THEN
+                  CAST(element_at(m, substring(w, i - 2, 3)) AS DOUBLE)
+                  ELSE CAST(NULL AS DOUBLE) END AS c3))"""
         // candidate ending at position i with piece length j: previous
         // state index i-j+1, probability multiplied by cnt/total — the
         // division-then-multiply order is the shared parenthesization
         def v(j: Int) =
           s"""CASE WHEN i >= $j THEN coalesce(
                 element_at(st, i - $j + 1).p *
-                  (CAST(element_at(m, substring(w, i - $j + 1, $j)) AS DOUBLE)
-                   / CAST($total AS DOUBLE)),
+                  (element_at(cs, i).c$j / CAST($total AS DOUBLE)),
                 CAST(-1.0 AS DOUBLE)) ELSE CAST(-1.0 AS DOUBLE) END"""
         def kk(j: Int) =
           s"""CASE WHEN i >= $j THEN element_at(st, i - $j + 1).k + 1L
               ELSE 0L END"""
         val dp =
-          s"""aggregate(sequence(1, length(w)),
+          s"""element_at(transform(array($cnts), cs ->
+              aggregate(sequence(1, length(w)),
                 array(struct(CAST(1.0 AS DOUBLE) AS p, 0L AS k)),
                 (st, i) -> array_append(st,
                   CASE WHEN ${v(3)} > ${v(2)} AND ${v(3)} > ${v(1)}
@@ -2656,7 +2670,7 @@ object TextQueries {
                        WHEN ${v(2)} > ${v(1)}
                          THEN struct(${v(2)} AS p, ${kk(2)} AS k)
                        ELSE struct(${v(1)} AS p, ${kk(1)} AS k) END),
-                st -> element_at(st, -1))"""
+                st -> element_at(st, -1))), 1)"""
         docs
           .withColumn("toks", filter(tokens($"text"), w => length(w) >= 1))
           .filter(size($"toks") > 0)
