@@ -134,10 +134,10 @@ object Bench {
       // round-10: the materialized-view lifecycle writes base + view
       // FactTables, replays a txn, and converges the view in-body
       "dx31_materialized_view",
-      // round-11: the token-bloom lifecycle appends a ~16-docs-per-part
-      // FactTable (hundreds of parts at sf0.1) + one distributed
-      // sidecar-build pass in-body before the pruned read
-      "dx32_token_bloom_skip_index")
+      // round-11: the token/ngram-bloom lifecycles each append a
+      // ~16-docs-per-part FactTable (hundreds of parts at sf0.1) + one
+      // distributed sidecar-build pass in-body before the pruned read
+      "dx32_token_bloom_skip_index", "dx33_ngram_bloom_skip_index")
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

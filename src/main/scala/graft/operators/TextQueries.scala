@@ -2593,6 +2593,109 @@ object TextQueries {
       doc = "differentially-private noised release: per-source counts + clipped token mass with seeded-hash Laplace noise (inverse-CDF of a keyed uniform — bit-identical across engines), sensitivity clipping at 50, eps accounting; one partial-agg pass, noise on the grouped output only"),
 
     // ------------------------------------------------------------------
+    // c21: LEAKAGE-SAFE train/val/test SPLIT — the eval-contamination
+    // guard every training-data pipeline needs and none of c01-c20
+    // covers: a naive per-document hash split STRANDS near-duplicate
+    // documents on opposite sides (train/test leakage — the model sees
+    // the test answer's twin in training), so the split decision must
+    // be made once per DUPLICATE CLUSTER and inherited by every member.
+    // Clusters = d33's reordering-invariant bag fingerprint (the plant
+    // is d33's token-rotated copies: different exact text, same bag —
+    // exactly what a per-doc hash scatters); the cluster's ANCHOR
+    // (min doc_id) is hashed into 10 buckets → 8/1/1 train/val/test.
+    // The output carries BOTH proofs: spanning_clusters = 0 for the
+    // safe split (also required in-body — the operator's contract) and
+    // naive_spanning > 0 for the counterfactual per-doc split on the
+    // same corpus (the hazard is real, not hypothetical). Scale shape:
+    // fingerprint is map-only; one groupBy(bag) for anchors; one join
+    // back on bag — two bounded shuffles, no pairwise anything.
+    QueryDef(
+      "c21_leakage_safe_split",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val rotated = docs.filter($"doc_id" % 10 === 3)
+          .select(($"doc_id" + 4000000L).as("doc_id"),
+            when(instr($"text", " ") > 0, concat(
+              expr("substring(text, instr(text, ' ') + 1)"), lit(" "),
+              expr("substring(text, 1, instr(text, ' ') - 1)")))
+              .otherwise($"text").as("text"))
+        def bucket(of: String) = expr(
+          s"""CAST(conv(substring(md5(concat('split:',
+                CAST($of AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10""")
+        def splitOf(b: org.apache.spark.sql.Column) =
+          when(b < 8, "train").when(b === 8, "val").otherwise("test")
+        val fp = docs.unionByName(rotated)
+          .withColumn("bag", md5(array_join(sort_array(tokens($"text")), " ")))
+        val anchors = fp.groupBy($"bag").agg(min($"doc_id").as("anchor"))
+          .withColumn("split", splitOf(bucket("anchor")))
+        val assigned = fp.join(anchors, "bag")
+          .withColumn("naive_split", splitOf(bucket("doc_id")))
+        val spans = assigned.groupBy($"bag")
+          .agg(countDistinct($"split").as("ss"),
+            countDistinct($"naive_split").as("ns"))
+          .agg(sum(when($"ss" > 1, 1L).otherwise(0L)).as("spanning_clusters"),
+            sum(when($"ns" > 1, 1L).otherwise(0L)).as("naive_spanning"))
+        val (spanning, naive) = spans.as[(Long, Long)].head()
+        require(spanning == 0L,
+          s"cluster-anchored split leaked $spanning clusters")
+        require(naive > 0L,
+          "counterfactual per-doc split leaked nothing — fixture vacuous")
+        assigned.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"bag").as("n_clusters"))
+          .crossJoin(broadcast(spans))
+          .select($"split", $"n_docs", $"n_clusters",
+            $"spanning_clusters", $"naive_spanning")
+          .orderBy($"split")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 4000000,
+                 CASE WHEN instr(text, ' ') > 0
+                      THEN substr(text, instr(text, ' ') + 1) || ' '
+                           || substr(text, 1, instr(text, ' ') - 1)
+                      ELSE text END
+          FROM documents WHERE doc_id % 10 = 3),
+        fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(
+                   regexp_split_to_array(lower(trim(text)), '\s+')), ' '))
+                   AS bag
+          FROM corpus),
+        anchors AS (
+          SELECT bag, MIN(doc_id) AS anchor FROM fp GROUP BY bag),
+        lbl AS (
+          SELECT b, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                         ELSE 'test' END AS s
+          FROM (SELECT unnest(range(10)) AS b)),
+        assigned AS (
+          SELECT fp.doc_id, fp.bag,
+                 la.s AS split, ln.s AS naive_split
+          FROM fp JOIN anchors a USING (bag)
+          JOIN lbl la ON la.b =
+            CAST('0x' || substr(md5('split:' || a.anchor), 1, 8) AS BIGINT) % 10
+          JOIN lbl ln ON ln.b =
+            CAST('0x' || substr(md5('split:' || fp.doc_id), 1, 8) AS BIGINT) % 10),
+        spans AS (
+          SELECT CAST(SUM(CASE WHEN ss > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS spanning_clusters,
+                 CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS naive_spanning
+          FROM (SELECT bag, COUNT(DISTINCT split) AS ss,
+                       COUNT(DISTINCT naive_split) AS ns
+                FROM assigned GROUP BY bag) t)
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT bag) AS n_clusters,
+               spans.spanning_clusters, spans.naive_spanning
+        FROM assigned CROSS JOIN spans
+        GROUP BY split, spans.spanning_clusters, spans.naive_spanning
+        ORDER BY split"""),
+      doc = "leakage-safe train/val/test split: duplicate clusters (bag fingerprint) assigned whole via anchor hash — spanning_clusters = 0 required in-body, with the naive per-doc split's leak count as the measured counterfactual"),
+
+    // ------------------------------------------------------------------
     // t30: UNIGRAM-LM TOKENIZER (SentencePiece-style Viterbi encode) —
     // the second tokenizer family after BPE (t19/t25): instead of
     // replaying ordered merges, each word takes the segmentation

@@ -1477,7 +1477,80 @@ object DocsisQueries {
         WHERE list_contains(
                 string_split_regex(text, '[^A-Za-z0-9]+'), rare.tok)
         GROUP BY lang ORDER BY lang"""),
-      doc = "tokenbf_v1 text skip index: per-part fixed-size token blooms (one distributed build pass per commit) prune hasToken keyword filters that min/max stats provably cannot; false-positive rate surfaced and bounded in-body")
+      doc = "tokenbf_v1 text skip index: per-part fixed-size token blooms (one distributed build pass per commit) prune hasToken keyword filters that min/max stats provably cannot; false-positive rate surfaced and bounded in-body"),
+
+    // ------------------------------------------------------------------
+    // dx33: N-GRAM BLOOM text skip index (ClickHouse `ngrambf_v1`) —
+    // the SUBSTRING member of the text-skip family. The token bloom
+    // (dx32) answers whole-token membership but is provably useless
+    // for `LIKE '%pat%'` / contains: a substring can cross token
+    // boundaries or sit inside a longer token. Character 3-grams make
+    // substring pruning SOUND: a matching row must contain every
+    // 3-gram of the pattern, so any 3-gram the part's bloom rejects
+    // kills the part — including grams that SPAN the space in a
+    // multi-token phrase, which is adjacency information no token
+    // index can hold. The probe is therefore the corpus's rarest
+    // ADJACENT TOKEN BIGRAM as a raw substring (data-derived at every
+    // SF); min/max stats are again provably powerless (asserted), and
+    // the oracle hash-checks the pruned read, bloom false positives
+    // included. Per-part fpp surfaced and bounded — n-gram blooms
+    // saturate faster than token blooms (distinct 3-grams ≫ distinct
+    // tokens), which is exactly what the observability hook is for.
+    QueryDef(
+      "dx33_ngram_bloom_skip_index",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx33_fact").toString
+        val t = new graft.storage.FactTable(dir, s,
+          ngramBloomCols = Seq("text"))
+        val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        val nParts = math.max(1, math.ceil(docs.count() / 16.0).toInt)
+        t.append(docs.repartition(nParts, $"doc_id"), 0)
+        val phrase = docs
+          .select($"doc_id", split(lower(trim($"text")), "\\s+").as("toks"))
+          .select($"doc_id", explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+                 i -> concat(element_at(toks, i), ' ',
+                             element_at(toks, i + 1)))""")).as("ph"))
+          .groupBy($"ph").agg(countDistinct($"doc_id").as("d"))
+          .orderBy($"d".asc, $"ph".asc).head().getString(0)
+        val probe = $"text".contains(phrase)
+        val files = t.snapshot().files
+        val statTouched = files.count(f =>
+          !graft.storage.StatsPruning.canPrune(probe, f.stats))
+        val (touched, total) = t.pruneReport(probe)
+        require(statTouched == total,
+          s"min/max stats cannot prune substring predicates " +
+            s"($statTouched of $total) at $dir")
+        require(touched < total,
+          s"ngram bloom must prune ($touched of $total kept) at $dir")
+        val fpps = t.ngramBloomFpp("text")
+        require(fpps.nonEmpty && fpps.forall(_._2 < 0.05),
+          s"ngram blooms saturated: ${fpps.map(_._2).max} at $dir")
+        t.readWhere(probe)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+            min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS ph
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents) t,
+               UNNEST(range(1, len(toks))) AS g(i)),
+        rare AS (
+          SELECT ph FROM pairs
+          GROUP BY ph ORDER BY COUNT(DISTINCT doc_id) ASC, ph ASC LIMIT 1)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM documents, rare
+        WHERE position(rare.ph IN text) > 0
+        GROUP BY lang ORDER BY lang"""),
+      doc = "ngrambf_v1 substring skip index: per-part character-3-gram blooms soundly prune contains/LIKE '%pat%' filters (every pattern gram must be present, space-spanning grams carry phrase adjacency no token index holds); rarest-adjacent-bigram probe, fpp surfaced and bounded in-body")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -79,7 +79,8 @@ class FactTable(val root: String, spark: SparkSession,
     bloomCols: Seq[String] = Nil,
     projections: Seq[FactTable.ProjectionSpec] = Nil,
     setIndexCols: Seq[String] = Nil,
-    tokenBloomCols: Seq[String] = Nil) {
+    tokenBloomCols: Seq[String] = Nil,
+    ngramBloomCols: Seq[String] = Nil) {
   import FactTable._
 
   private val rootPath = new Path(root)
@@ -228,7 +229,7 @@ class FactTable(val root: String, spark: SparkSession,
     */
   def cloneShallowTo(destRoot: String): FactTable = {
     val dest = new FactTable(destRoot, spark, bloomCols, projections,
-      setIndexCols, tokenBloomCols)
+      setIndexCols, tokenBloomCols, ngramBloomCols)
     require(fs.listStatus(dest.logDir).isEmpty,
       s"shallow clone target $destRoot already has a log")
     val snap = snapshot()
@@ -508,10 +509,14 @@ class FactTable(val root: String, spark: SparkSession,
         fs.delete(new Path(p + ".set." + c), false)
         setCache.remove(p + ".set." + c)
       }
-      // token-bloom skip-index sidecars: same lifecycle as the blooms
+      // token/ngram-bloom skip-index sidecars: same lifecycle as the blooms
       tokenBloomCols.foreach { c =>
         fs.delete(new Path(p + ".tokbf." + c), false)
         tokenBloomCache.remove(p + ".tokbf." + c)
+      }
+      ngramBloomCols.foreach { c =>
+        fs.delete(new Path(p + ".ngbf." + c), false)
+        tokenBloomCache.remove(p + ".ngbf." + c)
       }
       // projection sidecars are parquet DIRECTORIES — recursive delete
       projections.foreach(s => fs.delete(new Path(p + ".proj." + s.name), true))
@@ -1322,21 +1327,37 @@ class FactTable(val root: String, spark: SparkSession,
     * sidecar stays reserved for "legacy part, cannot prune".
     */
   private def writeTokenBloomSidecars(parts: Seq[String]): Unit = {
-    if (tokenBloomCols.isEmpty || parts.isEmpty) return
+    writeGramBloomSidecars(parts, tokenBloomCols, ".tokbf.",
+      c => explode(split(coalesce(col(c), lit("")),
+        StatsPruning.TokenSplitRe)))
+    writeGramBloomSidecars(parts, ngramBloomCols, ".ngbf.",
+      c => explode_outer(expr(
+        s"""CASE WHEN length(coalesce($c, '')) >= ${StatsPruning.NgramWidth}
+              THEN transform(
+                sequence(1, length($c) - ${StatsPruning.NgramWidth - 1}),
+                i -> substring($c, i, ${StatsPruning.NgramWidth}))
+              ELSE CAST(array() AS ARRAY<STRING>) END""")))
+  }
+
+  /** Shared one-pass distributed sidecar build for the token (tokbf)
+    * and character-n-gram (ngbf) bloom families; `gram` turns the
+    * indexed column into one gram per row.
+    */
+  private def writeGramBloomSidecars(parts: Seq[String], cols: Seq[String],
+      suffix: String,
+      gram: String => org.apache.spark.sql.Column): Unit = {
+    if (cols.isEmpty || parts.isEmpty) return
     // keyed by scheme-stripped ABSOLUTE path: a partitioned write reuses
     // one file name across partition directories, so names collide
     def norm(p: String): String = new Path(p).toUri.getPath
-    val byPath = parts.map(p => norm(p) -> p).toMap
     val df0 = spark.read.parquet(parts: _*)
-    tokenBloomCols.foreach { c =>
+    cols.foreach { c =>
       val have = df0.columns.contains(c)
       val built: Map[String, Array[Byte]] = if (!have) Map.empty else {
         val agg = udaf(new FactTable.TokenBloomAgg,
           org.apache.spark.sql.Encoders.STRING)
-        df0.select(input_file_name().as("__f"),
-            explode(split(coalesce(col(c), lit("")),
-              StatsPruning.TokenSplitRe)).as("__t"))
-          .filter(col("__t") =!= "")
+        df0.select(input_file_name().as("__f"), gram(c).as("__t"))
+          .filter(col("__t").isNotNull && col("__t") =!= "")
           .groupBy(col("__f")).agg(agg(col("__t")).as("__b"))
           .collect()
           .map(r => norm(r.getString(0)) -> r.getAs[Array[Byte]](1)).toMap
@@ -1344,7 +1365,7 @@ class FactTable(val root: String, spark: SparkSession,
       if (have) parts.foreach { part =>
         val bytes = built.getOrElse(norm(part),
           FactTable.TokenBloom.toBytes(FactTable.TokenBloom.emptyBits))
-        val out = fs.create(new Path(part + ".tokbf." + c), true)
+        val out = fs.create(new Path(part + suffix + c), true)
         try out.write(bytes) finally out.close()
       }
     }
@@ -1353,9 +1374,10 @@ class FactTable(val root: String, spark: SparkSession,
   private val tokenBloomCache =
     scala.collection.concurrent.TrieMap[String, Option[Array[Long]]]()
 
-  private def tokenBloomOf(part: String, c: String): Option[Array[Long]] =
-    tokenBloomCache.getOrElseUpdate(part + ".tokbf." + c, {
-      val p = new Path(part + ".tokbf." + c)
+  private def tokenBloomOf(part: String, c: String,
+      suffix: String = ".tokbf."): Option[Array[Long]] =
+    tokenBloomCache.getOrElseUpdate(part + suffix + c, {
+      val p = new Path(part + suffix + c)
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
@@ -1375,10 +1397,29 @@ class FactTable(val root: String, spark: SparkSession,
     */
   private def tokenBloomPruned(cond: org.apache.spark.sql.Column,
       f: FileEntry): Boolean =
-    tokenBloomCols.nonEmpty && StatsPruning.tokenProbes(cond).exists {
+    (tokenBloomCols.nonEmpty && StatsPruning.tokenProbes(cond).exists {
       case (attr, tok) => tokenBloomCols.contains(attr) &&
         tokenBloomOf(f.path, attr).exists(bits =>
           !FactTable.TokenBloom.mightContain(bits, tok))
+    }) || ngramBloomPruned(cond, f)
+
+  /** True iff some `col.contains('pat')` / `col LIKE '%pat%'` conjunct
+    * over an n-gram-indexed column is PROVEN absent: a matching row
+    * would contain every 3-gram of the pattern, so ANY 3-gram the
+    * part's bloom rejects kills the part. Same conservatism as the
+    * token path (missing sidecar / short pattern / OR never prune;
+    * readWhere re-applies the predicate in full).
+    */
+  private def ngramBloomPruned(cond: org.apache.spark.sql.Column,
+      f: FileEntry): Boolean =
+    ngramBloomCols.nonEmpty && StatsPruning.ngramProbes(cond).exists {
+      case (attr, pat) => ngramBloomCols.contains(attr) &&
+        tokenBloomOf(f.path, attr, ".ngbf.").exists { bits =>
+          (0 to pat.length - StatsPruning.NgramWidth).exists { i =>
+            !FactTable.TokenBloom.mightContain(bits,
+              pat.substring(i, i + StatsPruning.NgramWidth))
+          }
+        }
     }
 
   /** Per-part expected false-positive rate of the token bloom on `c` —
@@ -1391,6 +1432,12 @@ class FactTable(val root: String, spark: SparkSession,
   def tokenBloomFpp(c: String): Seq[(String, Double)] =
     snapshot().dataFiles.flatMap(f =>
       tokenBloomOf(f.path, c).map(bits =>
+        f.path -> FactTable.TokenBloom.expectedFpp(bits)))
+
+  /** [[tokenBloomFpp]] for the n-gram (ngbf) sidecar family. */
+  def ngramBloomFpp(c: String): Seq[(String, Double)] =
+    snapshot().dataFiles.flatMap(f =>
+      tokenBloomOf(f.path, c, ".ngbf.").map(bits =>
         f.path -> FactTable.TokenBloom.expectedFpp(bits)))
 
   // ---------------------------------------------------- projections

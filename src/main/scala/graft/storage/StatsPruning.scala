@@ -279,6 +279,59 @@ object StatsPruning {
     }
   }
 
+  /** Character n-gram width shared by the n-gram-bloom sidecar writer
+    * and `ngramProbes` (ClickHouse `ngrambf_v1(3, …)`). A substring
+    * match requires EVERY length-3 window of the pattern to occur in
+    * the value, which is what makes pruning on any absent window sound.
+    */
+  val NgramWidth = 3
+
+  /** Top-level-conjunct SUBSTRING probes `(column, pattern)` — the shape
+    * an n-gram Bloom skip index can test: `col.contains(pat)` /
+    * `col LIKE '%pat%'` with a wildcard-free inner pattern. Soundness:
+    * a row matching the predicate must contain `pat` verbatim, hence
+    * every one of its 3-grams; a part whose bloom proves any 3-gram
+    * absent cannot hold a matching row. Patterns shorter than the gram
+    * width produce no probe (nothing to test). Anything under an OR is
+    * ignored.
+    */
+  def ngramProbes(cond: Column): Seq[(String, String)] = {
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def litStr(e: ce.Expression): Option[String] = foldedValue(e).collect {
+      case u: UTF8String => u.toString
+      case s: String => s
+    }
+    conjuncts(normalize(
+      org.apache.spark.sql.GraftColumnBridge.expression(cond))).flatMap {
+      case ce.Contains(a, v) =>
+        for (n <- attrName(a); p <- litStr(v) if p.length >= NgramWidth)
+          yield n -> p
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 &&
+            f.nameParts.head.equalsIgnoreCase("contains") &&
+            f.arguments.size == 2 =>
+        for (n <- attrName(f.arguments.head);
+             p <- litStr(f.arguments(1)) if p.length >= NgramWidth)
+          yield n -> p
+      case l: ce.Like =>
+        for {
+          n <- attrName(l.left)
+          raw <- litStr(l.right)
+          // only the pure-contains shape %literal% with no inner
+          // wildcards or escapes — anything else never prunes
+          if raw.length >= NgramWidth + 2 &&
+            raw.startsWith("%") && raw.endsWith("%") && {
+              val inner = raw.substring(1, raw.length - 1)
+              !inner.exists(c => c == '%' || c == '_' || c == l.escapeChar)
+            }
+        } yield n -> raw.substring(1, raw.length - 1)
+      case _ => None
+    }
+  }
+
   /** Top-level-conjunct IN probes `(column, external values)` — the set
     * skip index can reject a part when EVERY listed value is absent from
     * its exact value set (a bloom cannot: each value needs its own

@@ -670,6 +670,44 @@ class FactTableSpec extends AnyFunSuite {
     assert(t2.readWhere(probe).count() == 2)
   }
 
+  test("ngram-bloom skip index: substring pruning soundness and conservatism") {
+    val dir = java.nio.file.Files.createTempDirectory("fact_ngbf").toString
+    val t = new FactTable(dir, spark, ngramBloomCols = Seq("text"))
+    def docs(id0: Long, texts: Seq[String]) =
+      texts.zipWithIndex.map { case (tx, i) => (id0 + i, tx) }
+        .toDF("doc_id", "text")
+        .withColumn("date", to_date(lit("2024-03-01")))
+    t.append(docs(0, Seq("alpha beta common", "beta common alpha")).coalesce(1), 0)
+    t.append(docs(10, Seq("gamma delta common", "delta gamma common")).coalesce(1), 1)
+    // substring probes: token blooms cannot answer these shapes at all
+    assert(t.pruneReport($"text".contains("gamma")) == ((1, 2)))
+    assert(t.readWhere($"text".contains("gamma")).count() == 2)
+    // phrase spanning a token boundary: adjacency lives in the grams
+    assert(t.pruneReport($"text".contains("beta common")) == ((1, 2)))
+    assert(t.readWhere($"text".contains("beta common")).count() == 2)
+    // INTERIOR substring of a token — 'amm' occurs inside 'gamma' only
+    assert(t.pruneReport($"text".contains("amm")) == ((1, 2)))
+    // LIKE '%pat%' is recognized; other LIKE shapes never prune
+    assert(t.pruneReport($"text".like("%gamma%")) == ((1, 2)))
+    assert(t.pruneReport($"text".like("gamma%")) == ((2, 2)))
+    assert(t.pruneReport($"text".like("%ga_ma%")) == ((2, 2)))
+    // patterns shorter than the gram width never prune
+    assert(t.pruneReport($"text".contains("ga")) == ((2, 2)))
+    // present-everywhere substring keeps everything, loses nothing
+    assert(t.pruneReport($"text".contains("common")) == ((2, 2)))
+    assert(t.readWhere($"text".contains("common")).count() == 4)
+    // OR never prunes
+    assert(t.pruneReport($"text".contains("gamma") ||
+      $"text".contains("alpha")) == ((2, 2)))
+    // fpp surfaced
+    val fpps = t.ngramBloomFpp("text")
+    assert(fpps.size == 2 && fpps.forall(_._2 < 0.01), fpps.toString)
+    // deleteWhere rides the same sidecar: only the matching part rewrites
+    val before = t.snapshot().files.map(_.path).toSet
+    assert(t.deleteWhere($"text".contains("delta gamma")) == 1L)
+    assert((before -- t.snapshot().files.map(_.path).toSet).size == 1)
+  }
+
   test("concurrent appends: version-race loser retries and both commits land") {
     val root = java.nio.file.Files.createTempDirectory("fact_cc").toString
     val other = new FactTable(root, spark)
