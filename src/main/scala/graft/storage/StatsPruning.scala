@@ -317,20 +317,34 @@ object StatsPruning {
              p <- litStr(f.arguments(1)) if p.length >= NgramWidth)
           yield n -> p
       case l: ce.Like =>
-        for {
-          n <- attrName(l.left)
-          raw <- litStr(l.right)
-          // only the pure-contains shape %literal% with no inner
-          // wildcards or escapes — anything else never prunes
-          if raw.length >= NgramWidth + 2 &&
-            raw.startsWith("%") && raw.endsWith("%") && {
-              val inner = raw.substring(1, raw.length - 1)
-              !inner.exists(c => c == '%' || c == '_' || c == l.escapeChar)
-            }
-        } yield n -> raw.substring(1, raw.length - 1)
+        likeProbe(attrName(l.left), litStr(l.right), l.escapeChar)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 &&
+            f.nameParts.head.equalsIgnoreCase("like") &&
+            f.arguments.size >= 2 =>
+        val esc = if (f.arguments.size >= 3)
+          litStr(f.arguments(2)).filter(_.length == 1)
+            .map(_.charAt(0)).getOrElse('\\')
+        else '\\'
+        likeProbe(attrName(f.arguments.head), litStr(f.arguments(1)), esc)
       case _ => None
     }
   }
+
+  /** The pure-contains LIKE shape `%literal%` with no inner wildcards
+    * or escapes — anything else never prunes.
+    */
+  private def likeProbe(attr: Option[String], pat: Option[String],
+      escapeChar: Char): Option[(String, String)] =
+    for {
+      n <- attr
+      raw <- pat
+      if raw.length >= NgramWidth + 2 &&
+        raw.startsWith("%") && raw.endsWith("%") && {
+          val inner = raw.substring(1, raw.length - 1)
+          !inner.exists(c => c == '%' || c == '_' || c == escapeChar)
+        }
+    } yield n -> raw.substring(1, raw.length - 1)
 
   /** Top-level-conjunct IN probes `(column, external values)` — the set
     * skip index can reject a part when EVERY listed value is absent from
