@@ -39,50 +39,6 @@ object Bench {
     val inputRows = Tables.all.map(t => Tables.load(spark, sfDir, t).count()).sum
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
-    // best-of-2 per query: damps scheduler/GC noise on a shared machine.
-    // A query that fails BOTH runs reports -1.0 (never a fake timing).
-    // dev-only: SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts the query set
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
-    var sinceGc = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
-      // untimed driver GC every 25 queries: releases dropped broadcast /
-      // checkpoint / shuffle references so the ContextCleaner can reclaim
-      // them NOW, instead of letting pressure build into a later query's
-      // timing window (see periodicGC.interval note above)
-      // Deterministic scratch cleanup BETWEEN queries (untimed): queries
-      // that localCheckpoint (label propagation, IVF builds) leave their
-      // blocks registered until the ContextCleaner GCs the reference —
-      // across 190+ executions that storage-memory pressure inflates the
-      // mid-run tail 2-3× (d05 measured 4.6 s fresh vs 11.5 s mid-run).
-      // Dropping them eagerly keeps every query's timing independent of
-      // how much ran before it; the periodic System.gc() then releases
-      // broadcast/shuffle scratch the cleaner tracks by weak reference.
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      sinceGc += 1
-      if (sinceGc >= 15) { sinceGc = 0; System.gc() }
-      val times = (1 to 2).flatMap { _ =>
-        // d08/d09 memoize their label-propagation intermediate; clear it
-        // so every timed run pays the full cost (otherwise run 2 of d08
-        // and both runs of d09 skip the dominant stage and best-of-2
-        // understates the query).
-        graft.operators.DedupQueries.clearLabelsCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
-      }
-      name -> (if (times.nonEmpty) times.min else -1.0)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val qps = if (total > 0) results.size / total else 0.0
     // Separate buckets: the dx12-dx16 storage end-to-ends each write,
     // merge, and re-read a whole temp FactTable — 3-5 s of filesystem
     // work with ±30% run-to-run variance that would otherwise mask real
@@ -137,7 +93,63 @@ object Bench {
       // round-11: the token/ngram-bloom lifecycles each append a
       // ~16-docs-per-part FactTable (hundreds of parts at sf0.1) + one
       // distributed sidecar-build pass in-body before the pruned read
-      "dx32_token_bloom_skip_index", "dx33_ngram_bloom_skip_index")
+      "dx32_token_bloom_skip_index", "dx33_ngram_bloom_skip_index",
+      // round-11: the TTL-rollup lifecycle appends + compacts + rewrites
+      // expired partitions of a temp FactTable in-body
+      "dx34_ttl_rollup_downsample")
+    // best-of-2 per query: damps scheduler/GC noise on a shared machine.
+    // A query that fails BOTH runs reports -1.0 (never a fake timing).
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts the query set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    // dev-only: SPARK_GRAFT_BENCH_BUCKET=storage|query restricts to one
+    // bucket — the fresh-JVM-per-bucket control run that separates
+    // machine-state drift from real regressions (BASELINE.md r11)
+    val bucketOnly = sys.env.get("SPARK_GRAFT_BENCH_BUCKET")
+    var sinceGc = 0
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) => bucketOnly.forall {
+        case "storage" => storageE2e.contains(name)
+        case "query" => !storageE2e.contains(name)
+        case _ => true
+      } }
+      .map { case (name, fn) =>
+      // untimed driver GC every 25 queries: releases dropped broadcast /
+      // checkpoint / shuffle references so the ContextCleaner can reclaim
+      // them NOW, instead of letting pressure build into a later query's
+      // timing window (see periodicGC.interval note above)
+      // Deterministic scratch cleanup BETWEEN queries (untimed): queries
+      // that localCheckpoint (label propagation, IVF builds) leave their
+      // blocks registered until the ContextCleaner GCs the reference —
+      // across 190+ executions that storage-memory pressure inflates the
+      // mid-run tail 2-3× (d05 measured 4.6 s fresh vs 11.5 s mid-run).
+      // Dropping them eagerly keeps every query's timing independent of
+      // how much ran before it; the periodic System.gc() then releases
+      // broadcast/shuffle scratch the cleaner tracks by weak reference.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      sinceGc += 1
+      if (sinceGc >= 15) { sinceGc = 0; System.gc() }
+      val times = (1 to 2).flatMap { _ =>
+        // d08/d09 memoize their label-propagation intermediate; clear it
+        // so every timed run pays the full cost (otherwise run 2 of d08
+        // and both runs of d09 skip the dominant stage and best-of-2
+        // understates the query).
+        graft.operators.DedupQueries.clearLabelsCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val qps = if (total > 0) results.size / total else 0.0
     val (stor, quer) = results.partition(r => storageE2e.contains(r._1))
     val storS = stor.map(_._2).sum
     val querS = quer.map(_._2).sum

@@ -2839,6 +2839,71 @@ object ExtendedQueries {
         FROM ev e JOIN wm w USING (trig)
         GROUP BY e.trig, w.wm
         ORDER BY trig"""),
-      doc = "watermark-drop differential: per-trigger high-watermark model (prefix max event time minus delay, advanced between triggers) with planted late arrivals; the drop ledger an operator reads off StreamingQueryProgress, oracle-checked; StreamingSpec replays the schedule through a real watermarked stream")
+      doc = "watermark-drop differential: per-trigger high-watermark model (prefix max event time minus delay, advanced between triggers) with planted late arrivals; the drop ledger an operator reads off StreamingQueryProgress, oracle-checked; StreamingSpec replays the schedule through a real watermarked stream"),
+
+    // ------------------------------------------------------------------
+    // q91: SKYLINE (Pareto-dominance) operator — "Integration of
+    // Skyline Queries into Spark SQL" (EDBT 2023, PAPERS.md): the
+    // multi-criteria shortlist (here: cheapest price, largest
+    // quantity, deepest discount — minimize ep, maximize q and d) that
+    // no relational form expresses without a quadratic self-join. The
+    // distributed shape is the paper's two-phase: a LOCAL dominance
+    // filter per partition (sound because dominance is transitive — a
+    // globally non-dominated point is non-dominated in its partition),
+    // then one GLOBAL filter over the union of local skylines, whose
+    // input is bounded by Σ local skyline sizes (~tens of points per
+    // partition on anti-correlated dims), not the corpus. Points
+    // dedupe to distinct dimension triples first (one partial-agg
+    // shuffle); equal triples tie and both survive by definition. The
+    // dominance test is pure comparisons on raw values — no float
+    // arithmetic — so the NOT EXISTS oracle matches bit-exactly.
+    // mapPartitions is the documented last resort here: the dominance
+    // fold is inherently imperative (the kept-candidate list mutates).
+    QueryDef(
+      "q91_skyline",
+      (s, dir) => {
+        import s.implicits._
+        // q dominates p (minimize ep, maximize qty/d) iff <= / >= on
+        // every dim and strict on at least one
+        def dom(a: (Double, Double, Double, Long),
+            b: (Double, Double, Double, Long)): Boolean =
+          a._1 <= b._1 && a._2 >= b._2 && a._3 >= b._3 &&
+            (a._1 < b._1 || a._2 > b._2 || a._3 > b._3)
+        def skylineOf(it: Iterator[(Double, Double, Double, Long)])
+            : Iterator[(Double, Double, Double, Long)] = {
+          val kept = scala.collection.mutable.ArrayBuffer
+            .empty[(Double, Double, Double, Long)]
+          it.foreach { p =>
+            if (!kept.exists(k => dom(k, p))) {
+              val surviving = kept.filterNot(k => dom(p, k))
+              kept.clear(); kept ++= surviving; kept += p
+            }
+          }
+          kept.iterator
+        }
+        val dims = Tables.load(s, dir, "lineitem")
+          .groupBy($"l_extendedprice".as("ep"), $"l_quantity".as("q"),
+            $"l_discount".as("d"))
+          .agg(count(lit(1)).as("n"))
+          .as[(Double, Double, Double, Long)]
+        dims.mapPartitions(skylineOf)     // local: corpus-sized, parallel
+          .repartition(1)
+          .mapPartitions(skylineOf)       // global: candidate-sized merge
+          .toDF("ep", "q", "d", "n")
+          .orderBy($"ep", $"q", $"d")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT l_extendedprice AS ep, l_quantity AS q, l_discount AS d,
+                 COUNT(*) AS n
+          FROM lineitem GROUP BY 1, 2, 3)
+        SELECT ep, q, d, CAST(n AS BIGINT) AS n
+        FROM dims p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM dims o
+          WHERE o.ep <= p.ep AND o.q >= p.q AND o.d >= p.d
+            AND (o.ep < p.ep OR o.q > p.q OR o.d > p.d))
+        ORDER BY ep, q, d"""),
+      doc = "skyline / Pareto-dominance shortlist (EDBT 2023 Spark-SQL skyline shape): per-partition local dominance filter + bounded global merge — never the quadratic self-join; comparisons only, no float arithmetic, NOT EXISTS oracle")
   )
 }

@@ -1550,7 +1550,69 @@ object DocsisQueries {
         FROM documents, rare
         WHERE position(rare.ph IN text) > 0
         GROUP BY lang ORDER BY lang"""),
-      doc = "ngrambf_v1 substring skip index: per-part character-3-gram blooms soundly prune contains/LIKE '%pat%' filters (every pattern gram must be present, space-spanning grams carry phrase adjacency no token index holds); rarest-adjacent-bigram probe, fpp surfaced and bounded in-body")
+      doc = "ngrambf_v1 substring skip index: per-part character-3-gram blooms soundly prune contains/LIKE '%pat%' filters (every pattern gram must be present, space-spanning grams carry phrase adjacency no token index holds); rarest-adjacent-bigram probe, fpp surfaced and bounded in-body"),
+
+    // ------------------------------------------------------------------
+    // dx34: TTL ROLLUP — age-based DOWNSAMPLING on expiry (ClickHouse
+    // `TTL date + INTERVAL 15 DAY GROUP BY keys SET v = sum(v)`):
+    // the third member of the retention family after whole-part drop
+    // (dx13 ttlExpire) and physical-delete (dx15): partitions older
+    // than the cutoff are rewritten as ONE row per (date, key) with
+    // sums preserved EXACTLY, so the telemetry contract "raw recent,
+    // downsampled history" holds without losing a single unit of
+    // aggregate mass. The checked output carries both the LOSSLESS
+    // claim (cents/n_events identical to raw recomputation at every
+    // date) and the PHYSICAL claim (rows_physical = 1 per key before
+    // the cutoff, raw count after — the oracle models both). Cost is
+    // O(expired partitions): the in-body require pins that recent
+    // parts' paths survive the swap untouched. Cutoff is data-derived
+    // (min event date + 15 days — exists at every SF).
+    QueryDef(
+      "dx34_ttl_rollup_downsample",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx34_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .select(to_date($"ts").as("date"), $"event_type",
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+            lit(1L).as("n"), $"event_id")
+        t.append(ev, 0)
+        t.compact(sortCols = Seq("event_type"))
+        val cut = ev.agg(date_add(min($"date"), 15)).head().getDate(0)
+        val before = t.snapshot().dataFiles.map(_.path).toSet
+        val removed = t.ttlRollup(cut.toString,
+          keyCols = Seq("event_type"), sumCols = Seq("cents", "n"))
+        require(removed > 0L, s"rollup shrank nothing at $dir")
+        val after = t.snapshot().dataFiles.map(_.path).toSet
+        require((after & before).nonEmpty && !(after subsetOf before),
+          s"recent parts must survive untouched while expired ones swap at $dir")
+        val phys = t.read().filter($"date" < lit(cut)).count()
+        val keys = ev.filter($"date" < lit(cut))
+          .select($"date", $"event_type").distinct().count()
+        require(phys == keys,
+          s"downsampled history holds $phys rows, want $keys key rows at $dir")
+        t.read().groupBy($"date", $"event_type")
+          .agg(sum($"cents").as("cents"), sum($"n").as("n_events"),
+            count(lit(1)).as("rows_physical"))
+          .orderBy($"date", $"event_type")
+      },
+      Some("""
+        WITH cut AS (SELECT MIN(CAST(ts AS DATE)) + 15 AS c FROM events),
+        raw AS (
+          SELECT CAST(ts AS DATE) AS date, event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events)
+        SELECT date, event_type,
+               CAST(SUM(cents) AS BIGINT) AS cents,
+               COUNT(*) AS n_events,
+               CAST(CASE WHEN date < cut.c THEN 1 ELSE COUNT(*) END
+                 AS BIGINT) AS rows_physical
+        FROM raw CROSS JOIN cut
+        GROUP BY date, event_type, cut.c
+        ORDER BY date, event_type"""),
+      doc = "TTL GROUP BY downsampling: expired partitions rewritten to one row per key with exact sums (raw recent, downsampled history); recent parts untouched, physical shrink and losslessness both oracle-modeled")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -549,8 +549,13 @@ class FactTable(val root: String, spark: SparkSession,
     * working until the vacuum horizon passes. This is the cheapest
     * possible retention mechanism for a 100 TB time-partitioned table.
     */
-  def ttlExpire(cutoff: String, partitionCol: String = "date"): Int = {
-    val snap = snapshot()
+  /** True iff the part is ENTIRELY before `cutoff` on `partitionCol`
+    * (by partition directory value, else by footer max stat) — shared
+    * by `ttlExpire` (drop) and `ttlRollup` (downsample). Conservative:
+    * a part with neither signal is never expired.
+    */
+  private def expiredEntry(f: FileEntry, cutoff: String,
+      partitionCol: String): Boolean = {
     val pat = ("/" + java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/").r
     val cutoffDays = java.time.LocalDate.parse(cutoff).toEpochDay
     def statExpired(cs: StatsPruning.ColStats): Boolean = cs.typ match {
@@ -558,11 +563,14 @@ class FactTable(val root: String, spark: SparkSession,
       case "string" => cs.max < cutoff
       case _ => false
     }
-    def expired(f: FileEntry): Boolean =
-      pat.findFirstMatchIn(f.path).map(_.group(1) < cutoff)
-        .orElse(f.stats.get(partitionCol).map(statExpired))
-        .getOrElse(false)
-    val victims = snap.dataFiles.filter(expired)
+    pat.findFirstMatchIn(f.path).map(_.group(1) < cutoff)
+      .orElse(f.stats.get(partitionCol).map(statExpired))
+      .getOrElse(false)
+  }
+
+  def ttlExpire(cutoff: String, partitionCol: String = "date"): Int = {
+    val snap = snapshot()
+    val victims = snap.dataFiles.filter(expiredEntry(_, cutoff, partitionCol))
     if (victims.isEmpty) return 0
     beforeCommit()
     // obsolete if a concurrent compaction already rewrote a victim (its
@@ -572,6 +580,59 @@ class FactTable(val root: String, spark: SparkSession,
       fresh => victims.forall(v => fresh.files.exists(_.path == v.path)))
     if (!committed) return ttlExpire(cutoff, partitionCol)
     victims.size
+  }
+
+  /** Age-based DOWNSAMPLING on expiry (the ClickHouse
+    * `TTL date + INTERVAL n DAY GROUP BY keys SET v = sum(v)` analog):
+    * instead of dropping expired partitions (`ttlExpire`), roll them up
+    * — parts whose partition value is entirely before `cutoff` are
+    * rewritten as one aggregated row per (partition, key), `sumCols`
+    * summed and every other column taking `max` as its deterministic
+    * representative (the collapsing-merge rule). Sums therefore stay
+    * EXACT across the whole table while old partitions shrink from
+    * row-level to key-level mass — the standard telemetry retention
+    * contract (raw recent, downsampled history). Cost is
+    * O(expired partitions): recent parts are never listed, read, or
+    * rewritten, and the swap is the same atomic optimistic commit as
+    * compaction, so time travel to the pre-rollup version works until
+    * vacuum. Idempotent: rolled parts no longer match a STRICTLY older
+    * cutoff only when re-run with the same cutoff — re-running rolls
+    * the already-aggregated rows again, which re-groups to the
+    * identical result (sum of sums). Returns rows removed by the
+    * shrink.
+    */
+  def ttlRollup(cutoff: String, keyCols: Seq[String], sumCols: Seq[String],
+      partitionCol: String = "date"): Long = {
+    val snap = snapshot()
+    val victims = snap.dataFiles.filter(expiredEntry(_, cutoff, partitionCol))
+    if (victims.isEmpty) return 0L
+    val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
+    val src = masked(victims, snap.tombFiles)
+    val groupNames = partitionCol +: keyCols
+    require((sumCols ++ groupNames).forall(src.columns.contains),
+      s"ttlRollup columns missing from ${src.columns.toSeq}")
+    val others = src.columns
+      .filterNot(c => groupNames.contains(c) || sumCols.contains(c))
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      others.map(c => max(col(c)).as(c))
+    src.groupBy(groupNames.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(src.columns.map(col).toIndexedSeq: _*) // original column order
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(partitionCol, keyCols: _*)
+      .write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(target.toString)
+    beforeCommit()
+    val adds = entriesFor(target, TierBase)
+    val committed = commitWithRetry(snap.nextVersion, None, adds,
+      removes = victims.map(_.path))(
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)) &&
+        tombsUnchanged(snap)(fresh))
+    if (!committed) {
+      fs.delete(target, true)
+      return ttlRollup(cutoff, keyCols, sumCols, partitionCol)
+    }
+    victims.map(_.rows).sum - adds.map(_.rows).sum
   }
 
   /** Major compaction — the MergeTree level-merge: rewrite EVERY live

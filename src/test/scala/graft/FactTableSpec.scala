@@ -670,6 +670,43 @@ class FactTableSpec extends AnyFunSuite {
     assert(t2.readWhere(probe).count() == 2)
   }
 
+  test("ttlRollup downsamples expired partitions, keeps sums, travels, re-runs") {
+    val dir = java.nio.file.Files.createTempDirectory("fact_ttlgb").toString
+    val t = new FactTable(dir, spark)
+    def day(d: String, modem: String, ups: Seq[Long]) =
+      ups.map(u => (modem, java.sql.Timestamp.valueOf(s"$d 01:02:03"), u, 1L))
+        .toDF("modem_name", "timestamp", "uptime", "n")
+        .withColumn("date", to_date($"timestamp"))
+    t.append(day("2024-03-01", "m1", Seq(10L, 20L, 30L))
+      .unionByName(day("2024-03-01", "m2", Seq(5L))), 0)
+    t.append(day("2024-03-02", "m1", Seq(7L, 8L)), 1)
+    t.append(day("2024-03-05", "m1", Seq(100L, 200L)), 2)
+    t.compact(sortCols = Seq("modem_name"))
+    val preVersion = t.snapshot().nextVersion - 1
+    val recentBefore = t.snapshot().dataFiles.map(_.path)
+      .filter(_.contains("date=2024-03-05")).toSet
+    // roll everything before 03-05 into per-(date, modem) rows
+    val removed = t.ttlRollup("2024-03-05", Seq("modem_name"), Seq("uptime", "n"))
+    assert(removed == 3L) // 6 expired rows -> 3 key rows
+    // sums exact across the whole table, physical shape downsampled
+    val rolled = t.read().orderBy($"date", $"modem_name")
+      .select($"date".cast("string"), $"modem_name", $"uptime", $"n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rolled.toSeq == Seq(
+      ("2024-03-01", "m1", 60L, 3L), ("2024-03-01", "m2", 5L, 1L),
+      ("2024-03-02", "m1", 15L, 2L),
+      ("2024-03-05", "m1", 100L, 1L), ("2024-03-05", "m1", 200L, 1L)))
+    // recent parts survive the swap untouched
+    val recentAfter = t.snapshot().dataFiles.map(_.path)
+      .filter(_.contains("date=2024-03-05")).toSet
+    assert(recentAfter == recentBefore)
+    // time travel to the pre-rollup version still sees raw history
+    assert(t.read(preVersion).filter($"date" < lit("2024-03-05")).count() == 6)
+    // idempotent: re-running re-groups already-rolled rows to themselves
+    assert(t.ttlRollup("2024-03-05", Seq("modem_name"), Seq("uptime", "n")) == 0L)
+    assert(t.read().count() == 5)
+  }
+
   test("ngram-bloom skip index: substring pruning soundness and conservatism") {
     val dir = java.nio.file.Files.createTempDirectory("fact_ngbf").toString
     val t = new FactTable(dir, spark, ngramBloomCols = Seq("text"))
