@@ -2904,6 +2904,66 @@ object ExtendedQueries {
           WHERE o.ep <= p.ep AND o.q >= p.q AND o.d >= p.d
             AND (o.ep < p.ep OR o.q > p.q OR o.d > p.d))
         ORDER BY ep, q, d"""),
-      doc = "skyline / Pareto-dominance shortlist (EDBT 2023 Spark-SQL skyline shape): per-partition local dominance filter + bounded global merge — never the quadratic self-join; comparisons only, no float arithmetic, NOT EXISTS oracle")
+      doc = "skyline / Pareto-dominance shortlist (EDBT 2023 Spark-SQL skyline shape): per-partition local dominance filter + bounded global merge — never the quadratic self-join; comparisons only, no float arithmetic, NOT EXISTS oracle"),
+
+    // ------------------------------------------------------------------
+    // q92: topK HEAVY HITTERS via SpaceSaving (ClickHouse `topK(N)` /
+    // `approx_top_k`) — the sketch-family trio's missing member after
+    // HLL (distinct counts, q77/q79) and count-min (point frequencies,
+    // q81): the top keys of a stream with O(capacity) state regardless
+    // of key cardinality. The fixture plants 3 hot keys (20% of events
+    // each) in a tail of thousands of singleton keys; capacity 16 makes
+    // the summary a few hundred bytes while the exact groupBy holds
+    // thousands of rows — at 100 TB the difference between "shuffle 16
+    // counters per partition" and "shuffle every distinct URL". The
+    // summary's CONTENT is merge-order-dependent (inherent to the
+    // sketch), so — the q77/q81 audit discipline — the row surface is
+    // the three ORDER-INDEPENDENT SpaceSaving theorems, asserted
+    // against exact counts on keys chosen FROM the exact side (every
+    // key with exact > 2N/capacity, integer cross-multiplied): the key
+    // IS in the summary (guarantee holds for true > N/cap; 2× is the
+    // merged-summary margin), its counter OVERestimates, and the
+    // (c − e ≤ true ≤ c) bracket holds. OperatorSpec drives the
+    // order-independence and bounded-state claims directly.
+    QueryDef(
+      "q92_topk_spacesaving",
+      (s, dir) => {
+        import s.implicits._
+        val topk = udaf(new graft.functions.TopKAggregator(16))
+        val keyed = Tables.events(s, dir)
+          .select(when($"event_id" % 5 < 3,
+              concat(lit("hot"), ($"event_id" % 3).cast("string")))
+            .otherwise(concat(lit("cold"), $"event_id".cast("string")))
+            .as("k"))
+        val summary = keyed.agg(topk($"k").as("summary"))
+          .select(explode($"summary").as("e"))
+          .select($"e.k".as("k"), $"e.c".as("c"), $"e.e".as("err"))
+        val exact = keyed.groupBy($"k")
+          .agg(count(lit(1)).as("exact_cnt"))
+        val total = keyed.agg(count(lit(1)).as("n"))
+        exact.crossJoin(broadcast(total))
+          .filter($"exact_cnt" * 16 > $"n" * 2) // exact > 2N/cap, integer
+          .join(broadcast(summary), Seq("k"), "left")
+          .select($"k", $"exact_cnt",
+            $"c".isNotNull.as("in_sketch"),
+            (coalesce($"c", lit(-1L)) >= $"exact_cnt").as("overestimate_ok"),
+            (coalesce($"c", lit(0L)) - coalesce($"err", lit(0L))
+              <= $"exact_cnt").as("bracket_ok"))
+          .orderBy($"k")
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT CASE WHEN event_id % 5 < 3
+                      THEN 'hot' || CAST(event_id % 3 AS VARCHAR)
+                      ELSE 'cold' || CAST(event_id AS VARCHAR) END AS k
+          FROM events),
+        exact AS (SELECT k, COUNT(*) AS exact_cnt FROM keyed GROUP BY k),
+        tot AS (SELECT COUNT(*) AS n FROM keyed)
+        SELECT k, exact_cnt,
+               TRUE AS in_sketch, TRUE AS overestimate_ok,
+               TRUE AS bracket_ok
+        FROM exact, tot WHERE exact_cnt * 16 > n * 2
+        ORDER BY k"""),
+      doc = "topK heavy hitters via SpaceSaving (ClickHouse topK): O(capacity) state per group at any key cardinality, mergeable-summaries merge charging absent keys each side's minimum; surfaced as the three order-independent theorems (guaranteed presence above 2N/cap, overestimate, c-e<=true bracket) against exact counts, the q77/q81 audit discipline")
   )
 }

@@ -1264,7 +1264,88 @@ object MultimodalQueries {
                CAST(CASE WHEN ok THEN (CASE WHEN gray THEN 1 ELSE 3 END)
                     ELSE -1 END AS BIGINT) AS n_components
         FROM a ORDER BY media_id"""),
-      doc = "JPEG/EXIF sniff: per-row switchable TIFF endianness (II/MM) inside a big-endian JPEG marker walk, tag-directory scan via higher-order functions, SOF located by a bounded aggregate fold over unknown segments — pure native expressions, zero decode; corrupt assets guarded")
+      doc = "JPEG/EXIF sniff: per-row switchable TIFF endianness (II/MM) inside a big-endian JPEG marker walk, tag-directory scan via higher-order functions, SOF located by a bounded aggregate fold over unknown segments — pure native expressions, zero decode; corrupt assets guarded"),
+
+    // ------------------------------------------------------------------
+    // m20: AUDIO FRAME FEATURE EXTRACTION + VAD GATE — the framing step
+    // every speech pipeline runs before anything else (VAD, diarization,
+    // ASR features): decode once per asset (real javax.sound WAV parse,
+    // m10's path), split the PCM stream into non-overlapping 160-sample
+    // frames (20 ms at 8 kHz, trailing partial dropped), and emit one
+    // row per frame with integral energy (Σs²) and in-frame
+    // zero-crossings plus the half-peak-energy VAD verdict — the
+    // audio analog of m11's frame sampling, completing the brief's
+    // decode → feature-extract → frame-sample progression for the audio
+    // modality. Frames carry NO cross-frame state, so the expansion is
+    // map-parallel per asset (one flatMap, no shuffle before the output
+    // sort) and any executor can recompute any frame — the property
+    // that lets 100 TB of audio shard freely. The gated-square fixture
+    // (speech-then-silence) gives every feature an exact closed form:
+    // active samples per frame clamp(na − s, 0, F), energy active·A²,
+    // crossings the multiples of the period inside the voiced span,
+    // voiced ⇔ 2·active > F. Every 5th asset is corrupted (leading
+    // byte dropped) to prove undecodable bytes surface as sentinel rows
+    // instead of vanishing. % 20 == 5 keeps assets disjoint from
+    // m08-m19.
+    QueryDef(
+      "m20_audio_frame_features",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 5)
+          .select($"doc_id".as("media_id"),
+            (($"n_chars" % 1500) + 640).cast("int").as("n"),
+            (($"doc_id" % 900) * 16 + 800).cast("int").as("amp"),
+            (($"n_chars" % 23) + 4).cast("int").as("p"),
+            // every 5th asset OF THE GROUP (doc_id ≡ 5 mod 20 is always
+            // divisible by 5, so the index within the group decides)
+            (expr("doc_id div 20") % 5 === 0).as("corrupt"))
+          .as[(Long, Int, Int, Int, Boolean)]
+        rows.mapPartitions(_.flatMap { case (id, n, amp, p, corrupt) =>
+            val na = n * ((id % 3).toInt + 1) / 4
+            val wav = graft.sources.MediaPipeline
+              .renderGatedSquareWav(n, na, 8000, amp, p)
+            val bytes = if (corrupt) wav.drop(1) else wav
+            graft.sources.MediaPipeline.frameAudio(id, bytes, frameLen = 160)
+          })
+          .toDF()
+          .select($"media_id", $"n_frames", $"frame_idx", $"energy",
+            $"zero_crossings", $"voiced", $"decode_ok")
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS media_id,
+                 (n_chars % 1500) + 640 AS n,
+                 (doc_id % 900) * 16 + 800 AS amp,
+                 (n_chars % 23) + 4 AS p,
+                 ((n_chars % 1500) + 640) * ((doc_id % 3) + 1) // 4 AS na,
+                 (doc_id // 20) % 5 = 0 AS corrupt
+          FROM documents WHERE doc_id % 20 = 5),
+        frames AS (
+          SELECT media_id, amp, p, na, n // 160 AS n_frames,
+                 unnest(range(0, n // 160)) AS f
+          FROM a WHERE NOT corrupt),
+        feat AS (
+          SELECT media_id, n_frames, f,
+                 GREATEST(0, LEAST(160, na - f * 160)) AS active,
+                 GREATEST(0, (LEAST(f * 160 + 160, na) - 1) // p
+                             - (f * 160) // p) AS zc,
+                 amp
+          FROM frames)
+        SELECT media_id, CAST(n_frames AS INTEGER) AS n_frames,
+               CAST(f AS INTEGER) AS frame_idx,
+               CAST(active * amp * amp AS BIGINT) AS energy,
+               CAST(zc AS BIGINT) AS zero_crossings,
+               2 * active > 160 AS voiced,
+               TRUE AS decode_ok
+        FROM feat
+        UNION ALL
+        SELECT media_id, CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE, FALSE
+        FROM a WHERE corrupt
+        ORDER BY media_id, frame_idx"""),
+      doc = "audio frame feature extraction + VAD gate: real WAV decode once per asset, map-parallel expansion to stateless 20 ms frames with integral energy/zero-crossings and the half-peak-energy voiced verdict — the speech-pipeline framing primitive; gated-square closed forms, corrupt assets surface as sentinel rows")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`

@@ -1612,7 +1612,143 @@ object DocsisQueries {
         FROM raw CROSS JOIN cut
         GROUP BY date, event_type, cut.c
         ORDER BY date, event_type"""),
-      doc = "TTL GROUP BY downsampling: expired partitions rewritten to one row per key with exact sums (raw recent, downsampled history); recent parts untouched, physical shrink and losslessness both oracle-modeled")
+      doc = "TTL GROUP BY downsampling: expired partitions rewritten to one row per key with exact sums (raw recent, downsampled history); recent parts untouched, physical shrink and losslessness both oracle-modeled"),
+
+    // ------------------------------------------------------------------
+    // dx35: SAMPLE BY storage sampling (ClickHouse `SAMPLE BY
+    // intHash32(user_id)` in the table's ORDER BY + `SELECT ... SAMPLE
+    // 1/4`): approximate queries read a FRACTION OF THE BYTES, not a
+    // post-scan row subsample. The sample key is a uniform hash of the
+    // sampling unit (user_id — md5 first hex digit: 16 equal slices,
+    // deterministic and identical in both engines, the t13 idiom), and
+    // because rows are STORED range-clustered by that key, the SAMPLE
+    // predicate `sample_key < '4'` is a leading-key range the ordinary
+    // min/max stats prune — the in-body require pins that ≤ half the
+    // parts are even opened (expected ~1/4). ClickHouse's two sampling
+    // guarantees both fall out of hashing the UNIT rather than the row:
+    // the sample is repeatable across queries/retries, and it is
+    // CONSISTENT across tables sharing the key (the same users are
+    // selected everywhere, so sampled joins/funnels stay coherent —
+    // per-user event sets arrive whole, which row-random sampling can
+    // never give). Extrapolation is the explicit ×4 ClickHouse applies
+    // implicitly. At 100 TB: a 25% cost dashboard that never scans 75%
+    // of the table — scheduling, listing, and IO all shrink with the
+    // fraction because pruning happens in the LOG, not the scan.
+    QueryDef(
+      "dx35_sample_by_pruning",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx35_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+          .withColumn("sample_key",
+            substring(md5($"user_id".cast("string")), 1, 1))
+        // SAMPLE BY layout: range-cluster on the sample key so each
+        // part owns a contiguous hash slice (tight min/max)
+        t.append(ev.repartitionByRange(16, $"sample_key")
+          .sortWithinPartitions($"sample_key"), 0)
+        val probe = $"sample_key" < "4" // SAMPLE 1/4: hex digits 0..3
+        val (touched, total) = t.pruneReport(probe)
+        require(touched < total,
+          s"sample read must prune ($touched of $total) at $dir")
+        require(2 * touched <= total,
+          s"SAMPLE 1/4 opened $touched of $total parts (> half) at $dir")
+        t.readWhere(probe)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_sampled"),
+            countDistinct($"user_id").as("users_sampled"),
+            sum(expr("CAST(floor(value * 100) AS BIGINT)"))
+              .as("cents_sampled"))
+          .select($"event_type", $"n_sampled",
+            ($"n_sampled" * 4).as("n_scaled"),
+            $"users_sampled", $"cents_sampled")
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_sampled,
+               COUNT(*) * 4 AS n_scaled,
+               COUNT(DISTINCT user_id) AS users_sampled,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_sampled
+        FROM events
+        WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '4'
+        GROUP BY event_type ORDER BY event_type"""),
+      doc = "SAMPLE BY storage sampling: unit-hash sample key range-clustered into the part layout makes SAMPLE 1/4 a stats-pruned leading-key range — a quarter of the BYTES, repeatable across retries and consistent across tables sharing the key (whole per-user histories); explicit x4 extrapolation, <= half the parts opened required in-body"),
+
+    // ------------------------------------------------------------------
+    // dx36: SKETCH-STATE MATERIALIZED VIEW (ClickHouse
+    // AggregatingMergeTree + uniqState/uniqMerge) — dx31's MV carries
+    // ADDITIVE partials (SummingMergeTree longs); the state-column
+    // family generalizes it to NON-ADDITIVE aggregates: each insert
+    // stores its batch's mergeable HLL sketch STATE per (date, type),
+    // and the served read re-MERGES states (register-wise max —
+    // associative + commutative, so any batch split yields the same
+    // registers) before estimating. The lifecycle asserts the three MV
+    // claims (replayed txn no-ops on both tables; partial rows bounded
+    // by batches × keys, never base rows; physical convergence via
+    // aggregatingCompact with a sketch-union merge is answer-neutral)
+    // plus the structural serving guarantee (plan never references the
+    // base dir). Surfaced per q77's sketch-audit recipe: the estimate
+    // itself never leaves the engine — the row carries the EXACT NDV
+    // (oracle-checkable) and a verdict that the view-served estimate
+    // lands inside the sketch's error envelope. At 100 TB this is the
+    // unique-visitors dashboard: user ids are register-hashed once at
+    // ingest, reads cost O(keys × un-merged batches) regardless of how
+    // many trillion events the base holds.
+    QueryDef(
+      "dx36_sketch_state_view",
+      (s, sfDir) => {
+        import s.implicits._
+        val bdir = java.nio.file.Files
+          .createTempDirectory("dx36_base").toString
+        val vdir = java.nio.file.Files
+          .createTempDirectory("dx36_view").toString
+        val mv = new graft.storage.SketchView(bdir, vdir, s,
+          keyCols = Seq("event_type"), ndvCol = "user_id")
+        val ev = graft.Tables.events(s, sfDir)
+          .withColumn("date", to_date($"ts"))
+          .select($"date", $"event_type", $"event_id", $"user_id")
+        mv.insert(ev.filter($"event_id" % 3 === 0), 0)
+        mv.insert(ev.filter($"event_id" % 3 === 1), 1)
+        mv.insert(ev.filter($"event_id" % 3 === 2), 2)
+        // replay of an already-committed batch: BOTH sides must no-op
+        val replay = mv.insert(ev.filter($"event_id" % 3 === 1), 1)
+        require(replay == ((false, false)),
+          s"replayed txn was not idempotent on both tables: $replay")
+        // maintenance-cost contract: view rows bounded by batches x keys
+        val partials = mv.view.read().count()
+        val keys = ev.select($"date", $"event_type").distinct().count()
+        require(partials <= 3 * keys,
+          s"view carries $partials rows > 3 batches x $keys keys")
+        val pre = mv.readAggregate()
+          .orderBy($"date", $"event_type").collect().toSeq
+        mv.converge()
+        val post = mv.readAggregate()
+          .orderBy($"date", $"event_type").collect().toSeq
+        require(pre == post,
+          "sketch-union convergence changed a served answer")
+        val served = mv.readAggregate()
+        // the serving guarantee, structurally: no scan of the base table
+        val plan = served.queryExecution.executedPlan.toString
+        require(!plan.contains(bdir),
+          "served aggregate reads the base table")
+        val exact = ev.groupBy($"date", $"event_type")
+          .agg(countDistinct($"user_id").as("uniq_exact"))
+        served.join(exact, Seq("date", "event_type"))
+          .select($"date", $"event_type", $"n", $"uniq_exact",
+            (abs($"uniq_est" - $"uniq_exact")
+              <= $"uniq_exact" / lit(20L) + lit(5L)).as("uniq_ok"))
+          .orderBy($"date", $"event_type")
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS date, event_type,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS uniq_exact,
+               TRUE AS uniq_ok
+        FROM events GROUP BY 1, 2 ORDER BY date, event_type"""),
+      doc = "sketch-state materialized view (AggregatingMergeTree uniqState/uniqMerge): per-batch mergeable HLL states stored per key under the base append's txn id, served NDV re-merges states only (register-wise max, any batch split identical) and never rescans the base; convergence via sketch-union aggregatingCompact proven answer-neutral, estimate surfaced only as an exact-vs-envelope verdict")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

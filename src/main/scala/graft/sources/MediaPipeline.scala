@@ -328,6 +328,100 @@ object MediaPipeline {
     buf.array()
   }
 
+  /** One fixed-length analysis frame of a decoded audio stream — the
+    * framing primitive every speech pipeline (VAD, diarization, ASR
+    * feature extraction) runs before anything else. Integral features
+    * only: `energy` = Σs² over the frame, `zero_crossings` counts
+    * adjacent nonzero sign flips INSIDE the frame (no cross-frame
+    * memory — frames must be independently recomputable on any
+    * executor), `voiced` is the half-peak-energy VAD gate
+    * (2·energy > frameLen·peak², peak taken over the whole stream).
+    */
+  final case class AudioFrame(
+      media_id: Long, n_frames: Int, frame_idx: Int,
+      energy: Long, zero_crossings: Long, voiced: Boolean,
+      decode_ok: Boolean)
+
+  /** Render a GATED square wave: samples [0, nActive) are the ±amp
+    * square of the given period, samples [nActive, nSamples) are
+    * digital silence — the speech-then-silence fixture whose per-frame
+    * energy/ZCR/VAD features all have exact closed forms.
+    */
+  def renderGatedSquareWav(nSamples: Int, nActive: Int, sampleRate: Int,
+      amp: Int, period: Int): Array[Byte] = {
+    require(amp > 0 && amp <= 32767 && period > 0 && nSamples > 0 &&
+      nActive > 0 && nActive <= nSamples,
+      s"bad wav params ($nSamples, $nActive, $sampleRate, $amp, $period)")
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(1) // mono
+    buf.putInt(sampleRate); buf.putInt(sampleRate * 2)
+    buf.putShort(2); buf.putShort(16)
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val s =
+        if (i >= nActive) 0
+        else if ((i / period) % 2 == 0) amp
+        else -amp
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Decode (real javax.sound WAV parse) + FRAME: split the PCM stream
+    * into non-overlapping frames of `frameLen` samples (trailing
+    * partial frame dropped — the standard framing rule) and emit one
+    * [[AudioFrame]] per frame. Map-parallel per asset; undecodable
+    * bytes yield a single sentinel row so corrupt assets stay visible
+    * downstream instead of vanishing.
+    */
+  def frameAudio(mediaId: Long, bytes: Array[Byte],
+      frameLen: Int): Seq[AudioFrame] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+      val data = in.readAllBytes()
+      val n = data.length / 2
+      def sample(i: Int): Long =
+        (((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff))).toLong
+      var peak = 0L
+      var i = 0
+      while (i < n) {
+        val a = math.abs(sample(i)); if (a > peak) peak = a; i += 1
+      }
+      val nFrames = n / frameLen
+      (0 until nFrames).map { f =>
+        val s = f * frameLen
+        var energy = 0L; var zc = 0L
+        var j = s
+        while (j < s + frameLen) {
+          val v = sample(j)
+          energy += v * v
+          if (j > s) {
+            val p = sample(j - 1)
+            if (v != 0 && p != 0 &&
+              java.lang.Long.signum(v) != java.lang.Long.signum(p)) zc += 1
+          }
+          j += 1
+        }
+        AudioFrame(mediaId, nFrames, f, energy, zc,
+          voiced = 2 * energy > frameLen.toLong * peak * peak,
+          decode_ok = true)
+      }
+    } catch { case _: Exception =>
+      Seq(AudioFrame(mediaId, -1, -1, -1L, -1L, voiced = false,
+        decode_ok = false))
+    }
+
   /** Minimal ISO-BMFF (MP4) container: an `ftyp` box (major brand
     * `isom`, minor version 512, one compatible brand `mp42`) followed by
     * a `moov` box holding a version-0 `mvhd` with the given

@@ -69,3 +69,62 @@ class AggView(baseDir: String, viewDir: String, spark: SparkSession,
   def converge(): Long =
     view.summingCompact(keyCols, "n" +: sumCols, partitionCol)
 }
+
+/** Insert-maintained SKETCH-STATE materialized view — the ClickHouse
+  * `ENGINE = AggregatingMergeTree` + `uniqState(...)` / `uniqMerge(...)`
+  * contract, the state-column generalization of [[AggView]]: where
+  * SummingMergeTree's partials are ADDITIVE (longs that re-sum), a
+  * distinct count is not — so the view stores each batch's mergeable
+  * HLL sketch STATE (a binary column, Spark's Datasketches
+  * `hll_sketch_agg`) per (partition, key), and reads re-MERGE the
+  * states (`hll_union_agg` → register-wise max, associative and
+  * commutative, so any batch split or merge order yields the same
+  * registers) before estimating. This is the shape that makes per-day
+  * unique-visitor dashboards O(keys × batches) at 100 TB: the base's
+  * user ids are hashed into fixed-size registers at INGEST, and no read
+  * ever re-scans them; physical convergence (`converge` →
+  * `aggregatingCompact` with a sketch-union merge) collapses batch
+  * states without changing any estimate.
+  *
+  * Same txn-pair lifecycle as [[AggView]]: base append + view append
+  * under one txn id, individually idempotent, self-healing on replay.
+  */
+class SketchView(baseDir: String, viewDir: String, spark: SparkSession,
+    keyCols: Seq[String], ndvCol: String,
+    partitionCol: String = "date") {
+
+  val base = new FactTable(baseDir, spark)
+  val view = new FactTable(viewDir, spark)
+
+  private val groupCols = (partitionCol +: keyCols).map(col)
+
+  /** Insert trigger: raw batch → base; (count, HLL state) per touched
+    * (partition, key) → view; one txn id for both.
+    */
+  def insert(df: DataFrame, txnId: Long): (Boolean, Boolean) = {
+    val delta = df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_agg(col(ndvCol)).as("ndv_state"))
+    (base.append(df, txnId), view.append(delta, txnId))
+  }
+
+  /** Served aggregate FROM THE VIEW ONLY: exact row count (additive
+    * longs) + NDV estimate from the union of the stored batch states —
+    * correct before, during, and after physical convergence.
+    */
+  def readAggregate(): DataFrame =
+    view.read().groupBy(groupCols: _*)
+      .agg(sum(col("n")).as("n"),
+        hll_sketch_estimate(hll_union_agg(col("ndv_state"))).as("uniq_est"))
+
+  /** Physically collapse batch states (the AggregatingMergeTree
+    * background merge): counts re-sum, sketch states re-union — both
+    * merges of partials, so every served answer is unchanged (dx36
+    * asserts it).
+    */
+  def converge(): Long =
+    view.aggregatingCompact(keyCols,
+      Seq(sum(col("n")).as("n"),
+        hll_union_agg(col("ndv_state")).as("ndv_state")),
+      partitionCol)
+}

@@ -710,8 +710,24 @@ class FactTable(val root: String, spark: SparkSession,
     */
   def summingCompact(keyCols: Seq[String], sumCols: Seq[String],
       partitionCol: String = "date"): Long =
+    aggregatingCompact(keyCols,
+      sumCols.map(c => sum(col(c)).as(c)), partitionCol)
+
+  /** Generic aggregating merge (the ClickHouse AggregatingMergeTree
+    * analog — summingCompact with caller-supplied merge functions):
+    * collapse rows sharing (`partitionCol`, `keyCols`) by applying
+    * `aggs`, each of which must be a MERGE of partial states (sum over
+    * sum-partials, sketch-union over sketch states, min/max over
+    * extrema) so that collapsing is answer-neutral for readers that
+    * re-merge at query time. The caller owns that algebraic contract —
+    * exactly CH's: a `-State` column's merge function must be
+    * associative + commutative or the background merge changes answers.
+    * Partition-scoped like the other merge flavors.
+    */
+  def aggregatingCompact(keyCols: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column],
+      partitionCol: String = "date"): Long =
     rewriteAll(partitionCol) { src =>
-      val aggs = sumCols.map(c => sum(col(c)).as(c))
       src.groupBy((partitionCol +: keyCols).map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
         .repartition(col(partitionCol))

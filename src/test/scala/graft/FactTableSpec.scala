@@ -57,6 +57,38 @@ class FactTableSpec extends AnyFunSuite {
       .as[(java.sql.Date, String, Long, Long)].collect().toSeq == healed)
   }
 
+  test("SketchView heals crashes, bounds partials, converges answer-neutrally") {
+    def userRows(day: String, modem: String, users: Seq[Long]) =
+      users.map(u => (modem, java.sql.Timestamp.valueOf(s"$day 01:00:00"), u))
+        .toDF("modem_name", "timestamp", "user_id")
+        .withColumn("date", to_date($"timestamp"))
+    val bdir = java.nio.file.Files.createTempDirectory("skv_base").toString
+    val vdir = java.nio.file.Files.createTempDirectory("skv_view").toString
+    val mv = new graft.storage.SketchView(bdir, vdir, spark,
+      keyCols = Seq("modem_name"), ndvCol = "user_id")
+    // overlapping user sets across batches: only a MERGE of states (not
+    // a sum of per-batch NDVs) gives the right answer — 1..40 ∪ 21..60
+    // ∪ 1..10 = 60 distinct, while summed batch NDVs would say 90
+    mv.insert(userRows("2024-03-01", "m1", 1L to 40L), 0)
+    mv.insert(userRows("2024-03-01", "m1", 21L to 60L), 1)
+    // crash between the two commits: base has txn 2, view does not
+    val crashed = userRows("2024-03-01", "m1", 1L to 10L)
+    assert(mv.base.append(crashed, 2))
+    assert(mv.insert(crashed, 2) == ((false, true)), "replay heals the view")
+    assert(mv.insert(crashed, 2) == ((false, false)), "second replay no-ops")
+    def served() = mv.readAggregate()
+      .as[(java.sql.Date, String, Long, Long)].collect().toSeq.sorted
+    val pre = served()
+    assert(pre.map(_._3).sum == 90, "row count is additive")
+    // sparse HLL at 60 distinct values is exact
+    assert(pre.map(_._4).sum == 60, s"merged NDV wrong: $pre")
+    // partials bounded by batches x keys, physically collapsed by converge
+    assert(mv.view.read().count() == 3)
+    mv.converge()
+    assert(mv.view.read().count() == 1, "converge must collapse batch states")
+    assert(served() == pre, "sketch-union convergence changed an answer")
+  }
+
   test("compact merges buffer parts, preserves rows, swaps atomically") {
     val t = freshTable()
     (0 until 4).foreach(i => t.append(rows(10, "2024-03-01", s"m$i"), i))
@@ -689,7 +721,9 @@ class FactTableSpec extends AnyFunSuite {
     val removed = t.ttlRollup("2024-03-05", Seq("modem_name"), Seq("uptime", "n"))
     assert(removed == 3L) // 6 expired rows -> 3 key rows
     // sums exact across the whole table, physical shape downsampled
-    val rolled = t.read().orderBy($"date", $"modem_name")
+    // order by uptime too: the two un-expired 03-05 raw rows tie on
+    // (date, modem) and their relative order is not part of the contract
+    val rolled = t.read().orderBy($"date", $"modem_name", $"uptime")
       .select($"date".cast("string"), $"modem_name", $"uptime", $"n")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rolled.toSeq == Seq(

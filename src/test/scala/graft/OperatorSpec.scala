@@ -1628,6 +1628,97 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q92 SpaceSaving: theorems hold under adversarial merge topologies, state stays bounded") {
+    import graft.functions.{TopKAggregator, TopKBuf}
+    val cap = 16
+    val agg = new TopKAggregator(cap)
+    // 4 hot keys (600, 500, 400, 300) in a tail of 2000 singletons:
+    // N = 3800, so every hot key clears the N/cap = 237.5 guarantee line
+    val rnd = new scala.util.Random(92)
+    val stream = rnd.shuffle(
+      Seq.fill(600)("a") ++ Seq.fill(500)("b") ++ Seq.fill(400)("c") ++
+        Seq.fill(300)("d") ++ (0 until 2000).map(i => s"tail$i"))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    // three adversarial topologies: one stream, many tiny partials
+    // merged left-to-right, and a random binary merge tree
+    def reduceAll(xs: Seq[String]): TopKBuf = {
+      val b = xs.foldLeft(agg.zero) { (b, x) =>
+        val nb = agg.reduce(b, x)
+        assert(nb.entries.length <= cap, "buffer exceeded capacity")
+        nb
+      }
+      b
+    }
+    def randomTree(parts: Seq[TopKBuf]): TopKBuf =
+      if (parts.size == 1) parts.head
+      else {
+        val i = rnd.nextInt(parts.size - 1)
+        randomTree(parts.patch(i, Seq(agg.merge(parts(i), parts(i + 1))), 2))
+      }
+    val summaries = Seq(
+      reduceAll(stream),
+      stream.grouped(97).map(reduceAll).reduceLeft(agg.merge),
+      randomTree(stream.grouped(61).map(reduceAll).toSeq))
+    summaries.foreach { s =>
+      assert(s.entries.length <= cap)
+      val got = s.entries.map(e => e.k -> e).toMap
+      // guaranteed presence above N/cap (hot keys are all way above)
+      Seq("a", "b", "c", "d").foreach { k =>
+        assert(truth(k) > n / cap, "fixture must place hot keys above N/cap")
+        assert(got.contains(k), s"hot key $k missing from summary")
+      }
+      // overestimate + bracket for every surviving counter
+      got.foreach { case (k, e) =>
+        val t = truth.getOrElse(k, 0L)
+        assert(e.c >= t, s"$k: counter ${e.c} underestimates true $t")
+        assert(e.c - e.e <= t, s"$k: bracket ${e.c}-${e.e} exceeds true $t")
+      }
+    }
+  }
+
+  test("m20 frameAudio: closed-form frames on a gated square, corrupt sentinel") {
+    val (n, na, amp, p, f) = (800, 500, 1000, 7, 160)
+    val wav = MediaPipeline.renderGatedSquareWav(n, na, 8000, amp, p)
+    val frames = MediaPipeline.frameAudio(7L, wav, f)
+    assert(frames.length == n / f)
+    frames.foreach { fr =>
+      val s = fr.frame_idx * f
+      val active = math.max(0, math.min(f, na - s))
+      assert(fr.energy == active.toLong * amp * amp)
+      val zc = math.max(0L,
+        (math.min(s + f, na) - 1) / p - s / p)
+      assert(fr.zero_crossings == zc,
+        s"frame ${fr.frame_idx}: zc ${fr.zero_crossings} want $zc")
+      assert(fr.voiced == (2 * active > f))
+      assert(fr.decode_ok)
+    }
+    // fully-voiced head frame and fully-silent tail frame both exist
+    assert(frames.head.voiced && !frames.last.voiced)
+    val bad = MediaPipeline.frameAudio(8L, wav.drop(1), f)
+    assert(bad == Seq(MediaPipeline.AudioFrame(8L, -1, -1, -1L, -1L,
+      voiced = false, decode_ok = false)))
+  }
+
+  test("dx35 sample consistency: the unit hash selects the same users in any table") {
+    // ClickHouse's SAMPLE-BY join-coherence claim: sampling EVENTS and
+    // sampling a USERS dim by the same key keeps per-user histories
+    // whole — sample(join) == join(sample, sample)
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("sk", substring(md5($"user_id".cast("string")), 1, 1))
+    val users = ev.select($"user_id").distinct()
+      .withColumn("tier", $"user_id" % 3)
+      .withColumn("sk", substring(md5($"user_id".cast("string")), 1, 1))
+    val sampledJoin = ev.filter($"sk" < "4").drop("sk")
+      .join(users.filter($"sk" < "4").drop("sk"), "user_id")
+    val joinSampled = ev.drop("sk").join(users.drop("sk"), "user_id")
+      .withColumn("sk", substring(md5($"user_id".cast("string")), 1, 1))
+      .filter($"sk" < "4").drop("sk")
+    assert(sampledJoin.count() == joinSampled.count())
+    assert(sampledJoin.exceptAll(joinSampled).isEmpty &&
+      joinSampled.exceptAll(sampledJoin).isEmpty)
+  }
+
   test("no oracle-checked query emits a raw array/map/struct output column") {
     // The driver's comparator pandas-sorts every output column; a raw
     // ARRAY/MAP/STRUCT column is unhashable there and nulls out the whole

@@ -52,6 +52,30 @@ class PlanSpec extends AnyFunSuite {
       s"q89 must not fall back to a window:\n$p")
   }
 
+  test("q92 topK summary is a two-phase object aggregate; probes broadcast") {
+    val p = plan("q92_topk_spacesaving")
+    assert(p.contains("ObjectHashAggregate"),
+      s"SpaceSaving must plan as an ObjectHashAggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"SpaceSaving partials not map-side combined:\n$p")
+    // the 16-counter summary and the 1-row total join the exact side as
+    // broadcasts — nothing key-cardinality-sized ever shuffles twice
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q92 summary/total must broadcast into the exact side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q92 must not sort-merge a 16-row side:\n$p")
+  }
+
+  test("m20 frame expansion is map-parallel: no exchange before the output sort") {
+    val p = plan("m20_audio_frame_features")
+    // one flatMap over assets, then the presentation sort — any other
+    // exchange means per-frame state leaked across rows
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0,
+      s"m20 must not shuffle before the output sort:\n$p")
+  }
+
   test("hot paths run inside whole-stage codegen / native expressions") {
     // AQE prints pre-execution plans without codegen stages — ask the
     // codegen explain mode instead.
