@@ -74,7 +74,19 @@ object ScaleBench {
     // build — is exercised at sf0.1's 313 parts every bench run
     "dx31_materialized_view", "q89_delta_sum_aggregate",
     "q90_watermark_drop_shadow", "t30_unigram_tokenizer",
-    "m19_jpeg_exif_sniff")
+    "m19_jpeg_exif_sniff",
+    // round-11 continuation: SAMPLE BY pruning (layout + stats-prune
+    // fraction must hold at any part count), the sketch-state MV (the
+    // dx31 shape with HLL states), SpaceSaving (fixed 16-counter state
+    // against a 100x key universe IS the claim), CDC chunk dedup
+    // (map + one co-partitioned join), audio framing (render-bound,
+    // map-parallel like m19/m12)
+    "dx35_sample_by_pruning", "dx36_sketch_state_view",
+    "q92_topk_spacesaving", "d40_cdc_chunk_dedup",
+    "m20_audio_frame_features", "m21_image_resize",
+    // filtered serving: fixed query set over the growing stored index
+    // (the s31 shape with the metadata conjunct)
+    "s34_filtered_ann_serving")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

@@ -1345,7 +1345,85 @@ object MultimodalQueries {
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE, FALSE
         FROM a WHERE corrupt
         ORDER BY media_id, frame_idx"""),
-      doc = "audio frame feature extraction + VAD gate: real WAV decode once per asset, map-parallel expansion to stateless 20 ms frames with integral energy/zero-crossings and the half-peak-energy voiced verdict — the speech-pipeline framing primitive; gated-square closed forms, corrupt assets surface as sentinel rows")
+      doc = "audio frame feature extraction + VAD gate: real WAV decode once per asset, map-parallel expansion to stateless 20 ms frames with integral energy/zero-crossings and the half-peak-energy voiced verdict — the speech-pipeline framing primitive; gated-square closed forms, corrupt assets surface as sentinel rows"),
+
+    // ------------------------------------------------------------------
+    // m21: IMAGE RESIZE (thumbnailing) — the one member of the brief's
+    // decode → feature-extract → RESIZE → frame-sample progression not
+    // yet first-class: curation pipelines route/filter on thumbnail
+    // features because a thumbnail costs tw×th samples regardless of
+    // source resolution. Decode is the real ImageIO PNG parse (m08/m09's
+    // path); the resample is deterministic CENTER-POINT nearest-neighbor
+    // — an explicit integer kernel (⌊(2x+1)·W / 2tw⌋) both engines can
+    // state exactly, unlike AWT's implementation-defined scaler — run
+    // over genuinely decoded pixels. Split-PNG fixtures give closed
+    // forms: every thumb row samples the same nA left-color columns, so
+    // corner_matches = 8·nA and the luma sum is the nA-weighted mix
+    // (guarded for the A==B color-collision case so the oracle is total
+    // at any doc_id range). Map-only per asset; every 7th asset of the
+    // group is corrupted to prove the sentinel path. % 20 == 9 keeps
+    // assets disjoint from m08-m20.
+    QueryDef(
+      "m21_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 9)
+          .select($"doc_id".as("media_id"),
+            (($"n_chars" % 30) * 2 + 18).cast("int").as("w"),
+            (($"n_chars" * 7 % 24) * 2 + 16).cast("int").as("h"),
+            ((($"doc_id" % 16777216) * 2654435761L) % 16777216)
+              .cast("int").as("rgbl"),
+            ((($"doc_id" % 16777216) * 40503) % 16777216)
+              .cast("int").as("rgbr"),
+            (expr("doc_id div 20") % 7 === 0).as("corrupt"))
+          .as[(Long, Int, Int, Int, Int, Boolean)]
+        rows.mapPartitions(_.map { case (id, w, h, l, r, corrupt) =>
+            val png = graft.sources.MediaPipeline.renderSplitPng(w, h, l, r)
+            val bytes = if (corrupt) png.drop(1) else png
+            graft.sources.MediaPipeline.resizeImage(id, bytes, tw = 8, th = 8)
+          })
+          .toDF()
+          .select($"media_id", $"width", $"height",
+            $"thumb_luma_x1000", $"corner_matches", $"decode_ok")
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS media_id,
+                 (n_chars % 30) * 2 + 18 AS w,
+                 (n_chars * 7 % 24) * 2 + 16 AS h,
+                 ((doc_id % 16777216) * 2654435761) % 16777216 AS rgbl,
+                 ((doc_id % 16777216) * 40503) % 16777216 AS rgbr,
+                 (doc_id // 20) % 7 = 0 AS corrupt
+          FROM documents WHERE doc_id % 20 = 9),
+        nn AS (
+          SELECT media_id, w, h, rgbl, rgbr,
+                 len(list_filter(range(0, 8),
+                   x -> ((2 * x + 1) * w) // 16 < w // 2)) AS na
+          FROM a WHERE NOT corrupt),
+        lum AS (
+          SELECT media_id, w, h, na,
+                 rgbl = rgbr AS flat,
+                 299 * (rgbl // 65536) + 587 * ((rgbl // 256) % 256)
+                   + 114 * (rgbl % 256) AS ll,
+                 299 * (rgbr // 65536) + 587 * ((rgbr // 256) % 256)
+                   + 114 * (rgbr % 256) AS lr
+          FROM nn)
+        SELECT media_id, CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(8 * (na * ll + (8 - na) * lr) AS BIGINT)
+                 AS thumb_luma_x1000,
+               CAST(CASE WHEN flat THEN 64 ELSE 8 * na END AS BIGINT)
+                 AS corner_matches,
+               TRUE AS decode_ok
+        FROM lum
+        UNION ALL
+        SELECT media_id, CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+        FROM a WHERE corrupt
+        ORDER BY media_id"""),
+      doc = "image resize (thumbnailing): real PNG decode + deterministic center-point nearest-neighbor resample to 8x8 — an explicit integer kernel, not AWT's implementation-defined scaler — with thumbnail luma sum and corner-uniformity score; split-PNG closed forms incl. the color-collision guard, corrupt assets surface as sentinels")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`

@@ -2207,7 +2207,123 @@ object SimilarityQueries {
                          AND b.vec_id = t.doc_id)
                  AS in_probed_bucket
         FROM tranked t WHERE t.rk <= 10 ORDER BY t.qid, t.rk"""),
-      doc = "hybrid recall audit: exact-hybrid top-10 truth vs the s32 served stack, misses attributed to dense-leg bucket pruning vs fusion rank displacement — per-leg recall does not compose into fused recall; this measures the composition")
+      doc = "hybrid recall audit: exact-hybrid top-10 truth vs the s32 served stack, misses attributed to dense-leg bucket pruning vs fusion rank displacement — per-leg recall does not compose into fused recall; this measures the composition"),
+
+    // ------------------------------------------------------------------
+    // s34: METADATA-FILTERED ANN SERVING — the vector-store problem none
+    // of s01-s33 touches and every production deployment hits first:
+    // "nearest neighbors WHERE lang = X" (tenant, language, date range,
+    // ACL). The two deployed strategies diverge hard: POST-filtering
+    // runs plain ANN then drops non-matching hits (recall collapses as
+    // the filter sharpens — the top-k may contain zero matches);
+    // PRE-filtering pushes the predicate INTO the probed-bucket scan,
+    // which is exactly what a columnar index store does for free — the
+    // metadata lives in the same stored index table as the codes, so the
+    // filter composes with bucket pruning as an ordinary conjunct (and,
+    // on a FactTable clustered by the metadata column, as a stats-pruned
+    // one). This entry serves the PRE-filtered path over the SHARED
+    // stored IVF pair (s31's, corpus-keyed — no extra build) and audits
+    // it against the exact filtered top-5: within probed buckets the
+    // filtered scan is EXACT, so every miss is attributable to bucket
+    // pruning alone — the in-body require pins that theorem (a
+    // served_found=false row with in_probed_bucket=true would mean the
+    // serving path itself lost a candidate). Queries are deliberately
+    // OUTSIDE the filter class (the cross-lingual / cross-tenant search
+    // shape). At 100 TB: the filter multiplies with nprobe pruning
+    // instead of degrading recall — the argument for metadata-in-index
+    // over post-filtering a separate ANN service.
+    QueryDef(
+      "s34_filtered_ann_serving",
+      (s, dir) => {
+        import s.implicits._
+        val (idxT, centT) = storedIvfStores(s, dir)
+        // metadata column of the stored index (derived deterministically
+        // from vec_id — stands in for a stored lang/tenant column)
+        val idx = idxT.read().select($"vec_id", $"cid", $"embedding",
+          concat(lit("l"), ($"vec_id" % 4).cast("string")).as("lang"))
+        val qids = Seq(2L, 11L, 23L)
+        val queries = idx.filter($"vec_id".isin(qids: _*))
+          .select($"vec_id".as("qid"), $"embedding".as("qv"))
+        val wP = Window.partitionBy($"qid").orderBy($"qdist".asc, $"cid".asc)
+        val probes = centT.read().select($"cid", $"cv")
+          .crossJoin(broadcast(queries))
+          .select($"qid", $"cid", $"qv",
+            round(l2SqExact("cv", "qv"), 9).as("qdist"))
+          .withColumn("prk", row_number().over(wP)).filter($"prk" <= 2)
+          .select($"qid", $"cid".as("pcid"), $"qv")
+        val flt = idx.filter($"lang" === "l1")
+        // PRE-filtered serving: the predicate rides the bucket scan
+        val wS = Window.partitionBy($"qid")
+          .orderBy($"cosine".desc, $"vec_id".asc)
+        val served = flt.join(broadcast(probes), $"cid" === $"pcid")
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .withColumn("srk", row_number().over(wS)).filter($"srk" <= 5)
+          .select($"qid", $"vec_id", lit(true).as("served_found"))
+        // exact filtered truth: brute force over the filtered corpus
+        val wT = Window.partitionBy($"qid")
+          .orderBy($"cosine".desc, $"vec_id".asc)
+        val truth = flt.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id", $"cid",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .withColumn("trk", row_number().over(wT)).filter($"trk" <= 5)
+        val probed = probes.select($"qid".as("pq"), $"pcid").distinct()
+        val out = truth
+          .join(served, Seq("qid", "vec_id"), "left")
+          .join(broadcast(probed),
+            $"qid" === $"pq" && $"cid" === $"pcid", "left")
+          .select($"qid", $"trk".cast("long").as("rk"), $"vec_id", $"cosine",
+            coalesce($"served_found", lit(false)).as("served_found"),
+            $"pq".isNotNull.as("in_probed_bucket"))
+          .orderBy($"qid", $"rk")
+        // the pre-filter theorem: within probed buckets the filtered
+        // scan is exact — every miss is bucket pruning, never the path
+        require(out.filter($"served_found" === false &&
+            $"in_probed_bucket" === true).isEmpty,
+          "filtered serving lost a candidate inside a probed bucket")
+        out
+      },
+      Some(s"""
+        $ivfAssignSqlCtes,
+        qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id IN (2, 11, 23)),
+        qprobe AS (SELECT q.qid, d.cid,
+                          ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY d.dist2 ASC, d.cid ASC) AS rk
+                   FROM qs q JOIN distsr d ON d.vec_id = q.qid),
+        probes AS (SELECT qid, cid FROM qprobe WHERE rk <= 2),
+        flt AS (SELECT a.vec_id, a.cid, e.embedding FROM assigned a
+                JOIN embeddings e ON e.vec_id = a.vec_id
+                WHERE a.vec_id % 4 = 1),
+        tpairs AS (SELECT q.qid, f.vec_id, f.cid, unnest(f.embedding) AS x,
+                          unnest(q.qv) AS y
+                   FROM flt f CROSS JOIN qs q WHERE f.vec_id <> q.qid),
+        tdots AS (SELECT qid, vec_id, cid, ${oCosineSums()}
+                  FROM tpairs GROUP BY qid, vec_id, cid),
+        truth AS (SELECT qid, vec_id, cid,
+                         round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9)
+                             DESC, vec_id ASC) AS trk
+                  FROM tdots),
+        served AS (SELECT t.qid, t.vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY t.qid
+                            ORDER BY t.cosine DESC, t.vec_id ASC) AS srk
+                   FROM truth t
+                   JOIN probes p ON p.qid = t.qid AND p.cid = t.cid)
+        SELECT t.qid, t.trk AS rk, t.vec_id, t.cosine,
+               COALESCE(sv.found, FALSE) AS served_found,
+               p2.qid IS NOT NULL AS in_probed_bucket
+        FROM truth t
+        LEFT JOIN (SELECT qid, vec_id, TRUE AS found FROM served
+                   WHERE srk <= 5) sv
+          ON sv.qid = t.qid AND sv.vec_id = t.vec_id
+        LEFT JOIN probes p2 ON p2.qid = t.qid AND p2.cid = t.cid
+        WHERE t.trk <= 5
+        ORDER BY t.qid, rk"""),
+      doc = "metadata-filtered ANN serving (the filtered-search problem every production vector store hits): the predicate rides the probed-bucket scan of the SHARED stored IVF pair as an ordinary conjunct (pre-filtering — composes with bucket pruning instead of degrading recall like post-filtering), audited against the exact filtered top-5 with every miss attributed to bucket pruning alone (the pre-filter exactness theorem, required in-body); queries deliberately outside the filter class")
   )
 
   /** The exact-cosine dense leg of the hybrid stack (shared by s29 and
@@ -2345,8 +2461,12 @@ object SimilarityQueries {
   private val batchStoreCache =
     scala.collection.concurrent.TrieMap[String, (String, String)]()
 
-  private def storedIvfBatchRank(s: SparkSession, dir: String,
-      qids: Seq[Long], tag: String): DataFrame = {
+  /** Build (or reuse — corpus-keyed, bench-hygiene) the stored IVF batch
+    * index pair: (index table: vec_id, cid, embedding; centroid table).
+    * Shared by s31/s32/s33's batch serving and s34's filtered serving.
+    */
+  private def storedIvfStores(s: SparkSession, dir: String)
+      : (graft.storage.FactTable, graft.storage.FactTable) = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     val cents = emb.filter($"vec_id" < 8)
@@ -2374,8 +2494,14 @@ object SimilarityQueries {
           (ir, cr)
         }
     }
-    val idxT = new graft.storage.FactTable(idxRoot, s)
-    val centT = new graft.storage.FactTable(centRoot, s)
+    (new graft.storage.FactTable(idxRoot, s),
+      new graft.storage.FactTable(centRoot, s))
+  }
+
+  private def storedIvfBatchRank(s: SparkSession, dir: String,
+      qids: Seq[Long], tag: String): DataFrame = {
+    import s.implicits._
+    val (idxT, centT) = storedIvfStores(s, dir)
     val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
     val queries = idx.filter($"vec_id".isin(qids: _*))
       .select($"vec_id".as("qid"), $"embedding".as("qv"))

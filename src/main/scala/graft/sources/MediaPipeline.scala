@@ -328,6 +328,53 @@ object MediaPipeline {
     buf.array()
   }
 
+  /** Features of a RESIZED (thumbnailed) image — the routing features a
+    * curation pipeline extracts at thumbnail cost instead of full
+    * resolution. `thumb_luma_x1000` is the Rec.601 luma sum over every
+    * thumbnail pixel; `corner_matches` counts thumbnail pixels equal to
+    * the top-left thumbnail pixel (a uniformity score: 64 = flat image).
+    */
+  final case class ThumbFeatures(
+      media_id: Long, width: Int, height: Int,
+      thumb_luma_x1000: Long, corner_matches: Long, decode_ok: Boolean)
+
+  /** Decode + RESIZE via deterministic center-point nearest-neighbor
+    * resampling: thumbnail pixel (x, y) samples source pixel
+    * (⌊(2x+1)·W / 2tw⌋, ⌊(2y+1)·H / 2th⌋) — the standard NN convention,
+    * chosen over `Image.getScaledInstance` because its sampling is an
+    * EXPLICIT integer kernel both engines can state exactly (AWT's
+    * scaler is implementation-defined). The decode is a real ImageIO
+    * PNG parse; the resample runs over genuinely decoded pixels.
+    */
+  def resizeImage(mediaId: Long, bytes: Array[Byte], tw: Int,
+      th: Int): ThumbFeatures =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val c0 = img.getRGB(w / (2 * tw), h / (2 * th)) & 0xffffff
+      var lum = 0L
+      var corner = 0L
+      var y = 0
+      while (y < th) {
+        val sy = (2 * y + 1) * h / (2 * th)
+        var x = 0
+        while (x < tw) {
+          val sx = (2 * x + 1) * w / (2 * tw)
+          val rgb = img.getRGB(sx, sy) & 0xffffff
+          lum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          if (rgb == c0) corner += 1
+          x += 1
+        }
+        y += 1
+      }
+      ThumbFeatures(mediaId, w, h, lum, corner, decode_ok = true)
+    } catch { case _: Exception =>
+      ThumbFeatures(mediaId, -1, -1, -1L, -1L, decode_ok = false)
+    }
+
   /** One fixed-length analysis frame of a decoded audio stream — the
     * framing primitive every speech pipeline (VAD, diarization, ASR
     * feature extraction) runs before anything else. Integral features

@@ -1700,6 +1700,43 @@ class OperatorSpec extends AnyFunSuite {
       voiced = false, decode_ok = false)))
   }
 
+  test("d40 CDC realignment theorem: boundaries past the edit shift by exactly the edit length") {
+    // for any text, a 7-char prefix insertion leaves every boundary
+    // i >= 15 of the revision equal to an original boundary + 7 (the
+    // 8-char window has fully re-synchronized); fixed-size boundaries
+    // share nothing (7 is not a multiple of the chunk length)
+    val text = Tables.load(spark, sfDir, "documents")
+      .filter($"n_chars" >= 200).select($"text").as[String].head()
+    def bounds(s: String): Seq[Int] =
+      (8 until s.length).filter { i =>
+        // same window hash the query computes, locally
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.substring(i - 8, i).getBytes("UTF-8"))
+        f"${md(0) & 0xff}%02x" < "08"
+      }
+    val orig = bounds(text)
+    val rev = bounds("PATCH: " + text)
+    assert(orig.nonEmpty, "fixture text produced no CDC boundaries")
+    assert(rev.filter(_ >= 15) == orig.filter(_ >= 8).map(_ + 7),
+      "downstream boundaries must realign at +7")
+  }
+
+  test("m21 resizeImage: NN closed form on a split PNG, corrupt sentinel") {
+    val (w, h, a, b) = (34, 20, 0x112233, 0xAABBCC)
+    val png = MediaPipeline.renderSplitPng(w, h, a, b)
+    val t = MediaPipeline.resizeImage(5L, png, tw = 8, th = 8)
+    val na = (0 until 8).count(x => (2 * x + 1) * w / 16 < w / 2)
+    def luma(rgb: Int) = 299L * ((rgb >> 16) & 0xff) +
+      587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+    assert(t == MediaPipeline.ThumbFeatures(5L, w, h,
+      8L * (na * luma(a) + (8 - na) * luma(b)), 8L * na, decode_ok = true))
+    // mixed thumbnail: neither all-left nor all-right
+    assert(na > 0 && na < 8)
+    val bad = MediaPipeline.resizeImage(6L, png.drop(1), tw = 8, th = 8)
+    assert(bad == MediaPipeline.ThumbFeatures(6L, -1, -1, -1L, -1L,
+      decode_ok = false))
+  }
+
   test("dx35 sample consistency: the unit hash selects the same users in any table") {
     // ClickHouse's SAMPLE-BY join-coherence claim: sampling EVENTS and
     // sampling a USERS dim by the same key keeps per-user histories

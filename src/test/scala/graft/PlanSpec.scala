@@ -66,14 +66,23 @@ class PlanSpec extends AnyFunSuite {
       s"q92 must not sort-merge a 16-row side:\n$p")
   }
 
-  test("m20 frame expansion is map-parallel: no exchange before the output sort") {
-    val p = plan("m20_audio_frame_features")
-    // one flatMap over assets, then the presentation sort — any other
-    // exchange means per-frame state leaked across rows
-    val exchanges = p.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("rangepartitioning"))
-    assert(exchanges == 0,
-      s"m20 must not shuffle before the output sort:\n$p")
+  test("d40 CDC chunking is pure expressions: no UDF, no explode, one doc-keyed join") {
+    val p = plan("d40_cdc_chunk_dedup")
+    assert(!p.contains("ScalaUDF"), "chunker fell back to a UDF")
+    assert(!p.contains("Generate"),
+      "reuse must be computed over bounded arrays, not an exploded join")
+  }
+
+  test("m20/m21 media expansion is map-parallel: no exchange before the output sort") {
+    Seq("m20_audio_frame_features", "m21_image_resize").foreach { q =>
+      val p = plan(q)
+      // one map/flatMap over assets, then the presentation sort — any
+      // other exchange means per-asset state leaked across rows
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("rangepartitioning"))
+      assert(exchanges == 0,
+        s"$q must not shuffle before the output sort:\n$p")
+    }
   }
 
   test("hot paths run inside whole-stage codegen / native expressions") {

@@ -393,6 +393,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sketch-state ingest equals the one-shot view; crash heals; replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("date", to_date($"ts"))
+      .select($"date", $"event_type", $"event_id", $"user_id")
+    val batches = (0 to 2).map(k =>
+      ev.filter($"event_id" % 3 === k)
+        .as[(java.sql.Date, String, Long, Long)].collect().toSeq)
+    val mv = new graft.storage.SketchView(tmp("skv_b"), tmp("skv_v"),
+      spark, keyCols = Seq("event_type"), ndvCol = "user_id")
+    val live = new graft.streaming.SketchIngest(mv)
+    val mem = MemoryStream[(java.sql.Date, String, Long, Long)]
+    val q = live.start(
+      mem.toDF().toDF("date", "event_type", "event_id", "user_id"),
+      tmp("skv_ckpt"))
+    try {
+      batches.take(2).foreach { b => mem.addData(b); q.processAllAvailable() }
+      // crash between the pair's two commits: base has batch 2, view not
+      assert(mv.base.append(batches(2)
+        .toDF("date", "event_type", "event_id", "user_id"), 2L))
+      // the foreachBatch retry heals exactly the missing side
+      mem.addData(batches(2)); q.processAllAvailable()
+      // any micro-batching ≡ one-shot: HLL union is register-wise max
+      val oneShot = new graft.storage.SketchView(tmp("skv_b1"),
+        tmp("skv_v1"), spark, keyCols = Seq("event_type"),
+        ndvCol = "user_id")
+      oneShot.insert(ev, 0L)
+      def serve(v: graft.storage.SketchView) =
+        v.readAggregate().as[(java.sql.Date, String, Long, Long)]
+          .collect().toSeq.sorted
+      assert(serve(mv) == serve(oneShot),
+        "stream-built sketch view diverged from the one-shot build")
+      // checkpoint-replay of a committed batch: no-op on BOTH tables
+      assert(live.addBatch(batches(1)
+        .toDF("date", "event_type", "event_id", "user_id"), 1L)
+        == ((false, false)), "replay must no-op on both tables")
+    } finally q.stop()
+  }
+
   test("transformWithState anomaly detector matches the batch shadow across batches") {
     // transformWithState requires the RocksDB state store — scope the
     // provider override to this query's lifetime
