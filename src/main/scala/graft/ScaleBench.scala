@@ -86,7 +86,11 @@ object ScaleBench {
     "m20_audio_frame_features", "m21_image_resize",
     // filtered serving: fixed query set over the growing stored index
     // (the s31 shape with the metadata conjunct)
-    "s34_filtered_ann_serving")
+    "s34_filtered_ann_serving",
+    // spatial cell equijoin (replication co-locates replicas: output is
+    // quadratic by construction - the row measures pair throughput) and
+    // the bounded-graph iterative rounds
+    "q93_grid_radius_join", "q94_pagerank")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

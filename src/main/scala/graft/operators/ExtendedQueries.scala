@@ -2964,6 +2964,152 @@ object ExtendedQueries {
                TRUE AS bracket_ok
         FROM exact, tot WHERE exact_cnt * 16 > n * 2
         ORDER BY k"""),
-      doc = "topK heavy hitters via SpaceSaving (ClickHouse topK): O(capacity) state per group at any key cardinality, mergeable-summaries merge charging absent keys each side's minimum; surfaced as the three order-independent theorems (guaranteed presence above 2N/cap, overestimate, c-e<=true bracket) against exact counts, the q77/q81 audit discipline")
+      doc = "topK heavy hitters via SpaceSaving (ClickHouse topK): O(capacity) state per group at any key cardinality, mergeable-summaries merge charging absent keys each side's minimum; surfaced as the three order-independent theorems (guaranteed presence above 2N/cap, overestimate, c-e<=true bracket) against exact counts, the q77/q81 audit discipline"),
+
+    // ------------------------------------------------------------------
+    // q93: GRID-BUCKETED RADIUS SELF-JOIN — the spatial-join kernel
+    // (ClickHouse geoDistance / PostGIS ST_DWithin class) and a new
+    // operator FAMILY for the engine: "all pairs of points within
+    // distance R" over an integer coordinate grid. The naive form is a
+    // quadratic cross join; the scalable form buckets points into cells
+    // of side R and equijoins each point's cell against its 3×3
+    // neighborhood (a bounded 9-way explode on ONE side) — every
+    // qualifying pair provably lands in some (cell, neighbor) bucket
+    // (|dx|,|dy| ≤ R ⇒ cell coordinates differ by ≤ 1), so the
+    // candidate set shrinks from n² to Σ|cell|·9·avg-cell — the same
+    // never-all-pairs discipline as d03's LSH banding, applied to
+    // geometry. Distances are exact integer squares (micro-degree
+    // grid, no trig, no floats — the planar small-area regime);
+    // dedup by (a < b). The in-body require pins the point: candidates
+    // examined are a small fraction of all pairs. At 100 TB the cell
+    // equijoin shuffles on cell keys and AQE handles dense-city skew
+    // like any hot key join.
+    QueryDef(
+      "q93_grid_radius_join",
+      (s, dir) => {
+        import s.implicits._
+        val pts = Tables.events(s, dir)
+          .filter($"event_id" % 20 === 0)
+          .select($"event_id".as("id"),
+            (($"user_id" * 7919) % 20000).as("x"),
+            (($"event_id" * 104729) % 20000).as("y"))
+        val r = 1500L
+        val cells = pts
+          .withColumn("cx", expr(s"x div $r")).withColumn("cy", expr(s"y div $r"))
+        val probe = cells.select($"id".as("id_b"), $"x".as("xb"),
+          $"y".as("yb"), $"cx".as("cxb"), $"cy".as("cyb"))
+        val expanded = cells
+          .withColumn("dxy", explode(expr(
+            "array(-1, 0, 1)")))
+          .withColumn("dy2", explode(expr("array(-1, 0, 1)")))
+          .select($"id".as("id_a"), $"x".as("xa"), $"y".as("ya"),
+            ($"cx" + $"dxy").as("ncx"), ($"cy" + $"dy2").as("ncy"))
+        val cand = expanded.join(probe,
+          $"ncx" === $"cxb" && $"ncy" === $"cyb" && $"id_a" < $"id_b")
+        val out = cand
+          .select($"id_a", $"id_b",
+            (($"xa" - $"xb") * ($"xa" - $"xb")
+              + ($"ya" - $"yb") * ($"ya" - $"yb")).as("dist2"))
+          .filter($"dist2" <= r * r)
+          .orderBy($"id_a", $"id_b")
+        // the scale claim: the bucketed candidate set is a small
+        // fraction of the quadratic pair space
+        val n = pts.count()
+        val nCand = cand.count()
+        require(nCand * 4 < n * (n - 1) / 2,
+          s"grid join examined $nCand candidates of ${n * (n - 1) / 2} pairs")
+        out
+      },
+      Some("""
+        WITH pts AS (
+          SELECT event_id AS id,
+                 (user_id * 7919) % 20000 AS x,
+                 (event_id * 104729) % 20000 AS y
+          FROM events WHERE event_id % 20 = 0)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 1500 * 1500
+        ORDER BY id_a, id_b"""),
+      doc = "grid-bucketed radius self-join (ST_DWithin / geoDistance class — the spatial-join kernel): points bucketed into R-side cells, 3x3 neighbor equijoin bounds candidates (every <=R pair shares a cell neighborhood), exact integer squared distances, never the quadratic cross join (candidate fraction required in-body); oracle is the brute-force all-pairs join"),
+
+    // ------------------------------------------------------------------
+    // q94: PAGERANK, 5 SYNCHRONOUS ITERATIONS — the iterative-graph
+    // family's ranking member next to d08's connected components: the
+    // canonical "repeat (join ranks to edges → aggregate contributions)
+    // until done" shape every distributed graph engine optimizes. The
+    // driver loop only BUILDS the plan (5 join+aggregate rounds, no
+    // collect between iterations — at 100 TB each round is one shuffle
+    // keyed by node, and the rank/degree sides are broadcastable);
+    // damping runs in EXACT integer micro-units ((r·17) div (20·deg) —
+    // 0.85 as the 17/20 rational, floor division) so every engine,
+    // partitioning, and merge order produces the identical lattice of
+    // values — float PageRank would diverge across engines in the last
+    // bits. The oracle states the SAME five rounds as unrolled CTE
+    // pairs (contribution → re-rank), generated from one Scala template
+    // so the Spark loop and the SQL text cannot drift. Dangling nodes
+    // keep the base rank (in-edge-less) or leak mass (out-edge-less) —
+    // the standard simplification, identical both sides.
+    QueryDef(
+      "q94_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Tables.events(s, dir)
+          .filter($"event_id" % 7 === 0)
+          .select(($"user_id" % 200).as("src"),
+            (($"event_id" * 31) % 200).as("dst"))
+          .filter($"src" =!= $"dst").distinct()
+        pageRank(edges, iters = 5).orderBy($"node")
+      },
+      Some {
+        val iters = (1 to 5).map { k =>
+          s"""contrib$k AS (
+          SELECT e.dst, SUM((p.r * 17) // (20 * d.deg)) AS c
+          FROM edges e JOIN pr${k - 1} p ON p.node = e.src
+          JOIN deg d ON d.src = e.src
+          GROUP BY e.dst),
+        pr$k AS (
+          SELECT n.node, 150000 + COALESCE(c.c, 0) AS r
+          FROM nodes n LEFT JOIN contrib$k c ON c.dst = n.node)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH edges AS (
+          SELECT DISTINCT user_id % 200 AS src, (event_id * 31) % 200 AS dst
+          FROM events
+          WHERE event_id % 7 = 0
+            AND user_id % 200 <> (event_id * 31) % 200),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        $iters
+        SELECT node, CAST(r AS BIGINT) AS r FROM pr5 ORDER BY node"""
+      },
+      doc = "PageRank over 5 synchronous iterations (the iterative-graph ranking kernel next to d08's connected components): driver loop builds 5 join+aggregate rounds — one node-keyed shuffle each, no mid-iteration collect — with damping in exact integer micro-units (17/20 rational, floor division) so any partitioning yields the identical value lattice; oracle = the same rounds as template-generated unrolled CTEs, so the loop and the SQL cannot drift")
   )
+
+  /** q94's synchronous integer PageRank: rank in micro-units, damping
+    * 17/20 with floor division, base 150 000, start 1 000 000; node set
+    * = edge endpoints. Exposed for the OperatorSpec hand-computed check.
+    */
+  def pageRank(edges: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("(r * 17) div (20 * deg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + coalesce(col("cin"), lit(0L))).as("r"))
+    }
+    ranks
+  }
 }

@@ -1737,6 +1737,20 @@ class OperatorSpec extends AnyFunSuite {
       decode_ok = false))
   }
 
+  test("q94 integer PageRank reproduces a hand-computed 3-node example") {
+    // nodes {0,1,2}, edges 0->1, 0->2, 1->2, 2->0; deg(0)=2, deg(1)=1,
+    // deg(2)=1; two hand-computed rounds of r' = 150000 + sum((r*17)
+    // div (20*deg))
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L))
+      .toDF("src", "dst")
+    val r1 = operators.ExtendedQueries.pageRank(edges, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(0L -> 1000000L, 1L -> 575000L, 2L -> 1425000L))
+    val r2 = operators.ExtendedQueries.pageRank(edges, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(0L -> 1361250L, 1L -> 575000L, 2L -> 1063750L))
+  }
+
   test("dx35 sample consistency: the unit hash selects the same users in any table") {
     // ClickHouse's SAMPLE-BY join-coherence claim: sampling EVENTS and
     // sampling a USERS dim by the same key keeps per-user histories

@@ -73,6 +73,14 @@ class PlanSpec extends AnyFunSuite {
       "reuse must be computed over bounded arrays, not an exploded join")
   }
 
+  test("q93 radius join runs as a cell-key equijoin, never a cross product") {
+    val p = plan("q93_grid_radius_join")
+    assert(!p.contains("CartesianProduct"),
+      s"q93 fell back to the quadratic cross join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q93's join must be keyed on the grid cells:\n$p")
+  }
+
   test("m20/m21 media expansion is map-parallel: no exchange before the output sort") {
     Seq("m20_audio_frame_features", "m21_image_resize").foreach { q =>
       val p = plan(q)
