@@ -96,7 +96,16 @@ object Bench {
       "dx32_token_bloom_skip_index", "dx33_ngram_bloom_skip_index",
       // round-11: the TTL-rollup lifecycle appends + compacts + rewrites
       // expired partitions of a temp FactTable in-body
-      "dx34_ttl_rollup_downsample")
+      "dx34_ttl_rollup_downsample",
+      // round-11 continuation: the SAMPLE BY layout writes a
+      // range-clustered FactTable in-body; the sketch-state MV writes
+      // base + view, replays a txn, and converges in-body; filtered
+      // serving shares s31's corpus-keyed store build (first touch pays)
+      "dx35_sample_by_pruning", "dx36_sketch_state_view",
+      "s34_filtered_ann_serving",
+      // round-11 continuation: the chunk-store lifecycle appends two
+      // fingerprint batches + a replay to a temp FactTable in-body
+      "d41_cdc_chunk_store")
     // best-of-2 per query: damps scheduler/GC noise on a shared machine.
     // A query that fails BOTH runs reports -1.0 (never a fake timing).
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts the query set

@@ -90,7 +90,10 @@ object ScaleBench {
     // spatial cell equijoin (replication co-locates replicas: output is
     // quadratic by construction - the row measures pair throughput) and
     // the bounded-graph iterative rounds
-    "q93_grid_radius_join", "q94_pagerank")
+    "q93_grid_radius_join", "q94_pagerank",
+    // chunk-store lifecycle: one let-bound md5 pass per batch, fp-keyed
+    // anti-join against the stored fingerprints
+    "d41_cdc_chunk_store")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

@@ -3560,6 +3560,152 @@ object DedupQueries {
         FROM fp r JOIN fp o ON r.doc_id = o.doc_id
         WHERE NOT r.is_orig AND o.is_orig
         ORDER BY r.doc_id"""),
-      doc = "content-defined chunking dedup (rsync/LBFS family — chunk-granularity storage dedup of document revisions): boundaries where an 8-char window's hash hits a 1/32 pattern, so a prefix edit realigns 8 chars downstream and nearly every chunk fingerprint reuses (>= 70% required in-body), while same-length FIXED chunking provably cannot (measured counterfactual, > 2x margin); pure higher-order expressions, no explode — reuse via one doc-keyed join over bounded fingerprint arrays")
+      doc = "content-defined chunking dedup (rsync/LBFS family — chunk-granularity storage dedup of document revisions): boundaries where an 8-char window's hash hits a 1/32 pattern, so a prefix edit realigns 8 chars downstream and nearly every chunk fingerprint reuses (>= 70% required in-body), while same-length FIXED chunking provably cannot (measured counterfactual, > 2x margin); pure higher-order expressions, no explode — reuse via one doc-keyed join over bounded fingerprint arrays"),
+
+    // ------------------------------------------------------------------
+    // d41: INCREMENTAL CHUNK-STORE INGEST — d40's chunker driven through
+    // the actual backup-system/delta-store LIFECYCLE (the d19/d30
+    // incremental discipline at chunk granularity): a persistent
+    // fingerprint store (FactTable) receives batch 0 (the originals)
+    // whole, then batch 1 (the nightly re-crawl: every doc re-fetched
+    // with a 'PATCH: ' prefix) appends ONLY the chunks whose fingerprint
+    // the store has never seen — an anti-join against the stored keys,
+    // never a re-chunk of history. The output is the per-batch ingest
+    // LEDGER a storage bill is computed from (chunks/bytes in, distinct,
+    // novel stored, bytes stored), with novel counts read back THROUGH
+    // the store so the oracle gate checks the store content, not a
+    // shadow computation. Batch 1's bytes_stored must be < 1/3 of its
+    // bytes_in (required in-body — the CDC realignment is what makes a
+    // re-crawl cheap to store), and a replayed batch-1 append must
+    // no-op (txn idempotence — the dx08 contract). At 100 TB this is
+    // why re-crawl storage grows with the EDIT rate, not the fetch
+    // rate: the anti-join is fp-keyed (co-partitionable with the
+    // store's layout), the chunker is map-only.
+    QueryDef(
+      "d41_cdc_chunk_store",
+      (s, dir) => {
+        import s.implicits._
+        val src = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 7 === 3 && $"n_chars" >= 200)
+        def chunked(batch: Long, rev: Boolean) = {
+          val base = if (rev)
+            src.select($"doc_id", concat(lit("PATCH: "), $"text").as("s"))
+          else src.select($"doc_id", $"text".as("s"))
+          // the boundary array is LET-BOUND via transform(array(...),
+          // B -> ...) — t30's binding idiom. A plain withColumn("bs")
+          // gets inlined by CollapseProject into every one of the ~4
+          // references per chunk element, re-running the O(len)
+          // md5-window filter tens of times per row (measured ~80x at
+          // sf0.1); the lambda variable is evaluated exactly once.
+          base.withColumn("len", length($"s"))
+            .withColumn("cs", expr(
+              "element_at(transform(array(" +
+                "filter(sequence(8, len - 1), i -> " +
+                "substring(md5(substring(s, i - 7, 8)), 1, 2) < '08')), " +
+                "B -> transform(sequence(1, size(B) + 1), k -> named_struct(" +
+                "'fp', md5(substring(s, " +
+                "element_at(concat(array(1), transform(B, b -> b + 1)), k), " +
+                "element_at(concat(B, array(len)), k) - " +
+                "element_at(concat(array(1), transform(B, b -> b + 1)), k) + 1)), " +
+                "'ln', element_at(concat(B, array(len)), k) - " +
+                "element_at(concat(array(1), transform(B, b -> b + 1)), k) + 1))), 1)"))
+            .select(lit(batch).as("batch"), explode($"cs").as("c"))
+            .select($"batch", $"c.fp".as("fp"), $"c.ln".cast("long").as("ln"))
+        }
+        // memoize each batch's chunk table (one md5 pass per batch,
+        // ever): the distinct sets, the appends, the replay, and the
+        // ledger all otherwise re-run the full chunk pass per action
+        val b0 = chunked(0L, rev = false).localCheckpoint()
+        val b1 = chunked(1L, rev = true).localCheckpoint()
+        val root = java.nio.file.Files
+          .createTempDirectory("d41_chunks").toString
+        val store = new graft.storage.FactTable(root, s)
+        val dt = to_date(lit("2024-01-01"))
+        val dist0 = b0.groupBy($"fp").agg(max($"ln").as("ln"))
+        val dist1 = b1.groupBy($"fp").agg(max($"ln").as("ln"))
+        // batch 0: all distinct fingerprints are novel
+        store.append(dist0
+          .select(lit(0L).as("batch"), $"fp", $"ln")
+          .withColumn("date", dt), 0)
+        // batch 1: anti-join against the STORE's keys — history is
+        // never re-chunked
+        val novel1 = dist1
+          .join(store.read().select($"fp"), Seq("fp"), "left_anti")
+          .select(lit(1L).as("batch"), $"fp", $"ln")
+          .withColumn("date", dt)
+        store.append(novel1, 1)
+        require(!store.append(novel1, 1),
+          s"replayed chunk batch must no-op at $root")
+        // ledger: incoming side from the batches, stored side READ BACK
+        // through the store
+        val per = b0.unionByName(b1).groupBy($"batch")
+          .agg(count(lit(1)).as("chunks_in"), sum($"ln").as("bytes_in"),
+            countDistinct($"fp").as("distinct_in"))
+        val stored = store.read().groupBy($"batch")
+          .agg(count(lit(1)).as("novel_stored"),
+            sum($"ln").as("bytes_stored"))
+        val out = per.join(stored, "batch")
+          .select($"batch", $"chunks_in", $"bytes_in", $"distinct_in",
+            $"novel_stored", $"bytes_stored")
+          .orderBy($"batch")
+        val led = out.collect()
+        require(led.length == 2 &&
+            led(1).getLong(5) * 3 < led(1).getLong(2),
+          s"re-crawl must store < 1/3 of its bytes at $root: " +
+            led.mkString(", "))
+        out
+      },
+      Some("""
+        WITH src AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 7 = 3 AND n_chars >= 200),
+        v AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS batch, text AS s FROM src
+          UNION ALL
+          SELECT doc_id, CAST(1 AS BIGINT), 'PATCH: ' || text FROM src),
+        ch AS (
+          SELECT doc_id, batch, s, length(s) AS len,
+                 list_filter(range(8, length(s)),
+                   i -> substr(md5(substr(s, CAST(i - 7 AS INT), 8)), 1, 2)
+                        < '08') AS bs
+          FROM v),
+        ck AS (
+          SELECT batch,
+                 unnest(list_transform(range(1, len(bs) + 2),
+                   k -> struct_pack(
+                     fp := md5(substr(s,
+                       CAST(list_prepend(1,
+                         list_transform(bs, b -> b + 1))[k] AS INT),
+                       CAST(list_append(bs, len)[k]
+                         - list_prepend(1,
+                             list_transform(bs, b -> b + 1))[k] + 1
+                         AS INT))),
+                     ln := list_append(bs, len)[k]
+                       - list_prepend(1,
+                           list_transform(bs, b -> b + 1))[k] + 1))) AS c
+          FROM ch),
+        fl AS (SELECT batch, c.fp AS fp, CAST(c.ln AS BIGINT) AS ln FROM ck),
+        per AS (
+          SELECT batch, COUNT(*) AS chunks_in,
+                 CAST(SUM(ln) AS BIGINT) AS bytes_in,
+                 COUNT(DISTINCT fp) AS distinct_in
+          FROM fl GROUP BY batch),
+        d0 AS (SELECT DISTINCT fp FROM fl WHERE batch = 0),
+        nov AS (
+          SELECT CAST(0 AS BIGINT) AS batch, COUNT(*) AS novel_stored,
+                 CAST(SUM(ln) AS BIGINT) AS bytes_stored
+          FROM (SELECT fp, MAX(ln) AS ln FROM fl WHERE batch = 0
+                GROUP BY fp)
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), COUNT(*),
+                 CAST(COALESCE(SUM(ln), 0) AS BIGINT)
+          FROM (SELECT fp, MAX(ln) AS ln FROM fl
+                WHERE batch = 1 AND fp NOT IN (SELECT fp FROM d0)
+                GROUP BY fp))
+        SELECT p.batch, p.chunks_in, p.bytes_in, p.distinct_in,
+               n.novel_stored, n.bytes_stored
+        FROM per p JOIN nov n ON n.batch = p.batch
+        ORDER BY p.batch"""),
+      doc = "incremental chunk-store ingest (the backup/delta-store lifecycle over d40's chunker): a persistent fingerprint FactTable receives originals whole, then a re-crawl batch appends only never-seen chunk fingerprints via an fp-keyed anti-join — history is never re-chunked, replays no-op, and the per-batch ingest ledger is read back THROUGH the store; re-crawl bytes stored < 1/3 of bytes in required in-body — storage grows with the edit rate, not the fetch rate")
   )
 }
