@@ -93,7 +93,10 @@ object ScaleBench {
     "q93_grid_radius_join", "q94_pagerank",
     // chunk-store lifecycle: one let-bound md5 pass per batch, fp-keyed
     // anti-join against the stored fingerprints
-    "d41_cdc_chunk_store")
+    "d41_cdc_chunk_store",
+    // per-scene keyframe sampler: render-bound decode + bounded per-video
+    // list pass
+    "m22_scene_cut_keyframes")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

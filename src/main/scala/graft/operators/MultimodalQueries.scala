@@ -1423,7 +1423,103 @@ object MultimodalQueries {
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
         FROM a WHERE corrupt
         ORDER BY media_id"""),
-      doc = "image resize (thumbnailing): real PNG decode + deterministic center-point nearest-neighbor resample to 8x8 — an explicit integer kernel, not AWT's implementation-defined scaler — with thumbnail luma sum and corner-uniformity score; split-PNG closed forms incl. the color-collision guard, corrupt assets surface as sentinels")
+      doc = "image resize (thumbnailing): real PNG decode + deterministic center-point nearest-neighbor resample to 8x8 — an explicit integer kernel, not AWT's implementation-defined scaler — with thumbnail luma sum and corner-uniformity score; split-PNG closed forms incl. the color-collision guard, corrupt assets surface as sentinels"),
+
+    // ------------------------------------------------------------------
+    // m22: SCENE-CUT DETECTION + KEYFRAME SELECTION — the video-curation
+    // step after m11's fixed-stride sampling and m17's whole-video
+    // dedup: a training pipeline samples one frame per SCENE, not per
+    // stride, so the selector must find the cuts first. Real animated-
+    // GIF decode of every frame (m11's reader), then per video one
+    // in-row pass over the ordered luma sequence keeps frame 0 plus
+    // every frame whose luma jump from its predecessor exceeds the cut
+    // threshold — the classical inter-frame-difference detector, as a
+    // filter/transform expression over the collected frame list (ONE
+    // per-video shuffle, no window, no self-join). Fixtures plant
+    // 3-frame scenes at an id-derived phase with md5-derived scene
+    // colors (the m17 SQL-reproducible channel recipe), so within-scene
+    // deltas are exactly 0 and cross-scene deltas are md5-random;
+    // detector and oracle apply the IDENTICAL |Δluma| > 20000 rule to
+    // identical lumas, so soft cuts (rare near-equal adjacent scenes)
+    // are missed by BOTH sides and parity holds by construction. At
+    // 100 TB the decode is map-parallel per asset and the selector
+    // state is one bounded frame list per video. % 20 == 13 keeps
+    // assets disjoint from m08-m21.
+    QueryDef(
+      "m22_scene_cut_keyframes",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 13)
+          .select($"doc_id".as("media_id"),
+            (($"n_chars" % 8) + 6).cast("int").as("nf"))
+          .as[(Long, Int)]
+        rows.mapPartitions(_.flatMap { case (id, nf) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val colors = (0 until nf).map { j =>
+              val sc = (j + (id % 3).toInt) / 3
+              val hex = md.digest(s"$id:s:$sc".getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              def ch(o: Int) =
+                Integer.parseInt(hex.substring(o, o + 2), 16) % 200
+              (ch(0) << 16) | (ch(2) << 8) | ch(4)
+            }
+            graft.sources.MediaPipeline.sampleFrames(id,
+              graft.sources.MediaPipeline.renderGifFrames(24, 16, colors),
+              stride = 1)
+          })
+          .toDF()
+          .filter($"decode_ok")
+          .groupBy($"media_id")
+          .agg(min($"n_frames").as("nf"),
+            sort_array(collect_list(struct($"frame_idx", $"luma_x1000")))
+              .as("fl"))
+          .select($"media_id", $"nf", explode(expr(
+            """filter(transform(sequence(1, size(fl)), i -> named_struct(
+                 'fi', element_at(fl, i).frame_idx,
+                 'luma', element_at(fl, i).luma_x1000,
+                 'keep', if(i = 1, true,
+                   abs(element_at(fl, i).luma_x1000
+                     - element_at(fl, CAST(i - 1 AS INT)).luma_x1000)
+                   > 20000))), x -> x.keep)""")).as("k"))
+          .select($"media_id", $"k.fi".cast("int").as("frame_idx"),
+            $"k.luma".as("luma_x1000"), $"nf".cast("int").as("n_frames"))
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS media_id, (n_chars % 8) + 6 AS nf
+          FROM documents WHERE doc_id % 20 = 13),
+        fr AS (SELECT media_id, nf, unnest(range(0, nf)) AS j FROM a),
+        hx AS (
+          SELECT media_id, nf, j,
+                 md5(media_id || ':s:' || ((j + media_id % 3) // 3)) AS hex
+          FROM fr),
+        lm AS (
+          SELECT media_id, nf, j,
+                 299 * (CAST(concat('0x', substr(hex, 1, 2)) AS INTEGER)
+                        % 200)
+               + 587 * (CAST(concat('0x', substr(hex, 3, 2)) AS INTEGER)
+                        % 200)
+               + 114 * (CAST(concat('0x', substr(hex, 5, 2)) AS INTEGER)
+                        % 200) AS luma
+          FROM hx),
+        sq AS (SELECT media_id, nf, list(luma ORDER BY j) AS ls
+               FROM lm GROUP BY media_id, nf),
+        kf AS (
+          SELECT media_id, nf,
+                 unnest(list_filter(list_transform(range(1, nf + 1),
+                   i -> struct_pack(fi := i - 1, luma := ls[i],
+                          keep := CASE WHEN i = 1 THEN TRUE
+                                  ELSE abs(ls[i] - ls[i - 1]) > 20000
+                                  END)),
+                   x -> x.keep)) AS k
+          FROM sq)
+        SELECT media_id, CAST(k.fi AS INTEGER) AS frame_idx,
+               CAST(k.luma AS BIGINT) AS luma_x1000,
+               CAST(nf AS INTEGER) AS n_frames
+        FROM kf ORDER BY media_id, frame_idx"""),
+      doc = "scene-cut detection + keyframe selection (one frame per SCENE, not per stride — the video-curation sampler): real per-frame GIF decode, then one in-row filter/transform pass over the ordered luma list keeps frame 0 + every |delta-luma| > threshold jump — no window, no self-join, one bounded per-video shuffle; md5-derived scene colors make detector and oracle apply the identical rule to identical lumas")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`
