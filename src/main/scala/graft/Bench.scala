@@ -105,7 +105,10 @@ object Bench {
       "s34_filtered_ann_serving",
       // round-11 continuation: the chunk-store lifecycle appends two
       // fingerprint batches + a replay to a temp FactTable in-body
-      "d41_cdc_chunk_store")
+      "d41_cdc_chunk_store",
+      // round-11 continuation: the column-TTL lifecycle appends +
+      // compacts + rewrites expired partitions in-body like dx34
+      "dx37_ttl_column_default")
     // best-of-2 per query: damps scheduler/GC noise on a shared machine.
     // A query that fails BOTH runs reports -1.0 (never a fake timing).
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts the query set

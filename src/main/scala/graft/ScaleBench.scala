@@ -96,7 +96,9 @@ object ScaleBench {
     "d41_cdc_chunk_store",
     // per-scene keyframe sampler: render-bound decode + bounded per-video
     // list pass
-    "m22_scene_cut_keyframes")
+    "m22_scene_cut_keyframes",
+    // retention family: the column-blank TTL lifecycle (O(expired parts))
+    "dx37_ttl_column_default")
 
   // multiple of every doc/event/order id modulus the swept queries key
   // on (10, 20, 100, 1000): each replica reproduces the base's planted

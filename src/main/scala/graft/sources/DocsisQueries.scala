@@ -1748,7 +1748,64 @@ object DocsisQueries {
                COUNT(DISTINCT user_id) AS uniq_exact,
                TRUE AS uniq_ok
         FROM events GROUP BY 1, 2 ORDER BY date, event_type"""),
-      doc = "sketch-state materialized view (AggregatingMergeTree uniqState/uniqMerge): per-batch mergeable HLL states stored per key under the base append's txn id, served NDV re-merges states only (register-wise max, any batch split identical) and never rescans the base; convergence via sketch-union aggregatingCompact proven answer-neutral, estimate surfaced only as an exact-vs-envelope verdict")
+      doc = "sketch-state materialized view (AggregatingMergeTree uniqState/uniqMerge): per-batch mergeable HLL states stored per key under the base append's txn id, served NDV re-merges states only (register-wise max, any batch split identical) and never rescans the base; convergence via sketch-union aggregatingCompact proven answer-neutral, estimate surfaced only as an exact-vs-envelope verdict"),
+
+    // ------------------------------------------------------------------
+    // dx37: COLUMN-level TTL (ClickHouse `props String TTL date +
+    // INTERVAL 15 DAY` / `TTL ... SET props = ''`) — the retention
+    // member the row family cannot express: on expiry the COLUMN loses
+    // its value, not the row. dx13 drops whole parts, dx15 deletes
+    // physically, dx34 downsamples rows to key aggregates; dx37 blanks
+    // the high-cardinality payload (the raw `props` JSON — exactly the
+    // column a privacy/footprint policy targets) while the row's
+    // aggregable skeleton stays queryable forever: counts and cents are
+    // IDENTICAL before and after at every date (the oracle proves it),
+    // the per-date props NDV collapses to 1 below the cutoff and stays
+    // raw above it, and recent parts are never listed, read, or
+    // rewritten (path-survival require). Same atomic swap + time travel
+    // as the other TTL flavors; idempotent (constant → same constant).
+    // At 100 TB this is how a decade of telemetry keeps its dashboard
+    // while its payload bytes — usually >90% of the table — age out on
+    // schedule.
+    QueryDef(
+      "dx37_ttl_column_default",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx37_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .select(to_date($"ts").as("date"), $"event_type", $"event_id",
+            $"props", expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        t.append(ev, 0)
+        t.compact(sortCols = Seq("event_type"))
+        val cut = ev.agg(date_add(min($"date"), 15)).head().getDate(0)
+        val before = t.snapshot().dataFiles.map(_.path).toSet
+        val rewritten = t.ttlColumn(cut.toString, "props", lit(""))
+        require(rewritten > 0L, s"column TTL rewrote nothing at $dir")
+        val after = t.snapshot().dataFiles.map(_.path).toSet
+        require((after & before).nonEmpty && !(after subsetOf before),
+          s"recent parts must survive untouched while expired ones swap at $dir")
+        t.read().groupBy($"date")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents"),
+            countDistinct($"props").as("props_ndv"),
+            sum(length($"props")).as("props_chars"))
+          .orderBy($"date")
+      },
+      Some("""
+        WITH cut AS (SELECT MIN(CAST(ts AS DATE)) + 15 AS c FROM events),
+        aged AS (
+          SELECT CAST(ts AS DATE) AS date,
+                 CAST(floor(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN CAST(ts AS DATE) < cut.c THEN '' ELSE props END
+                   AS props
+          FROM events CROSS JOIN cut)
+        SELECT date, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents,
+               COUNT(DISTINCT props) AS props_ndv,
+               CAST(SUM(length(props)) AS BIGINT) AS props_chars
+        FROM aged GROUP BY date ORDER BY date"""),
+      doc = "column-level TTL (ClickHouse TTL ... SET col = default): expired partitions rewritten with the high-cardinality payload column blanked while every row, count, and sum survives — the privacy/footprint retention the row family (drop/delete/rollup) cannot express; recent parts untouched (path-survival require), idempotent, same atomic swap + time travel")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -635,6 +635,50 @@ class FactTable(val root: String, spark: SparkSession,
     victims.map(_.rows).sum - adds.map(_.rows).sum
   }
 
+  /** COLUMN-level TTL (the ClickHouse `col String TTL date + INTERVAL n
+    * DAY` / `TTL ... SET col = <default>` analog): on expiry the COLUMN
+    * loses its value, not the row — parts whose partition value is
+    * entirely before `cutoff` are rewritten with `ttlCol` replaced by
+    * `default` (row counts, every other column, and the partition
+    * layout unchanged). This is the privacy/footprint contract the
+    * row-retention family (drop `ttlExpire`, physical-delete, rollup
+    * `ttlRollup`) cannot express: high-cardinality payloads (user
+    * agents, raw props, free text) age out of history while the row's
+    * aggregable skeleton stays queryable forever. Cost is O(expired
+    * partitions) — recent parts are never listed, read, or rewritten —
+    * with the same atomic swap and pre-version time travel as
+    * ttlRollup. Idempotent: re-running rewrites the constant column to
+    * the same constant. Returns the number of parts rewritten.
+    */
+  def ttlColumn(cutoff: String, ttlCol: String,
+      default: org.apache.spark.sql.Column,
+      partitionCol: String = "date"): Long = {
+    val snap = snapshot()
+    val victims = snap.dataFiles.filter(expiredEntry(_, cutoff, partitionCol))
+    if (victims.isEmpty) return 0L
+    val target = new Path(dataDir, s"base-${java.util.UUID.randomUUID()}")
+    val src = masked(victims, snap.tombFiles)
+    require(src.columns.contains(ttlCol),
+      s"ttlColumn: no column $ttlCol in ${src.columns.toSeq}")
+    src.withColumn(ttlCol, default.cast(src.schema(ttlCol).dataType))
+      .select(src.columns.map(col).toIndexedSeq: _*) // original order
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(partitionCol)
+      .write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(target.toString)
+    beforeCommit()
+    val adds = entriesFor(target, TierBase)
+    val committed = commitWithRetry(snap.nextVersion, None, adds,
+      removes = victims.map(_.path))(
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)) &&
+        tombsUnchanged(snap)(fresh))
+    if (!committed) {
+      fs.delete(target, true)
+      return ttlColumn(cutoff, ttlCol, default, partitionCol)
+    }
+    victims.size.toLong
+  }
+
   /** Major compaction — the MergeTree level-merge: rewrite EVERY live
     * part (all base generations + any buffer parts) into one fresh
     * generation, collapsing the per-generation read fan-out that minor

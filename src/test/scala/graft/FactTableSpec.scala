@@ -57,6 +57,35 @@ class FactTableSpec extends AnyFunSuite {
       .as[(java.sql.Date, String, Long, Long)].collect().toSeq == healed)
   }
 
+  test("ttlColumn blanks expired payloads only, travels, re-runs idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("fact_ttlcol").toString
+    val t = new FactTable(dir, spark)
+    def day(d: String, props: Seq[String]) =
+      props.zipWithIndex.map { case (p, i) =>
+        ("m1", java.sql.Timestamp.valueOf(s"$d 01:02:03"), i.toLong, p)
+      }.toDF("modem_name", "timestamp", "uptime", "props")
+        .withColumn("date", to_date($"timestamp"))
+    t.append(day("2024-03-01", Seq("a=1", "a=2")), 0)
+    t.append(day("2024-03-05", Seq("b=1", "b=2")), 1)
+    t.compact(sortCols = Seq("modem_name"))
+    val preVersion = t.snapshot().nextVersion - 1
+    assert(t.ttlColumn("2024-03-05", "props", lit("")) > 0L)
+    val got = t.read().select($"date".cast("string"), $"props")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("2024-03-01", ""),
+      ("2024-03-05", "b=1"), ("2024-03-05", "b=2")),
+      s"expired payloads must blank, recent must survive: $got")
+    assert(t.read().count() == 4, "no row may vanish")
+    // time travel to the pre-TTL version still sees the payloads
+    val old = t.read(preVersion).filter($"date" < "2024-03-05")
+      .select($"props").as[String].collect().toSet
+    assert(old == Set("a=1", "a=2"))
+    // idempotent: re-run rewrites the constant to the same constant
+    t.ttlColumn("2024-03-05", "props", lit(""))
+    assert(t.read().select($"date".cast("string"), $"props")
+      .as[(String, String)].collect().toSet == got)
+  }
+
   test("SketchView heals crashes, bounds partials, converges answer-neutrally") {
     def userRows(day: String, modem: String, users: Seq[Long]) =
       users.map(u => (modem, java.sql.Timestamp.valueOf(s"$day 01:00:00"), u))
