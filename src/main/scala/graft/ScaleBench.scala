@@ -100,11 +100,16 @@ object ScaleBench {
     // retention family: the column-blank TTL lifecycle (O(expired parts))
     "dx37_ttl_column_default")
 
-  // multiple of every doc/event/order id modulus the swept queries key
-  // on (10, 20, 100, 1000): each replica reproduces the base's planted
-  // structure exactly (m14's re-encode plant deliberately uses % 100,
-  // which divides this shift — a % 60 plant would vanish in replicas
-  // where 40·r % 60 ≠ 0)
+  // multiple of the id moduli queries PLANT structure on (10, 20, 100,
+  // 1000): each replica reproduces the base's planted structure exactly
+  // (m14's re-encode plant deliberately uses % 100, which divides this
+  // shift — a % 60 plant would vanish in replicas where 40·r % 60 ≠ 0).
+  // NOT a multiple of 3 or 7 (10^10 ≡ 1 mod 3, ≡ 4 mod 7): the swept
+  // queries that key on those moduli (q92's % 3/% 5 hot keys, d40/d41's
+  // doc_id % 7 subset, q94's % 7 edges) only SELECT uniform subsets —
+  // replicas pick different but equally-sized subsets, which is fine —
+  // but a future chain that PLANTS per-id structure on a % 3/% 7 key
+  // must either use a divisor of this shift or extend it.
   private val idShift = 10000000000L
 
   /** Replicate one table `m`× with the per-table transform; m == 1 is a

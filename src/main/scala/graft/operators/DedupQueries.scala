@@ -3500,6 +3500,10 @@ object DedupQueries {
           .select($"doc_id", $"cfps".as("ocfps"), $"ffps".as("offps"))
         val r = chunked.filter(!$"is_orig")
           .select($"doc_id", $"cfps".as("rcfps"), $"ffps".as("rffps"))
+        // memoize the per-doc ledger (5 bounded columns per revision):
+        // the threshold requires below and the harness's collect
+        // otherwise EACH re-run the full md5 chunk pass + join (the d41
+        // lesson applied back to d40)
         val out = r.join(o, "doc_id")
           .select($"doc_id",
             size($"rcfps").cast("long").as("cdc_chunks"),
@@ -3509,6 +3513,7 @@ object DedupQueries {
             expr("CAST(size(filter(rffps, f -> array_contains(offps, f))) AS BIGINT)")
               .as("fixed_reused"))
           .orderBy($"doc_id")
+          .localCheckpoint()
         // the CDC claim, measured: most revision bytes dedup against the
         // original (the edit costs ~one chunk), and fixed-size chunking
         // at the same average length provably cannot

@@ -3013,11 +3013,21 @@ object ExtendedQueries {
           .filter($"dist2" <= r * r)
           .orderBy($"id_a", $"id_b")
         // the scale claim: the bucketed candidate set is a small
-        // fraction of the quadratic pair space
+        // fraction of the quadratic pair space. Asserted via an ANALYTIC
+        // upper bound from the tiny per-cell histogram (Σ_c cnt(c) ·
+        // Σ_{n∈N(c)} cnt(n) ≥ 2 × candidates — ordered + self pairs
+        // included) so the require never re-executes the expanded join
+        // the query exists to bound (counting cand directly ran the
+        // heavy join twice per invocation).
         val n = pts.count()
-        val nCand = cand.count()
-        require(nCand * 4 < n * (n - 1) / 2,
-          s"grid join examined $nCand candidates of ${n * (n - 1) / 2} pairs")
+        val cc = cells.groupBy($"cx", $"cy").count()
+        val nb = cc.select($"cx".as("nx"), $"cy".as("ny"),
+          $"count".as("ncnt"))
+        val candUB = cc.join(nb,
+            abs($"cx" - $"nx") <= 1 && abs($"cy" - $"ny") <= 1)
+          .agg(sum($"count" * $"ncnt")).head().getLong(0)
+        require(candUB * 4 < n * (n - 1),
+          s"grid join candidate bound $candUB of ${n * (n - 1) / 2} pairs")
         out
       },
       Some("""
