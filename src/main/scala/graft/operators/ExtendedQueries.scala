@@ -3097,7 +3097,136 @@ object ExtendedQueries {
         $iters
         SELECT node, CAST(r AS BIGINT) AS r FROM pr5 ORDER BY node"""
       },
-      doc = "PageRank over 5 synchronous iterations (the iterative-graph ranking kernel next to d08's connected components): driver loop builds 5 join+aggregate rounds — one node-keyed shuffle each, no mid-iteration collect — with damping in exact integer micro-units (17/20 rational, floor division) so any partitioning yields the identical value lattice; oracle = the same rounds as template-generated unrolled CTEs, so the loop and the SQL cannot drift")
+      doc = "PageRank over 5 synchronous iterations (the iterative-graph ranking kernel next to d08's connected components): driver loop builds 5 join+aggregate rounds — one node-keyed shuffle each, no mid-iteration collect — with damping in exact integer micro-units (17/20 rational, floor division) so any partitioning yields the identical value lattice; oracle = the same rounds as template-generated unrolled CTEs, so the loop and the SQL cannot drift"),
+
+    // ------------------------------------------------------------------
+    // q95: MAX INTERSECTIONS — peak interval concurrency per group
+    // (ClickHouse `maxIntersections` / `maxIntersectionsPosition`): the
+    // ops question "how many sessions were open at once, and when?".
+    // Each event opens a half-open interval [ts, ts + 10 s + ⌊value·50⌋ s);
+    // the kernel is the sweep line: every interval contributes (+1 at
+    // start, −1 at end), deltas are PRE-AGGREGATED per (group, instant)
+    // — a partial-aggregable shuffle that collapses ties so the running
+    // sum is ORDER-INDEPENDENT at equal instants (ends and starts at the
+    // same t net out, exactly the half-open contract) — then one
+    // per-group cumulative sum finds the peak and row_number picks its
+    // FIRST instant. Scale shape: the only per-row work is two
+    // projections (no interval explosion — an interval of any length is
+    // still 2 points); the window partitions by event_type, so each
+    // group sorts independently — the ClickHouse aggregate's
+    // sort-inside-group, never a global order. Instants are exact
+    // integer epoch-micros (unix_micros ≡ DuckDB epoch_us), durations
+    // exact integer seconds from one shared ⌊value·50⌋ — no float
+    // arithmetic reaches the comparison lattice.
+    QueryDef(
+      "q95_max_intersections",
+      (s, dir) => {
+        import s.implicits._
+        val iv = Tables.events(s, dir)
+          .select($"event_type", unix_micros($"ts").as("st"),
+            (unix_micros($"ts") +
+              (lit(10L) + expr("CAST(floor(value * 50) AS BIGINT)"))
+                * 1000000L).as("en"))
+        val pts = iv.select($"event_type", $"st".as("t"), lit(1L).as("d"))
+          .unionByName(iv.select($"event_type", $"en".as("t"),
+            lit(-1L).as("d")))
+          .groupBy($"event_type", $"t").agg(sum($"d").as("delta"))
+        val wRun = Window.partitionBy($"event_type").orderBy($"t".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPeak = Window.partitionBy($"event_type")
+          .orderBy($"open".desc, $"t".asc)
+        pts.withColumn("open", sum($"delta").over(wRun))
+          .withColumn("rk", row_number().over(wPeak))
+          .filter($"rk" === 1)
+          .select($"event_type", $"open".as("max_concurrent"),
+            $"t".as("peak_t_us"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT event_type, epoch_us(ts) AS st,
+                 epoch_us(ts)
+                   + (10 + CAST(floor(value * 50) AS BIGINT)) * 1000000 AS en
+          FROM events),
+        pts AS (
+          SELECT event_type, t, SUM(d) AS delta FROM (
+            SELECT event_type, st AS t, 1 AS d FROM iv
+            UNION ALL
+            SELECT event_type, en AS t, -1 AS d FROM iv) u
+          GROUP BY event_type, t),
+        run AS (
+          SELECT event_type, t,
+                 SUM(delta) OVER (PARTITION BY event_type ORDER BY t ASC
+                                  ROWS UNBOUNDED PRECEDING) AS open
+          FROM pts)
+        SELECT event_type, CAST(open AS BIGINT) AS max_concurrent,
+               t AS peak_t_us
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY open DESC, t ASC) AS rk
+              FROM run) x
+        WHERE rk = 1
+        ORDER BY event_type"""),
+      doc = "max interval intersections (ClickHouse maxIntersections/maxIntersectionsPosition): sweep-line peak concurrency — ±1 deltas pre-aggregated per (group, instant) so equal-instant ties collapse order-independently, one per-group cumulative window, first-peak instant via row_number; intervals never explode (any length = 2 points), groups sort independently, all arithmetic exact integer micros"),
+
+    // ------------------------------------------------------------------
+    // q96: RETENTION cohort analysis (the ClickHouse `retention(cond1,
+    // …, condN)` aggregate): of the users active in week 0 (the cohort
+    // anchor), how many came back in weeks 1/2/3? ClickHouse semantics
+    // exactly: r_i = cond_0 AND cond_i — a user retained in week 2 but
+    // absent in week 0 counts nowhere. Shape: the week index is one
+    // map-side integer division off a broadcast corpus-min timestamp,
+    // per-user flags are ONE partial-aggregable groupBy(user) of
+    // max(when) bits (the retention array), and the report is a second
+    // tiny aggregate over 150 flag rows — at 100 TB the heavy shuffle
+    // is the user groupBy, which partial-aggregates to one bit-vector
+    // per user per partition before exchanging. Rates are
+    // integer-over-integer divisions rounded to 6, identical in both
+    // engines.
+    QueryDef(
+      "q96_retention",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val t0 = ev.agg(min(unix_micros($"ts")).as("t0"))
+        val flags = ev.crossJoin(broadcast(t0))
+          .select($"user_id",
+            expr("(unix_micros(ts) - t0) div 604800000000").as("wk"))
+          .groupBy($"user_id")
+          .agg(max(when($"wk" === 0, 1L).otherwise(0L)).as("w0"),
+            max(when($"wk" === 1, 1L).otherwise(0L)).as("w1"),
+            max(when($"wk" === 2, 1L).otherwise(0L)).as("w2"),
+            max(when($"wk" === 3, 1L).otherwise(0L)).as("w3"))
+        flags.agg(
+          sum($"w0").as("cohort"),
+          sum($"w0" * $"w1").as("ret_w1"),
+          sum($"w0" * $"w2").as("ret_w2"),
+          sum($"w0" * $"w3").as("ret_w3"))
+          .select($"cohort", $"ret_w1", $"ret_w2", $"ret_w3",
+            round($"ret_w1".cast("double") / $"cohort", 6).as("rate_w1"),
+            round($"ret_w2".cast("double") / $"cohort", 6).as("rate_w2"),
+            round($"ret_w3".cast("double") / $"cohort", 6).as("rate_w3"))
+      },
+      Some("""
+        WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+        flags AS (
+          SELECT user_id,
+                 MAX(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS w0,
+                 MAX(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS w1,
+                 MAX(CASE WHEN wk = 2 THEN 1 ELSE 0 END) AS w2,
+                 MAX(CASE WHEN wk = 3 THEN 1 ELSE 0 END) AS w3
+          FROM (SELECT user_id,
+                       (epoch_us(ts) - t0.t0) // 604800000000 AS wk
+                FROM events CROSS JOIN t0) e
+          GROUP BY user_id)
+        SELECT CAST(SUM(w0) AS BIGINT) AS cohort,
+               CAST(SUM(w0 * w1) AS BIGINT) AS ret_w1,
+               CAST(SUM(w0 * w2) AS BIGINT) AS ret_w2,
+               CAST(SUM(w0 * w3) AS BIGINT) AS ret_w3,
+               round(CAST(SUM(w0 * w1) AS DOUBLE) / SUM(w0), 6) AS rate_w1,
+               round(CAST(SUM(w0 * w2) AS DOUBLE) / SUM(w0), 6) AS rate_w2,
+               round(CAST(SUM(w0 * w3) AS DOUBLE) / SUM(w0), 6) AS rate_w3
+        FROM flags"""),
+      doc = "retention cohort analysis (ClickHouse retention aggregate): r_i = week-0 activity AND week-i activity per user — week index from a broadcast corpus-min anchor, per-user flag bits in one partial-aggregable groupBy, cohort/return counts and 6-digit rates from a second tiny aggregate; the only corpus-sized shuffle partial-aggregates to one bit-vector per user per partition")
   )
 
   /** q94's synchronous integer PageRank: rank in micro-units, damping

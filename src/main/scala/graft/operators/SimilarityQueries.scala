@@ -2323,7 +2323,115 @@ object SimilarityQueries {
         LEFT JOIN probes p2 ON p2.qid = t.qid AND p2.cid = t.cid
         WHERE t.trk <= 5
         ORDER BY t.qid, rk"""),
-      doc = "metadata-filtered ANN serving (the filtered-search problem every production vector store hits): the predicate rides the probed-bucket scan of the SHARED stored IVF pair as an ordinary conjunct (pre-filtering — composes with bucket pruning instead of degrading recall like post-filtering), audited against the exact filtered top-5 with every miss attributed to bucket pruning alone (the pre-filter exactness theorem, required in-body); queries deliberately outside the filter class")
+      doc = "metadata-filtered ANN serving (the filtered-search problem every production vector store hits): the predicate rides the probed-bucket scan of the SHARED stored IVF pair as an ordinary conjunct (pre-filtering — composes with bucket pruning instead of degrading recall like post-filtering), audited against the exact filtered top-5 with every miss attributed to bucket pruning alone (the pre-filter exactness theorem, required in-body); queries deliberately outside the filter class"),
+
+    // ------------------------------------------------------------------
+    // s35: MATRYOSHKA prefix-dimension re-ranking (Kusupati et al. 2022,
+    // "Matryoshka Representation Learning"; the adaptive-retrieval
+    // funnel OpenAI/Nomic ship as dimension-truncatable embeddings) —
+    // a THIRD cheap-first serving geometry next to IVF's bucket pruning
+    // (s24/s27) and PQ's code compression (s08/s26): the COARSE pass
+    // scores cosine on only the FIRST 16 of 64 components, keeps the
+    // top-50 per query, and only those 50 load their full-width vectors
+    // for the exact re-rank top-10. At 100 TB the prefix lives as its
+    // own parquet column, so the corpus-sized scan reads 25 % of the
+    // embedding bytes via plain column pruning — no index build, no
+    // stored sidecar, the one ANN variant whose scale lever is the
+    // SCHEMA — and the full vectors materialize for 50 rows per query,
+    // not the corpus. Audit mirrors s34's attribution discipline: exact
+    // full-dim top-10 is the truth side, every re-rank miss must be a
+    // coarse-shortlist miss (within the shortlist the re-rank is exact
+    // decimal cosine — required in-body), and per-truth-row flags let
+    // the oracle check recall attribution row by row.
+    QueryDef(
+      "s35_matryoshka_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val qids = Seq(0L, 1L, 2L)
+        val C = 50
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter($"vec_id".isin(qids: _*))
+          .select($"vec_id".as("qid"), $"embedding".as("qv"))
+        val corpus = emb.filter(!$"vec_id".isin(qids: _*))
+        val scored = corpus.crossJoin(broadcast(queries))
+          .select($"qid", $"vec_id", $"embedding", $"qv",
+            round(cosineExact("slice(embedding, 1, 16)",
+              "slice(qv, 1, 16)"), 9).as("pcos"))
+        val wC = Window.partitionBy($"qid").orderBy($"pcos".desc, $"vec_id".asc)
+        val shortlist = scored
+          .withColumn("crk", row_number().over(wC)).filter($"crk" <= C)
+        val wR = Window.partitionBy($"qid").orderBy($"fcos".desc, $"vec_id".asc)
+        val reranked = shortlist
+          .select($"qid", $"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("fcos"))
+          .withColumn("rrk", row_number().over(wR)).filter($"rrk" <= 10)
+          .select($"qid", $"vec_id", lit(true).as("rerank_found"))
+        val wT = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id".asc)
+        val truth = corpus.crossJoin(broadcast(queries))
+          .select($"qid", $"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .withColumn("rk", row_number().over(wT)).filter($"rk" <= 10)
+        val inShort = shortlist
+          .select($"qid", $"vec_id", lit(true).as("in_shortlist"))
+        val out = truth
+          .join(reranked, Seq("qid", "vec_id"), "left")
+          .join(inShort, Seq("qid", "vec_id"), "left")
+          .select($"qid", $"rk".cast("long").as("rk"), $"vec_id", $"cosine",
+            coalesce($"rerank_found", lit(false)).as("rerank_found"),
+            coalesce($"in_shortlist", lit(false)).as("in_shortlist"))
+          .orderBy($"qid", $"rk")
+        // the funnel-exactness theorem: re-rank over the shortlist is
+        // exact, so every miss is a coarse prefix miss, never the re-rank
+        require(out.filter($"rerank_found" === false &&
+            $"in_shortlist" === true).isEmpty,
+          "matryoshka re-rank lost a truth row inside the shortlist")
+        out
+      },
+      Some(s"""
+        WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                    WHERE vec_id IN (0, 1, 2)),
+        corpus AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id NOT IN (0, 1, 2)),
+        ppairs AS (SELECT q.qid, c.vec_id,
+                          unnest(c.embedding[1:16]) AS x,
+                          unnest(q.qv[1:16]) AS y
+                   FROM corpus c CROSS JOIN qs q),
+        pdots AS (SELECT qid, vec_id, ${oCosineSums()}
+                  FROM ppairs GROUP BY qid, vec_id),
+        coarse AS (SELECT qid, vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9)
+                              DESC, vec_id ASC) AS crk
+                   FROM pdots),
+        short AS (SELECT qid, vec_id FROM coarse WHERE crk <= 50),
+        fpairs AS (SELECT q.qid, c.vec_id, unnest(c.embedding) AS x,
+                          unnest(q.qv) AS y
+                   FROM corpus c CROSS JOIN qs q),
+        fdots AS (SELECT qid, vec_id, ${oCosineSums()}
+                  FROM fpairs GROUP BY qid, vec_id),
+        fcos AS (SELECT qid, vec_id,
+                        round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+                 FROM fdots),
+        rerank AS (SELECT f.qid, f.vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY f.qid
+                            ORDER BY f.cosine DESC, f.vec_id ASC) AS rrk
+                   FROM fcos f JOIN short s
+                     ON s.qid = f.qid AND s.vec_id = f.vec_id),
+        truth AS (SELECT qid, vec_id, cosine,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, vec_id ASC) AS rk
+                  FROM fcos)
+        SELECT t.qid, t.rk, t.vec_id, t.cosine,
+               COALESCE(rr.found, FALSE) AS rerank_found,
+               sh.vec_id IS NOT NULL AS in_shortlist
+        FROM truth t
+        LEFT JOIN (SELECT qid, vec_id, TRUE AS found FROM rerank
+                   WHERE rrk <= 10) rr
+          ON rr.qid = t.qid AND rr.vec_id = t.vec_id
+        LEFT JOIN short sh ON sh.qid = t.qid AND sh.vec_id = t.vec_id
+        WHERE t.rk <= 10
+        ORDER BY t.qid, t.rk"""),
+      doc = "Matryoshka prefix-dimension funnel (MRL, Kusupati et al. 2022): coarse cosine on the first 16 of 64 components shortlists 50 per query, full-width exact re-rank serves top-10 — the ANN variant whose 100 TB lever is pure SCHEMA (prefix as its own column ⇒ the corpus scan reads 25 % of embedding bytes via column pruning; full vectors load for 50 rows/query); audited against exact full-dim truth with every miss attributed to the coarse shortlist (funnel-exactness require in-body)")
   )
 
   /** The exact-cosine dense leg of the hybrid stack (shared by s29 and

@@ -2856,7 +2856,204 @@ object TextQueries {
                  AS n_whole_words,
                round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
         FROM fin GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "unigram-LM tokenizer (SentencePiece family): Viterbi segmentation maximizing the piece-probability product as an in-row DP fold over struct(prob, count) states; SQL-derivable top-K+required-chars piece table, division/multiply-only float path (no libm), map-only encode")
+      doc = "unigram-LM tokenizer (SentencePiece family): Viterbi segmentation maximizing the piece-probability product as an in-row DP fold over struct(prob, count) states; SQL-derivable top-K+required-chars piece table, division/multiply-only float path (no libm), map-only encode"),
+
+    // ------------------------------------------------------------------
+    // c22: K-ANONYMITY release gate (Sweeney 2002; the suppression
+    // member of the privacy-release family after c11's pseudonymization,
+    // c14's span scrubbing and c20's DP noise): a quasi-identifier tuple
+    // (lang, source, length bucket) is releasable only if at least k=5
+    // documents share it — smaller equivalence classes re-identify and
+    // are SUPPRESSED whole. Output = the released classes with their
+    // sizes plus the audit mass (suppressed classes / rows), the number
+    // a datasheet must publish next to any "anonymized" corpus. Shape:
+    // ONE partial-aggregable groupBy over the QI tuple (the class
+    // histogram), a filter on the count, and a 1-row broadcast summary
+    // — at 100 TB the groupBy map-side-combines to one row per class
+    // per partition and nothing else touches the corpus. Both the
+    // released and suppressed sides are required non-empty in-body so
+    // the fixture can never go vacuous at any SF.
+    QueryDef(
+      "c22_k_anonymity_release",
+      (s, dir) => {
+        import s.implicits._
+        val k = 5
+        val classes = Tables.load(s, dir, "documents")
+          .groupBy($"lang", $"source",
+            expr("n_chars div 100").as("len_bucket"))
+          .agg(count(lit(1)).as("n"))
+        val summary = classes.agg(
+          sum(when($"n" < k, 1L).otherwise(0L)).as("suppressed_classes"),
+          sum(when($"n" < k, $"n").otherwise(0L)).as("suppressed_rows"))
+        val (supC, supR) = summary.as[(Long, Long)].head()
+        require(supC > 0L && supR > 0L,
+          "k-anonymity fixture vacuous: nothing suppressed")
+        val released = classes.filter($"n" >= k)
+        require(released.limit(1).count() > 0L,
+          "k-anonymity fixture vacuous: nothing released")
+        released.crossJoin(broadcast(summary))
+          .select($"lang", $"source", $"len_bucket", $"n",
+            $"suppressed_classes", $"suppressed_rows")
+          .orderBy($"lang", $"source", $"len_bucket")
+      },
+      Some("""
+        WITH classes AS (
+          SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS n
+          FROM documents GROUP BY 1, 2, 3),
+        summary AS (
+          SELECT CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS suppressed_classes,
+                 CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                   AS suppressed_rows
+          FROM classes)
+        SELECT lang, source, len_bucket, n,
+               summary.suppressed_classes, summary.suppressed_rows
+        FROM classes CROSS JOIN summary
+        WHERE n >= 5
+        ORDER BY lang, source, len_bucket"""),
+      doc = "k-anonymity release gate (Sweeney 2002): equivalence classes over the quasi-identifier tuple (lang, source, length bucket) released only at size >= 5, smaller classes suppressed whole with their mass surfaced for the datasheet — one partial-aggregable class histogram + a 1-row broadcast audit; both sides required non-empty in-body at every SF"),
+
+    // ------------------------------------------------------------------
+    // t31: WORDPIECE TOKENIZER (greedy longest-match-first with the
+    // '##' continuation convention — Wu et al. 2016, the BERT family)
+    // — the THIRD tokenizer family after BPE's ordered merge replay
+    // (t19/t25) and unigram-LM's Viterbi argmax (t30), and the one
+    // whose kernel is a GREEDY WALK with variable stride: at each
+    // position take the LONGEST vocab piece (≤3 chars), where
+    // word-initial pieces and mid-word pieces live in disjoint
+    // namespaces ('ab' vs '##ab' — the family's signature). The walk
+    // runs as an in-row aggregate() fold over positions whose state is
+    // struct(next-consume position, piece count): iterations not at the
+    // consume point pass state through, so the variable stride costs
+    // nothing extra. Per-position vocab probes (3 per position, each a
+    // linear map-literal scan) are hoisted into ONE per-word pass — the
+    // t30 lesson, measured 3× there. The vocab is the SQL-derivable
+    // one-shot variant (t25/t30 convention): top-60 keys by (count
+    // desc, key asc) over position-namespaced substring counts, plus
+    // every single character in BOTH namespaces (so the walk always
+    // advances — totality). Unlike t30 there is NO float anywhere:
+    // greedy needs only presence, so the whole query is integer/string
+    // exact. Scale shape: vocab is a bounded driver artifact; encode is
+    // MAP-ONLY — no explode, no shuffle before the presentation sort.
+    QueryDef(
+      "t31_wordpiece_tokenizer",
+      (s, dir) => {
+        import s.implicits._
+        val L = 3; val K = 60
+        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val sub = docs
+          .select(explode(filter(tokens($"text"), w => length(w) >= 1)).as("w"))
+          .select(explode(expr(
+            s"""flatten(transform(sequence(1, length(w)),
+                  i -> transform(sequence(1, least($L, length(w) - i + 1)),
+                    j -> CASE WHEN i = 1 THEN substring(w, i, j)
+                              ELSE concat('##', substring(w, i, j)) END)))"""))
+            .as("key"))
+          .groupBy($"key").agg(count(lit(1)).as("cnt"))
+        val wRk = Window.orderBy($"cnt".desc, $"key".asc)
+        val kept = sub.withColumn("rk", row_number().over(wRk))
+          .filter($"rk" <= K ||
+            length($"key") - when($"key".startsWith("##"), 2).otherwise(0) === 1)
+          .select($"key").as[String].collect().toSeq.sorted
+        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+        val mapLit = kept.map(p => s"'${esc(p)}', 1").mkString("map(", ", ", ")")
+        // per-position presence probes hoisted into one pass (the t30
+        // hoist): pj = "a piece of length j starting here is in vocab",
+        // namespaced by whether this position starts the word, and
+        // guarded so a short tail can never match through substring's
+        // silent truncation
+        val probes =
+          s"""transform(sequence(1, length(w)), i -> struct(
+                element_at(m, CASE WHEN i = 1 THEN substring(w, i, 1)
+                  ELSE concat('##', substring(w, i, 1)) END) IS NOT NULL AS p1,
+                CASE WHEN i + 1 <= length(w) THEN
+                  element_at(m, CASE WHEN i = 1 THEN substring(w, i, 2)
+                    ELSE concat('##', substring(w, i, 2)) END) IS NOT NULL
+                  ELSE false END AS p2,
+                CASE WHEN i + 2 <= length(w) THEN
+                  element_at(m, CASE WHEN i = 1 THEN substring(w, i, 3)
+                    ELSE concat('##', substring(w, i, 3)) END) IS NOT NULL
+                  ELSE false END AS p3))"""
+        val walk =
+          s"""element_at(transform(array($probes), cs ->
+              aggregate(sequence(1, length(w)),
+                struct(1L AS nx, 0L AS k),
+                (st, i) -> CASE WHEN i <> st.nx THEN st ELSE
+                  CASE WHEN element_at(cs, i).p3
+                         THEN struct(st.nx + 3L AS nx, st.k + 1L AS k)
+                       WHEN element_at(cs, i).p2
+                         THEN struct(st.nx + 2L AS nx, st.k + 1L AS k)
+                       ELSE struct(st.nx + 1L AS nx, st.k + 1L AS k)
+                  END END)), 1).k"""
+        docs
+          .withColumn("toks", filter(tokens($"text"), w => length(w) >= 1))
+          .filter(size($"toks") > 0)
+          .withColumn("m", expr(mapLit))
+          .withColumn("ks", expr(s"transform(toks, w -> $walk)"))
+          .select($"doc_id",
+            size($"toks").cast("long").as("n_words"),
+            expr("aggregate(ks, 0L, (s, k) -> s + k)").as("n_pieces"),
+            expr("""aggregate(ks, 0L, (s, k) ->
+                 s + CASE WHEN k = 1 THEN 1L ELSE 0L END)""")
+              .as("n_whole_words"))
+          .withColumn("pieces_per_word",
+            round($"n_pieces".cast("double") / $"n_words", 6))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   t -> len(t) >= 1) AS toks
+          FROM documents),
+        wrd AS (
+          SELECT doc_id, g.i AS widx, toks[g.i] AS w
+          FROM tok, UNNEST(range(1, len(toks) + 1)) AS g(i)),
+        sub AS (
+          SELECT CASE WHEN ii.i = 1 THEN substr(w, ii.i, jj.j)
+                      ELSE '##' || substr(w, ii.i, jj.j) END AS key,
+                 COUNT(*) AS cnt
+          FROM wrd,
+               UNNEST(range(1, len(w) + 1)) AS ii(i),
+               UNNEST(range(1, least(3, len(w) - ii.i + 1) + 1)) AS jj(j)
+          GROUP BY 1),
+        kept AS (
+          SELECT key FROM (
+            SELECT key, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+            FROM sub) t
+          WHERE rk <= 60
+             OR length(key) - CASE WHEN key LIKE '##%' THEN 2 ELSE 0 END = 1),
+        walk AS (
+          SELECT doc_id, widx, w, 1 AS pos, CAST(0 AS BIGINT) AS k
+          FROM wrd
+          UNION ALL
+          SELECT walk.doc_id, walk.widx, walk.w,
+                 walk.pos + CASE WHEN m3.key IS NOT NULL THEN 3
+                                 WHEN m2.key IS NOT NULL THEN 2
+                                 ELSE 1 END,
+                 walk.k + 1
+          FROM walk
+          LEFT JOIN kept m3
+            ON walk.pos + 2 <= len(walk.w)
+           AND m3.key = CASE WHEN walk.pos = 1
+                             THEN substr(walk.w, walk.pos, 3)
+                             ELSE '##' || substr(walk.w, walk.pos, 3) END
+          LEFT JOIN kept m2
+            ON walk.pos + 1 <= len(walk.w)
+           AND m2.key = CASE WHEN walk.pos = 1
+                             THEN substr(walk.w, walk.pos, 2)
+                             ELSE '##' || substr(walk.w, walk.pos, 2) END
+          WHERE walk.pos <= len(walk.w)),
+        fin AS (
+          SELECT doc_id, widx, k FROM walk WHERE pos = len(w) + 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(k) AS BIGINT) AS n_pieces,
+               CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_whole_words,
+               round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
+        FROM fin GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "WordPiece tokenizer (Wu et al. 2016, BERT family): greedy longest-match-first walk with the '##' continuation namespace — the third tokenizer family after BPE merge replay (t25) and unigram Viterbi (t30); variable-stride walk as an in-row fold over struct(next-position, count) with hoisted per-position vocab probes, SQL-derivable namespaced top-K+required-chars vocab, zero floats anywhere, map-only encode")
   )
 
   /** The c18 incremental-funnel core over (doc_id, text, source) frames:

@@ -1805,7 +1805,69 @@ object DocsisQueries {
                COUNT(DISTINCT props) AS props_ndv,
                CAST(SUM(length(props)) AS BIGINT) AS props_chars
         FROM aged GROUP BY date ORDER BY date"""),
-      doc = "column-level TTL (ClickHouse TTL ... SET col = default): expired partitions rewritten with the high-cardinality payload column blanked while every row, count, and sum survives — the privacy/footprint retention the row family (drop/delete/rollup) cannot express; recent parts untouched (path-survival require), idempotent, same atomic swap + time travel")
+      doc = "column-level TTL (ClickHouse TTL ... SET col = default): expired partitions rewritten with the high-cardinality payload column blanked while every row, count, and sum survives — the privacy/footprint retention the row family (drop/delete/rollup) cannot express; recent parts untouched (path-survival require), idempotent, same atomic swap + time travel"),
+
+    // ------------------------------------------------------------------
+    // dx38: TTL MOVE — storage TIERING on expiry (ClickHouse `TTL date +
+    // INTERVAL 15 DAY MOVE TO VOLUME 'cold'`): the retention member
+    // that RELOCATES instead of destroying — dx13 drops parts, dx15
+    // deletes rows, dx34 downsamples, dx37 blanks a column; dx38 keeps
+    // every byte of information but moves expired parts to a cold
+    // volume (mirrored `<root>/cold/data/…` layout, zstd codec — the
+    // cheap-per-stored-byte / slower-per-read trade). The four requires
+    // pin the tiering contract: (1) parts actually moved, (2) recent
+    // hot parts survive untouched (path survival) while every new path
+    // is under the cold volume, (3) re-running is a no-op (idempotent),
+    // and (4) the PRUNING SPLIT — a recent-date predicate keeps exactly
+    // the hot files and an expired-date predicate keeps exactly the
+    // cold ones, i.e. the hot dashboard never pays cold-volume latency
+    // and the archive scan never touches the hot tier. The final
+    // read proves the move is invisible to queries: per-date counts and
+    // exact cents sums equal the source (the oracle never saw a move).
+    // At 100 TB this is how a year of telemetry keeps its newest 15
+    // days on NVMe and the rest on object storage without a view, a
+    // union, or an application-level router.
+    QueryDef(
+      "dx38_ttl_move_cold_volume",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx38_fact").toString
+        val t = new graft.storage.FactTable(dir, s)
+        val ev = graft.Tables.events(s, sfDir)
+          .select(to_date($"ts").as("date"), $"event_type", $"event_id",
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        t.append(ev, 0)
+        t.compact(sortCols = Seq("event_type"))
+        val cut = ev.agg(date_add(min($"date"), 15)).head().getDate(0)
+        val before = t.snapshot().dataFiles.map(_.path).toSet
+        val moved = t.ttlMove(cut.toString)
+        require(moved > 0L, s"ttlMove relocated nothing at $dir")
+        val after = t.snapshot().dataFiles.map(_.path).toSet
+        require((after & before).nonEmpty,
+          s"recent hot parts must survive a move untouched at $dir")
+        val coldPaths = after -- before
+        require(coldPaths.nonEmpty &&
+          coldPaths.forall(_.contains("/cold/data/")),
+          s"moved parts must land under the cold volume at $dir")
+        require(t.ttlMove(cut.toString) == 0L,
+          s"ttlMove must be idempotent at $dir")
+        val (hotKept, total) = t.pruneReport($"date" >= lit(cut))
+        val (coldKept, _) = t.pruneReport($"date" < lit(cut))
+        require(total == after.size && hotKept == (after & before).size &&
+          coldKept == coldPaths.size,
+          s"tier pruning split broken: hot $hotKept cold $coldKept of " +
+            s"$total at $dir")
+        t.read().groupBy($"date")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+          .orderBy($"date")
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY 1 ORDER BY date"""),
+      doc = "TTL MOVE storage tiering (ClickHouse TTL ... MOVE TO VOLUME 'cold'): expired parts rewritten row-identical under the mirrored cold-volume layout with the zstd cold codec and atomically swapped — hot parts untouched (path survival), idempotent re-run, and the pruning split required in-body: recent-date predicates keep exactly the hot files, expired-date predicates exactly the cold ones; the final per-date count/sum read matches the never-moved source")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -679,6 +679,56 @@ class FactTable(val root: String, spark: SparkSession,
     victims.size.toLong
   }
 
+  /** Storage TIERING on expiry (the ClickHouse `TTL date + INTERVAL n
+    * DAY MOVE TO VOLUME 'cold'` analog — the retention member that
+    * relocates instead of destroying): parts whose partition value is
+    * entirely before `cutoff` are rewritten row-identical under
+    * `<root>/<volume>/data/…` with the cold-tier parquet codec (zstd by
+    * default — smaller and cheaper per stored byte, slower per read:
+    * exactly the cold trade) and atomically swapped into the log.
+    * Every row, column and footer stat survives, so readers are
+    * oblivious — the read path unions absolute paths across volumes,
+    * and min/max stat pruning keeps recent-`partitionCol` predicates
+    * off the cold files entirely (the hot dashboard never pays the
+    * cold volume's latency). The volume mirrors the hot layout
+    * (`…/<volume>/data/<generation>/<partition>=…`) so
+    * generation-scoped partition discovery works unchanged. Idempotent:
+    * parts already under the volume never re-move, and hot parts that
+    * survive a first move can only expire later. Cost is O(expired
+    * partitions); recent parts are never listed, read, or rewritten.
+    * Same atomic optimistic commit + pre-version time travel as the
+    * other TTL flavors; vacuum reclaims the displaced hot bytes (same
+    * table root). Returns parts moved.
+    */
+  def ttlMove(cutoff: String, volume: String = "cold",
+      partitionCol: String = "date",
+      compression: String = "zstd"): Long = {
+    val volMarker = s"/$volume/data/"
+    val snap = snapshot()
+    val victims = snap.dataFiles.filter(f =>
+      !f.path.contains(volMarker) && expiredEntry(f, cutoff, partitionCol))
+    if (victims.isEmpty) return 0L
+    val target = new Path(new Path(rootPath, volume),
+      s"data/base-${java.util.UUID.randomUUID()}")
+    masked(victims, snap.tombFiles)
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(partitionCol)
+      .write.partitionBy(partitionCol).mode("overwrite")
+      .option("compression", compression)
+      .parquet(target.toString)
+    beforeCommit()
+    val adds = entriesFor(target, TierBase)
+    val committed = commitWithRetry(snap.nextVersion, None, adds,
+      removes = victims.map(_.path))(
+      fresh => victims.forall(v => fresh.files.exists(_.path == v.path)) &&
+        tombsUnchanged(snap)(fresh))
+    if (!committed) {
+      fs.delete(target, true)
+      return ttlMove(cutoff, volume, partitionCol, compression)
+    }
+    victims.size.toLong
+  }
+
   /** Major compaction — the MergeTree level-merge: rewrite EVERY live
     * part (all base generations + any buffer parts) into one fresh
     * generation, collapsing the per-generation read fan-out that minor

@@ -86,6 +86,53 @@ class FactTableSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSet == got)
   }
 
+  test("ttlMove tiers expired parts to cold, stays invisible, vacuums hot bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("fact_ttlmove").toString
+    val t = new FactTable(dir, spark)
+    def day(d: String, vals: Seq[Long]) =
+      vals.map(v => ("m1", java.sql.Timestamp.valueOf(s"$d 01:02:03"), v))
+        .toDF("modem_name", "timestamp", "uptime")
+        .withColumn("date", to_date($"timestamp"))
+    t.append(day("2024-03-01", Seq(1L, 2L)), 0)
+    t.append(day("2024-03-05", Seq(3L, 4L)), 1)
+    t.compact(sortCols = Seq("modem_name"))
+    val preVersion = t.snapshot().nextVersion - 1
+    val full = t.read().select($"date".cast("string"), $"uptime")
+      .as[(String, Long)].collect().toSet
+    val before = t.snapshot().dataFiles.map(_.path).toSet
+    assert(t.ttlMove("2024-03-05") > 0L)
+    val after = t.snapshot().dataFiles.map(_.path).toSet
+    val cold = after -- before
+    assert(cold.nonEmpty && cold.forall(_.contains("/cold/data/")),
+      s"moved parts must land under the cold volume: $cold")
+    assert((after & before).nonEmpty,
+      "recent hot parts must survive the move untouched")
+    // the move is invisible to reads — every row and value survives
+    assert(t.read().select($"date".cast("string"), $"uptime")
+      .as[(String, Long)].collect().toSet == full)
+    // recent-date predicates stay off the cold volume entirely
+    val (hotKept, total) =
+      t.pruneReport($"date" >= lit(java.sql.Date.valueOf("2024-03-05")))
+    assert(hotKept == (after & before).size && total == after.size,
+      s"hot read must prune every cold file: kept $hotKept of $total")
+    // time travel to the pre-move version still resolves the hot paths
+    assert(t.read(preVersion).count() == 4)
+    // idempotent: cold parts never re-move, hot parts cannot expire
+    assert(t.ttlMove("2024-03-05") == 0L)
+    // vacuum reclaims the displaced hot bytes; cold bytes stay
+    t.vacuum()
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val displaced = before -- after
+    assert(displaced.nonEmpty && displaced.forall(p =>
+      !fsys.exists(new org.apache.hadoop.fs.Path(p))),
+      "vacuum must reclaim the moved-out hot files")
+    assert(cold.forall(p => fsys.exists(new org.apache.hadoop.fs.Path(p))),
+      "vacuum must never touch the live cold files")
+    assert(t.read().select($"date".cast("string"), $"uptime")
+      .as[(String, Long)].collect().toSet == full)
+  }
+
   test("SketchView heals crashes, bounds partials, converges answer-neutrally") {
     def userRows(day: String, modem: String, users: Seq[Long]) =
       users.map(u => (modem, java.sql.Timestamp.valueOf(s"$day 01:00:00"), u))

@@ -362,6 +362,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "tokenizer application must not join")
   }
 
+  test("t31 wordpiece encode: map-only greedy fold, no pre-sort exchange") {
+    val p = plan("t31_wordpiece_tokenizer")
+    // the namespaced vocab is a bounded driver artifact (map literal);
+    // the greedy variable-stride walk is an in-row aggregate() fold —
+    // the encode plan must be map-only like t25/t30 (one range
+    // exchange for the presentation sort)
+    assert(!p.contains("hashpartitioning"), s"greedy walk shuffled:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange ")) == 1,
+      s"more than the final sort exchange:\n$p")
+    assert(!p.contains("Join"), "tokenizer application must not join")
+  }
+
+  test("q95 sweep line: deltas pre-aggregate two-phase; no join anywhere") {
+    val p = plan("q95_max_intersections")
+    // intervals contribute 2 points each (no explosion), ties collapse
+    // in a partial-aggregable groupBy BEFORE the per-group running sum
+    assert(p.contains("partial_sum"),
+      s"sweep-line deltas not map-side combined:\n$p")
+    assert(!p.contains("Join"),
+      s"the sweep line is union+agg+window — a join leaked in:\n$p")
+  }
+
+  test("q96 retention: per-user flags partial-aggregate; anchor broadcasts") {
+    val p = plan("q96_retention")
+    assert(p.contains("partial_max"),
+      s"retention flag bits not map-side combined:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row cohort anchor must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in q96 may sort-merge:\n$p")
+  }
+
+  test("s35 matryoshka funnel: no cartesian, group-limited rank windows") {
+    val p = plan("s35_matryoshka_rerank")
+    assert(!p.contains("CartesianProduct"),
+      s"query-vs-corpus scoring must broadcast the query side:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"shortlist/re-rank/truth top-k must push as WindowGroupLimit:\n$p")
+  }
+
+  test("c22 k-anonymity: one partial-aggregable histogram, broadcast audit") {
+    val p = plan("c22_k_anonymity_release")
+    assert(p.contains("partial_count"),
+      s"class histogram not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row audit summary must broadcast:\n$p")
+  }
+
   test("t26 script profile is map-only regexp counting (one sort exchange)") {
     val p = plan("t26_script_profile")
     // per-script counts are in-row regexp extraction — no join, no agg,
