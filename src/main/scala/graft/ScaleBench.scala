@@ -98,7 +98,21 @@ object ScaleBench {
     // list pass
     "m22_scene_cut_keyframes",
     // retention family: the column-blank TTL lifecycle (O(expired parts))
-    "dx37_ttl_column_default")
+    "dx37_ttl_column_default",
+    // round-11 batch 2: the sweep line (2 points per interval, per-group
+    // cumulative window), the retention flag bits (one user groupBy),
+    // the matryoshka funnel (fixed query set over a growing corpus — the
+    // s29 shape), the greedy encode fold (map-only like t30), and the
+    // tiering lifecycle (O(expired parts) like dx37). c22 is deliberately
+    // NOT swept: replication multiplies every equivalence class by m, so
+    // at x10 the sub-k classes the fixture requires vanish (suppression
+    // is a property of the base corpus's tail, not of throughput); its
+    // scale shape — one partial-aggregable histogram — is PlanSpec-locked
+    "q95_max_intersections", "q96_retention", "s35_matryoshka_rerank",
+    "t31_wordpiece_tokenizer", "dx38_ttl_move_cold_volume",
+    // the mergeable-histogram sketch (bounded state per group at any n)
+    // and the SNM linkage (O(n·w) candidates, one per-shard sort)
+    "q97_log_bucket_quantiles", "d42_sorted_neighborhood")
 
   // multiple of the id moduli queries PLANT structure on (10, 20, 100,
   // 1000): each replica reproduces the base's planted structure exactly

@@ -3711,6 +3711,94 @@ object DedupQueries {
                n.novel_stored, n.bytes_stored
         FROM per p JOIN nov n ON n.batch = p.batch
         ORDER BY p.batch"""),
-      doc = "incremental chunk-store ingest (the backup/delta-store lifecycle over d40's chunker): a persistent fingerprint FactTable receives originals whole, then a re-crawl batch appends only never-seen chunk fingerprints via an fp-keyed anti-join — history is never re-chunked, replays no-op, and the per-batch ingest ledger is read back THROUGH the store; re-crawl bytes stored < 1/3 of bytes in required in-body — storage grows with the edit rate, not the fetch rate")
+      doc = "incremental chunk-store ingest (the backup/delta-store lifecycle over d40's chunker): a persistent fingerprint FactTable receives originals whole, then a re-crawl batch appends only never-seen chunk fingerprints via an fp-keyed anti-join — history is never re-chunked, replays no-op, and the per-batch ingest ledger is read back THROUGH the store; re-crawl bytes stored < 1/3 of bytes in required in-body — storage grows with the edit rate, not the fetch rate"),
+
+    // ------------------------------------------------------------------
+    // d42: SORTED-NEIGHBORHOOD record linkage (Hernández & Stolfo 1995,
+    // the SNM kernel) — the third blocking GEOMETRY in the linkage/dedup
+    // family: LSH hashes similar items into the same bucket (d03),
+    // Fellegi-Sunter blocks on equality of derived keys (d31); SNM
+    // instead SORTS on a dirt-tolerant key and compares each record
+    // only against its w−1 sort neighbors — candidates are O(n·w)
+    // by construction with NO bucket-size tail at all (the one
+    // geometry where a hot key is impossible: every record has exactly
+    // w−1 neighbors). The fixture plants OCR-style dirty clones (last
+    // digit 9 → 'g', balance copied exactly) that land sort-ADJACENT
+    // to their originals — near, not equal, so this is a genuine sort
+    // neighborhood, not blocking in disguise — while consecutive
+    // ORIGINALS enter the same windows and are rejected by the
+    // agreement rule (levenshtein ≤ 1 AND exact balance), so the
+    // false-candidate surface is exercised (~60× more candidates than
+    // links), never avoided. Distributed shape: the sort partitions by
+    // nation (the shard key; clones never cross nations by
+    // construction) and windows parallelize per shard — the practical
+    // MPP form of SNM, whose canonical answer to cross-shard dirt is
+    // the multi-pass variant (re-run with a different sort key), not a
+    // global sort. lead() pairs ride the SAME sort the window needs —
+    // one shuffle total. Recall is required in-body: every planted
+    // clone must be re-linked at every SF.
+    QueryDef(
+      "d42_sorted_neighborhood",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.load(s, dir, "customer")
+          .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+        val dirty = cust
+          .filter($"c_custkey" % 10 === 9 && $"c_custkey" % 3 === 0)
+          .select(($"c_custkey" + 2000000000L).as("c_custkey"),
+            concat(expr("substring(c_name, 1, length(c_name) - 1)"),
+              lit("g")).as("c_name"),
+            $"c_nationkey", $"c_acctbal")
+        val nPlants = dirty.count()
+        val w = Window.partitionBy($"c_nationkey")
+          .orderBy($"c_name".asc, $"c_custkey".asc)
+        val led = cust.unionByName(dirty)
+          .withColumn("n1", lead(struct($"c_name", $"c_acctbal"), 1).over(w))
+          .withColumn("n2", lead(struct($"c_name", $"c_acctbal"), 2).over(w))
+        val pairs = led
+          .select($"c_nationkey", $"c_name", $"c_acctbal",
+            explode(array($"n1", $"n2")).as("nb"))
+          .filter($"nb".isNotNull)
+          .withColumn("is_link",
+            levenshtein($"c_name", $"nb.c_name") <= 1 &&
+              $"c_acctbal" === $"nb.c_acctbal")
+        val out = pairs.groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when($"is_link", 1L).otherwise(0L)).as("n_links"))
+          .orderBy($"c_nationkey")
+        val totalLinks = out.agg(sum($"n_links")).as[Long].head()
+        require(totalLinks == nPlants,
+          s"SNM recall broke: $totalLinks links for $nPlants planted clones")
+        out
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer),
+        dirty AS (
+          SELECT c_custkey + 2000000000 AS c_custkey,
+                 substr(c_name, 1, length(c_name) - 1) || 'g' AS c_name,
+                 c_nationkey, c_acctbal
+          FROM cust WHERE c_custkey % 10 = 9 AND c_custkey % 3 = 0),
+        led AS (
+          SELECT c_nationkey, c_name, c_acctbal,
+                 LEAD(c_name, 1) OVER w AS name1,
+                 LEAD(c_acctbal, 1) OVER w AS bal1,
+                 LEAD(c_name, 2) OVER w AS name2,
+                 LEAD(c_acctbal, 2) OVER w AS bal2
+          FROM (SELECT * FROM cust UNION ALL SELECT * FROM dirty)
+          WINDOW w AS (PARTITION BY c_nationkey
+                       ORDER BY c_name ASC, c_custkey ASC)),
+        pairs AS (
+          SELECT c_nationkey, c_name, c_acctbal, name1 AS nbn, bal1 AS nbb
+          FROM led WHERE name1 IS NOT NULL
+          UNION ALL
+          SELECT c_nationkey, c_name, c_acctbal, name2, bal2
+          FROM led WHERE name2 IS NOT NULL)
+        SELECT c_nationkey, COUNT(*) AS n_candidates,
+               CAST(SUM(CASE WHEN levenshtein(c_name, nbn) <= 1
+                              AND c_acctbal = nbb
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_links
+        FROM pairs GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      doc = "sorted-neighborhood record linkage (Hernández & Stolfo 1995): the third blocking geometry after LSH buckets (d03) and equality blocks (d31) — sort on a dirt-tolerant key, compare only w−1 sort neighbors, candidates O(n·w) with no hot-bucket tail possible; OCR-dirty clones land sort-adjacent (near, not equal), consecutive originals fill the rejected-candidate surface, recall required in-body; one per-shard sort-shuffle carries both the window and the lead() pairs")
   )
 }

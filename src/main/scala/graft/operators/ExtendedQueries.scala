@@ -3226,7 +3226,110 @@ object ExtendedQueries {
                round(CAST(SUM(w0 * w2) AS DOUBLE) / SUM(w0), 6) AS rate_w2,
                round(CAST(SUM(w0 * w3) AS DOUBLE) / SUM(w0), 6) AS rate_w3
         FROM flags"""),
-      doc = "retention cohort analysis (ClickHouse retention aggregate): r_i = week-0 activity AND week-i activity per user — week index from a broadcast corpus-min anchor, per-user flag bits in one partial-aggregable groupBy, cohort/return counts and 6-digit rates from a second tiny aggregate; the only corpus-sized shuffle partial-aggregates to one bit-vector per user per partition")
+      doc = "retention cohort analysis (ClickHouse retention aggregate): r_i = week-0 activity AND week-i activity per user — week index from a broadcast corpus-min anchor, per-user flag bits in one partial-aggregable groupBy, cohort/return counts and 6-digit rates from a second tiny aggregate; the only corpus-sized shuffle partial-aggregates to one bit-vector per user per partition"),
+
+    // ------------------------------------------------------------------
+    // q97: LOG-BUCKET QUANTILE SKETCH (the DDSketch family, Masson et
+    // al. VLDB 2019, at γ=2) — the QUANTILE member of the mergeable-
+    // sketch suite after HLL distinct counts (q77/q79), count-min point
+    // frequencies (q81), and SpaceSaving heavy hitters (q92): per
+    // group, a histogram over buckets ⌊log₂(v)⌋ answers any quantile
+    // with RELATIVE-error bracket [2^b, 2^(b+1)) in O(64) state —
+    // mergeable by plain addition (bucket counts sum), so ANY partition
+    // or merge order gives the identical sketch, unlike q92's
+    // order-dependent summaries. The bucket index is computed WITHOUT
+    // libm — length(bin(v)) − 1, the bit length of the positive
+    // integer, identical in both engines — so the whole query is
+    // integer/string exact. The audit follows the q92 discipline:
+    // targets p50/p90/p99 at exact rank ⌈p·n/100⌉, the sketch's answer
+    // bucket = first bucket whose cumulative count reaches the rank,
+    // and the EXACT rank-r value (the expensive full-sort answer the
+    // sketch replaces) must fall inside the bucket's bracket —
+    // required per row in both engines. At 100 TB the sketch side is
+    // one partial-aggregable ≤64-counter histogram per group; the
+    // exact side exists only as this audit.
+    QueryDef(
+      "q97_log_bucket_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).select($"event_type",
+          expr("CAST(floor(value * 100) AS BIGINT) + 1").as("cents"))
+        val hist = ev
+          .withColumn("bucket", (length(expr("bin(cents)")) - 1).cast("long"))
+          .groupBy($"event_type", $"bucket").agg(count(lit(1)).as("cnt"))
+        val tot = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        val targets = tot.select($"event_type", $"n",
+            explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+          .withColumn("r", expr("(p * n + 99) div 100"))
+        val wCum = Window.partitionBy($"event_type").orderBy($"bucket".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum($"cnt").over(wCum))
+        val wPick = Window.partitionBy($"event_type", $"p")
+          .orderBy($"bucket".asc)
+        val picked = cum.join(broadcast(targets), Seq("event_type"))
+          .filter($"cum" >= $"r")
+          .withColumn("rk", row_number().over(wPick)).filter($"rk" === 1)
+          .select($"event_type", $"p", $"r", $"bucket",
+            expr("shiftleft(1L, CAST(bucket AS INT))").as("lo"),
+            expr("shiftleft(1L, CAST(bucket AS INT) + 1)").as("hi"))
+        val wRank = Window.partitionBy($"event_type").orderBy($"cents".asc)
+        val exact = ev.withColumn("rnk", row_number().over(wRank))
+          .join(broadcast(targets.select($"event_type", $"p", $"r")),
+            Seq("event_type"))
+          .filter($"rnk" === $"r")
+          .select($"event_type", $"p", $"cents".as("exact_q"))
+        val out = picked.join(exact, Seq("event_type", "p"))
+          .select($"event_type", $"p", $"r", $"bucket", $"lo", $"hi",
+            $"exact_q", ($"lo" <= $"exact_q" && $"exact_q" < $"hi")
+              .as("bracket_ok"))
+          .orderBy($"event_type", $"p")
+        require(out.filter(!$"bracket_ok").isEmpty,
+          "log-bucket sketch bracket violated — the γ=2 guarantee broke")
+        out
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) + 1 AS cents
+          FROM events),
+        hist AS (
+          SELECT event_type, CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+                 COUNT(*) AS cnt
+          FROM ev GROUP BY 1, 2),
+        tot AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+        targets AS (
+          SELECT event_type, n, p, (p * n + 99) // 100 AS r
+          FROM tot, (SELECT unnest([50, 90, 99]) AS p)),
+        cum AS (
+          SELECT event_type, bucket,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM hist),
+        picked AS (
+          SELECT event_type, p, r, bucket,
+                 CAST(1 << bucket AS BIGINT) AS lo,
+                 CAST(1 << (bucket + 1) AS BIGINT) AS hi
+          FROM (SELECT c.event_type, t.p, t.r, c.bucket,
+                       ROW_NUMBER() OVER (PARTITION BY c.event_type, t.p
+                                          ORDER BY c.bucket ASC) AS rk
+                FROM cum c JOIN targets t ON t.event_type = c.event_type
+                WHERE c.cum >= t.r) x
+          WHERE rk = 1),
+        ranked AS (
+          SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents ASC) AS rnk
+          FROM ev),
+        exact AS (
+          SELECT rk.event_type, t.p, rk.cents AS exact_q
+          FROM ranked rk JOIN targets t
+            ON t.event_type = rk.event_type AND rk.rnk = t.r)
+        SELECT pk.event_type, CAST(pk.p AS BIGINT) AS p, pk.r, pk.bucket,
+               pk.lo, pk.hi, e.exact_q,
+               pk.lo <= e.exact_q AND e.exact_q < pk.hi AS bracket_ok
+        FROM picked pk JOIN exact e
+          ON e.event_type = pk.event_type AND e.p = pk.p
+        ORDER BY pk.event_type, p"""),
+      doc = "log-bucket quantile sketch (DDSketch family at γ=2): per-group ⌊log₂⌋ histogram answers any quantile with a [2^b, 2^(b+1)) relative-error bracket in O(64) mergeable-by-addition state (order-independent, unlike SpaceSaving) — bucket index via integer bit length, no libm; audited q92-style against the exact rank-⌈p·n/100⌉ value, the bracket required per row in both engines")
   )
 
   /** q94's synchronous integer PageRank: rank in micro-units, damping

@@ -410,6 +410,26 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row audit summary must broadcast:\n$p")
   }
 
+  test("q97 quantile sketch: histogram partial-aggregates, targets broadcast") {
+    val p = plan("q97_log_bucket_quantiles")
+    assert(p.contains("partial_count"),
+      s"log-bucket histogram not map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 15-row target table must broadcast into the cumulative scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("d42 sorted neighborhood: one shard-key shuffle carries window and pairs") {
+    val p = plan("d42_sorted_neighborhood")
+    // union → ONE hashpartitioning(nationkey) exchange for the sort
+    // window; the lead() pairs and the per-nation aggregate reuse that
+    // partitioning — a second hash exchange means the pairs left the sort
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"SNM pairs re-shuffled ($hashEx hash exchanges):\n$p")
+    assert(!p.contains("Join"), s"SNM generates pairs from the sort, not a join:\n$p")
+  }
+
   test("t26 script profile is map-only regexp counting (one sort exchange)") {
     val p = plan("t26_script_profile")
     // per-script counts are in-row regexp extraction — no join, no agg,
