@@ -112,7 +112,10 @@ object ScaleBench {
     "t31_wordpiece_tokenizer", "dx38_ttl_move_cold_volume",
     // the mergeable-histogram sketch (bounded state per group at any n)
     // and the SNM linkage (O(n·w) candidates, one per-shard sort)
-    "q97_log_bucket_quantiles", "d42_sorted_neighborhood")
+    "q97_log_bucket_quantiles", "d42_sorted_neighborhood",
+    // fixed 100-node graph under replication (like q94): the row
+    // measures the edge-dedup + wedge pipeline, not graph growth
+    "q98_triangle_count")
 
   // multiple of the id moduli queries PLANT structure on (10, 20, 100,
   // 1000): each replica reproduces the base's planted structure exactly

@@ -3741,8 +3741,18 @@ object DedupQueries {
       "d42_sorted_neighborhood",
       (s, dir) => {
         import s.implicits._
+        // the record string is DERIVED from the key (zero-padded 16
+        // digits), not taken from c_name: the sweep's replication salts
+        // c_name's low digits through a shared 10^4 space, so replica
+        // names collide exactly and same-named strangers pile between a
+        // clone and its original — a key-derived string is unique at
+        // any replication factor while preserving the fixture's whole
+        // point (dirty clones land sort-NEAR their originals)
         val cust = Tables.load(s, dir, "customer")
-          .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+          .select($"c_custkey",
+            concat(lit("C#"), lpad($"c_custkey".cast("string"), 16, "0"))
+              .as("c_name"),
+            $"c_nationkey", $"c_acctbal")
         val dirty = cust
           .filter($"c_custkey" % 10 === 9 && $"c_custkey" % 3 === 0)
           .select(($"c_custkey" + 2000000000L).as("c_custkey"),
@@ -3773,7 +3783,10 @@ object DedupQueries {
       },
       Some("""
         WITH cust AS (
-          SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer),
+          SELECT c_custkey,
+                 'C#' || lpad(CAST(c_custkey AS VARCHAR), 16, '0') AS c_name,
+                 c_nationkey, c_acctbal
+          FROM customer),
         dirty AS (
           SELECT c_custkey + 2000000000 AS c_custkey,
                  substr(c_name, 1, length(c_name) - 1) || 'g' AS c_name,

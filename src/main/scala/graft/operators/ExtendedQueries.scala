@@ -3329,7 +3329,104 @@ object ExtendedQueries {
         FROM picked pk JOIN exact e
           ON e.event_type = pk.event_type AND e.p = pk.p
         ORDER BY pk.event_type, p"""),
-      doc = "log-bucket quantile sketch (DDSketch family at γ=2): per-group ⌊log₂⌋ histogram answers any quantile with a [2^b, 2^(b+1)) relative-error bracket in O(64) mergeable-by-addition state (order-independent, unlike SpaceSaving) — bucket index via integer bit length, no libm; audited q92-style against the exact rank-⌈p·n/100⌉ value, the bracket required per row in both engines")
+      doc = "log-bucket quantile sketch (DDSketch family at γ=2): per-group ⌊log₂⌋ histogram answers any quantile with a [2^b, 2^(b+1)) relative-error bracket in O(64) mergeable-by-addition state (order-independent, unlike SpaceSaving) — bucket index via integer bit length, no libm; audited q92-style against the exact rank-⌈p·n/100⌉ value, the bracket required per row in both engines"),
+
+    // ------------------------------------------------------------------
+    // q98: TRIANGLE COUNTING with DEGREE ORIENTATION (Ortmann/Brandes;
+    // the MapReduce form is Suri & Vassilvitskii WWW 2011) — the third
+    // graph kernel after connected components (d08) and PageRank (q94),
+    // and the one whose naive form explodes: counting wedges from every
+    // node costs Σ deg² — a single celebrity hub with 10⁷ followers
+    // yields 10¹⁴ wedges. The fix IS the operator: orient every edge
+    // from lower to higher (degree, id), enumerate wedges only at each
+    // edge's LOW endpoint, and close them with a semi join against the
+    // oriented edge set. Orientation bounds out-degree by O(√m), so
+    // Σ outdeg² is minimized over all orientations — hubs become SINKS
+    // that generate no wedges, the d03 hot-bucket discipline applied to
+    // graphs. Every count is exact integer; the output row carries BOTH
+    // the oriented count and the brute-force 3-way self-join count
+    // (cheap on this 100-node demo graph), their equality being the
+    // correctness theorem — required in-body and mirrored in the
+    // oracle. Shape at 100 TB: degree = one node-keyed aggregate,
+    // orientation a broadcast-join projection, wedges one shuffle on
+    // the low endpoint, closure one semi-join shuffle on (x, y) — no
+    // node ever enumerates its full neighborhood².
+    QueryDef(
+      "q98_triangle_count",
+      (s, dir) => {
+        import s.implicits._
+        val raw = Tables.events(s, dir)
+          .filter($"event_id" % 7 === 0)
+          .select(least($"user_id" % 100, ($"event_id" * 31) % 100).as("a"),
+            greatest($"user_id" % 100, ($"event_id" * 31) % 100).as("b"))
+          .filter($"a" =!= $"b").distinct()
+        val deg = raw.select($"a".as("n"))
+          .unionAll(raw.select($"b".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("d"))
+        val low = ($"da" < $"db") || ($"da" === $"db" && $"a" < $"b")
+        val ori = raw
+          .join(broadcast(deg.select($"n".as("a"), $"d".as("da"))), "a")
+          .join(broadcast(deg.select($"n".as("b"), $"d".as("db"))), "b")
+          .select(when(low, $"a").otherwise($"b").as("u"),
+            when(low, $"b").otherwise($"a").as("v"),
+            when(low, $"db").otherwise($"da").as("dv"))
+        val e1 = ori.select($"u", $"v".as("x"), $"dv".as("dx"))
+        val e2 = ori.select($"u", $"v".as("y"), $"dv".as("dy"))
+        val wedges = e1.join(e2, Seq("u"))
+          .filter(($"dx" < $"dy") || ($"dx" === $"dy" && $"x" < $"y"))
+          .select($"u", $"x", $"y")
+        val nE = raw.agg(count(lit(1)).as("n_edges"))
+        val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+        val nT = wedges
+          .join(ori.select($"u".as("x"), $"v".as("y")), Seq("x", "y"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        val b1 = raw.select($"a".as("p"), $"b".as("q"))
+        val b2 = raw.select($"a".as("q"), $"b".as("r"))
+        val b3 = raw.select($"a".as("p"), $"b".as("r"))
+        val nB = b1.join(b2, Seq("q")).join(b3, Seq("p", "r"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles_brute"))
+        val out = nE.crossJoin(broadcast(nW)).crossJoin(broadcast(nT))
+          .crossJoin(broadcast(nB))
+          .select($"n_edges", $"n_wedges", $"n_triangles",
+            $"n_triangles_brute",
+            ($"n_triangles" === $"n_triangles_brute").as("counts_match"))
+        require(out.filter(!$"counts_match").isEmpty,
+          "degree-oriented triangle count diverged from brute force")
+        out
+      },
+      Some("""
+        WITH raw AS (
+          SELECT DISTINCT
+                 LEAST(user_id % 100, (event_id * 31) % 100) AS a,
+                 GREATEST(user_id % 100, (event_id * 31) % 100) AS b
+          FROM events
+          WHERE event_id % 7 = 0
+            AND user_id % 100 <> (event_id * 31) % 100),
+        deg AS (SELECT n, COUNT(*) AS d FROM (
+                  SELECT a AS n FROM raw UNION ALL SELECT b FROM raw)
+                GROUP BY n),
+        ori AS (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+                       CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v,
+                       CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d
+                         END AS dv
+                FROM raw JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+        wedges AS (SELECT e1.u, e1.v AS x, e2.v AS y
+                   FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+                   WHERE (e1.dv, e1.v) < (e2.dv, e2.v)),
+        tri AS (SELECT COUNT(*) AS t FROM wedges w
+                WHERE EXISTS (SELECT 1 FROM ori e
+                              WHERE e.u = w.x AND e.v = w.y)),
+        brute AS (SELECT COUNT(*) AS t
+                  FROM raw e1 JOIN raw e2 ON e2.a = e1.b
+                  WHERE EXISTS (SELECT 1 FROM raw e3
+                                WHERE e3.a = e1.a AND e3.b = e2.b))
+        SELECT (SELECT COUNT(*) FROM raw) AS n_edges,
+               (SELECT COUNT(*) FROM wedges) AS n_wedges,
+               (SELECT t FROM tri) AS n_triangles,
+               (SELECT t FROM brute) AS n_triangles_brute,
+               (SELECT t FROM tri) = (SELECT t FROM brute) AS counts_match"""),
+      doc = "triangle counting with degree orientation (Ortmann/Brandes; Suri-Vassilvitskii MapReduce form): edges oriented low→high (degree, id) so wedges enumerate only at low endpoints — Σ outdeg² minimized, out-degree O(√m), hubs become sinks generating no wedges (the hot-bucket discipline for graphs); wedges one low-endpoint shuffle, closure one (x,y) semi join, exact integers; oriented count ≡ brute-force 3-way join required in-body and mirrored in the oracle")
   )
 
   /** q94's synchronous integer PageRank: rank in micro-units, damping

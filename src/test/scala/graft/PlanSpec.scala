@@ -430,6 +430,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"SNM generates pairs from the sort, not a join:\n$p")
   }
 
+  test("q98 triangles: degree joins broadcast, wedge join keyed, no cartesian") {
+    val p = plan("q98_triangle_count")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded degree table must broadcast into orientation:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"wedges must join on the low endpoint, never cross:\n$p")
+  }
+
   test("t26 script profile is map-only regexp counting (one sort exchange)") {
     val p = plan("t26_script_profile")
     // per-script counts are in-row regexp extraction — no join, no agg,
