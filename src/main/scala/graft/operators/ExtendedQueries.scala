@@ -3360,37 +3360,7 @@ object ExtendedQueries {
           .select(least($"user_id" % 100, ($"event_id" * 31) % 100).as("a"),
             greatest($"user_id" % 100, ($"event_id" * 31) % 100).as("b"))
           .filter($"a" =!= $"b").distinct()
-        val deg = raw.select($"a".as("n"))
-          .unionAll(raw.select($"b".as("n")))
-          .groupBy($"n").agg(count(lit(1)).as("d"))
-        val low = ($"da" < $"db") || ($"da" === $"db" && $"a" < $"b")
-        val ori = raw
-          .join(broadcast(deg.select($"n".as("a"), $"d".as("da"))), "a")
-          .join(broadcast(deg.select($"n".as("b"), $"d".as("db"))), "b")
-          .select(when(low, $"a").otherwise($"b").as("u"),
-            when(low, $"b").otherwise($"a").as("v"),
-            when(low, $"db").otherwise($"da").as("dv"))
-        val e1 = ori.select($"u", $"v".as("x"), $"dv".as("dx"))
-        val e2 = ori.select($"u", $"v".as("y"), $"dv".as("dy"))
-        val wedges = e1.join(e2, Seq("u"))
-          .filter(($"dx" < $"dy") || ($"dx" === $"dy" && $"x" < $"y"))
-          .select($"u", $"x", $"y")
-        val nE = raw.agg(count(lit(1)).as("n_edges"))
-        val nW = wedges.agg(count(lit(1)).as("n_wedges"))
-        val nT = wedges
-          .join(ori.select($"u".as("x"), $"v".as("y")), Seq("x", "y"),
-            "left_semi")
-          .agg(count(lit(1)).as("n_triangles"))
-        val b1 = raw.select($"a".as("p"), $"b".as("q"))
-        val b2 = raw.select($"a".as("q"), $"b".as("r"))
-        val b3 = raw.select($"a".as("p"), $"b".as("r"))
-        val nB = b1.join(b2, Seq("q")).join(b3, Seq("p", "r"), "left_semi")
-          .agg(count(lit(1)).as("n_triangles_brute"))
-        val out = nE.crossJoin(broadcast(nW)).crossJoin(broadcast(nT))
-          .crossJoin(broadcast(nB))
-          .select($"n_edges", $"n_wedges", $"n_triangles",
-            $"n_triangles_brute",
-            ($"n_triangles" === $"n_triangles_brute").as("counts_match"))
+        val out = triangleCount(raw)
         require(out.filter(!$"counts_match").isEmpty,
           "degree-oriented triangle count diverged from brute force")
         out
@@ -3428,6 +3398,50 @@ object ExtendedQueries {
                (SELECT t FROM tri) = (SELECT t FROM brute) AS counts_match"""),
       doc = "triangle counting with degree orientation (Ortmann/Brandes; Suri-Vassilvitskii MapReduce form): edges oriented low→high (degree, id) so wedges enumerate only at low endpoints — Σ outdeg² minimized, out-degree O(√m), hubs become sinks generating no wedges (the hot-bucket discipline for graphs); wedges one low-endpoint shuffle, closure one (x,y) semi join, exact integers; oriented count ≡ brute-force 3-way join required in-body and mirrored in the oracle")
   )
+
+  /** q98's degree-oriented triangle counter over a canonical undirected
+    * edge set (columns `a < b`, distinct): orient low→high (degree, id),
+    * enumerate wedges at low endpoints, close with a semi join; the
+    * output row carries the oriented count next to the brute-force
+    * 3-way-join count (their equality is the correctness theorem).
+    * Exposed for the OperatorSpec hand-computed graph check.
+    */
+  def triangleCount(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val deg = raw.select(col("a").as("n"))
+      .unionAll(raw.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val low = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val ori = raw
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), "b")
+      .select(when(low, col("a")).otherwise(col("b")).as("u"),
+        when(low, col("b")).otherwise(col("a")).as("v"),
+        when(low, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = ori.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = ori.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter((col("dx") < col("dy")) ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("u"), col("x"), col("y"))
+    val nE = raw.agg(count(lit(1)).as("n_edges"))
+    val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nT = wedges
+      .join(ori.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val b1 = raw.select(col("a").as("p"), col("b").as("q"))
+    val b2 = raw.select(col("a").as("q"), col("b").as("r"))
+    val b3 = raw.select(col("a").as("p"), col("b").as("r"))
+    val nB = b1.join(b2, Seq("q")).join(b3, Seq("p", "r"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles_brute"))
+    nE.crossJoin(broadcast(nW)).crossJoin(broadcast(nT))
+      .crossJoin(broadcast(nB))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        col("n_triangles_brute"),
+        (col("n_triangles") === col("n_triangles_brute")).as("counts_match"))
+  }
 
   /** q94's synchronous integer PageRank: rank in micro-units, damping
     * 17/20 with floor division, base 150 000, start 1 000 000; node set

@@ -1751,6 +1751,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(r2 == Map(0L -> 1361250L, 1L -> 575000L, 2L -> 1063750L))
   }
 
+  test("q98 triangle counter reproduces a hand-computed two-component graph") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant (4,5) + path 5-6-7 (wedges,
+    // no triangle) + separate triangle {8,9,10} — 12 edges, 5 triangles;
+    // oriented and brute-force counts must agree on the same row
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L),
+      (8L, 9L), (8L, 10L), (9L, 10L)).toDF("a", "b")
+    val r = operators.ExtendedQueries.triangleCount(edges)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(r.length == 1)
+    val (ne, _, tri, brute, ok) = r.head
+    assert(ne == 12L && tri == 5L && brute == 5L && ok,
+      s"hand graph miscounted: $r")
+  }
+
   test("dx35 sample consistency: the unit hash selects the same users in any table") {
     // ClickHouse's SAMPLE-BY join-coherence claim: sampling EVENTS and
     // sampling a USERS dim by the same key keeps per-user histories
