@@ -115,7 +115,11 @@ object ScaleBench {
     "q97_log_bucket_quantiles", "d42_sorted_neighborhood",
     // fixed 100-node graph under replication (like q94): the row
     // measures the edge-dedup + wedge pipeline, not graph growth
-    "q98_triangle_count")
+    "q98_triangle_count",
+    // in-row bigrams + Zipf-bounded unigram joins (replica token
+    // suffixes keep pair vocabularies replica-local), and the
+    // render-bound ID3 walk (map-parallel like m18/m19)
+    "t32_collocations", "m23_id3_frame_walk")
 
   // multiple of the id moduli queries PLANT structure on (10, 20, 100,
   // 1000): each replica reproduces the base's planted structure exactly

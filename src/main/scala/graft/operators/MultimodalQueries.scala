@@ -1519,7 +1519,102 @@ object MultimodalQueries {
                CAST(k.luma AS BIGINT) AS luma_x1000,
                CAST(nf AS INTEGER) AS n_frames
         FROM kf ORDER BY media_id, frame_idx"""),
-      doc = "scene-cut detection + keyframe selection (one frame per SCENE, not per stride — the video-curation sampler): real per-frame GIF decode, then one in-row filter/transform pass over the ordered luma list keeps frame 0 + every |delta-luma| > threshold jump — no window, no self-join, one bounded per-video shuffle; md5-derived scene colors make detector and oracle apply the identical rule to identical lumas")
+      doc = "scene-cut detection + keyframe selection (one frame per SCENE, not per stride — the video-curation sampler): real per-frame GIF decode, then one in-row filter/transform pass over the ordered luma list keeps frame 0 + every |delta-luma| > threshold jump — no window, no self-join, one bounded per-video shuffle; md5-derived scene colors make detector and oracle apply the identical rule to identical lumas"),
+
+    // ------------------------------------------------------------------
+    // m23: ID3v2 TEXT-FRAME WALK — the metadata EXTRACTION step on top
+    // of m18's header sniff, and the last decoding idiom the binary
+    // family lacked: a VARIABLE-STRIDE DIRECTORY WALK whose stride is
+    // data (each frame's own parsed 4-byte size — plain big-endian in
+    // v2.3, deliberately different from the tag header's syncsafe
+    // base-128, both in one file), terminated by the spec's zero
+    // padding, with STRING payloads (title/artist/track behind a
+    // per-frame text-encoding byte) instead of m12-m19's numeric
+    // fields. The walk is a bounded aggregate() fold over
+    // struct(offset, frame count, title, artist, track) — the m19
+    // marker-skip fold generalized to carry extracted TEXT through the
+    // fold state. Pure native expressions over the binary column, zero
+    // UDF, zero decode of the audio itself; corrupt assets (leading
+    // byte dropped) fail the magic → sentinels. At 100 TB this is the
+    // router that turns a crawl of raw audio bytes into queryable
+    // (title, artist, track) columns without ever invoking a codec.
+    QueryDef(
+      "m23_id3_frame_walk",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 11)
+          .select($"doc_id".as("media_id"),
+            concat(lit("T"), ($"doc_id" % 1000).cast("string")).as("ti"),
+            concat(lit("A"), ($"n_chars" % 97).cast("string")).as("ar"),
+            ($"n_chars" % 30 + 1).cast("string").as("tr"))
+          .as[(Long, String, String, String)]
+        val assets = rows.mapPartitions(_.map { case (id, ti, ar, tr) =>
+            val mp3 = MediaPipeline.renderId3Mp3(ti, ar, tr)
+            (id, if (id % 3 == 2) mp3.drop(1) else mp3)
+          }).toDF("media_id", "mp3")
+        def u8(pos: String): String =
+          s"CAST(conv(hex(substring(mp3, CAST(($pos) AS INT), 1)), 16, 10) AS BIGINT)"
+        def be32(pos: String): String =
+          s"""(16777216 * ${u8(pos)} + 65536 * ${u8(s"($pos) + 1")}
+               + 256 * ${u8(s"($pos) + 2")} + ${u8(s"($pos) + 3")})"""
+        def txt(pos: String, len: String): String =
+          s"""decode(substring(mp3, CAST(($pos) AS INT),
+                CAST(($len) AS INT)), 'UTF-8')"""
+        // one frame step: id(4) + size(4 BE) + flags(2) + enc(1) + text;
+        // a zero byte where an id should start is the padding terminator
+        val step =
+          s"""CASE WHEN ${u8("st.off")} = 0 THEN st
+              ELSE named_struct(
+                'off', st.off + 10 + ${be32("st.off + 4")},
+                'nf', st.nf + 1L,
+                'title', CASE WHEN ${txt("st.off", "4")} = 'TIT2'
+                               AND ${u8("st.off + 10")} = 0
+                              THEN ${txt("st.off + 11", be32("st.off + 4") + " - 1")}
+                              ELSE st.title END,
+                'artist', CASE WHEN ${txt("st.off", "4")} = 'TPE1'
+                                AND ${u8("st.off + 10")} = 0
+                               THEN ${txt("st.off + 11", be32("st.off + 4") + " - 1")}
+                               ELSE st.artist END,
+                'track', CASE WHEN ${txt("st.off", "4")} = 'TRCK'
+                               AND ${u8("st.off + 10")} = 0
+                              THEN ${txt("st.off + 11", be32("st.off + 4") + " - 1")}
+                              ELSE st.track END) END"""
+        assets
+          .withColumn("id3_ok", expr(
+            s"""hex(substring(mp3, 1, 3)) = '494433'
+                AND ${u8("7")} < 128 AND ${u8("8")} < 128
+                AND ${u8("9")} < 128 AND ${u8("10")} < 128"""))
+          .withColumn("walk", expr(
+            s"""CASE WHEN id3_ok THEN aggregate(sequence(1, 4),
+                  named_struct('off', 11L, 'nf', 0L,
+                    'title', '', 'artist', '', 'track', ''),
+                  (st, i) -> $step)
+                ELSE named_struct('off', -1L, 'nf', -1L,
+                  'title', '?', 'artist', '?', 'track', '?') END"""))
+          .select($"media_id", $"id3_ok",
+            $"walk.nf".as("n_frames"),
+            $"walk.title".as("title"), $"walk.artist".as("artist"),
+            $"walk.track".as("track"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               doc_id % 3 <> 2 AS id3_ok,
+               CAST(CASE WHEN doc_id % 3 <> 2 THEN 3 ELSE -1 END AS BIGINT)
+                 AS n_frames,
+               CASE WHEN doc_id % 3 <> 2
+                    THEN 'T' || CAST(doc_id % 1000 AS VARCHAR)
+                    ELSE '?' END AS title,
+               CASE WHEN doc_id % 3 <> 2
+                    THEN 'A' || CAST(n_chars % 97 AS VARCHAR)
+                    ELSE '?' END AS artist,
+               CASE WHEN doc_id % 3 <> 2
+                    THEN CAST(n_chars % 30 + 1 AS VARCHAR)
+                    ELSE '?' END AS track
+        FROM documents WHERE doc_id % 20 = 11
+        ORDER BY media_id"""),
+      doc = "ID3v2 text-frame walk (metadata extraction over m18's header sniff): variable-stride directory walk — stride = each frame's own parsed big-endian size, next to the header's syncsafe size in the same file — as a bounded aggregate() fold carrying extracted STRING payloads (title/artist/track behind per-frame encoding bytes) through the state; zero UDF, zero codec, padding-terminated, corrupt assets fail the magic into sentinels")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`

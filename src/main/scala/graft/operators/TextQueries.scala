@@ -3053,7 +3053,79 @@ object TextQueries {
                  AS n_whole_words,
                round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
         FROM fin GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "WordPiece tokenizer (Wu et al. 2016, BERT family): greedy longest-match-first walk with the '##' continuation namespace — the third tokenizer family after BPE merge replay (t25) and unigram Viterbi (t30); variable-stride walk as an in-row fold over struct(next-position, count) with hoisted per-position vocab probes, SQL-derivable namespaced top-K+required-chars vocab, zero floats anywhere, map-only encode")
+      doc = "WordPiece tokenizer (Wu et al. 2016, BERT family): greedy longest-match-first walk with the '##' continuation namespace — the third tokenizer family after BPE merge replay (t25) and unigram Viterbi (t30); variable-stride walk as an in-row fold over struct(next-position, count) with hoisted per-position vocab probes, SQL-derivable namespaced top-K+required-chars vocab, zero floats anywhere, map-only encode"),
+
+    // ------------------------------------------------------------------
+    // t32: COLLOCATION EXTRACTION (PMI-family lift over adjacent token
+    // pairs — Church & Hanks 1990; the multi-word-expression miner that
+    // feeds tokenizer vocabularies and phrase tables): the top bigrams
+    // whose observed count exceeds the independence expectation,
+    // ranked by integer LIFT in ppm — ⌊n_ab·N·10⁶ / (n_a·n_b)⌋, the
+    // t28 discipline extended to PAIRS: PMI is log(lift) and log is
+    // monotone, so ranking by exact-integer lift IS ranking by PMI
+    // with no libm and no float boundary anywhere (products go through
+    // DECIMAL(38,0)/HUGEINT so even a 10¹⁰-token corpus cannot wrap).
+    // A min-count floor (n_ab ≥ 5) cuts the hapax noise that dominates
+    // raw PMI. Shape: bigrams are generated IN-ROW (transform over
+    // the token array — never a self-join), one (w1,w2) groupBy with
+    // map-side combine, two token-keyed joins to the unigram table
+    // (Zipf-bounded), a 1-row broadcast total, and a top-20
+    // TakeOrdered. The N mixes token-total vs bigram-total by a
+    // constant factor, which cancels in ranking — documented, not
+    // hidden.
+    QueryDef(
+      "t32_collocations",
+      (s, dir) => {
+        import s.implicits._
+        val tk = Tables.load(s, dir, "documents")
+          .select(filter(tokens($"text"), w => length(w) >= 1).as("t"))
+          .filter(size($"t") >= 2)
+        val big = tk.select(explode(expr(
+            """transform(sequence(1, size(t) - 1),
+                 i -> struct(element_at(t, i) AS w1,
+                             element_at(t, i + 1) AS w2))""")).as("b"))
+          .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+        val uni = tk.select(explode($"t").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val tot = uni.agg(sum($"cnt").as("n"))
+        big.filter($"n_ab" >= 5)
+          .join(uni.select($"w".as("w1"), $"cnt".as("n_a")), "w1")
+          .join(uni.select($"w".as("w2"), $"cnt".as("n_b")), "w2")
+          .crossJoin(broadcast(tot))
+          .withColumn("lift_ppm", expr(
+            """CAST(floor(CAST(n_ab AS DECIMAL(38,0)) * n * 1000000
+                 / (CAST(n_a AS DECIMAL(38,0)) * n_b)) AS BIGINT)"""))
+          .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b", $"lift_ppm")
+          .orderBy($"lift_ppm".desc, $"n_ab".desc, $"w1".asc, $"w2".asc)
+          .limit(20)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   t -> len(t) >= 1) AS toks
+          FROM documents),
+        tk AS (SELECT toks FROM tok WHERE len(toks) >= 2),
+        big AS (
+          SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2, COUNT(*) AS n_ab
+          FROM tk, UNNEST(range(1, len(toks))) AS g(i)
+          GROUP BY 1, 2),
+        uni AS (SELECT w, COUNT(*) AS cnt
+                FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+        tot AS (SELECT SUM(cnt) AS n FROM uni)
+        SELECT w1, w2, n_ab, ua.cnt AS n_a, ub.cnt AS n_b,
+               CAST(CAST(n_ab AS HUGEINT) * n * 1000000
+                    // (CAST(ua.cnt AS HUGEINT) * ub.cnt) AS BIGINT)
+                 AS lift_ppm
+        FROM big
+        JOIN uni ua ON ua.w = w1
+        JOIN uni ub ON ub.w = w2
+        CROSS JOIN tot
+        WHERE n_ab >= 5
+        ORDER BY lift_ppm DESC, n_ab DESC, w1 ASC, w2 ASC
+        LIMIT 20"""),
+      doc = "collocation extraction (Church & Hanks PMI family): top bigrams by exact-integer lift in ppm — log is monotone so integer lift ranks identically to PMI with no libm, products through DECIMAL(38,0)/HUGEINT so no corpus size wraps; in-row bigram generation (never a self-join), one pair groupBy, two Zipf-bounded unigram joins, min-count floor, top-20 TakeOrdered")
   )
 
   /** The c18 incremental-funnel core over (doc_id, text, source) frames:

@@ -559,6 +559,35 @@ object MediaPipeline {
     out
   }
 
+  /** An MP3 whose ID3v2.3 tag carries REAL text frames (TIT2 title,
+    * TPE1 artist, TRCK track — id3.org v2.3 §4.2): each frame is
+    * id(4) + size(4, plain big-endian in v2.3, unlike the tag header's
+    * syncsafe size) + flags(2) + [encoding byte 0 = ISO-8859-1] + text,
+    * followed by 16 bytes of zero padding (the spec's frame terminator
+    * for walkers) and the same MPEG-1 Layer III audio frame header as
+    * `renderMp3`. The frame DIRECTORY is what m23's variable-stride
+    * walk parses — each stride is 10 + that frame's own parsed size.
+    */
+  def renderId3Mp3(title: String, artist: String, track: String): Array[Byte] = {
+    def frame(id: String, text: String): Array[Byte] = {
+      val t = text.getBytes("ISO-8859-1")
+      val sz = t.length + 1 // encoding byte
+      id.getBytes("ISO-8859-1") ++ Array(
+        ((sz >> 24) & 0xFF).toByte, ((sz >> 16) & 0xFF).toByte,
+        ((sz >> 8) & 0xFF).toByte, (sz & 0xFF).toByte,
+        0.toByte, 0.toByte, 0.toByte) ++ t
+    }
+    val frames = frame("TIT2", title) ++ frame("TPE1", artist) ++
+      frame("TRCK", track)
+    val tagSize = frames.length + 16 // + padding
+    val hdr = Array('I'.toByte, 'D'.toByte, '3'.toByte, 3.toByte, 0.toByte,
+      0.toByte,
+      ((tagSize >> 21) & 0x7F).toByte, ((tagSize >> 14) & 0x7F).toByte,
+      ((tagSize >> 7) & 0x7F).toByte, (tagSize & 0x7F).toByte)
+    val audio = Array(0xFF.toByte, 0xFB.toByte, 0x92.toByte, 0.toByte)
+    hdr ++ frames ++ new Array[Byte](16) ++ audio
+  }
+
   /** A REAL JPEG (ImageIO-encoded baseline JFIF) with a hand-built EXIF
     * APP1 segment spliced immediately after SOI — where the EXIF spec
     * puts it. The TIFF body inside APP1 is written in the REQUESTED

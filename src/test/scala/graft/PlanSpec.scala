@@ -438,6 +438,24 @@ class PlanSpec extends AnyFunSuite {
       s"wedges must join on the low endpoint, never cross:\n$p")
   }
 
+  test("t32 collocations: in-row bigrams (no self-join), pair counts partial-aggregate") {
+    val p = plan("t32_collocations")
+    assert(p.contains("partial_count"),
+      s"bigram counts not map-side combined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("m23 ID3 frame walk is pure expressions: no UDF, map-only before the sort") {
+    val p = plan("m23_id3_frame_walk")
+    assert(!p.contains("ScalaUDF"), "frame walk fell back to a UDF")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0,
+      s"per-asset walk must not shuffle before the presentation sort:\n$p")
+  }
+
   test("t26 script profile is map-only regexp counting (one sort exchange)") {
     val p = plan("t26_script_profile")
     // per-script counts are in-row regexp extraction — no join, no agg,
