@@ -119,7 +119,10 @@ object ScaleBench {
     // in-row bigrams + Zipf-bounded unigram joins (replica token
     // suffixes keep pair vocabularies replica-local), and the
     // render-bound ID3 walk (map-parallel like m18/m19)
-    "t32_collocations", "m23_id3_frame_walk")
+    "t32_collocations", "m23_id3_frame_walk",
+    // dense-spine gap fill (structural holes survive any density) and
+    // the array-bloom lifecycle (O(parts), day-tag prune power)
+    "q99_gap_fill_series", "dx39_array_bloom_skip_index")
 
   // multiple of the id moduli queries PLANT structure on (10, 20, 100,
   // 1000): each replica reproduces the base's planted structure exactly

@@ -3396,7 +3396,88 @@ object ExtendedQueries {
                (SELECT t FROM tri) AS n_triangles,
                (SELECT t FROM brute) AS n_triangles_brute,
                (SELECT t FROM tri) = (SELECT t FROM brute) AS counts_match"""),
-      doc = "triangle counting with degree orientation (Ortmann/Brandes; Suri-Vassilvitskii MapReduce form): edges oriented low→high (degree, id) so wedges enumerate only at low endpoints — Σ outdeg² minimized, out-degree O(√m), hubs become sinks generating no wedges (the hot-bucket discipline for graphs); wedges one low-endpoint shuffle, closure one (x,y) semi join, exact integers; oriented count ≡ brute-force 3-way join required in-body and mirrored in the oracle")
+      doc = "triangle counting with degree orientation (Ortmann/Brandes; Suri-Vassilvitskii MapReduce form): edges oriented low→high (degree, id) so wedges enumerate only at low endpoints — Σ outdeg² minimized, out-degree O(√m), hubs become sinks generating no wedges (the hot-bucket discipline for graphs); wedges one low-endpoint shuffle, closure one (x,y) semi join, exact integers; oriented count ≡ brute-force 3-way join required in-body and mirrored in the oracle"),
+
+    // ------------------------------------------------------------------
+    // q99: TIME-SERIES GAP FILLING (ClickHouse `ORDER BY ts WITH FILL
+    // STEP 1 DAY INTERPOLATE` / PostgreSQL generate_series + LOCF) —
+    // the dashboard contract every time-series UI assumes: a dense axis
+    // with explicit zeros where nothing happened and carried-forward
+    // values between observations. A raw groupBy emits only days WITH
+    // data; this operator builds the dense day SPINE per group
+    // (sequence over the group's [min, max] — an in-row array explode
+    // of a BOUNDED range, never a cross join against a calendar
+    // table), left-joins the sparse aggregate back, fills counts with
+    // ZERO (additive metric) and interpolates the daily mean-cents
+    // gauge by LOCF (the q48 idiom riding the same per-group order).
+    // The filled-day flag makes the synthetic rows auditable. Shape at
+    // 100 TB: the sparse aggregate is the only corpus-sized shuffle
+    // (partial-aggregable); the spine is O(groups × days); the join is
+    // spine-sized on (group, day).
+    QueryDef(
+      "q99_gap_fill_series",
+      (s, dir) => {
+        import s.implicits._
+        // the outage plant: drop every (type, day) cell where
+        // (day-of-month + |type|) ≡ 0 mod 3 — structural holes that
+        // survive ANY data density or replication factor (an organic
+        // gap fixture fills in as SF grows); the spine bounds come from
+        // the UNFILTERED feed, so leading/trailing holes exist too
+        val raw = Tables.events(s, dir)
+          .select($"event_type", to_date($"ts").as("d"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        val ev = raw
+          .filter((dayofmonth($"d") + length($"event_type")) % 3 =!= 0)
+        val sparse = ev.groupBy($"event_type", $"d")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        val spine = raw.groupBy($"event_type")
+          .agg(min($"d").as("d0"), max($"d").as("d1"))
+          .select($"event_type",
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+        val w = Window.partitionBy($"event_type").orderBy($"d".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val out = spine.join(sparse, Seq("event_type", "d"), "left")
+          .select($"event_type", $"d",
+            coalesce($"n", lit(0L)).as("n"),
+            $"n".isNull.as("filled"),
+            coalesce($"cents", lit(0L)).as("cents"),
+            last(
+              when($"n".isNotNull, expr("cents div n")), ignoreNulls = true)
+              .over(w).as("locf_mean_cents"))
+          .orderBy($"event_type", $"d")
+        require(out.filter($"filled").limit(1).count() > 0,
+          "gap-fill fixture vacuous: no hole to fill")
+        out
+      },
+      Some("""
+        WITH raw AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events),
+        ev AS (
+          SELECT * FROM raw
+          WHERE (day(d) + length(event_type)) % 3 <> 0),
+        sparse AS (
+          SELECT event_type, d, COUNT(*) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS cents
+          FROM ev GROUP BY 1, 2),
+        spine AS (
+          SELECT event_type, CAST(gs.g AS DATE) AS d
+          FROM (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+                FROM raw GROUP BY 1) b,
+               UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS gs(g))
+        SELECT sp.event_type, sp.d,
+               COALESCE(s.n, 0) AS n,
+               s.n IS NULL AS filled,
+               COALESCE(s.cents, 0) AS cents,
+               LAST_VALUE(CASE WHEN s.n IS NOT NULL THEN s.cents // s.n END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY sp.event_type ORDER BY sp.d ASC
+                       ROWS UNBOUNDED PRECEDING) AS locf_mean_cents
+        FROM spine sp LEFT JOIN sparse s
+          ON s.event_type = sp.event_type AND s.d = sp.d
+        ORDER BY sp.event_type, sp.d"""),
+      doc = "time-series gap filling (ClickHouse WITH FILL ... INTERPOLATE): dense per-group day spine from an in-row bounded sequence explode (never a calendar cross join), sparse aggregate left-joined back, additive counts filled ZERO and the mean-cents gauge carried forward by LOCF on the same per-group order, filled rows flagged for audit; the only corpus-sized shuffle is the partial-aggregable sparse aggregate")
   )
 
   /** q98's degree-oriented triangle counter over a canonical undirected

@@ -1867,7 +1867,68 @@ object DocsisQueries {
                CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                  AS cents
         FROM events GROUP BY 1 ORDER BY date"""),
-      doc = "TTL MOVE storage tiering (ClickHouse TTL ... MOVE TO VOLUME 'cold'): expired parts rewritten row-identical under the mirrored cold-volume layout with the zstd cold codec and atomically swapped — hot parts untouched (path survival), idempotent re-run, and the pruning split required in-body: recent-date predicates keep exactly the hot files, expired-date predicates exactly the cold ones; the final per-date count/sum read matches the never-moved source")
+      doc = "TTL MOVE storage tiering (ClickHouse TTL ... MOVE TO VOLUME 'cold'): expired parts rewritten row-identical under the mirrored cold-volume layout with the zstd cold codec and atomically swapped — hot parts untouched (path survival), idempotent re-run, and the pruning split required in-body: recent-date predicates keep exactly the hot files, expired-date predicates exactly the cold ones; the final per-date count/sum read matches the never-moved source"),
+
+    // ------------------------------------------------------------------
+    // dx39: ARRAY-ELEMENT BLOOM skip index (ClickHouse `INDEX tags_idx
+    // tags TYPE bloom_filter` on an `Array(String)` column, probed by
+    // `has(tags, 'x')`) — the ARRAY member of the skip-index family
+    // after scalar bloom (dx16), set (dx30), token (dx32) and n-gram
+    // (dx33): tag/label membership is THE filter shape of labeled
+    // telemetry and curated corpora, and it is doubly stats-proof —
+    // parquet footers carry NO min/max for array columns at all
+    // (asserted in-body: stats keep every part), so at 100 TB every
+    // `has(tags, …)` filter scans the corpus without this sidecar. The
+    // per-part sidecar is one element-type tag byte + a bloom over the
+    // part's exploded elements; the probe is an ordinary
+    // `array_contains(tags, 'd17')` conjunct recognized by
+    // StatsPruning.arrayContainsProbes (direct attribute only — a
+    // computed array like hasToken's split belongs to the token index).
+    // The day-tag plant makes prune power structural: tag 'd<day>'
+    // appears only in that day's date-partitioned parts, so the bloom
+    // keeps ~1/30 of the files (required < total; stats required
+    // powerless). The type-tag guard is what keeps pruning SOUND under
+    // type-coerced probes — FactTableSpec drives that edge directly.
+    QueryDef(
+      "dx39_array_bloom_skip_index",
+      (s, sfDir) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("dx39_fact").toString
+        val t = new graft.storage.FactTable(dir, s,
+          arrayBloomCols = Seq("tags"))
+        val ev = graft.Tables.events(s, sfDir)
+          .select(to_date($"ts").as("date"), $"event_id",
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+            array($"event_type",
+              concat(lit("d"), dayofmonth(to_date($"ts")).cast("string")),
+              concat(lit("u"), ($"user_id" % 7).cast("string")))
+              .as("tags"))
+        t.append(ev, 0)
+        t.compact(sortCols = Seq("event_id"))
+        val probe = array_contains($"tags", "d17")
+        val files = t.snapshot().dataFiles
+        val statTouched = files.count(f =>
+          !graft.storage.StatsPruning.canPrune(probe, f.stats))
+        val (touched, total) = t.pruneReport(probe)
+        require(statTouched == total,
+          s"footer stats cannot prune array membership " +
+            s"($statTouched of $total) at $dir")
+        require(touched < total,
+          s"array bloom must prune ($touched of $total kept) at $dir")
+        t.readWhere(probe)
+          .groupBy(($"event_id" % 5).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        SELECT event_id % 5 AS bucket, COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events
+        WHERE day(CAST(ts AS DATE)) = 17
+        GROUP BY 1 ORDER BY bucket"""),
+      doc = "array-element bloom skip index (ClickHouse bloom_filter on Array(String), has(tags, v) probes): per-part type-tagged bloom over exploded elements prunes array_contains conjuncts that footer stats provably cannot (arrays carry no min/max at all — asserted in-body); day-tag plant keeps ~1/30 of parts, type-tag guard keeps coerced probes from unsound pruning")
   )
 
   private def dashboardSlice(name: String, nRows: Long, nModems: Int,

@@ -75,12 +75,27 @@ import org.apache.spark.sql.functions._
   *   makes collecting per-file stats from the write tasks), not one
   *   driver job per part.
   */
+/** @param arrayBloomCols ARRAY columns to index with a per-part
+  *   element-level Bloom skip index (the ClickHouse `bloom_filter`
+  *   secondary index on an `Array(T)` column, probed by `has(arr, v)`):
+  *   every part gets a `<part>.abloom.<col>` sidecar — one leading
+  *   element-type tag byte + a Bloom filter over the part's exploded
+  *   elements — and `readWhere`/`pruneReport` consult it for top-level
+  *   `array_contains(col, literal)` conjuncts. Array columns carry NO
+  *   footer min/max stats at all (see StatsPruning), so without this
+  *   index every tag/label membership filter is a full scan at any
+  *   scale. The type tag guards the bloom's hash family: a probe whose
+  *   JVM type differs from the indexed element type never prunes
+  *   (mightContain would hash differently and wrongly reject live
+  *   parts). Long/int and string element types are supported.
+  */
 class FactTable(val root: String, spark: SparkSession,
     bloomCols: Seq[String] = Nil,
     projections: Seq[FactTable.ProjectionSpec] = Nil,
     setIndexCols: Seq[String] = Nil,
     tokenBloomCols: Seq[String] = Nil,
-    ngramBloomCols: Seq[String] = Nil) {
+    ngramBloomCols: Seq[String] = Nil,
+    arrayBloomCols: Seq[String] = Nil) {
   import FactTable._
 
   private val rootPath = new Path(root)
@@ -229,7 +244,7 @@ class FactTable(val root: String, spark: SparkSession,
     */
   def cloneShallowTo(destRoot: String): FactTable = {
     val dest = new FactTable(destRoot, spark, bloomCols, projections,
-      setIndexCols, tokenBloomCols, ngramBloomCols)
+      setIndexCols, tokenBloomCols, ngramBloomCols, arrayBloomCols)
     require(fs.listStatus(dest.logDir).isEmpty,
       s"shallow clone target $destRoot already has a log")
     val snap = snapshot()
@@ -508,6 +523,11 @@ class FactTable(val root: String, spark: SparkSession,
       setIndexCols.foreach { c =>
         fs.delete(new Path(p + ".set." + c), false)
         setCache.remove(p + ".set." + c)
+      }
+      // array-element bloom sidecars: same lifecycle as the blooms
+      arrayBloomCols.foreach { c =>
+        fs.delete(new Path(p + ".abloom." + c), false)
+        arrayBloomCache.remove(p + ".abloom." + c)
       }
       // token/ngram-bloom skip-index sidecars: same lifecycle as the blooms
       tokenBloomCols.foreach { c =>
@@ -1246,7 +1266,8 @@ class FactTable(val root: String, spark: SparkSession,
     val all = snap.dataFiles
     val kept = all.filterNot(f =>
       StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f) ||
-        setPruned(cond, f) || tokenBloomPruned(cond, f))
+        setPruned(cond, f) || tokenBloomPruned(cond, f) ||
+        arrayBloomPruned(cond, f))
     if (kept.isEmpty) // schema from any live file, zero rows
       readFiles(all.take(1)).where(lit(false))
     else masked(kept, snap.tombFiles).where(cond)
@@ -1261,7 +1282,8 @@ class FactTable(val root: String, spark: SparkSession,
     val files = snapshot(asOfVersion).dataFiles
     (files.count(f =>
       !StatsPruning.canPrune(cond, f.stats) && !bloomPruned(cond, f) &&
-        !setPruned(cond, f) && !tokenBloomPruned(cond, f)),
+        !setPruned(cond, f) && !tokenBloomPruned(cond, f) &&
+        !arrayBloomPruned(cond, f)),
       files.size)
   }
 
@@ -1333,6 +1355,7 @@ class FactTable(val root: String, spark: SparkSession,
         if (tier != TierTomb) { // key tombstones are not data parts
           bloomCols.foreach(c => writeBloomSidecar(f.path, c, rows))
           setIndexCols.foreach(c => writeSetSidecar(f.path, c))
+          arrayBloomCols.foreach(c => writeArrayBloomSidecar(f.path, c))
           projections.foreach(p => writeProjSidecar(f.path, dir, p))
         }
         FileEntry(f.path, rows, f.bytes, tier, now, stats)
@@ -1392,6 +1415,70 @@ class FactTable(val root: String, spark: SparkSession,
         bloomOf(f.path, attr).exists(bf =>
           scala.util.Try(!bf.mightContain(v)).getOrElse(false))
     }
+
+  // ------------------------------------- array-element bloom skip index
+
+  private val arrayBloomCache =
+    scala.collection.concurrent.TrieMap[String,
+      Option[(Byte, org.apache.spark.util.sketch.BloomFilter)]]()
+
+  /** `<part>.abloom.<col>`: 1 type-tag byte ('S' string / 'L' integral)
+    * + a Bloom filter over the part's exploded array elements. The tag
+    * is what keeps pruning SOUND: BloomFilter hashes longs and strings
+    * differently, so probing a string-built bloom with a long always
+    * answers "absent" — without the tag that would wrongly prune live
+    * parts on a type-coerced predicate.
+    */
+  private def writeArrayBloomSidecar(part: String, c: String): Unit = {
+    val df = spark.read.parquet(part)
+    if (!df.columns.contains(c)) return // schema evolution: column absent
+    import org.apache.spark.sql.types._
+    val tag: Byte = df.schema(c).dataType match {
+      case ArrayType(StringType, _) => 'S'
+      case ArrayType(LongType | IntegerType | ShortType | ByteType, _) => 'L'
+      case _ => return // other element types: no sidecar, never prune
+    }
+    val el = df.select(explode(col(c)).as("__e")).na.drop()
+    val n = el.count()
+    val bf = el.stat.bloomFilter("__e", math.max(n, 1L), 0.01)
+    val out = fs.create(new Path(part + ".abloom." + c), true)
+    try { out.write(tag.toInt); bf.writeTo(out) } finally out.close()
+  }
+
+  private def arrayBloomOf(part: String, c: String) =
+    arrayBloomCache.getOrElseUpdate(part + ".abloom." + c, {
+      val p = new Path(part + ".abloom." + c)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val tag = in.read().toByte
+          Some((tag, org.apache.spark.util.sketch.BloomFilter.readFrom(in)))
+        } finally in.close()
+      }
+    })
+
+  /** True iff some `array_contains(col, v)` conjunct over an indexed
+    * array column is proven element-absent by the part's sidecar. Same
+    * conservatism as the scalar bloom; additionally the probe's JVM
+    * type must match the sidecar's element-type tag.
+    */
+  private def arrayBloomPruned(cond: org.apache.spark.sql.Column,
+      f: FileEntry): Boolean =
+    arrayBloomCols.nonEmpty &&
+      StatsPruning.arrayContainsProbes(cond).exists { case (attr, v) =>
+        arrayBloomCols.contains(attr) && {
+          val tagOk = v match {
+            case _: String => 'S'
+            case _: Long | _: Int | _: Short | _: Byte => 'L'
+            case _ => '?'
+          }
+          arrayBloomOf(f.path, attr).exists { case (tag, bf) =>
+            tag == tagOk &&
+              scala.util.Try(!bf.mightContain(v)).getOrElse(false)
+          }
+        }
+      }
 
   // ------------------------------------------------- set skip index
 
@@ -1460,7 +1547,8 @@ class FactTable(val root: String, spark: SparkSession,
     */
   private[storage] def sidecarPruned(cond: org.apache.spark.sql.Column,
       f: FileEntry): Boolean =
-    bloomPruned(cond, f) || setPruned(cond, f) || tokenBloomPruned(cond, f)
+    bloomPruned(cond, f) || setPruned(cond, f) ||
+      tokenBloomPruned(cond, f) || arrayBloomPruned(cond, f)
 
   private def setPruned(cond: org.apache.spark.sql.Column,
       f: FileEntry): Boolean = {

@@ -213,6 +213,52 @@ object StatsPruning {
     }
   }
 
+  /** Top-level-conjunct ARRAY-membership probes `(column, external
+    * value)` — the shape a per-part array-element Bloom skip index
+    * (ClickHouse `bloom_filter` over an Array column) can test.
+    * Recognizes `array_contains(col, literal)` where `col` is a DIRECT
+    * attribute (an array computed by an expression — e.g. hasToken's
+    * split — has its own index family and never matches here). A row
+    * the predicate accepts must hold that exact element, so proving the
+    * element absent from every element the part wrote rejects the part.
+    * Anything under an OR is ignored.
+    */
+  def arrayContainsProbes(cond: Column): Seq[(String, Any)] = {
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def external(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case x => x
+    }
+    // the Column DSL builds UnresolvedFunction("array_contains", …);
+    // an analyzed predicate carries the resolved ce.ArrayContains —
+    // recognize both (the tokenProbes convention)
+    object Contains {
+      def unapply(e: ce.Expression): Option[(ce.Expression, ce.Expression)] =
+        e match {
+          case ce.ArrayContains(a, v) => Some((a, v))
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.nameParts.length == 1 && !f.isDistinct &&
+                f.nameParts.head
+                  .equalsIgnoreCase("array_contains") &&
+                f.arguments.length == 2 =>
+            Some((f.arguments(0), f.arguments(1)))
+          case _ => None
+        }
+    }
+    conjuncts(normalize(
+      org.apache.spark.sql.GraftColumnBridge.expression(cond))).flatMap {
+      case Contains(a, v) =>
+        (attrName(a), foldedValue(v)) match {
+          case (Some(n), Some(x)) => Some(n -> external(x))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** The tokenizer shared by `FactTable.hasToken` and the token-bloom
     * sidecar writer: maximal alphanumeric runs, everything else is a
     * separator (ClickHouse `tokenbf_v1`'s tokenization, case-sensitive).

@@ -133,6 +133,41 @@ class FactTableSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet == full)
   }
 
+  test("array bloom: membership prunes, shared tag keeps, mismatched probe conservative") {
+    val dir = java.nio.file.Files.createTempDirectory("fact_abloom").toString
+    val t = new FactTable(dir, spark, arrayBloomCols = Seq("tags", "nums"))
+    def day(d: String, tag: String, n: Long) =
+      Seq((java.sql.Date.valueOf(d), tag, n)).toDF("date", "tag", "n")
+        .select($"date", array(lit("common"), $"tag").as("tags"),
+          array($"n", $"n" + 1).as("nums"))
+    t.append(day("2024-03-01", "x1", 10L), 0)
+    t.append(day("2024-03-05", "x2", 20L), 1)
+    t.compact(sortCols = Nil)
+    // rare string element prunes to its part; the shared element keeps all
+    val (k1, tot) = t.pruneReport(array_contains($"tags", "x1"))
+    assert(tot == 2 && k1 == 1, s"expected 1 of 2 kept, got $k1 of $tot")
+    val (kc, _) = t.pruneReport(array_contains($"tags", "common"))
+    assert(kc == 2, "a tag present everywhere must never prune")
+    // long-element index: a long probe proves absence everywhere...
+    val (kl, _) = t.pruneReport(array_contains($"nums", lit(999L)))
+    assert(kl == 0, "absent long element must prune every part")
+    // ...but a type-mismatched (string) probe must stay conservative —
+    // the bloom hashes strings differently, so "absent" would be a lie
+    val (ks, _) = t.pruneReport(array_contains($"nums", "999"))
+    assert(ks == 2, "mismatched probe type must never prune")
+    // pruned read still answers correctly
+    assert(t.readWhere(array_contains($"tags", "x2"))
+      .select(element_at($"nums", 1)).as[Long].collect().toSeq == Seq(20L))
+    // vacuum reclaims the displaced buffer parts' sidecars with them
+    t.vacuum()
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = t.snapshot().dataFiles.map(_.path)
+    assert(live.forall(p => fsys.exists(
+      new org.apache.hadoop.fs.Path(p + ".abloom.tags"))),
+      "live parts must keep their array-bloom sidecars after vacuum")
+  }
+
   test("SketchView heals crashes, bounds partials, converges answer-neutrally") {
     def userRows(day: String, modem: String, users: Seq[Long]) =
       users.map(u => (modem, java.sql.Timestamp.valueOf(s"$day 01:00:00"), u))
