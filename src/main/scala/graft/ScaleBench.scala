@@ -122,7 +122,9 @@ object ScaleBench {
     "t32_collocations", "m23_id3_frame_walk",
     // dense-spine gap fill (structural holes survive any density) and
     // the array-bloom lifecycle (O(parts), day-tag prune power)
-    "q99_gap_fill_series", "dx39_array_bloom_skip_index")
+    "q99_gap_fill_series", "dx39_array_bloom_skip_index",
+    // fixed query over the growing corpus; group-limited coarse rank
+    "s36_matryoshka_width_curve")
 
   // multiple of the id moduli queries PLANT structure on (10, 20, 100,
   // 1000): each replica reproduces the base's planted structure exactly

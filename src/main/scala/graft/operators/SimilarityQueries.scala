@@ -2431,7 +2431,101 @@ object SimilarityQueries {
         LEFT JOIN short sh ON sh.qid = t.qid AND sh.vec_id = t.vec_id
         WHERE t.rk <= 10
         ORDER BY t.qid, t.rk"""),
-      doc = "Matryoshka prefix-dimension funnel (MRL, Kusupati et al. 2022): coarse cosine on the first 16 of 64 components shortlists 50 per query, full-width exact re-rank serves top-10 — the ANN variant whose 100 TB lever is pure SCHEMA (prefix as its own column ⇒ the corpus scan reads 25 % of embedding bytes via column pruning; full vectors load for 50 rows/query); audited against exact full-dim truth with every miss attributed to the coarse shortlist (funnel-exactness require in-body)")
+      doc = "Matryoshka prefix-dimension funnel (MRL, Kusupati et al. 2022): coarse cosine on the first 16 of 64 components shortlists 50 per query, full-width exact re-rank serves top-10 — the ANN variant whose 100 TB lever is pure SCHEMA (prefix as its own column ⇒ the corpus scan reads 25 % of embedding bytes via column pruning; full vectors load for 50 rows/query); audited against exact full-dim truth with every miss attributed to the coarse shortlist (funnel-exactness require in-body)"),
+
+    // ------------------------------------------------------------------
+    // s36: FUNNEL-WIDTH / RECALL CURVE for the matryoshka funnel — the
+    // s30 cost/recall discipline (nprobe there, shortlist width here):
+    // how much recall@10 does each extra shortlist row buy when the
+    // coarse pass reads only the first 16 of 64 components? The coarse
+    // ranking is computed ONCE; each truth row's coarse rank then
+    // answers every width by a threshold count — widening the funnel
+    // can only ADD shortlist members (top-25 ⊆ top-50 ⊆ top-100), so
+    // recall is non-decreasing BY CONSTRUCTION and required so in-body
+    // (the structural claim; contrast the prefix-width axis, which on
+    // untrained random embeddings is deliberately NOT asserted — MRL
+    // monotonicity in dimensions is a property of trained nests, not
+    // of this synthetic corpus). Cost model per row: coarse scan is
+    // fixed (prefix bytes × corpus); the re-rank leg is width × full
+    // vectors — the curve is exactly the knob a serving team tunes.
+    QueryDef(
+      "s36_matryoshka_width_curve",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        val corpus = emb.filter($"vec_id" =!= 0)
+        // the cap is a LIMIT on the coarse order, not a rank filter: an
+        // unpartitioned rank window gets no WindowGroupLimit push (it
+        // sorted the whole corpus in one partition — measured 95 s at
+        // ×100), while orderBy().limit(100) plans as the distributed
+        // TakeOrderedAndProject and the rank window then runs over 100
+        // rows; a truth row outside the cap left-joins to null =
+        // missed at every width
+        val wC = Window.orderBy($"pcos".desc, $"vec_id".asc)
+        val coarse = corpus.crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(cosineExact("slice(embedding, 1, 16)",
+              "slice(qv, 1, 16)"), 9).as("pcos"))
+          .orderBy($"pcos".desc, $"vec_id".asc).limit(100)
+          .withColumn("crk", row_number().over(wC))
+        val wT = Window.orderBy($"cosine".desc, $"vec_id".asc)
+        val truth = corpus.crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .withColumn("rk", row_number().over(wT)).filter($"rk" <= 10)
+          .select($"vec_id")
+        val ranked = truth
+          .join(coarse.select($"vec_id", $"crk"), Seq("vec_id"), "left")
+        val widths = Seq(25, 50, 100)
+        val out = ranked
+          .crossJoin(broadcast(widths.toDF("width")))
+          .groupBy($"width")
+          .agg(sum(when($"crk".isNotNull && $"crk" <= $"width", 1L)
+            .otherwise(0L)).as("hits_at_10"))
+          .withColumn("recall_pct", $"hits_at_10" * 10)
+          .orderBy($"width")
+        val rows = out.select($"width", $"hits_at_10")
+          .as[(Int, Long)].collect().sortBy(_._1)
+        require(rows.map(_._2).sameElements(rows.map(_._2).sorted),
+          s"widening the funnel reduced recall — impossible: ${rows.toSeq}")
+        out
+      },
+      Some(s"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        corpus AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id <> 0),
+        pp AS (SELECT c.vec_id, unnest(c.embedding[1:16]) AS x,
+                      unnest(q.qv[1:16]) AS y
+               FROM corpus c, q),
+        pd AS (SELECT vec_id, ${oCosineSums()} FROM pp GROUP BY vec_id),
+        coarse AS (SELECT vec_id, crk FROM (
+                     SELECT vec_id,
+                            ROW_NUMBER() OVER (
+                              ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9)
+                                DESC, vec_id ASC) AS crk
+                     FROM pd) c WHERE crk <= 100),
+        fp AS (SELECT c.vec_id, unnest(c.embedding) AS x, unnest(q.qv) AS y
+               FROM corpus c, q),
+        fd AS (SELECT vec_id, ${oCosineSums()} FROM fp GROUP BY vec_id),
+        truth AS (SELECT vec_id FROM (
+                    SELECT vec_id,
+                           ROW_NUMBER() OVER (
+                             ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9)
+                               DESC, vec_id ASC) AS rk
+                    FROM fd) t WHERE rk <= 10),
+        ranked AS (SELECT c.crk FROM truth t
+                   LEFT JOIN coarse c ON c.vec_id = t.vec_id),
+        widths AS (SELECT unnest([25, 50, 100]) AS width)
+        SELECT w.width,
+               CAST(SUM(CASE WHEN r.crk IS NOT NULL AND r.crk <= w.width
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+               CAST(SUM(CASE WHEN r.crk IS NOT NULL AND r.crk <= w.width
+                             THEN 1 ELSE 0 END) * 10 AS BIGINT)
+                 AS recall_pct
+        FROM widths w CROSS JOIN ranked r
+        GROUP BY w.width ORDER BY width"""),
+      doc = "funnel-width/recall curve for the matryoshka funnel (the s30 cost/recall discipline on the shortlist axis): coarse prefix-16 ranking computed once, every width answered by a threshold count over the truth rows' coarse ranks; recall non-decreasing in width BY CONSTRUCTION (top-25 ⊆ top-50 ⊆ top-100) and required so in-body — the prefix-dimension axis is deliberately NOT asserted on untrained random embeddings")
   )
 
   /** The exact-cosine dense leg of the hybrid stack (shared by s29 and

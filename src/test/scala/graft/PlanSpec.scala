@@ -456,6 +456,17 @@ class PlanSpec extends AnyFunSuite {
       s"per-asset walk must not shuffle before the presentation sort:\n$p")
   }
 
+  test("s36 width curve: coarse cap is a distributed top-k, not a global sort") {
+    val p = plan("s36_matryoshka_width_curve")
+    // an unpartitioned rank window gets no WindowGroupLimit push — the
+    // cap must plan as TakeOrderedAndProject, with the rank window
+    // running over the 100 surviving rows
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the coarse cap must be a distributed top-k:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"query-vs-corpus scoring must broadcast:\n$p")
+  }
+
   test("t26 script profile is map-only regexp counting (one sort exchange)") {
     val p = plan("t26_script_profile")
     // per-script counts are in-row regexp extraction — no join, no agg,
