@@ -124,7 +124,9 @@ object ScaleBench {
     // the array-bloom lifecycle (O(parts), day-tag prune power)
     "q99_gap_fill_series", "dx39_array_bloom_skip_index",
     // fixed query over the growing corpus; group-limited coarse rank
-    "s36_matryoshka_width_curve")
+    "s36_matryoshka_width_curve",
+    // store build + prefix-pruned coarse scan + semi-joined re-rank
+    "s37_stored_prefix_serving")
 
   // multiple of the id moduli queries PLANT structure on (10, 20, 100,
   // 1000): each replica reproduces the base's planted structure exactly

@@ -2525,7 +2525,78 @@ object SimilarityQueries {
                  AS recall_pct
         FROM widths w CROSS JOIN ranked r
         GROUP BY w.width ORDER BY width"""),
-      doc = "funnel-width/recall curve for the matryoshka funnel (the s30 cost/recall discipline on the shortlist axis): coarse prefix-16 ranking computed once, every width answered by a threshold count over the truth rows' coarse ranks; recall non-decreasing in width BY CONSTRUCTION (top-25 ⊆ top-50 ⊆ top-100) and required so in-body — the prefix-dimension axis is deliberately NOT asserted on untrained random embeddings")
+      doc = "funnel-width/recall curve for the matryoshka funnel (the s30 cost/recall discipline on the shortlist axis): coarse prefix-16 ranking computed once, every width answered by a threshold count over the truth rows' coarse ranks; recall non-decreasing in width BY CONSTRUCTION (top-25 ⊆ top-50 ⊆ top-100) and required so in-body — the prefix-dimension axis is deliberately NOT asserted on untrained random embeddings"),
+
+    // ------------------------------------------------------------------
+    // s37: STORED PREFIX-COLUMN SERVING — s35 claims the matryoshka
+    // funnel's 100 TB lever is SCHEMA ("store the prefix as its own
+    // column and the coarse scan reads 25 % of the bytes via plain
+    // column pruning"); s37 is that claim made PHYSICAL and locked: the
+    // store is written with the 16-dim prefix as its own parquet
+    // column beside the full 64-dim vector, the coarse leg scans
+    // (vec_id, prefix) ONLY — PlanSpec asserts a scan whose ReadSchema
+    // carries prefix and NOT embedding, the same mechanical proof as
+    // q01's column-pruning lock — and the full vectors load through a
+    // broadcast semi join for the 50 shortlisted rows. This is the
+    // column-pruning story every serving team gets for free from the
+    // layout, with zero index structures; the s14/s24 stored-serving
+    // convention (build cost in-query, serving path the object under
+    // test). Oracle mirrors the funnel from the source table (prefix =
+    // embedding[1:16] — the store's content is a pure projection).
+    QueryDef(
+      "s37_stored_prefix_serving",
+      (s, dir) => {
+        import s.implicits._
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("s37_store").toString
+        Tables.load(s, dir, "embeddings")
+          .select($"vec_id", expr("slice(embedding, 1, 16)").as("prefix"),
+            $"embedding")
+          .write.mode("overwrite").parquet(storeDir)
+        val store = s.read.parquet(storeDir)
+        val qp = store.filter($"vec_id" === 0).select($"prefix".as("qp"))
+        val qv = store.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        val shortlist = store.select($"vec_id", $"prefix")
+          .filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(qp))
+          .select($"vec_id", round(cosineExact("prefix", "qp"), 9).as("pcos"))
+          .orderBy($"pcos".desc, $"vec_id".asc).limit(50)
+          .select($"vec_id")
+        val wR = Window.orderBy($"cosine".desc, $"vec_id".asc)
+        store.select($"vec_id", $"embedding")
+          .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+          .crossJoin(broadcast(qv))
+          .select($"vec_id", round(cosineExact("embedding", "qv"), 9)
+            .as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+          .withColumn("rk", row_number().over(wR).cast("long"))
+          .select($"rk", $"vec_id", $"cosine")
+          .orderBy($"rk")
+      },
+      Some(s"""
+        WITH q AS (SELECT embedding AS qv, embedding[1:16] AS qp
+                   FROM embeddings WHERE vec_id = 0),
+        corpus AS (SELECT vec_id, embedding, embedding[1:16] AS prefix
+                   FROM embeddings WHERE vec_id <> 0),
+        pp AS (SELECT c.vec_id, unnest(c.prefix) AS x, unnest(q.qp) AS y
+               FROM corpus c, q),
+        pd AS (SELECT vec_id, ${oCosineSums()} FROM pp GROUP BY vec_id),
+        short AS (SELECT vec_id FROM (
+                    SELECT vec_id,
+                           ROW_NUMBER() OVER (
+                             ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9)
+                               DESC, vec_id ASC) AS crk
+                    FROM pd) t WHERE crk <= 50),
+        fp AS (SELECT c.vec_id, unnest(c.embedding) AS x, unnest(q.qv) AS y
+               FROM corpus c JOIN short sh ON sh.vec_id = c.vec_id, q),
+        fd AS (SELECT vec_id, ${oCosineSums()} FROM fp GROUP BY vec_id)
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
+                          vec_id ASC) AS rk,
+               vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+        FROM fd
+        ORDER BY rk LIMIT 10"""),
+      doc = "stored prefix-column serving (s35's schema claim made physical): the store carries the 16-dim prefix as its OWN parquet column beside the full vector; the coarse leg's scan reads (vec_id, prefix) only — PlanSpec asserts a ReadSchema with prefix and without embedding, the q01 column-pruning lock applied to vectors — and full vectors load via broadcast semi join for the 50 shortlisted rows; zero index structures, the layout IS the index")
   )
 
   /** The exact-cosine dense leg of the hybrid stack (shared by s29 and

@@ -467,6 +467,20 @@ class PlanSpec extends AnyFunSuite {
       s"query-vs-corpus scoring must broadcast:\n$p")
   }
 
+  test("s37 coarse leg scans the prefix column only (vector column pruning)") {
+    val p = plan("s37_stored_prefix_serving")
+    // the q01 ReadSchema lock applied to vectors: at least one store
+    // scan must read prefix WITHOUT the full embedding column — the
+    // physical proof of s35's "coarse pass reads 25% of the bytes"
+    val prunedScan = p.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("prefix") &&
+        !l.contains("embedding"))
+    assert(prunedScan,
+      s"no scan reads the prefix without the full vector:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"shortlist/top-k must plan as distributed top-k:\n$p")
+  }
+
   test("t26 script profile is map-only regexp counting (one sort exchange)") {
     val p = plan("t26_script_profile")
     // per-script counts are in-row regexp extraction — no join, no agg,
