@@ -3763,23 +3763,37 @@ object DedupQueries {
         val w = Window.partitionBy($"c_nationkey")
           .orderBy($"c_name".asc, $"c_custkey".asc)
         val led = cust.unionByName(dirty)
-          .withColumn("n1", lead(struct($"c_name", $"c_acctbal"), 1).over(w))
-          .withColumn("n2", lead(struct($"c_name", $"c_acctbal"), 2).over(w))
+          .withColumn("n1",
+            lead(struct($"c_name", $"c_acctbal", $"c_custkey"), 1).over(w))
+          .withColumn("n2",
+            lead(struct($"c_name", $"c_acctbal", $"c_custkey"), 2).over(w))
         val pairs = led
-          .select($"c_nationkey", $"c_name", $"c_acctbal",
+          .select($"c_nationkey", $"c_name", $"c_acctbal", $"c_custkey",
             explode(array($"n1", $"n2")).as("nb"))
           .filter($"nb".isNotNull)
           .withColumn("is_link",
             levenshtein($"c_name", $"nb.c_name") <= 1 &&
               $"c_acctbal" === $"nb.c_acctbal")
+        // cached: the recall require below executes the whole sort +
+        // levenshtein pipeline; without the cache the caller pays it
+        // again — the q93/d40 lesson
         val out = pairs.groupBy($"c_nationkey")
           .agg(count(lit(1)).as("n_candidates"),
-            sum(when($"is_link", 1L).otherwise(0L)).as("n_links"))
+            sum(when($"is_link", 1L).otherwise(0L)).as("n_links"),
+            // RECALL is asserted on the planted pairs alone (clone =
+            // original + 2e9, identifiable by the key offset): a chance
+            // agreement between two real neighbors — lev ≤ 1 names with
+            // colliding balances — is a legitimate SNM link both engines
+            // count identically, and must not abort the query
+            sum(when($"is_link" &&
+              $"nb.c_custkey" - $"c_custkey" === 2000000000L, 1L)
+              .otherwise(0L)).as("planted_links"))
+          .persist()
+        val plantedFound = out.agg(sum($"planted_links")).as[Long].head()
+        require(plantedFound == nPlants,
+          s"SNM recall broke: $plantedFound of $nPlants planted clones re-linked")
+        out.select($"c_nationkey", $"n_candidates", $"n_links")
           .orderBy($"c_nationkey")
-        val totalLinks = out.agg(sum($"n_links")).as[Long].head()
-        require(totalLinks == nPlants,
-          s"SNM recall broke: $totalLinks links for $nPlants planted clones")
-        out
       },
       Some("""
         WITH cust AS (

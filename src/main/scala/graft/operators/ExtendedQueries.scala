@@ -3283,6 +3283,11 @@ object ExtendedQueries {
             $"exact_q", ($"lo" <= $"exact_q" && $"exact_q" < $"hi")
               .as("bracket_ok"))
           .orderBy($"event_type", $"p")
+          // cached so the require's execution (which includes the
+          // corpus-linear exact-rank audit leg) is not paid twice —
+          // the q93/d40 double-execution lesson; persist keeps the
+          // lineage visible to the PlanSpec locks
+          .persist()
         require(out.filter(!$"bracket_ok").isEmpty,
           "log-bucket sketch bracket violated — the γ=2 guarantee broke")
         out
@@ -3360,7 +3365,10 @@ object ExtendedQueries {
           .select(least($"user_id" % 100, ($"event_id" * 31) % 100).as("a"),
             greatest($"user_id" % 100, ($"event_id" * 31) % 100).as("b"))
           .filter($"a" =!= $"b").distinct()
-        val out = triangleCount(raw)
+        // cached: the require executes the full count (including the
+        // brute-force audit join); the caller's run then hits the 1-row
+        // cache instead of re-joining — the q93/d40 lesson
+        val out = triangleCount(raw).persist()
         require(out.filter(!$"counts_match").isEmpty,
           "degree-oriented triangle count diverged from brute force")
         out
@@ -3445,6 +3453,9 @@ object ExtendedQueries {
               when($"n".isNotNull, expr("cents div n")), ignoreNulls = true)
               .over(w).as("locf_mean_cents"))
           .orderBy($"event_type", $"d")
+          // cached so the vacuousness probe does not re-run the sparse
+          // aggregate for the caller — the q93/d40 lesson
+          .persist()
         require(out.filter($"filled").limit(1).count() > 0,
           "gap-fill fixture vacuous: no hole to fill")
         out

@@ -2878,10 +2878,14 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val k = 5
+        // cached: the two vacuousness requires and the released output
+        // all derive from this bounded histogram — one corpus scan, not
+        // three (the q93/d40 lesson)
         val classes = Tables.load(s, dir, "documents")
           .groupBy($"lang", $"source",
             expr("n_chars div 100").as("len_bucket"))
           .agg(count(lit(1)).as("n"))
+          .persist()
         val summary = classes.agg(
           sum(when($"n" < k, 1L).otherwise(0L)).as("suppressed_classes"),
           sum(when($"n" < k, $"n").otherwise(0L)).as("suppressed_rows"))
@@ -3093,9 +3097,14 @@ object TextQueries {
           .join(uni.select($"w".as("w1"), $"cnt".as("n_a")), "w1")
           .join(uni.select($"w".as("w2"), $"cnt".as("n_b")), "w2")
           .crossJoin(broadcast(tot))
+          // IntegralDivide (`div`), not floor(a / b): decimal `/` types
+          // the quotient at scale 6 and rounds HALF_UP first, which can
+          // land one above DuckDB's truncating `//` when the exact
+          // quotient sits within 5e-7 below an integer; `div` truncates
+          // the exact decimal quotient like `//` does
           .withColumn("lift_ppm", expr(
-            """CAST(floor(CAST(n_ab AS DECIMAL(38,0)) * n * 1000000
-                 / (CAST(n_a AS DECIMAL(38,0)) * n_b)) AS BIGINT)"""))
+            """(CAST(n_ab AS DECIMAL(38,0)) * n * 1000000)
+                 div (CAST(n_a AS DECIMAL(38,0)) * n_b)"""))
           .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b", $"lift_ppm")
           .orderBy($"lift_ppm".desc, $"n_ab".desc, $"w1".asc, $"w2".asc)
           .limit(20)

@@ -1355,7 +1355,7 @@ class FactTable(val root: String, spark: SparkSession,
         if (tier != TierTomb) { // key tombstones are not data parts
           bloomCols.foreach(c => writeBloomSidecar(f.path, c, rows))
           setIndexCols.foreach(c => writeSetSidecar(f.path, c))
-          arrayBloomCols.foreach(c => writeArrayBloomSidecar(f.path, c))
+          arrayBloomCols.foreach(c => writeArrayBloomSidecar(f.path, c, rows))
           projections.foreach(p => writeProjSidecar(f.path, dir, p))
         }
         FileEntry(f.path, rows, f.bytes, tier, now, stats)
@@ -1428,8 +1428,19 @@ class FactTable(val root: String, spark: SparkSession,
     * differently, so probing a string-built bloom with a long always
     * answers "absent" — without the tag that would wrongly prune live
     * parts on a type-coerced predicate.
+    *
+    * Sized from the part's KNOWN row count (footer) × a fixed
+    * elements-per-row hint instead of an exact element count — the
+    * count would cost a second Spark job per (part, column)
+    * (`writeBloomSidecar`'s rows-reuse discipline). Mis-sizing only
+    * moves the false-positive rate, never soundness: overestimating
+    * lowers fpp; rows with > 8 elements on average raise it, costing
+    * extra reads, never lost rows.
     */
-  private def writeArrayBloomSidecar(part: String, c: String): Unit = {
+  private val ArrayBloomElemsPerRowHint = 8L
+
+  private def writeArrayBloomSidecar(part: String, c: String,
+      rows: Long): Unit = {
     val df = spark.read.parquet(part)
     if (!df.columns.contains(c)) return // schema evolution: column absent
     import org.apache.spark.sql.types._
@@ -1439,8 +1450,8 @@ class FactTable(val root: String, spark: SparkSession,
       case _ => return // other element types: no sidecar, never prune
     }
     val el = df.select(explode(col(c)).as("__e")).na.drop()
-    val n = el.count()
-    val bf = el.stat.bloomFilter("__e", math.max(n, 1L), 0.01)
+    val bf = el.stat.bloomFilter("__e",
+      math.max(rows * ArrayBloomElemsPerRowHint, 1L), 0.01)
     val out = fs.create(new Path(part + ".abloom." + c), true)
     try { out.write(tag.toInt); bf.writeTo(out) } finally out.close()
   }
