@@ -308,6 +308,93 @@ object TextFunctions {
     (merges.toSeq, rounds)
   }
 
+  /** WordPiece trainer (Schuster & Nakajima 2012 — the BERT vocabulary
+    * builder; completes the third tokenizer family next to t31's greedy
+    * encoder): the BPE merge loop with the LIKELIHOOD objective — each
+    * round merges the adjacent symbol pair maximizing
+    * count(ab) / (count(a)·count(b)), the pair whose fusion most
+    * increases unigram-LM corpus likelihood, where BPE takes raw
+    * count(ab) (the OperatorSpec fixture makes the two argmaxes
+    * differ). Word-initial and continuation symbols live in disjoint
+    * namespaces ('x' vs '##x' — the family signature t31 encodes
+    * with), and a merge strips the right side's '##'. One merge per
+    * round — likelihood scores interact, so batching is not exact;
+    * each round is two bounded distributed aggregates (adjacent-pair
+    * counts and symbol counts, both ≤ current-alphabet² rows) plus a
+    * driver argmax by EXACT integer cross-multiplication (BigInt —
+    * no float ever compares), ties to the lexicographically smaller
+    * pair. Pairs below `minCount` and pairs whose merged name would
+    * collide with an existing symbol are not candidates (the
+    * bpeTrain collision discipline). Returns (left, right, pairCount,
+    * mergedSymbol) in merge order.
+    */
+  def wordpieceTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L): Seq[(String, String, Long, String)] = {
+    require(nMerges >= 0 && minCount >= 1)
+    def stripHash(s: String) = if (s.startsWith("##")) s.substring(2) else s
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    var repr = docs
+      .select(explode(tokens(col(textCol))).as("t"))
+      .filter(col("t").isNotNull && length(col("t")) >= 1)
+      .select(expr(
+        """transform(sequence(1, length(t)), i ->
+             CASE WHEN i = 1 THEN substring(t, i, 1)
+                  ELSE concat('##', substring(t, i, 1)) END)""").as("syms"))
+      .localCheckpoint()
+    val vocab = scala.collection.mutable.Set[String]()
+    vocab ++= repr.select(explode(col("syms")).as("c")).distinct()
+      .collect().map(_.getString(0))
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    var round = 0
+    while (round < nMerges) {
+      round += 1
+      val pairRows = repr.select(explode_outer(expr(
+        """CASE WHEN size(syms) >= 2
+             THEN transform(sequence(1, size(syms) - 1),
+               i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))
+             ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"""))
+        .as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+        .collect()
+      val symCount = repr.select(explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      var best: (String, String, Long) = null
+      pairRows.foreach { r =>
+        val (a, b, nab) = (r.getString(0), r.getString(1), r.getLong(2))
+        if (!vocab.contains(a + stripHash(b))) {
+          if (best == null) best = (a, b, nab)
+          else {
+            val (ba, bb, bn) = best
+            // nab/(na·nb) vs bn/(nba·nbb) by exact cross-multiplication
+            val l = BigInt(nab) * symCount(ba) * symCount(bb)
+            val rr = BigInt(bn) * symCount(a) * symCount(b)
+            if (l > rr || (l == rr &&
+                (a < ba || (a == ba && b < bb)))) best = (a, b, nab)
+          }
+        }
+      }
+      if (best == null) return merges.toSeq
+      val (a, b, nab) = best
+      val merged = a + stripHash(b)
+      vocab += merged
+      merges += ((a, b, nab, merged))
+      repr = repr.withColumn("syms", expr(
+        s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+              (acc, x) -> CASE
+                WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(a)}'
+                     AND x = '${esc(b)}'
+                  THEN concat(slice(acc, 1, size(acc) - 1),
+                              array('${esc(merged)}'))
+                ELSE concat(acc, array(x)) END)"""))
+        .localCheckpoint()
+    }
+    merges.toSeq
+  }
+
   /** Viterbi segmentation of one word under a unigram piece model:
     * the segmentation maximizing Π p(piece), pieces limited to
     * `maxPieceLen` characters, ties broken toward the SHORTER piece

@@ -1767,6 +1767,24 @@ class OperatorSpec extends AnyFunSuite {
       s"hand graph miscounted: $r")
   }
 
+  test("wordpieceTrain: likelihood argmax diverges from BPE's count argmax") {
+    // pairs: (a,##b) count 5, (c,##d) count 2; symbols a/##b:5, c/##d:2.
+    // BPE-by-count would merge (a,##b) first; the likelihood objective
+    // scores 5/(5·5)=0.2 vs 2/(2·2)=0.5 and merges (c,##d) first —
+    // the defining difference between the families
+    val docs = Seq("ab ab ab ab ab cd cd").toDF("text")
+    val m1 = graft.functions.TextFunctions.wordpieceTrain(docs, "text", 1)
+    assert(m1 == Seq(("c", "##d", 2L, "cd")), s"first merge: $m1")
+    // after cd fuses, (a,##b) is the only candidate left
+    val m2 = graft.functions.TextFunctions.wordpieceTrain(docs, "text", 2)
+    assert(m2 == Seq(("c", "##d", 2L, "cd"), ("a", "##b", 5L, "ab")),
+      s"merge order: $m2")
+    // minCount floors hapax pairs out of candidacy entirely
+    val hapax = Seq("xy ab ab").toDF("text")
+    val m3 = graft.functions.TextFunctions.wordpieceTrain(hapax, "text", 2)
+    assert(m3 == Seq(("a", "##b", 2L, "ab")), s"hapax floor: $m3")
+  }
+
   test("dx35 sample consistency: the unit hash selects the same users in any table") {
     // ClickHouse's SAMPLE-BY join-coherence claim: sampling EVENTS and
     // sampling a USERS dim by the same key keeps per-user histories
