@@ -123,6 +123,28 @@ object TextFunctions {
       ELSE $w
     END"""
 
+  /** Eager localCheckpoint that RELEASES the previous round's
+    * checkpointed blocks (ADVICE r11: the trainer loops chained one
+    * localCheckpoint per merge round and never freed the superseded
+    * ones — on a long training run that accumulates one corpus-sized
+    * block set per round until the ContextCleaner's GC happens to
+    * run). The persistent-RDD ids created by THIS call are snapshotted
+    * so the next round can unpersist exactly them; the trainers are
+    * driver-coordinated single-threaded loops, so the
+    * before/after-keyset diff cannot claim a concurrent query's blocks.
+    * Returns (checkpointed df, its block ids).
+    */
+  private def checkpointSwap(df: DataFrame,
+      prevIds: Set[Int]): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint() // eager: materialized before release
+    val mine = sc.getPersistentRDDs.keySet.toSet -- before
+    prevIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    (out, mine)
+  }
+
   /** BPE tokenizer TRAINING (Sennrich et al. 2016): learn `nMerges`
     * byte-pair merges from the corpus, with the two scale contracts a
     * 100 TB pipeline needs made EXPLICIT in the signature:
@@ -226,12 +248,11 @@ object TextFunctions {
         val q = math.ceil(total.toDouble / maxTokens).toLong
         docs.filter(pmod(xxhash64(col(textCol)), lit(q)) === 0)
       }
-    var repr = sampled
+    var (repr, reprIds) = checkpointSwap(sampled
       .select(explode(tokens(col(textCol))).as("t"))
       .filter(col("t").isNotNull && length(col("t")) >= 1)
       .select(expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")
-        .as("syms"))
-      .localCheckpoint()
+        .as("syms")), Set.empty)
     // the exact symbol space: initial characters + every merge output.
     // One alphabet-sized job; keeps the output-collision test exact.
     val vocab = scala.collection.mutable.Set[String]()
@@ -295,15 +316,15 @@ object TextFunctions {
         .map { case (a, b, _) =>
           s"struct('${esc(a)}' AS l, '${esc(b)}' AS r)" }
         .mkString("array(", ", ", ")")
-      repr = repr.withColumn("syms", expr(
+      val (r2, ids2) = checkpointSwap(repr.withColumn("syms", expr(
         s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
               (acc, x) -> CASE
                 WHEN size(acc) > 0 AND exists($pairArr,
                     m -> m.l = element_at(acc, -1) AND m.r = x)
                   THEN concat(slice(acc, 1, size(acc) - 1),
                               array(concat(element_at(acc, -1), x)))
-                ELSE concat(acc, array(x)) END)"""))
-        .localCheckpoint()
+                ELSE concat(acc, array(x)) END)""")), reprIds)
+      repr = r2; reprIds = ids2
     }
     (merges.toSeq, rounds)
   }
@@ -318,29 +339,41 @@ object TextFunctions {
     * differ). Word-initial and continuation symbols live in disjoint
     * namespaces ('x' vs '##x' — the family signature t31 encodes
     * with), and a merge strips the right side's '##'. One merge per
-    * round — likelihood scores interact, so batching is not exact;
-    * each round is two bounded distributed aggregates (adjacent-pair
-    * counts and symbol counts, both ≤ current-alphabet² rows) plus a
-    * driver argmax by EXACT integer cross-multiplication (BigInt —
-    * no float ever compares), ties to the lexicographically smaller
-    * pair. Pairs below `minCount` and pairs whose merged name would
-    * collide with an existing symbol are not candidates (the
-    * bpeTrain collision discipline). Returns (left, right, pairCount,
-    * mergedSymbol) in merge order.
+    * round — likelihood scores interact, so batching is not exact.
+    *
+    * The argmax is DISTRIBUTED and still EXACT (ADVICE r11 replaced
+    * the collect-both-tables driver scan): pair counts join the
+    * symbol-count table (broadcast — alphabet-sized), every candidate
+    * gets the integer key ⌊n_ab·10¹² / (n_a·n_b)⌋ via DECIMAL(38,0)
+    * `div` (floor is monotone, so every true argmax shares the MAX
+    * key), and only the max-key TIES are collected — typically one
+    * row, never the distribution — for the exact BigInt
+    * cross-multiplication verdict, ties to the lexicographically
+    * smaller pair. 10¹² of quotient resolution makes key ties
+    * essentially exact-score ties; a >10⁴-way tie aborts loudly
+    * rather than risk a silent truncation. Pairs below `minCount` and
+    * pairs whose merged name would collide with an existing symbol
+    * are not candidates (the bpeTrain collision discipline; the vocab
+    * is driver-held — alphabet + one entry per merge — and broadcast
+    * as an anti-join side). Superseded per-round checkpoints are
+    * released via [[checkpointSwap]]. Returns (left, right,
+    * pairCount, mergedSymbol) in merge order.
     */
   def wordpieceTrain(docs: DataFrame, textCol: String, nMerges: Int,
       minCount: Long = 2L): Seq[(String, String, Long, String)] = {
     require(nMerges >= 0 && minCount >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
     def stripHash(s: String) = if (s.startsWith("##")) s.substring(2) else s
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    var repr = docs
+    var (repr, reprIds) = checkpointSwap(docs
       .select(explode(tokens(col(textCol))).as("t"))
       .filter(col("t").isNotNull && length(col("t")) >= 1)
       .select(expr(
         """transform(sequence(1, length(t)), i ->
              CASE WHEN i = 1 THEN substring(t, i, 1)
-                  ELSE concat('##', substring(t, i, 1)) END)""").as("syms"))
-      .localCheckpoint()
+                  ELSE concat('##', substring(t, i, 1)) END)""").as("syms")),
+      Set.empty)
     val vocab = scala.collection.mutable.Set[String]()
     vocab ++= repr.select(explode(col("syms")).as("c")).distinct()
       .collect().map(_.getString(0))
@@ -349,48 +382,64 @@ object TextFunctions {
     var round = 0
     while (round < nMerges) {
       round += 1
-      val pairRows = repr.select(explode_outer(expr(
+      val syms = repr.select(explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("n"))
+      val cand = repr.select(explode_outer(expr(
         """CASE WHEN size(syms) >= 2
              THEN transform(sequence(1, size(syms) - 1),
                i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))
              ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"""))
         .as("p"))
         .filter(col("p").isNotNull)
-        .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= minCount)
-        .collect()
-      val symCount = repr.select(explode(col("syms")).as("s"))
-        .groupBy(col("s")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      var best: (String, String, Long) = null
-      pairRows.foreach { r =>
-        val (a, b, nab) = (r.getString(0), r.getString(1), r.getLong(2))
-        if (!vocab.contains(a + stripHash(b))) {
-          if (best == null) best = (a, b, nab)
-          else {
-            val (ba, bb, bn) = best
-            // nab/(na·nb) vs bn/(nba·nbb) by exact cross-multiplication
-            val l = BigInt(nab) * symCount(ba) * symCount(bb)
-            val rr = BigInt(bn) * symCount(a) * symCount(b)
-            if (l > rr || (l == rr &&
-                (a < ba || (a == ba && b < bb)))) best = (a, b, nab)
-          }
+        .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= minCount)
+        // collision exclusion: merged name already a known symbol
+        .withColumn("merged", expr(
+          """concat(a, CASE WHEN substring(b, 1, 2) = '##'
+                            THEN substring(b, 3) ELSE b END)"""))
+        .join(broadcast(vocab.toSeq.toDF("v")),
+          col("merged") === col("v"), "left_anti")
+        .join(broadcast(syms.select(col("s").as("a"), col("n").as("na"))), "a")
+        .join(broadcast(syms.select(col("s").as("b"), col("n").as("nb"))), "b")
+        // monotone integer prefilter key: floor(nab·10^12 / (na·nb));
+        // DECIMAL(38,0) headroom needs nab·10^12 < 10^38 ⇒ fine to
+        // 10^26 pair occurrences
+        .withColumn("score_hi", expr(
+          """CAST(CAST(nab AS DECIMAL(38,0)) * 1000000000000
+               div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"""))
+      val mx = cand.agg(max(col("score_hi"))).head()
+      if (mx.isNullAt(0)) return merges.toSeq
+      val ties = cand.filter(col("score_hi") === mx.getLong(0))
+        .select(col("a"), col("b"), col("nab"), col("na"), col("nb"))
+        .limit(10001)
+        .as[(String, String, Long, Long, Long)].collect()
+      require(ties.length <= 10000,
+        s"wordpieceTrain: >10000 argmax-key ties in round $round")
+      var best: (String, String, Long, Long, Long) = null
+      ties.foreach { case t @ (a, b, nab, na, nb) =>
+        if (best == null) best = t
+        else {
+          val (ba, bb, bn, bna, bnb) = best
+          // nab/(na·nb) vs bn/(bna·bnb) by exact cross-multiplication
+          val l = BigInt(nab) * bna * bnb
+          val rr = BigInt(bn) * na * nb
+          if (l > rr || (l == rr &&
+              (a < ba || (a == ba && b < bb)))) best = t
         }
       }
-      if (best == null) return merges.toSeq
-      val (a, b, nab) = best
+      val (a, b, nab, _, _) = best
       val merged = a + stripHash(b)
       vocab += merged
       merges += ((a, b, nab, merged))
-      repr = repr.withColumn("syms", expr(
+      val (r2, ids2) = checkpointSwap(repr.withColumn("syms", expr(
         s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
               (acc, x) -> CASE
                 WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(a)}'
                      AND x = '${esc(b)}'
                   THEN concat(slice(acc, 1, size(acc) - 1),
                               array('${esc(merged)}'))
-                ELSE concat(acc, array(x)) END)"""))
-        .localCheckpoint()
+                ELSE concat(acc, array(x)) END)""")), reprIds)
+      repr = r2; reprIds = ids2
     }
     merges.toSeq
   }

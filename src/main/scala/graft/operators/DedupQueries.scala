@@ -1784,12 +1784,10 @@ object DedupQueries {
         import s.implicits._
         val old = Tables.load(s, dir, "documents").select($"doc_id", $"text")
         val dt = to_date(lit("2024-03-01"))
-        val bandsT = new graft.storage.FactTable(java.nio.file.Files
-          .createTempDirectory("d19_bands").toString, s)
+        val bandsT = new graft.storage.FactTable(graft.TempDirs.scratch("d19_bands"), s)
         bandsT.append(bandsOf(sigOf(old)).withColumn("date", dt), 0)
         bandsT.compact(sortCols = Seq("band", "bval"))
-        val setsT = new graft.storage.FactTable(java.nio.file.Files
-          .createTempDirectory("d19_sets").toString, s)
+        val setsT = new graft.storage.FactTable(graft.TempDirs.scratch("d19_sets"), s)
         setsT.append(shingled(old)
           .select($"doc_id", array_distinct($"sh").as("so"))
           .withColumn("date", dt), 0)
@@ -3068,8 +3066,7 @@ object DedupQueries {
         val oldPairs = pairs.filter($"doc_a" % 4 =!= 3 && $"doc_b" % 4 =!= 3)
         val newPairs = pairs.filter($"doc_a" % 4 === 3 || $"doc_b" % 4 === 3)
         val dt = to_date(lit("2024-01-01"))
-        val t = new graft.storage.FactTable(java.nio.file.Files
-          .createTempDirectory("d35_labels").toString, s)
+        val t = new graft.storage.FactTable(graft.TempDirs.scratch("d35_labels"), s)
         // offline build: persist the old corpus' labels (v0)
         t.append(propagateMinLabels(oldPairs).withColumn("date", dt), 0)
         // incremental maintenance against the STORE
@@ -3122,7 +3119,7 @@ object DedupQueries {
         val all = corpus(s, dir)
         val old = all.filter($"doc_id" % 4 =!= 3)
         val dt = to_date(lit("2024-01-01"))
-        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        def tmp(p: String) = graft.TempDirs.scratch(p)
         // ---- offline state: docs table (v0 old, v1 batch), band index,
         // label store — the artifacts a deployment already has
         val docsT = new graft.storage.FactTable(tmp("d36_docs"), s)
@@ -3622,8 +3619,7 @@ object DedupQueries {
         // ledger all otherwise re-run the full chunk pass per action
         val b0 = chunked(0L, rev = false).localCheckpoint()
         val b1 = chunked(1L, rev = true).localCheckpoint()
-        val root = java.nio.file.Files
-          .createTempDirectory("d41_chunks").toString
+        val root = graft.TempDirs.scratch("d41_chunks")
         val store = new graft.storage.FactTable(root, s)
         val dt = to_date(lit("2024-01-01"))
         val dist0 = b0.groupBy($"fp").agg(max($"ln").as("ln"))

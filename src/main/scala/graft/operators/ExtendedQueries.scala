@@ -1458,8 +1458,7 @@ object ExtendedQueries {
           .agg(count(lit(1)).as("n_orders"),
             sum($"o_totalprice".cast(DecimalType(18, 2)))
               .cast("double").as("sum_total"))
-        val base = java.nio.file.Files
-          .createTempDirectory("q66_fmt").toString
+        val base = graft.TempDirs.scratch("q66_fmt")
         summary.write.mode("overwrite").orc(s"$base/orc")
         summary.write.mode("overwrite").option("header", true)
           .csv(s"$base/csv")

@@ -807,11 +807,9 @@ object SimilarityQueries {
           .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
           .select($"vec_id", $"cid", $"embedding")
         val dt = to_date(lit("2024-01-01"))
-        val idxT = new graft.storage.FactTable(java.nio.file.Files
-          .createTempDirectory("s14_ivf_idx").toString, s)
+        val idxT = new graft.storage.FactTable(graft.TempDirs.scratch("s14_ivf_idx"), s)
         idxT.append(assigned.withColumn("date", dt), 0)
-        val centT = new graft.storage.FactTable(java.nio.file.Files
-          .createTempDirectory("s14_ivf_cent").toString, s)
+        val centT = new graft.storage.FactTable(graft.TempDirs.scratch("s14_ivf_cent"), s)
         centT.append(cents.withColumn("date", dt), 0)
         // ---- online search: stored index only (appends above already
         // ran eagerly, so the returned plan reads just these tables)
@@ -849,8 +847,7 @@ object SimilarityQueries {
           .select($"vec_id".as("cid"), $"embedding".as("cv"))
         def assign(v: DataFrame): DataFrame = assignToFrozen(cents, v)
         val dt = to_date(lit("2024-01-01"))
-        val idxT = new graft.storage.FactTable(java.nio.file.Files
-          .createTempDirectory("s15_ivf_idx").toString, s)
+        val idxT = new graft.storage.FactTable(graft.TempDirs.scratch("s15_ivf_idx"), s)
         // offline build over the base corpus (80%), then the later batch
         // (vec_id ≡ 4 mod 5) appended incrementally — frozen centroids,
         // batch-only assignment work
@@ -1070,8 +1067,7 @@ object SimilarityQueries {
           .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
           .select($"vec_id", $"cid", $"embedding")
         val dt = to_date(lit("2024-01-01"))
-        val idxT = new graft.storage.FactTable(java.nio.file.Files
-          .createTempDirectory("s18_ivf_idx").toString, s)
+        val idxT = new graft.storage.FactTable(graft.TempDirs.scratch("s18_ivf_idx"), s)
         idxT.append(assigned.withColumn("date", dt), 0)
         val partsBefore = idxT.snapshot().dataFiles.map(_.path).toSet
         val nDel = idxT.softDelete($"vec_id" % 7 === 3, Seq("vec_id"))
@@ -1168,8 +1164,7 @@ object SimilarityQueries {
         val cents = emb.filter($"vec_id" < 8)
           .select($"vec_id".as("cid"), $"embedding".as("cv"))
         val dt = to_date(lit("2024-01-01"))
-        val idxT = new graft.storage.FactTable(java.nio.file.Files
-          .createTempDirectory("s21_ivf_idx").toString, s)
+        val idxT = new graft.storage.FactTable(graft.TempDirs.scratch("s21_ivf_idx"), s)
         (0 to 3).foreach { k =>
           idxT.append(
             assignToFrozen(cents, emb.filter($"vec_id" % 4 === k))
@@ -1415,11 +1410,9 @@ object SimilarityQueries {
           .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
           .select($"vec_id", $"cid", $"embedding")
         val dt = to_date(lit("2024-01-01"))
-        val idxT = new graft.storage.FactTable(java.nio.file.Files
-          .createTempDirectory("s24_ivf_idx").toString, s)
+        val idxT = new graft.storage.FactTable(graft.TempDirs.scratch("s24_ivf_idx"), s)
         idxT.append(assigned.withColumn("date", dt), 0)
-        val centT = new graft.storage.FactTable(java.nio.file.Files
-          .createTempDirectory("s24_ivf_cent").toString, s)
+        val centT = new graft.storage.FactTable(graft.TempDirs.scratch("s24_ivf_cent"), s)
         centT.append(cents.withColumn("date", dt), 0)
         // ---- online search: stored tables only
         val idx = idxT.read().select($"vec_id", $"cid", $"embedding")
@@ -1474,7 +1467,7 @@ object SimilarityQueries {
         val cents = emb.filter($"vec_id" < 8)
           .select($"vec_id".as("cid"), $"embedding".as("cv"))
         val dt = to_date(lit("2024-01-01"))
-        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        def tmp(p: String) = graft.TempDirs.scratch(p)
         // vector fact table: v0 = base corpus, v1 = the late batch
         val vecT = new graft.storage.FactTable(tmp("s25_vecs"), s)
         vecT.append(emb.filter($"vec_id" % 5 =!= 4)
@@ -1541,7 +1534,7 @@ object SimilarityQueries {
         val codes = dists.withColumn("rk", row_number().over(w))
           .filter($"rk" === 1).select($"vec_id", $"sp", $"cid".as("code"))
         val dt = to_date(lit("2024-01-01"))
-        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        def tmp(p: String) = graft.TempDirs.scratch(p)
         val codesT = new graft.storage.FactTable(tmp("s26_codes"), s)
         codesT.append(codes.withColumn("date", dt), 0)
         val bookT = new graft.storage.FactTable(tmp("s26_book"), s)
@@ -1611,7 +1604,7 @@ object SimilarityQueries {
           .withColumn("rk", row_number().over(wC)).filter($"rk" === 1)
           .select($"vec_id", $"icid", $"sp", $"cid".as("code"))
         val dt = to_date(lit("2024-01-01"))
-        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        def tmp(p: String) = graft.TempDirs.scratch(p)
         // codes land CLUSTERED by coarse bucket: repartitionByRange with
         // an EXPLICIT partition count (AQE coalesces a count-less
         // repartition of a small build into one file, killing the stats)
@@ -2559,8 +2552,7 @@ object SimilarityQueries {
       "s37_stored_prefix_serving",
       (s, dir) => {
         import s.implicits._
-        val storeDir = java.nio.file.Files
-          .createTempDirectory("s37_store").toString
+        val storeDir = graft.TempDirs.scratch("s37_store")
         Tables.load(s, dir, "embeddings")
           .select($"vec_id", expr("slice(embedding, 1, 16)").as("prefix"),
             $"embedding")
@@ -2757,7 +2749,11 @@ object SimilarityQueries {
     val cents = emb.filter($"vec_id" < 8)
       .select($"vec_id".as("cid"), $"embedding".as("cv"))
     val dt = to_date(lit("2024-01-01"))
-    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // scratch keys carry the corpus dir: the cache is per-dir, so a
+    // multi-corpus JVM (ScaleBench's x1/x10/x100 loop) must not have
+    // dir B's build reap dir A's still-cached store
+    def tmp(p: String) =
+      graft.TempDirs.scratch(p + "_" + Integer.toHexString(dir.hashCode))
     def live(root: String) =
       new java.io.File(root, "_graft_log").listFiles() != null &&
         new java.io.File(root, "_graft_log").listFiles().nonEmpty

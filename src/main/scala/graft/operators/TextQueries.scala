@@ -3101,7 +3101,12 @@ object TextQueries {
           // the quotient at scale 6 and rounds HALF_UP first, which can
           // land one above DuckDB's truncating `//` when the exact
           // quotient sits within 5e-7 below an integer; `div` truncates
-          // the exact decimal quotient like `//` does
+          // the exact decimal quotient like `//` does.
+          // Headroom: the numerator n_ab·N·10⁶ must fit DECIMAL(38,0)
+          // where DuckDB's HUGEINT has 39 digits — since n_ab ≤ N that
+          // bounds the corpus at N < 10^16 tokens (10^38/10^6 = 10^32,
+          // √10^32 = 10^16), i.e. safe past 10 PB of text; beyond it
+          // Spark nulls where DuckDB still computes (ADVICE r11)
           .withColumn("lift_ppm", expr(
             """(CAST(n_ab AS DECIMAL(38,0)) * n * 1000000)
                  div (CAST(n_a AS DECIMAL(38,0)) * n_b)"""))

@@ -188,7 +188,7 @@ object DocsisQueries {
       (s, _) => {
         import s.implicits._
         import org.apache.spark.sql.functions.to_date
-        val dir = java.nio.file.Files.createTempDirectory("dx08_fact").toString
+        val dir = graft.TempDirs.scratch("dx08_fact")
         val t = new graft.storage.FactTable(dir, s)
         val withDate = parsed(s).withColumn("date", to_date($"timestamp"))
         t.append(withDate.filter($"modem_name" === "MB8600"), txnId = 0)
@@ -235,7 +235,7 @@ object DocsisQueries {
       "dx10_pruned_read",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("dx10_fact").toString
+        val dir = graft.TempDirs.scratch("dx10_fact")
         val t = new graft.storage.FactTable(dir, s)
         val orders = graft.Tables.load(s, sfDir, "orders")
         t.append(orders.filter($"o_orderdate" < "1997-01-01").repartition(1), 0)
@@ -313,8 +313,7 @@ object DocsisQueries {
       "dx12_replacing_merge",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx12_fact").toString
+        val dir = graft.TempDirs.scratch("dx12_fact")
         val t = new graft.storage.FactTable(dir, s)
         // month partitions: o_orderdate spans ~7 years, so day granularity
         // would mean ~2400 dynamic partitions of tiny files per rewrite —
@@ -360,8 +359,7 @@ object DocsisQueries {
       "dx13_ttl_expiry",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx13_fact").toString
+        val dir = graft.TempDirs.scratch("dx13_fact")
         val t = new graft.storage.FactTable(dir, s)
         val orders = graft.Tables.load(s, sfDir, "orders")
           .withColumn("date", to_date(date_trunc("month", $"o_orderdate")))
@@ -398,8 +396,7 @@ object DocsisQueries {
       (s, sfDir) => {
         import s.implicits._
         import org.apache.spark.sql.types.DecimalType
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx14_fact").toString
+        val dir = graft.TempDirs.scratch("dx14_fact")
         val t = new graft.storage.FactTable(dir, s)
         val rows = graft.Tables.load(s, sfDir, "lineitem")
           .select(to_date(date_trunc("month", $"l_shipdate")).as("date"),
@@ -447,8 +444,7 @@ object DocsisQueries {
       "dx15_targeted_delete",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx15_fact").toString
+        val dir = graft.TempDirs.scratch("dx15_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("date", to_date($"ts"))
@@ -501,8 +497,7 @@ object DocsisQueries {
       "dx23_deletion_vectors",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx23_fact").toString
+        val dir = graft.TempDirs.scratch("dx23_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("date", to_date($"ts"))
@@ -567,8 +562,7 @@ object DocsisQueries {
       (s, sfDir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx24_fact").toString
+        val dir = graft.TempDirs.scratch("dx24_fact")
         val t = new graft.storage.FactTable(dir, s)
         val nb = 32
         val ev = graft.Tables.events(s, sfDir)
@@ -649,8 +643,7 @@ object DocsisQueries {
       "dx25_partition_backfill",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx25_fact").toString
+        val dir = graft.TempDirs.scratch("dx25_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("date", to_date($"ts"))
@@ -707,8 +700,7 @@ object DocsisQueries {
       "dx26_merge_upsert",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx26_fact").toString
+        val dir = graft.TempDirs.scratch("dx26_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("date", to_date($"ts"))
@@ -764,10 +756,8 @@ object DocsisQueries {
       "dx27_shallow_clone",
       (s, sfDir) => {
         import s.implicits._
-        val srcDir = java.nio.file.Files
-          .createTempDirectory("dx27_src").toString
-        val cloneDir = java.nio.file.Files
-          .createTempDirectory("dx27_clone").toString
+        val srcDir = graft.TempDirs.scratch("dx27_src")
+        val cloneDir = graft.TempDirs.scratch("dx27_clone")
         val src = new graft.storage.FactTable(srcDir, s)
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("date", to_date($"ts"))
@@ -820,8 +810,7 @@ object DocsisQueries {
       "dx28_change_data_feed",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx28_fact").toString
+        val dir = graft.TempDirs.scratch("dx28_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("date", to_date($"ts"))
@@ -868,8 +857,7 @@ object DocsisQueries {
       "dx29_parts_introspection",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx29_fact").toString
+        val dir = graft.TempDirs.scratch("dx29_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("date", to_date($"ts"))
@@ -911,8 +899,7 @@ object DocsisQueries {
       "dx16_bloom_point_lookup",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx16_fact").toString
+        val dir = graft.TempDirs.scratch("dx16_fact")
         val t = new graft.storage.FactTable(dir, s,
           bloomCols = Seq("user_id"))
         val ev = graft.Tables.events(s, sfDir)
@@ -970,8 +957,7 @@ object DocsisQueries {
       "dx17_sketch_state_merge",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx17_fact").toString
+        val dir = graft.TempDirs.scratch("dx17_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("date", to_date($"ts"))
@@ -1060,8 +1046,7 @@ object DocsisQueries {
       (s, sfDir) => {
         import s.implicits._
         import org.apache.spark.sql.types.DecimalType
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx19_fact").toString
+        val dir = graft.TempDirs.scratch("dx19_fact")
         val t = new graft.storage.FactTable(dir, s)
         // Month-granularity partitions: partition cardinality must track
         // data volume — ~84 months of lineitem at any SF keeps the
@@ -1124,8 +1109,7 @@ object DocsisQueries {
       (s, sfDir) => {
         import s.implicits._
         import org.apache.spark.sql.types.DecimalType
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx20_fact").toString
+        val dir = graft.TempDirs.scratch("dx20_fact")
         val spec = graft.storage.FactTable.ProjectionSpec(
           "by_month_flag", Seq("date", "l_returnflag"), Seq("qty"))
         val t = new graft.storage.FactTable(dir, s,
@@ -1178,8 +1162,7 @@ object DocsisQueries {
       (s, sfDir) => {
         import s.implicits._
         import org.apache.spark.sql.types.DecimalType
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx21_fact").toString
+        val dir = graft.TempDirs.scratch("dx21_fact")
         val t = new graft.storage.FactTable(dir, s)
         val li = graft.Tables.load(s, sfDir, "lineitem")
           .select(trunc(to_date($"l_shipdate"), "year").as("date"),
@@ -1225,8 +1208,7 @@ object DocsisQueries {
       (s, sfDir) => {
         import s.implicits._
         import org.apache.spark.sql.types.DecimalType
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx22_fact").toString
+        val dir = graft.TempDirs.scratch("dx22_fact")
         val t = new graft.storage.FactTable(dir, s)
         val state = graft.Tables.load(s, sfDir, "orders")
           .select(to_date(date_trunc("month", $"o_orderdate")).as("date"),
@@ -1296,8 +1278,7 @@ object DocsisQueries {
       "dx30_set_skip_index",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx30_fact").toString
+        val dir = graft.TempDirs.scratch("dx30_fact")
         val t = new graft.storage.FactTable(dir, s,
           setIndexCols = Seq("tag"))
         val ev = graft.Tables.events(s, sfDir)
@@ -1353,10 +1334,8 @@ object DocsisQueries {
       "dx31_materialized_view",
       (s, sfDir) => {
         import s.implicits._
-        val bdir = java.nio.file.Files
-          .createTempDirectory("dx31_base").toString
-        val vdir = java.nio.file.Files
-          .createTempDirectory("dx31_view").toString
+        val bdir = graft.TempDirs.scratch("dx31_base")
+        val vdir = graft.TempDirs.scratch("dx31_view")
         val mv = new graft.storage.AggView(bdir, vdir, s,
           keyCols = Seq("event_type"), sumCols = Seq("cents"))
         val ev = graft.Tables.events(s, sfDir)
@@ -1427,8 +1406,7 @@ object DocsisQueries {
       "dx32_token_bloom_skip_index",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx32_fact").toString
+        val dir = graft.TempDirs.scratch("dx32_fact")
         val t = new graft.storage.FactTable(dir, s,
           tokenBloomCols = Seq("text"))
         val docs = s.read.parquet(s"$sfDir/documents.parquet")
@@ -1500,8 +1478,7 @@ object DocsisQueries {
       "dx33_ngram_bloom_skip_index",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx33_fact").toString
+        val dir = graft.TempDirs.scratch("dx33_fact")
         val t = new graft.storage.FactTable(dir, s,
           ngramBloomCols = Seq("text"))
         val docs = s.read.parquet(s"$sfDir/documents.parquet")
@@ -1571,8 +1548,7 @@ object DocsisQueries {
       "dx34_ttl_rollup_downsample",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx34_fact").toString
+        val dir = graft.TempDirs.scratch("dx34_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .select(to_date($"ts").as("date"), $"event_type",
@@ -1638,8 +1614,7 @@ object DocsisQueries {
       "dx35_sample_by_pruning",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx35_fact").toString
+        val dir = graft.TempDirs.scratch("dx35_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("date", to_date($"ts"))
@@ -1701,10 +1676,8 @@ object DocsisQueries {
       "dx36_sketch_state_view",
       (s, sfDir) => {
         import s.implicits._
-        val bdir = java.nio.file.Files
-          .createTempDirectory("dx36_base").toString
-        val vdir = java.nio.file.Files
-          .createTempDirectory("dx36_view").toString
+        val bdir = graft.TempDirs.scratch("dx36_base")
+        val vdir = graft.TempDirs.scratch("dx36_view")
         val mv = new graft.storage.SketchView(bdir, vdir, s,
           keyCols = Seq("event_type"), ndvCol = "user_id")
         val ev = graft.Tables.events(s, sfDir)
@@ -1771,8 +1744,7 @@ object DocsisQueries {
       "dx37_ttl_column_default",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx37_fact").toString
+        val dir = graft.TempDirs.scratch("dx37_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .select(to_date($"ts").as("date"), $"event_type", $"event_id",
@@ -1831,8 +1803,7 @@ object DocsisQueries {
       "dx38_ttl_move_cold_volume",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx38_fact").toString
+        val dir = graft.TempDirs.scratch("dx38_fact")
         val t = new graft.storage.FactTable(dir, s)
         val ev = graft.Tables.events(s, sfDir)
           .select(to_date($"ts").as("date"), $"event_type", $"event_id",
@@ -1893,8 +1864,7 @@ object DocsisQueries {
       "dx39_array_bloom_skip_index",
       (s, sfDir) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("dx39_fact").toString
+        val dir = graft.TempDirs.scratch("dx39_fact")
         val t = new graft.storage.FactTable(dir, s,
           arrayBloomCols = Seq("tags"))
         val ev = graft.Tables.events(s, sfDir)
