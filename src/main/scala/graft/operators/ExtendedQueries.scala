@@ -3487,7 +3487,74 @@ object ExtendedQueries {
         FROM spine sp LEFT JOIN sparse s
           ON s.event_type = sp.event_type AND s.d = sp.d
         ORDER BY sp.event_type, sp.d"""),
-      doc = "time-series gap filling (ClickHouse WITH FILL ... INTERPOLATE): dense per-group day spine from an in-row bounded sequence explode (never a calendar cross join), sparse aggregate left-joined back, additive counts filled ZERO and the mean-cents gauge carried forward by LOCF on the same per-group order, filled rows flagged for audit; the only corpus-sized shuffle is the partial-aggregable sparse aggregate")
+      doc = "time-series gap filling (ClickHouse WITH FILL ... INTERPOLATE): dense per-group day spine from an in-row bounded sequence explode (never a calendar cross join), sparse aggregate left-joined back, additive counts filled ZERO and the mean-cents gauge carried forward by LOCF on the same per-group order, filled rows flagged for audit; the only corpus-sized shuffle is the partial-aggregable sparse aggregate"),
+
+    // ------------------------------------------------------------------
+    // q100: sequenceNextNode — the last member of ClickHouse's ordered-
+    // pattern battery after windowFunnel (q54), sequenceCount (q62) and
+    // gap-constrained sequenceMatch (q86): for each user, find the FIRST
+    // place the chain view→click occurs as ADJACENT events in the
+    // (ts, event_id)-ordered timeline (sequenceNextNode's events must be
+    // consecutive — the semantic that separates it from sequenceMatch's
+    // subsequence scan) and return the event-type of the NEXT event
+    // after the matched chain ('(none)' when the chain ends the timeline
+    // or never occurs). This is the funnel-exploration primitive ("what
+    // do users do right after view→click?") — ClickHouse's
+    // sequenceNextNode('forward', 'first_match').
+    //
+    // Shape: q86's exactly — ONE user-partitioned shuffle building the
+    // sorted per-user event-type array (bounded by per-user event count,
+    // the sessionization contract), then the match is an in-row scan:
+    // filter(sequence(...)) finds every adjacent-chain position,
+    // array_min takes the FIRST, element_at captures the successor. No
+    // join, no window, nothing but (user, bounded type list) crosses
+    // the wire. The oracle spells the IDENTICAL list scan in DuckDB
+    // (1-based on both sides; range(1, len) exclusive end == sequence(1,
+    // size-1) inclusive), so both engines run one fold, not two
+    // different algorithms.
+    QueryDef(
+      "q100_sequence_next_node",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id")
+          .agg(expr(
+            """transform(sort_array(collect_list(
+                 struct(ts, event_id, event_type))), e -> e.event_type)""")
+            .as("types"))
+          // size >= 2 guard: Spark's sequence(1, 0) DESCENDS (yielding
+          // index 0, which element_at rejects) where DuckDB's
+          // range(1, 1) is empty — the guard makes both sides scan
+          // nothing on sub-2-event users
+          .withColumn("idx", expr(
+            """CASE WHEN size(types) >= 2 THEN
+                 array_min(filter(sequence(1, size(types) - 1),
+                   i -> element_at(types, i) = 'view'
+                        AND element_at(types, CAST(i + 1 AS INT)) = 'click'))
+               END"""))
+          .select($"user_id",
+            $"idx".isNotNull.as("matched"),
+            expr("""coalesce(CASE WHEN idx IS NOT NULL
+                                   AND idx + 2 <= size(types)
+                              THEN element_at(types, CAST(idx + 2 AS INT))
+                              END, '(none)')""").as("next_node"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 list(event_type ORDER BY ts, event_id) AS types
+          FROM events GROUP BY user_id),
+        m AS (
+          SELECT user_id, types,
+                 list_min(list_filter(range(1, len(types)), i ->
+                   types[i] = 'view' AND types[i + 1] = 'click')) AS idx
+          FROM ev)
+        SELECT user_id, idx IS NOT NULL AS matched,
+               COALESCE(CASE WHEN idx IS NOT NULL AND idx + 2 <= len(types)
+                             THEN types[idx + 2] END, '(none)') AS next_node
+        FROM m ORDER BY user_id"""),
+      doc = "sequenceNextNode('forward','first_match'): the event AFTER the first adjacent view->click chain per user — one user-partitioned shuffle, in-row first-match scan + successor capture, no join/window; completes the ordered-pattern battery (windowFunnel q54, sequenceCount q62, gap sequenceMatch q86)")
   )
 
   /** q98's degree-oriented triangle counter over a canonical undirected

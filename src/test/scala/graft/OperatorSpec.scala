@@ -562,6 +562,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 next-node scan equals the reference first-adjacent-match walk") {
+    val rnd = new scala.util.Random(100)
+    val alphabet = Array("view", "click", "purchase", "error", "signup")
+    // 200 random type sequences + the 4 structural edges: no match,
+    // match at position 1, match ending the timeline (no successor),
+    // multiple matches (FIRST must win)
+    val seqs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(15))(alphabet(rnd.nextInt(5))))
+    } ++ Seq(
+      (1000L, Seq("click", "view", "purchase")),       // never adjacent
+      (1001L, Seq("view", "click", "error")),          // match at 1
+      (1002L, Seq("signup", "view", "click")),         // chain ends timeline
+      (1003L, Seq("view", "click", "error", "view", "click", "signup")))
+    def ref(types: Seq[String]): (Boolean, String) = {
+      val i = types.indices.dropRight(1)
+        .find(i => types(i) == "view" && types(i + 1) == "click")
+      (i.isDefined,
+        i.filter(_ + 2 < types.length).map(j => types(j + 2)).getOrElse("(none)"))
+    }
+    val got = seqs.toDF("id", "types")
+      .withColumn("idx", expr(
+        """CASE WHEN size(types) >= 2 THEN
+             array_min(filter(sequence(1, size(types) - 1),
+               i -> element_at(types, i) = 'view'
+                    AND element_at(types, CAST(i + 1 AS INT)) = 'click'))
+           END"""))
+      .select($"id", $"idx".isNotNull,
+        expr("""coalesce(CASE WHEN idx IS NOT NULL AND idx + 2 <= size(types)
+                          THEN element_at(types, CAST(idx + 2 AS INT)) END,
+                         '(none)')"""))
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    seqs.foreach { case (id, types) =>
+      assert(got(id) == ref(types), s"seq $id: ${types.mkString(",")}")
+    }
+  }
+
   test("q87 EMA fold is bit-identical to the Scala reference recurrence") {
     val rnd = new scala.util.Random(87)
     val seqs = (0 until 200).map { i =>

@@ -1062,8 +1062,9 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q86/q87 sequence folds: one scan, one user shuffle, DP stays in-row") {
-    for (name <- Seq("q86_sequence_match_gap", "q87_exp_moving_avg")) {
+  test("q86/q87/q100 sequence folds: one scan, one user shuffle, DP stays in-row") {
+    for (name <- Seq("q86_sequence_match_gap", "q87_exp_moving_avg",
+        "q100_sequence_next_node")) {
       val p = plan(name)
       val scans = p.linesIterator.count(_.contains("Scan parquet"))
       assert(scans == 1, s"$name made $scans scans:\n$p")
