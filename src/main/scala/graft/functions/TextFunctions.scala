@@ -52,6 +52,28 @@ object TextFunctions {
     }
   }
 
+  /** [[bpeEncodeSymExpr]] over BYTE symbols: `hx` names an
+    * already-bound HEX string (hex(encode(word,'UTF-8')) — bind it
+    * once; inlining the hex() here would recompute it per byte), which
+    * wraps into chr(1)-delimited 2-hex-char byte symbols; the same
+    * double-delimiter replace chain then applies the merges. Merge
+    * symbols are hex strings ([0-9A-F]+), so no literal escaping can
+    * ever fire. Decode is structural: stripping every chr(1) from the
+    * encoded string and unhex-ing recovers the original bytes exactly,
+    * merges or not — the no-UNK byte-fallback property.
+    */
+  def byteBpeEncodeSymExpr(merges: Seq[(String, String)],
+      hx: String = "hx"): String = {
+    val wrapped =
+      s"""concat(chr(1), array_join(transform(sequence(1, length($hx) div 2),
+           i -> substring($hx, 2*i - 1, 2)), concat(chr(1), chr(1))), chr(1))"""
+    merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      s"""replace($acc,
+           concat(chr(1), '$a', chr(1), chr(1), '$b', chr(1)),
+           concat(chr(1), '$a$b', chr(1)))"""
+    }
+  }
+
   /** One MinHash component: min over shingles of a salted md5 prefix.
     * NULL for documents with no shingles (mirrors list_min([]) in DuckDB).
     */
@@ -237,6 +259,46 @@ object TextFunctions {
     */
   def bpeTrainWithStats(docs: DataFrame, textCol: String, nMerges: Int,
       batchSize: Int = 16, maxTokens: Long = 4000000L)
+      : (Seq[(String, String, Long)], Int) =
+    bpeTrainCore(docs, textCol, nMerges, batchSize, maxTokens,
+      prepExpr = "t",
+      symsExpr = "transform(sequence(1, length(h)), i -> substring(h, i, 1))")
+
+  /** [[bpeTrain]] over the BYTE alphabet (the GPT-2/LLaMA byte-level
+    * form): base symbols are the token's UTF-8 BYTES, each represented
+    * as its 2-hex-char string ("61" for 'a', "C3"+"A9" for 'é') rather
+    * than GPT-2's remapped printable alphabet — hex pairs are
+    * engine-portable (Spark hex(encode(t,'UTF-8')) == DuckDB
+    * hex(encode(t)), both uppercase) and concatenation-safe (a merged
+    * symbol is exactly its bytes' hex, so decode is unhex of the
+    * symbol concat). No UNK exists by construction: every possible
+    * byte is a base symbol, so any UTF-8 string encodes losslessly —
+    * the round-trip property OperatorSpec proves on arbitrary-unicode
+    * inputs. The merge loop (batching, collision discipline, sampling,
+    * checkpoint release) is [[bpeTrainWithStats]]'s verbatim — only
+    * the initializer differs.
+    */
+  def byteBpeTrainWithStats(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int = 16, maxTokens: Long = 4000000L)
+      : (Seq[(String, String, Long)], Int) =
+    bpeTrainCore(docs, textCol, nMerges, batchSize, maxTokens,
+      prepExpr = "hex(encode(t, 'UTF-8'))",
+      symsExpr =
+        "transform(sequence(1, length(h) div 2), i -> substring(h, 2*i - 1, 2))")
+
+  def byteBpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int = 16,
+      maxTokens: Long = 4000000L): Seq[(String, String, Long)] =
+    byteBpeTrainWithStats(docs, textCol, nMerges, batchSize, maxTokens)._1
+
+  /** The shared merge loop: `prepExpr` (over token column `t`) binds the
+    * per-token string ONCE (identity for char-level, the hex encoding
+    * for byte-level — inlining it in the lambda would recompute it per
+    * symbol), `symsExpr` (over the bound column `h`) produces the base
+    * symbol array.
+    */
+  private def bpeTrainCore(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int, maxTokens: Long, prepExpr: String, symsExpr: String)
       : (Seq[(String, String, Long)], Int) = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
@@ -251,8 +313,8 @@ object TextFunctions {
     var (repr, reprIds) = checkpointSwap(sampled
       .select(explode(tokens(col(textCol))).as("t"))
       .filter(col("t").isNotNull && length(col("t")) >= 1)
-      .select(expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")
-        .as("syms")), Set.empty)
+      .select(expr(prepExpr).as("h"))
+      .select(expr(symsExpr).as("syms")), Set.empty)
     // the exact symbol space: initial characters + every merge output.
     // One alphabet-sized job; keeps the output-collision test exact.
     val vocab = scala.collection.mutable.Set[String]()

@@ -3139,7 +3139,119 @@ object TextQueries {
         WHERE n_ab >= 5
         ORDER BY lift_ppm DESC, n_ab DESC, w1 ASC, w2 ASC
         LIMIT 20"""),
-      doc = "collocation extraction (Church & Hanks PMI family): top bigrams by exact-integer lift in ppm — log is monotone so integer lift ranks identically to PMI with no libm, products through DECIMAL(38,0)/HUGEINT so no corpus size wraps; in-row bigram generation (never a self-join), one pair groupBy, two Zipf-bounded unigram joins, min-count floor, top-20 TakeOrdered")
+      doc = "collocation extraction (Church & Hanks PMI family): top bigrams by exact-integer lift in ppm — log is monotone so integer lift ranks identically to PMI with no libm, products through DECIMAL(38,0)/HUGEINT so no corpus size wraps; in-row bigram generation (never a self-join), one pair groupBy, two Zipf-bounded unigram joins, min-count floor, top-20 TakeOrdered"),
+
+    // ------------------------------------------------------------------
+    // t34: BYTE-LEVEL BPE with byte fallback — the fourth tokenizer
+    // family (GPT-2/LLaMA form) after char-BPE (t19/t25), unigram-LM
+    // (t30) and WordPiece (t31): base symbols are the token's UTF-8
+    // BYTES, so no UNK can exist by construction — ANY string, any
+    // script, encodes losslessly (the property char-level BPE lacks:
+    // an unseen character there has no symbol). Bytes are represented
+    // as 2-hex-char strings ("61"='a', "C3","A9"='é') rather than
+    // GPT-2's remapped printable alphabet: hex is engine-portable
+    // (Spark hex(encode(w,'UTF-8')) == DuckDB hex(encode(w)), both
+    // uppercase) and concatenation-safe — a merged symbol IS its
+    // bytes' hex, so decode = unhex(strip the delimiters), merges or
+    // not. The corpus is ASCII, so each doc plants a multi-byte
+    // suffix (2-byte é/ï, 3-byte €) proving the fallback on real
+    // multi-byte UTF-8; `roundtrip_ok` surfaces encode∘decode = id
+    // PER DOC in both engines (OperatorSpec additionally proves it on
+    // arbitrary unicode and exercises the full byteBpeTrain merge
+    // loop — the QueryDef's merge table is the t25-convention
+    // SQL-derivable top-K so the oracle can mirror the merge order).
+    //
+    // Shape: t25's exactly — the merge table is a bounded driver
+    // artifact (top-K TakeOrdered, K rows collected); the encode is a
+    // map-only in-row K-replace fold (PlanSpec-locked: no hash
+    // exchange anywhere); per-doc stats partial-aggregate. At 100 TB
+    // the encode pass is embarrassingly parallel and the bytes never
+    // shuffle.
+    QueryDef(
+      "t34_byte_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val K = 12
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            concat($"text", lit(" café touché naïve €5"))
+              .as("text2"))
+        val merges: Seq[(String, String)] = docs
+          .select(explode(tokens($"text2")).as("w"))
+          .filter(octet_length($"w") >= 2)
+          .select(expr("hex(encode(w, 'UTF-8'))").as("hx"))
+          .select(explode(expr(
+            """transform(sequence(1, length(hx) div 2 - 1),
+                 i -> struct(substring(hx, 2*i - 1, 2) AS a,
+                             substring(hx, 2*i + 1, 2) AS b))""")).as("p"))
+          .groupBy($"p.a", $"p.b").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"a".asc, $"b".asc).limit(K)
+          .select($"a", $"b").as[(String, String)].collect().toSeq
+        val enc = byteBpeEncodeSymExpr(merges)
+        docs.withColumn("toks", filter(tokens($"text2"), w => length(w) >= 1))
+          .filter(size($"toks") > 0)
+          // hex bound once per word, encode bound once per word (the
+          // t25 let-binding discipline: the round-trip check and the
+          // symbol count would otherwise each re-run the K-replace fold)
+          .withColumn("hxs", expr("transform(toks, w -> hex(encode(w, 'UTF-8')))"))
+          .withColumn("encs", expr(s"transform(hxs, hx -> $enc)"))
+          .select($"doc_id",
+            size($"toks").cast("long").as("n_words"),
+            expr("aggregate(toks, 0L, (s, w) -> s + octet_length(w))")
+              .as("n_bytes"),
+            expr("""aggregate(encs, 0L, (s, e) -> s +
+                 (length(e) - length(replace(e, concat(chr(1), chr(1)), ''))) div 2 + 1)""")
+              .as("n_bpe_tokens"),
+            expr("""aggregate(zip_with(toks, encs,
+                   (w, e) -> decode(unhex(replace(e, chr(1), '')), 'UTF-8') = w),
+                 true, (acc, x) -> acc AND x)""").as("roundtrip_ok"))
+          .withColumn("bytes_per_token",
+            round($"n_bytes".cast("double") / $"n_bpe_tokens", 6))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val K = 12
+        val wrapped =
+          """chr(1) || array_to_string(list_transform(range(1, length(hx) // 2 + 1),
+               i -> substr(hx, CAST(2*i - 1 AS INT), 2)), chr(1) || chr(1)) || chr(1)"""
+        val enc = (1 to K).foldLeft(wrapped) { (acc, k) =>
+          s"""replace($acc,
+               (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM m WHERE rk = $k),
+               (SELECT chr(1) || a || b || chr(1) FROM m WHERE rk = $k))"""
+        }
+        s"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || ' caf' || chr(233) || ' touch' || chr(233) ||
+                 ' na' || chr(239) || 've ' || chr(8364) || '5' AS text2
+          FROM documents),
+        tok AS (SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(trim(text2)), '\\s+'),
+                  t -> len(t) >= 1) AS toks
+                FROM d),
+        wrd AS (SELECT hex(encode(u.w)) AS hx
+                FROM tok, UNNEST(toks) AS u(w)
+                WHERE octet_length(encode(u.w)) >= 2),
+        pr AS (SELECT substr(hx, CAST(2*g.i - 1 AS INT), 2) AS a,
+                      substr(hx, CAST(2*g.i + 1 AS INT), 2) AS b
+               FROM wrd, UNNEST(range(1, length(hx) // 2)) AS g(i)),
+        m AS (SELECT a, b, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, a, b) AS rk
+              FROM pr GROUP BY a, b ORDER BY COUNT(*) DESC, a, b LIMIT $K),
+        pw0 AS (SELECT doc_id, u.w AS w, hex(encode(u.w)) AS hx
+                FROM tok, UNNEST(toks) AS u(w) WHERE len(u.w) >= 1),
+        pw AS (SELECT doc_id, octet_length(encode(w)) AS n_b,
+                      (length($enc) - length(replace($enc, chr(1) || chr(1), ''))) // 2 + 1
+                        AS n_sym,
+                      decode(unhex(replace($enc, chr(1), ''))) = w AS rt
+               FROM pw0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_b) AS BIGINT) AS n_bytes,
+               CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+               bool_and(rt) AS roundtrip_ok,
+               round(CAST(SUM(n_b) AS DOUBLE) / SUM(n_sym), 6) AS bytes_per_token
+        FROM pw GROUP BY doc_id ORDER BY doc_id"""
+      },
+      doc = "byte-level BPE with byte fallback (GPT-2/LLaMA family, the fourth tokenizer after char-BPE/unigram/WordPiece): UTF-8 bytes as hex-pair base symbols — no UNK by construction, any script encodes losslessly (multi-byte plants prove it; roundtrip_ok surfaces encode.decode = id per doc in BOTH engines); SQL-derivable top-K byte-pair merge table, map-only in-row K-replace encode fold, per-doc stats partial-aggregate")
   )
 
   /** The c18 incremental-funnel core over (doc_id, text, source) frames:

@@ -599,6 +599,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t34 byte BPE: trainer learns byte merges; encode-decode is identity on arbitrary unicode") {
+    import graft.functions.TextFunctions
+    // hand fixture: "aaab" x2 + "cd" over bytes — (61,61) count 4 wins,
+    // then the (61,62)/(6161,61) tie at 2 breaks to the lex-smaller
+    // left, then the merged pair (6161,6162) closes
+    val m = TextFunctions.byteBpeTrain(
+      Seq("aaab", "aaab", "cd").toDF("text"), "text", 3, batchSize = 1)
+    assert(m == Seq(("61", "61", 4L), ("61", "62", 2L),
+      ("6161", "6162", 2L)), m.toString)
+    // byte fallback / no-UNK: encode∘decode = id on arbitrary unicode —
+    // 1- to 4-byte UTF-8 (ASCII, é/ñ, €, CJK, an astral emoji), with
+    // merges TRAINED on the same words so multi-byte merges exist
+    val cps = Seq(0x61, 0x62, 0x7A, 0xE9, 0xF1, 0x20AC, 0x65E5, 0x672C, 0x1F600)
+    val rnd = new scala.util.Random(34)
+    val words = (0 until 100).map { _ =>
+      (0 until 1 + rnd.nextInt(8))
+        .map(_ => new String(Character.toChars(cps(rnd.nextInt(cps.length)))))
+        .mkString
+    }
+    val merges = TextFunctions.byteBpeTrain(
+      words.toDF("text"), "text", 8, batchSize = 1)
+    assert(merges.nonEmpty)
+    val enc = TextFunctions.byteBpeEncodeSymExpr(
+      merges.map { case (a, b, _) => (a, b) })
+    val got = words.toDF("w")
+      .withColumn("hx", expr("hex(encode(w, 'UTF-8'))"))
+      .withColumn("e", expr(enc))
+      .select($"w", expr("decode(unhex(replace(e, chr(1), '')), 'UTF-8')"))
+      .as[(String, String)].collect()
+    got.foreach { case (w, r) =>
+      assert(w == r, s"round trip broke: '$w' -> '$r'")
+    }
+  }
+
   test("q87 EMA fold is bit-identical to the Scala reference recurrence") {
     val rnd = new scala.util.Random(87)
     val seqs = (0 until 200).map { i =>

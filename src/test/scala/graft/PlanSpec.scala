@@ -351,6 +351,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "tokenizer application must not join")
   }
 
+  test("t34 byte-bpe encode: map-only in-row fold, no pre-sort exchange") {
+    val p = plan("t34_byte_bpe_encode")
+    // same contract as t25: the byte-level K-replace fold (and the
+    // round-trip unhex check riding the same bound columns) runs inside
+    // the row; only the final orderBy range exchange may appear
+    assert(!p.contains("hashpartitioning"),
+      s"byte encode fold shuffled:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange ")) == 1,
+      s"more than the final sort exchange:\n$p")
+    assert(!p.contains("Join"), "tokenizer application must not join")
+  }
+
   test("t30 unigram encode: map-only Viterbi fold, no pre-sort exchange") {
     val p = plan("t30_unigram_tokenizer")
     // the piece table is a bounded driver artifact (map literal); the
