@@ -506,6 +506,70 @@ object TextFunctions {
     merges.toSeq
   }
 
+  /** The t33 linear-score template over integer micro-weights:
+    * z = Σ_j w_j·f_j / 10⁶, written as ONE dialect-neutral SQL string
+    * (the q88 welch discipline — not "the same algorithm", the same
+    * expression tree, so both engines run the identical IEEE op
+    * sequence). `wRefs` are spliced as integer literals on the Spark
+    * side and as the epoch-CTE's column names in the DuckDB oracle —
+    * numerically identical inputs through identical ops.
+    */
+  def zMicroSql(wRefs: Seq[String], fRefs: Seq[String]): String = {
+    require(wRefs.length == fRefs.length && wRefs.nonEmpty)
+    "(" + wRefs.zip(fRefs)
+      .map { case (w, f) => s"CAST($w AS DOUBLE) * $f" }
+      .mkString(" + ") + ") / 1000000.0"
+  }
+
+  /** Algebraic sigmoid σ̃(z) = 0.5 + z/(2·(1+|z|)) — the fast-sigmoid
+    * family (Elliott 1993): same shape, range and monotonicity as the
+    * logistic link but built from add/div/abs ONLY, all correctly
+    * rounded under IEEE 754, where exp() is libm-dependent and would
+    * diverge between the JVM and DuckDB's C runtime (the t16 "no
+    * transcendentals" rule applied to training).
+    */
+  def fastSigmoidSql(z: String): String =
+    s"(0.5 + ($z) / (2.0 * (1.0 + abs($z))))"
+
+  /** One row's gradient contribution for feature `f`: ⌊(p−y)·f·10⁶⌋ as
+    * BIGINT — floored to an exact integer so the epoch's gradient SUM
+    * is order-independent (partial aggregation cannot move it) and
+    * engine-exact.
+    */
+  def gradTermSql(p: String, f: String): String =
+    s"CAST(floor((($p) - y) * $f * 1000000.0) AS BIGINT)"
+
+  /** Full-batch logistic-regression TRAINING with the algebraic
+    * sigmoid link, driver-coordinated like [[bpeTrain]]: `feats` has
+    * DOUBLE feature columns f0..f{nFeats-1} and a DOUBLE label y in
+    * {0,1}. Each epoch is ONE distributed aggregate — per-row gradient
+    * terms floored to exact integers ([[gradTermSql]]) and summed
+    * map-side — and the weight update runs on the driver in exact
+    * integer arithmetic: w_j −= (lrNum·G_j) / n with TRUNCATING
+    * division (Scala Long `/` ≡ DuckDB `//` ≡ Spark `div`, all
+    * toward-zero), so an oracle can replay the epochs as unrolled
+    * CTEs and land on the SAME weights bit for bit. The driver holds
+    * only the weight vector between rounds; at 100 TB each epoch is
+    * one partial-aggregated pass over the corpus — the sufficient
+    * statistic is nFeats BIGINTs.
+    */
+  def logisticTrainMicro(feats: DataFrame, nFeats: Int, epochs: Int,
+      lrNum: Long = 4L): Array[Long] = {
+    require(nFeats >= 1 && epochs >= 0 && lrNum >= 1)
+    val n = feats.count()
+    require(n > 0, "empty training set")
+    val w = Array.fill(nFeats)(0L)
+    val fRefs = (0 until nFeats).map(j => s"f$j")
+    for (_ <- 1 to epochs) {
+      val p = fastSigmoidSql(zMicroSql(w.map(_.toString).toSeq, fRefs))
+      val aggs = (0 until nFeats).map(j =>
+        sum(expr(gradTermSql(p, s"f$j"))).as(s"g$j"))
+      val row = feats.agg(aggs.head, aggs.drop(1): _*).head()
+      for (j <- 0 until nFeats) w(j) -= (lrNum * row.getLong(j)) / n
+    }
+    w
+  }
+
   /** Viterbi segmentation of one word under a unigram piece model:
     * the segmentation maximizing Π p(piece), pieces limited to
     * `maxPieceLen` characters, ties broken toward the SHORTER piece

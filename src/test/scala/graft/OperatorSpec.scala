@@ -633,6 +633,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t33 logisticTrainMicro matches the hand-replayed two-epoch update") {
+    import graft.functions.TextFunctions
+    // 4 rows, 2 features (bias + one separating feature)
+    val rows = Seq((1.0, 1.0, 0.2), (1.0, 1.0, 0.4), (0.0, 1.0, 2.4),
+      (0.0, 1.0, 3.0))
+    val feats = rows.toDF("y", "f0", "f1")
+    def sig(z: Double) = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+    // the exact update rule: floored integer terms, truncating division
+    val w = Array(0L, 0L)
+    for (_ <- 1 to 2) {
+      val g = Array(0L, 0L)
+      rows.foreach { case (y, f0, f1) =>
+        val z = (w(0) * 1.0 * f0 + w(1) * 1.0 * f1) / 1000000.0
+        val p = sig(z)
+        g(0) += math.floor((p - y) * f0 * 1000000.0).toLong
+        g(1) += math.floor((p - y) * f1 * 1000000.0).toLong
+      }
+      for (j <- 0 to 1) w(j) -= (4L * g(j)) / rows.length
+    }
+    val got = TextFunctions.logisticTrainMicro(feats, 2, epochs = 2, lrNum = 4L)
+    assert(got.toSeq == w.toSeq, s"got ${got.toSeq}, want ${w.toSeq}")
+  }
+
+  test("t33 training demonstrably learns: cold start fails the planted class, trained agrees 100%") {
+    import graft.functions.TextFunctions
+    val feats = operators.TextQueries.qualityTrainFeats(spark, sfDir)
+      .localCheckpoint()
+    val n = feats.count()
+    // cold start (w = 0): z = 0 ⇒ everything predicted positive ⇒
+    // exactly the planted third misclassified
+    val coldAcc = feats.filter($"y" === 1.0).count().toDouble / n
+    assert(coldAcc < 0.7, s"plant missing: cold-start accuracy $coldAcc")
+    val w = TextFunctions.logisticTrainMicro(feats, 4, epochs = 4, lrNum = 4L)
+    val zF = TextFunctions.zMicroSql(w.map(_.toString).toSeq,
+      Seq("f0", "f1", "f2", "f3"))
+    val agree = feats
+      .filter((expr(s"CAST(floor(($zF) * 1000000.0) AS BIGINT)") >= 0)
+        === ($"y" === 1.0)).count()
+    assert(agree == n, s"trained model disagrees with the gate on ${n - agree} of $n")
+    // the learned boundary is the punct weight, not a distractor
+    assert(w(1) < 0, s"punct weight not negative: ${w.toSeq}")
+  }
+
   test("q87 EMA fold is bit-identical to the Scala reference recurrence") {
     val rnd = new scala.util.Random(87)
     val seqs = (0 until 200).map { i =>

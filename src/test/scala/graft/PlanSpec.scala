@@ -363,6 +363,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "tokenizer application must not join")
   }
 
+  test("t33 trained-classifier serving: map-only scoring, no join, one scan") {
+    // training runs at plan-build time (driver-coordinated epochs, the
+    // t25 collect-then-splice convention); the RETURNED plan is the
+    // serving pass — a projection with learned literals over one scan
+    val p = plan("t33_trained_quality_classifier")
+    assert(!p.contains("hashpartitioning"), s"scoring pass shuffled:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange ")) == 1,
+      s"more than the final sort exchange:\n$p")
+    assert(!p.contains("Join"), "serving must not join")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"serving must read the corpus once:\n$p")
+  }
+
   test("t30 unigram encode: map-only Viterbi fold, no pre-sort exchange") {
     val p = plan("t30_unigram_tokenizer")
     // the piece table is a bounded driver artifact (map literal); the
