@@ -1614,7 +1614,93 @@ object MultimodalQueries {
                     ELSE '?' END AS track
         FROM documents WHERE doc_id % 20 = 11
         ORDER BY media_id"""),
-      doc = "ID3v2 text-frame walk (metadata extraction over m18's header sniff): variable-stride directory walk — stride = each frame's own parsed big-endian size, next to the header's syncsafe size in the same file — as a bounded aggregate() fold carrying extracted STRING payloads (title/artist/track behind per-frame encoding bytes) through the state; zero UDF, zero codec, padding-terminated, corrupt assets fail the magic into sentinels")
+      doc = "ID3v2 text-frame walk (metadata extraction over m18's header sniff): variable-stride directory walk — stride = each frame's own parsed big-endian size, next to the header's syncsafe size in the same file — as a bounded aggregate() fold carrying extracted STRING payloads (title/artist/track behind per-frame encoding bytes) through the state; zero UDF, zero codec, padding-terminated, corrupt assets fail the magic into sentinels"),
+
+    // ------------------------------------------------------------------
+    // m24: WARC RECORD WALK — the container real 100 TB text corpora
+    // arrive in (Common Crawl ships WARC; ISO 28500), and the last
+    // ingestion idiom the binary family lacked: LENGTH-DELIMITED
+    // header-then-payload records — parse header lines until the blank
+    // line, read Content-Length, stride header + payload + trailing
+    // CRLFCRLF to the next record (m23's variable-stride walk where the
+    // stride is a parsed TEXT header field instead of a binary size
+    // word). The reference's own scrape loop (mb8600.py:329-360,
+    // fetch → parse wire format → land) is this exact shape for HNAP;
+    // WARC is that loop for the web. Archives are synthesized
+    // on-executor (the renderId3Mp3 convention) with 2-4 records of
+    // MIXED types and sizes; plants: doc_id%3=2 drops the leading byte
+    // (magic fails → sentinels) and doc_id%7=3 truncates the archive
+    // mid-record (the walk keeps every COMPLETE record and reports
+    // status 'truncated' — the crash-mid-write case an ingester must
+    // survive, NOT silently mis-read). All ASCII, so byte==char
+    // offsets (documented in renderWarcRecord; binary payloads walk
+    // the same offsets via m23's u8/hex idiom). Oracle: closed-form —
+    // it rebuilds the same payload strings from the (id, n_chars)
+    // recipe and derives every count/status from the plant rules, so
+    // one mis-parsed offset anywhere breaks the match. Zero UDF in
+    // the walk, map-parallel per archive; c23 composes this walk into
+    // the t20 markup strip + c01 curation funnel.
+    QueryDef(
+      "m24_warc_record_walk",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 14)
+          .select($"doc_id".as("media_id"), $"n_chars").as[(Long, Long)]
+        val assets = rows.mapPartitions(_.map { case (id, nc) =>
+            val w0 = MediaPipeline.renderWarc(id, nc)
+            val w1 = if (id % 7 == 3) w0.dropRight(5) else w0
+            (id, if (id % 3 == 2) w1.substring(1) else w1)
+          }).toDF("media_id", "warc")
+        assets
+          .withColumn("walk", expr(MediaPipeline.warcWalkExpr("warc", 5)))
+          .select($"media_id",
+            ($"walk.status" === "end").as("warc_ok"),
+            expr("CASE WHEN walk.status = 'end' THEN 'ok' ELSE walk.status END")
+              .as("status"),
+            $"walk.nrec".as("n_records"),
+            $"walk.nresp".as("n_responses"),
+            $"walk.pbytes".as("payload_bytes"),
+            $"walk.furi".as("first_uri"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH a AS (SELECT doc_id AS media_id, n_chars,
+                          (n_chars % 3) + 2 AS k
+                   FROM documents WHERE doc_id % 20 = 14),
+        r AS (SELECT media_id, k,
+                CASE WHEN media_id % 3 = 2 THEN 'corrupt'
+                     WHEN media_id % 7 = 3 THEN 'truncated'
+                     ELSE 'ok' END AS status,
+                g.j AS j,
+                CASE WHEN g.j % 2 = 0
+                  THEN '<html><title>p' || media_id || '-' || g.j ||
+                       '</title><body>' ||
+                       repeat('ab ', CAST((n_chars % 7) + g.j + 1 AS INT)) ||
+                       '</body></html>'
+                  ELSE 'meta ' || media_id || ' ' || g.j END AS payload
+              FROM a, UNNEST(range(0, k)) AS g(j)),
+        c AS (SELECT media_id, k, status,
+                CAST(SUM(CASE WHEN j < (CASE WHEN status = 'truncated'
+                                        THEN k - 1 ELSE k END)
+                         THEN length(payload) ELSE 0 END) AS BIGINT) AS pb,
+                CAST(SUM(CASE WHEN j < (CASE WHEN status = 'truncated'
+                                        THEN k - 1 ELSE k END)
+                              AND j % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nr
+              FROM r GROUP BY 1, 2, 3)
+        SELECT media_id, status = 'ok' AS warc_ok, status,
+               CAST(CASE WHEN status = 'corrupt' THEN -1
+                         WHEN status = 'truncated' THEN k - 1
+                         ELSE k END AS BIGINT) AS n_records,
+               CASE WHEN status = 'corrupt' THEN CAST(-1 AS BIGINT)
+                    ELSE nr END AS n_responses,
+               CASE WHEN status = 'corrupt' THEN CAST(-1 AS BIGINT)
+                    ELSE pb END AS payload_bytes,
+               CASE WHEN status = 'corrupt' THEN '?'
+                    ELSE 'http://ex.org/' || media_id || '/0' END AS first_uri
+        FROM c ORDER BY media_id"""),
+      doc = "WARC record walk (ISO 28500 — the container 100 TB crawl corpora arrive in): length-delimited header-then-payload records as ONE native aggregate() fold — magic check, header-block regexp fields, Content-Length stride, trailing-CRLF hop — m23's variable-stride idiom with a parsed TEXT header as the stride; corrupt archives fail the magic into sentinels, truncated archives keep every COMPLETE record with status 'truncated'; closed-form oracle rebuilds payloads from the plant recipe so one wrong offset breaks the match")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`

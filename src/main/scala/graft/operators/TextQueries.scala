@@ -3353,7 +3353,124 @@ object TextQueries {
         FROM feats f CROSS JOIN e$epochs
         ORDER BY f.doc_id"""
       },
-      doc = "TRAINED quality classifier (logistic regression, algebraic fast-sigmoid link — no libm): driver-coordinated full-batch gradient descent in exact integer arithmetic (floored per-row terms, one partial-aggregated SUM per epoch, truncating-division updates) so the oracle replays the 4 epochs as unrolled CTEs onto bit-identical micro-weights; distills the t16/c01 rule gate (punct plants create the negative class), 66.6% cold start -> 100% gate agreement; serving = t16's map-only projection with LEARNED literals")
+      doc = "TRAINED quality classifier (logistic regression, algebraic fast-sigmoid link — no libm): driver-coordinated full-batch gradient descent in exact integer arithmetic (floored per-row terms, one partial-aggregated SUM per epoch, truncating-division updates) so the oracle replays the 4 epochs as unrolled CTEs onto bit-identical micro-weights; distills the t16/c01 rule gate (punct plants create the negative class), 66.6% cold start -> 100% gate agreement; serving = t16's map-only projection with LEARNED literals"),
+
+    // ------------------------------------------------------------------
+    // c23: CRAWL → CURATED end-to-end — the composition that turns m24's
+    // WARC record walk, t20's markup strip and c01's curation funnel
+    // into the pipeline a 100 TB web corpus actually runs: fetch
+    // (synthesized archives, one response record wrapping the doc text
+    // in the t20 HTML template + one metadata record the extractor must
+    // skip) → parse (the m24 fold; doc_id%3=2 archives arrive
+    // leading-byte-corrupt and are counted out at this stage) →
+    // extract (strip tags/chrome from the FIRST RESPONSE payload the
+    // walk captured) → quality gate (≥40 tokens — a real split on this
+    // corpus) → exact dedup (doc_id%5=0 archives serve a shared
+    // boilerplate page, the crawl-dup the dedup stage exists for).
+    // Each stage reports docs AND a content digest — md5 over the
+    // sorted per-doc keys (ids for fetch/parse, extracted-text md5s
+    // after) — so the oracle match proves the walk handed t20
+    // byte-identical payloads, not just equal counts: the oracle
+    // rebuilds the html from `text` by the plant recipe (never parsing
+    // WARC) and one wrong payload byte anywhere breaks the digest.
+    // Scale: the walk and strip are map-parallel per archive; after
+    // extraction only (id, md5) pairs shuffle — c01's contract.
+    QueryDef(
+      "c23_crawl_to_curated",
+      (s, dir) => {
+        import s.implicits._
+        val rows = Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 17)
+          .select($"doc_id", $"text").as[(Long, String)]
+        val assets = rows.mapPartitions(_.map { case (id, text) =>
+            val body = if (id % 5 == 0) "boiler plate page " * 15 else text
+            val html = "<html><head><title>doc " + id +
+              "</title></head><body><nav class=\"menu\">home | about</nav><p>" +
+              body + "</p><div id=\"footer\">(c) ex.org</div></body></html>"
+            val w0 = graft.sources.MediaPipeline
+              .renderWarcRecord("response", s"http://ex.org/$id", html) +
+              graft.sources.MediaPipeline
+                .renderWarcRecord("metadata", s"http://ex.org/$id/meta", s"meta $id")
+            (id, if (id % 3 == 2) w0.substring(1) else w0)
+          }).toDF("doc_id", "warc")
+        val walked = assets
+          .withColumn("walk",
+            expr(graft.sources.MediaPipeline.warcWalkExpr("warc", 3)))
+          .localCheckpoint() // five stage aggregates read it; walk once
+        val parsed = walked.filter($"walk.status" === "end")
+        val extracted = parsed
+          .withColumn("stripped", regexp_replace(regexp_replace($"walk.body",
+            "<nav[^>]*>.*?</nav>|<div id=\"footer\">.*?</div>", " "),
+            "<[^>]*>", " "))
+          .withColumn("extracted",
+            trim(regexp_replace($"stripped", "\\s+", " ")))
+          .filter(length($"extracted") > 0)
+        val quality = extracted
+          .filter(size(tokens($"extracted")) >= 40)
+        val wD = Window.partitionBy(md5($"extracted")).orderBy($"doc_id".asc)
+        val deduped = quality
+          .withColumn("rk", row_number().over(wD)).filter($"rk" === 1)
+        def stage(no: Int, name: String, df: org.apache.spark.sql.DataFrame,
+            key: org.apache.spark.sql.Column) =
+          df.agg(count(lit(1)).cast("long").as("docs"),
+            md5(concat_ws("\n", array_sort(collect_list(key))))
+              .as("content_md5"))
+            .select(lit(no).as("stage_no"), lit(name).as("stage"),
+              $"docs", $"content_md5")
+        stage(0, "fetched", assets, $"doc_id".cast("string"))
+          .unionByName(stage(1, "parsed", parsed, $"doc_id".cast("string")))
+          .unionByName(stage(2, "extracted", extracted, md5($"extracted")))
+          .unionByName(stage(3, "quality", quality, md5($"extracted")))
+          .unionByName(stage(4, "dedup", deduped, md5($"extracted")))
+          .orderBy($"stage_no")
+      },
+      Some("""
+        WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 17),
+        ok AS (SELECT doc_id,
+                      CASE WHEN doc_id % 5 = 0
+                           THEN repeat('boiler plate page ', 15)
+                           ELSE text END AS body
+               FROM a WHERE doc_id % 3 <> 2),
+        h AS (SELECT doc_id,
+                     '<html><head><title>doc ' || doc_id ||
+                     '</title></head><body><nav class="menu">home | about</nav><p>' ||
+                     body ||
+                     '</p><div id="footer">(c) ex.org</div></body></html>' AS html
+              FROM ok),
+        x AS (SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(html,
+                       '<nav[^>]*>.*?</nav>|<div id="footer">.*?</div>', ' ', 'g'),
+                       '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS extracted
+              FROM h),
+        x2 AS (SELECT * FROM x WHERE length(extracted) > 0),
+        q AS (SELECT * FROM x2
+              WHERE len(regexp_split_to_array(lower(trim(extracted)), '\s+')) >= 40),
+        dd AS (SELECT * FROM (
+                 SELECT doc_id, extracted,
+                        ROW_NUMBER() OVER (PARTITION BY md5(extracted)
+                                           ORDER BY doc_id ASC) AS rk
+                 FROM q) t WHERE rk = 1)
+        SELECT 0 AS stage_no, 'fetched' AS stage, COUNT(*) AS docs,
+               md5(string_agg(CAST(doc_id AS VARCHAR), chr(10)
+                 ORDER BY CAST(doc_id AS VARCHAR))) AS content_md5 FROM a
+        UNION ALL
+        SELECT 1, 'parsed', COUNT(*),
+               md5(string_agg(CAST(doc_id AS VARCHAR), chr(10)
+                 ORDER BY CAST(doc_id AS VARCHAR))) FROM ok
+        UNION ALL
+        SELECT 2, 'extracted', COUNT(*),
+               md5(string_agg(md5(extracted), chr(10) ORDER BY md5(extracted)))
+        FROM x2
+        UNION ALL
+        SELECT 3, 'quality', COUNT(*),
+               md5(string_agg(md5(extracted), chr(10) ORDER BY md5(extracted)))
+        FROM q
+        UNION ALL
+        SELECT 4, 'dedup', COUNT(*),
+               md5(string_agg(md5(extracted), chr(10) ORDER BY md5(extracted)))
+        FROM dd
+        ORDER BY stage_no"""),
+      doc = "crawl -> curated e2e (m24 walk + t20 strip + c01 funnel composed): fetch / parse (corrupt archives counted out) / extract (response payload only, metadata records skipped) / >=40-token quality gate / exact dedup of the planted shared boilerplate page; every stage reports docs + an md5 digest over sorted per-doc keys, and the oracle rebuilds the html from the plant recipe WITHOUT parsing WARC — so the digest match proves the walk delivered byte-identical payloads end to end")
   )
 
   /** t33's training frame: (doc_id, y, f0..f3) over the documents table

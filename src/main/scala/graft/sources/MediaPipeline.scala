@@ -772,6 +772,98 @@ object MediaPipeline {
     * construction, so no skew; batch state is O(batchSize), never
     * O(partition).
     */
+  /** One WARC/1.0 record (ISO 28500 §4): version line, named header
+    * fields, Content-Length in BYTES, a blank line, the payload, and
+    * the spec's two trailing CRLFs. Everything synthesized here is
+    * ASCII, so byte length == char length and Content-Length is
+    * payload.length — the premise m24/c23 document (WARC headers are
+    * ASCII by spec; a binary-payload generalization walks the same
+    * offsets through m23's u8/hex idiom instead of substring).
+    */
+  def renderWarcRecord(typ: String, uri: String, payload: String): String =
+    s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+
+  /** m24's archive fixture: K = (nChars % 3) + 2 records — even slots
+    * are HTML responses with a length-varying body, odd slots metadata
+    * records — so the walk must stride over MIXED types and sizes. The
+    * recipe is pure (id, nChars)-arithmetic, so the oracle rebuilds the
+    * same payload strings in SQL.
+    */
+  def renderWarc(id: Long, nChars: Long): String = {
+    val k = (nChars % 3) + 2
+    (0L until k).map { j =>
+      if (j % 2 == 0)
+        renderWarcRecord("response", s"http://ex.org/$id/$j",
+          s"<html><title>p$id-$j</title><body>" +
+            "ab " * ((nChars % 7) + j + 1).toInt + "</body></html>")
+      else renderWarcRecord("metadata", s"http://ex.org/$id/$j", s"meta $id $j")
+    }.mkString
+  }
+
+  /** The WARC record walk as ONE native aggregate() fold over the
+    * archive string column `warcCol` — m23's variable-stride directory
+    * walk generalized to length-delimited header-then-payload records:
+    * each step validates the "WARC/1.0" magic, finds the header
+    * terminator (locate CRLFCRLF), parses Content-Length / WARC-Type /
+    * WARC-Target-URI out of the header block, strides
+    * header + payload + trailing-CRLFCRLF to the next record, and
+    * carries (record count, response count, payload bytes, first URI,
+    * first response payload) through the state. Corrupt archives fail
+    * the magic into sentinels at step 1 (the m23 convention); an
+    * archive that ends mid-record (header never closes, or the payload
+    * + trailer would overrun EOF) stops with status 'truncated' and
+    * the COMPLETE-record counts — the crash-mid-write case a crawl
+    * ingester must survive. `maxRec` bounds the fold (records + 1 step
+    * to observe the clean end). Header fields are let-bound via the
+    * t31 single-element-transform idiom so each regexp runs once per
+    * record, not once per use. Zero UDF, zero shuffle — at 100 TB this
+    * is the map-parallel router that turns raw crawl archives into
+    * queryable records without a custom reader.
+    */
+  def warcWalkExpr(warcCol: String, maxRec: Int): String = {
+    val keep = "'off', st.off, 'nrec', st.nrec, 'nresp', st.nresp, " +
+      "'pbytes', st.pbytes, 'furi', st.furi, 'body', st.body"
+    val hdrSub =
+      s"substring($warcCol, CAST(st.off AS INT), CAST(hend - st.off AS INT))"
+    val step = s"""
+      CASE WHEN st.status <> 'run' THEN st
+           WHEN st.off > length($warcCol)
+             THEN named_struct($keep, 'status', 'end')
+           WHEN substring($warcCol, CAST(st.off AS INT), 8) <> 'WARC/1.0'
+             THEN named_struct('off', st.off, 'nrec', -1L, 'nresp', -1L,
+                    'pbytes', -1L, 'furi', '?', 'body', '?',
+                    'status', 'corrupt')
+           ELSE element_at(transform(
+             array(CAST(locate('\\r\\n\\r\\n', $warcCol, CAST(st.off AS INT)) AS BIGINT)),
+             hend -> CASE WHEN hend = 0
+               THEN named_struct($keep, 'status', 'truncated')
+               ELSE element_at(transform(array(named_struct(
+                      'cl', CAST(regexp_extract($hdrSub,
+                              'Content-Length: ([0-9]+)', 1) AS BIGINT),
+                      'typ', regexp_extract($hdrSub,
+                               'WARC-Type: ([^\\r]+)', 1),
+                      'uri', regexp_extract($hdrSub,
+                               'WARC-Target-URI: ([^\\r]+)', 1))),
+                 h -> CASE WHEN h.cl IS NULL
+                             OR hend + 3 + h.cl + 4 > length($warcCol)
+                        THEN named_struct($keep, 'status', 'truncated')
+                        ELSE named_struct(
+                          'off', hend + 8 + h.cl,
+                          'nrec', st.nrec + 1L,
+                          'nresp', st.nresp + IF(h.typ = 'response', 1L, 0L),
+                          'pbytes', st.pbytes + h.cl,
+                          'furi', IF(st.nrec = 0L, h.uri, st.furi),
+                          'body', IF(h.typ = 'response' AND st.body = '',
+                            substring($warcCol, CAST(hend + 4 AS INT),
+                              CAST(h.cl AS INT)), st.body),
+                          'status', 'run') END), 1) END), 1) END"""
+    s"""aggregate(sequence(1, $maxRec),
+          named_struct('off', 1L, 'nrec', 0L, 'nresp', 0L, 'pbytes', 0L,
+            'furi', '?', 'body', '', 'status', 'run'),
+          (st, i) -> $step)"""
+  }
+
   def inferBatched(spark: SparkSession, dir: String,
       batchSize: Int = 16): Dataset[InferenceOut] = {
     import spark.implicits._

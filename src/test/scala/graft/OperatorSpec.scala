@@ -633,6 +633,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("m24 WARC walk: hand-built archives cover clean/corrupt/truncated/unclosed-header edges") {
+    import graft.sources.MediaPipeline
+    def rec(t: String, u: String, p: String) =
+      MediaPipeline.renderWarcRecord(t, u, p)
+    val clean2 = rec("response", "http://a/0", "<p>hello</p>") +
+      rec("metadata", "http://a/1", "meta x")
+    val cases = Seq(
+      // (id, archive, nrec, nresp, pbytes, furi, status)
+      (1L, rec("response", "http://one", "xyz"), 1L, 1L, 3L, "http://one", "end"),
+      (2L, clean2, 2L, 1L, 18L, "http://a/0", "end"),
+      (3L, clean2.substring(1), -1L, -1L, -1L, "?", "corrupt"),
+      // payload+trailer overruns EOF: first record survives, second reports truncated
+      (4L, clean2.dropRight(3), 1L, 1L, 12L, "http://a/0", "truncated"),
+      // header never closes (no blank line before EOF)
+      (5L, "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n", 0L, 0L, 0L, "?", "truncated"),
+      // garbage between records fails the magic mid-walk; a framing
+      // failure invalidates the whole archive (earlier record bounds
+      // can no longer be trusted without a resync scan) — the m23
+      // corrupt-sentinel convention, unlike 'truncated' which keeps
+      // provably complete records
+      (6L, rec("response", "http://g/0", "ab") + "JUNK", -1L, -1L, -1L, "?", "corrupt"))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "warc")
+      .withColumn("w", expr(MediaPipeline.warcWalkExpr("warc", 4)))
+      .select($"id", $"w.nrec", $"w.nresp", $"w.pbytes", $"w.furi", $"w.status")
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    cases.foreach { case (id, _, nr, nre, pb, fu, st) =>
+      assert(got(id) == ((nr, nre, pb, fu, st)), s"case $id: ${got(id)}")
+    }
+    // body capture: the first RESPONSE payload, metadata skipped
+    val body = Seq((1L, rec("metadata", "m", "skipme") +
+        rec("response", "r", "<p>keep</p>"))).toDF("id", "warc")
+      .select(expr(MediaPipeline.warcWalkExpr("warc", 3) + ".body"))
+      .as[String].head()
+    assert(body == "<p>keep</p>", s"body capture: '$body'")
+  }
+
   test("t33 logisticTrainMicro matches the hand-replayed two-epoch update") {
     import graft.functions.TextFunctions
     // 4 rows, 2 features (bias + one separating feature)

@@ -488,6 +488,26 @@ class PlanSpec extends AnyFunSuite {
       s"per-asset walk must not shuffle before the presentation sort:\n$p")
   }
 
+  test("m24 WARC walk is pure expressions: no UDF, map-only before the sort") {
+    val p = plan("m24_warc_record_walk")
+    assert(!p.contains("ScalaUDF"), "record walk fell back to a UDF")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0,
+      s"per-archive walk must not shuffle before the presentation sort:\n$p")
+  }
+
+  test("c23 crawl funnel: walk+strip map-parallel, only id/md5 keys shuffle") {
+    val p = plan("c23_crawl_to_curated")
+    assert(!p.contains("ScalaUDF"), "strip/walk fell back to a UDF")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"stage composition must not join the corpus:\n$p")
+    // the dedup window partitions by md5 — the only hash exchanges are
+    // stage aggregates and that window, all over id/md5-width rows
+    assert(p.contains("windowspecdefinition"),
+      s"dedup stage lost its per-hash window:\n$p")
+  }
+
   test("s36 width curve: coarse cap is a distributed top-k, not a global sort") {
     val p = plan("s36_matryoshka_width_curve")
     // an unpartitioned rank window gets no WindowGroupLimit push — the
