@@ -108,7 +108,11 @@ object Bench {
       "d41_cdc_chunk_store",
       // round-11 continuation: the column-TTL lifecycle appends +
       // compacts + rewrites expired partitions in-body like dx34
-      "dx37_ttl_column_default")
+      "dx37_ttl_column_default",
+      // round-12: the k-NN-graph beam pair shares one corpus-keyed
+      // graph-store build (banded pairs + top-M window + FactTable
+      // write) — first touch pays it, the s31-s33 convention
+      "s38_graph_beam_search", "s39_graph_beam_recall")
     // best-of-2 per query: damps scheduler/GC noise on a shared machine.
     // A query that fails BOTH runs reports -1.0 (never a fake timing).
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts the query set

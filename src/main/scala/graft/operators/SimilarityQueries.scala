@@ -2600,7 +2600,112 @@ object SimilarityQueries {
                vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
         FROM fd
         ORDER BY rk LIMIT 10"""),
-      doc = "stored prefix-column serving (s35's schema claim made physical): the store carries the 16-dim prefix as its OWN parquet column beside the full vector; the coarse leg's scan reads (vec_id, prefix) only — PlanSpec asserts a ReadSchema with prefix and without embedding, the q01 column-pruning lock applied to vectors — and full vectors load via broadcast semi join for the 50 shortlisted rows; zero index structures, the layout IS the index")
+      doc = "stored prefix-column serving (s35's schema claim made physical): the store carries the 16-dim prefix as its OWN parquet column beside the full vector; the coarse leg's scan reads (vec_id, prefix) only — PlanSpec asserts a ReadSchema with prefix and without embedding, the q01 column-pruning lock applied to vectors — and full vectors load via broadcast semi join for the 50 shortlisted rows; zero index structures, the layout IS the index"),
+
+    // ------------------------------------------------------------------
+    // s38: GRAPH-BASED ANN — stored k-NN-graph beam search, the one
+    // major serving-index family s01-s37 lacked (LSH s07, IVF s04/s14,
+    // PQ s08, SQ s16, binary s17, Matryoshka s35 all present); the
+    // single-layer NSW core of the HNSW/DiskANN family. OFFLINE: each
+    // corpus vector's top-4 exact-cosine neighbors among its LSH
+    // band-colliding candidates (s12's candidate generation — never a
+    // corpus cross join; buckets md5-capped so skew can't go quadratic)
+    // persist as a FactTable edge list — the graph IS the index.
+    // SERVING: greedy beam search as R=3 bounded rounds of broadcast
+    // joins, driver-composed with no mid-iteration collect (the q94
+    // discipline): frontier (≤8 ids) broadcasts into the graph store,
+    // fresh neighbors anti-join the visited set, get scored against
+    // the broadcast query, and the next frontier is a TakeOrdered
+    // top-8; answer = top-10 of everything visited. Per query the
+    // exact-score work is ≤ entries + R·B·M vectors (~100) regardless
+    // of corpus size — the property that makes graph ANN the
+    // lowest-latency serving family at 10⁹ vectors. Oracle: the WHOLE
+    // stack replayed in SQL — banding, capped candidate pairs,
+    // per-src top-M graph, and the three beam rounds unrolled as CTEs
+    // — so graph construction AND traversal order are both checked,
+    // not just the final ranks. Recall vs exact truth is s39's audit
+    // (never asserted on these untrained random embeddings — the s36
+    // lesson).
+    QueryDef(
+      "s38_graph_beam_search",
+      (s, dir) => {
+        import s.implicits._
+        val (visited, _) = beamSearchParts(s, dir)
+        val wR = Window.orderBy($"cosine".desc, $"vec_id".asc)
+        visited.orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+          .withColumn("rk", row_number().over(wR).cast("long"))
+          .select($"rk", $"vec_id", $"cosine")
+          .orderBy($"rk")
+      },
+      Some(s"""$beamSqlCtes
+        SELECT * FROM (
+          SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rk,
+                 vec_id, cosine
+          FROM v$beamR) t
+        WHERE rk <= 10 ORDER BY rk"""),
+      doc = "graph ANN (stored k-NN-graph beam search — the NSW core of the HNSW/DiskANN family, completing the serving-index taxonomy): offline LSH-banded candidate pairs (bucket-capped, never a cross join) -> per-src top-4 exact-cosine edges persisted via FactTable; serving = 3 rounds of broadcast frontier->neighbor->score joins with a TakeOrdered beam, no mid-iteration collect, ~100 exact scores per query independent of corpus size; oracle unrolls build AND traversal as CTEs"),
+
+    // ------------------------------------------------------------------
+    // s39: BEAM-SEARCH RECALL AUDIT with per-miss attribution — the
+    // s10/s28/s33 house discipline applied to s38: every exact top-10
+    // truth vector is flagged found/missed by the beam, and every miss
+    // carries WHY: 'no_incoming_edge' (the vector has in-degree 0 in
+    // the stored graph — no beam from ANY entry can ever reach it; a
+    // graph-construction budget problem, fixed by more bands or higher
+    // M) vs 'outside_horizon' (reachable in principle but not within
+    // R rounds from THESE entries — a traversal budget problem, fixed
+    // by more rounds/entries/beam width). A visited truth vector is
+    // ALWAYS found — the final top-10 ranks the visited set by the
+    // same exact cosine that defines truth, so a top-10-global vector
+    // in any visited superset stays top-10 — which is why the
+    // attribution needs exactly these two classes and no third.
+    QueryDef(
+      "s39_graph_beam_recall",
+      (s, dir) => {
+        import s.implicits._
+        val (visitedRaw, graph) = beamSearchParts(s, dir)
+        // bounded (≤ entries + R·B·M rows): pin it so the three audit
+        // legs below don't re-run the beam three times (the d41
+        // bounded-ledger lesson)
+        val visited = visitedRaw.localCheckpoint()
+        val beam10 = visited.orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+          .select($"vec_id", lit(true).as("hit"))
+        val wT = Window.orderBy($"cosine".desc, $"vec_id".asc)
+        val truth = exactCosineTopK(s, dir, 10)
+          .withColumn("rk", row_number().over(wT).cast("long"))
+        val indeg = graph.select($"dst".as("vec_id")).distinct()
+          .withColumn("hasin", lit(true))
+        truth
+          .join(broadcast(beam10), Seq("vec_id"), "left")
+          .join(broadcast(visited.select($"vec_id").withColumn("vis", lit(true))),
+            Seq("vec_id"), "left")
+          .join(broadcast(indeg), Seq("vec_id"), "left")
+          .select($"rk", $"vec_id", $"cosine",
+            coalesce($"hit", lit(false)).as("found_by_beam"),
+            when(coalesce($"hit", lit(false)), "")
+              .when($"hasin".isNull, "no_incoming_edge")
+              .otherwise("outside_horizon").as("miss_reason"))
+          .orderBy($"rk")
+      },
+      Some(s"""$beamSqlCtes,
+        beam10 AS (SELECT vec_id FROM v$beamR
+                   ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+        indeg AS (SELECT DISTINCT dst AS vec_id FROM graph),
+        truth AS (SELECT vec_id, cosine,
+                         ROW_NUMBER() OVER (ORDER BY cosine DESC,
+                                            vec_id ASC) AS rk
+                  FROM qs)
+        SELECT t.rk, t.vec_id, t.cosine,
+               b.vec_id IS NOT NULL AS found_by_beam,
+               CASE WHEN b.vec_id IS NOT NULL THEN ''
+                    WHEN i.vec_id IS NULL THEN 'no_incoming_edge'
+                    ELSE 'outside_horizon' END AS miss_reason
+        FROM truth t
+        LEFT JOIN beam10 b ON b.vec_id = t.vec_id
+        LEFT JOIN indeg i ON i.vec_id = t.vec_id
+        WHERE t.rk <= 10
+        ORDER BY t.rk"""),
+      doc = "beam-search recall audit with per-miss attribution (the s10/s28/s33 discipline on s38): exact top-10 truth vs beam top-10, each miss classified 'no_incoming_edge' (in-degree 0 in the stored graph — unreachable from ANY entry; a construction-budget defect) vs 'outside_horizon' (reachable but not within R rounds of these entries — a traversal-budget defect); a visited truth vector is provably always found, so these two classes are exhaustive")
   )
 
   /** The exact-cosine dense leg of the hybrid stack (shared by s29 and
@@ -2735,6 +2840,178 @@ object SimilarityQueries {
     * offline step its serving queries exist to amortize). Rebuilt if
     * the cached roots vanished (tmp cleanup).
     */
+  // ---- s38/s39: stored k-NN-graph beam search (the HNSW/NSW family) ----
+
+  /** Beam-search knobs: M-degree graph, B-wide beam, R rounds, fixed
+    * entry points, hot-bucket candidate cap. CAP is a no-op at the gate
+    * SFs (biggest (band,bval) bucket ≈ 125 members at sf0.1) and bites
+    * only on the ×100 replicated corpus — the d05 hot-shingle
+    * discipline applied to graph construction.
+    */
+  // defs, not vals: `defs` (declared above) references these through
+  // beamSqlCtes during object init — a val here would still be null then
+  private def beamM = 4
+  private def beamB = 8
+  private def beamR = 3
+  private def beamEntries = Seq(1L, 2L, 3L, 4L)
+  private def beamCap = 512
+
+  private val beamGraphCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build (or reuse — corpus-keyed, the storedIvfStores convention) the
+    * persisted k-NN GRAPH: per corpus vector, its top-M neighbors by
+    * exact cosine among the hyperplane-LSH band-colliding candidates
+    * (s12's candidate generation — the s11 scaladoc's prescription for
+    * corpus×corpus kNN: a full cross join would be quadratic, band
+    * collision keeps it an equijoin). Buckets are capped at [[beamCap]]
+    * members (md5-order, deterministic) so a skewed bucket can never go
+    * quadratic at scale. One band-keyed shuffle + one per-src
+    * group-limited window; the graph (N·M edges) lands in a FactTable.
+    */
+  private def knnGraphStore(s: SparkSession, dir: String)
+      : graft.storage.FactTable = {
+    import s.implicits._
+    def live(root: String) =
+      new java.io.File(root, "_graft_log").listFiles() != null &&
+        new java.io.File(root, "_graft_log").listFiles().nonEmpty
+    val root = beamGraphCache.synchronized {
+      beamGraphCache.get(dir).filter(live).getOrElse {
+        val bands = hyperplaneBands(s, dir).filter($"vec_id" =!= 0)
+        val wCap = Window.partitionBy($"band", $"bval")
+          .orderBy(md5($"vec_id".cast("string")).asc, $"vec_id".asc)
+        val capped = bands
+          .withColumn("crk", row_number().over(wCap))
+          .filter($"crk" <= beamCap)
+          .select($"vec_id", $"embedding", $"band", $"bval")
+        val wG = Window.partitionBy($"src").orderBy($"gcos".desc, $"dst".asc)
+        val graph = capped
+          .select($"vec_id".as("src"), $"embedding".as("sv"), $"band", $"bval")
+          .join(capped.select($"vec_id".as("dst"), $"embedding".as("dv"),
+            $"band", $"bval"), Seq("band", "bval"))
+          .filter($"src" =!= $"dst")
+          .dropDuplicates("src", "dst")
+          .select($"src", $"dst", round(cosineExact("sv", "dv"), 9).as("gcos"))
+          .withColumn("grk", row_number().over(wG)).filter($"grk" <= beamM)
+          .select($"src", $"dst", $"gcos")
+        val r = graft.TempDirs.scratch(
+          "s38_graph_" + Integer.toHexString(dir.hashCode))
+        new graft.storage.FactTable(r, s)
+          .append(graph.withColumn("date", to_date(lit("2024-01-01"))), 0)
+        beamGraphCache.put(dir, r)
+        r
+      }
+    }
+    new graft.storage.FactTable(root, s)
+  }
+
+  /** Fixed-round beam search over the STORED graph, the plan composed
+    * by the driver with no mid-iteration collect (the q94 discipline):
+    * per round, the ≤B-row frontier broadcasts into the graph store for
+    * its neighbor set, fresh nodes are anti-joined against the ≤(4+RBM)
+    * visited set and scored against the broadcast query vector, and the
+    * next frontier is a TakeOrdered top-B of visited. Returns (visited
+    * scored set, graph df) — everything downstream (top-k, audits) is a
+    * bounded rearrangement. The corpus is never re-banded and the graph
+    * never rebuilt (the store is the serving artifact; PlanSpec locks
+    * the store read into the plan).
+    */
+  private def beamSearchParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val graph = knnGraphStore(s, dir).read().select($"src", $"dst")
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val vecs = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+    def score(ids: DataFrame): DataFrame = vecs
+      .join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select($"vec_id", round(cosineExact("embedding", "qv"), 9).as("cosine"))
+    var visited = score(beamEntries.toDF("vec_id"))
+    var frontier = visited.orderBy($"cosine".desc, $"vec_id".asc)
+      .limit(beamB).select($"vec_id".as("fid"))
+    for (_ <- 1 to beamR) {
+      val nbrs = graph.join(broadcast(frontier), $"src" === $"fid")
+        .select($"dst".as("vec_id")).distinct()
+      val fresh = nbrs.join(broadcast(visited.select($"vec_id")),
+        Seq("vec_id"), "left_anti")
+      visited = visited.unionByName(score(fresh))
+      frontier = visited.orderBy($"cosine".desc, $"vec_id".asc)
+        .limit(beamB).select($"vec_id".as("fid"))
+    }
+    (visited, graph)
+  }
+
+  /** The DuckDB replay of the whole beam stack — banding, capped
+    * candidate pairs, per-src top-M graph, exact query scores, and the
+    * R beam rounds UNROLLED (v0/f0 … vR) — ending with CTEs `graph`,
+    * `qs(vec_id, cosine)` and `v$beamR` (the visited set). Shared by
+    * the s38 and s39 oracles.
+    */
+  private def beamSqlCtes: String = {
+    val entries = beamEntries.mkString(", ")
+    val rounds = (1 to beamR).map { r =>
+      s"""n$r AS (SELECT DISTINCT g.dst AS vec_id
+               FROM graph g JOIN f${r - 1} ON g.src = f${r - 1}.vec_id),
+        w$r AS (SELECT vec_id FROM n$r EXCEPT SELECT vec_id FROM v${r - 1}),
+        v$r AS (SELECT * FROM v${r - 1}
+                UNION ALL
+                SELECT q$r.vec_id, q$r.cosine FROM qs q$r
+                JOIN w$r ON w$r.vec_id = q$r.vec_id),
+        f$r AS (SELECT vec_id FROM v$r
+                ORDER BY cosine DESC, vec_id ASC LIMIT $beamB)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH planes AS (
+          SELECT p AS plane,
+                 list_transform(range(0, 64), d ->
+                   CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8'
+                        THEN -1.0 ELSE 1.0 END) AS hv
+          FROM (SELECT unnest(range(0, 16)) AS p)),
+        comps AS (SELECT e.vec_id, pl.plane,
+                         unnest(e.embedding) AS x, unnest(pl.hv) AS h
+                  FROM embeddings e CROSS JOIN planes pl),
+        bits AS (SELECT vec_id, plane,
+                        CASE WHEN ${oDot("x", "h")} >= 0
+                             THEN 1 ELSE 0 END AS bit
+                 FROM comps GROUP BY vec_id, plane),
+        bands AS (SELECT vec_id, plane // 4 AS band,
+                         SUM(bit * CASE plane % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                                  WHEN 2 THEN 2 ELSE 1 END) AS bval
+                  FROM bits GROUP BY vec_id, plane // 4),
+        capped AS (SELECT vec_id, band, bval FROM (
+            SELECT vec_id, band, bval,
+                   ROW_NUMBER() OVER (PARTITION BY band, bval
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
+            FROM bands WHERE vec_id <> 0) t
+          WHERE crk <= $beamCap),
+        cand AS (SELECT DISTINCT b1.vec_id AS src, b2.vec_id AS dst
+                 FROM capped b1 JOIN capped b2
+                   ON b1.band = b2.band AND b1.bval = b2.bval
+                 WHERE b1.vec_id <> b2.vec_id),
+        cp AS (SELECT c.src, c.dst,
+                      unnest(e1.embedding) AS x, unnest(e2.embedding) AS y
+               FROM cand c JOIN embeddings e1 ON e1.vec_id = c.src
+                           JOIN embeddings e2 ON e2.vec_id = c.dst),
+        cd AS (SELECT src, dst, ${oCosineSums()} FROM cp GROUP BY src, dst),
+        graph AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                     ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
+                              dst ASC) AS grk
+            FROM cd) t WHERE grk <= $beamM),
+        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qp AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+               FROM embeddings e, qv q WHERE e.vec_id <> 0),
+        qd AS (SELECT vec_id, ${oCosineSums()} FROM qp GROUP BY vec_id),
+        qs AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+               FROM qd),
+        v0 AS (SELECT vec_id, cosine FROM qs WHERE vec_id IN ($entries)),
+        f0 AS (SELECT vec_id FROM v0 ORDER BY cosine DESC, vec_id ASC
+               LIMIT $beamB),
+        $rounds"""
+  }
+
   private val batchStoreCache =
     scala.collection.concurrent.TrieMap[String, (String, String)]()
 

@@ -508,6 +508,30 @@ class PlanSpec extends AnyFunSuite {
       s"dedup stage lost its per-hash window:\n$p")
   }
 
+  test("s38 beam search serves from the STORED graph: broadcast rounds, no cartesian, no rebuild") {
+    val p = plan("s38_graph_beam_search")
+    // the serving plan reads the persisted edge list (the scratch dir
+    // name appears in the scan location) — the graph build ran offline
+    // at store time and is NOT in this plan
+    assert(p.contains("s38_graph"),
+      s"serving does not read the stored graph:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"beam round exploded to a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a bounded frontier/visited side sort-merge joined:\n$p")
+    // frontier caps plan as distributed top-k, not global sorts
+    assert(p.contains("TakeOrderedAndProject"),
+      s"beam cap lost its TakeOrdered form:\n$p")
+  }
+
+  test("s39 recall audit: truth joins beam/visited/in-degree sides by broadcast only") {
+    val p = plan("s39_graph_beam_recall")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"audit joins must broadcast (every side is <=10..N*M rows):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"audit legs not broadcast-joined:\n$p")
+  }
+
   test("s36 width curve: coarse cap is a distributed top-k, not a global sort") {
     val p = plan("s36_matryoshka_width_curve")
     // an unpartitioned rank window gets no WindowGroupLimit push — the
