@@ -126,7 +126,19 @@ object ScaleBench {
     // fixed query over the growing corpus; group-limited coarse rank
     "s36_matryoshka_width_curve",
     // store build + prefix-pruned coarse scan + semi-joined re-rank
-    "s37_stored_prefix_serving")
+    "s37_stored_prefix_serving",
+    // round-12: the next-node fold (q86's one-shuffle in-row shape),
+    // the trained classifier (4 gradient epochs, each one
+    // partial-aggregated pass — linear per epoch), the byte-BPE encode
+    // (map-only like t25), the WARC walk + crawl funnel (render-bound
+    // map-parallel archives; funnel shuffles ids/md5s only)
+    "q100_sequence_next_node", "t33_trained_quality_classifier",
+    "t34_byte_bpe_encode", "m24_warc_record_walk", "c23_crawl_to_curated",
+    // graph-ANN pair: the build's banded pairs are bucket-capped at 512
+    // members, so from x10 up the edge-scoring work is BOUNDED
+    // (~17M candidate pairs at ANY scale — the cap IS the scale story);
+    // serving stays ~100 exact scores per query at every multiplier
+    "s38_graph_beam_search", "s39_graph_beam_recall")
 
   // multiple of the id moduli queries PLANT structure on (10, 20, 100,
   // 1000): each replica reproduces the base's planted structure exactly

@@ -53,13 +53,14 @@ object AnomalyDetector {
     varTimesN2 > 0 && dev * dev > BigInt(SigmaSq) * varTimesN2
   }
 
-  private class Processor
+  private class Processor(ttl: Option[java.time.Duration])
       extends StatefulProcessor[Long, Reading, Anomaly] {
     @transient private var stats: ValueState[(Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       stats = getHandle.getValueState[(Long, Long, Long)]("stats",
-        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+        Encoders.product[(Long, Long, Long)],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: Long, rows: Iterator[Reading],
         timers: TimerValues): Iterator[Anomaly] = {
@@ -85,16 +86,21 @@ object AnomalyDetector {
     .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
     .cast("long")
 
-  /** Streaming path: groupByKey(user) → transformWithState. */
-  def detect(events: DataFrame): Dataset[Anomaly] = {
+  /** Streaming path: groupByKey(user) → transformWithState. `stateTtl`:
+    * processing-time eviction of idle users (EmaStream's scaladoc has
+    * the contract) — per-user moment state becomes O(active users).
+    */
+  def detect(events: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): Dataset[Anomaly] = {
     import events.sparkSession.implicits._
     events
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("tsMicros"), centsCol.as("cents"))
       .as[Reading]
       .groupByKey(_.user_id)
-      .transformWithState(new Processor,
-        TimeMode.None(), OutputMode.Append(), Encoders.product[Anomaly])
+      .transformWithState(new Processor(stateTtl),
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append(), Encoders.product[Anomaly])
   }
 
   /** Batch shadow: the same flags via prefix-window exact sums — the

@@ -41,12 +41,13 @@ object EmaStream {
   case class St(started: Boolean, e: Double, n: Long,
       lastTs: Long, lastEid: Long, nDropped: Long)
 
-  private class Processor extends StatefulProcessor[Long, Obs, Ema] {
+  private class Processor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Obs, Ema] {
     @transient private var st: ValueState[St] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[St]("ema",
-        Encoders.product[St], TTLConfig.NONE)
+        Encoders.product[St], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: Long, rows: Iterator[Obs],
         timers: TimerValues): Iterator[Ema] = {
@@ -68,15 +69,27 @@ object EmaStream {
 
   /** Streaming path: groupByKey(user) → transformWithState; one Ema row
     * per touched user per micro-batch (the latest per user is current).
+    *
+    * `stateTtl` (VERDICT r11 item 2): with a TTL the keyed state uses
+    * processing-time expiry — a user silent past the TTL is EVICTED
+    * (state size becomes O(active users), the unbounded-keyspace
+    * production requirement) and a later arrival REBUILDS from scratch:
+    * n_seen restarts and the ordering watermark resets, so the rebuilt
+    * series is internally consistent (StreamingSpec proves eviction +
+    * re-arrival). Without a TTL the state store holds every user ever
+    * seen — fine for bounded keyspaces, the default here so the batch
+    * bit-equality contract stays unconditioned on wall-clock.
     */
-  def track(events: DataFrame): Dataset[Ema] = {
+  def track(events: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): Dataset[Ema] = {
     import events.sparkSession.implicits._
     events
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("tsMicros"), col("value"))
       .as[Obs]
       .groupByKey(_.user_id)
-      .transformWithState(new Processor,
-        TimeMode.None(), OutputMode.Append(), Encoders.product[Ema])
+      .transformWithState(new Processor(stateTtl),
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append(), Encoders.product[Ema])
   }
 }

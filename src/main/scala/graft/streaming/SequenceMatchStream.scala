@@ -64,12 +64,13 @@ object SequenceMatchStream {
   case class St(l1: Long, l2: Long, l3: Long,
       lastTs: Long, lastEid: Long, nDropped: Long)
 
-  private class Processor extends StatefulProcessor[Long, Ev, Stage] {
+  private class Processor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Ev, Stage] {
     @transient private var dp: ValueState[St] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       dp = getHandle.getValueState[St]("dp",
-        Encoders.product[St], TTLConfig.NONE)
+        Encoders.product[St], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         timers: TimerValues): Iterator[Stage] = {
@@ -92,14 +93,18 @@ object SequenceMatchStream {
   /** Streaming path: groupByKey(user) → transformWithState; one Stage
     * row per touched user per micro-batch (take the latest per user).
     */
-  def track(events: DataFrame): Dataset[Stage] = {
+  def track(events: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): Dataset[Stage] = {
     import events.sparkSession.implicits._
     events
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("tsMicros"), col("event_type"))
       .as[Ev]
       .groupByKey(_.user_id)
-      .transformWithState(new Processor,
-        TimeMode.None(), OutputMode.Append(), Encoders.product[Stage])
+      // stateTtl: processing-time eviction of idle users (EmaStream's
+      // scaladoc has the contract) — state becomes O(active users)
+      .transformWithState(new Processor(stateTtl),
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append(), Encoders.product[Stage])
   }
 }

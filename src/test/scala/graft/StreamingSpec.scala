@@ -614,4 +614,75 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState TTL evicts idle users and rebuilds on re-arrival") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      val events = mem.toDF().toDF("user_id", "event_id", "tsu", "value")
+        .withColumn("ts", expr("timestamp_micros(tsu)"))
+      val ttl = java.time.Duration.ofSeconds(4)
+      // NOTE: TimeMode.ProcessingTime makes the engine construct timer
+      // batches continuously, so processAllAvailable never settles —
+      // the sink is POLLED for the expected row instead (with a hard
+      // timeout), which is also how a production monitor would observe
+      // the stream
+      val q = graft.streaming.EmaStream.track(events, Some(ttl))
+        .writeStream.format("memory").queryName("ema_ttl_mem")
+        .outputMode("append").start()
+      def awaitRow(cond: org.apache.spark.sql.DataFrame => Boolean,
+          what: String, timeoutMs: Long = 60000): Unit = {
+        val t0 = System.nanoTime()
+        while (!cond(spark.table("ema_ttl_mem"))) {
+          assert((System.nanoTime() - t0) / 1e6 < timeoutMs,
+            s"timed out waiting for $what")
+          Thread.sleep(200)
+        }
+      }
+      try {
+        val t0 = System.nanoTime()
+        // batch 1: users 1 and 2, two events each
+        mem.addData(Seq((1L, 10L, 1000000L, 4.0), (1L, 11L, 2000000L, 8.0),
+          (2L, 20L, 1000000L, 6.0), (2L, 21L, 2000000L, 6.0)))
+        awaitRow(_.filter($"user_id" === 1L && $"n_seen" === 2L).count() > 0,
+          "batch-1 state for user 1")
+        // within the TTL: user 2 continues its series (only asserted
+        // when the machine was fast enough for the claim to be valid)
+        mem.addData(Seq((2L, 22L, 3000000L, 6.0)))
+        awaitRow(_.filter($"user_id" === 2L && $"n_seen" >= 1L).count() >= 2,
+          "batch-2 output for user 2")
+        if ((System.nanoTime() - t0) / 1e9 < 3.5) {
+          val u2 = spark.table("ema_ttl_mem").filter($"user_id" === 2L)
+            .agg(max($"n_seen")).as[Long].head()
+          assert(u2 == 3L, s"state inside the TTL must persist, n_seen=$u2")
+        }
+        // let user 1's state expire, then re-arrive with an EARLIER
+        // timestamp than its batch-1 events: if the state survived, the
+        // ordering watermark would DROP this row (n_dropped=1, n_seen
+        // stuck at 2); eviction + rebuild applies it as a fresh series
+        // (n_seen=1, ema_micros=2_000_000, no drop)
+        Thread.sleep(6500)
+        mem.addData(Seq((1L, 12L, 500000L, 2.0)))
+        awaitRow(_.filter($"user_id" === 1L)
+            .filter($"ema_micros" === 2000000L || $"n_dropped" >= 1L)
+            .count() > 0, "post-TTL re-arrival output for user 1")
+        val rebuilt = spark.table("ema_ttl_mem").filter($"user_id" === 1L)
+          .filter($"ema_micros" === 2000000L && $"n_seen" === 1L
+            && $"n_dropped" === 0L).count()
+        assert(rebuilt > 0,
+          "re-arrival after TTL must REBUILD (n_seen=1, ema=value, no drop); got " +
+            spark.table("ema_ttl_mem").filter($"user_id" === 1L)
+              .collect().mkString(", "))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
