@@ -2854,7 +2854,7 @@ object SimilarityQueries {
   private def beamB = 8
   private def beamR = 3
   private def beamEntries = Seq(1L, 2L, 3L, 4L)
-  private def beamCap = 512
+  private def beamCap = 256
 
   private val beamGraphCache =
     scala.collection.concurrent.TrieMap[String, String]()
@@ -2878,20 +2878,51 @@ object SimilarityQueries {
     val root = beamGraphCache.synchronized {
       beamGraphCache.get(dir).filter(live).getOrElse {
         val bands = hyperplaneBands(s, dir).filter($"vec_id" =!= 0)
+        // ENTRY PINNING: the fixed entry points sort FIRST in the cap
+        // order — a serving graph must contain its entry nodes (the
+        // HNSW entry-node invariant); the r12 ×10 sweep caught the
+        // md5-only order evicting all four entries from every capped
+        // bucket, which left them edgeless and killed the beam at the
+        // seed set (out_rows 4, not 10)
         val wCap = Window.partitionBy($"band", $"bval")
-          .orderBy(md5($"vec_id".cast("string")).asc, $"vec_id".asc)
+          .orderBy(when($"vec_id".isin(beamEntries: _*), 0).otherwise(1).asc,
+            md5($"vec_id".cast("string")).asc, $"vec_id".asc)
         val capped = bands
           .withColumn("crk", row_number().over(wCap))
           .filter($"crk" <= beamCap)
           .select($"vec_id", $"embedding", $"band", $"bval")
         val wG = Window.partitionBy($"src").orderBy($"gcos".desc, $"dst".asc)
+        // shuffle discipline (two r12 sweep lessons in one shape): the
+        // band self-join emits ONLY (src, dst) — 16 bytes — so the
+        // multi-band pair dedup shuffles narrow rows (deduping with the
+        // embeddings attached shuffled two 64-float arrays per
+        // candidate: 900 s at ×10), and the vectors attach AFTER the
+        // distinct via two vec_id-keyed joins so each distinct pair
+        // pays the decimal cosine exactly ONCE (scoring pre-dedup
+        // re-ran it per band collision: 4× the decimal work, 96 s at
+        // ×1). Only the final (src, dst, gcos) triple reaches the
+        // per-src top-M window.
+        // self-norms are PER-VECTOR quantities: folding them per PAIR
+        // (what cosineExact inlines) tripled the dominant decimal work
+        // — precompute once (N rows) and carry them through the joins;
+        // the final expression is cosineExact's op tree verbatim, so
+        // the rounded value is bit-identical
+        val vecs = Tables.load(s, dir, "embeddings")
+          .filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+          .withColumn("nn", dotExact("embedding", "embedding"))
         val graph = capped
-          .select($"vec_id".as("src"), $"embedding".as("sv"), $"band", $"bval")
-          .join(capped.select($"vec_id".as("dst"), $"embedding".as("dv"),
-            $"band", $"bval"), Seq("band", "bval"))
+          .select($"vec_id".as("src"), $"band", $"bval")
+          .join(capped.select($"vec_id".as("dst"), $"band", $"bval"),
+            Seq("band", "bval"))
           .filter($"src" =!= $"dst")
-          .dropDuplicates("src", "dst")
-          .select($"src", $"dst", round(cosineExact("sv", "dv"), 9).as("gcos"))
+          .select($"src", $"dst").distinct()
+          .join(vecs.select($"vec_id".as("src"), $"embedding".as("sv"),
+            $"nn".as("sn")), Seq("src"))
+          .join(vecs.select($"vec_id".as("dst"), $"embedding".as("dv"),
+            $"nn".as("dn")), Seq("dst"))
+          .select($"src", $"dst",
+            round(dotExact("sv", "dv") / (sqrt($"sn") * sqrt($"dn")), 9)
+              .as("gcos"))
           .withColumn("grk", row_number().over(wG)).filter($"grk" <= beamM)
           .select($"src", $"dst", $"gcos")
         val r = graft.TempDirs.scratch(
@@ -2982,7 +3013,8 @@ object SimilarityQueries {
         capped AS (SELECT vec_id, band, bval FROM (
             SELECT vec_id, band, bval,
                    ROW_NUMBER() OVER (PARTITION BY band, bval
-                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
+                     ORDER BY CASE WHEN vec_id IN ($entries) THEN 0 ELSE 1 END,
+                              md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
             FROM bands WHERE vec_id <> 0) t
           WHERE crk <= $beamCap),
         cand AS (SELECT DISTINCT b1.vec_id AS src, b2.vec_id AS dst
