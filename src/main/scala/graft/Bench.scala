@@ -112,7 +112,9 @@ object Bench {
       // round-12: the k-NN-graph beam pair shares one corpus-keyed
       // graph-store build (banded pairs + top-M window + FactTable
       // write) — first touch pays it, the s31-s33 convention
-      "s38_graph_beam_search", "s39_graph_beam_recall")
+      "s38_graph_beam_search", "s39_graph_beam_recall",
+      // s40 reuses s38's base store and adds its own upper-layer build
+      "s40_hnsw_layered_descent")
     // best-of-2 per query: damps scheduler/GC noise on a shared machine.
     // A query that fails BOTH runs reports -1.0 (never a fake timing).
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts the query set

@@ -138,7 +138,10 @@ object ScaleBench {
     // members, so from x10 up the edge-scoring work is BOUNDED
     // (~17M candidate pairs at ANY scale — the cap IS the scale story);
     // serving stays ~100 exact scores per query at every multiplier
-    "s38_graph_beam_search", "s39_graph_beam_recall")
+    "s38_graph_beam_search", "s39_graph_beam_recall",
+    // two-layer descent: the upper layer's build is 1/8 the base's work
+    // (same cap bound), serving adds 2 bounded rounds
+    "s40_hnsw_layered_descent")
 
   // multiple of the id moduli queries PLANT structure on (10, 20, 100,
   // 1000): each replica reproduces the base's planted structure exactly

@@ -2705,7 +2705,64 @@ object SimilarityQueries {
         LEFT JOIN indeg i ON i.vec_id = t.vec_id
         WHERE t.rk <= 10
         ORDER BY t.rk"""),
-      doc = "beam-search recall audit with per-miss attribution (the s10/s28/s33 discipline on s38): exact top-10 truth vs beam top-10, each miss classified 'no_incoming_edge' (in-degree 0 in the stored graph — unreachable from ANY entry; a construction-budget defect) vs 'outside_horizon' (reachable but not within R rounds of these entries — a traversal-budget defect); a visited truth vector is provably always found, so these two classes are exhaustive")
+      doc = "beam-search recall audit with per-miss attribution (the s10/s28/s33 discipline on s38): exact top-10 truth vs beam top-10, each miss classified 'no_incoming_edge' (in-degree 0 in the stored graph — unreachable from ANY entry; a construction-budget defect) vs 'outside_horizon' (reachable but not within R rounds of these entries — a traversal-budget defect); a visited truth vector is provably always found, so these two classes are exhaustive"),
+
+    // ------------------------------------------------------------------
+    // s40: HIERARCHICAL (two-layer) DESCENT — the H in HNSW, on top of
+    // s38's single-layer NSW: a sparse UPPER layer (the deterministic
+    // 1-in-8 node subsample vec_id ≡ 1 mod 8, its own stored k-NN
+    // graph, its own pinned entries) is beam-searched FIRST with a
+    // short budget; its top-4 results become the BASE layer's entry
+    // points, replacing s38's fixed seeds with query-adapted ones (the
+    // fixed entries stay unioned in, so the descent can only ADD
+    // starting material — s40's visited set ⊇ a fixed-seed start from
+    // the same nodes). This is exactly why HNSW layers exist: the
+    // upper layer crosses the corpus in a few hops because each hop
+    // spans 8× the density, landing the base beam near the answer
+    // before it spends its round budget. Both graphs are persisted
+    // FactTables (the s14 convention; L0 is literally s38's store,
+    // shared); serving is 2 + 3 rounds of the same broadcast-join beam
+    // — still ~150 exact scores per query independent of corpus size.
+    // The oracle replays EVERYTHING: both layers' banding-capped
+    // builds and both unrolled beam phases, seeds flowing between them
+    // as a CTE. (s39's audit discipline covers the shared L0 graph;
+    // recall is never asserted on these untrained random embeddings.)
+    QueryDef(
+      "s40_hnsw_layered_descent",
+      (s, dir) => {
+        import s.implicits._
+        val l1 = knnGraphStoreFor(s, dir, "s40_l1", Some((8L, 1L)),
+          beamL1Entries).read().select($"src", $"dst")
+        val l0 = knnGraphStore(s, dir).read().select($"src", $"dst")
+        val v1 = beamOver(s, dir, l1, beamL1Entries.toDF("vec_id"), 2)
+        val seeds = v1.orderBy($"cosine".desc, $"vec_id".asc).limit(4)
+          .select($"vec_id")
+          .unionByName(beamEntries.toDF("vec_id")).distinct()
+        val v0 = beamOver(s, dir, l0, seeds, beamR)
+        val wR = Window.orderBy($"cosine".desc, $"vec_id".asc)
+        v0.orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+          .withColumn("rk", row_number().over(wR).cast("long"))
+          .select($"rk", $"vec_id", $"cosine")
+          .orderBy($"rk")
+      },
+      Some(s"""
+        WITH $beamBandsAndScoresSql,
+        ${beamGraphSqlCtes("l1", " AND vec_id % 8 = 1", beamL1Entries)},
+        ${beamRoundsSqlCtes("l1", "l1graph",
+        s"SELECT vec_id, cosine FROM qs WHERE vec_id IN (${beamL1Entries.mkString(", ")})", 2)},
+        ${beamGraphSqlCtes("", "", beamEntries)},
+        seeds AS (SELECT vec_id FROM l1v2
+                  ORDER BY cosine DESC, vec_id ASC LIMIT 4),
+        ${beamRoundsSqlCtes("", "graph",
+        s"""SELECT q0.vec_id, q0.cosine FROM qs q0
+            WHERE q0.vec_id IN (SELECT vec_id FROM seeds)
+               OR q0.vec_id IN (${beamEntries.mkString(", ")})""", beamR)}
+        SELECT * FROM (
+          SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rk,
+                 vec_id, cosine
+          FROM v$beamR) t
+        WHERE rk <= 10 ORDER BY rk"""),
+      doc = "hierarchical two-layer descent (the H in HNSW, over s38's NSW base): a sparse 1-in-8 upper layer with its own stored graph + pinned entries is beam-searched first (2 rounds), its top-4 seed the base layer's beam alongside the fixed entries (query-adapted starts can only ADD material); both stored-graph builds AND both beam phases replay in the oracle with seeds flowing between layers as a CTE; ~150 exact scores per query at any corpus size")
   )
 
   /** The exact-cosine dense leg of the hybrid stack (shared by s29 and
@@ -2854,6 +2911,9 @@ object SimilarityQueries {
   private def beamB = 8
   private def beamR = 3
   private def beamEntries = Seq(1L, 2L, 3L, 4L)
+  // s40's upper-layer entries: must lie in the 1-in-8 subsample
+  // (all ≡ 1 mod 8) and exist at every SF (ids < 500)
+  private def beamL1Entries = Seq(1L, 9L, 17L, 25L)
   private def beamCap = 256
 
   private val beamGraphCache =
@@ -2870,14 +2930,29 @@ object SimilarityQueries {
     * group-limited window; the graph (N·M edges) lands in a FactTable.
     */
   private def knnGraphStore(s: SparkSession, dir: String)
+      : graft.storage.FactTable =
+    knnGraphStoreFor(s, dir, "s38_graph", None, beamEntries)
+
+  /** [[knnGraphStore]] parameterized for s40's LAYERS: `subsetMod` =
+    * Some((m, r)) restricts the graph to vec_id ≡ r (mod m) — the
+    * deterministic node subsample that makes an upper HNSW layer —
+    * and `entries` are the fixed nodes the cap must pin. Stores cache
+    * per (dir, tag).
+    */
+  private def knnGraphStoreFor(s: SparkSession, dir: String, tag: String,
+      subsetMod: Option[(Long, Long)], entries: Seq[Long])
       : graft.storage.FactTable = {
     import s.implicits._
     def live(root: String) =
       new java.io.File(root, "_graft_log").listFiles() != null &&
         new java.io.File(root, "_graft_log").listFiles().nonEmpty
+    val cacheKey = dir + "#" + tag
     val root = beamGraphCache.synchronized {
-      beamGraphCache.get(dir).filter(live).getOrElse {
-        val bands = hyperplaneBands(s, dir).filter($"vec_id" =!= 0)
+      beamGraphCache.get(cacheKey).filter(live).getOrElse {
+        val bands = subsetMod.foldLeft(
+          hyperplaneBands(s, dir).filter($"vec_id" =!= 0)) {
+          case (df, (m, rr)) => df.filter($"vec_id" % m === rr)
+        }
         // ENTRY PINNING: the fixed entry points sort FIRST in the cap
         // order — a serving graph must contain its entry nodes (the
         // HNSW entry-node invariant); the r12 ×10 sweep caught the
@@ -2885,7 +2960,7 @@ object SimilarityQueries {
         // bucket, which left them edgeless and killed the beam at the
         // seed set (out_rows 4, not 10)
         val wCap = Window.partitionBy($"band", $"bval")
-          .orderBy(when($"vec_id".isin(beamEntries: _*), 0).otherwise(1).asc,
+          .orderBy(when($"vec_id".isin(entries: _*), 0).otherwise(1).asc,
             md5($"vec_id".cast("string")).asc, $"vec_id".asc)
         val capped = bands
           .withColumn("crk", row_number().over(wCap))
@@ -2926,10 +3001,10 @@ object SimilarityQueries {
           .withColumn("grk", row_number().over(wG)).filter($"grk" <= beamM)
           .select($"src", $"dst", $"gcos")
         val r = graft.TempDirs.scratch(
-          "s38_graph_" + Integer.toHexString(dir.hashCode))
+          tag + "_" + Integer.toHexString(dir.hashCode))
         new graft.storage.FactTable(r, s)
           .append(graph.withColumn("date", to_date(lit("2024-01-01"))), 0)
-        beamGraphCache.put(dir, r)
+        beamGraphCache.put(cacheKey, r)
         r
       }
     }
@@ -2951,6 +3026,16 @@ object SimilarityQueries {
       : (DataFrame, DataFrame) = {
     import s.implicits._
     val graph = knnGraphStore(s, dir).read().select($"src", $"dst")
+    (beamOver(s, dir, graph, beamEntries.toDF("vec_id"), beamR), graph)
+  }
+
+  /** One beam phase over an arbitrary stored graph from an arbitrary
+    * seed set — shared by s38's single layer and s40's two-layer
+    * descent. Returns the scored visited set.
+    */
+  private def beamOver(s: SparkSession, dir: String, graph: DataFrame,
+      seeds: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
     val vecs = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
@@ -2958,10 +3043,10 @@ object SimilarityQueries {
       .join(broadcast(ids), Seq("vec_id"), "left_semi")
       .crossJoin(broadcast(q))
       .select($"vec_id", round(cosineExact("embedding", "qv"), 9).as("cosine"))
-    var visited = score(beamEntries.toDF("vec_id"))
+    var visited = score(seeds)
     var frontier = visited.orderBy($"cosine".desc, $"vec_id".asc)
       .limit(beamB).select($"vec_id".as("fid"))
-    for (_ <- 1 to beamR) {
+    for (_ <- 1 to rounds) {
       val nbrs = graph.join(broadcast(frontier), $"src" === $"fid")
         .select($"dst".as("vec_id")).distinct()
       val fresh = nbrs.join(broadcast(visited.select($"vec_id")),
@@ -2970,7 +3055,7 @@ object SimilarityQueries {
       frontier = visited.orderBy($"cosine".desc, $"vec_id".asc)
         .limit(beamB).select($"vec_id".as("fid"))
     }
-    (visited, graph)
+    visited
   }
 
   /** The DuckDB replay of the whole beam stack — banding, capped
@@ -2979,21 +3064,18 @@ object SimilarityQueries {
     * `qs(vec_id, cosine)` and `v$beamR` (the visited set). Shared by
     * the s38 and s39 oracles.
     */
-  private def beamSqlCtes: String = {
-    val entries = beamEntries.mkString(", ")
-    val rounds = (1 to beamR).map { r =>
-      s"""n$r AS (SELECT DISTINCT g.dst AS vec_id
-               FROM graph g JOIN f${r - 1} ON g.src = f${r - 1}.vec_id),
-        w$r AS (SELECT vec_id FROM n$r EXCEPT SELECT vec_id FROM v${r - 1}),
-        v$r AS (SELECT * FROM v${r - 1}
-                UNION ALL
-                SELECT q$r.vec_id, q$r.cosine FROM qs q$r
-                JOIN w$r ON w$r.vec_id = q$r.vec_id),
-        f$r AS (SELECT vec_id FROM v$r
-                ORDER BY cosine DESC, vec_id ASC LIMIT $beamB)"""
-    }.mkString(",\n        ")
+  private def beamSqlCtes: String =
     s"""
-        WITH planes AS (
+        WITH $beamBandsAndScoresSql,
+        ${beamGraphSqlCtes("", "", beamEntries)},
+        ${beamRoundsSqlCtes("", "graph",
+      s"SELECT vec_id, cosine FROM qs WHERE vec_id IN (${beamEntries.mkString(", ")})",
+      beamR)}"""
+
+  /** Banding + exact query-score CTEs shared by every graph layer:
+    * planes..bands over ALL vectors, qs(vec_id, cosine) vs the query.
+    */
+  private def beamBandsAndScoresSql: String = s"""planes AS (
           SELECT p AS plane,
                  list_transform(range(0, 64), d ->
                    CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8'
@@ -3010,38 +3092,69 @@ object SimilarityQueries {
                          SUM(bit * CASE plane % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
                                                   WHEN 2 THEN 2 ELSE 1 END) AS bval
                   FROM bits GROUP BY vec_id, plane // 4),
-        capped AS (SELECT vec_id, band, bval FROM (
-            SELECT vec_id, band, bval,
-                   ROW_NUMBER() OVER (PARTITION BY band, bval
-                     ORDER BY CASE WHEN vec_id IN ($entries) THEN 0 ELSE 1 END,
-                              md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
-            FROM bands WHERE vec_id <> 0) t
-          WHERE crk <= $beamCap),
-        cand AS (SELECT DISTINCT b1.vec_id AS src, b2.vec_id AS dst
-                 FROM capped b1 JOIN capped b2
-                   ON b1.band = b2.band AND b1.bval = b2.bval
-                 WHERE b1.vec_id <> b2.vec_id),
-        cp AS (SELECT c.src, c.dst,
-                      unnest(e1.embedding) AS x, unnest(e2.embedding) AS y
-               FROM cand c JOIN embeddings e1 ON e1.vec_id = c.src
-                           JOIN embeddings e2 ON e2.vec_id = c.dst),
-        cd AS (SELECT src, dst, ${oCosineSums()} FROM cp GROUP BY src, dst),
-        graph AS (SELECT src, dst FROM (
-            SELECT src, dst,
-                   ROW_NUMBER() OVER (PARTITION BY src
-                     ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
-                              dst ASC) AS grk
-            FROM cd) t WHERE grk <= $beamM),
         qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         qp AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
                FROM embeddings e, qv q WHERE e.vec_id <> 0),
         qd AS (SELECT vec_id, ${oCosineSums()} FROM qp GROUP BY vec_id),
         qs AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
-               FROM qd),
-        v0 AS (SELECT vec_id, cosine FROM qs WHERE vec_id IN ($entries)),
-        f0 AS (SELECT vec_id FROM v0 ORDER BY cosine DESC, vec_id ASC
-               LIMIT $beamB),
-        $rounds"""
+               FROM qd)"""
+
+  /** One layer's graph-construction CTEs, `pfx`-namespaced: capped
+    * membership (entries pinned), distinct band-colliding pairs, exact
+    * pair cosines, per-src top-M edges. `extraPred` restricts the
+    * layer's node set (s40's upper layer).
+    */
+  private def beamGraphSqlCtes(pfx: String, extraPred: String,
+      entries: Seq[Long]): String = {
+    val es = entries.mkString(", ")
+    s"""${pfx}capped AS (SELECT vec_id, band, bval FROM (
+            SELECT vec_id, band, bval,
+                   ROW_NUMBER() OVER (PARTITION BY band, bval
+                     ORDER BY CASE WHEN vec_id IN ($es) THEN 0 ELSE 1 END,
+                              md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
+            FROM bands WHERE vec_id <> 0$extraPred) t
+          WHERE crk <= $beamCap),
+        ${pfx}cand AS (SELECT DISTINCT b1.vec_id AS src, b2.vec_id AS dst
+                 FROM ${pfx}capped b1 JOIN ${pfx}capped b2
+                   ON b1.band = b2.band AND b1.bval = b2.bval
+                 WHERE b1.vec_id <> b2.vec_id),
+        ${pfx}cp AS (SELECT c.src, c.dst,
+                      unnest(e1.embedding) AS x, unnest(e2.embedding) AS y
+               FROM ${pfx}cand c JOIN embeddings e1 ON e1.vec_id = c.src
+                           JOIN embeddings e2 ON e2.vec_id = c.dst),
+        ${pfx}cd AS (SELECT src, dst, ${oCosineSums()}
+                     FROM ${pfx}cp GROUP BY src, dst),
+        ${pfx}graph AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                     ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
+                              dst ASC) AS grk
+            FROM ${pfx}cd) t WHERE grk <= $beamM)"""
+  }
+
+  /** One beam phase's CTEs, `pfx`-namespaced: seeds (`v0Body` must
+    * yield (vec_id, cosine)), then `rounds` unrolled
+    * neighbor→fresh→score→top-B steps over `graphCte`, ending in
+    * ${pfx}v$rounds (the visited set).
+    */
+  private def beamRoundsSqlCtes(pfx: String, graphCte: String,
+      v0Body: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""${pfx}n$r AS (SELECT DISTINCT g.dst AS vec_id
+               FROM $graphCte g JOIN ${pfx}f${r - 1} ON g.src = ${pfx}f${r - 1}.vec_id),
+        ${pfx}w$r AS (SELECT vec_id FROM ${pfx}n$r
+                      EXCEPT SELECT vec_id FROM ${pfx}v${r - 1}),
+        ${pfx}v$r AS (SELECT * FROM ${pfx}v${r - 1}
+                UNION ALL
+                SELECT q$r.vec_id, q$r.cosine FROM qs q$r
+                JOIN ${pfx}w$r ON ${pfx}w$r.vec_id = q$r.vec_id),
+        ${pfx}f$r AS (SELECT vec_id FROM ${pfx}v$r
+                ORDER BY cosine DESC, vec_id ASC LIMIT $beamB)"""
+    }.mkString(",\n        ")
+    s"""${pfx}v0 AS ($v0Body),
+        ${pfx}f0 AS (SELECT vec_id FROM ${pfx}v0 ORDER BY cosine DESC,
+               vec_id ASC LIMIT $beamB),
+        $steps"""
   }
 
   private val batchStoreCache =

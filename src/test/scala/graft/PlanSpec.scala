@@ -524,6 +524,20 @@ class PlanSpec extends AnyFunSuite {
       s"beam cap lost its TakeOrdered form:\n$p")
   }
 
+  test("s40 layered descent serves from BOTH stored graphs, broadcast rounds only") {
+    val p = plan("s40_hnsw_layered_descent")
+    // both layers' edge lists come from their persisted stores — the
+    // upper layer's scratch path AND s38's shared base store appear as
+    // scan locations; neither layer re-bands or rebuilds in-plan
+    assert(p.contains("s40_l1"), s"upper layer not served from its store:\n$p")
+    assert(p.contains("s38_graph"), s"base layer not served from the shared store:\n$p")
+    assert(!p.contains("CartesianProduct"), s"a beam round exploded:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a bounded frontier/seed side sort-merge joined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"beam caps lost their TakeOrdered form:\n$p")
+  }
+
   test("s39 recall audit: truth joins beam/visited/in-degree sides by broadcast only") {
     val p = plan("s39_graph_beam_recall")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
