@@ -134,10 +134,11 @@ object ScaleBench {
     // map-parallel archives; funnel shuffles ids/md5s only)
     "q100_sequence_next_node", "t33_trained_quality_classifier",
     "t34_byte_bpe_encode", "m24_warc_record_walk", "c23_crawl_to_curated",
-    // graph-ANN pair: the build's banded pairs are bucket-capped at 512
-    // members, so from x10 up the edge-scoring work is BOUNDED
-    // (~17M candidate pairs at ANY scale — the cap IS the scale story);
-    // serving stays ~100 exact scores per query at every multiplier
+    // graph-ANN pair: the build's banded pairs are bucket-capped at 256
+    // members (SimilarityQueries.beamCap), so from x10 up the
+    // edge-scoring work is BOUNDED (~4.2M candidate pairs measured at
+    // x10, flat to x100 — the cap IS the scale story); serving stays
+    // ~100 exact scores per query at every multiplier
     "s38_graph_beam_search", "s39_graph_beam_recall",
     // two-layer descent: the upper layer's build is 1/8 the base's work
     // (same cap bound), serving adds 2 bounded rounds

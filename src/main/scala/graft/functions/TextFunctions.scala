@@ -64,9 +64,16 @@ object TextFunctions {
     */
   def byteBpeEncodeSymExpr(merges: Seq[(String, String)],
       hx: String = "hx"): String = {
+    // zero-length guard (ADVICE r12): on an empty input the symbol
+    // sequence would be Spark's DESCENDING sequence(1, 0) = [1, 0] —
+    // two phantom empty symbols (the q100 trap) — so empty bytes encode
+    // to the empty string explicitly; the merge replaces below are
+    // no-ops on '' either way
     val wrapped =
-      s"""concat(chr(1), array_join(transform(sequence(1, length($hx) div 2),
-           i -> substring($hx, 2*i - 1, 2)), concat(chr(1), chr(1))), chr(1))"""
+      s"""CASE WHEN length($hx) >= 2 THEN
+           concat(chr(1), array_join(transform(sequence(1, length($hx) div 2),
+             i -> substring($hx, 2*i - 1, 2)), concat(chr(1), chr(1))), chr(1))
+           ELSE '' END"""
     merges.foldLeft(wrapped) { case (acc, (a, b)) =>
       s"""replace($acc,
            concat(chr(1), '$a', chr(1), chr(1), '$b', chr(1)),
@@ -156,8 +163,18 @@ object TextFunctions {
     * before/after-keyset diff cannot claim a concurrent query's blocks.
     * Returns (checkpointed df, its block ids).
     */
+  /** Serializes [[checkpointSwap]]'s snapshot→checkpoint→diff window:
+    * the keyset diff attributes every persistent-RDD id created inside
+    * it to THIS call, so a concurrent query caching/checkpointing in
+    * that window would otherwise get its blocks claimed and later
+    * unpersisted (ADVICE r12 — the single-threaded-trainer assumption
+    * is now enforced, not just documented). Driver-side lock only; the
+    * checkpoint job itself still runs fully distributed.
+    */
+  private val ckptSwapLock = new Object
+
   private def checkpointSwap(df: DataFrame,
-      prevIds: Set[Int]): (DataFrame, Set[Int]) = {
+      prevIds: Set[Int]): (DataFrame, Set[Int]) = ckptSwapLock.synchronized {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint() // eager: materialized before release

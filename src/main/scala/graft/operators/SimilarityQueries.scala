@@ -2664,9 +2664,11 @@ object SimilarityQueries {
       (s, dir) => {
         import s.implicits._
         val (visitedRaw, graph) = beamSearchParts(s, dir)
-        // bounded (≤ entries + R·B·M rows): pin it so the three audit
-        // legs below don't re-run the beam three times (the d41
-        // bounded-ledger lesson)
+        // bounded (≤ entries + R·B·M rows): pin it so the audit legs
+        // don't re-run the beam (the d41 bounded-ledger lesson).
+        // ADVICE r12 dropped the visited-set broadcast join — the final
+        // top-10 is already a subset of visited, so `hit` and `hasin`
+        // alone classify every miss exhaustively (see scaladoc above)
         val visited = visitedRaw.localCheckpoint()
         val beam10 = visited.orderBy($"cosine".desc, $"vec_id".asc).limit(10)
           .select($"vec_id", lit(true).as("hit"))
@@ -2677,8 +2679,6 @@ object SimilarityQueries {
           .withColumn("hasin", lit(true))
         truth
           .join(broadcast(beam10), Seq("vec_id"), "left")
-          .join(broadcast(visited.select($"vec_id").withColumn("vis", lit(true))),
-            Seq("vec_id"), "left")
           .join(broadcast(indeg), Seq("vec_id"), "left")
           .select($"rk", $"vec_id", $"cosine",
             coalesce($"hit", lit(false)).as("found_by_beam"),

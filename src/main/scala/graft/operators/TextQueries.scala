@@ -3415,8 +3415,12 @@ object TextQueries {
           df.agg(count(lit(1)).cast("long").as("docs"),
             md5(concat_ws("\n", array_sort(collect_list(key))))
               .as("content_md5"))
-            .select(lit(no).as("stage_no"), lit(name).as("stage"),
-              $"docs", $"content_md5")
+            .select(lit(no).as("stage_no"), lit(name).as("stage"), $"docs",
+              // empty-stage normalization (ADVICE r12): Spark's md5 over
+              // an empty collect_list is md5('') while DuckDB's
+              // md5(string_agg) over zero rows is NULL — NULL the digest
+              // on docs = 0 so an emptied stage matches on both engines
+              when($"docs" > 0, $"content_md5").as("content_md5"))
         stage(0, "fetched", assets, $"doc_id".cast("string"))
           .unionByName(stage(1, "parsed", parsed, $"doc_id".cast("string")))
           .unionByName(stage(2, "extracted", extracted, md5($"extracted")))
