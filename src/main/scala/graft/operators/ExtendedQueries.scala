@@ -3554,7 +3554,108 @@ object ExtendedQueries {
                COALESCE(CASE WHEN idx IS NOT NULL AND idx + 2 <= len(types)
                              THEN types[idx + 2] END, '(none)') AS next_node
         FROM m ORDER BY user_id"""),
-      doc = "sequenceNextNode('forward','first_match'): the event AFTER the first adjacent view->click chain per user — one user-partitioned shuffle, in-row first-match scan + successor capture, no join/window; completes the ordered-pattern battery (windowFunnel q54, sequenceCount q62, gap sequenceMatch q86)")
+      doc = "sequenceNextNode('forward','first_match'): the event AFTER the first adjacent view->click chain per user — one user-partitioned shuffle, in-row first-match scan + successor capture, no join/window; completes the ordered-pattern battery (windowFunnel q54, sequenceCount q62, gap sequenceMatch q86)"),
+
+    // ------------------------------------------------------------------
+    // q101: DICTIONARY FUNCTIONS — ClickHouse's external-dictionary
+    // lookup surface (dictGet / dictGetOrDefault / dictGetHierarchy /
+    // dictIsIn, docs/sql-reference/functions/ext-dict-functions), the
+    // one commonly-hit ClickHouse lookup family the battery lacked
+    // (VERDICT r12 next #3). The dictionary is nation ∪ synthetic
+    // region nodes (key 100+r_regionkey, parent 0 = ClickHouse's
+    // hierarchy terminator) — a parent-keyed dimension exactly like a
+    // CH `hierarchical` dict.
+    //   Spark mapping, per lookup class:
+    //   - dictGet / dictGetOrDefault → a broadcast MAP LITERAL probed
+    //     with element_at (absent key → NULL here, so coalesce IS the
+    //     OrDefault semantics). The dict is driver-loaded once like
+    //     ClickHouse loads it into every server's RAM — a bounded
+    //     dimension read, not a corpus collect.
+    //   - dictGetHierarchy / dictIsIn → BOUNDED ITERATIVE SELF-JOIN
+    //     against the broadcast dimension (the q65 fixpoint shape,
+    //     driver-composed like q94): each level joins the ≤|keys| chain
+    //     frontier to the dict and stops at parent 0; maxDepth caps the
+    //     loop the way CH caps hierarchy depth. dictIsIn(child, anc) =
+    //     membership of anc in the child's chain.
+    //   Scale: fact side shuffles ONCE (the groupBy on c_nationkey);
+    //   every dict probe is a broadcast join or a literal-map
+    //   element_at — nothing dictionary-sized ever shuffles. Oracle:
+    //   recursive CTE over the same parent-keyed dict.
+    QueryDef(
+      "q101_dict_functions",
+      (s, dir) => {
+        import s.implicits._
+        val dict = Tables.load(s, dir, "nation")
+          .select($"n_nationkey".as("k"), $"n_name".as("name"),
+            ($"n_regionkey" + 100L).as("parent"))
+          .unionByName(Tables.load(s, dir, "region")
+            .select(($"r_regionkey" + 100L).as("k"), $"r_name".as("name"),
+              lit(0L).as("parent")))
+        // flat/hashed dict → broadcast map literal (bounded dimension;
+        // the 30-row collect is the CH dictionary-load analog)
+        val entries = dict.select($"k", $"name")
+          .as[(Long, String)].collect().toMap
+        val nameMap = typedLit(entries)
+        val facts = Tables.load(s, dir, "customer")
+          .groupBy($"c_nationkey".as("k"))
+          .agg(count(lit(1)).as("n_customers"))
+        // dictGetHierarchy: bounded iterative self-join, parent links
+        // followed until the 0 terminator (depth ≤ 4 — CH's own
+        // hierarchies are shallow by doc'd convention)
+        var chain = facts.select($"k", $"k".as("node"), lit(0).as("depth"))
+        for (d <- 1 to 4) {
+          val step = chain.filter($"depth" === d - 1)
+            .join(broadcast(dict.select($"k".as("node"), $"parent")), "node")
+            .filter($"parent" =!= 0L)
+            .select($"k", $"parent".as("node"), lit(d).as("depth"))
+          chain = chain.unionByName(step)
+        }
+        val hier = chain.groupBy($"k")
+          .agg(expr("""array_join(transform(
+                 array_sort(collect_list(struct(depth, node))),
+                 s -> CAST(s.node AS STRING)), ',')""").as("hier"),
+            expr("exists(collect_list(node), n -> n = 102)").as("in_asia"))
+        facts
+          .withColumn("dict_name", element_at(nameMap, $"k"))
+          // dictGetOrDefault: the +11 probe misses for k >= 14 (keys
+          // 25..35 are absent) — both hit and miss paths exercised
+          .withColumn("shifted_name",
+            coalesce(element_at(nameMap, $"k" + 11L), lit("N/A")))
+          .join(broadcast(hier), "k")
+          .select($"k", $"dict_name", $"shifted_name", $"hier",
+            $"in_asia", $"n_customers")
+          .orderBy($"k")
+      },
+      Some("""
+        WITH RECURSIVE dict AS (
+          SELECT n_nationkey AS k, n_name AS name,
+                 n_regionkey + 100 AS parent
+          FROM nation
+          UNION ALL
+          SELECT r_regionkey + 100, r_name, 0 FROM region),
+        facts AS (SELECT c_nationkey AS k, COUNT(*) AS n_customers
+                  FROM customer GROUP BY 1),
+        chain(k, node, depth) AS (
+          SELECT k, k, 0 FROM facts
+          UNION ALL
+          SELECT ch.k, d.parent, ch.depth + 1
+          FROM chain ch JOIN dict d ON d.k = ch.node
+          WHERE d.parent <> 0 AND ch.depth < 4),
+        hier AS (
+          SELECT k,
+                 string_agg(CAST(node AS VARCHAR), ','
+                   ORDER BY depth, node) AS hier,
+                 bool_or(node = 102) AS in_asia
+          FROM chain GROUP BY k)
+        SELECT f.k, d.name AS dict_name,
+               COALESCE(d2.name, 'N/A') AS shifted_name,
+               h.hier, h.in_asia, f.n_customers
+        FROM facts f
+        JOIN dict d ON d.k = f.k
+        LEFT JOIN dict d2 ON d2.k = f.k + 11
+        JOIN hier h ON h.k = f.k
+        ORDER BY f.k"""),
+      doc = "ClickHouse dictionary functions (dictGet/dictGetOrDefault/dictGetHierarchy/dictIsIn): flat lookups as a broadcast map literal probed by element_at (NULL-on-absent = the OrDefault semantics), hierarchy walk as a bounded iterative self-join over the parent-keyed dimension with the parent=0 terminator, dictIsIn as chain membership; the fact side shuffles once, dictionary probes never shuffle")
   )
 
   /** q98's degree-oriented triangle counter over a canonical undirected

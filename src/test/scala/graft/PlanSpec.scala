@@ -546,6 +546,21 @@ class PlanSpec extends AnyFunSuite {
       s"audit legs not broadcast-joined:\n$p")
   }
 
+  test("q101 dict probes broadcast: the fact side never shuffles for a lookup") {
+    val p = plan("q101_dict_functions")
+    // flat lookups are literal-map element_at (no join at all); the
+    // hierarchy levels and the final hier attach are broadcast joins of
+    // the 30-row dimension / 25-row chain — nothing dictionary-sized may
+    // sort-merge or cartesian
+    assert(p.contains("BroadcastHashJoin"),
+      s"dict joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dictionary-sized side sort-merge joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dict probe exploded:\n$p")
+    assert(p.contains("partial_count"),
+      s"the one fact-side aggregate lost map-side combine:\n$p")
+  }
+
   test("s36 width curve: coarse cap is a distributed top-k, not a global sort") {
     val p = plan("s36_matryoshka_width_curve")
     // an unpartitioned rank window gets no WindowGroupLimit push — the
