@@ -2762,8 +2762,222 @@ object SimilarityQueries {
                  vec_id, cosine
           FROM v$beamR) t
         WHERE rk <= 10 ORDER BY rk"""),
-      doc = "hierarchical two-layer descent (the H in HNSW, over s38's NSW base): a sparse 1-in-8 upper layer with its own stored graph + pinned entries is beam-searched first (2 rounds), its top-4 seed the base layer's beam alongside the fixed entries (query-adapted starts can only ADD material); both stored-graph builds AND both beam phases replay in the oracle with seeds flowing between layers as a CTE; ~150 exact scores per query at any corpus size")
+      doc = "hierarchical two-layer descent (the H in HNSW, over s38's NSW base): a sparse 1-in-8 upper layer with its own stored graph + pinned entries is beam-searched first (2 rounds), its top-4 seed the base layer's beam alongside the fixed entries (query-adapted starts can only ADD material); both stored-graph builds AND both beam phases replay in the oracle with seeds flowing between layers as a CTE; ~150 exact scores per query at any corpus size"),
+
+    // ------------------------------------------------------------------
+    // s41: INCREMENTAL GRAPH INSERT — the HNSW insert algorithm, the
+    // lifecycle step that makes the graph family production-viable
+    // (VERDICT r12 next #1): s38/s40 graphs were build-once; the IVF
+    // family had its append path (s15/s21) but a graph index could not
+    // take a new batch without a full rebuild — and the reference's
+    // scrape loop is incremental append forever (mb8600.py:329-443), so
+    // an index requiring rebuilds breaks its contract. The algorithm is
+    // HNSW's own (Malkov & Yashunin 2016 §4 Algorithm 1, single layer):
+    // each new vector BEAM-SEARCHES the current graph for its
+    // neighborhood — the serving path IS the insert path, which is the
+    // defining HNSW property — takes its top-M visited as out-edges,
+    // and offers itself to each of those M neighbors, whose edge lists
+    // re-cap at M (gcos desc, dst asc — the "shrink connections"
+    // step), EXCEPT that the BEST neighbor keeps the back-edge
+    // unconditionally (the reachability pin — see hnswInsertedGraph;
+    // plain shrink measurably left node 22 with in-degree 0 at
+    // sf0.001, i.e. a vector the store could never serve). Inserts
+    // apply sequentially in ascending id order, so a later insert can
+    // traverse to (and link with) an earlier one.
+    //   Cost per insert is CORPUS-SIZE INDEPENDENT: one beam
+    //   (≤ entries + R·B·M ≈ 100 exact scores) + a ≤M·(M+1)-row recap;
+    //   the existing corpus is never re-banded, never re-scored, and
+    //   only the ≤M affected source rows change — at 100 TB that is an
+    //   append + a bounded MERGE against the stored edge list. The
+    //   driver composes the loop with broadcast joins only (the q94
+    //   discipline; the per-insert top-M localCheckpoint is a 4-row
+    //   pin, the d41 bounded-ledger convention).
+    //   Output: every edge incident to the batch after all four inserts
+    //   — out-edges AND the reverse edges that survived each neighbor's
+    //   re-cap — so the oracle (base build + four unrolled
+    //   beam-insert-recap chains, all MATERIALIZED so DuckDB cannot
+    //   exponentially inline the graph-version chain) checks the beams'
+    //   traversal order, the edge selection, and the cap evictions,
+    //   not just a final serving answer.
+    QueryDef(
+      "s41_hnsw_incremental_insert",
+      (s, dir) => {
+        import s.implicits._
+        val g = hnswInsertedGraph(s, dir)
+        g.filter($"src".isin(insertBatch: _*) || $"dst".isin(insertBatch: _*))
+          .select($"src", $"dst", $"gcos")
+          .orderBy($"src", $"dst")
+      },
+      Some(s41OracleSql),
+      doc = "HNSW incremental insert (Malkov & Yashunin Alg.1, single layer): each new vector beam-searches the stored graph for its top-M neighborhood (the serving path IS the insert path), adds capped bidirectional edges — the best neighbor pins the back-edge so the new vector is never left unreachable — and only the <=M affected sources re-cap: no re-banding, no rebuild, corpus-size-independent insert cost; sequential inserts let later vectors link to earlier ones; oracle replays the base build plus all four beam+recap chains as MATERIALIZED CTEs and checks every batch-incident edge")
   )
+
+  /** s41's insert batch: held OUT of the base graph build, inserted
+    * sequentially in ascending order. Chosen off the entry/query ids;
+    * all < 500 so they exist at every SF (the embeddings table is a
+    * fixed 500-vector corpus).
+    */
+  private[graft] def insertBatch = Seq(11L, 22L, 33L, 44L)
+
+  /** The HNSW-inserted graph: the s41_base store (corpus minus the
+    * batch) plus the four sequential inserts applied. Returns the full
+    * (src, dst, gcos) edge list — the spec asserts degree/reachability
+    * invariants and serving parity on it.
+    *
+    * Delta representation (the 100 TB MERGE shape, dx23's
+    * deletion-vector pattern): every graph version is
+    * `base store ANTI-JOIN touched-src list ∪ checkpointed delta
+    * edges`. The base store is never rewritten; each insert re-caps ≤M
+    * source rows, so the delta stays bounded (≤ batch·M·(M+1) rows)
+    * and is pinned with one tiny localCheckpoint per insert — WITHOUT
+    * this flattening, version i's plan references version i-1 three
+    * times (anti + two recap branches) and the lineage grows 3^i-fold
+    * (measured: the nested form ran 10× slower at sf0.001).
+    */
+  private[graft] def hnswInsertedGraph(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val base = knnGraphStoreFor(s, dir, "s41_base", None, beamEntries,
+      exclude = insertBatch).read().select($"src", $"dst", $"gcos")
+    // (touched-src tombstones, override/new edges) — both bounded
+    var touched = s.emptyDataFrame.select(lit(-1L).as("src")).limit(0)
+    var delta = base.limit(0)
+    def graphNow: DataFrame = base
+      .join(broadcast(touched), Seq("src"), "left_anti")
+      .unionByName(delta)
+    insertBatch.sorted.foreach { x =>
+      val qv = emb.filter($"vec_id" === x).select($"embedding".as("qv"))
+      val graph = graphNow
+      val visited = beamOverQ(s, dir, graph.select($"src", $"dst"),
+        beamEntries.toDF("vec_id"), beamR, qv)
+      // the new node's neighborhood: top-M of the beam's visited set —
+      // bounded (M rows), read several times below, so pin it
+      val wTop = Window.orderBy($"cosine".desc, $"vec_id".asc)
+      val xtop = visited.orderBy($"cosine".desc, $"vec_id".asc)
+        .limit(beamM).withColumn("nrk", row_number().over(wTop))
+        .localCheckpoint()
+      val xout = xtop.select(lit(x).as("src"), $"vec_id".as("dst"),
+        $"cosine".as("gcos"))
+      // REACHABILITY PIN (the build's entry-pinning discipline applied
+      // to inserts): plain Alg.1 shrink can reject ALL M back-edge
+      // offers — every neighbor's existing edges outscore the new node
+      // — leaving the fresh vector permanently unservable (observed:
+      // node 22 at sf0.001, in-degree 0). So the BEST neighbor keeps
+      // the back-edge unconditionally and fills with its top-(M-1)
+      // existing edges (identical to natural shrink whenever the offer
+      // would have survived anyway); the other M-1 neighbors shrink
+      // naturally.
+      val best = xtop.filter($"nrk" === 1)
+      val others = xtop.filter($"nrk" > 1)
+      val wCap = Window.partitionBy($"src").orderBy($"gcos".desc, $"dst".asc)
+      val recapOthers = graph
+        .join(broadcast(others.select($"vec_id".as("src"))), Seq("src"),
+          "left_semi")
+        .unionByName(others.select($"vec_id".as("src"), lit(x).as("dst"),
+          $"cosine".as("gcos")))
+        .withColumn("grk", row_number().over(wCap)).filter($"grk" <= beamM)
+        .select($"src", $"dst", $"gcos")
+      val recapBest = graph
+        .join(broadcast(best.select($"vec_id".as("src"))), Seq("src"),
+          "left_semi")
+        .withColumn("grk", row_number().over(wCap)).filter($"grk" <= beamM - 1)
+        .select($"src", $"dst", $"gcos")
+        .unionByName(best.select($"vec_id".as("src"), lit(x).as("dst"),
+          $"cosine".as("gcos")))
+      delta = delta
+        .join(broadcast(xtop.select($"vec_id".as("src"))), Seq("src"),
+          "left_anti")
+        .unionByName(recapOthers)
+        .unionByName(recapBest)
+        .unionByName(xout)
+        .localCheckpoint() // bounded: the MERGE a store would write
+      touched = delta.select($"src").distinct()
+    }
+    graphNow
+  }
+
+  /** The standard query-serving beam (query = vec 0, fixed entries, R
+    * rounds) over an ARBITRARY edge list, cut to s38's top-10 shape —
+    * the s41 spec's insert-vs-rebuild serving-parity probe.
+    */
+  private[graft] def beamTop10Over(s: SparkSession, dir: String,
+      graph: DataFrame): DataFrame = {
+    import s.implicits._
+    beamOver(s, dir, graph, beamEntries.toDF("vec_id"), beamR)
+      .orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id", $"cosine")
+  }
+
+  /** The s41 oracle: base-graph build (batch excluded) + the four
+    * insert chains unrolled — per insert x_i: its exact score table,
+    * the beam rounds over graph version g_{i-1}, the top-M
+    * neighborhood, and the next graph version g_i (recapped affected
+    * sources + untouched sources + the new node's out-edges). Graph
+    * versions and score tables are MATERIALIZED: each is referenced by
+    * every later chain, and plain-CTE inlining would grow the SQL
+    * exponentially in the batch size (the s19 mmr lesson).
+    */
+  private def s41OracleSql: String = {
+    val batch = insertBatch.sorted
+    val chains = batch.zipWithIndex.map { case (x, i) =>
+      val pfx = s"x$i"
+      val prevG = if (i == 0) "bgraph" else s"g${i - 1}"
+      s"""${pfx}p AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+                     unnest(q.embedding) AS y
+              FROM embeddings e, embeddings q
+              WHERE q.vec_id = $x AND e.vec_id <> 0),
+        ${pfx}d AS (SELECT vec_id, ${oCosineSums()}
+                    FROM ${pfx}p GROUP BY vec_id),
+        ${pfx}qs AS MATERIALIZED (
+          SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+          FROM ${pfx}d),
+        ${beamRoundsSqlCtes(pfx, prevG,
+        s"SELECT vec_id, cosine FROM ${pfx}qs WHERE vec_id IN (${beamEntries.mkString(", ")})",
+        beamR, s"${pfx}qs")},
+        ${pfx}top AS MATERIALIZED (
+          SELECT vec_id, cosine,
+                 ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS nrk
+          FROM (SELECT vec_id, cosine FROM ${pfx}v$beamR
+                ORDER BY cosine DESC, vec_id ASC LIMIT $beamM) t),
+        g$i AS MATERIALIZED (
+          SELECT src, dst, gcos FROM (
+            SELECT src, dst, gcos,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                     ORDER BY gcos DESC, dst ASC) AS rk
+            FROM (SELECT p.src, p.dst, p.gcos FROM $prevG p
+                  WHERE p.src IN (SELECT vec_id FROM ${pfx}top WHERE nrk > 1)
+                  UNION ALL
+                  SELECT t.vec_id, CAST($x AS BIGINT), t.cosine
+                  FROM ${pfx}top t WHERE t.nrk > 1) u) w
+          WHERE rk <= $beamM
+          UNION ALL
+          SELECT src, dst, gcos FROM (
+            SELECT p.src, p.dst, p.gcos,
+                   ROW_NUMBER() OVER (PARTITION BY p.src
+                     ORDER BY p.gcos DESC, p.dst ASC) AS rk
+            FROM $prevG p
+            WHERE p.src IN (SELECT vec_id FROM ${pfx}top WHERE nrk = 1)) w2
+          WHERE rk <= ${beamM - 1}
+          UNION ALL
+          SELECT t.vec_id, CAST($x AS BIGINT), t.cosine
+          FROM ${pfx}top t WHERE t.nrk = 1
+          UNION ALL
+          SELECT src, dst, gcos FROM $prevG
+          WHERE src NOT IN (SELECT vec_id FROM ${pfx}top)
+          UNION ALL
+          SELECT CAST($x AS BIGINT) AS src, vec_id AS dst, cosine AS gcos
+          FROM ${pfx}top)"""
+    }.mkString(",\n        ")
+    val bl = batch.mkString(", ")
+    s"""
+        WITH $beamBandsAndScoresSql,
+        ${beamGraphSqlCtes("b", s" AND vec_id NOT IN ($bl)", beamEntries)},
+        $chains
+        SELECT src, dst, gcos FROM g${batch.length - 1}
+        WHERE src IN ($bl) OR dst IN ($bl)
+        ORDER BY src, dst"""
+  }
 
   /** The exact-cosine dense leg of the hybrid stack (shared by s29 and
     * the s33 audit's truth side): per-query top-k (qid, doc_id, vec_rk)
@@ -2933,14 +3147,16 @@ object SimilarityQueries {
       : graft.storage.FactTable =
     knnGraphStoreFor(s, dir, "s38_graph", None, beamEntries)
 
-  /** [[knnGraphStore]] parameterized for s40's LAYERS: `subsetMod` =
-    * Some((m, r)) restricts the graph to vec_id ≡ r (mod m) — the
-    * deterministic node subsample that makes an upper HNSW layer —
-    * and `entries` are the fixed nodes the cap must pin. Stores cache
-    * per (dir, tag).
+  /** [[knnGraphStore]] parameterized for s40's LAYERS and s41's
+    * pre-insert base: `subsetMod` = Some((m, r)) restricts the graph to
+    * vec_id ≡ r (mod m) — the deterministic node subsample that makes
+    * an upper HNSW layer — `exclude` drops an explicit id set (s41's
+    * not-yet-inserted batch), and `entries` are the fixed nodes the cap
+    * must pin. Stores cache per (dir, tag).
     */
   private def knnGraphStoreFor(s: SparkSession, dir: String, tag: String,
-      subsetMod: Option[(Long, Long)], entries: Seq[Long])
+      subsetMod: Option[(Long, Long)], entries: Seq[Long],
+      exclude: Seq[Long] = Nil)
       : graft.storage.FactTable = {
     import s.implicits._
     def live(root: String) =
@@ -2949,10 +3165,12 @@ object SimilarityQueries {
     val cacheKey = dir + "#" + tag
     val root = beamGraphCache.synchronized {
       beamGraphCache.get(cacheKey).filter(live).getOrElse {
-        val bands = subsetMod.foldLeft(
+        val bands0 = subsetMod.foldLeft(
           hyperplaneBands(s, dir).filter($"vec_id" =!= 0)) {
           case (df, (m, rr)) => df.filter($"vec_id" % m === rr)
         }
+        val bands = if (exclude.isEmpty) bands0
+          else bands0.filter(!$"vec_id".isin(exclude: _*))
         // ENTRY PINNING: the fixed entry points sort FIRST in the cap
         // order — a serving graph must contain its entry nodes (the
         // HNSW entry-node invariant); the r12 ×10 sweep caught the
@@ -3036,9 +3254,22 @@ object SimilarityQueries {
   private def beamOver(s: SparkSession, dir: String, graph: DataFrame,
       seeds: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
-    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
-    val vecs = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+    val q = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" === 0).select($"embedding".as("qv"))
+    beamOverQ(s, dir, graph, seeds, rounds, q)
+  }
+
+  /** [[beamOver]] with an ARBITRARY 1-row query vector `q` (column
+    * `qv`) — s41's insert path beam-searches with each NEW vector as
+    * the query (the HNSW property: the serving path IS the insert
+    * path). No mid-iteration collect; every frontier/visited side
+    * broadcasts.
+    */
+  private def beamOverQ(s: SparkSession, dir: String, graph: DataFrame,
+      seeds: DataFrame, rounds: Int, q: DataFrame): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
     def score(ids: DataFrame): DataFrame = vecs
       .join(broadcast(ids), Seq("vec_id"), "left_semi")
       .crossJoin(broadcast(q))
@@ -3124,8 +3355,9 @@ object SimilarityQueries {
                            JOIN embeddings e2 ON e2.vec_id = c.dst),
         ${pfx}cd AS (SELECT src, dst, ${oCosineSums()}
                      FROM ${pfx}cp GROUP BY src, dst),
-        ${pfx}graph AS (SELECT src, dst FROM (
+        ${pfx}graph AS (SELECT src, dst, gcos FROM (
             SELECT src, dst,
+                   round(dot / (sqrt(na) * sqrt(nq)), 9) AS gcos,
                    ROW_NUMBER() OVER (PARTITION BY src
                      ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
                               dst ASC) AS grk
@@ -3135,10 +3367,12 @@ object SimilarityQueries {
   /** One beam phase's CTEs, `pfx`-namespaced: seeds (`v0Body` must
     * yield (vec_id, cosine)), then `rounds` unrolled
     * neighbor→fresh→score→top-B steps over `graphCte`, ending in
-    * ${pfx}v$rounds (the visited set).
+    * ${pfx}v$rounds (the visited set). `qsCte` names the per-node
+    * score table — s41's inserts score against each NEW vector, not
+    * the fixed query.
     */
   private def beamRoundsSqlCtes(pfx: String, graphCte: String,
-      v0Body: String, rounds: Int): String = {
+      v0Body: String, rounds: Int, qsCte: String = "qs"): String = {
     val steps = (1 to rounds).map { r =>
       s"""${pfx}n$r AS (SELECT DISTINCT g.dst AS vec_id
                FROM $graphCte g JOIN ${pfx}f${r - 1} ON g.src = ${pfx}f${r - 1}.vec_id),
@@ -3146,7 +3380,7 @@ object SimilarityQueries {
                       EXCEPT SELECT vec_id FROM ${pfx}v${r - 1}),
         ${pfx}v$r AS (SELECT * FROM ${pfx}v${r - 1}
                 UNION ALL
-                SELECT q$r.vec_id, q$r.cosine FROM qs q$r
+                SELECT q$r.vec_id, q$r.cosine FROM $qsCte q$r
                 JOIN ${pfx}w$r ON ${pfx}w$r.vec_id = q$r.vec_id),
         ${pfx}f$r AS (SELECT vec_id FROM ${pfx}v$r
                 ORDER BY cosine DESC, vec_id ASC LIMIT $beamB)"""

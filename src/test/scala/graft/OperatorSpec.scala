@@ -1976,4 +1976,45 @@ class OperatorSpec extends AnyFunSuite {
       s"unserialized complex output columns (driver comparator will crash): " +
         offenders.mkString(", "))
   }
+
+  test("s41 insert invariants: out-degree M, caps hold, back-edges land, no dupes") {
+    val g = operators.SimilarityQueries.hnswInsertedGraph(spark, sfDir)
+      .select($"src", $"dst").as[(Long, Long)].collect()
+    val batch = operators.SimilarityQueries.insertBatch.toSet
+    val bySrc = g.groupBy(_._1)
+    // every inserted node linked at full degree M
+    batch.foreach(x =>
+      assert(bySrc(x).length == 4, s"inserted node $x out-degree != M"))
+    // the cap held everywhere (recapped neighbors included) and no
+    // (src, dst) duplicates / self-edges slipped in
+    bySrc.foreach { case (s0, es) =>
+      assert(es.length <= 4, s"src $s0 over the M cap: ${es.length}")
+      assert(es.map(_._2).distinct.length == es.length, s"dup edge at $s0")
+    }
+    assert(!g.exists(e => e._1 == e._2), "self edge")
+    // at least one neighbor kept each new node's back-edge: in-degree
+    // >= 1, so the node is reachable and serving can ever return it
+    val indeg = g.groupBy(_._2).view.mapValues(_.length).toMap
+    batch.foreach(x =>
+      assert(indeg.getOrElse(x, 0) >= 1, s"inserted node $x unreachable"))
+  }
+
+  test("s41 serving parity: insert-maintained graph answers the standard query like the full rebuild") {
+    // the s15/d28 convention at the level a graph index can honor it:
+    // HNSW insert builds a DIFFERENT (locally-optimal) edge set than a
+    // from-scratch band build, so graph equality is not the contract —
+    // the SERVING answer is. The standard query beam over the
+    // insert-maintained graph must match s38's beam over the
+    // from-scratch union-corpus store.
+    val viaInsert = operators.SimilarityQueries.beamTop10Over(spark, sfDir,
+      operators.SimilarityQueries.hnswInsertedGraph(spark, sfDir)
+        .select($"src", $"dst"))
+      .as[(Long, Double)].collect().toSeq
+    val rebuild = QueryDef.registry.find(_.name == "s38_graph_beam_search").get
+      .build(spark, sfDir)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toSeq
+    assert(viaInsert == rebuild,
+      s"insert-maintained serving diverged from the rebuild:\n" +
+        s"insert=$viaInsert\nrebuild=$rebuild")
+  }
 }

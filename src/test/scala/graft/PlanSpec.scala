@@ -561,6 +561,20 @@ class PlanSpec extends AnyFunSuite {
       s"the one fact-side aggregate lost map-side combine:\n$p")
   }
 
+  test("s41 insert reads the stored base graph; beams/recaps broadcast, never re-band") {
+    val p = plan("s41_hnsw_incremental_insert")
+    // the pre-insert corpus is served from its persisted store — no
+    // re-banding, no rebuild appears in the insert plan
+    assert(p.contains("s41_base"),
+      s"insert does not read the stored base graph:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"an insert beam/recap exploded:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a bounded (<=M-row) insert side sort-merge joined:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"insert joins must broadcast:\n$p")
+  }
+
   test("s36 width curve: coarse cap is a distributed top-k, not a global sort") {
     val p = plan("s36_matryoshka_width_curve")
     // an unpartitioned rank window gets no WindowGroupLimit push — the
