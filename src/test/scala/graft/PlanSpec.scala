@@ -575,6 +575,26 @@ class PlanSpec extends AnyFunSuite {
       s"insert joins must broadcast:\n$p")
   }
 
+  test("s42 filtered beam serves from the stored graph; 2-hop rounds broadcast") {
+    val p = plan("s42_filtered_graph_beam")
+    assert(p.contains("s38_graph"),
+      s"filtered traversal does not read the stored graph:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a 2-hop expansion exploded:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a bounded frontier/hop side sort-merge joined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"beam caps lost their TakeOrdered form:\n$p")
+  }
+
+  test("s43 filtered recall audit joins its bounded legs by broadcast only") {
+    val p = plan("s43_filtered_beam_recall")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"audit joins must broadcast (every side is <=10..N*M rows):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"audit legs not broadcast-joined:\n$p")
+  }
+
   test("s36 width curve: coarse cap is a distributed top-k, not a global sort") {
     val p = plan("s36_matryoshka_width_curve")
     // an unpartitioned rank window gets no WindowGroupLimit push — the
