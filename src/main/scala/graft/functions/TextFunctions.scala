@@ -587,6 +587,37 @@ object TextFunctions {
     w
   }
 
+  /** The unrolled-epoch CTE chain replaying [[logisticTrainMicro]] in
+    * DuckDB: `e0` (zero weights) through `e$epochs`, each epoch one
+    * gradient CTE over `feats` (must expose DOUBLE f0..f{nFeats-1} and
+    * y) and one truncating-division weight update against `cnt(n)`.
+    * Returns the CTE text WITHOUT a leading comma. Shared by the t33
+    * and m25 oracles — any trained-in-engine model replays its epochs
+    * through this one generator.
+    */
+  def epochSqlCtes(nFeats: Int, epochs: Int, lrNum: Long = 4L): String = {
+    val fRefs = (0 until nFeats).map(j => s"f$j")
+    def gradSelect(prev: String): String = {
+      val p = fastSigmoidSql(
+        zMicroSql(fRefs.indices.map(j => s"$prev.w$j"), fRefs))
+      fRefs.indices.map(j =>
+        s"CAST(SUM(${gradTermSql(p, s"f$j")}) AS BIGINT) AS g$j")
+        .mkString(",\n               ")
+    }
+    val chain = (1 to epochs).map { k =>
+      val prev = s"e${k - 1}"
+      s"""g$k AS (SELECT ${gradSelect(prev)}
+           FROM feats CROSS JOIN $prev),
+        e$k AS (SELECT ${fRefs.indices.map(j =>
+          s"CAST($prev.w$j - (($lrNum * g$k.g$j) // cnt.n) AS BIGINT) AS w$j")
+          .mkString(", ")}
+           FROM $prev CROSS JOIN g$k CROSS JOIN cnt)"""
+    }.mkString(",\n        ")
+    s"""e0 AS (SELECT ${fRefs.indices.map(j =>
+        s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+        $chain"""
+  }
+
   /** Viterbi segmentation of one word under a unigram piece model:
     * the segmentation maximizing Π p(piece), pieces limited to
     * `maxPieceLen` characters, ties broken toward the SHORTER piece

@@ -1700,7 +1700,120 @@ object MultimodalQueries {
                CASE WHEN status = 'corrupt' THEN '?'
                     ELSE 'http://ex.org/' || media_id || '/0' END AS first_uri
         FROM c ORDER BY media_id"""),
-      doc = "WARC record walk (ISO 28500 — the container 100 TB crawl corpora arrive in): length-delimited header-then-payload records as ONE native aggregate() fold — magic check, header-block regexp fields, Content-Length stride, trailing-CRLF hop — m23's variable-stride idiom with a parsed TEXT header as the stride; corrupt archives fail the magic into sentinels, truncated archives keep every COMPLETE record with status 'truncated'; closed-form oracle rebuilds payloads from the plant recipe so one wrong offset breaks the match")
+      doc = "WARC record walk (ISO 28500 — the container 100 TB crawl corpora arrive in): length-delimited header-then-payload records as ONE native aggregate() fold — magic check, header-block regexp fields, Content-Length stride, trailing-CRLF hop — m23's variable-stride idiom with a parsed TEXT header as the stride; corrupt archives fail the magic into sentinels, truncated archives keep every COMPLETE record with status 'truncated'; closed-form oracle rebuilds payloads from the plant recipe so one wrong offset breaks the match"),
+
+    // ------------------------------------------------------------------
+    // m25: TRAINED MEDIA CLASSIFIER — the media-side twin of t33 and
+    // the entry that retires the last stub class (VERDICT r12 next #2):
+    // a logistic model genuinely TRAINED IN-ENGINE over features from a
+    // REAL image decode, then applied through the m04 batched-inference
+    // plumbing with the LEARNED weights as the forward. Fixture: every
+    // document renders a PNG — media_id % 2 = 1 gets the two-color
+    // split (the planted positive class), % 2 = 0 a solid (both halves
+    // the left color). Features come from decodeGridCols' REAL ImageIO
+    // decode (integer grid-column luma sums, exact closed forms for
+    // rendered splits — the m08/m09 discipline), scaled to O(1)
+    // doubles by expressions stated identically in both engines:
+    // f1 = |s_left − s_right|/1e5 (the separating signal), f2 = mean
+    // luma, f3 = width. Training is logisticTrainMicro's exact-integer
+    // gradient epochs (4 epochs, one partial-aggregated pass each, 4
+    // BIGINTs of driver state); the oracle replays them through the
+    // SAME epochSqlCtes generator as t33 onto bit-identical
+    // micro-weights. Apply is typed batched inference (batch =
+    // media_id div 16, the m04 contract) whose JVM scorer mirrors
+    // zMicroSql's IEEE op sequence exactly — floor(z·10⁶) lands on the
+    // same integer as the oracle's SQL.
+    //   Scale: render+decode is map-parallel once into a checkpointed
+    //   4-column integer frame; each epoch is one partial-aggregated
+    //   scan of it; apply is one batch-keyed shuffle of integers.
+    QueryDef(
+      "m25_trained_media_classifier",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.TextFunctions
+        val assets = MediaPipeline.splitAssets(s, dir)
+          .select($"media_id", $"w", $"h", $"rgbl",
+            when($"media_id" % 2 === 1, $"rgbr").otherwise($"rgbl").as("rgbr"))
+          .as[(Long, Int, Int, Int, Int)]
+        // one map-parallel render+decode pass → bounded integer frame,
+        // pinned so 4 epochs + apply never re-render
+        val grid = assets.mapPartitions(_.map { case (id, w, h, l, r) =>
+            val gf = MediaPipeline.decodeGridCols(id,
+              MediaPipeline.renderSplitPng(w, h, l, r))
+            (gf.media_id, gf.s_left, gf.s_right, w)
+          }).toDF("media_id", "s_left", "s_right", "w")
+          .localCheckpoint()
+        val feats = grid.select($"media_id",
+          when($"media_id" % 2 === 1, 1.0).otherwise(0.0).as("y"),
+          lit(1.0).as("f0"),
+          expr("CAST(abs(s_left - s_right) AS DOUBLE) / 100000.0").as("f1"),
+          expr("CAST(s_left + s_right AS DOUBLE) / 4080000.0").as("f2"),
+          expr("CAST(w AS DOUBLE) / 100.0").as("f3"))
+        val wts = TextFunctions.logisticTrainMicro(feats, nFeats = 4,
+          epochs = 4, lrNum = 4L)
+        // batched apply — m04's deterministic batch assembly with the
+        // TRAINED model as the forward; the scorer repeats zMicroSql's
+        // op sequence term by term so the floored micro-score is
+        // engine-exact
+        grid.select($"media_id", $"s_left", $"s_right", $"w")
+          .as[(Long, Long, Long, Int)]
+          .groupByKey(_._1 / 16)
+          .flatMapGroups { (batchId: Long, it: Iterator[(Long, Long, Long, Int)]) =>
+            val batch = it.toArray.sortBy(_._1)
+            batch.iterator.map { case (id, sl, sr, w) =>
+              val f1 = math.abs(sl - sr).toDouble / 100000.0
+              val f2 = (sl + sr).toDouble / 4080000.0
+              val f3 = w.toDouble / 100.0
+              val z = (wts(0).toDouble * 1.0 + wts(1).toDouble * f1 +
+                wts(2).toDouble * f2 + wts(3).toDouble * f3) / 1000000.0
+              (id, batchId, batch.length, id % 2 == 1,
+                math.floor(z * 1000000.0).toLong)
+            }
+          }
+          .toDF("media_id", "batch_id", "batch_size", "label", "z_micro")
+          .withColumn("predicted", $"z_micro" >= 0L)
+          .orderBy($"media_id")
+      },
+      Some {
+        val zF = graft.functions.TextFunctions.zMicroSql(
+          (0 until 4).map(j => s"w$j"), Seq("f0", "f1", "f2", "f3"))
+        s"""
+        WITH px AS (
+          SELECT doc_id AS media_id,
+                 CAST((n_chars % 30) * 2 + 18 AS INTEGER) AS w,
+                 ((doc_id % 16777216) * 2654435761) % 16777216 AS rgbl0,
+                 ((doc_id % 16777216) * 40503) % 16777216 AS rgbr0
+          FROM documents),
+        cls AS (SELECT media_id, w, rgbl0 AS rgbl,
+                       CASE WHEN media_id % 2 = 1 THEN rgbr0
+                            ELSE rgbl0 END AS rgbr
+                FROM px),
+        lum AS (SELECT media_id, w,
+                 8 * (299 * (rgbl // 65536) + 587 * ((rgbl // 256) % 256)
+                      + 114 * (rgbl % 256)) AS sl,
+                 8 * (299 * (rgbr // 65536) + 587 * ((rgbr // 256) % 256)
+                      + 114 * (rgbr % 256)) AS sr
+                FROM cls),
+        feats AS (SELECT media_id,
+                 CAST(CASE WHEN media_id % 2 = 1 THEN 1 ELSE 0 END
+                      AS DOUBLE) AS y,
+                 CAST(1.0 AS DOUBLE) AS f0,
+                 CAST(abs(sl - sr) AS DOUBLE) / 100000.0 AS f1,
+                 CAST(sl + sr AS DOUBLE) / 4080000.0 AS f2,
+                 CAST(w AS DOUBLE) / 100.0 AS f3
+          FROM lum),
+        cnt AS (SELECT COUNT(*) AS n FROM feats),
+        ${graft.functions.TextFunctions.epochSqlCtes(4, 4)}
+        SELECT f.media_id, f.media_id // 16 AS batch_id,
+               CAST(COUNT(*) OVER (PARTITION BY f.media_id // 16)
+                    AS INTEGER) AS batch_size,
+               f.y = 1.0 AS label,
+               CAST(floor(($zF) * 1000000.0) AS BIGINT) AS z_micro,
+               CAST(floor(($zF) * 1000000.0) AS BIGINT) >= 0 AS predicted
+        FROM feats f CROSS JOIN e4
+        ORDER BY f.media_id"""
+      },
+      doc = "TRAINED media classifier (t33's in-engine training applied to the media side — retires the last stub class): logistic regression over REAL-image-decode features (grid-column luma sums from decodeGridCols, closed-form for the rendered solid/split fixture), 4 exact-integer gradient epochs replayed by the oracle through the shared epochSqlCtes generator, applied through m04's batched-inference plumbing with the LEARNED weights as the forward — the JVM scorer mirrors zMicroSql's IEEE op sequence so floor(z*1e6) is engine-exact")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`

@@ -3303,22 +3303,6 @@ object TextQueries {
         val epochs = 4
         val fRefs = Seq("f0", "f1", "f2", "f3")
         val enList = stopwords("en").map(w => s"'$w'").mkString(", ")
-        def gradSelect(prev: String): String = {
-          val p = fastSigmoidSql(
-            zMicroSql(fRefs.indices.map(j => s"$prev.w$j"), fRefs))
-          fRefs.indices.map(j =>
-            s"CAST(SUM(${gradTermSql(p, s"f$j")}) AS BIGINT) AS g$j")
-            .mkString(",\n               ")
-        }
-        val epochCtes = (1 to epochs).map { k =>
-          val prev = s"e${k - 1}"
-          s"""g$k AS (SELECT ${gradSelect(prev)}
-           FROM feats CROSS JOIN $prev),
-        e$k AS (SELECT ${fRefs.indices.map(j =>
-              s"CAST($prev.w$j - ((4 * g$k.g$j) // cnt.n) AS BIGINT) AS w$j")
-              .mkString(", ")}
-           FROM $prev CROSS JOIN g$k CROSS JOIN cnt)"""
-        }.mkString(",\n        ")
         val zF = zMicroSql(fRefs.indices.map(j => s"w$j"), fRefs)
         val prSql =
           """CAST(length(regexp_replace(lower(text2), '[a-z0-9\s]', '', 'g'))
@@ -3344,9 +3328,7 @@ object TextQueries {
           CAST(len(toks) AS DOUBLE) / 100.0 AS f3
           FROM tok),
         cnt AS (SELECT COUNT(*) AS n FROM feats),
-        e0 AS (SELECT ${fRefs.indices.map(j =>
-            s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
-        $epochCtes
+        ${graft.functions.TextFunctions.epochSqlCtes(4, epochs)}
         SELECT f.doc_id, f.y = 1.0 AS label,
                CAST(floor(($zF) * 1000000.0) AS BIGINT) AS z_micro,
                CAST(floor(($zF) * 1000000.0) AS BIGINT) >= 0 AS predicted

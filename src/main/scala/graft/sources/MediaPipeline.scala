@@ -753,6 +753,43 @@ object MediaPipeline {
       Seq(FrameFeatures(mediaId, -1, -1, -1, -1, -1L, decode_ok = false))
     }
 
+  /** Per-asset grid-COLUMN luma sums from a REAL image decode — m25's
+    * training features: `s_left` is the sum over the 8 grid rows of
+    * the Rec.601 luma sampled at grid column 0, `s_right` likewise at
+    * column 8 (the same integer nearest-neighbor kernel as
+    * [[decodeImage]]'s 9×8 grid). For a rendered [[renderSplitPng]]
+    * with even w ≥ 16, column 0 lands on the left color and column 8
+    * on the right (⌊8w/9⌋ ≥ w/2), so both sums have exact closed
+    * forms: 8·luma(left) and 8·luma(right) — which is what lets the
+    * oracle replay a REAL-decode feature pipeline in SQL.
+    */
+  final case class GridColFeatures(
+      media_id: Long, s_left: Long, s_right: Long, decode_ok: Boolean)
+
+  /** REAL ImageIO decode → [[GridColFeatures]]; sentinels for
+    * undecodable bytes (the m-series convention).
+    */
+  def decodeGridCols(mediaId: Long, bytes: Array[Byte]): GridColFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) GridColFeatures(mediaId, -1L, -1L, decode_ok = false)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      def luma(x: Int, y: Int): Long = {
+        val px = img.getRGB(math.min(x * w / 9, w - 1),
+          math.min(y * h / 8, h - 1))
+        299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
+          114L * (px & 0xff)
+      }
+      var sl = 0L; var sr = 0L
+      var y = 0
+      while (y < 8) { sl += luma(0, y); sr += luma(8, y); y += 1 }
+      GridColFeatures(mediaId, sl, sr, decode_ok = true)
+    }
+  }
+
   /** One per-item result of a batched model-inference pass. */
   final case class InferenceOut(
       media_id: Long, batch_id: Long, batch_size: Int, item_index: Int,
@@ -864,17 +901,30 @@ object MediaPipeline {
           (st, i) -> $step)"""
   }
 
-  def inferBatched(spark: SparkSession, dir: String,
-      batchSize: Int = 16): Dataset[InferenceOut] = {
+  /** Batched inference over the media table. The forward function is
+    * INJECTABLE: m04 passes the default — deterministic placeholder
+    * arithmetic that exists to pin the batch-assembly contract
+    * (deterministic membership, provenance columns) — while m25 runs a
+    * genuinely TRAINED in-engine model through the same plumbing (its
+    * logistic scorer from `logisticTrainMicro`-learned micro-weights;
+    * see MultimodalQueries m25, which assembles its own typed batches
+    * the same way because its rows carry decoded features rather than
+    * raw bytes). A GPU deployment swaps `forward` for the accelerator
+    * call; batch shape, ordering, and provenance stay identical.
+    */
+  def inferBatched(spark: SparkSession, dir: String, batchSize: Int = 16,
+      forward: Array[MediaRow] => Array[Double] =
+        batch => batch.zipWithIndex.map { case (r, i) =>
+          r.content.length.toDouble * batch.length + i })
+      : Dataset[InferenceOut] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRow]
       .groupByKey(_.media_id / batchSize)
       .flatMapGroups { (batchId: Long, rows: Iterator[MediaRow]) =>
         val batch = rows.toArray.sortBy(_.media_id) // assemble inference batch
-        // ??? model.forward(batch) — stubbed deterministically:
+        val scores = forward(batch)
         batch.iterator.zipWithIndex.map { case (r, i) =>
-          InferenceOut(r.media_id, batchId, batch.length, i,
-            r.content.length.toDouble * batch.length + i)
+          InferenceOut(r.media_id, batchId, batch.length, i, scores(i))
         }
       }
   }

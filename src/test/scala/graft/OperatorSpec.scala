@@ -1977,6 +1977,24 @@ class OperatorSpec extends AnyFunSuite {
         offenders.mkString(", "))
   }
 
+  test("m25 training demonstrably learns: cold start is the class prior, trained separates") {
+    val out = QueryDef.registry.find(_.name == "m25_trained_media_classifier").get
+      .build(spark, sfDir)
+      .select($"label", $"predicted").as[(Boolean, Boolean)].collect()
+    val n = out.length
+    assert(n == 500)
+    // cold start (w = 0): z_micro = 0 ⇒ everything predicted positive ⇒
+    // accuracy would be exactly the positive-class fraction (~0.5)
+    val positives = out.count(_._1).toDouble
+    assert(positives / n > 0.4 && positives / n < 0.6, "class plant skewed")
+    val acc = out.count(o => o._1 == o._2).toDouble / n
+    assert(acc >= 0.9,
+      s"trained accuracy $acc — no better than guessing the prior")
+    // solids (f1 = 0 exactly) must ALL be classified negative: the
+    // learned bias/luma weights put the zero-signal class below 0
+    assert(out.filter(!_._1).forall(!_._2), "a solid predicted positive")
+  }
+
   test("s41 insert invariants: out-degree M, caps hold, back-edges land, no dupes") {
     val g = operators.SimilarityQueries.hnswInsertedGraph(spark, sfDir)
       .select($"src", $"dst").as[(Long, Long)].collect()

@@ -376,6 +376,20 @@ class PlanSpec extends AnyFunSuite {
       s"serving must read the corpus once:\n$p")
   }
 
+  test("m25 trained-classifier apply: checkpointed features, one batch shuffle, no rescan") {
+    // training epochs run at plan-build time over the checkpointed
+    // decode frame; the RETURNED plan is the batched apply — it must
+    // read the materialized features (never re-render/re-decode the
+    // corpus) and shuffle exactly once on the batch key before the
+    // output sort
+    val p = plan("m25_trained_media_classifier")
+    assert(!p.contains("Scan parquet"),
+      s"apply re-read the corpus instead of the checkpointed features:\n$p")
+    assert(!p.contains("Join"), s"batched apply must not join:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange ")) <= 2,
+      s"more than batch shuffle + output sort:\n$p")
+  }
+
   test("t30 unigram encode: map-only Viterbi fold, no pre-sort exchange") {
     val p = plan("t30_unigram_tokenizer")
     // the piece table is a bounded driver artifact (map literal); the
