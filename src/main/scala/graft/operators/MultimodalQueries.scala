@@ -1813,7 +1813,81 @@ object MultimodalQueries {
         FROM feats f CROSS JOIN e4
         ORDER BY f.media_id"""
       },
-      doc = "TRAINED media classifier (t33's in-engine training applied to the media side — retires the last stub class): logistic regression over REAL-image-decode features (grid-column luma sums from decodeGridCols, closed-form for the rendered solid/split fixture), 4 exact-integer gradient epochs replayed by the oracle through the shared epochSqlCtes generator, applied through m04's batched-inference plumbing with the LEARNED weights as the forward — the JVM scorer mirrors zMicroSql's IEEE op sequence so floor(z*1e6) is engine-exact")
+      doc = "TRAINED media classifier (t33's in-engine training applied to the media side — retires the last stub class): logistic regression over REAL-image-decode features (grid-column luma sums from decodeGridCols, closed-form for the rendered solid/split fixture), 4 exact-integer gradient epochs replayed by the oracle through the shared epochSqlCtes generator, applied through m04's batched-inference plumbing with the LEARNED weights as the forward — the JVM scorer mirrors zMicroSql's IEEE op sequence so floor(z*1e6) is engine-exact"),
+
+    // ------------------------------------------------------------------
+    // m26: MP4/ISO-BMFF BOX WALK — the VIDEO container (VERDICT r12
+    // next #4): m15/m16 sniff FIXED-layout MP4s; this is the
+    // variable-count top-level box walk — ftyp + moov(mvhd) + a
+    // varying run of mdat boxes — as ONE native aggregate() fold
+    // (m24's variable-stride idiom with a binary big-endian size word
+    // as the stride, read through m23's hex/conv idiom). Streams are
+    // synthesized on-executor from (id, n_chars) arithmetic; plants:
+    // doc_id%3=2 drops the leading byte (the first box fails
+    // ftyp-first validation → sentinels), doc_id%7=3 drops the last 5
+    // bytes (the final mdat overruns EOF → status 'truncated' with
+    // every COMPLETE box still counted — the crash-mid-write case).
+    // The oracle is CLOSED-FORM: every expected count/field derives
+    // from the recipe without parsing a byte, so one wrong stride or
+    // endianness slip anywhere breaks the hash. Zero UDF in the walk;
+    // map-parallel per asset; at 100 TB this is the router that turns
+    // raw video objects into queryable track metadata without a
+    // custom reader.
+    QueryDef(
+      "m26_mp4_box_walk",
+      (s, dir) => {
+        import s.implicits._
+        val rows = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 20 === 10)
+          .select($"doc_id".as("media_id"), $"n_chars").as[(Long, Long)]
+        val assets = rows.mapPartitions(_.map { case (id, nc) =>
+            val b0 = MediaPipeline.renderMp4Stream(id, nc)
+            val b1 = if (id % 7 == 3) b0.dropRight(5) else b0
+            (id, if (id % 3 == 2) b1.drop(1) else b1)
+          }).toDF("media_id", "mp4")
+        assets
+          .withColumn("walk", expr(MediaPipeline.mp4WalkExpr("mp4", 8)))
+          .select($"media_id",
+            ($"walk.status" === "end").as("mp4_ok"),
+            expr("CASE WHEN walk.status = 'end' THEN 'ok' ELSE walk.status END")
+              .as("status"),
+            $"walk.nbox".as("n_boxes"),
+            $"walk.brand".as("brand"),
+            $"walk.ts".as("timescale"),
+            $"walk.dur".as("duration"),
+            $"walk.mdat".as("mdat_bytes"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH a AS (SELECT doc_id AS media_id, n_chars,
+                          (n_chars % 4) + 1 AS k,
+                          (n_chars % 1000) + 600 AS ts,
+                          (n_chars * 3) % 90000 AS dur,
+                          CASE WHEN doc_id % 3 = 2 THEN 'corrupt'
+                               WHEN doc_id % 7 = 3 THEN 'truncated'
+                               ELSE 'ok' END AS status
+                   FROM documents WHERE doc_id % 20 = 10),
+        r AS (SELECT media_id, status, k, ts, dur, g.j AS j,
+                     (n_chars % 50) + 10 * g.j + 1 AS p
+              FROM a, UNNEST(range(0, k)) AS g(j)),
+        c AS (SELECT media_id, status, k, ts, dur,
+                CAST(SUM(CASE WHEN j < (CASE WHEN status = 'truncated'
+                                        THEN k - 1 ELSE k END)
+                         THEN p ELSE 0 END) AS BIGINT) AS mdat
+              FROM r GROUP BY 1, 2, 3, 4, 5)
+        SELECT media_id, status = 'ok' AS mp4_ok, status,
+               CAST(CASE WHEN status = 'corrupt' THEN -1
+                         WHEN status = 'truncated' THEN k + 1
+                         ELSE k + 2 END AS BIGINT) AS n_boxes,
+               CASE WHEN status = 'corrupt' THEN '?' ELSE 'isom' END AS brand,
+               CASE WHEN status = 'corrupt' THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(ts AS BIGINT) END AS timescale,
+               CASE WHEN status = 'corrupt' THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(dur AS BIGINT) END AS duration,
+               CASE WHEN status = 'corrupt' THEN CAST(-1 AS BIGINT)
+                    ELSE mdat END AS mdat_bytes
+        FROM c ORDER BY media_id"""),
+      doc = "MP4/ISO-BMFF top-level box walk (the video container): variable-count ftyp/moov(mvhd)/mdat-run strided by each box's big-endian size word as ONE native aggregate() fold — hex/conv big-endian reads, ftyp-first + size>=8 validation, mvhd timescale/duration at their fixed ISO offsets inside moov, mdat payload byte accounting; corrupt streams sentinel at box 1, truncated streams keep every COMPLETE box; closed-form oracle derives every field from the synthesis recipe so one wrong stride breaks the hash")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`

@@ -753,6 +753,91 @@ object MediaPipeline {
       Seq(FrameFeatures(mediaId, -1, -1, -1, -1, -1L, decode_ok = false))
     }
 
+  /** A VARIABLE-length ISO-BMFF (MP4) stream for m26's box walk —
+    * where [[renderMp4]]/[[renderMp4Video]] are fixed-size sniff
+    * fixtures, this one has a variable top-level box SEQUENCE the walk
+    * must stride: ftyp(20) + moov(8 + mvhd 108) + k mdat boxes of
+    * varying payload length, all fields big-endian per ISO 14496-12.
+    * k, timescale, duration and the mdat payload lengths derive from
+    * (nChars) arithmetic so the oracle can state every expected count
+    * in closed form without parsing a byte.
+    */
+  def renderMp4Stream(id: Long, nChars: Long): Array[Byte] = {
+    val ts = (nChars % 1000 + 600).toInt
+    val dur = (nChars * 3 % 90000).toInt
+    val k = (nChars % 4 + 1).toInt
+    val payloads = (0 until k).map(j => (nChars % 50 + 10 * j + 1).toInt)
+    val bb = java.nio.ByteBuffer.allocate(136 + payloads.map(_ + 8).sum)
+    bb.putInt(20); bb.put("ftyp".getBytes("US-ASCII"))
+    bb.put("isom".getBytes("US-ASCII")); bb.putInt(512)
+    bb.put("mp42".getBytes("US-ASCII"))
+    bb.putInt(116); bb.put("moov".getBytes("US-ASCII"))
+    bb.putInt(108); bb.put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0)               // version + flags
+    bb.putInt(0); bb.putInt(0) // creation / modification time
+    bb.putInt(ts); bb.putInt(dur)
+    bb.putInt(0x00010000)      // rate 1.0; rest of mvhd stays zero
+    bb.position(136)
+    payloads.foreach { p =>
+      bb.putInt(8 + p); bb.put("mdat".getBytes("US-ASCII"))
+      bb.position(bb.position() + p) // payload bytes stay zero
+    }
+    bb.array()
+  }
+
+  /** The ISO-BMFF top-level box walk as ONE native aggregate() fold
+    * over the binary column `c` — m24's variable-stride record walk
+    * for the VIDEO container: each step reads the 4-byte big-endian
+    * box size and the 4CC type (via hex(substring(...)) — m23's u8/hex
+    * idiom, since box fields are binary, not ASCII lines), validates
+    * ftyp-first and size ≥ 8, strides `size` bytes to the next box,
+    * and carries (box count, mdat payload bytes, mvhd
+    * timescale/duration parsed INSIDE moov at its fixed ISO offsets,
+    * ftyp brand) through the state. A stream that fails the grammar at
+    * box 1 (bad magic / undersized box) sentinels as 'corrupt'; one
+    * whose current box overruns EOF stops with the COMPLETE-box counts
+    * and status 'truncated' (the crash-mid-write case, m24's
+    * convention). Header fields are let-bound via the single-element
+    * transform so each big-endian read happens once per box. Zero UDF,
+    * zero shuffle — the map-parallel router for video corpora.
+    */
+  def mp4WalkExpr(c: String, maxBox: Int): String = {
+    val keep = "'off', st.off, 'nbox', st.nbox, 'mdat', st.mdat, " +
+      "'ts', st.ts, 'dur', st.dur, 'brand', st.brand"
+    def be(pos: String, len: Int) =
+      s"CAST(conv(hex(substring($c, CAST($pos AS INT), $len)), 16, 10) AS BIGINT)"
+    val corrupt = "named_struct('off', st.off, 'nbox', -1L, 'mdat', -1L, " +
+      "'ts', -1L, 'dur', -1L, 'brand', '?', 'status', 'corrupt')"
+    val step = s"""
+      CASE WHEN st.status <> 'run' THEN st
+           WHEN st.off > octet_length($c)
+             THEN named_struct($keep, 'status', 'end')
+           WHEN st.off + 7 > octet_length($c)
+             THEN named_struct($keep, 'status', 'truncated')
+           ELSE element_at(transform(array(named_struct(
+                  'sz', ${be("st.off", 4)},
+                  'typ', hex(substring($c, CAST(st.off + 4 AS INT), 4)))),
+             h -> CASE
+               WHEN h.sz < 8 THEN $corrupt
+               WHEN st.nbox = 0L AND h.typ <> '66747970' THEN $corrupt
+               WHEN st.off + h.sz - 1 > octet_length($c)
+                 THEN named_struct($keep, 'status', 'truncated')
+               ELSE named_struct(
+                 'off', st.off + h.sz,
+                 'nbox', st.nbox + 1L,
+                 'mdat', st.mdat + IF(h.typ = '6D646174', h.sz - 8L, 0L),
+                 'ts', IF(h.typ = '6D6F6F76', ${be("st.off + 28", 4)}, st.ts),
+                 'dur', IF(h.typ = '6D6F6F76', ${be("st.off + 32", 4)}, st.dur),
+                 'brand', IF(h.typ = '66747970',
+                   decode(substring($c, CAST(st.off + 8 AS INT), 4), 'UTF-8'),
+                   st.brand),
+                 'status', 'run') END), 1) END"""
+    s"""aggregate(sequence(1, $maxBox),
+          named_struct('off', 1L, 'nbox', 0L, 'mdat', 0L, 'ts', -1L,
+            'dur', -1L, 'brand', '?', 'status', 'run'),
+          (st, i) -> $step)"""
+  }
+
   /** Per-asset grid-COLUMN luma sums from a REAL image decode — m25's
     * training features: `s_left` is the sum over the 8 grid rows of
     * the Rec.601 luma sampled at grid column 0, `s_right` likewise at

@@ -81,6 +81,15 @@ class PlanSpec extends AnyFunSuite {
       s"q93's join must be keyed on the grid cells:\n$p")
   }
 
+  test("m26 MP4 box walk is a map-only native fold: no UDF, no shuffle before the sort") {
+    val p = plan("m26_mp4_box_walk")
+    assert(!p.contains("ScalaUDF"), "box walk fell back to a UDF")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0,
+      s"the per-asset walk must not shuffle before the output sort:\n$p")
+  }
+
   test("m20/m21 media expansion is map-parallel: no exchange before the output sort") {
     Seq("m20_audio_frame_features", "m21_image_resize").foreach { q =>
       val p = plan(q)
