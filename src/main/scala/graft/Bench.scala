@@ -114,7 +114,11 @@ object Bench {
       // write) — first touch pays it, the s31-s33 convention
       "s38_graph_beam_search", "s39_graph_beam_recall",
       // s40 reuses s38's base store and adds its own upper-layer build
-      "s40_hnsw_layered_descent")
+      "s40_hnsw_layered_descent",
+      // round-13: the insert path builds (or first-touches) the
+      // s41_base store and re-caps against it; c24 builds its curated
+      // IVF FactTable in-body before the one-bucket probe
+      "s41_hnsw_incremental_insert", "c24_crawl_index_serve")
     // best-of-2 per query: damps scheduler/GC noise on a shared machine.
     // A query that fails BOTH runs reports -1.0 (never a fake timing).
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts the query set

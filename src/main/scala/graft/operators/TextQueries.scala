@@ -2461,26 +2461,7 @@ object TextQueries {
       "t29_hashing_vectorizer",
       (s, dir) => {
         import s.implicits._
-        import graft.functions.TextFunctions.tokens
-        val sums = Tables.load(s, dir, "documents")
-          .select($"doc_id", explode_outer(tokens($"text")).as("t"))
-          .filter($"t" =!= "")
-          .withColumn("h", md5($"t"))
-          .withColumn("bucket", expr(
-            "CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT)"))
-          .withColumn("sgn", expr(
-            "CASE WHEN substring(h, 2, 1) >= '8' THEN -1L ELSE 1L END"))
-          .groupBy($"doc_id", $"bucket").agg(sum($"sgn").as("v"))
-        sums.groupBy($"doc_id")
-          .agg(map_from_entries(collect_list(struct($"bucket", $"v"))).as("m"),
-            sum($"v" * $"v").as("sq"),
-            sum(when($"v" =!= 0, 1L).otherwise(0L)).as("nnz"))
-          .withColumn("l2", sqrt($"sq".cast("double")))
-          .withColumn("comps", expr(
-            """transform(sequence(0, 15), b ->
-                 CAST(round(CASE WHEN l2 = 0.0 THEN 0.0
-                   ELSE 1000000 * coalesce(element_at(m, CAST(b AS BIGINT)), 0L) / l2
-                 END, 0) AS BIGINT))"""))
+        hashVec16(Tables.load(s, dir, "documents"), "doc_id", "text")
           .select($"doc_id", $"nnz", round($"l2", 6).as("l2norm"),
             expr("concat_ws(',', cast(comps as array<string>))").as("vec"))
           .orderBy($"doc_id")
@@ -3361,37 +3342,9 @@ object TextQueries {
       "c23_crawl_to_curated",
       (s, dir) => {
         import s.implicits._
-        val rows = Tables.load(s, dir, "documents")
-          .filter($"doc_id" % 20 === 17)
-          .select($"doc_id", $"text").as[(Long, String)]
-        val assets = rows.mapPartitions(_.map { case (id, text) =>
-            val body = if (id % 5 == 0) "boiler plate page " * 15 else text
-            val html = "<html><head><title>doc " + id +
-              "</title></head><body><nav class=\"menu\">home | about</nav><p>" +
-              body + "</p><div id=\"footer\">(c) ex.org</div></body></html>"
-            val w0 = graft.sources.MediaPipeline
-              .renderWarcRecord("response", s"http://ex.org/$id", html) +
-              graft.sources.MediaPipeline
-                .renderWarcRecord("metadata", s"http://ex.org/$id/meta", s"meta $id")
-            (id, if (id % 3 == 2) w0.substring(1) else w0)
-          }).toDF("doc_id", "warc")
-        val walked = assets
-          .withColumn("walk",
-            expr(graft.sources.MediaPipeline.warcWalkExpr("warc", 3)))
-          .localCheckpoint() // five stage aggregates read it; walk once
-        val parsed = walked.filter($"walk.status" === "end")
-        val extracted = parsed
-          .withColumn("stripped", regexp_replace(regexp_replace($"walk.body",
-            "<nav[^>]*>.*?</nav>|<div id=\"footer\">.*?</div>", " "),
-            "<[^>]*>", " "))
-          .withColumn("extracted",
-            trim(regexp_replace($"stripped", "\\s+", " ")))
-          .filter(length($"extracted") > 0)
-        val quality = extracted
-          .filter(size(tokens($"extracted")) >= 40)
-        val wD = Window.partitionBy(md5($"extracted")).orderBy($"doc_id".asc)
-        val deduped = quality
-          .withColumn("rk", row_number().over(wD)).filter($"rk" === 1)
+        val f = crawlFunnel(s, dir)
+        val (assets, parsed, extracted, quality, deduped) =
+          (f.assets, f.parsed, f.extracted, f.quality, f.deduped)
         def stage(no: Int, name: String, df: org.apache.spark.sql.DataFrame,
             key: org.apache.spark.sql.Column) =
           df.agg(count(lit(1)).cast("long").as("docs"),
@@ -3456,8 +3409,274 @@ object TextQueries {
                md5(string_agg(md5(extracted), chr(10) ORDER BY md5(extracted)))
         FROM dd
         ORDER BY stage_no"""),
-      doc = "crawl -> curated e2e (m24 walk + t20 strip + c01 funnel composed): fetch / parse (corrupt archives counted out) / extract (response payload only, metadata records skipped) / >=40-token quality gate / exact dedup of the planted shared boilerplate page; every stage reports docs + an md5 digest over sorted per-doc keys, and the oracle rebuilds the html from the plant recipe WITHOUT parsing WARC — so the digest match proves the walk delivered byte-identical payloads end to end")
+      doc = "crawl -> curated e2e (m24 walk + t20 strip + c01 funnel composed): fetch / parse (corrupt archives counted out) / extract (response payload only, metadata records skipped) / >=40-token quality gate / exact dedup of the planted shared boilerplate page; every stage reports docs + an md5 digest over sorted per-doc keys, and the oracle rebuilds the html from the plant recipe WITHOUT parsing WARC — so the digest match proves the walk delivered byte-identical payloads end to end"),
+
+    // ------------------------------------------------------------------
+    // c24: CRAWL → EMBED → INDEX → SERVE — the full LLM-data retrieval
+    // loop in one oracle-checked chain (VERDICT r12 next #5): c23's
+    // curated output flows through t29's hashing vectorizer into a
+    // STORED IVF index (the s14 convention — frozen centroids,
+    // FactTable-persisted assignments) and answers a retrieval query
+    // from the store. Every stage REUSES the shared core it composes —
+    // crawlFunnel (c23), hashVec16 (t29), the frozen-centroid
+    // assignment shape (s14/s15) — never re-derives it. Because t29's
+    // vectors are INTEGER micro-units, the whole vector leg is exact:
+    // L2² assignment and cosine dot/norms are BIGINT sums (no decimal
+    // needed), and the only doubles are the final sqrt/division stated
+    // identically in both engines. Query = the minimum-id curated doc;
+    // probe = its own centroid bucket; top-5 by exact cosine. Output:
+    // the per-stage ledger (fetched / curated / indexed / probed-bucket
+    // counts) + the served ranking — so the oracle match pins every
+    // stage boundary AND the final answer.
+    //   Scale: the funnel is c23's (map-parallel walk+strip, id/md5
+    //   shuffles); embedding is two bounded partial-agg shuffles; the
+    //   index build is one broadcast-centroid pass + a FactTable
+    //   append; serving reads ONE bucket of the store. 100 TB posture:
+    //   each stage is the already-swept shared core.
+    QueryDef(
+      "c24_crawl_index_serve",
+      (s, dir) => {
+        import s.implicits._
+        val f = crawlFunnel(s, dir)
+        val curated = f.deduped.select($"doc_id", $"extracted")
+        val vecs = hashVec16(curated, "doc_id", "extracted")
+          .filter($"l2" > 0.0)
+          .select($"doc_id", $"comps")
+        val cents = vecs.orderBy($"doc_id".asc).limit(4)
+          .select($"doc_id".as("cid"), $"comps".as("cv"))
+        val wA = Window.partitionBy($"doc_id").orderBy($"dist2".asc, $"cid".asc)
+        val assigned = vecs.crossJoin(broadcast(cents))
+          .withColumn("dist2", expr(
+            """aggregate(zip_with(comps, cv, (x, y) -> (x - y) * (x - y)),
+                 0L, (a, p) -> a + p)"""))
+          .withColumn("rk", row_number().over(wA)).filter($"rk" === 1)
+          .select($"doc_id", $"cid", $"comps")
+        val idxT = new graft.storage.FactTable(
+          graft.TempDirs.scratch("c24_idx"), s)
+        idxT.append(assigned.withColumn("date", to_date(lit("2024-01-01"))), 0)
+        val idx = idxT.read().select($"doc_id", $"cid", $"comps")
+        val qv = idx.orderBy($"doc_id".asc).limit(1)
+          .select($"doc_id".as("qid"), $"cid".as("qcid"), $"comps".as("qvec"))
+        val inBucket = idx.join(broadcast(qv), $"cid" === $"qcid")
+          .filter($"doc_id" =!= $"qid")
+        val wS = Window.orderBy($"cosine".desc, $"doc_id".asc)
+        val served = inBucket
+          .withColumn("dot", expr(
+            "aggregate(zip_with(comps, qvec, (x, y) -> x * y), 0L, (a, p) -> a + p)"))
+          .withColumn("na", expr(
+            "aggregate(transform(comps, x -> x * x), 0L, (a, p) -> a + p)"))
+          .withColumn("nq", expr(
+            "aggregate(transform(qvec, x -> x * x), 0L, (a, p) -> a + p)"))
+          .select($"doc_id", round(expr(
+            """CAST(dot AS DOUBLE) /
+               (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE)))"""), 9)
+            .as("cosine"))
+          .orderBy($"cosine".desc, $"doc_id".asc).limit(5)
+          .withColumn("rk", row_number().over(wS).cast("long"))
+        def stageRow(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).cast("long").as("n"))
+            .select(lit("stage").as("part"), lit(name).as("label"), $"n",
+              lit(null).cast("double").as("score"))
+        stageRow("1_fetched", f.assets)
+          .unionByName(stageRow("2_curated", curated))
+          .unionByName(stageRow("3_indexed", assigned))
+          .unionByName(stageRow("4_probed", inBucket))
+          .unionByName(served.select(lit("serve").as("part"),
+            $"doc_id".cast("string").as("label"), $"rk".as("n"),
+            $"cosine".as("score")))
+          .orderBy($"part", $"n", $"label")
+      },
+      Some("""
+        WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 17),
+        ok AS (SELECT doc_id,
+                      CASE WHEN doc_id % 5 = 0
+                           THEN repeat('boiler plate page ', 15)
+                           ELSE text END AS body
+               FROM a WHERE doc_id % 3 <> 2),
+        h AS (SELECT doc_id,
+                     '<html><head><title>doc ' || doc_id ||
+                     '</title></head><body><nav class="menu">home | about</nav><p>' ||
+                     body ||
+                     '</p><div id="footer">(c) ex.org</div></body></html>' AS html
+              FROM ok),
+        x AS (SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(html,
+                       '<nav[^>]*>.*?</nav>|<div id="footer">.*?</div>', ' ', 'g'),
+                       '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS extracted
+              FROM h),
+        x2 AS (SELECT * FROM x WHERE length(extracted) > 0),
+        q AS (SELECT * FROM x2
+              WHERE len(regexp_split_to_array(lower(trim(extracted)), '\s+')) >= 40),
+        dd AS (SELECT doc_id, extracted FROM (
+                 SELECT doc_id, extracted,
+                        ROW_NUMBER() OVER (PARTITION BY md5(extracted)
+                                           ORDER BY doc_id ASC) AS rk
+                 FROM q) t WHERE rk = 1),
+        toksraw AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(extracted)),
+                                '\s+')) AS t
+          FROM dd),
+        tok AS (SELECT doc_id, t, md5(t) AS hh FROM toksraw WHERE t <> ''),
+        hashed AS (
+          SELECT doc_id,
+                 CAST(strpos('0123456789abcdef', substr(hh, 1, 1)) - 1
+                   AS BIGINT) AS bucket,
+                 CASE WHEN substr(hh, 2, 1) >= '8' THEN -1 ELSE 1 END AS sgn
+          FROM tok),
+        sums AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+                 FROM hashed GROUP BY doc_id, bucket),
+        agg AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS sq
+                FROM sums GROUP BY doc_id),
+        spine AS (SELECT a2.doc_id, sqrt(CAST(a2.sq AS DOUBLE)) AS l2, bb.b
+                  FROM agg a2 CROSS JOIN
+                    (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS b) bb),
+        filled AS (SELECT sp.doc_id, sp.b, sp.l2, COALESCE(s2.v, 0) AS v
+                   FROM spine sp LEFT JOIN sums s2
+                     ON s2.doc_id = sp.doc_id AND s2.bucket = sp.b),
+        comps AS (SELECT doc_id,
+                         list(CAST(round(CASE WHEN l2 = 0 THEN 0.0
+                                ELSE 1000000 * v / l2 END, 0) AS BIGINT)
+                              ORDER BY b) AS cl
+                  FROM filled GROUP BY doc_id),
+        vecs AS (SELECT c.doc_id, c.cl
+                 FROM comps c JOIN agg a2 ON a2.doc_id = c.doc_id
+                 WHERE a2.sq > 0),
+        cents AS (SELECT doc_id AS cid, cl AS cv FROM vecs
+                  ORDER BY doc_id LIMIT 4),
+        apairs AS (SELECT v.doc_id, c.cid, unnest(v.cl) AS x, unnest(c.cv) AS y
+                   FROM vecs v CROSS JOIN cents c),
+        adist AS (SELECT doc_id, cid,
+                         CAST(SUM((x - y) * (x - y)) AS BIGINT) AS dist2
+                  FROM apairs GROUP BY doc_id, cid),
+        assigned AS (SELECT doc_id, cid FROM (
+            SELECT doc_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY dist2 ASC, cid ASC) AS rk
+            FROM adist) t WHERE rk = 1),
+        qd AS (SELECT v.doc_id AS qid, a3.cid AS qcid, v.cl AS qvec
+               FROM vecs v JOIN assigned a3 ON a3.doc_id = v.doc_id
+               ORDER BY v.doc_id LIMIT 1),
+        bucket AS (SELECT s3.doc_id FROM assigned s3, qd
+                   WHERE s3.cid = qd.qcid AND s3.doc_id <> qd.qid),
+        spairs AS (SELECT b.doc_id, unnest(v.cl) AS x, unnest(qd.qvec) AS y
+                   FROM bucket b JOIN vecs v ON v.doc_id = b.doc_id, qd),
+        sdots AS (SELECT doc_id, CAST(SUM(x * y) AS BIGINT) AS dot,
+                         CAST(SUM(x * x) AS BIGINT) AS na,
+                         CAST(SUM(y * y) AS BIGINT) AS nq
+                  FROM spairs GROUP BY doc_id),
+        served AS (SELECT doc_id,
+                          round(CAST(dot AS DOUBLE) /
+                            (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))),
+                            9) AS cosine
+                   FROM sdots ORDER BY cosine DESC, doc_id ASC LIMIT 5),
+        srv AS (SELECT 'serve' AS part, CAST(doc_id AS VARCHAR) AS label,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC,
+                                               doc_id ASC) AS BIGINT) AS n,
+                       cosine AS score
+                FROM served)
+        SELECT part, label, n, score FROM (
+          SELECT 'stage' AS part, '1_fetched' AS label,
+                 CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n,
+                 CAST(NULL AS DOUBLE) AS score
+          UNION ALL
+          SELECT 'stage', '2_curated', (SELECT COUNT(*) FROM dd), NULL
+          UNION ALL
+          SELECT 'stage', '3_indexed', (SELECT COUNT(*) FROM assigned), NULL
+          UNION ALL
+          SELECT 'stage', '4_probed', (SELECT COUNT(*) FROM bucket), NULL
+          UNION ALL
+          SELECT part, label, n, score FROM srv) u
+        ORDER BY part, n, label"""),
+      doc = "crawl -> embed -> index -> serve (the full LLM-data retrieval loop, every stage a REUSED shared core): crawlFunnel's curated docs -> hashVec16's integer-micro vectors -> frozen-centroid IVF assignment persisted as a FactTable (the s14 convention) -> one-bucket probe answering top-5 by exact cosine; the vector leg is exact-integer end to end (BIGINT L2^2 and dot/norms, doubles only in the final stated-identically sqrt/divide); output = per-stage ledger + served ranking so the oracle pins every stage boundary and the answer")
   )
+
+  /** t29's signed-feature-hashing core over an arbitrary (id, text)
+    * frame: bucket = first md5 hex digit of the token (16 dims), sign
+    * = second digit's top bit, integer component sums, L2-normalized
+    * INTEGER-MICRO serialization (round(1e6·v/l2)) — the stateless
+    * text→vector bridge. Returns (idCol, nnz, l2 raw DOUBLE, comps
+    * ARRAY<BIGINT>[16]). Shared by the t29 entry and c24's embed
+    * stage (the s-series-indexable vector it was always meant to
+    * feed). Two bounded partial-agg shuffles keyed on the id; text
+    * never shuffles.
+    */
+  private[graft] def hashVec16(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val sums = docs
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("h", md5(col("t")))
+      .withColumn("bucket", expr(
+        "CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT)"))
+      .withColumn("sgn", expr(
+        "CASE WHEN substring(h, 2, 1) >= '8' THEN -1L ELSE 1L END"))
+      .groupBy(col(idCol), col("bucket")).agg(sum(col("sgn")).as("v"))
+    sums.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
+        .as("m"),
+        sum(col("v") * col("v")).as("sq"),
+        sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("nnz"))
+      .withColumn("l2", sqrt(col("sq").cast("double")))
+      .withColumn("comps", expr(
+        """transform(sequence(0, 15), b ->
+             CAST(round(CASE WHEN l2 = 0.0 THEN 0.0
+               ELSE 1000000 * coalesce(element_at(m, CAST(b AS BIGINT)), 0L) / l2
+             END, 0) AS BIGINT))"""))
+      .select(col(idCol), col("nnz"), col("l2"), col("comps"))
+  }
+
+  /** The c23/c24 shared crawl core's stage frames. */
+  private[graft] final case class CrawlFrames(
+      assets: org.apache.spark.sql.DataFrame,
+      parsed: org.apache.spark.sql.DataFrame,
+      extracted: org.apache.spark.sql.DataFrame,
+      quality: org.apache.spark.sql.DataFrame,
+      deduped: org.apache.spark.sql.DataFrame)
+
+  /** The crawl→curated funnel shared by c23 (stage digests) and c24
+    * (the retrieval loop): synthesized WARC fetch → m24 walk (corrupt
+    * archives counted out) → t20 strip of the first response payload →
+    * ≥40-token quality gate → exact dedup of the planted boilerplate.
+    * See c23's scaladoc for the plant recipe; both oracles restate it
+    * closed-form.
+    */
+  private[graft] def crawlFunnel(s: org.apache.spark.sql.SparkSession,
+      dir: String): CrawlFrames = {
+    import s.implicits._
+    val rows = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 17)
+      .select($"doc_id", $"text").as[(Long, String)]
+    val assets = rows.mapPartitions(_.map { case (id, text) =>
+        val body = if (id % 5 == 0) "boiler plate page " * 15 else text
+        val html = "<html><head><title>doc " + id +
+          "</title></head><body><nav class=\"menu\">home | about</nav><p>" +
+          body + "</p><div id=\"footer\">(c) ex.org</div></body></html>"
+        val w0 = graft.sources.MediaPipeline
+          .renderWarcRecord("response", s"http://ex.org/$id", html) +
+          graft.sources.MediaPipeline
+            .renderWarcRecord("metadata", s"http://ex.org/$id/meta", s"meta $id")
+        (id, if (id % 3 == 2) w0.substring(1) else w0)
+      }).toDF("doc_id", "warc")
+    val walked = assets
+      .withColumn("walk",
+        expr(graft.sources.MediaPipeline.warcWalkExpr("warc", 3)))
+      .localCheckpoint() // every stage aggregate reads it; walk once
+    val parsed = walked.filter($"walk.status" === "end")
+    val extracted = parsed
+      .withColumn("stripped", regexp_replace(regexp_replace($"walk.body",
+        "<nav[^>]*>.*?</nav>|<div id=\"footer\">.*?</div>", " "),
+        "<[^>]*>", " "))
+      .withColumn("extracted",
+        trim(regexp_replace($"stripped", "\\s+", " ")))
+      .filter(length($"extracted") > 0)
+    val quality = extracted
+      .filter(size(tokens($"extracted")) >= 40)
+    val wD = Window.partitionBy(md5($"extracted")).orderBy($"doc_id".asc)
+    val deduped = quality
+      .withColumn("rk", row_number().over(wD)).filter($"rk" === 1)
+    CrawlFrames(assets, parsed, extracted, quality, deduped)
+  }
 
   /** t33's training frame: (doc_id, y, f0..f3) over the documents table
     * with the punct-noise plant on doc_id % 3 = 0 (sized ∝ doc length so

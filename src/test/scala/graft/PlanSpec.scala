@@ -531,6 +531,19 @@ class PlanSpec extends AnyFunSuite {
       s"dedup stage lost its per-hash window:\n$p")
   }
 
+  test("c24 retrieval loop: serves from the stored index, zero UDF, no corpus join") {
+    val p = plan("c24_crawl_index_serve")
+    // the index build ran at store time; the returned plan's serve leg
+    // reads the persisted assignment table
+    assert(p.contains("c24_idx"),
+      s"serving does not read the stored index:\n$p")
+    assert(!p.contains("ScalaUDF"), "funnel/embed fell back to a UDF")
+    assert(!p.contains("CartesianProduct"),
+      s"a stage joined the corpus cross-wise:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a bounded side (centroids/query/bucket) sort-merge joined:\n$p")
+  }
+
   test("s38 beam search serves from the STORED graph: broadcast rounds, no cartesian, no rebuild") {
     val p = plan("s38_graph_beam_search")
     // the serving plan reads the persisted edge list (the scratch dir
