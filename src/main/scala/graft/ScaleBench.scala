@@ -142,7 +142,17 @@ object ScaleBench {
     "s38_graph_beam_search", "s39_graph_beam_recall",
     // two-layer descent: the upper layer's build is 1/8 the base's work
     // (same cap bound), serving adds 2 bounded rounds
-    "s40_hnsw_layered_descent")
+    "s40_hnsw_layered_descent",
+    // round-13: insert cost must stay FLAT while the corpus grows (the
+    // weak-scaling claim: beams are ~150 scores + bounded recaps at any
+    // size; only the one-time base build is corpus-bound); the filtered
+    // beam pair rides the shared store like s39; the trained media
+    // classifier is render-linear (one decode pass + 4 partial-agg
+    // epochs); the box walk is render-bound map-parallel like m24; the
+    // retrieval loop composes already-swept cores
+    "s41_hnsw_incremental_insert", "s42_filtered_graph_beam",
+    "s43_filtered_beam_recall", "m25_trained_media_classifier",
+    "m26_mp4_box_walk", "c24_crawl_index_serve", "q101_dict_functions")
 
   // multiple of the id moduli queries PLANT structure on (10, 20, 100,
   // 1000): each replica reproduces the base's planted structure exactly

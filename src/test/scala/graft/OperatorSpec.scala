@@ -1977,6 +1977,49 @@ class OperatorSpec extends AnyFunSuite {
         offenders.mkString(", "))
   }
 
+  test("m26 MP4 walk: hand-built streams cover clean/corrupt/short-box/truncated edges") {
+    import graft.sources.MediaPipeline
+    def bytes(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n); f(bb); bb.array()
+    }
+    val ftyp = bytes(20) { bb =>
+      bb.putInt(20); bb.put("ftyp".getBytes("US-ASCII"))
+      bb.put("isom".getBytes("US-ASCII")); bb.putInt(512)
+      bb.put("mp42".getBytes("US-ASCII"))
+    }
+    def mdat(p: Int) = bytes(8 + p) { bb =>
+      bb.putInt(8 + p); bb.put("mdat".getBytes("US-ASCII"))
+    }
+    val badType = ftyp.clone()
+    "xxxx".getBytes("US-ASCII").copyToArray(badType, 4)
+    // nc=7: k=4, ts=607, dur=21, payloads 8/18/28/38 → mdat=92, boxes 6
+    val full = MediaPipeline.renderMp4Stream(1L, 7L)
+    val minimal = ftyp ++ mdat(3)
+    val cases = Seq(
+      // (id, stream, nbox, mdat, ts, dur, brand, status)
+      (1L, full, 6L, 92L, 607L, 21L, "isom", "end"),
+      (2L, full.drop(1), -1L, -1L, -1L, -1L, "?", "corrupt"),
+      (3L, minimal, 2L, 3L, -1L, -1L, "isom", "end"),
+      (4L, badType ++ mdat(3), -1L, -1L, -1L, -1L, "?", "corrupt"),
+      // an 8-byte field claiming size 4: under-sized box mid-walk
+      (5L, ftyp ++ bytes(8) { bb =>
+        bb.putInt(4); bb.put("mdat".getBytes("US-ASCII")) },
+        -1L, -1L, -1L, -1L, "?", "corrupt"),
+      // last mdat's payload overruns EOF: complete boxes kept
+      (6L, full.dropRight(5), 5L, 54L, 607L, 21L, "isom", "truncated"),
+      // EOF inside the next box HEADER (can't even read size/type)
+      (7L, minimal.dropRight(7), 1L, 0L, -1L, -1L, "isom", "truncated"))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "mp4")
+      .withColumn("w", expr(MediaPipeline.mp4WalkExpr("mp4", 8)))
+      .select($"id", $"w.nbox", $"w.mdat", $"w.ts", $"w.dur", $"w.brand",
+        $"w.status")
+      .as[(Long, Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    cases.foreach { case (id, _, nb, md, ts, du, br, st) =>
+      assert(got(id) == ((nb, md, ts, du, br, st)), s"case $id: ${got(id)}")
+    }
+  }
+
   test("m25 training demonstrably learns: cold start is the class prior, trained separates") {
     val out = QueryDef.registry.find(_.name == "m25_trained_media_classifier").get
       .build(spark, sfDir)
