@@ -117,8 +117,11 @@ object Bench {
       "s40_hnsw_layered_descent",
       // round-13: the insert path builds (or first-touches) the
       // s41_base store and re-caps against it; c24 builds its curated
-      // IVF FactTable in-body before the one-bucket probe
-      "s41_hnsw_incremental_insert", "c24_crawl_index_serve")
+      // IVF FactTable in-body before the one-bucket probe; the
+      // filtered-beam pair serves from the shared s38 store and pays
+      // its first touch in a bucket-split run (the s39 precedent)
+      "s41_hnsw_incremental_insert", "c24_crawl_index_serve",
+      "s42_filtered_graph_beam", "s43_filtered_beam_recall")
     // best-of-2 per query: damps scheduler/GC noise on a shared machine.
     // A query that fails BOTH runs reports -1.0 (never a fake timing).
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts the query set
