@@ -157,28 +157,24 @@ object TextFunctions {
     * localCheckpoint per merge round and never freed the superseded
     * ones — on a long training run that accumulates one corpus-sized
     * block set per round until the ContextCleaner's GC happens to
-    * run). The persistent-RDD ids created by THIS call are snapshotted
-    * so the next round can unpersist exactly them; the trainers are
-    * driver-coordinated single-threaded loops, so the
-    * before/after-keyset diff cannot claim a concurrent query's blocks.
-    * Returns (checkpointed df, its block ids).
+    * run). This round's block ids are read DIRECTLY off the returned
+    * plan — `localCheckpoint` yields a Dataset backed by a
+    * [[org.apache.spark.sql.execution.LogicalRDD]] wrapping exactly
+    * the persisted RDD — so ownership is structural, not inferred:
+    * the earlier before/after keyset diff could claim a CONCURRENT
+    * query's cache/checkpoint landing in the same window and later
+    * unpersist it (ADVICE r12/r13); plan extraction cannot, so no
+    * cross-call lock is needed. Returns (checkpointed df, its block
+    * ids — empty only if Spark ever stops planning checkpoints as
+    * LogicalRDD, in which case blocks fall back to ContextCleaner GC).
     */
-  /** Serializes [[checkpointSwap]]'s snapshot→checkpoint→diff window:
-    * the keyset diff attributes every persistent-RDD id created inside
-    * it to THIS call, so a concurrent query caching/checkpointing in
-    * that window would otherwise get its blocks claimed and later
-    * unpersisted (ADVICE r12 — the single-threaded-trainer assumption
-    * is now enforced, not just documented). Driver-side lock only; the
-    * checkpoint job itself still runs fully distributed.
-    */
-  private val ckptSwapLock = new Object
-
   private def checkpointSwap(df: DataFrame,
-      prevIds: Set[Int]): (DataFrame, Set[Int]) = ckptSwapLock.synchronized {
+      prevIds: Set[Int]): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint() // eager: materialized before release
-    val mine = sc.getPersistentRDDs.keySet.toSet -- before
+    val mine = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
     prevIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     (out, mine)

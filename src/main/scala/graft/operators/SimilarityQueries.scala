@@ -3004,6 +3004,38 @@ object SimilarityQueries {
     */
   private[graft] def insertBatch = Seq(11L, 22L, 33L, 44L)
 
+  private val insertedGraphCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** [[hnswInsertedGraphBuild]] behind a corpus-keyed store cache (the
+    * beamGraphCache convention; ADVICE r13: the s41 QueryDef and both
+    * s41 specs each re-ran the full 4-insert chain — 4 beams + 4
+    * recaps + 4 localCheckpoints — per call). The final edge list is a
+    * deterministic function of the corpus alone, so one FactTable
+    * materialization serves every caller; rebuilt if the scratch dir
+    * was reaped.
+    */
+  private[graft] def hnswInsertedGraph(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    def live(root: String) =
+      new java.io.File(root, "_graft_log").listFiles() != null &&
+        new java.io.File(root, "_graft_log").listFiles().nonEmpty
+    val root = insertedGraphCache.synchronized {
+      insertedGraphCache.get(dir).filter(live).getOrElse {
+        val r = graft.TempDirs.scratch(
+          "s41_ins_" + Integer.toHexString(dir.hashCode))
+        new graft.storage.FactTable(r, s).append(
+          hnswInsertedGraphBuild(s, dir)
+            .withColumn("date", to_date(lit("2024-01-01"))), 0)
+        insertedGraphCache.put(dir, r)
+        r
+      }
+    }
+    new graft.storage.FactTable(root, s).read()
+      .select($"src", $"dst", $"gcos")
+  }
+
   /** The HNSW-inserted graph: the s41_base store (corpus minus the
     * batch) plus the four sequential inserts applied. Returns the full
     * (src, dst, gcos) edge list — the spec asserts degree/reachability
@@ -3019,7 +3051,7 @@ object SimilarityQueries {
     * times (anti + two recap branches) and the lineage grows 3^i-fold
     * (measured: the nested form ran 10× slower at sf0.001).
     */
-  private[graft] def hnswInsertedGraph(s: SparkSession, dir: String)
+  private def hnswInsertedGraphBuild(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")

@@ -3451,8 +3451,13 @@ object TextQueries {
                  0L, (a, p) -> a + p)"""))
           .withColumn("rk", row_number().over(wA)).filter($"rk" === 1)
           .select($"doc_id", $"cid", $"comps")
+        // scratch key carries the corpus dir (the storedIvfStores
+        // convention, ADVICE r13): scratch() deletes the PREVIOUS dir
+        // under the same key, so a bare key would let a multi-corpus
+        // JVM reap corpus A's store while its DataFrame is still lazy
         val idxT = new graft.storage.FactTable(
-          graft.TempDirs.scratch("c24_idx"), s)
+          graft.TempDirs.scratch(
+            "c24_idx_" + Integer.toHexString(dir.hashCode)), s)
         idxT.append(assigned.withColumn("date", to_date(lit("2024-01-01"))), 0)
         val idx = idxT.read().select($"doc_id", $"cid", $"comps")
         val qv = idx.orderBy($"doc_id".asc).limit(1)

@@ -986,28 +986,28 @@ object MediaPipeline {
           (st, i) -> $step)"""
   }
 
-  /** Batched inference over the media table. The forward function is
-    * INJECTABLE: m04 passes the default — deterministic placeholder
-    * arithmetic that exists to pin the batch-assembly contract
-    * (deterministic membership, provenance columns) — while m25 runs a
-    * genuinely TRAINED in-engine model through the same plumbing (its
-    * logistic scorer from `logisticTrainMicro`-learned micro-weights;
-    * see MultimodalQueries m25, which assembles its own typed batches
-    * the same way because its rows carry decoded features rather than
-    * raw bytes). A GPU deployment swaps `forward` for the accelerator
-    * call; batch shape, ordering, and provenance stay identical.
+  /** Batched inference over the media table (m04). The forward step
+    * here is deterministic placeholder arithmetic that exists to pin
+    * the batch-assembly contract — deterministic membership, batch
+    * ordering, provenance columns — which is the part Spark owns; a
+    * GPU deployment would replace the `scores` line with the
+    * accelerator call over `batch`. m25 is the genuinely TRAINED lane:
+    * it assembles its own typed batches in MultimodalQueries (its rows
+    * carry decoded integer features rather than raw bytes) and runs a
+    * `logisticTrainMicro`-learned scorer through the same
+    * groupByKey/flatMapGroups shape. (ADVICE r13: an injectable
+    * forward parameter sat here with no non-default caller — dead
+    * generality, removed.)
     */
-  def inferBatched(spark: SparkSession, dir: String, batchSize: Int = 16,
-      forward: Array[MediaRow] => Array[Double] =
-        batch => batch.zipWithIndex.map { case (r, i) =>
-          r.content.length.toDouble * batch.length + i })
+  def inferBatched(spark: SparkSession, dir: String, batchSize: Int = 16)
       : Dataset[InferenceOut] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRow]
       .groupByKey(_.media_id / batchSize)
       .flatMapGroups { (batchId: Long, rows: Iterator[MediaRow]) =>
         val batch = rows.toArray.sortBy(_.media_id) // assemble inference batch
-        val scores = forward(batch)
+        val scores = batch.zipWithIndex.map { case (r, i) =>
+          r.content.length.toDouble * batch.length + i }
         batch.iterator.zipWithIndex.map { case (r, i) =>
           InferenceOut(r.media_id, batchId, batch.length, i, scores(i))
         }
