@@ -152,7 +152,11 @@ object ScaleBench {
     // retrieval loop composes already-swept cores
     "s41_hnsw_incremental_insert", "s42_filtered_graph_beam",
     "s43_filtered_beam_recall", "m25_trained_media_classifier",
-    "m26_mp4_box_walk", "c24_crawl_index_serve", "q101_dict_functions")
+    "m26_mp4_box_walk", "c24_crawl_index_serve", "q101_dict_functions",
+    // round-14: bulk ingest must stay FLAT like s41 (frozen beams are
+    // ~B·150 bounded scores, the merge <= B·M·(M+1) rows at any corpus
+    // size; only the one-time base build is corpus-bound)
+    "s44_hnsw_bulk_ingest")
 
   // multiple of the id moduli queries PLANT structure on (10, 20, 100,
   // 1000): each replica reproduces the base's planted structure exactly

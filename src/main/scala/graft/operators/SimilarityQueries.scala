@@ -2916,7 +2916,39 @@ object SimilarityQueries {
         LEFT JOIN indeg i ON i.vec_id = t.vec_id
         WHERE t.rk <= 10
         ORDER BY t.rk"""),
-      doc = "filtered-beam recall audit (the s39 per-miss-attribution discipline on s42): exact label-constrained top-10 truth vs the filtered beam's answer, each miss classified 'no_incoming_edge' (in-degree 0 in the stored graph — a construction-budget defect) vs 'outside_filtered_horizon' (reachable but not within the label-constrained 2-hop budget — a traversal/filter-budget defect); a visited matching truth vector is provably always found, so the classes are exhaustive")
+      doc = "filtered-beam recall audit (the s39 per-miss-attribution discipline on s42): exact label-constrained top-10 truth vs the filtered beam's answer, each miss classified 'no_incoming_edge' (in-degree 0 in the stored graph — a construction-budget defect) vs 'outside_filtered_horizon' (reachable but not within the label-constrained 2-hop budget — a traversal/filter-budget defect); a visited matching truth vector is provably always found, so the classes are exhaustive"),
+
+    // ------------------------------------------------------------------
+    // s44: BULK HNSW INGEST — s41 turned the graph index incremental;
+    // s44 makes the increment a BATCH (VERDICT r13 next #1). s41's
+    // loop is inherently 1-2 inserts/s: each insert is R driver-
+    // coordinated job waves, and the NEXT insert's beam depends on
+    // this one's merge, so nothing overlaps — a fleet scraping
+    // thousands of modems (mb8600.py:329-443 appends forever) would
+    // fall behind its own ingest. s44 runs ALL B insert beams against
+    // the FROZEN pre-batch graph as ONE batched job set (the s31
+    // batch-serving shape: qid rides every step, per-qid frontiers are
+    // one partitioned group-limit window) and applies every edge
+    // addition + re-cap as ONE deterministic bounded merge: per
+    // touched source, re-cap over base edges ∪ ALL its offers, pinned
+    // offers (each x's best neighbor) first. Batch members not seeing
+    // each other is the PRECISELY-STATED semantics the oracle replays
+    // — B independent beam chains, no version chain — and a batch of
+    // 1 is EXACTLY sequential semantics (the spec asserts edge-set
+    // equality vs s41's builder on a shared base). Wall-clock per
+    // batch: O(R) job waves regardless of B; merge input ≤ B·M·(M+1)
+    // rows. Output: every batch-incident edge, the s41 shape.
+    QueryDef(
+      "s44_hnsw_bulk_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val g = bulkInsertedGraph(s, dir)
+        g.filter($"src".isin(bulkBatch: _*) || $"dst".isin(bulkBatch: _*))
+          .select($"src", $"dst", $"gcos")
+          .orderBy($"src", $"dst")
+      },
+      Some(s44OracleSql),
+      doc = "bulk HNSW ingest: a micro-batch of B new vectors beam-searches the FROZEN pre-batch graph as one batched job set (qid-carrying rounds, per-qid frontiers via one partitioned group-limit window — O(R) job waves regardless of B, vs O(B·R) for s41's sequential loop), then ONE deterministic bounded merge re-caps every touched source over base edges + all offers with each vector's best-neighbor offer pinned; batch-of-1 equals sequential insert exactly (spec-asserted), and the oracle replays the B independent beam chains + the single merge verbatim")
   )
 
   /** s42/s43's filtered beam: ACORN-1 two-hop expansion over the
@@ -3051,19 +3083,20 @@ object SimilarityQueries {
     * times (anti + two recap branches) and the lineage grows 3^i-fold
     * (measured: the nested form ran 10× slower at sf0.001).
     */
-  private def hnswInsertedGraphBuild(s: SparkSession, dir: String)
+  private[graft] def hnswInsertedGraphBuild(s: SparkSession, dir: String,
+      batch: Seq[Long] = insertBatch, baseTag: String = "s41_base")
       : DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    val base = knnGraphStoreFor(s, dir, "s41_base", None, beamEntries,
-      exclude = insertBatch).read().select($"src", $"dst", $"gcos")
+    val base = knnGraphStoreFor(s, dir, baseTag, None, beamEntries,
+      exclude = batch).read().select($"src", $"dst", $"gcos")
     // (touched-src tombstones, override/new edges) — both bounded
     var touched = s.emptyDataFrame.select(lit(-1L).as("src")).limit(0)
     var delta = base.limit(0)
     def graphNow: DataFrame = base
       .join(broadcast(touched), Seq("src"), "left_anti")
       .unionByName(delta)
-    insertBatch.sorted.foreach { x =>
+    batch.sorted.foreach { x =>
       val qv = emb.filter($"vec_id" === x).select($"embedding".as("qv"))
       val graph = graphNow
       val visited = beamOverQ(s, dir, graph.select($"src", $"dst"),
@@ -3192,6 +3225,77 @@ object SimilarityQueries {
         ${beamGraphSqlCtes("b", s" AND vec_id NOT IN ($bl)", beamEntries)},
         $chains
         SELECT src, dst, gcos FROM g${batch.length - 1}
+        WHERE src IN ($bl) OR dst IN ($bl)
+        ORDER BY src, dst"""
+  }
+
+  /** The s44 oracle: base-graph build (bulk batch excluded) + the B
+    * INDEPENDENT beam chains — every one against the same frozen
+    * `bgraph`, no version chain (that independence IS the batch
+    * semantics) — then the single merge: offers (pinned = per-x rank-1
+    * neighbor) union base edges of touched sources, one per-src
+    * re-cap window ordered (pinned first, gcos desc, dst asc), plus
+    * out-edges and the untouched remainder. Per-x score tables and
+    * top-M neighborhoods MATERIALIZE (the s41 lesson: DuckDB would
+    * otherwise inline each into its several consumers).
+    */
+  private def s44OracleSql: String = {
+    val batch = bulkBatch.sorted
+    val bl = batch.mkString(", ")
+    val chains = batch.zipWithIndex.map { case (x, i) =>
+      val pfx = s"y$i"
+      s"""${pfx}p AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+                     unnest(q.embedding) AS y
+              FROM embeddings e, embeddings q
+              WHERE q.vec_id = $x AND e.vec_id <> 0),
+        ${pfx}d AS (SELECT vec_id, ${oCosineSums()}
+                    FROM ${pfx}p GROUP BY vec_id),
+        ${pfx}qs AS MATERIALIZED (
+          SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
+          FROM ${pfx}d),
+        ${beamRoundsSqlCtes(pfx, "bgraph",
+        s"SELECT vec_id, cosine FROM ${pfx}qs WHERE vec_id IN (${beamEntries.mkString(", ")})",
+        beamR, s"${pfx}qs")},
+        ${pfx}top AS MATERIALIZED (
+          SELECT vec_id, cosine,
+                 ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS nrk
+          FROM (SELECT vec_id, cosine FROM ${pfx}v$beamR
+                ORDER BY cosine DESC, vec_id ASC LIMIT $beamM) t)"""
+    }.mkString(",\n        ")
+    val offerUnion = batch.zipWithIndex.map { case (x, i) =>
+      s"""SELECT vec_id AS src, CAST($x AS BIGINT) AS dst,
+                 cosine AS gcos, nrk = 1 AS pinned FROM y${i}top"""
+    }.mkString("\n          UNION ALL\n          ")
+    val outUnion = batch.zipWithIndex.map { case (x, i) =>
+      s"""SELECT CAST($x AS BIGINT) AS src, vec_id AS dst,
+                 cosine AS gcos FROM y${i}top"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""
+        WITH $beamBandsAndScoresSql,
+        ${beamGraphSqlCtes("b", s" AND vec_id NOT IN ($bl)", beamEntries)},
+        $chains,
+        offers AS MATERIALIZED (
+          $offerUnion),
+        outedges AS (
+          $outUnion),
+        touched AS (SELECT DISTINCT src FROM offers),
+        recap AS (
+          SELECT src, dst, gcos FROM (
+            SELECT src, dst, gcos,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                     ORDER BY CASE WHEN pinned THEN 0 ELSE 1 END,
+                              gcos DESC, dst ASC) AS rk
+            FROM (SELECT src, dst, gcos, FALSE AS pinned FROM bgraph
+                  WHERE src IN (SELECT src FROM touched)
+                  UNION ALL
+                  SELECT src, dst, gcos, pinned FROM offers) u) w
+          WHERE rk <= $beamM),
+        merged AS (
+          SELECT src, dst, gcos FROM bgraph
+          WHERE src NOT IN (SELECT src FROM touched)
+          UNION ALL SELECT src, dst, gcos FROM recap
+          UNION ALL SELECT src, dst, gcos FROM outedges)
+        SELECT src, dst, gcos FROM merged
         WHERE src IN ($bl) OR dst IN ($bl)
         ORDER BY src, dst"""
   }
@@ -3504,6 +3608,145 @@ object SimilarityQueries {
         .limit(beamB).select($"vec_id".as("fid"))
     }
     visited
+  }
+
+  /** ALL queries' beams against ONE frozen graph as ONE job set — the
+    * s31 batch-serving shape applied to the insert path (s44): instead
+    * of driving B sequential beams (B·R rounds of tiny jobs, latency-
+    * bound at 1-2 inserts/s), the (qid, qv) batch broadcasts and every
+    * per-round step carries qid: per-qid frontiers are ONE partitioned
+    * group-limit window (WindowGroupLimit pushes on partitioned
+    * windows), neighbor expansion is one broadcast join, and fresh
+    * candidates score against their own query vector via a second
+    * broadcast. Round count is R regardless of B, so wall-clock is
+    * O(R) job waves, not O(B·R). Returns (qid, vec_id, cosine); every
+    * broadcast side is bounded by B·(entries + R·B·M) rows.
+    */
+  private[graft] def beamOverQueries(s: SparkSession, dir: String,
+      graph: DataFrame, seeds: Seq[Long], rounds: Int,
+      queries: DataFrame): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+    def score(ids: DataFrame): DataFrame = vecs
+      .join(broadcast(ids), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select($"qid", $"vec_id",
+        round(cosineExact("embedding", "qv"), 9).as("cosine"))
+    val wF = Window.partitionBy($"qid")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    def frontierOf(v: DataFrame): DataFrame = v
+      .withColumn("frk", row_number().over(wF)).filter($"frk" <= beamB)
+      .select($"qid", $"vec_id".as("fid"))
+    var visited = score(queries.select($"qid")
+      .crossJoin(seeds.toDF("vec_id")))
+    var frontier = frontierOf(visited)
+    for (_ <- 1 to rounds) {
+      val nbrs = graph.join(broadcast(frontier), $"src" === $"fid")
+        .select($"qid", $"dst".as("vec_id")).distinct()
+      val fresh = nbrs.join(broadcast(visited.select($"qid", $"vec_id")),
+        Seq("qid", "vec_id"), "left_anti")
+      visited = visited.unionByName(score(fresh))
+      frontier = frontierOf(visited)
+    }
+    visited
+  }
+
+  /** s44's micro-batch: disjoint from s41's, all < 500 so they exist
+    * at every SF.
+    */
+  private[graft] def bulkBatch = Seq(55L, 66L, 77L, 88L)
+
+  private val bulkGraphCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** BULK HNSW ingest (s44): apply a micro-batch of B new vectors to a
+    * frozen base graph as ONE batched job set + ONE bounded merge —
+    * the production ingest path s41's sequential loop cannot be
+    * (VERDICT r13 next #1). Batch semantics, stated precisely (and
+    * replayed verbatim by the oracle):
+    *
+    *  1. FROZEN BEAMS: every new vector beam-searches the SAME
+    *     pre-batch graph version — batch members do not see each
+    *     other (the standard frozen-version bulk-build rule; a batch
+    *     of 1 is exactly sequential semantics, which the spec asserts
+    *     as edge-set EQUALITY against [[hnswInsertedGraphBuild]]).
+    *  2. OUT-EDGES: x → its beam's top-M visited, for each x.
+    *  3. ONE MERGE: each touched source re-caps ONCE over its base
+    *     edges ∪ ALL its back-edge offers, ordered (pinned first,
+    *     gcos desc, dst asc), cap M — deterministic under any offer
+    *     arrival order. The reachability pin generalizes s41's: each
+    *     x's BEST neighbor's offer ranks ahead of every natural edge,
+    *     so every new vector keeps ≥1 incoming edge even if natural
+    *     shrink would evict all B offers.
+    *
+    * Cost per batch is O(B) bounded broadcasts + one window over
+    * ≤ B·M·(M+1) rows; the base store is read, never rewritten — at
+    * 100 TB this is the one MERGE statement a vector store's ingest
+    * pipeline commits per micro-batch. The merged edge list lands in
+    * a corpus-keyed FactTable store (the beamGraphCache convention
+    * from day one).
+    */
+  private[graft] def bulkInsertedGraph(s: SparkSession, dir: String,
+      batch: Seq[Long] = bulkBatch, baseTag: String = "s44_base")
+      : DataFrame = {
+    import s.implicits._
+    def live(root: String) =
+      new java.io.File(root, "_graft_log").listFiles() != null &&
+        new java.io.File(root, "_graft_log").listFiles().nonEmpty
+    val cacheKey = dir + "#" + baseTag + "#" + batch.mkString(",")
+    val root = bulkGraphCache.synchronized {
+      bulkGraphCache.get(cacheKey).filter(live).getOrElse {
+        val r = graft.TempDirs.scratch(
+          baseTag + "_ins_" + Integer.toHexString(cacheKey.hashCode))
+        new graft.storage.FactTable(r, s).append(
+          bulkInsertedGraphBuild(s, dir, batch, baseTag)
+            .withColumn("date", to_date(lit("2024-01-01"))), 0)
+        bulkGraphCache.put(cacheKey, r)
+        r
+      }
+    }
+    new graft.storage.FactTable(root, s).read()
+      .select($"src", $"dst", $"gcos")
+  }
+
+  /** The uncached s44 build — see [[bulkInsertedGraph]] for the batch
+    * semantics. PlanSpec probes this directly for the base-store-read
+    * and broadcast-only locks.
+    */
+  private[graft] def bulkInsertedGraphBuild(s: SparkSession, dir: String,
+      batch: Seq[Long] = bulkBatch, baseTag: String = "s44_base")
+      : DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val base = knnGraphStoreFor(s, dir, baseTag, None, beamEntries,
+      exclude = batch).read().select($"src", $"dst", $"gcos")
+    val queries = emb.filter($"vec_id".isin(batch: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val visited = beamOverQueries(s, dir, base.select($"src", $"dst"),
+      beamEntries, beamR, queries)
+    // per-query top-M neighborhoods: bounded (B·M rows), read by the
+    // out-edge, offer, and recap legs — pin once
+    val wTop = Window.partitionBy($"qid")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    val xtop = visited.withColumn("nrk", row_number().over(wTop))
+      .filter($"nrk" <= beamM).localCheckpoint()
+    val outEdges = xtop.select($"qid".as("src"), $"vec_id".as("dst"),
+      $"cosine".as("gcos"))
+    val offers = xtop.select($"vec_id".as("src"), $"qid".as("dst"),
+      $"cosine".as("gcos"), ($"nrk" === 1).as("pinned"))
+    val touched = offers.select($"src").distinct()
+    val wCap = Window.partitionBy($"src")
+      .orderBy(when($"pinned", 0).otherwise(1).asc, $"gcos".desc, $"dst".asc)
+    val recapped = base
+      .join(broadcast(touched), Seq("src"), "left_semi")
+      .withColumn("pinned", lit(false))
+      .unionByName(offers)
+      .withColumn("grk", row_number().over(wCap)).filter($"grk" <= beamM)
+      .select($"src", $"dst", $"gcos")
+    base.join(broadcast(touched), Seq("src"), "left_anti")
+      .unionByName(recapped)
+      .unionByName(outEdges)
   }
 
   /** The DuckDB replay of the whole beam stack — banding, capped

@@ -2078,4 +2078,55 @@ class OperatorSpec extends AnyFunSuite {
       s"insert-maintained serving diverged from the rebuild:\n" +
         s"insert=$viaInsert\nrebuild=$rebuild")
   }
+
+  test("s44 batch-of-1 equals sequential insert exactly (edge-set equality)") {
+    // the frozen-beam batch semantics reduce to s41's sequential
+    // semantics at B=1: same beam (one query, same frozen base), same
+    // top-M neighborhood, and the merge's pinned-first recap selects
+    // the same edge set as sequential's recapBest/recapOthers split.
+    // Shared baseTag → both sides read the SAME stored base graph.
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .select($"src", $"dst", $"gcos").as[(Long, Long, Double)]
+      .collect().toSet
+    val bulk = edges(operators.SimilarityQueries.bulkInsertedGraphBuild(
+      spark, sfDir, batch = Seq(11L), baseTag = "s44_eq1"))
+    val seq1 = edges(operators.SimilarityQueries.hnswInsertedGraphBuild(
+      spark, sfDir, batch = Seq(11L), baseTag = "s44_eq1"))
+    assert(bulk == seq1,
+      s"batch-of-1 diverged from sequential:\nonly-bulk=${bulk -- seq1}" +
+        s"\nonly-seq=${seq1 -- bulk}")
+  }
+
+  test("s44 bulk-ingest invariants: out-degree M, caps hold, every new node reachable, no dupes") {
+    val g = operators.SimilarityQueries.bulkInsertedGraph(spark, sfDir)
+      .select($"src", $"dst").as[(Long, Long)].collect()
+    val batch = operators.SimilarityQueries.bulkBatch.toSet
+    val bySrc = g.groupBy(_._1)
+    batch.foreach(x =>
+      assert(bySrc(x).length == 4, s"inserted node $x out-degree != M"))
+    bySrc.foreach { case (s0, es) =>
+      assert(es.length <= 4, s"src $s0 over the M cap: ${es.length}")
+      assert(es.map(_._2).distinct.length == es.length, s"dup edge at $s0")
+    }
+    assert(!g.exists(e => e._1 == e._2), "self edge")
+    // the pin: every batch vector keeps >= 1 incoming edge — even when
+    // several batch members offered to the same source, pinned offers
+    // outrank every natural edge in the recap
+    val indeg = g.groupBy(_._2).view.mapValues(_.length).toMap
+    batch.foreach(x =>
+      assert(indeg.getOrElse(x, 0) >= 1, s"inserted node $x unreachable"))
+  }
+
+  test("s44 serving parity: bulk-maintained graph answers the standard query like the full rebuild") {
+    val viaBulk = operators.SimilarityQueries.beamTop10Over(spark, sfDir,
+      operators.SimilarityQueries.bulkInsertedGraph(spark, sfDir)
+        .select($"src", $"dst"))
+      .as[(Long, Double)].collect().toSeq
+    val rebuild = QueryDef.registry.find(_.name == "s38_graph_beam_search").get
+      .build(spark, sfDir)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toSeq
+    assert(viaBulk == rebuild,
+      s"bulk-maintained serving diverged from the rebuild:\n" +
+        s"bulk=$viaBulk\nrebuild=$rebuild")
+  }
 }

@@ -598,17 +598,48 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("s41 insert reads the stored base graph; beams/recaps broadcast, never re-band") {
+    // the registered query serves from the corpus-keyed insert STORE
+    // (ADVICE r13: one 4-insert chain build per JVM per corpus)...
     val p = plan("s41_hnsw_incremental_insert")
-    // the pre-insert corpus is served from its persisted store — no
-    // re-banding, no rebuild appears in the insert plan
-    assert(p.contains("s41_base"),
-      s"insert does not read the stored base graph:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"an insert beam/recap exploded:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"a bounded (<=M-row) insert side sort-merge joined:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"insert joins must broadcast:\n$p")
+    assert(p.contains("s41_ins"),
+      s"query does not serve from the cached insert store:\n$p")
+    // ...and the BUILD, probed directly, reads the persisted base
+    // graph — no re-banding, no rebuild — through broadcast-only joins
+    val b = operators.SimilarityQueries
+      .hnswInsertedGraphBuild(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("s41_base"),
+      s"insert build does not read the stored base graph:\n$b")
+    assert(!b.contains("CartesianProduct"),
+      s"an insert beam/recap exploded:\n$b")
+    assert(!b.contains("SortMergeJoin"),
+      s"a bounded (<=M-row) insert side sort-merge joined:\n$b")
+    assert(b.contains("BroadcastHashJoin"),
+      s"insert joins must broadcast:\n$b")
+  }
+
+  test("s44 bulk ingest: one merge over pinned neighborhoods, base store read, broadcasts only") {
+    // the registered query serves from the merged-edge-list store
+    val p = plan("s44_hnsw_bulk_ingest")
+    assert(p.contains("s44_base_ins"),
+      s"query does not serve from the cached bulk-ingest store:\n$p")
+    // the BUILD: the batched beams are consumed as ONE pinned bounded
+    // neighborhood table (a LogicalRDD scan — beams never re-run in
+    // the merge), the base graph comes from its store, and the merge
+    // is broadcast joins + windows with no cartesian/sort-merge
+    val b = operators.SimilarityQueries
+      .bulkInsertedGraphBuild(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("s44_base"),
+      s"bulk build does not read the stored base graph:\n$b")
+    assert(b.contains("Scan ExistingRDD"),
+      s"merge must consume the PINNED neighborhoods, not re-run beams:\n$b")
+    assert(!b.contains("CartesianProduct"),
+      s"the bulk merge exploded:\n$b")
+    assert(!b.contains("SortMergeJoin"),
+      s"a bounded merge side sort-merge joined:\n$b")
+    assert(b.contains("BroadcastHashJoin"),
+      s"merge joins must broadcast:\n$b")
   }
 
   test("s42 filtered beam serves from the stored graph; 2-hop rounds broadcast") {
