@@ -2948,7 +2948,35 @@ object SimilarityQueries {
           .orderBy($"src", $"dst")
       },
       Some(s44OracleSql),
-      doc = "bulk HNSW ingest: a micro-batch of B new vectors beam-searches the FROZEN pre-batch graph as one batched job set (qid-carrying rounds, per-qid frontiers via one partitioned group-limit window — O(R) job waves regardless of B, vs O(B·R) for s41's sequential loop), then ONE deterministic bounded merge re-caps every touched source over base edges + all offers with each vector's best-neighbor offer pinned; batch-of-1 equals sequential insert exactly (spec-asserted), and the oracle replays the B independent beam chains + the single merge verbatim")
+      doc = "bulk HNSW ingest: a micro-batch of B new vectors beam-searches the FROZEN pre-batch graph as one batched job set (qid-carrying rounds, per-qid frontiers via one partitioned group-limit window — O(R) job waves regardless of B, vs O(B·R) for s41's sequential loop), then ONE deterministic bounded merge re-caps every touched source over base edges + all offers with each vector's best-neighbor offer pinned; batch-of-1 equals sequential insert exactly (spec-asserted), and the oracle replays the B independent beam chains + the single merge verbatim"),
+
+    // ------------------------------------------------------------------
+    // s49: CHAINED BULK INGEST — the batch fold that SHADOWS the
+    // streaming graph ingest (VERDICT r13 next #2; the s21/d20
+    // convention: every foreachBatch path ships with a registered,
+    // oracle-checked batch fold it must equal row-for-row). Two
+    // successive s44 merges: batch 2's beams traverse batch 1's merged
+    // graph, so a later micro-batch links to (and re-caps) earlier
+    // inserts exactly as a live stream would. Version state is the s41
+    // delta representation — base ANTI touched ∪ bounded checkpointed
+    // delta — constant plan depth per batch; streaming.GraphIngest
+    // commits exactly bulkMergeDelta's changed rows per micro-batch
+    // under a per-src latest-batch-wins (Replacing) view, and
+    // StreamingSpec asserts stream ≡ this fold + committed-replay
+    // no-op. The oracle chains two merge blocks, the second reading
+    // the first's MATERIALIZED merged graph.
+    QueryDef(
+      "s49_graph_ingest_fold",
+      (s, dir) => {
+        import s.implicits._
+        val all = chainBatches.flatten
+        bulkChainGraph(s, dir)
+          .filter($"src".isin(all: _*) || $"dst".isin(all: _*))
+          .select($"src", $"dst", $"gcos")
+          .orderBy($"src", $"dst")
+      },
+      Some(s49OracleSql),
+      doc = "chained bulk HNSW ingest (the streaming ingest's registered batch fold, the s21/d20 convention): two successive s44 bulk merges where batch 2's frozen beams traverse batch 1's merged graph — later micro-batches link to and re-cap earlier inserts exactly as a live foreachBatch stream does; version state is the delta representation (base ANTI touched + bounded checkpointed delta, constant plan depth per batch); the oracle chains two merge blocks through a MATERIALIZED intermediate graph, and StreamingSpec asserts GraphIngest's store view equals this fold row-for-row")
   )
 
   /** s42/s43's filtered beam: ACORN-1 two-hop expansion over the
@@ -3240,63 +3268,95 @@ object SimilarityQueries {
     * otherwise inline each into its several consumers).
     */
   private def s44OracleSql: String = {
-    val batch = bulkBatch.sorted
-    val bl = batch.mkString(", ")
+    val bl = bulkBatch.sorted.mkString(", ")
+    s"""
+        WITH $beamBandsAndScoresSql,
+        ${beamGraphSqlCtes("b", s" AND vec_id NOT IN ($bl)", beamEntries)},
+        ${bulkMergeSqlBlock(bulkBatch.sorted, "y", "bgraph", "merged")}
+        SELECT src, dst, gcos FROM merged
+        WHERE src IN ($bl) OR dst IN ($bl)
+        ORDER BY src, dst"""
+  }
+
+  /** One bulk-merge CTE block, `pfx`-namespaced: per-x score tables +
+    * frozen beams against `graphCte` + MATERIALIZED top-M
+    * neighborhoods, then the single merge (offers with per-x rank-1
+    * pins, one per-src re-cap, untouched remainder) ending in
+    * `$outCte` = the full merged graph (MATERIALIZED — s49 chains a
+    * second block off it). Shared by the s44 and s49 oracles.
+    */
+  private def bulkMergeSqlBlock(batch: Seq[Long], pfx: String,
+      graphCte: String, outCte: String): String = {
     val chains = batch.zipWithIndex.map { case (x, i) =>
-      val pfx = s"y$i"
-      s"""${pfx}p AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+      val p = s"$pfx$i"
+      s"""${p}p AS (SELECT e.vec_id, unnest(e.embedding) AS x,
                      unnest(q.embedding) AS y
               FROM embeddings e, embeddings q
               WHERE q.vec_id = $x AND e.vec_id <> 0),
-        ${pfx}d AS (SELECT vec_id, ${oCosineSums()}
-                    FROM ${pfx}p GROUP BY vec_id),
-        ${pfx}qs AS MATERIALIZED (
+        ${p}d AS (SELECT vec_id, ${oCosineSums()}
+                    FROM ${p}p GROUP BY vec_id),
+        ${p}qs AS MATERIALIZED (
           SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
-          FROM ${pfx}d),
-        ${beamRoundsSqlCtes(pfx, "bgraph",
-        s"SELECT vec_id, cosine FROM ${pfx}qs WHERE vec_id IN (${beamEntries.mkString(", ")})",
-        beamR, s"${pfx}qs")},
-        ${pfx}top AS MATERIALIZED (
+          FROM ${p}d),
+        ${beamRoundsSqlCtes(p, graphCte,
+        s"SELECT vec_id, cosine FROM ${p}qs WHERE vec_id IN (${beamEntries.mkString(", ")})",
+        beamR, s"${p}qs")},
+        ${p}top AS MATERIALIZED (
           SELECT vec_id, cosine,
                  ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS nrk
-          FROM (SELECT vec_id, cosine FROM ${pfx}v$beamR
+          FROM (SELECT vec_id, cosine FROM ${p}v$beamR
                 ORDER BY cosine DESC, vec_id ASC LIMIT $beamM) t)"""
     }.mkString(",\n        ")
     val offerUnion = batch.zipWithIndex.map { case (x, i) =>
       s"""SELECT vec_id AS src, CAST($x AS BIGINT) AS dst,
-                 cosine AS gcos, nrk = 1 AS pinned FROM y${i}top"""
+                 cosine AS gcos, nrk = 1 AS pinned FROM $pfx${i}top"""
     }.mkString("\n          UNION ALL\n          ")
     val outUnion = batch.zipWithIndex.map { case (x, i) =>
       s"""SELECT CAST($x AS BIGINT) AS src, vec_id AS dst,
-                 cosine AS gcos FROM y${i}top"""
+                 cosine AS gcos FROM $pfx${i}top"""
     }.mkString("\n          UNION ALL\n          ")
-    s"""
-        WITH $beamBandsAndScoresSql,
-        ${beamGraphSqlCtes("b", s" AND vec_id NOT IN ($bl)", beamEntries)},
-        $chains,
-        offers AS MATERIALIZED (
+    s"""$chains,
+        ${pfx}offers AS MATERIALIZED (
           $offerUnion),
-        outedges AS (
+        ${pfx}outedges AS (
           $outUnion),
-        touched AS (SELECT DISTINCT src FROM offers),
-        recap AS (
+        ${pfx}touched AS (SELECT DISTINCT src FROM ${pfx}offers),
+        ${pfx}recap AS (
           SELECT src, dst, gcos FROM (
             SELECT src, dst, gcos,
                    ROW_NUMBER() OVER (PARTITION BY src
                      ORDER BY CASE WHEN pinned THEN 0 ELSE 1 END,
                               gcos DESC, dst ASC) AS rk
-            FROM (SELECT src, dst, gcos, FALSE AS pinned FROM bgraph
-                  WHERE src IN (SELECT src FROM touched)
+            FROM (SELECT src, dst, gcos, FALSE AS pinned FROM $graphCte
+                  WHERE src IN (SELECT src FROM ${pfx}touched)
                   UNION ALL
-                  SELECT src, dst, gcos, pinned FROM offers) u) w
+                  SELECT src, dst, gcos, pinned FROM ${pfx}offers) u) w
           WHERE rk <= $beamM),
-        merged AS (
-          SELECT src, dst, gcos FROM bgraph
-          WHERE src NOT IN (SELECT src FROM touched)
-          UNION ALL SELECT src, dst, gcos FROM recap
-          UNION ALL SELECT src, dst, gcos FROM outedges)
-        SELECT src, dst, gcos FROM merged
-        WHERE src IN ($bl) OR dst IN ($bl)
+        $outCte AS MATERIALIZED (
+          SELECT src, dst, gcos FROM $graphCte
+          WHERE src NOT IN (SELECT src FROM ${pfx}touched)
+          UNION ALL SELECT src, dst, gcos FROM ${pfx}recap
+          UNION ALL SELECT src, dst, gcos FROM ${pfx}outedges)"""
+  }
+
+  /** The s49 oracle: base build (every chained id excluded) + TWO
+    * bulk-merge blocks, the second's beams running against the
+    * first's MATERIALIZED merged graph — the fold the streaming
+    * ingest must equal.
+    */
+  private def s49OracleSql: String = {
+    val all = chainBatches.flatten.sorted
+    val al = all.mkString(", ")
+    val blocks = chainBatches.zipWithIndex.map { case (b, k) =>
+      val inCte = if (k == 0) "cgraph" else s"cg$k"
+      bulkMergeSqlBlock(b.sorted, s"z$k", inCte, s"cg${k + 1}")
+    }.mkString(",\n        ")
+    s"""
+        WITH $beamBandsAndScoresSql,
+        ${beamGraphSqlCtes("c", s" AND vec_id NOT IN ($al)", beamEntries)},
+        $blocks
+        SELECT src, dst, gcos FROM cg${chainBatches.length}
+        WHERE src IN ($al) OR dst IN ($al)
         ORDER BY src, dst"""
   }
 
@@ -3624,10 +3684,20 @@ object SimilarityQueries {
     */
   private[graft] def beamOverQueries(s: SparkSession, dir: String,
       graph: DataFrame, seeds: Seq[Long], rounds: Int,
+      queries: DataFrame): DataFrame =
+    beamOverQueriesVecs(s, graph,
+      Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding")),
+      seeds, rounds, queries)
+
+  /** [[beamOverQueries]] over an ARBITRARY (vec_id, embedding) corpus
+    * frame — the streaming ingest scores from ITS OWN vector store,
+    * not the test corpus table.
+    */
+  private[graft] def beamOverQueriesVecs(s: SparkSession,
+      graph: DataFrame, vecs: DataFrame, seeds: Seq[Long], rounds: Int,
       queries: DataFrame): DataFrame = {
     import s.implicits._
-    val vecs = Tables.load(s, dir, "embeddings")
-      .filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
     def score(ids: DataFrame): DataFrame = vecs
       .join(broadcast(ids), Seq("vec_id"))
       .join(broadcast(queries), Seq("qid"))
@@ -3723,10 +3793,33 @@ object SimilarityQueries {
       exclude = batch).read().select($"src", $"dst", $"gcos")
     val queries = emb.filter($"vec_id".isin(batch: _*))
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
-    val visited = beamOverQueries(s, dir, base.select($"src", $"dst"),
-      beamEntries, beamR, queries)
-    // per-query top-M neighborhoods: bounded (B·M rows), read by the
-    // out-edge, offer, and recap legs — pin once
+    val vecs = emb.filter($"vec_id" =!= 0)
+      .select($"vec_id", $"embedding")
+    val delta = bulkMergeDelta(s, base, vecs, queries, beamEntries)
+    val touched = delta.select($"src").distinct()
+    base.join(broadcast(touched), Seq("src"), "left_anti")
+      .unionByName(delta)
+  }
+
+  /** The s44 bulk-merge CORE, over arbitrary frames: returns ONLY the
+    * CHANGED rows — each touched source's complete recapped edge list
+    * plus every new node's out-edges (≤ B·M·(M+1) rows total). This is
+    * the MERGE a store commits per micro-batch: the caller composes
+    * `base ANTI changed-srcs ∪ delta` (the s41 delta representation),
+    * appends it under a Replacing per-src latest-batch-wins view
+    * (GraphIngest), or chains it ([[bulkChainGraph]]). Semantics as
+    * documented on [[bulkInsertedGraph]]; the per-query top-M
+    * neighborhoods pin once (bounded localCheckpoint) because the
+    * out-edge, offer, and recap legs all read them — and the pin also
+    * makes the delta's graph/vecs reads happen-before any append the
+    * caller commits.
+    */
+  private[graft] def bulkMergeDelta(s: SparkSession, graph: DataFrame,
+      vecs: DataFrame, queries: DataFrame, entries: Seq[Long])
+      : DataFrame = {
+    import s.implicits._
+    val visited = beamOverQueriesVecs(s, graph.select($"src", $"dst"),
+      vecs, entries, beamR, queries)
     val wTop = Window.partitionBy($"qid")
       .orderBy($"cosine".desc, $"vec_id".asc)
     val xtop = visited.withColumn("nrk", row_number().over(wTop))
@@ -3738,15 +3831,93 @@ object SimilarityQueries {
     val touched = offers.select($"src").distinct()
     val wCap = Window.partitionBy($"src")
       .orderBy(when($"pinned", 0).otherwise(1).asc, $"gcos".desc, $"dst".asc)
-    val recapped = base
+    val recapped = graph
       .join(broadcast(touched), Seq("src"), "left_semi")
       .withColumn("pinned", lit(false))
       .unionByName(offers)
       .withColumn("grk", row_number().over(wCap)).filter($"grk" <= beamM)
       .select($"src", $"dst", $"gcos")
-    base.join(broadcast(touched), Seq("src"), "left_anti")
-      .unionByName(recapped)
-      .unionByName(outEdges)
+    recapped.unionByName(outEdges)
+  }
+
+  /** s49's two-batch split of the bulk ids, and its base tag: the fold
+    * that shadows the STREAMING graph ingest (GraphIngest) — batch 2's
+    * beams run against batch 1's merged graph, so later batches link
+    * to earlier ones exactly as a live ingest would.
+    */
+  private[graft] def chainBatches = Seq(Seq(55L, 66L), Seq(77L, 88L))
+
+  /** The s49 base-graph edges (corpus minus every chained id) — shared
+    * verbatim by the fold below and StreamingSpec's GraphIngest
+    * bootstrap, so stream ≡ fold starts from the identical store.
+    */
+  private[graft] def chainBaseEdges(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    knnGraphStoreFor(s, dir, "s49_base", None, beamEntries,
+      exclude = chainBatches.flatten).read()
+      .select($"src", $"dst", $"gcos")
+  }
+
+  private val chainGraphCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** [[bulkChainGraphBuild]] behind a corpus-keyed store cache (the
+    * beamGraphCache convention from day one — VERDICT r13 #9; without
+    * it the QueryDef and the StreamingSpec fold comparison each re-pay
+    * the two-batch beam+merge chain). One FactTable materialization
+    * per JVM per corpus; rebuilt if the scratch dir was reaped.
+    */
+  private[graft] def bulkChainGraph(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    def live(root: String) =
+      new java.io.File(root, "_graft_log").listFiles() != null &&
+        new java.io.File(root, "_graft_log").listFiles().nonEmpty
+    val root = chainGraphCache.synchronized {
+      chainGraphCache.get(dir).filter(live).getOrElse {
+        val r = graft.TempDirs.scratch(
+          "s49_chain_ins_" + Integer.toHexString(dir.hashCode))
+        new graft.storage.FactTable(r, s).append(
+          bulkChainGraphBuild(s, dir)
+            .withColumn("date", to_date(lit("2024-01-01"))), 0)
+        chainGraphCache.put(dir, r)
+        r
+      }
+    }
+    new graft.storage.FactTable(root, s).read()
+      .select($"src", $"dst", $"gcos")
+  }
+
+  /** Chained bulk ingest (s49, the GraphIngest batch fold): successive
+    * [[bulkMergeDelta]] batches, each beam-searching the PREVIOUS
+    * batch's merged graph. Version state is the s41 delta
+    * representation — `base ANTI touched ∪ bounded checkpointed delta`
+    * — so plan depth stays constant however many batches fold in.
+    */
+  private[graft] def bulkChainGraphBuild(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val vecs = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+    val base = chainBaseEdges(s, dir)
+    var touched = s.emptyDataFrame.select(lit(-1L).as("src")).limit(0)
+    var delta = base.limit(0)
+    def graphNow: DataFrame = base
+      .join(broadcast(touched), Seq("src"), "left_anti")
+      .unionByName(delta)
+    chainBatches.foreach { b =>
+      val queries = emb.filter($"vec_id".isin(b: _*))
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val changes = bulkMergeDelta(s, graphNow, vecs, queries, beamEntries)
+      delta = delta
+        .join(broadcast(changes.select($"src").distinct()), Seq("src"),
+          "left_anti")
+        .unionByName(changes)
+        .localCheckpoint() // bounded: sum of the batches' merge deltas
+      touched = delta.select($"src").distinct()
+    }
+    graphNow
   }
 
   /** The DuckDB replay of the whole beam stack — banding, capped

@@ -642,6 +642,29 @@ class PlanSpec extends AnyFunSuite {
       s"merge joins must broadcast:\n$b")
   }
 
+  test("s49 chained ingest fold: serves from its store; build is base ANTI checkpointed delta") {
+    // the registered query serves from the corpus-keyed chain store
+    val p = plan("s49_graph_ingest_fold")
+    assert(p.contains("s49_chain_ins"),
+      s"query does not serve from the cached chain store:\n$p")
+    // the BUILD is the s41 delta representation — the stored base
+    // graph anti-joined (broadcast) against the touched set, unioned
+    // with the CHECKPOINTED merge delta (a LogicalRDD scan): two
+    // batches of beams/merges already folded in, zero re-beam work in
+    // the returned plan, depth independent of how many batches chained
+    val b = operators.SimilarityQueries
+      .bulkChainGraphBuild(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("s49_base"),
+      s"fold build does not read the stored chain base graph:\n$b")
+    assert(b.contains("Scan ExistingRDD"),
+      s"fold must compose the checkpointed delta, not re-run merges:\n$b")
+    assert(!b.contains("CartesianProduct") && !b.contains("SortMergeJoin"),
+      s"the delta composition must broadcast (touched set is bounded):\n$b")
+    assert(b.contains("BroadcastHashJoin"),
+      s"the base ANTI touched join must broadcast:\n$b")
+  }
+
   test("s42 filtered beam serves from the stored graph; 2-hop rounds broadcast") {
     val p = plan("s42_filtered_graph_beam")
     assert(p.contains("s38_graph"),

@@ -393,6 +393,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming graph ingest equals the s49 batch fold; committed replay is a no-op") {
+    import graft.storage.FactTable
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val chainIds = graft.operators.SimilarityQueries.chainBatches
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // bootstrap (txn -1 = the offline build; micro-batch ids are
+    // 0-based, so the bootstrap txn must sit below them): the SAME
+    // stored base the fold reads, plus the pre-batch corpus vectors
+    val graphT = new FactTable(tmp("graph_ing"), spark)
+    val vecsT = new FactTable(tmp("graph_vecs"), spark)
+    val dt = to_date(lit("2024-01-01"))
+    graphT.append(graft.operators.SimilarityQueries
+      .chainBaseEdges(spark, sfDir)
+      .withColumn("batch", lit(-1).cast("int")).withColumn("date", dt), -1)
+    vecsT.append(emb
+      .filter($"vec_id" =!= 0 && !$"vec_id".isin(chainIds.flatten: _*))
+      .withColumn("date", dt), -1)
+    val entries = Seq(1L, 2L, 3L, 4L)
+    val live = new graft.streaming.GraphIngest(graphT, vecsT, entries)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = live.start(mem.toDF().toDF("vec_id", "embedding"),
+      tmp("graph_ckpt"))
+    try {
+      chainIds.foreach { b =>
+        mem.addData(emb.filter($"vec_id".isin(b: _*))
+          .as[(Long, Seq[Float])].collect().toSeq)
+        q.processAllAvailable()
+      }
+      def edges(df: org.apache.spark.sql.DataFrame) = df
+        .select($"src", $"dst", $"gcos").as[(Long, Long, Double)]
+        .collect().toSet
+      val streamed = edges(live.graphView())
+      val fold = edges(graft.operators.SimilarityQueries
+        .bulkChainGraph(spark, sfDir))
+      assert(streamed == fold,
+        s"stream-built graph diverged from the s49 fold:" +
+          s"\nonly-stream=${streamed -- fold}\nonly-fold=${fold -- streamed}")
+      // committed-batch replay: the recompute may read a LATER graph
+      // state, but both appends are txn-rejected — store unchanged
+      val before = (graphT.read().count(), vecsT.read().count())
+      live.addBatch(emb.filter($"vec_id".isin(chainIds.last: _*))
+        .select($"vec_id", $"embedding"), 1L)
+      assert((graphT.read().count(), vecsT.read().count()) == before,
+        "replay of a committed batch must not re-append")
+    } finally q.stop()
+  }
+
   test("streaming sketch-state ingest equals the one-shot view; crash heals; replay no-ops") {
     implicit val sqlCtx = spark.sqlContext
     def tmp(p: String) =
