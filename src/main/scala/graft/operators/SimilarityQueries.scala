@@ -2976,7 +2976,83 @@ object SimilarityQueries {
           .orderBy($"src", $"dst")
       },
       Some(s49OracleSql),
-      doc = "chained bulk HNSW ingest (the streaming ingest's registered batch fold, the s21/d20 convention): two successive s44 bulk merges where batch 2's frozen beams traverse batch 1's merged graph — later micro-batches link to and re-cap earlier inserts exactly as a live foreachBatch stream does; version state is the delta representation (base ANTI touched + bounded checkpointed delta, constant plan depth per batch); the oracle chains two merge blocks through a MATERIALIZED intermediate graph, and StreamingSpec asserts GraphIngest's store view equals this fold row-for-row")
+      doc = "chained bulk HNSW ingest (the streaming ingest's registered batch fold, the s21/d20 convention): two successive s44 bulk merges where batch 2's frozen beams traverse batch 1's merged graph — later micro-batches link to and re-cap earlier inserts exactly as a live foreachBatch stream does; version state is the delta representation (base ANTI touched + bounded checkpointed delta, constant plan depth per batch); the oracle chains two merge blocks through a MATERIALIZED intermediate graph, and StreamingSpec asserts GraphIngest's store view equals this fold row-for-row"),
+
+    // ------------------------------------------------------------------
+    // s45: GRAPH DELETE LIFECYCLE (VERDICT r13 next #3) — the graph
+    // family's takedown path, completing insert (s41) / bulk ingest
+    // (s44/s49) / DELETE. Deleting a vector kills its out-list AND
+    // every incident in-edge; a graph that only masks leaves survivors
+    // under-connected (each touched source silently drops below degree
+    // M, and a deleted HUB can disconnect whole regions). The repair is
+    // FreshDiskANN's delete-consolidation rule (Singh et al. 2021
+    // §4.2): each source that lost an edge to deleted d re-caps over
+    // its surviving edges ∪ d's surviving out-edges (it may link
+    // THROUGH the deleted node to its neighborhood) by exact cosine.
+    // Storage is the dx23 tombstone shape, asserted at build: ONE
+    // O(keys) softDelete (edges incident to the batch + the touched
+    // sources' replaced lists), parts untouched, repair rows appended
+    // after — the masked read IS the repaired graph. Work is bounded:
+    // candidates ≤ touched·(M + M²) rows, every join broadcasts, no
+    // re-band, no re-beam — at 100 TB a takedown writes kilobytes.
+    QueryDef(
+      "s45_graph_delete_repair",
+      (s, dir) => {
+        import s.implicits._
+        val view = deletedRepairedStore(s, dir).read()
+        view.join(broadcast(deleteTouched(s, dir)), Seq("src"), "left_semi")
+          .select($"src", $"dst", $"gcos")
+          .orderBy($"src", $"dst")
+      },
+      Some(s45OracleSql),
+      doc = "graph delete lifecycle (FreshDiskANN delete-consolidation): tombstoned vectors' edges masked via ONE O(keys) deletion-vector write (parts untouched, spec-asserted), then every touched source re-caps over its surviving edges plus the deleted neighbors' surviving out-edges by exact cosine — bounded local repair, no re-band, no re-beam; the masked store read is the repaired serving graph and the oracle replays delete + candidate set + re-cap verbatim"),
+
+    // ------------------------------------------------------------------
+    // s45 AUDIT: post-delete recall attribution (the s39/s43 house
+    // rule: every serving path ships an audit leg). Exact top-10 truth
+    // over the SURVIVING corpus vs the standard beam served through
+    // the repaired masked graph; each miss classified
+    // 'repair_disconnected' (in-degree 0 in the repaired graph — the
+    // deleted-hub case the repair failed to reconnect; a repair
+    // defect) vs 'outside_horizon' (reachable but beyond the R-round
+    // beam budget from these entries — the traversal budget). Classes
+    // are exhaustive by the s39 argument: the answer ranks visited by
+    // the same exact cosine that defines truth.
+    QueryDef(
+      "s45_delete_recall_audit",
+      (s, dir) => {
+        import s.implicits._
+        val view = deletedRepairedStore(s, dir).read()
+          .select($"src", $"dst", $"gcos")
+        val visited = beamOver(s, dir, view.select($"src", $"dst"),
+          beamEntries.toDF("vec_id"), beamR)
+        val beam10 = visited
+          .orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+          .select($"vec_id", lit(true).as("hit"))
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        val wT = Window.orderBy($"cosine".desc, $"vec_id".asc)
+        val truth = emb
+          .filter($"vec_id" =!= 0 && !$"vec_id".isin(deleteBatch: _*))
+          .crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .withColumn("rk", row_number().over(wT).cast("long"))
+          .filter($"rk" <= 10)
+        val indeg = view.select($"dst".as("vec_id")).distinct()
+          .withColumn("hasin", lit(true))
+        truth
+          .join(broadcast(beam10), Seq("vec_id"), "left")
+          .join(broadcast(indeg), Seq("vec_id"), "left")
+          .select($"rk", $"vec_id", $"cosine",
+            coalesce($"hit", lit(false)).as("found_by_beam"),
+            when(coalesce($"hit", lit(false)), "")
+              .when($"hasin".isNull, "repair_disconnected")
+              .otherwise("outside_horizon").as("miss_reason"))
+          .orderBy($"rk")
+      },
+      Some(s45AuditOracleSql),
+      doc = "post-delete recall audit (the s39/s43 miss-attribution discipline on the s45 repaired graph): exact top-10 truth over the surviving corpus vs the beam served through the masked repaired store, each miss classified 'repair_disconnected' (in-degree 0 after repair — the deleted-hub disconnection case) vs 'outside_horizon' (reachable but beyond the R-round budget); deleted vectors can neither match nor be traversed")
   )
 
   /** s42/s43's filtered beam: ACORN-1 two-hop expansion over the
@@ -3358,6 +3434,82 @@ object SimilarityQueries {
         SELECT src, dst, gcos FROM cg${chainBatches.length}
         WHERE src IN ($al) OR dst IN ($al)
         ORDER BY src, dst"""
+  }
+
+  /** The s45 delete + local-repair CTE block, appended after the full
+    * graph build (`graph` CTE): lost-edge pairs, touched sources,
+    * FreshDiskANN candidate set (surviving own edges ∪ deleted
+    * neighbors' surviving out-edges), exact-cosine re-cap (`drep`),
+    * and the post-delete serving graph (`dgraph` = untouched survivors
+    * ∪ repaired lists). Shared by the s45 repair and audit oracles.
+    */
+  private def s45RepairSqlCtes: String = {
+    val dl = deleteBatch.sorted.mkString(", ")
+    s"""dlost AS (SELECT src, dst AS d FROM graph
+                  WHERE dst IN ($dl) AND src NOT IN ($dl)),
+        dtouch AS (SELECT DISTINCT src FROM dlost),
+        dsurv AS (SELECT src, dst FROM graph
+                  WHERE src IN (SELECT src FROM dtouch)
+                    AND dst NOT IN ($dl)),
+        dthru AS (SELECT l.src, g.dst
+                  FROM dlost l JOIN graph g ON g.src = l.d
+                  WHERE g.dst NOT IN ($dl) AND g.dst <> l.src),
+        dcand AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM dsurv
+                   UNION ALL SELECT src, dst FROM dthru) u),
+        dcp AS (SELECT c.src, c.dst,
+                       unnest(a.embedding) AS x, unnest(b.embedding) AS y
+                FROM dcand c JOIN embeddings a ON a.vec_id = c.src
+                             JOIN embeddings b ON b.vec_id = c.dst),
+        dcd AS (SELECT src, dst, ${oCosineSums()}
+                FROM dcp GROUP BY src, dst),
+        drep AS MATERIALIZED (SELECT src, dst, gcos FROM (
+                SELECT src, dst,
+                       round(dot / (sqrt(na) * sqrt(nq)), 9) AS gcos,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                         ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
+                                  dst ASC) AS rk
+                FROM dcd) t WHERE rk <= $beamM),
+        dgraph AS MATERIALIZED (
+          SELECT src, dst, gcos FROM graph
+          WHERE src NOT IN ($dl) AND dst NOT IN ($dl)
+            AND src NOT IN (SELECT src FROM dtouch)
+          UNION ALL SELECT src, dst, gcos FROM drep)"""
+  }
+
+  private def s45OracleSql: String = s"""
+        WITH $beamBandsAndScoresSql,
+        ${beamGraphSqlCtes("", "", beamEntries)},
+        $s45RepairSqlCtes
+        SELECT src, dst, gcos FROM drep
+        ORDER BY src, dst"""
+
+  private def s45AuditOracleSql: String = {
+    val dl = deleteBatch.sorted.mkString(", ")
+    s"""
+        WITH $beamBandsAndScoresSql,
+        ${beamGraphSqlCtes("", "", beamEntries)},
+        $s45RepairSqlCtes,
+        ${beamRoundsSqlCtes("da", "dgraph",
+        s"SELECT vec_id, cosine FROM qs WHERE vec_id IN (${beamEntries.mkString(", ")})",
+        beamR)},
+        dbeam10 AS (SELECT vec_id FROM dav$beamR
+                    ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+        dindeg AS (SELECT DISTINCT dst AS vec_id FROM dgraph),
+        dtruth AS (SELECT vec_id, cosine,
+                          ROW_NUMBER() OVER (ORDER BY cosine DESC,
+                                             vec_id ASC) AS rk
+                   FROM qs WHERE vec_id NOT IN ($dl))
+        SELECT t.rk, t.vec_id, t.cosine,
+               b.vec_id IS NOT NULL AS found_by_beam,
+               CASE WHEN b.vec_id IS NOT NULL THEN ''
+                    WHEN i.vec_id IS NULL THEN 'repair_disconnected'
+                    ELSE 'outside_horizon' END AS miss_reason
+        FROM dtruth t
+        LEFT JOIN dbeam10 b ON b.vec_id = t.vec_id
+        LEFT JOIN dindeg i ON i.vec_id = t.vec_id
+        WHERE t.rk <= 10
+        ORDER BY t.rk"""
   }
 
   /** The exact-cosine dense leg of the hybrid stack (shared by s29 and
@@ -3918,6 +4070,146 @@ object SimilarityQueries {
       touched = delta.select($"src").distinct()
     }
     graphNow
+  }
+
+  /** s45's delete batch: vectors taken down from the FULL serving
+    * graph. Never the entries (they anchor every traversal), never 0
+    * (the query), all < 500 so they exist at every SF; disjoint from
+    * the s41/s44/s49 insert batches for clarity.
+    */
+  private[graft] def deleteBatch = Seq(7L, 23L, 42L)
+
+  /** The shared s38 FULL serving graph's edge list (pre-delete state
+    * for the s45 lifecycle; identical content to the s45 copy's txn-0
+    * state).
+    */
+  private[graft] def servingGraph(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    knnGraphStoreFor(s, dir, "s38_graph", None, beamEntries).read()
+      .select($"src", $"dst", $"gcos")
+  }
+
+  /** A from-scratch band build over the SURVIVING corpus (the delete
+    * batch excluded) — s45's survivor-rebuild comparison graph, the
+    * s18 delete ≡ rebuild-on-survivors discipline.
+    */
+  private[graft] def survivorRebuildGraph(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    knnGraphStoreFor(s, dir, "s45_rebuild", None, beamEntries,
+      exclude = deleteBatch).read()
+      .select($"src", $"dst", $"gcos")
+  }
+
+  /** Sources that LOSE an edge when [[deleteBatch]] goes down: every
+    * surviving src with a pre-delete edge into the batch. Computed from
+    * the shared s38 serving store; bounded by the batch's in-degree.
+    */
+  private[graft] def deleteTouched(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    servingGraph(s, dir)
+      .filter($"dst".isin(deleteBatch: _*) &&
+        !$"src".isin(deleteBatch: _*))
+      .select($"src").distinct()
+  }
+
+  /** GRAPH DELETE LOCAL REPAIR (s45) — each touched source's edge list
+    * recomputed after the delete, the FreshDiskANN delete-consolidation
+    * rule (Singh et al. 2021 §4.2): a source s that lost its edge to a
+    * deleted d re-caps over the CANDIDATE set
+    *   { its own surviving out-edges } ∪
+    *   { the deleted neighbors' surviving out-edges } (s may link
+    *     THROUGH d to d's neighborhood; never to itself, never into
+    *     the batch),
+    * top-[[beamM]] by exact cosine (gcos desc, dst asc — the standard
+    * cap order). Pure bounded local work: the candidate frame is
+    * ≤ touched·(M + M²) rows, every join broadcasts it, and NOTHING
+    * re-bands or re-beams — at 100 TB a delete batch costs one
+    * tombstone write + this one bounded merge, corpus-size
+    * independent. Both sides recompute every candidate's cosine
+    * through the same decimal-exact formula, so surviving edges
+    * re-enter with bit-identical gcos.
+    */
+  private[graft] def deleteRepairBuild(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val g = servingGraph(s, dir)
+    val del = deleteBatch
+    // (survivor, deleted) lost-edge pairs — bounded by in-degree(D)
+    val lost = g.filter($"dst".isin(del: _*) && !$"src".isin(del: _*))
+      .select($"src", $"dst".as("d"))
+    val touched = lost.select($"src").distinct()
+    val surv = g.join(broadcast(touched), Seq("src"), "left_semi")
+      .filter(!$"dst".isin(del: _*)).select($"src", $"dst")
+    val thru = g.select($"src".as("d"), $"dst".as("c"))
+      .join(broadcast(lost), Seq("d"))
+      .filter(!$"c".isin(del: _*) && $"c" =!= $"src")
+      .select($"src", $"c".as("dst"))
+    val cand = surv.unionByName(thru).distinct()
+    val vecs = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+    val withSv = vecs.select($"vec_id".as("src"), $"embedding".as("sv"))
+      .join(broadcast(cand), Seq("src"))
+    val wCap = Window.partitionBy($"src").orderBy($"gcos".desc, $"dst".asc)
+    vecs.select($"vec_id".as("dst"), $"embedding".as("dv"))
+      .join(broadcast(withSv), Seq("dst"))
+      .select($"src", $"dst",
+        round(cosineExact("sv", "dv"), 9).as("gcos"))
+      .withColumn("grk", row_number().over(wCap)).filter($"grk" <= beamM)
+      .select($"src", $"dst", $"gcos")
+  }
+
+  private val deletedGraphCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The s45 DELETE LIFECYCLE store, corpus-keyed (the beamGraphCache
+    * convention): a copy of the full serving graph taken through the
+    * dx23 tombstone delete + [[deleteRepairBuild]]'s repair append.
+    * Storage semantics, asserted at build time:
+    *  - ONE `softDelete` masks every edge incident to [[deleteBatch]]
+    *    plus the touched sources' surviving rows (their lists are
+    *    REPLACED wholesale by the repair — the s44 merge shape) —
+    *    O(keys) tombstone write, parts provably untouched;
+    *  - the repair rows append AFTER the tombstone, so the deletion
+    *    vector (scoped to pre-delete parts) never masks them — the
+    *    insert-after-delete contract `softDelete` documents.
+    * The masked read IS the repaired graph: untouched survivors' rows
+    * + repaired lists, zero deleted-incident edges.
+    */
+  private[graft] def deletedRepairedStore(s: SparkSession, dir: String)
+      : graft.storage.FactTable = {
+    import s.implicits._
+    def live(root: String) =
+      new java.io.File(root, "_graft_log").listFiles() != null &&
+        new java.io.File(root, "_graft_log").listFiles().nonEmpty
+    val root = deletedGraphCache.synchronized {
+      deletedGraphCache.get(dir).filter(live).getOrElse {
+        val r = graft.TempDirs.scratch(
+          "s45_del_" + Integer.toHexString(dir.hashCode))
+        val t = new graft.storage.FactTable(r, s)
+        val dt = to_date(lit("2024-01-01"))
+        t.append(servingGraph(s, dir).withColumn("date", dt), 0)
+        // repair reads the PRE-delete graph (FreshDiskANN's lazy-delete
+        // consolidation uses the deleted nodes' out-lists); pinned so
+        // its store reads happen-before the tombstone commits
+        val repaired = deleteRepairBuild(s, dir).localCheckpoint()
+        val touchedIds = repaired.select($"src").distinct()
+          .as[Long].collect().sorted // bounded delete ledger (d41)
+        val partsBefore = t.snapshot().dataFiles.map(_.path).toSet
+        val nDel = t.softDelete(
+          $"src".isin(deleteBatch: _*) || $"dst".isin(deleteBatch: _*) ||
+            $"src".isin(touchedIds: _*), Seq("src", "dst"))
+        require(nDel > 0, "graph delete tombstoned nothing")
+        require(t.snapshot().dataFiles.map(_.path).toSet == partsBefore,
+          "graph delete rewrote parts — tombstones must be O(keys)")
+        t.append(repaired.withColumn("date", dt), 1)
+        deletedGraphCache.put(dir, r)
+        r
+      }
+    }
+    new graft.storage.FactTable(root, s)
   }
 
   /** The DuckDB replay of the whole beam stack — banding, capped

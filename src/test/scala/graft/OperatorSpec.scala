@@ -2129,4 +2129,57 @@ class OperatorSpec extends AnyFunSuite {
       s"bulk-maintained serving diverged from the rebuild:\n" +
         s"bulk=$viaBulk\nrebuild=$rebuild")
   }
+
+  test("s45 delete invariants: masked traversal, untouched rows preserved, caps hold") {
+    val SQ = operators.SimilarityQueries
+    val view = SQ.deletedRepairedStore(spark, sfDir).read()
+      .select($"src", $"dst", $"gcos").as[(Long, Long, Double)].collect()
+    val del = SQ.deleteBatch.toSet
+    // masked traversal: zero edges incident to a deleted vector
+    assert(!view.exists(e => del(e._1) || del(e._2)),
+      "a deleted-incident edge survived the masked read")
+    // caps + no dupes / self-edges anywhere in the repaired graph
+    view.groupBy(_._1).foreach { case (s0, es) =>
+      assert(es.length <= 4, s"src $s0 over the M cap: ${es.length}")
+      assert(es.map(_._2).distinct.length == es.length, s"dup edge at $s0")
+    }
+    assert(!view.exists(e => e._1 == e._2), "self edge")
+    // the store view decomposes exactly: touched sources serve the
+    // repair output, untouched survivors serve their pre-delete rows
+    val rep = SQ.deleteRepairBuild(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val touched = rep.map(_._1)
+    assert(view.filter(e => touched(e._1)).toSet == rep,
+      "touched sources' served lists != the repair output")
+    val pre = SQ.servingGraph(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val untouchedPre = pre.filter(e => !del(e._1) && !del(e._2) &&
+      !touched(e._1)).toSet
+    assert(view.filter(e => !touched(e._1)).toSet == untouchedPre,
+      "an untouched survivor's row changed under delete+repair")
+    // every touched source got repaired back to a non-empty list
+    val preTouched = pre.filter(e => del(e._2) && !del(e._1)).map(_._1).toSet
+    assert(preTouched == touched,
+      s"repair touched-set mismatch: ${preTouched.diff(touched)} unrepaired")
+  }
+
+  test("s45 serving parity: repaired graph answers the surviving-corpus query like the survivor rebuild") {
+    // the s18 delete ≡ rebuild-on-survivors discipline at the level a
+    // graph index can honor it (the s41 convention): local repair
+    // builds a DIFFERENT edge set than a from-scratch survivor band
+    // build, so graph equality is not the contract — the SERVING
+    // answer is. Deleted ids must be unservable through either.
+    val SQ = operators.SimilarityQueries
+    val del = SQ.deleteBatch.toSet
+    val viaRepair = SQ.beamTop10Over(spark, sfDir,
+      SQ.deletedRepairedStore(spark, sfDir).read().select($"src", $"dst"))
+      .as[(Long, Double)].collect().toSeq
+    val viaRebuild = SQ.beamTop10Over(spark, sfDir,
+      SQ.survivorRebuildGraph(spark, sfDir).select($"src", $"dst"))
+      .as[(Long, Double)].collect().toSeq
+    assert(viaRepair.forall(r => !del(r._1)), "a deleted id was served")
+    assert(viaRepair == viaRebuild,
+      s"repaired serving diverged from the survivor rebuild:\n" +
+        s"repair=$viaRepair\nrebuild=$viaRebuild")
+  }
 }

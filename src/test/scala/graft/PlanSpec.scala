@@ -665,6 +665,33 @@ class PlanSpec extends AnyFunSuite {
       s"the base ANTI touched join must broadcast:\n$b")
   }
 
+  test("s45 delete repair: serves from the masked store; repair is broadcast-only, no re-band") {
+    // the registered query reads the s45 delete-lifecycle store (the
+    // masked read is the serving artifact) through broadcast joins
+    val p = plan("s45_graph_delete_repair")
+    assert(p.contains("s45_del"),
+      s"query does not serve from the delete-lifecycle store:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the masked read / touched filter must broadcast:\n$p")
+    // the REPAIR build: bounded candidate set broadcast into the
+    // vector table twice, one per-src window — no re-band, no re-beam
+    val b = operators.SimilarityQueries
+      .deleteRepairBuild(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("s38_graph"),
+      s"repair does not read the stored serving graph:\n$b")
+    assert(!b.contains("CartesianProduct") && !b.contains("SortMergeJoin"),
+      s"repair joins must broadcast (candidates are bounded):\n$b")
+    assert(b.contains("BroadcastHashJoin"),
+      s"repair joins must broadcast:\n$b")
+    // the audit serves through the same masked store
+    val a = plan("s45_delete_recall_audit")
+    assert(a.contains("s45_del"),
+      s"audit does not read the repaired masked store:\n$a")
+    assert(!a.contains("CartesianProduct") && !a.contains("SortMergeJoin"),
+      s"audit joins must broadcast (every side is <=10..N*M rows):\n$a")
+  }
+
   test("s42 filtered beam serves from the stored graph; 2-hop rounds broadcast") {
     val p = plan("s42_filtered_graph_beam")
     assert(p.contains("s38_graph"),
