@@ -3052,7 +3052,37 @@ object SimilarityQueries {
           .orderBy($"rk")
       },
       Some(s45AuditOracleSql),
-      doc = "post-delete recall audit (the s39/s43 miss-attribution discipline on the s45 repaired graph): exact top-10 truth over the surviving corpus vs the beam served through the masked repaired store, each miss classified 'repair_disconnected' (in-degree 0 after repair — the deleted-hub disconnection case) vs 'outside_horizon' (reachable but beyond the R-round budget); deleted vectors can neither match nor be traversed")
+      doc = "post-delete recall audit (the s39/s43 miss-attribution discipline on the s45 repaired graph): exact top-10 truth over the surviving corpus vs the beam served through the masked repaired store, each miss classified 'repair_disconnected' (in-degree 0 after repair — the deleted-hub disconnection case) vs 'outside_horizon' (reachable but beyond the R-round budget); deleted vectors can neither match nor be traversed"),
+
+    // ------------------------------------------------------------------
+    // s46: MULTI-LAYER HNSW INSERT (VERDICT r13 next #4) — Alg.1
+    // across layers, completing what s41 did for one: each new vector
+    // gets a DETERMINISTIC level (vec_id ≡ 1 mod 8 ⇒ level 1 — the
+    // SAME rule that defines s40's upper layer, replacing the
+    // geometric coin at the same p = 1/8; membership parity is what
+    // makes insert ≡ rebuild a meaningful contract), DESCENDS like a
+    // query (2 upper beam rounds, top-4 + fixed entries seed the base
+    // beam — s40's serving path verbatim: the insert path IS the
+    // serving path, per layer), and LINKS with the s41 kernel in every
+    // layer ≤ its level. A level-0 insert still beams the upper layer
+    // for seeds — that IS the descent. Both layers hold the delta
+    // representation, so per-insert cost stays corpus-size independent
+    // and the upper layer's work is 1/8 scale. Output: every
+    // batch-incident edge of both layers, layer-tagged; the oracle
+    // replays both base builds + all four descent/link chains with
+    // graph versions threaded through MATERIALIZED CTEs.
+    QueryDef(
+      "s46_multilayer_insert",
+      (s, dir) => {
+        import s.implicits._
+        mlInsertedGraph(s, dir)
+          .filter($"src".isin(mlInsertBatch: _*) ||
+            $"dst".isin(mlInsertBatch: _*))
+          .select($"layer", $"src", $"dst", $"gcos")
+          .orderBy($"layer", $"src", $"dst")
+      },
+      Some(s46OracleSql),
+      doc = "multi-layer HNSW insert (Malkov & Yashunin Alg.1 across layers): deterministic 1-in-8 level assignment matching s40's layer-membership rule, query-style descent (upper beam's top-4 + fixed entries seed the base beam), and the s41 link kernel (top-M out-edges, best-pin back-edge, bounded recap) in every layer <= the vector's level — level-0 inserts still beam the upper layer for seeds; per-layer delta representation keeps insert cost corpus-size independent; the oracle replays both base builds and all four descent/link chains")
   )
 
   /** s42/s43's filtered beam: ACORN-1 two-hop expansion over the
@@ -3205,50 +3235,190 @@ object SimilarityQueries {
       val graph = graphNow
       val visited = beamOverQ(s, dir, graph.select($"src", $"dst"),
         beamEntries.toDF("vec_id"), beamR, qv)
-      // the new node's neighborhood: top-M of the beam's visited set —
-      // bounded (M rows), read several times below, so pin it
-      val wTop = Window.orderBy($"cosine".desc, $"vec_id".asc)
-      val xtop = visited.orderBy($"cosine".desc, $"vec_id".asc)
-        .limit(beamM).withColumn("nrk", row_number().over(wTop))
-        .localCheckpoint()
-      val xout = xtop.select(lit(x).as("src"), $"vec_id".as("dst"),
-        $"cosine".as("gcos"))
-      // REACHABILITY PIN (the build's entry-pinning discipline applied
-      // to inserts): plain Alg.1 shrink can reject ALL M back-edge
-      // offers — every neighbor's existing edges outscore the new node
-      // — leaving the fresh vector permanently unservable (observed:
-      // node 22 at sf0.001, in-degree 0). So the BEST neighbor keeps
-      // the back-edge unconditionally and fills with its top-(M-1)
-      // existing edges (identical to natural shrink whenever the offer
-      // would have survived anyway); the other M-1 neighbors shrink
-      // naturally.
-      val best = xtop.filter($"nrk" === 1)
-      val others = xtop.filter($"nrk" > 1)
-      val wCap = Window.partitionBy($"src").orderBy($"gcos".desc, $"dst".asc)
-      val recapOthers = graph
-        .join(broadcast(others.select($"vec_id".as("src"))), Seq("src"),
-          "left_semi")
-        .unionByName(others.select($"vec_id".as("src"), lit(x).as("dst"),
-          $"cosine".as("gcos")))
-        .withColumn("grk", row_number().over(wCap)).filter($"grk" <= beamM)
-        .select($"src", $"dst", $"gcos")
-      val recapBest = graph
-        .join(broadcast(best.select($"vec_id".as("src"))), Seq("src"),
-          "left_semi")
-        .withColumn("grk", row_number().over(wCap)).filter($"grk" <= beamM - 1)
-        .select($"src", $"dst", $"gcos")
-        .unionByName(best.select($"vec_id".as("src"), lit(x).as("dst"),
-          $"cosine".as("gcos")))
+      val (changed, changedSrcs) = insertDelta(s, graph, x, visited)
       delta = delta
-        .join(broadcast(xtop.select($"vec_id".as("src"))), Seq("src"),
-          "left_anti")
-        .unionByName(recapOthers)
-        .unionByName(recapBest)
-        .unionByName(xout)
+        .join(broadcast(changedSrcs), Seq("src"), "left_anti")
+        .unionByName(changed)
         .localCheckpoint() // bounded: the MERGE a store would write
       touched = delta.select($"src").distinct()
     }
     graphNow
+  }
+
+  /** ONE s41 insert's merged rows over an arbitrary graph — the HNSW
+    * Alg.1 link step given x's beam visited set. Returns (changed
+    * source rows, changed src ids): the new node's out-edges plus each
+    * top-M neighbor's recapped list. Shared by the s41 single-layer
+    * loop and s46's per-layer multi-layer inserts.
+    *
+    * REACHABILITY PIN (the build's entry-pinning discipline applied
+    * to inserts): plain Alg.1 shrink can reject ALL M back-edge
+    * offers — every neighbor's existing edges outscore the new node
+    * — leaving the fresh vector permanently unservable (observed:
+    * node 22 at sf0.001, in-degree 0). So the BEST neighbor keeps
+    * the back-edge unconditionally and fills with its top-(M-1)
+    * existing edges (identical to natural shrink whenever the offer
+    * would have survived anyway); the other M-1 neighbors shrink
+    * naturally.
+    */
+  private def insertDelta(s: SparkSession, graph: DataFrame, x: Long,
+      visited: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    // the new node's neighborhood: top-M of the beam's visited set —
+    // bounded (M rows), read several times below, so pin it
+    val wTop = Window.orderBy($"cosine".desc, $"vec_id".asc)
+    val xtop = visited.orderBy($"cosine".desc, $"vec_id".asc)
+      .limit(beamM).withColumn("nrk", row_number().over(wTop))
+      .localCheckpoint()
+    val xout = xtop.select(lit(x).as("src"), $"vec_id".as("dst"),
+      $"cosine".as("gcos"))
+    val best = xtop.filter($"nrk" === 1)
+    val others = xtop.filter($"nrk" > 1)
+    val wCap = Window.partitionBy($"src").orderBy($"gcos".desc, $"dst".asc)
+    val recapOthers = graph
+      .join(broadcast(others.select($"vec_id".as("src"))), Seq("src"),
+        "left_semi")
+      .unionByName(others.select($"vec_id".as("src"), lit(x).as("dst"),
+        $"cosine".as("gcos")))
+      .withColumn("grk", row_number().over(wCap)).filter($"grk" <= beamM)
+      .select($"src", $"dst", $"gcos")
+    val recapBest = graph
+      .join(broadcast(best.select($"vec_id".as("src"))), Seq("src"),
+        "left_semi")
+      .withColumn("grk", row_number().over(wCap)).filter($"grk" <= beamM - 1)
+      .select($"src", $"dst", $"gcos")
+      .unionByName(best.select($"vec_id".as("src"), lit(x).as("dst"),
+        $"cosine".as("gcos")))
+    (recapOthers.unionByName(recapBest).unionByName(xout),
+      xtop.select($"vec_id".as("src")))
+  }
+
+  /** s46's multi-layer insert batch (ascending insert order): two
+    * level-1 vectors (41, 49 ≡ 1 mod 8) and two level-0 (30, 58) —
+    * both levels exercised, no overlap with entries or the other
+    * lifecycle batches, all < 500.
+    */
+  private[graft] def mlInsertBatch = Seq(30L, 41L, 49L, 58L)
+
+  /** Deterministic HNSW level assignment (s46): level ≥ 1 iff
+    * vec_id ≡ 1 (mod 8) — the SAME membership rule that defines s40's
+    * upper layer, which is what makes insert ≡ rebuild serving parity
+    * on the union corpus a meaningful contract (an insert must land in
+    * exactly the layers a from-scratch build would put it in). The
+    * deterministic 1-in-8 subsample replaces HNSW's geometric coin
+    * flip (Malkov & Yashunin §4.1: P(level ≥ l) = p^l with
+    * p = exp(-1/mL)) at the same p = 1/8 expectation — the repo-wide
+    * determinism convention (everything replayable by the oracle).
+    */
+  private[graft] def mlLevel(x: Long): Int = if (x % 8 == 1) 1 else 0
+
+  /** MULTI-LAYER HNSW INSERT (s46) — Malkov & Yashunin Alg.1 across
+    * layers, completing what s41 did for one layer: each new vector x
+    * DESCENDS like a query (the s40 serving path: 2 upper-layer beam
+    * rounds from the L1 entries, top-4 + the fixed L0 entries seed the
+    * base beam) and LINKS in every layer ≤ its level with the same
+    * insert kernel ([[insertDelta]]: top-M out-edges, best-pin
+    * back-edge, ≤M neighbors recap). A level-0 insert still beams the
+    * upper layer — for seeds only (that IS the descent; it links
+    * nowhere above its level). Both layers hold the s41 delta
+    * representation (base ANTI touched ∪ bounded checkpointed delta),
+    * so per-insert cost stays corpus-size independent on each layer.
+    * Returns (base-layer graph, upper-layer graph).
+    */
+  private[graft] def mlInsertedGraphBuild(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val base0 = knnGraphStoreFor(s, dir, "s46_l0", None, beamEntries,
+      exclude = mlInsertBatch).read().select($"src", $"dst", $"gcos")
+    val base1 = knnGraphStoreFor(s, dir, "s46_l1", Some((8L, 1L)),
+      beamL1Entries, exclude = mlInsertBatch).read()
+      .select($"src", $"dst", $"gcos")
+    var touched0 = s.emptyDataFrame.select(lit(-1L).as("src")).limit(0)
+    var delta0 = base0.limit(0)
+    var touched1 = touched0
+    var delta1 = base1.limit(0)
+    def g0Now: DataFrame = base0
+      .join(broadcast(touched0), Seq("src"), "left_anti")
+      .unionByName(delta0)
+    def g1Now: DataFrame = base1
+      .join(broadcast(touched1), Seq("src"), "left_anti")
+      .unionByName(delta1)
+    mlInsertBatch.sorted.foreach { x =>
+      val qv = emb.filter($"vec_id" === x).select($"embedding".as("qv"))
+      val g1 = g1Now
+      val uvisited = beamOverQ(s, dir, g1.select($"src", $"dst"),
+        beamL1Entries.toDF("vec_id"), 2, qv)
+      if (mlLevel(x) >= 1) {
+        val (changed1, srcs1) = insertDelta(s, g1, x, uvisited)
+        delta1 = delta1
+          .join(broadcast(srcs1), Seq("src"), "left_anti")
+          .unionByName(changed1)
+          .localCheckpoint()
+        touched1 = delta1.select($"src").distinct()
+      }
+      val seeds0 = uvisited.orderBy($"cosine".desc, $"vec_id".asc)
+        .limit(4).select($"vec_id")
+        .unionByName(beamEntries.toDF("vec_id")).distinct()
+      val g0 = g0Now
+      val visited = beamOverQ(s, dir, g0.select($"src", $"dst"),
+        seeds0, beamR, qv)
+      val (changed0, srcs0) = insertDelta(s, g0, x, visited)
+      delta0 = delta0
+        .join(broadcast(srcs0), Seq("src"), "left_anti")
+        .unionByName(changed0)
+        .localCheckpoint()
+      touched0 = delta0.select($"src").distinct()
+    }
+    (g0Now, g1Now)
+  }
+
+  private val mlGraphCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** [[mlInsertedGraphBuild]] behind a corpus-keyed store cache (the
+    * day-one convention): both layers land in ONE FactTable with a
+    * `layer` column. Returns (layer, src, dst, gcos).
+    */
+  private[graft] def mlInsertedGraph(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    def live(root: String) =
+      new java.io.File(root, "_graft_log").listFiles() != null &&
+        new java.io.File(root, "_graft_log").listFiles().nonEmpty
+    val root = mlGraphCache.synchronized {
+      mlGraphCache.get(dir).filter(live).getOrElse {
+        val r = graft.TempDirs.scratch(
+          "s46_ml_" + Integer.toHexString(dir.hashCode))
+        val (g0, g1) = mlInsertedGraphBuild(s, dir)
+        new graft.storage.FactTable(r, s).append(
+          g0.withColumn("layer", lit(0))
+            .unionByName(g1.withColumn("layer", lit(1)))
+            .withColumn("date", to_date(lit("2024-01-01"))), 0)
+        mlGraphCache.put(dir, r)
+        r
+      }
+    }
+    new graft.storage.FactTable(root, s).read()
+      .select($"layer", $"src", $"dst", $"gcos")
+  }
+
+  /** The s40 two-layer descent serving probe over ARBITRARY layer
+    * graphs (query = vec 0): 2 upper rounds from the L1 entries, top-4
+    * ∪ fixed entries seed the base beam, top-10 answer — the s46
+    * spec's insert-vs-rebuild parity probe, s40's serving path
+    * verbatim.
+    */
+  private[graft] def descentTop10Over(s: SparkSession, dir: String,
+      l0: DataFrame, l1: DataFrame): DataFrame = {
+    import s.implicits._
+    val v1 = beamOver(s, dir, l1, beamL1Entries.toDF("vec_id"), 2)
+    val seeds = v1.orderBy($"cosine".desc, $"vec_id".asc).limit(4)
+      .select($"vec_id")
+      .unionByName(beamEntries.toDF("vec_id")).distinct()
+    beamOver(s, dir, l0, seeds, beamR)
+      .orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id", $"cosine")
   }
 
   /** The standard query-serving beam (query = vec 0, fixed entries, R
@@ -3277,7 +3447,29 @@ object SimilarityQueries {
     val chains = batch.zipWithIndex.map { case (x, i) =>
       val pfx = s"x$i"
       val prevG = if (i == 0) "bgraph" else s"g${i - 1}"
-      s"""${pfx}p AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+      s"""${xScoreSql(pfx, x)},
+        ${beamRoundsSqlCtes(pfx, prevG,
+        s"SELECT vec_id, cosine FROM ${pfx}qs WHERE vec_id IN (${beamEntries.mkString(", ")})",
+        beamR, s"${pfx}qs")},
+        ${insertRecapSql(pfx, x, prevG, s"g$i", s"${pfx}v$beamR")}"""
+    }.mkString(",\n        ")
+    val bl = batch.mkString(", ")
+    s"""
+        WITH $beamBandsAndScoresSql,
+        ${beamGraphSqlCtes("b", s" AND vec_id NOT IN ($bl)", beamEntries)},
+        $chains
+        SELECT src, dst, gcos FROM g${batch.length - 1}
+        WHERE src IN ($bl) OR dst IN ($bl)
+        ORDER BY src, dst"""
+  }
+
+  /** Insert-x's exact score table, `pfx`-namespaced, ending in the
+    * MATERIALIZED `${pfx}qs(vec_id, cosine)` — referenced by every
+    * beam round and recap of that insert. Shared by the s41/s46
+    * oracles.
+    */
+  private def xScoreSql(pfx: String, x: Long): String =
+    s"""${pfx}p AS (SELECT e.vec_id, unnest(e.embedding) AS x,
                      unnest(q.embedding) AS y
               FROM embeddings e, embeddings q
               WHERE q.vec_id = $x AND e.vec_id <> 0),
@@ -3285,16 +3477,25 @@ object SimilarityQueries {
                     FROM ${pfx}p GROUP BY vec_id),
         ${pfx}qs AS MATERIALIZED (
           SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 9) AS cosine
-          FROM ${pfx}d),
-        ${beamRoundsSqlCtes(pfx, prevG,
-        s"SELECT vec_id, cosine FROM ${pfx}qs WHERE vec_id IN (${beamEntries.mkString(", ")})",
-        beamR, s"${pfx}qs")},
-        ${pfx}top AS MATERIALIZED (
+          FROM ${pfx}d)"""
+
+  /** One sequential insert's LINK step as CTEs (the [[insertDelta]]
+    * kernel verbatim): `${pfx}top` = x's MATERIALIZED top-M
+    * neighborhood out of `$visitedCte`, then `$outG` = the next graph
+    * version — others recap naturally, the BEST neighbor pins the
+    * back-edge and fills with top-(M-1), untouched sources carry over,
+    * plus x's out-edges. Shared by the s41 (single-layer) and s46
+    * (per-layer) oracles; graph versions MATERIALIZE because every
+    * later chain references them (the s19 inlining lesson).
+    */
+  private def insertRecapSql(pfx: String, x: Long, prevG: String,
+      outG: String, visitedCte: String): String =
+    s"""${pfx}top AS MATERIALIZED (
           SELECT vec_id, cosine,
                  ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS nrk
-          FROM (SELECT vec_id, cosine FROM ${pfx}v$beamR
+          FROM (SELECT vec_id, cosine FROM $visitedCte
                 ORDER BY cosine DESC, vec_id ASC LIMIT $beamM) t),
-        g$i AS MATERIALIZED (
+        $outG AS MATERIALIZED (
           SELECT src, dst, gcos FROM (
             SELECT src, dst, gcos,
                    ROW_NUMBER() OVER (PARTITION BY src
@@ -3322,15 +3523,57 @@ object SimilarityQueries {
           UNION ALL
           SELECT CAST($x AS BIGINT) AS src, vec_id AS dst, cosine AS gcos
           FROM ${pfx}top)"""
-    }.mkString(",\n        ")
+
+  /** The s46 oracle: both layers' base builds (batch excluded; the
+    * upper layer = the 1-in-8 subsample), then per insert x_i in
+    * ascending order — score table, 2 upper beam rounds over the
+    * CURRENT upper graph, top-4 seeds, an upper-layer link iff
+    * level(x) ≥ 1, the seeded base beam over the CURRENT base graph,
+    * and the base-layer link. Output: every batch-incident edge of
+    * both final layers, layer-tagged.
+    */
+  private def s46OracleSql: String = {
+    val batch = mlInsertBatch.sorted
+    val l1e = beamL1Entries.mkString(", ")
+    val l0e = beamEntries.mkString(", ")
     val bl = batch.mkString(", ")
+    var prevU = "mugraph"
+    var prevG = "mbgraph"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    batch.zipWithIndex.foreach { case (x, i) =>
+      val p = s"m$i"
+      parts += xScoreSql(p, x)
+      parts += beamRoundsSqlCtes(s"${p}u", prevU,
+        s"SELECT vec_id, cosine FROM ${p}qs WHERE vec_id IN ($l1e)", 2,
+        s"${p}qs")
+      parts += s"""${p}useeds AS (SELECT vec_id FROM ${p}uv2
+                   ORDER BY cosine DESC, vec_id ASC LIMIT 4)"""
+      if (mlLevel(x) >= 1) {
+        val out = s"ug$i"
+        parts += insertRecapSql(s"${p}w", x, prevU, out, s"${p}uv2")
+        prevU = out
+      }
+      parts += beamRoundsSqlCtes(p, prevG,
+        s"""SELECT vec_id, cosine FROM ${p}qs
+            WHERE vec_id IN (SELECT vec_id FROM ${p}useeds)
+               OR vec_id IN ($l0e)""", beamR, s"${p}qs")
+      val out0 = s"mg$i"
+      parts += insertRecapSql(s"${p}z", x, prevG, out0, s"${p}v$beamR")
+      prevG = out0
+    }
     s"""
         WITH $beamBandsAndScoresSql,
-        ${beamGraphSqlCtes("b", s" AND vec_id NOT IN ($bl)", beamEntries)},
-        $chains
-        SELECT src, dst, gcos FROM g${batch.length - 1}
-        WHERE src IN ($bl) OR dst IN ($bl)
-        ORDER BY src, dst"""
+        ${beamGraphSqlCtes("mb", s" AND vec_id NOT IN ($bl)", beamEntries)},
+        ${beamGraphSqlCtes("mu",
+        s" AND vec_id % 8 = 1 AND vec_id NOT IN ($bl)", beamL1Entries)},
+        ${parts.mkString(",\n        ")}
+        SELECT layer, src, dst, gcos FROM (
+          SELECT 0 AS layer, src, dst, gcos FROM $prevG
+          WHERE src IN ($bl) OR dst IN ($bl)
+          UNION ALL
+          SELECT 1 AS layer, src, dst, gcos FROM $prevU
+          WHERE src IN ($bl) OR dst IN ($bl)) t
+        ORDER BY layer, src, dst"""
   }
 
   /** The s44 oracle: base-graph build (bulk batch excluded) + the B

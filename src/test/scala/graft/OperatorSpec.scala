@@ -2182,4 +2182,52 @@ class OperatorSpec extends AnyFunSuite {
       s"repaired serving diverged from the survivor rebuild:\n" +
         s"repair=$viaRepair\nrebuild=$viaRebuild")
   }
+
+  test("s46 multi-layer insert invariants: level rule honored, caps hold per layer, reachability") {
+    val SQ = operators.SimilarityQueries
+    val g = SQ.mlInsertedGraph(spark, sfDir)
+      .select($"layer", $"src", $"dst").as[(Int, Long, Long)].collect()
+    val batch = SQ.mlInsertBatch.toSet
+    val l0 = g.filter(_._1 == 0).map(e => (e._2, e._3))
+    val l1 = g.filter(_._1 == 1).map(e => (e._2, e._3))
+    // LEVEL RULE: level-0 batch members appear nowhere above level 0,
+    // and the upper layer holds only 1-mod-8 subsample nodes
+    val lvl0 = batch.filter(SQ.mlLevel(_) == 0)
+    assert(!l1.exists(e => lvl0(e._1) || lvl0(e._2)),
+      "a level-0 vector leaked into the upper layer")
+    assert(l1.forall(e => e._1 % 8 == 1 && e._2 % 8 == 1),
+      "non-subsample node in the upper layer")
+    // per-layer: full out-degree for the members inserted there, caps,
+    // no dupes/self edges, and every inserted member stays reachable
+    Seq((l0, batch), (l1, batch.filter(SQ.mlLevel(_) >= 1)))
+      .foreach { case (layer, members) =>
+        val bySrc = layer.groupBy(_._1)
+        members.foreach(x =>
+          assert(bySrc(x).length == 4, s"inserted node $x out-degree != M"))
+        bySrc.foreach { case (s0, es) =>
+          assert(es.length <= 4, s"src $s0 over the M cap: ${es.length}")
+          assert(es.map(_._2).distinct.length == es.length, s"dup at $s0")
+        }
+        assert(!layer.exists(e => e._1 == e._2), "self edge")
+        val indeg = layer.groupBy(_._2).view.mapValues(_.length).toMap
+        members.foreach(x =>
+          assert(indeg.getOrElse(x, 0) >= 1, s"inserted node $x unreachable"))
+      }
+  }
+
+  test("s46 serving parity: insert-maintained layer pair answers the descent like s40's full rebuild") {
+    val SQ = operators.SimilarityQueries
+    val ml = SQ.mlInsertedGraph(spark, sfDir)
+    val viaInsert = SQ.descentTop10Over(spark, sfDir,
+      ml.filter($"layer" === 0).select($"src", $"dst"),
+      ml.filter($"layer" === 1).select($"src", $"dst"))
+      .as[(Long, Double)].collect().toSeq
+    val rebuild = QueryDef.registry
+      .find(_.name == "s40_hnsw_layered_descent").get
+      .build(spark, sfDir)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toSeq
+    assert(viaInsert == rebuild,
+      s"insert-maintained descent diverged from the rebuild:\n" +
+        s"insert=$viaInsert\nrebuild=$rebuild")
+  }
 }

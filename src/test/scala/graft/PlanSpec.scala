@@ -692,6 +692,28 @@ class PlanSpec extends AnyFunSuite {
       s"audit joins must broadcast (every side is <=10..N*M rows):\n$a")
   }
 
+  test("s46 multi-layer insert serves from its store; build reads both layer stores, broadcasts only") {
+    val p = plan("s46_multilayer_insert")
+    assert(p.contains("s46_ml"),
+      s"query does not serve from the layered insert store:\n$p")
+    // the BUILD: each layer reads ITS stored base graph, composes the
+    // checkpointed deltas (LogicalRDD scans — no re-beam in the
+    // returned plan), broadcast joins only
+    val (g0, g1) = operators.SimilarityQueries
+      .mlInsertedGraphBuild(spark, sfDir)
+    Seq(("s46_l0", g0), ("s46_l1", g1)).foreach { case (tag, g) =>
+      val b = g.queryExecution.executedPlan.toString
+      assert(b.contains(tag),
+        s"$tag layer build does not read its stored base graph:\n$b")
+      assert(b.contains("Scan ExistingRDD"),
+        s"$tag must compose checkpointed deltas, not re-run inserts:\n$b")
+      assert(!b.contains("CartesianProduct") && !b.contains("SortMergeJoin"),
+        s"$tag delta composition must broadcast:\n$b")
+      assert(b.contains("BroadcastHashJoin"),
+        s"$tag base ANTI touched join must broadcast:\n$b")
+    }
+  }
+
   test("s42 filtered beam serves from the stored graph; 2-hop rounds broadcast") {
     val p = plan("s42_filtered_graph_beam")
     assert(p.contains("s38_graph"),
