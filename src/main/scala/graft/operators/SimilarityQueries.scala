@@ -2149,49 +2149,7 @@ object SimilarityQueries {
           .orderBy($"qid", $"rk")
       },
       Some(s"""
-        $ivfAssignSqlCtes,
-        ${bm25LexSqlCtes("0, 7, 13", 20)},
-        ${storedIvfBatchSqlCtes("0, 7, 13")},
-        qv AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-               WHERE vec_id IN (0, 7, 13)),
-        vpairs AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS x,
-                          unnest(q.qv) AS y
-                   FROM embeddings e CROSS JOIN qv q
-                   WHERE e.vec_id NOT IN (0, 7, 13)),
-        vdots AS (SELECT qid, vec_id, ${oCosineSums()}
-                  FROM vpairs GROUP BY qid, vec_id),
-        vrank AS (SELECT qid, vec_id AS doc_id,
-                         ROW_NUMBER() OVER (PARTITION BY qid
-                           ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
-                                    vec_id ASC) AS vec_rk
-                  FROM vdots),
-        vtop AS (SELECT qid, doc_id, vec_rk FROM vrank WHERE vec_rk <= 20),
-        tfused AS (
-          SELECT COALESCE(l.qid, v.qid) AS qid,
-                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
-                 CAST(COALESCE(1000000000 // (60 + l.lex_rk), 0)
-                      + COALESCE(1000000000 // (60 + v.vec_rk), 0)
-                   AS BIGINT) AS rrf_micro
-          FROM lextop l FULL OUTER JOIN vtop v
-            ON l.qid = v.qid AND l.doc_id = v.doc_id),
-        tranked AS (SELECT qid, doc_id,
-                           ROW_NUMBER() OVER (PARTITION BY qid
-                             ORDER BY rrf_micro DESC, doc_id ASC) AS rk
-                    FROM tfused),
-        svtop AS (SELECT qid, vec_id AS doc_id, rk AS vec_rk
-                  FROM rankd WHERE rk <= 20),
-        sfused AS (
-          SELECT COALESCE(l.qid, v.qid) AS qid,
-                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
-                 CAST(COALESCE(1000000000 // (60 + l.lex_rk), 0)
-                      + COALESCE(1000000000 // (60 + v.vec_rk), 0)
-                   AS BIGINT) AS rrf_micro
-          FROM lextop l FULL OUTER JOIN svtop v
-            ON l.qid = v.qid AND l.doc_id = v.doc_id),
-        sranked AS (SELECT qid, doc_id,
-                           ROW_NUMBER() OVER (PARTITION BY qid
-                             ORDER BY rrf_micro DESC, doc_id ASC) AS rk
-                    FROM sfused)
+        ${hybridTruthServedSqlCtes("0, 7, 13")}
         SELECT t.qid, t.rk, t.doc_id,
                EXISTS (SELECT 1 FROM sranked sr WHERE sr.qid = t.qid
                          AND sr.doc_id = t.doc_id AND sr.rk <= 10)
@@ -3082,7 +3040,57 @@ object SimilarityQueries {
           .orderBy($"layer", $"src", $"dst")
       },
       Some(s46OracleSql),
-      doc = "multi-layer HNSW insert (Malkov & Yashunin Alg.1 across layers): deterministic 1-in-8 level assignment matching s40's layer-membership rule, query-style descent (upper beam's top-4 + fixed entries seed the base beam), and the s41 link kernel (top-M out-edges, best-pin back-edge, bounded recap) in every layer <= the vector's level — level-0 inserts still beam the upper layer for seeds; per-layer delta representation keeps insert cost corpus-size independent; the oracle replays both base builds and all four descent/link chains")
+      doc = "multi-layer HNSW insert (Malkov & Yashunin Alg.1 across layers): deterministic 1-in-8 level assignment matching s40's layer-membership rule, query-style descent (upper beam's top-4 + fixed entries seed the base beam), and the s41 link kernel (top-M out-edges, best-pin back-edge, bounded recap) in every layer <= the vector's level — level-0 inserts still beam the upper layer for seeds; per-layer delta representation keeps insert cost corpus-size independent; the oracle replays both base builds and all four descent/link chains"),
+
+    // ------------------------------------------------------------------
+    // s47: RETRIEVAL EVAL METRICS (VERDICT r13 next #6) — nDCG@10,
+    // MRR, recall@5/@10 over s33's truth-vs-served hybrid frames: the
+    // numbers a RAG deployment actually tunes nprobe/fusion against
+    // (s33 attributes INDIVIDUAL misses; s47 is the scalar scoreboard
+    // those misses roll up into). Definitions, stated precisely:
+    //   truth(q)  = exact-hybrid top-10 (graded gain 11 - truth_rank);
+    //   served(q) = served-hybrid top-10 (the ranking under test);
+    //   recall@k  = |served top-k ∩ truth| / 10;
+    //   MRR       = 1 / rank of the first served hit;
+    //   nDCG@10   = Σ gain(doc_i)·w_i / Σ ideal, w_i = 1/log2(i+1).
+    // All in exact integer micro-units: the log2 discounts are a
+    // 10-row fixed-point CONSTANT table spelled identically in source
+    // and oracle (no runtime libm — engines' libm ulps differ), gains
+    // and divisions are integer end-to-end (the RRF micro-points
+    // discipline). Scale: everything downstream of the two fusions is
+    // a ≤10-row-per-query aggregation; the expensive legs are the
+    // SHARED oracle-checked cores s33 already bounded.
+    QueryDef(
+      "s47_retrieval_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val qids = Seq(0L, 7L, 13L)
+        val lex = bm25LexTop(s, dir, qids, 20).localCheckpoint(eager = false)
+        val truth = rrfFuse(lex, exactVecTop(s, dir, qids, 20), 10)
+          .select($"qid", $"doc_id", $"rk".as("trk"))
+        val servedRank = storedIvfBatchRank(s, dir, qids, "s47")
+        val served = rrfFuse(lex, servedRank.filter($"srk" <= 20)
+            .select($"qid", $"vec_id".as("doc_id"), $"srk".as("vec_rk")), 10)
+          .select($"qid", $"doc_id", $"rk".as("srk"))
+        val wts = dcgWeights.toDF("i", "w")
+        val idcg = dcgWeights.map { case (i, w) => (11 - i) * w }.sum
+        served
+          .join(broadcast(truth), Seq("qid", "doc_id"), "left")
+          .join(broadcast(wts), $"srk" === $"i", "left")
+          .groupBy($"qid")
+          .agg(
+            expr("CAST(count(CASE WHEN trk IS NOT NULL AND srk <= 5 THEN 1 END) * 100000 AS BIGINT)")
+              .as("recall5_micro"),
+            expr("CAST(count(CASE WHEN trk IS NOT NULL THEN 1 END) * 100000 AS BIGINT)")
+              .as("recall10_micro"),
+            expr("COALESCE(CAST(1000000 AS BIGINT) div min(CASE WHEN trk IS NOT NULL THEN srk END), CAST(0 AS BIGINT))")
+              .as("mrr_micro"),
+            expr(s"CAST(COALESCE(sum(CASE WHEN trk IS NOT NULL THEN (11 - trk) * w END), 0) * 1000000 div $idcg AS BIGINT)")
+              .as("ndcg10_micro"))
+          .orderBy($"qid")
+      },
+      Some(s47OracleSql),
+      doc = "retrieval eval metrics battery over the s33 truth-vs-served hybrid frames: recall@5/@10, MRR and nDCG@10 per query in exact integer micro-units — graded gains 11-rank, log2 discounts from a fixed-point constant table spelled identically on both sides (no runtime libm drift), integer division throughout; the scalar scoreboard a RAG deployment tunes nprobe and fusion against")
   )
 
   /** s42/s43's filtered beam: ACORN-1 two-hop expansion over the
@@ -4650,6 +4658,102 @@ object SimilarityQueries {
                            ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
                                     vec_id ASC) AS rk
                   FROM bdots)"""
+
+  /** The hybrid truth-vs-served CTE stack (begins with WITH, ends in
+    * CTEs — callers append their final SELECT): IVF assignment + BM25
+    * lexical leg + stored-IVF batch serving + exact dense truth leg +
+    * both integer RRF fusions, ending in `tranked` (exact-hybrid
+    * ranking), `sranked` (served-hybrid ranking) and `bucket` (the
+    * probed pairs). Shared by the s33 audit and s47 metrics oracles.
+    */
+  private def hybridTruthServedSqlCtes(qidList: String): String = s"""
+        $ivfAssignSqlCtes,
+        ${bm25LexSqlCtes(qidList, 20)},
+        ${storedIvfBatchSqlCtes(qidList)},
+        qv AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id IN ($qidList)),
+        vpairs AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS x,
+                          unnest(q.qv) AS y
+                   FROM embeddings e CROSS JOIN qv q
+                   WHERE e.vec_id NOT IN ($qidList)),
+        vdots AS (SELECT qid, vec_id, ${oCosineSums()}
+                  FROM vpairs GROUP BY qid, vec_id),
+        vrank AS (SELECT qid, vec_id AS doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 9) DESC,
+                                    vec_id ASC) AS vec_rk
+                  FROM vdots),
+        vtop AS (SELECT qid, doc_id, vec_rk FROM vrank WHERE vec_rk <= 20),
+        tfused AS (
+          SELECT COALESCE(l.qid, v.qid) AS qid,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 CAST(COALESCE(1000000000 // (60 + l.lex_rk), 0)
+                      + COALESCE(1000000000 // (60 + v.vec_rk), 0)
+                   AS BIGINT) AS rrf_micro
+          FROM lextop l FULL OUTER JOIN vtop v
+            ON l.qid = v.qid AND l.doc_id = v.doc_id),
+        tranked AS (SELECT qid, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+                    FROM tfused),
+        svtop AS (SELECT qid, vec_id AS doc_id, rk AS vec_rk
+                  FROM rankd WHERE rk <= 20),
+        sfused AS (
+          SELECT COALESCE(l.qid, v.qid) AS qid,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 CAST(COALESCE(1000000000 // (60 + l.lex_rk), 0)
+                      + COALESCE(1000000000 // (60 + v.vec_rk), 0)
+                   AS BIGINT) AS rrf_micro
+          FROM lextop l FULL OUTER JOIN svtop v
+            ON l.qid = v.qid AND l.doc_id = v.doc_id),
+        sranked AS (SELECT qid, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+                    FROM sfused)"""
+
+  /** s47's fixed-point DCG discount table: w_i = round(10^6 /
+    * log2(i+1)) for serving rank i — CONSTANTS in source (spelled
+    * identically in the oracle's VALUES table), so no runtime libm
+    * call can drift between engines. The ideal DCG over a full
+    * graded truth list (gains 10..1) is Σ(11-i)·w_i, derived from the
+    * same table on both sides.
+    */
+  private def dcgWeights: Seq[(Int, Long)] = Seq(
+    1 -> 1000000L, 2 -> 630930L, 3 -> 500000L, 4 -> 430677L,
+    5 -> 386853L, 6 -> 356207L, 7 -> 333333L, 8 -> 315465L,
+    9 -> 301030L, 10 -> 289065L)
+
+  /** The s47 oracle: the shared hybrid stack + the metrics
+    * aggregation — recall@5/@10, MRR and nDCG@10 in exact integer
+    * micro-units (graded gains 11-rank, fixed-point discounts, integer
+    * division only).
+    */
+  private def s47OracleSql: String = {
+    val wts = dcgWeights.map { case (i, w) => s"($i, $w)" }.mkString(", ")
+    val idcg = dcgWeights.map { case (i, w) => (11 - i) * w }.sum
+    s"""
+        ${hybridTruthServedSqlCtes("0, 7, 13")},
+        wts(i, w) AS (VALUES $wts),
+        mjoined AS (
+          SELECT s.qid, s.rk AS srk, t.rk AS trk, w.w
+          FROM sranked s
+          LEFT JOIN (SELECT qid, doc_id, rk FROM tranked WHERE rk <= 10) t
+            ON t.qid = s.qid AND t.doc_id = s.doc_id
+          LEFT JOIN wts w ON w.i = s.rk
+          WHERE s.rk <= 10)
+        SELECT qid,
+          CAST(count(CASE WHEN trk IS NOT NULL AND srk <= 5 THEN 1 END)
+               * 100000 AS BIGINT) AS recall5_micro,
+          CAST(count(CASE WHEN trk IS NOT NULL THEN 1 END)
+               * 100000 AS BIGINT) AS recall10_micro,
+          COALESCE(CAST(1000000 AS BIGINT)
+                   // min(CASE WHEN trk IS NOT NULL THEN srk END),
+                   CAST(0 AS BIGINT)) AS mrr_micro,
+          CAST(COALESCE(sum(CASE WHEN trk IS NOT NULL
+                                 THEN (11 - trk) * w END), 0)
+               * 1000000 // $idcg AS BIGINT) AS ndcg10_micro
+        FROM mjoined GROUP BY qid ORDER BY qid"""
+  }
 
   /** s08's full PQ/ADC pipeline in DuckDB — shared verbatim by s26,
     * whose stored-serving path must rank bit-identically to the

@@ -1264,6 +1264,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"leg top-k not group-limited:\n$p")
   }
 
+  test("s47 retrieval metrics: broadcast truth/weights joins, group-limited legs, no cartesian") {
+    // the metrics aggregation rides the s33 stack: leg top-ks stay
+    // group-limited, the truth frame and the 10-row discount table
+    // broadcast into the served ranking, partial aggregation applies
+    val p = plan("s47_retrieval_metrics")
+    assert(!p.contains("CartesianProduct"), s"metrics went cartesian:\n$p")
+    // (the fusions' FULL OUTER joins sort-merge by necessity — a full
+    // outer cannot broadcast — over <=20-row-per-query leg tops, the
+    // same shape s32/s33 carry)
+    assert(p.contains("BroadcastHashJoin"),
+      s"truth/weights joins must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"leg top-k not group-limited:\n$p")
+  }
+
   test("c20 DP release: one scan, join-free, noise math on the grouped output only") {
     val p = plan("c20_dp_release")
     assert(!p.contains("Join"), s"DP release joined:\n$p")
