@@ -1521,24 +1521,9 @@ object SimilarityQueries {
         import s.implicits._
         import graft.functions.VectorFunctions.l2SqDecimal
         val emb = Tables.load(s, dir, "embeddings")
-        // ---- offline build: s08's encode, persisted
-        val subs = emb.select($"vec_id", posexplode_outer(expr(
-          "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"))
-          .as(Seq("sp", "sv")))
-        val cents = subs.filter($"vec_id".between(1, 4))
-          .select($"vec_id".as("cid"), $"sp".as("csp"), $"sv".as("cv"))
-        val dists = subs.join(broadcast(cents), $"sp" === $"csp")
-          .select($"vec_id", $"sp", $"cid", l2SqDecimal("sv", "cv").as("d2"))
-        val w = Window.partitionBy($"vec_id", $"sp")
-          .orderBy($"d2".asc, $"cid".asc)
-        val codes = dists.withColumn("rk", row_number().over(w))
-          .filter($"rk" === 1).select($"vec_id", $"sp", $"cid".as("code"))
-        val dt = to_date(lit("2024-01-01"))
-        def tmp(p: String) = graft.TempDirs.scratch(p)
-        val codesT = new graft.storage.FactTable(tmp("s26_codes"), s)
-        codesT.append(codes.withColumn("date", dt), 0)
-        val bookT = new graft.storage.FactTable(tmp("s26_book"), s)
-        bookT.append(cents.withColumn("date", dt), 0)
+        // ---- offline build: s08's encode, persisted ONCE per corpus
+        // (pqStoresFor — corpus-keyed with s48's traversal sharing it)
+        val (codesT, bookT) = pqStoresFor(s, dir)
         // ---- serving: stored codes + stored codebook only; the raw
         // query vector arrives from outside the index (production shape)
         val book = bookT.read().select($"cid", $"csp", $"cv")
@@ -3090,7 +3075,99 @@ object SimilarityQueries {
           .orderBy($"qid")
       },
       Some(s47OracleSql),
-      doc = "retrieval eval metrics battery over the s33 truth-vs-served hybrid frames: recall@5/@10, MRR and nDCG@10 per query in exact integer micro-units — graded gains 11-rank, log2 discounts from a fixed-point constant table spelled identically on both sides (no runtime libm drift), integer division throughout; the scalar scoreboard a RAG deployment tunes nprobe and fusion against")
+      doc = "retrieval eval metrics battery over the s33 truth-vs-served hybrid frames: recall@5/@10, MRR and nDCG@10 per query in exact integer micro-units — graded gains 11-rank, log2 discounts from a fixed-point constant table spelled identically on both sides (no runtime libm drift), integer division throughout; the scalar scoreboard a RAG deployment tunes nprobe and fusion against"),
+
+    // ------------------------------------------------------------------
+    // s48: PQ-GUIDED GRAPH SERVING — the DiskANN shape (Subramanya et
+    // al. 2019; VERDICT r13 next #7): beam search over the STORED s38
+    // graph with every traversal distance computed from the STORED PQ
+    // codes (s26's 8 codes/vector + 32-row codebook — 8× smaller than
+    // raw), then ONE exact re-rank of the bounded visited set from raw
+    // vectors. This is the memory story that makes graph ANN work at
+    // 100 TB: adjacency + compressed distances fit hot storage, full-
+    // precision vectors are touched ≤ (entries + R·B·M) times per
+    // query — never scanned. Per round: neighbors semi-join the codes
+    // store, one broadcast 32-entry lookup join, one partial-agg sum.
+    // The re-rank re-orders by the SAME exact cosine that defines
+    // truth, so quantization error can steer the walk but never
+    // corrupt the ranking of what the walk found.
+    QueryDef(
+      "s48_pq_graph_serving",
+      (s, dir) => {
+        import s.implicits._
+        val visited = beamOverAdc(s, dir,
+          servingGraph(s, dir).select($"src", $"dst"),
+          beamEntries.toDF("vec_id"), beamR)
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        val wR = Window.orderBy($"cosine".desc, $"vec_id".asc)
+        emb.join(broadcast(visited.select($"vec_id")), Seq("vec_id"),
+            "left_semi")
+          .crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+          .withColumn("rk", row_number().over(wR).cast("long"))
+          .select($"rk", $"vec_id", $"cosine")
+          .orderBy($"rk")
+      },
+      Some(s48OracleSql),
+      doc = "PQ-guided graph serving (the DiskANN shape): beam over the stored graph with traversal distances from the stored PQ codes (8 codes/vector + broadcast 32-entry query lookup — raw corpus vectors never read during the walk), then one exact-cosine re-rank of the bounded visited set; at 100 TB the hot path holds adjacency + 8x-compressed codes while full-precision vectors serve only the final <=40-row re-rank"),
+
+    // ------------------------------------------------------------------
+    // s48 AUDIT: PQ-traversal recall attribution (the s28/s39 house
+    // rule). Exact top-10 truth vs the PQ-guided serve; since the
+    // exact re-rank provably surfaces every VISITED truth vector, a
+    // miss is always a failure to visit — attributed three ways:
+    // 'no_incoming_edge' (unreachable in the graph — construction),
+    // 'pq_detour' (the EXACT-guided beam visits it from the same
+    // entries/budget but the PQ-guided beam does not — quantization
+    // distortion steered the walk away; the number that tells you to
+    // spend bits on the codebook, not rounds on the beam), and
+    // 'outside_horizon' (neither beam reaches it — traversal budget).
+    QueryDef(
+      "s48_pq_recall_audit",
+      (s, dir) => {
+        import s.implicits._
+        val g = servingGraph(s, dir)
+        val pqVisited = beamOverAdc(s, dir, g.select($"src", $"dst"),
+          beamEntries.toDF("vec_id"), beamR).localCheckpoint()
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        val served10 = emb
+          .join(broadcast(pqVisited.select($"vec_id")), Seq("vec_id"),
+            "left_semi")
+          .crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+          .select($"vec_id", lit(true).as("hit"))
+        val exVisited = beamOver(s, dir, g.select($"src", $"dst"),
+          beamEntries.toDF("vec_id"), beamR)
+          .select($"vec_id").withColumn("exvis", lit(true))
+        val wT = Window.orderBy($"cosine".desc, $"vec_id".asc)
+        val truth = emb.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(cosineExact("embedding", "qv"), 9).as("cosine"))
+          .withColumn("rk", row_number().over(wT).cast("long"))
+          .filter($"rk" <= 10)
+        val indeg = g.select($"dst".as("vec_id")).distinct()
+          .withColumn("hasin", lit(true))
+        truth
+          .join(broadcast(served10), Seq("vec_id"), "left")
+          .join(broadcast(indeg), Seq("vec_id"), "left")
+          .join(broadcast(exVisited), Seq("vec_id"), "left")
+          .select($"rk", $"vec_id", $"cosine",
+            coalesce($"hit", lit(false)).as("found_by_served"),
+            when(coalesce($"hit", lit(false)), "")
+              .when($"hasin".isNull, "no_incoming_edge")
+              .when($"exvis".isNotNull, "pq_detour")
+              .otherwise("outside_horizon").as("miss_reason"))
+          .orderBy($"rk")
+      },
+      Some(s48AuditOracleSql),
+      doc = "PQ-traversal recall audit (the s28/s39 attribution discipline on s48): exact top-10 truth vs the PQ-guided serve — a visited truth vector is provably always found by the exact re-rank, so every miss is a failure to visit, classified 'no_incoming_edge' (graph construction) vs 'pq_detour' (the exact-guided beam visits it under the same budget but quantized distances steer the walk away — spend bits, not rounds) vs 'outside_horizon' (neither beam reaches it — budget)")
   )
 
   /** s42/s43's filtered beam: ACORN-1 two-hop expansion over the
@@ -3409,6 +3486,107 @@ object SimilarityQueries {
     }
     new graft.storage.FactTable(root, s).read()
       .select($"layer", $"src", $"dst", $"gcos")
+  }
+
+  private val pqStoreCache =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Build (or reuse — corpus-keyed, the storedIvfStores convention)
+    * the persisted PQ store pair: (codes table: 8 rows/vector of
+    * (vec_id, sp, code); codebook table: 32 rows of (cid, csp, cv)).
+    * The build is s08's encode run ONCE (subspace slices, broadcast
+    * codebook join, per-(vec,sp) decimal argmin). Shared by s26's
+    * stored serving and s48's PQ-guided traversal.
+    */
+  private[graft] def pqStoresFor(s: SparkSession, dir: String)
+      : (graft.storage.FactTable, graft.storage.FactTable) = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.l2SqDecimal
+    def live(root: String) =
+      new java.io.File(root, "_graft_log").listFiles() != null &&
+        new java.io.File(root, "_graft_log").listFiles().nonEmpty
+    val (codesRoot, bookRoot) = pqStoreCache.synchronized {
+      pqStoreCache.get(dir)
+        .filter { case (a, b) => live(a) && live(b) }
+        .getOrElse {
+          val emb = Tables.load(s, dir, "embeddings")
+          val subs = emb.select($"vec_id", posexplode_outer(expr(
+            "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"))
+            .as(Seq("sp", "sv")))
+          val cents = subs.filter($"vec_id".between(1, 4))
+            .select($"vec_id".as("cid"), $"sp".as("csp"), $"sv".as("cv"))
+          val dists = subs.join(broadcast(cents), $"sp" === $"csp")
+            .select($"vec_id", $"sp", $"cid",
+              l2SqDecimal("sv", "cv").as("d2"))
+          val w = Window.partitionBy($"vec_id", $"sp")
+            .orderBy($"d2".asc, $"cid".asc)
+          val codes = dists.withColumn("rk", row_number().over(w))
+            .filter($"rk" === 1).select($"vec_id", $"sp", $"cid".as("code"))
+          val dt = to_date(lit("2024-01-01"))
+          val hex = Integer.toHexString(dir.hashCode)
+          val cr = graft.TempDirs.scratch(s"s48_codes_$hex")
+          val br = graft.TempDirs.scratch(s"s48_book_$hex")
+          new graft.storage.FactTable(cr, s)
+            .append(codes.withColumn("date", dt), 0)
+          new graft.storage.FactTable(br, s)
+            .append(cents.withColumn("date", dt), 0)
+          pqStoreCache.put(dir, (cr, br))
+          (cr, br)
+        }
+    }
+    (new graft.storage.FactTable(codesRoot, s),
+      new graft.storage.FactTable(bookRoot, s))
+  }
+
+  /** PQ-GUIDED beam search (the DiskANN traversal shape, Subramanya
+    * et al. 2019: graph adjacency + compressed in-memory distances):
+    * [[beamOver]]'s loop with every candidate scored from the STORED
+    * codes — per round the frontier's neighbors semi-join the
+    * 8-codes-per-vector store and sum the broadcast 32-entry query
+    * lookup table (one partial-aggregated groupBy over ≤ 8·|cands|
+    * rows); the corpus's raw vectors are NEVER read during traversal.
+    * Scores surface NEGATED (cosine = -rounded ADC) so the frontier
+    * order (cosine desc, vec_id asc) is ADC asc, vec_id asc and the
+    * oracle reuses the shared beam CTEs through the same negation.
+    */
+  private[graft] def beamOverAdc(s: SparkSession, dir: String,
+      graph: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.l2SqDecimal
+    val (codesT, bookT) = pqStoresFor(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
+    val qsubs = emb.filter($"vec_id" === 0)
+      .select(posexplode_outer(expr(
+        "transform(sequence(0, 7), sp -> slice(embedding, 8*sp+1, 8))"))
+        .as(Seq("qsp", "qv")))
+    // the query's 32-entry sub-distance lookup table: built once,
+    // read by every round's scoring join — pin it
+    val qd = qsubs
+      .join(broadcast(bookT.read().select($"cid", $"csp", $"cv")),
+        $"qsp" === $"csp")
+      .select($"qsp", $"cid".as("qcid"), l2SqDecimal("qv", "cv").as("qd2"))
+      .localCheckpoint()
+    val codes = codesT.read().select($"vec_id", $"sp", $"code")
+      .filter($"vec_id" =!= 0)
+    def score(ids: DataFrame): DataFrame = codes
+      .join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .join(broadcast(qd), $"sp" === $"qsp" && $"code" === $"qcid")
+      .groupBy($"vec_id").agg(sum($"qd2").as("adc_dec"))
+      .select($"vec_id",
+        (-round($"adc_dec".cast("double"), 9)).as("cosine"))
+    var visited = score(seeds)
+    var frontier = visited.orderBy($"cosine".desc, $"vec_id".asc)
+      .limit(beamB).select($"vec_id".as("fid"))
+    for (_ <- 1 to rounds) {
+      val nbrs = graph.join(broadcast(frontier), $"src" === $"fid")
+        .select($"dst".as("vec_id")).distinct()
+      val fresh = nbrs.join(broadcast(visited.select($"vec_id")),
+        Seq("vec_id"), "left_anti")
+      visited = visited.unionByName(score(fresh))
+      frontier = visited.orderBy($"cosine".desc, $"vec_id".asc)
+        .limit(beamB).select($"vec_id".as("fid"))
+    }
+    visited
   }
 
   /** The s40 two-layer descent serving probe over ARBITRARY layer
@@ -4755,38 +4933,103 @@ object SimilarityQueries {
         FROM mjoined GROUP BY qid ORDER BY qid"""
   }
 
+  /** The s48 shared CTE stack: full graph build + PQ encode + the
+    * ADC-guided beam — `gnscore` negates the rounded ADC so the shared
+    * beam CTEs' (cosine DESC, vec_id ASC) frontier order IS (ADC ASC,
+    * vec_id ASC) — ending in `gv$beamR` (the PQ-guided visited set).
+    */
+  private def s48BeamSqlCtes: String = s"""$beamBandsAndScoresSql,
+        ${beamGraphSqlCtes("", "", beamEntries)},
+        ${pqCodesSqlCtes("g")},
+        gnscore AS (SELECT vec_id,
+                           -round(CAST(adc_dec AS DOUBLE), 9) AS cosine
+                    FROM gadc),
+        ${beamRoundsSqlCtes("g", "graph",
+    s"SELECT vec_id, cosine FROM gnscore WHERE vec_id IN (${beamEntries.mkString(", ")})",
+    beamR, "gnscore")}"""
+
+  private def s48OracleSql: String = s"""
+        WITH $s48BeamSqlCtes
+        SELECT * FROM (
+          SELECT ROW_NUMBER() OVER (ORDER BY q.cosine DESC, q.vec_id ASC) AS rk,
+                 q.vec_id, q.cosine
+          FROM qs q WHERE q.vec_id IN (SELECT vec_id FROM gv$beamR)) t
+        WHERE rk <= 10 ORDER BY rk"""
+
+  private def s48AuditOracleSql: String = s"""
+        WITH $s48BeamSqlCtes,
+        ${beamRoundsSqlCtes("e", "graph",
+    s"SELECT vec_id, cosine FROM qs WHERE vec_id IN (${beamEntries.mkString(", ")})",
+    beamR)},
+        pserved AS (SELECT vec_id FROM (
+            SELECT q.vec_id,
+                   ROW_NUMBER() OVER (ORDER BY q.cosine DESC, q.vec_id ASC) AS rk
+            FROM qs q WHERE q.vec_id IN (SELECT vec_id FROM gv$beamR)) t
+          WHERE rk <= 10),
+        pindeg AS (SELECT DISTINCT dst AS vec_id FROM graph),
+        ptruth AS (SELECT vec_id, cosine,
+                          ROW_NUMBER() OVER (ORDER BY cosine DESC,
+                                             vec_id ASC) AS rk
+                   FROM qs)
+        SELECT t.rk, t.vec_id, t.cosine,
+               s.vec_id IS NOT NULL AS found_by_served,
+               CASE WHEN s.vec_id IS NOT NULL THEN ''
+                    WHEN i.vec_id IS NULL THEN 'no_incoming_edge'
+                    WHEN x.vec_id IS NOT NULL THEN 'pq_detour'
+                    ELSE 'outside_horizon' END AS miss_reason
+        FROM ptruth t
+        LEFT JOIN pserved s ON s.vec_id = t.vec_id
+        LEFT JOIN pindeg i ON i.vec_id = t.vec_id
+        LEFT JOIN (SELECT DISTINCT vec_id FROM ev$beamR) x
+          ON x.vec_id = t.vec_id
+        WHERE t.rk <= 10
+        ORDER BY t.rk"""
+
   /** s08's full PQ/ADC pipeline in DuckDB — shared verbatim by s26,
     * whose stored-serving path must rank bit-identically to the
     * recompute path (same codes, same decimal query sub-distances).
     */
   private def pqAdcOracleSql: String = s"""
-        WITH sp AS (SELECT unnest(range(0, 8)) AS sp),
-        subs AS (
+        WITH ${pqCodesSqlCtes("")}
+        SELECT vec_id, round(CAST(adc_dec AS DOUBLE), 9) AS adc
+        FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10"""
+
+  /** The s08 PQ encode + query ADC as `pfx`-namespaced CTEs (no
+    * leading WITH), ending in `${pfx}adc(vec_id, adc_dec)` — every
+    * non-query vector's decimal-exact asymmetric distance to the
+    * query through the stored 8-codes-per-vector representation.
+    * Shared by the s08/s26 oracle and s48's PQ-guided traversal
+    * (which must namespace it: its `qd`/`cents` names collide with
+    * the beam-stack CTEs).
+    */
+  private def pqCodesSqlCtes(pfx: String): String = s"""
+        ${pfx}sp AS (SELECT unnest(range(0, 8)) AS sp),
+        ${pfx}subs AS (
           SELECT e.vec_id, sp.sp, e.embedding[(8*sp.sp+1):(8*sp.sp+8)] AS sv
-          FROM embeddings e CROSS JOIN sp),
-        cents AS (
-          SELECT vec_id AS cid, sp AS csp, sv AS cv FROM subs
+          FROM embeddings e CROSS JOIN ${pfx}sp sp),
+        ${pfx}cents AS (
+          SELECT vec_id AS cid, sp AS csp, sv AS cv FROM ${pfx}subs
           WHERE vec_id BETWEEN 1 AND 4),
-        dpairs AS (
+        ${pfx}dpairs AS (
           SELECT su.vec_id, su.sp, c.cid, unnest(su.sv) AS x, unnest(c.cv) AS y
-          FROM subs su JOIN cents c ON su.sp = c.csp),
-        dists AS (
+          FROM ${pfx}subs su JOIN ${pfx}cents c ON su.sp = c.csp),
+        ${pfx}dists AS (
           SELECT vec_id, sp, cid,
                  ${oL2SqDec("x", "y")} AS d2
-          FROM dpairs GROUP BY vec_id, sp, cid),
-        codes AS (
+          FROM ${pfx}dpairs GROUP BY vec_id, sp, cid),
+        ${pfx}codes AS (
           SELECT vec_id, sp, cid AS code,
                  ROW_NUMBER() OVER (PARTITION BY vec_id, sp
                                     ORDER BY d2 ASC, cid ASC) AS rk
-          FROM dists),
-        qd AS (SELECT sp AS qsp, cid AS qcid, d2 AS qd2 FROM dists WHERE vec_id = 0),
-        adc AS (
+          FROM ${pfx}dists),
+        ${pfx}qd AS (SELECT sp AS qsp, cid AS qcid, d2 AS qd2
+                     FROM ${pfx}dists WHERE vec_id = 0),
+        ${pfx}adc AS (
           SELECT c.vec_id, SUM(q.qd2) AS adc_dec
-          FROM codes c JOIN qd q ON c.sp = q.qsp AND c.code = q.qcid
+          FROM ${pfx}codes c
+          JOIN ${pfx}qd q ON c.sp = q.qsp AND c.code = q.qcid
           WHERE c.rk = 1 AND c.vec_id <> 0
-          GROUP BY c.vec_id)
-        SELECT vec_id, round(CAST(adc_dec AS DOUBLE), 9) AS adc
-        FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10"""
+          GROUP BY c.vec_id)"""
 
   /** Frozen-centroid IVF assignment — the ingest-path kernel shared by
     * s15 (late-batch append), s21 (multi-batch sequential shadow) and

@@ -1278,6 +1278,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"leg top-k not group-limited:\n$p")
   }
 
+  test("s48 PQ-guided serving: reads graph + codes stores, never re-encodes, broadcasts only") {
+    // the DiskANN no-recompute contract: traversal reads the STORED
+    // graph and the STORED codes/codebook (the PQ encode argmin never
+    // re-runs — no per-(vec,sp) partitioned window in the plan), all
+    // joins broadcast, the answer is a TakeOrdered top-10
+    val p = plan("s48_pq_graph_serving")
+    assert(p.contains("s38_graph"),
+      s"traversal does not read the stored graph:\n$p")
+    // (the codebook read hides behind the pinned 32-row query lookup
+    // table — a LogicalRDD — so only the codes store appears)
+    assert(p.contains("s48_codes"),
+      s"traversal does not read the stored PQ codes:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the query lookup table must be pinned, not rebuilt per round:\n$p")
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      s"the PQ encode argmin re-ran at serving time:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"frontier/codes/lookup joins must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier/codes/lookup joins must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the re-rank top-10 lost its TakeOrdered form:\n$p")
+    // the audit composes the same stores through broadcast-only joins
+    val a = plan("s48_pq_recall_audit")
+    assert(!a.contains("CartesianProduct") && !a.contains("SortMergeJoin"),
+      s"audit joins must broadcast (every side is <=10..N*M rows):\n$a")
+  }
+
   test("c20 DP release: one scan, join-free, noise math on the grouped output only") {
     val p = plan("c20_dp_release")
     assert(!p.contains("Join"), s"DP release joined:\n$p")
