@@ -3655,7 +3655,68 @@ object ExtendedQueries {
         LEFT JOIN dict d2 ON d2.k = f.k + 11
         JOIN hier h ON h.k = f.k
         ORDER BY f.k"""),
-      doc = "ClickHouse dictionary functions (dictGet/dictGetOrDefault/dictGetHierarchy/dictIsIn): flat lookups as a broadcast map literal probed by element_at (NULL-on-absent = the OrDefault semantics), hierarchy walk as a bounded iterative self-join over the parent-keyed dimension with the parent=0 terminator, dictIsIn as chain membership; the fact side shuffles once, dictionary probes never shuffle")
+      doc = "ClickHouse dictionary functions (dictGet/dictGetOrDefault/dictGetHierarchy/dictIsIn): flat lookups as a broadcast map literal probed by element_at (NULL-on-absent = the OrDefault semantics), hierarchy walk as a bounded iterative self-join over the parent-keyed dimension with the parent=0 terminator, dictIsIn as chain membership; the fact side shuffles once, dictionary probes never shuffle"),
+
+    // ------------------------------------------------------------------
+    // q103: BITMAP AGGREGATE FAMILY — ClickHouse's roaring-bitmap
+    // surface (groupBitmap / bitmapCardinality / bitmapAnd/Or/Xor/
+    // AndnotCardinality / bitmapContains, docs/sql-reference/functions/
+    // bitmap-functions; VERDICT r13 next #8). Spark-first mapping: a
+    // bitmap is a SORTED DISTINCT INT ARRAY built by collect_set —
+    // partial-aggregable (ObjectHashAggregate combines map-side, only
+    // per-group distinct sets cross the wire), with the value domain
+    // BUCKETED to id % 1024 so every in-row bitmap is provably bounded
+    // (the NDV-cap discipline: CH compresses unbounded UInt32 sets
+    // with roaring; an in-row array analog must cap its domain
+    // instead — same reason d05 caps hot shingles). Set algebra runs
+    // IN-ROW on the 5-row grouped result (array_intersect/union —
+    // zero shuffles beyond the one groupBy), pairs via a broadcast
+    // self-join of the 5-row bitmap table; xor/andnot derive from
+    // |A∪B| and |A∩B| by inclusion-exclusion in exact integers.
+    QueryDef(
+      "q103_bitmap_aggregates",
+      (s, dir) => {
+        import s.implicits._
+        val bm = Tables.load(s, dir, "orders")
+          .groupBy($"o_orderpriority".as("prio"))
+          .agg(array_sort(collect_set(($"o_custkey" % 1024L).cast("int")))
+            .as("bm"))
+        val a = bm.select($"prio".as("prio_a"), $"bm".as("bma"))
+        val b = bm.select($"prio".as("prio_b"), $"bm".as("bmb"))
+        a.join(broadcast(b), $"prio_a" < $"prio_b")
+          .select($"prio_a", $"prio_b",
+            size($"bma").cast("long").as("card_a"),
+            size($"bmb").cast("long").as("card_b"),
+            size(array_intersect($"bma", $"bmb")).cast("long")
+              .as("and_card"),
+            size(array_union($"bma", $"bmb")).cast("long").as("or_card"),
+            (size(array_union($"bma", $"bmb"))
+              - size(array_intersect($"bma", $"bmb"))).cast("long")
+              .as("xor_card"),
+            (size($"bma") - size(array_intersect($"bma", $"bmb")))
+              .cast("long").as("andnot_card"),
+            array_contains($"bma", 42).as("contains_42"))
+          .orderBy($"prio_a", $"prio_b")
+      },
+      Some("""
+        WITH bm AS (
+          SELECT o_orderpriority AS prio,
+                 list_sort(list_distinct(
+                   list(CAST(o_custkey % 1024 AS INTEGER)))) AS bm
+          FROM orders GROUP BY 1)
+        SELECT a.prio AS prio_a, b.prio AS prio_b,
+               CAST(len(a.bm) AS BIGINT) AS card_a,
+               CAST(len(b.bm) AS BIGINT) AS card_b,
+               CAST(len(list_intersect(a.bm, b.bm)) AS BIGINT) AS and_card,
+               CAST(len(list_distinct(a.bm || b.bm)) AS BIGINT) AS or_card,
+               CAST(len(list_distinct(a.bm || b.bm))
+                    - len(list_intersect(a.bm, b.bm)) AS BIGINT) AS xor_card,
+               CAST(len(a.bm) - len(list_intersect(a.bm, b.bm)) AS BIGINT)
+                 AS andnot_card,
+               list_contains(a.bm, 42) AS contains_42
+        FROM bm a JOIN bm b ON a.prio < b.prio
+        ORDER BY prio_a, prio_b"""),
+      doc = "ClickHouse bitmap aggregate family (groupBitmap, bitmapAnd/Or/Xor/AndnotCardinality, bitmapContains): bitmaps as sorted distinct int arrays built by partial-aggregable collect_set over a 1024-bucketed id domain (the NDV-cap discipline — in-row arrays must bound their domain where roaring compresses), set algebra in-row on the 5-row grouped result with pairs via a broadcast self-join, xor/andnot by inclusion-exclusion in exact integers")
   )
 
   /** q98's degree-oriented triangle counter over a canonical undirected

@@ -1306,6 +1306,20 @@ class PlanSpec extends AnyFunSuite {
       s"audit joins must broadcast (every side is <=10..N*M rows):\n$a")
   }
 
+  test("q103 bitmap aggregates: map-side partial collect_set, 5-row pair join broadcast") {
+    val p = plan("q103_bitmap_aggregates")
+    // the bitmaps must combine map-side: only per-group distinct sets
+    // cross the one groupBy exchange
+    assert(p.contains("partial_collect_set"),
+      s"bitmap build not partial-aggregated:\n$p")
+    // the pair join is a non-equi (<) join of a 5-row frame — a
+    // broadcast nested loop, never a cartesian/sort-merge
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"bitmap pair join must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bitmap pair join must broadcast:\n$p")
+  }
+
   test("c20 DP release: one scan, join-free, noise math on the grouped output only") {
     val p = plan("c20_dp_release")
     assert(!p.contains("Join"), s"DP release joined:\n$p")
