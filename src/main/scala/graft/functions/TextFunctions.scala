@@ -583,6 +583,83 @@ object TextFunctions {
     w
   }
 
+  /** Multi-output LINEAR projector training (m27) — the
+    * [[logisticTrainMicro]] epoch pattern with an IDENTITY link and k
+    * outputs: `feats` has DOUBLE features f0..f{nFeats-1} and DOUBLE
+    * targets y0..y{nOut-1}; each epoch is ONE distributed aggregate of
+    * nFeats·nOut floored integer gradient terms
+    * G_kj = Σ floor((z_k − y_k)·f_j·10⁶) (z_k through [[zMicroSql]]'s
+    * op sequence — add/mul/div only, no transcendentals, so both
+    * engines run identical IEEE ops), then exact truncating-division
+    * weight updates on the driver: w_kj −= (lrNum·G_kj)/(n·lrDen) —
+    * the rational learning rate lrNum/lrDen lets the step sit under
+    * the Gram spectral bound while staying exact-integer. The driver
+    * holds nOut·nFeats BIGINTs between rounds; at 100 TB each epoch is
+    * one partial-aggregated pass. Oracle replay: [[projEpochSqlCtes]].
+    */
+  def linearTrainMicroK(feats: DataFrame, nFeats: Int, nOut: Int,
+      epochs: Int, lrNum: Long = 1L, lrDen: Long = 1L)
+      : Array[Array[Long]] = {
+    require(nFeats >= 1 && nOut >= 1 && epochs >= 0 && lrNum >= 1 &&
+      lrDen >= 1)
+    val n = feats.count()
+    require(n > 0, "empty training set")
+    val w = Array.fill(nOut, nFeats)(0L)
+    val fRefs = (0 until nFeats).map(j => s"f$j")
+    for (_ <- 1 to epochs) {
+      // row-level z_k columns once per output (not per gradient term —
+      // the oracle's pp CTE mirrors this shape)
+      var cur = feats
+      for (k <- 0 until nOut)
+        cur = cur.withColumn(s"z$k",
+          expr(zMicroSql(w(k).map(_.toString).toSeq, fRefs)))
+      val aggs = for (k <- 0 until nOut; j <- 0 until nFeats) yield
+        sum(expr(s"CAST(floor((z$k - y$k) * f$j * 1000000.0) AS BIGINT)"))
+          .as(s"g${k}_$j")
+      val row = cur.agg(aggs.head, aggs.tail: _*).head()
+      var i = 0
+      for (k <- 0 until nOut; j <- 0 until nFeats) {
+        w(k)(j) -= (lrNum * row.getLong(i)) / (n * lrDen)
+        i += 1
+      }
+    }
+    w
+  }
+
+  /** The unrolled-epoch CTE chain replaying [[linearTrainMicroK]] in
+    * DuckDB: `pe0` (zero weights, columns w{k}_{j}) through
+    * `pe$epochs`; each epoch is a row-level projection CTE (`pp$e`,
+    * feats × previous weights → z0..z{nOut-1}), one gradient CTE
+    * (`pg$e`), and the truncating-division update against `cnt(n)`.
+    * `feats` must expose DOUBLE f0..f{nFeats-1} and y0..y{nOut-1}.
+    */
+  def projEpochSqlCtes(nFeats: Int, nOut: Int, epochs: Int,
+      lrNum: Long = 1L, lrDen: Long = 1L): String = {
+    val fRefs = (0 until nFeats).map(j => s"f$j")
+    val pairs = for (k <- 0 until nOut; j <- 0 until nFeats) yield (k, j)
+    val chain = (1 to epochs).map { e =>
+      val prev = s"pe${e - 1}"
+      val zs = (0 until nOut).map(k =>
+        s"(${zMicroSql((0 until nFeats).map(j => s"$prev.w${k}_$j"), fRefs)}) AS z$k")
+        .mkString(",\n               ")
+      val gs = pairs.map { case (k, j) =>
+        s"CAST(SUM(CAST(floor((z$k - y$k) * f$j * 1000000.0) AS BIGINT)) AS BIGINT) AS g${k}_$j"
+      }.mkString(",\n               ")
+      val ws = pairs.map { case (k, j) =>
+        s"CAST($prev.w${k}_$j - (($lrNum * pg$e.g${k}_$j) // (cnt.n * $lrDen)) AS BIGINT) AS w${k}_$j"
+      }.mkString(", ")
+      // every CTE MATERIALIZED (the s41/s19 inlining lesson): pe$e is
+      // referenced nFeats·nOut times by the next epoch's projection —
+      // plain-CTE inlining would grow the plan exponentially in epochs
+      s"""pp$e AS MATERIALIZED (SELECT feats.*, $zs FROM feats CROSS JOIN $prev),
+        pg$e AS MATERIALIZED (SELECT $gs FROM pp$e),
+        pe$e AS MATERIALIZED (SELECT $ws FROM $prev CROSS JOIN pg$e CROSS JOIN cnt)"""
+    }.mkString(",\n        ")
+    s"""pe0 AS (SELECT ${pairs.map { case (k, j) =>
+      s"CAST(0 AS BIGINT) AS w${k}_$j" }.mkString(", ")}),
+        $chain"""
+  }
+
   /** The unrolled-epoch CTE chain replaying [[logisticTrainMicro]] in
     * DuckDB: `e0` (zero weights) through `e$epochs`, each epoch one
     * gradient CTE over `feats` (must expose DOUBLE f0..f{nFeats-1} and

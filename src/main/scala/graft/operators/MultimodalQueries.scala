@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.MediaPipeline
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal (binary-column) query surface. m01 is the oracle-checked
@@ -1887,7 +1888,93 @@ object MultimodalQueries {
                CASE WHEN status = 'corrupt' THEN CAST(-1 AS BIGINT)
                     ELSE mdat END AS mdat_bytes
         FROM c ORDER BY media_id"""),
-      doc = "MP4/ISO-BMFF top-level box walk (the video container): variable-count ftyp/moov(mvhd)/mdat-run strided by each box's big-endian size word as ONE native aggregate() fold — hex/conv big-endian reads, ftyp-first + size>=8 validation, mvhd timescale/duration at their fixed ISO offsets inside moov, mdat payload byte accounting; corrupt streams sentinel at box 1, truncated streams keep every COMPLETE box; closed-form oracle derives every field from the synthesis recipe so one wrong stride breaks the hash")
+      doc = "MP4/ISO-BMFF top-level box walk (the video container): variable-count ftyp/moov(mvhd)/mdat-run strided by each box's big-endian size word as ONE native aggregate() fold — hex/conv big-endian reads, ftyp-first + size>=8 validation, mvhd timescale/duration at their fixed ISO offsets inside moov, mdat payload byte accounting; corrupt streams sentinel at box 1, truncated streams keep every COMPLETE box; closed-form oracle derives every field from the synthesis recipe so one wrong stride breaks the hash"),
+
+    // ------------------------------------------------------------------
+    // m27: TRAINED CROSS-MODAL ENCODER (VERDICT r13 next #5) — the
+    // learned successor to m06's md5 stub encoder: a LINEAR PROJECTOR
+    // from real-image-decode grid-luma features into t29's 16-dim
+    // hashing space, trained in-engine over planted text↔image pairs
+    // with linearTrainMicroK (the m25/t33 exact-integer epoch pattern,
+    // k = 16 outputs) and then SERVING cross-modal retrieval: a text
+    // query's hash vector ranks IMAGES by cosine between the query and
+    // each image's PROJECTED embedding.
+    //   The pair plant (how real paired data is shaped): each doc's
+    // image is a 16-strip grayscale PNG whose strip-b gray ENCODES the
+    // doc text's hash component b (g = 128 + c·127 div 1e6) — the
+    // image genuinely carries the text's content, so a projector can
+    // genuinely be learned from (image features, text vector) pairs.
+    // Features come from decodeGridStrips' REAL ImageIO decode
+    // (16 column-sample luma sums, closed form 8000·g_b for rendered
+    // strips), centered/scaled by expressions stated identically both
+    // sides; 12 half-step epochs (lr 1/2) × one partial-aggregated pass train 17×16
+    // integer micro-weights the oracle replays through
+    // projEpochSqlCtes onto bit-identical values.
+    //   Serving is exact-integer end to end (the c24 convention):
+    // projected embeddings floor to BIGINT micro components, cosine =
+    // integer dot/norms with doubles only in the stated-identical
+    // final sqrt/divide. Scale: render+decode is map-parallel once
+    // into a checkpointed integer frame; each epoch is one scan of it;
+    // driver state is 272 BIGINTs; retrieval is a broadcast query +
+    // TakeOrdered top-5.
+    QueryDef(
+      "m27_crossmodal_trained",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.TextFunctions
+        val docs = graft.Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 4 === 1)
+        val tvec = TextQueries.hashVec16(docs, "doc_id", "text")
+          .localCheckpoint()
+        val rows = tvec.select($"doc_id", $"comps").as[(Long, Seq[Long])]
+        // render the paired strip image from the text vector, decode
+        // it back through the REAL ImageIO lane — once, pinned
+        val grid = rows.mapPartitions(_.map { case (id, comps) =>
+            val grays = comps.map(c =>
+              (128L + (c * 127L) / 1000000L).toInt).toArray
+            (id, MediaPipeline.decodeGridStrips(id,
+              MediaPipeline.renderStripPng(64, 16, grays)).toSeq)
+          }).toDF("doc_id", "strips").localCheckpoint()
+        var feats = grid.join(tvec.select($"doc_id", $"comps"), "doc_id")
+          .withColumn("f0", lit(0.5))
+        for (b <- 0 until 16) {
+          feats = feats
+            .withColumn(s"f${b + 1}", expr(
+              s"CAST(4 * (element_at(strips, ${b + 1}) - 1024000) AS DOUBLE) / 2040000.0"))
+            .withColumn(s"y$b", expr(
+              s"CAST(element_at(comps, ${b + 1}) AS DOUBLE) / 1000000.0"))
+        }
+        val wts = TextFunctions.linearTrainMicroK(feats,
+          nFeats = 17, nOut = 16, epochs = 12, lrNum = 1L, lrDen = 2L)
+        val fRefs = (0 until 17).map(j => s"f$j")
+        val zCols = (0 until 16).map(k => expr(
+          s"CAST(floor((${TextFunctions.zMicroSql(
+            wts(k).map(_.toString).toSeq, fRefs)}) * 1000000.0) AS BIGINT)")
+          .as(s"z$k"))
+        val proj = feats.select(
+          ($"doc_id".as("media_id") +: zCols): _*)
+        val probeId = tvec.filter($"l2" > 0).agg(min($"doc_id"))
+          .head().getLong(0)
+        val q = tvec.filter($"doc_id" === probeId).select($"comps".as("qc"))
+        val dotE = (0 until 16)
+          .map(k => s"z$k * element_at(qc, ${k + 1})").mkString(" + ")
+        val naE = (0 until 16).map(k => s"z$k * z$k").mkString(" + ")
+        val nqE = (0 until 16)
+          .map(k => s"element_at(qc, ${k + 1}) * element_at(qc, ${k + 1})")
+          .mkString(" + ")
+        val wR = Window.orderBy($"cosine".desc, $"media_id".asc)
+        proj.crossJoin(broadcast(q))
+          .select($"media_id", expr(
+            s"""round(CAST($dotE AS DOUBLE) /
+                (sqrt(CAST($naE AS DOUBLE)) * sqrt(CAST($nqE AS DOUBLE))), 9)""")
+            .as("cosine"))
+          .orderBy($"cosine".desc, $"media_id".asc).limit(5)
+          .withColumn("rk", row_number().over(wR).cast("long"))
+          .select($"rk", $"media_id", $"cosine")
+          .orderBy($"rk")
+      },
+      Some(m27OracleSql),
+      doc = "trained cross-modal encoder (retires m06's md5 stub as the encoder): a 17x16 linear projector from REAL-image-decode grid-luma features (decodeGridStrips, closed-form 8000*g per rendered strip) into t29's 16-dim hashing space, trained in-engine over planted text<->image pairs with linearTrainMicroK's exact-integer gradient epochs (oracle-replayed through projEpochSqlCtes onto bit-identical micro-weights), then serving cross-modal retrieval: text query hash vector vs projected image embeddings by exact-integer cosine, TakeOrdered top-5 — self-retrieval at rank 1 is the learned-signal proof the stub cannot produce")
   )
 
   /** Big-endian field read as a SQL fragment (for composing with `div`
@@ -1895,4 +1982,81 @@ object MultimodalQueries {
     */
   private def beSql(pos: String, len: Int): String =
     s"CAST(conv(hex(substring(mp4, CAST($pos AS INT), $len)), 16, 10) AS BIGINT)"
+
+  /** The m27 oracle: t29's hash-vectorizer replay over the pair subset
+    * (the text side), the strip-image features by CLOSED FORM
+    * (8000·g_b — renderStripPng/decodeGridStrips' documented
+    * identity), the 12 projector epochs through projEpochSqlCtes onto
+    * bit-identical 17×16 micro-weights, the floored projection, and
+    * the exact-integer cosine retrieval.
+    */
+  private def m27OracleSql: String = {
+    import graft.functions.TextFunctions
+    val fRefs = (0 until 17).map(j => s"f$j")
+    val fCols = (0 until 16).map(b =>
+      s"""CAST(4 * (8000 * (128 + (cl[${b + 1}] * 127) // 1000000) - 1024000)
+              AS DOUBLE) / 2040000.0 AS f${b + 1}""").mkString(",\n            ")
+    val yCols = (0 until 16).map(b =>
+      s"CAST(cl[${b + 1}] AS DOUBLE) / 1000000.0 AS y$b")
+      .mkString(",\n            ")
+    val zCols = (0 until 16).map(k =>
+      s"""CAST(floor((${TextFunctions.zMicroSql(
+        (0 until 17).map(j => s"e.w${k}_$j"), fRefs)}) * 1000000.0)
+              AS BIGINT) AS z$k""").mkString(",\n            ")
+    val dotE = (0 until 16).map(k => s"p.z$k * q.cl[${k + 1}]")
+      .mkString(" + ")
+    val naE = (0 until 16).map(k => s"p.z$k * p.z$k").mkString(" + ")
+    val nqE = (0 until 16).map(k => s"q.cl[${k + 1}] * q.cl[${k + 1}]")
+      .mkString(" + ")
+    s"""
+        WITH hvtoksraw AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS t
+          FROM documents WHERE doc_id % 4 = 1),
+        hvtok AS (SELECT doc_id, t, md5(t) AS h FROM hvtoksraw WHERE t <> ''),
+        hvhashed AS (
+          SELECT doc_id,
+                 CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                   AS BIGINT) AS bucket,
+                 CASE WHEN substr(h, 2, 1) >= '8' THEN -1 ELSE 1 END AS sgn
+          FROM hvtok),
+        hvsums AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+                   FROM hvhashed GROUP BY doc_id, bucket),
+        hvagg AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS sq
+                  FROM hvsums GROUP BY doc_id),
+        hvspine AS (SELECT a.doc_id, sqrt(CAST(a.sq AS DOUBLE)) AS l2, bb.b
+                    FROM hvagg a CROSS JOIN
+                      (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS b) bb),
+        hvfilled AS (SELECT sp.doc_id, sp.b, sp.l2, COALESCE(s.v, 0) AS v
+                     FROM hvspine sp LEFT JOIN hvsums s
+                       ON s.doc_id = sp.doc_id AND s.bucket = sp.b),
+        tvec AS (SELECT doc_id,
+                        list(CAST(round(CASE WHEN l2 = 0 THEN 0.0
+                               ELSE 1000000 * v / l2 END, 0) AS BIGINT)
+                             ORDER BY b) AS cl
+                 FROM hvfilled GROUP BY doc_id),
+        feats AS (SELECT doc_id,
+            CAST(0.5 AS DOUBLE) AS f0,
+            $fCols,
+            $yCols
+          FROM tvec),
+        cnt AS (SELECT COUNT(*) AS n FROM feats),
+        ${TextFunctions.projEpochSqlCtes(17, 16, 12, 1L, 2L)},
+        proj AS (SELECT f.doc_id AS media_id,
+            $zCols
+          FROM feats f CROSS JOIN pe12 e),
+        qsel AS (SELECT cl FROM tvec
+                 WHERE doc_id = (SELECT MIN(a.doc_id) FROM hvagg a
+                                 WHERE a.sq > 0)),
+        sc AS (SELECT p.media_id,
+                 round(CAST($dotE AS DOUBLE) /
+                   (sqrt(CAST($naE AS DOUBLE)) * sqrt(CAST($nqE AS DOUBLE))),
+                   9) AS cosine
+               FROM proj p CROSS JOIN qsel q)
+        SELECT * FROM (
+          SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, media_id ASC)
+                   AS rk, media_id, cosine
+          FROM sc) t
+        WHERE rk <= 5 ORDER BY rk"""
+  }
 }

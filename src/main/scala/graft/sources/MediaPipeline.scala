@@ -875,6 +875,63 @@ object MediaPipeline {
     }
   }
 
+  /** Render a 16-strip GRAYSCALE PNG (m27's paired-image fixture):
+    * strip b spans columns [b·w/16, (b+1)·w/16) in the uniform gray
+    * `grays(b)`. With w a positive multiple of 16, the
+    * [[decodeGridStrips]] sample column b·w/16 lands inside strip b,
+    * and luma of gray g is exactly (299+587+114)·g = 1000·g — so every
+    * decoded strip sum has the closed form 8·1000·g_b the oracle can
+    * state in SQL.
+    */
+  def renderStripPng(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
+    require(w >= 16 && w % 16 == 0 && h >= 8 && grays.length == 16,
+      s"closed form needs w % 16 = 0, h >= 8, 16 grays; got w=$w h=$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grays(x * 16 / w) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL ImageIO decode → 16 grid-column luma sums ([[decodeGridCols]]
+    * generalized from 2 sampled columns to 16 — the m08 discipline):
+    * sample x = b·w/16 across 8 rows, sum the integer lumas. For
+    * [[renderStripPng]] output each sum is exactly 8000·g_b. Sentinel
+    * (all −1) on undecodable bytes, the m-series convention.
+    */
+  def decodeGridStrips(mediaId: Long, bytes: Array[Byte]): Array[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) Array.fill(16)(-1L)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      Array.tabulate(16) { b =>
+        var s = 0L
+        var y = 0
+        while (y < 8) {
+          val px = img.getRGB(math.min(b * w / 16, w - 1),
+            math.min(y * h / 8, h - 1))
+          s += 299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
+            114L * (px & 0xff)
+          y += 1
+        }
+        s
+      }
+    }
+  }
+
   /** One per-item result of a batched model-inference pass. */
   final case class InferenceOut(
       media_id: Long, batch_id: Long, batch_size: Int, item_index: Int,

@@ -1888,6 +1888,36 @@ class OperatorSpec extends AnyFunSuite {
       decode_ok = false))
   }
 
+  test("m27 strip render/decode closed form: 16 sums of 8000*gray, corrupt sentinel") {
+    val grays = Array(1, 255, 128, 97, 159, 42, 200, 7,
+      130, 126, 64, 192, 33, 250, 101, 88)
+    val png = MediaPipeline.renderStripPng(64, 16, grays)
+    val sums = MediaPipeline.decodeGridStrips(9L, png)
+    assert(sums.toSeq == grays.toSeq.map(g => 8000L * g),
+      s"strip sums diverged from the closed form: ${sums.toSeq}")
+    assert(MediaPipeline.decodeGridStrips(10L, png.drop(1)).toSeq ==
+      Seq.fill(16)(-1L), "corrupt bytes must sentinel")
+  }
+
+  test("m27 learned cross-modal signal: the probe text retrieves its OWN image at rank 1") {
+    // the md5 stub encoder cannot do this — there is no relation
+    // between a text's hash vector and its stub image embedding; the
+    // TRAINED projector recovers the pair plant's affine map well
+    // enough that the query text's paired image wins with a margin
+    val out = QueryDef.registry.find(_.name == "m27_crossmodal_trained").get
+      .build(spark, sfDir)
+      .select($"rk", $"media_id", $"cosine")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id" % 4 === 1)
+    val probe = operators.TextQueries.hashVec16(docs, "doc_id", "text")
+      .filter($"l2" > 0).agg(min($"doc_id")).head().getLong(0)
+    assert(out.head._2 == probe,
+      s"rank 1 is ${out.head._2}, not the probe's own image $probe")
+    assert(out(0)._3 > out(1)._3 + 0.01,
+      s"no separation margin: ${out(0)._3} vs ${out(1)._3}")
+  }
+
   test("q94 integer PageRank reproduces a hand-computed 3-node example") {
     // nodes {0,1,2}, edges 0->1, 0->2, 1->2, 2->0; deg(0)=2, deg(1)=1,
     // deg(2)=1; two hand-computed rounds of r' = 150000 + sum((r*17)

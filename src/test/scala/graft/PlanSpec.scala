@@ -1320,6 +1320,20 @@ class PlanSpec extends AnyFunSuite {
       s"bitmap pair join must broadcast:\n$p")
   }
 
+  test("m27 trained retrieval: pinned feature frame, broadcast query, TakeOrdered top-5") {
+    // the served plan projects the CHECKPOINTED feature frame (render/
+    // decode and training never re-run at serving time — LogicalRDD
+    // scan), broadcasts the 1-row query vector, and top-5 stays a
+    // TakeOrdered
+    val p = plan("m27_crossmodal_trained")
+    assert(p.contains("Scan ExistingRDD"),
+      s"serving must read the pinned feature frame, not re-train:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the query join must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-5 lost its TakeOrdered form:\n$p")
+  }
+
   test("c20 DP release: one scan, join-free, noise math on the grouped output only") {
     val p = plan("c20_dp_release")
     assert(!p.contains("Join"), s"DP release joined:\n$p")
