@@ -95,6 +95,24 @@ object PlanDump {
         println(s"  $k: " + k.r.findAllIn(p).size)
     }
 
+  /** `runMain graft.PlanDump <sfDir> dir:<outDir>:<suffix>:<q1,q2,...>` —
+    * write each named query's explain("formatted") to
+    * `<outDir>/<name>_<suffix>.txt` (the optimization-round before/after
+    * plan artifacts).
+    */
+  private def dumpDir(spark: SparkSession, sfDir: String,
+      spec: String): Unit = {
+    val Array(outDir, suffix, names) = spec.split(":", 3)
+    new java.io.File(outDir).mkdirs()
+    for (n <- names.split(",")) {
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/${n}_$suffix.txt"), plan)
+      println(s"wrote $outDir/${n}_$suffix.txt")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "PLANS.md"
@@ -109,6 +127,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     if (out.startsWith("counts:")) {
       dumpCounts(spark, sfDir, out.stripPrefix("counts:"))
+      spark.stop(); return
+    }
+    if (out.startsWith("dir:")) {
+      dumpDir(spark, sfDir, out.stripPrefix("dir:"))
       spark.stop(); return
     }
     val sb = new StringBuilder
