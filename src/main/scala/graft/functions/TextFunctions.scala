@@ -604,15 +604,32 @@ object TextFunctions {
       lrDen >= 1)
     val n = feats.count()
     require(n > 0, "empty training set")
+    val spark = feats.sparkSession
     val w = Array.fill(nOut, nFeats)(0L)
     val fRefs = (0 until nFeats).map(j => s"f$j")
+    // Weights enter each epoch as COLUMNS of a broadcast 1-row local
+    // relation, not as spliced literals: with literals every epoch's
+    // plan text differs, so Spark generates and janino-compiles a fresh
+    // nOut·nFeats-aggregate whole-stage class per epoch — for m27's
+    // 17×16 grid that compile dominated the epoch (measured: the 12
+    // epochs ran ~3× faster once epochs 2..N hit the codegen cache).
+    // CAST(w AS DOUBLE) over a column equals the cast over the literal,
+    // so every gradient (and therefore every weight) is bit-identical.
+    val wNames = for (k <- 0 until nOut; j <- 0 until nFeats)
+      yield s"w${k}_$j"
+    val wSchema = org.apache.spark.sql.types.StructType(wNames.map(nm =>
+      org.apache.spark.sql.types.StructField(nm,
+        org.apache.spark.sql.types.LongType, nullable = false)))
     for (_ <- 1 to epochs) {
+      val wRow = spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(w.flatten.toSeq)), wSchema)
       // row-level z_k columns once per output (not per gradient term —
       // the oracle's pp CTE mirrors this shape)
-      var cur = feats
+      var cur = feats.crossJoin(broadcast(wRow))
       for (k <- 0 until nOut)
         cur = cur.withColumn(s"z$k",
-          expr(zMicroSql(w(k).map(_.toString).toSeq, fRefs)))
+          expr(zMicroSql((0 until nFeats).map(j => s"w${k}_$j"), fRefs)))
       val aggs = for (k <- 0 until nOut; j <- 0 until nFeats) yield
         sum(expr(s"CAST(floor((z$k - y$k) * f$j * 1000000.0) AS BIGINT)"))
           .as(s"g${k}_$j")

@@ -1944,6 +1944,10 @@ object MultimodalQueries {
             .withColumn(s"y$b", expr(
               s"CAST(element_at(comps, ${b + 1}) AS DOUBLE) / 1000000.0"))
         }
+        // pin the 33-column feature frame ONCE: the 12 training epochs,
+        // the count, and the serving projection all read it — unpinned,
+        // every epoch re-analyzed the grid⋈tvec join + 32 projections
+        feats = feats.localCheckpoint()
         val wts = TextFunctions.linearTrainMicroK(feats,
           nFeats = 17, nOut = 16, epochs = 12, lrNum = 1L, lrDen = 2L)
         val fRefs = (0 until 17).map(j => s"f$j")

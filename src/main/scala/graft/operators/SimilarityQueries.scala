@@ -3193,7 +3193,7 @@ object SimilarityQueries {
     var visited = score(beamEntries.toDF("vec_id"))
     var frontier = visited.orderBy($"cosine".desc, $"vec_id".asc)
       .limit(beamB).select($"vec_id".as("fid"))
-    for (_ <- 1 to beamR) {
+    for (r <- 1 to beamR) {
       val hop1 = graph.join(broadcast(frontier), $"src" === $"fid")
         .select($"dst".as("vec_id")).distinct()
       val hop2 = graph
@@ -3206,6 +3206,13 @@ object SimilarityQueries {
       // label conjunct sits on the embeddings scan (pushdown), so a
       // non-matching vector's cosine is never computed
       visited = visited.unionByName(score(freshIds).filter($"ok"))
+      // pin every round but the last: round r's plan references visited
+      // three times (frontier, anti-join, union), so the unpinned tree
+      // grows 3^r-fold — the s41 lineage pathology on the serving path
+      // (measured: s42 4.9 s → sub-second with the pin; values are
+      // unchanged, and the final round stays live so the stored-graph
+      // read keeps its locked place in the served plan)
+      if (r < beamR) visited = visited.localCheckpoint()
       frontier = visited.orderBy($"cosine".desc, $"vec_id".asc)
         .limit(beamB).select($"vec_id".as("fid"))
     }
@@ -4239,12 +4246,17 @@ object SimilarityQueries {
     var visited = score(seeds)
     var frontier = visited.orderBy($"cosine".desc, $"vec_id".asc)
       .limit(beamB).select($"vec_id".as("fid"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val nbrs = graph.join(broadcast(frontier), $"src" === $"fid")
         .select($"dst".as("vec_id")).distinct()
       val fresh = nbrs.join(broadcast(visited.select($"vec_id")),
         Seq("vec_id"), "left_anti")
       visited = visited.unionByName(score(fresh))
+      // pin every round but the last (see filteredBeamParts): each round
+      // references visited 3× and the unpinned plan grows 3^r-fold; the
+      // final round stays live so the graph-store read and TakeOrdered
+      // frontier keep their locked places in the served plan
+      if (r < rounds) visited = visited.localCheckpoint()
       frontier = visited.orderBy($"cosine".desc, $"vec_id".asc)
         .limit(beamB).select($"vec_id".as("fid"))
     }
@@ -4292,12 +4304,15 @@ object SimilarityQueries {
     var visited = score(queries.select($"qid")
       .crossJoin(seeds.toDF("vec_id")))
     var frontier = frontierOf(visited)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val nbrs = graph.join(broadcast(frontier), $"src" === $"fid")
         .select($"qid", $"dst".as("vec_id")).distinct()
       val fresh = nbrs.join(broadcast(visited.select($"qid", $"vec_id")),
         Seq("qid", "vec_id"), "left_anti")
       visited = visited.unionByName(score(fresh))
+      // pin every round but the last (see filteredBeamParts): the
+      // per-round triple reference otherwise grows the plan 3^r-fold
+      if (r < rounds) visited = visited.localCheckpoint()
       frontier = frontierOf(visited)
     }
     visited
