@@ -604,43 +604,72 @@ object TextFunctions {
       lrDen >= 1)
     val n = feats.count()
     require(n > 0, "empty training set")
-    val spark = feats.sparkSession
     val w = Array.fill(nOut, nFeats)(0L)
-    val fRefs = (0 until nFeats).map(j => s"f$j")
-    // Weights enter each epoch as COLUMNS of a broadcast 1-row local
-    // relation, not as spliced literals: with literals every epoch's
-    // plan text differs, so Spark generates and janino-compiles a fresh
-    // nOut·nFeats-aggregate whole-stage class per epoch — for m27's
-    // 17×16 grid that compile dominated the epoch (measured: the 12
-    // epochs ran ~3× faster once epochs 2..N hit the codegen cache).
-    // CAST(w AS DOUBLE) over a column equals the cast over the literal,
-    // so every gradient (and therefore every weight) is bit-identical.
-    val wNames = for (k <- 0 until nOut; j <- 0 until nFeats)
-      yield s"w${k}_$j"
-    val wSchema = org.apache.spark.sql.types.StructType(wNames.map(nm =>
-      org.apache.spark.sql.types.StructField(nm,
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    for (_ <- 1 to epochs) {
-      val wRow = spark.createDataFrame(
-        java.util.Collections.singletonList(
-          org.apache.spark.sql.Row.fromSeq(w.flatten.toSeq)), wSchema)
-      // row-level z_k columns once per output (not per gradient term —
-      // the oracle's pp CTE mirrors this shape)
-      var cur = feats.crossJoin(broadcast(wRow))
-      for (k <- 0 until nOut)
-        cur = cur.withColumn(s"z$k",
-          expr(zMicroSql((0 until nFeats).map(j => s"w${k}_$j"), fRefs)))
-      val aggs = for (k <- 0 until nOut; j <- 0 until nFeats) yield
-        sum(expr(s"CAST(floor((z$k - y$k) * f$j * 1000000.0) AS BIGINT)"))
-          .as(s"g${k}_$j")
-      val row = cur.agg(aggs.head, aggs.tail: _*).head()
+    // Each epoch is ONE job over a pinned primitive feature matrix.
+    // A previous revision ran every epoch as a Catalyst aggregate of
+    // nOut·nFeats sum() columns over (feats × broadcast weight row) —
+    // correct, but the epoch's cost was pure coordination: per epoch,
+    // AQE split the two-stage aggregate into 2-3 driver-sequenced jobs
+    // and re-broadcast a multi-MB whole-stage-codegen task binary
+    // (272 aggregate buffers), measured ~1.3 s/epoch at sf0.1 against
+    // ~30 ms of actual arithmetic (guide §1.2/§5: fix the biggest term
+    // — here the 12 sequential barriers' per-barrier overhead, not the
+    // math). The gradient is a plain commutative Long sum, so a
+    // treeAggregate over a once-projected Array[Double] matrix runs
+    // the SAME IEEE-754 op sequence the SQL expressions state —
+    //   z_k  = (Σ_j CAST(w_kj AS DOUBLE) · f_j) / 1e6   (left-assoc, j asc)
+    //   G_kj = Σ_rows floor(((z_k − y_k) · f_j) · 1e6)  (toward-zero Long)
+    // — so every gradient, and therefore every weight, is bit-identical
+    // to the oracle's projEpochSqlCtes replay; only the scheduler work
+    // is gone (one ~40 ms job per epoch, no per-epoch plan or codegen).
+    val cols = (0 until nFeats).map(j => col(s"f$j").cast("double")) ++
+      (0 until nOut).map(k => col(s"y$k").cast("double"))
+    val data = feats.select(cols: _*).rdd.map { r =>
+      val a = new Array[Double](nFeats + nOut)
       var i = 0
-      for (k <- 0 until nOut; j <- 0 until nFeats) {
-        w(k)(j) -= (lrNum * row.getLong(i)) / (n * lrDen)
-        i += 1
+      while (i < a.length) { a(i) = r.getDouble(i); i += 1 }
+      a
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to epochs) {
+        val wFlat = w.flatten // immutable snapshot shipped in the closure
+        val g = data.treeAggregate(new Array[Long](nOut * nFeats))(
+          seqOp = (acc, row) => {
+            var k = 0
+            while (k < nOut) {
+              // z_k exactly as zMicroSql: ((w0·f0 + w1·f1) + …) / 1e6
+              var z = 0.0
+              var j = 0
+              while (j < nFeats) {
+                z += wFlat(k * nFeats + j).toDouble * row(j)
+                j += 1
+              }
+              z /= 1000000.0
+              val d = z - row(nFeats + k) // z_k − y_k
+              j = 0
+              while (j < nFeats) {
+                // CAST(floor(((z−y) · f) · 1e6) AS BIGINT)
+                acc(k * nFeats + j) +=
+                  math.floor(d * row(j) * 1000000.0).toLong
+                j += 1
+              }
+              k += 1
+            }
+            acc
+          },
+          combOp = (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+        var i = 0
+        for (k <- 0 until nOut; j <- 0 until nFeats) {
+          w(k)(j) -= (lrNum * g(i)) / (n * lrDen)
+          i += 1
+        }
       }
-    }
-    w
+      w
+    } finally data.unpersist(blocking = false)
   }
 
   /** The unrolled-epoch CTE chain replaying [[linearTrainMicroK]] in

@@ -3587,8 +3587,22 @@ object DedupQueries {
       "d41_cdc_chunk_store",
       (s, dir) => {
         import s.implicits._
+        // spread the O(len·md5) rolling-window pass across the cluster
+        // (guide §2.5 input skew): the filtered doc subset is a
+        // sub-split-size scan (ONE task at sf0.1 — measured 3.3 s +
+        // 4.0 s serial for the two batches, and the whole query ran
+        // FASTER at 8 cores than 32). A bare repartition is NOT enough:
+        // InferFiltersFromGenerate derives `size(cs) > 0` from the
+        // explode below and filter pushdown carries the whole md5 chunk
+        // expression back through the exchange into the one-task scan —
+        // so the repartitioned (doc_id, text) slice is PINNED (bounded:
+        // ~1/7 of docs), which both spreads the chunk pass and stops
+        // the inferred filter from crossing the exchange.
         val src = graft.Tables.load(s, dir, "documents")
           .filter($"doc_id" % 7 === 3 && $"n_chars" >= 200)
+          .select($"doc_id", $"text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .localCheckpoint()
         def chunked(batch: Long, rev: Boolean) = {
           val base = if (rev)
             src.select($"doc_id", concat(lit("PATCH: "), $"text").as("s"))

@@ -1922,11 +1922,19 @@ object MultimodalQueries {
       (s, dir) => {
         import s.implicits._
         import graft.functions.TextFunctions
+        // spread the two expensive map lanes (guide §2.5 input skew):
+        // the doc subset is a sub-split-size scan (ONE task), so the
+        // tokenize+md5 pass ran serial (measured 1.8 s); likewise AQE
+        // coalesces tvec to one partition, serializing the 1-per-doc
+        // PNG render + ImageIO decode (measured 1.5 s). Round-robin
+        // shuffles of ~1250 tiny rows buy full parallelism for both.
+        val par = s.sparkContext.defaultParallelism
         val docs = graft.Tables.load(s, dir, "documents")
-          .filter($"doc_id" % 4 === 1)
+          .filter($"doc_id" % 4 === 1).repartition(par)
         val tvec = TextQueries.hashVec16(docs, "doc_id", "text")
           .localCheckpoint()
         val rows = tvec.select($"doc_id", $"comps").as[(Long, Seq[Long])]
+          .repartition(par)
         // render the paired strip image from the text vector, decode
         // it back through the REAL ImageIO lane — once, pinned
         val grid = rows.mapPartitions(_.map { case (id, comps) =>

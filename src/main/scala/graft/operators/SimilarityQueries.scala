@@ -2674,10 +2674,8 @@ object SimilarityQueries {
       "s40_hnsw_layered_descent",
       (s, dir) => {
         import s.implicits._
-        val l1 = knnGraphStoreFor(s, dir, "s40_l1", Some((8L, 1L)),
-          beamL1Entries).read().select($"src", $"dst")
         val l0 = knnGraphStore(s, dir).read().select($"src", $"dst")
-        val v1 = beamOver(s, dir, l1, beamL1Entries.toDF("vec_id"), 2)
+        val v1 = s40UpperDescent(s, dir)
         val seeds = v1.orderBy($"cosine".desc, $"vec_id".asc).limit(4)
           .select($"vec_id")
           .unionByName(beamEntries.toDF("vec_id")).distinct()
@@ -4214,6 +4212,21 @@ object SimilarityQueries {
     import s.implicits._
     val graph = knnGraphStore(s, dir).read().select($"src", $"dst")
     (beamOver(s, dir, graph, beamEntries.toDF("vec_id"), beamR), graph)
+  }
+
+  /** s40's UPPER-layer descent (the 2-round beam over the stored
+    * s40_l1 graph that produces the base layer's seeds), exposed the
+    * way [[hnswInsertedGraphBuild]] is: the beam pin (per-round
+    * localCheckpoint in [[beamOverQ]]) truncates the upper layer out
+    * of the SERVED plan's lineage, so PlanSpec locks the s40_l1 store
+    * read on this plan instead.
+    */
+  private[graft] def s40UpperDescent(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val l1 = knnGraphStoreFor(s, dir, "s40_l1", Some((8L, 1L)),
+      beamL1Entries).read().select($"src", $"dst")
+    beamOver(s, dir, l1, beamL1Entries.toDF("vec_id"), 2)
   }
 
   /** One beam phase over an arbitrary stored graph from an arbitrary

@@ -562,16 +562,25 @@ class PlanSpec extends AnyFunSuite {
 
   test("s40 layered descent serves from BOTH stored graphs, broadcast rounds only") {
     val p = plan("s40_hnsw_layered_descent")
-    // both layers' edge lists come from their persisted stores — the
-    // upper layer's scratch path AND s38's shared base store appear as
-    // scan locations; neither layer re-bands or rebuilds in-plan
-    assert(p.contains("s40_l1"), s"upper layer not served from its store:\n$p")
+    // the base layer's edge list comes from s38's shared persisted
+    // store and appears as a scan location in the SERVED plan; the
+    // upper layer's store read is truncated out of the served lineage
+    // by the beam pin (per-round localCheckpoint in beamOverQ), so it
+    // is locked on the exposed upper-descent plan below — same pattern
+    // as the s41 hnswInsertedGraphBuild probe
     assert(p.contains("s38_graph"), s"base layer not served from the shared store:\n$p")
     assert(!p.contains("CartesianProduct"), s"a beam round exploded:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"a bounded frontier/seed side sort-merge joined:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"beam caps lost their TakeOrdered form:\n$p")
+    val up = operators.SimilarityQueries.s40UpperDescent(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(up.contains("s40_l1"),
+      s"upper layer not served from its store:\n$up")
+    assert(!up.contains("CartesianProduct"), s"upper beam exploded:\n$up")
+    assert(!up.contains("SortMergeJoin"),
+      s"a bounded upper frontier side sort-merge joined:\n$up")
   }
 
   test("s39 recall audit: truth joins beam/visited/in-degree sides by broadcast only") {
