@@ -1415,7 +1415,9 @@ object DocsisQueries {
         // the MergeTree part-granularity analog
         val nParts = math.max(1, math.ceil(docs.count() / 16.0).toInt)
         t.append(docs.repartition(nParts, $"doc_id"), 0)
-        val tok = docs
+        // the rarest-token pass explodes every doc's tokens: spread it —
+        // documents is a sub-split-size scan (ONE task, guide §2.5)
+        val tok = docs.repartition(s.sparkContext.defaultParallelism)
           .select($"doc_id", explode(split($"text",
             graft.storage.StatsPruning.TokenSplitRe)).as("tok"))
           .filter($"tok" =!= "")
@@ -1484,7 +1486,8 @@ object DocsisQueries {
         val docs = s.read.parquet(s"$sfDir/documents.parquet")
         val nParts = math.max(1, math.ceil(docs.count() / 16.0).toInt)
         t.append(docs.repartition(nParts, $"doc_id"), 0)
-        val phrase = docs
+        // spread the bigram-phrase pass off the one-task doc scan (§2.5)
+        val phrase = docs.repartition(s.sparkContext.defaultParallelism)
           .select($"doc_id", split(lower(trim($"text")), "\\s+").as("toks"))
           .select($"doc_id", explode(expr(
             """transform(sequence(1, size(toks) - 1),

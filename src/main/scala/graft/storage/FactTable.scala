@@ -919,7 +919,13 @@ class FactTable(val root: String, spark: SparkSession,
     // state toward logical state, never resurrect).
     val kept = masked(victims, snap.tombFiles)
       .filter(!coalesce(cond, lit(false)))
-    kept.write.partitionBy(partitionCol).mode("overwrite")
+    // cluster by partition before the partitioned write (the compact()
+    // discipline): an unclustered write stages (#tasks × #partitions)
+    // near-empty files — dx19's whole-table delete staged ~500 parts and
+    // paid ~1.4 s of footer stats on them; one part per partition keeps
+    // the commit O(partitions)
+    kept.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).mode("overwrite")
       .parquet(target.toString)
     beforeCommit()
     val adds = entriesFor(target, TierBase)
@@ -1264,6 +1270,7 @@ class FactTable(val root: String, spark: SparkSession,
       asOfVersion: Long = Long.MaxValue): DataFrame = {
     val snap = snapshot(asOfVersion)
     val all = snap.dataFiles
+    prefetchGramBlooms(all)
     val kept = all.filterNot(f =>
       StatsPruning.canPrune(cond, f.stats) || bloomPruned(cond, f) ||
         setPruned(cond, f) || tokenBloomPruned(cond, f) ||
@@ -1280,6 +1287,7 @@ class FactTable(val root: String, spark: SparkSession,
   def pruneReport(cond: org.apache.spark.sql.Column,
       asOfVersion: Long = Long.MaxValue): (Int, Int) = {
     val files = snapshot(asOfVersion).dataFiles
+    prefetchGramBlooms(files)
     (files.count(f =>
       !StatsPruning.canPrune(cond, f.stats) && !bloomPruned(cond, f) &&
         !setPruned(cond, f) && !tokenBloomPruned(cond, f) &&
@@ -1316,16 +1324,52 @@ class FactTable(val root: String, spark: SparkSession,
 
   // -------------------------------------------------------------- helpers
 
+  /** Run `f` over `items` on a bounded I/O pool and wait — the shared
+    * driver-side fan-out for independent small-file round-trips (footer
+    * opens, sidecar reads/writes): hundreds of serial ~2-5 ms filesystem
+    * calls otherwise add whole seconds to a commit or a pruned read.
+    */
+  private def onIoPool[A](items: Seq[A])(f: A => Unit): Unit = {
+    if (items.isEmpty) return
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(1, items.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
+  /** Warm the token/ngram-bloom sidecar caches for `files` in parallel:
+    * pruneReport/readWhere/fpp consult the sidecars file by file, and a
+    * cold cache would pay hundreds of serial small reads (measured ~1 s
+    * at 313 parts in dx32/dx33).
+    */
+  private def prefetchGramBlooms(files: Seq[FileEntry]): Unit = {
+    val wanted =
+      tokenBloomCols.map(c => (c, ".tokbf.")) ++
+        ngramBloomCols.map(c => (c, ".ngbf."))
+    if (wanted.isEmpty) return
+    onIoPool(for (f <- files; (c, suf) <- wanted) yield (f.path, c, suf)) {
+      case (p, c, suf) => tokenBloomOf(p, c, suf)
+    }
+  }
+
   private case class RawFile(path: String, bytes: Long)
 
+  /** Recursive parquet listing via plain listStatus walks: the
+    * LocatedFileStatus iterator (`fs.listFiles(dir, true)`) additionally
+    * resolves block locations per file — measured 1.3 s for a 313-part
+    * staged generation on a local fs, vs one readdir per directory here.
+    */
   private def listParquet(dir: Path): Seq[RawFile] = {
-    val it = fs.listFiles(dir, true)
     val out = mutable.ArrayBuffer[RawFile]()
-    while (it.hasNext) {
-      val s = it.next()
-      if (s.getPath.getName.endsWith(".parquet"))
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet"))
         out += RawFile(s.getPath.toString, s.getLen)
     }
+    walk(dir)
     out.toSeq
   }
 
@@ -1337,7 +1381,12 @@ class FactTable(val root: String, spark: SparkSession,
     */
   private def entriesFor(dir: Path, tier: String): Seq[FileEntry] = {
     val now = System.currentTimeMillis()
+    val t0 = System.nanoTime()
+    def mark(what: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_FACT_TIMING"))
+        System.err.println(f"[fact] $what +${(System.nanoTime() - t0) / 1e9}%.3fs")
     val files = listParquet(dir)
+    mark(s"listParquet n=${files.size}")
     // Footer opens are independent I/O waits — run them on a bounded
     // pool. A rewrite that stages hundreds of parts would otherwise
     // serialize hundreds of round-trips on the driver (the same reason
@@ -1346,7 +1395,7 @@ class FactTable(val root: String, spark: SparkSession,
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, files.size)))
+      math.min(32, math.max(1, files.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futs = files.map { f => Future {
@@ -1361,13 +1410,15 @@ class FactTable(val root: String, spark: SparkSession,
         FileEntry(f.path, rows, f.bytes, tier, now, stats)
       } }
       val entries = Await.result(Future.sequence(futs), Duration.Inf)
+      mark("footers+sidecars")
       // token blooms are built in ONE distributed job over the whole
       // staged generation (per indexed column), not per part — fixed-size
       // partial filters combine map-side, so a commit staging thousands
       // of parts costs one shuffle of #parts × bloom-size, never
       // thousands of driver-coordinated jobs
       if (tier != TierTomb && files.nonEmpty)
-        writeTokenBloomSidecars(files.map(_.path))
+        writeTokenBloomSidecars(dir, files.map(_.path))
+      mark("gramBlooms")
       entries
     } finally pool.shutdown()
   }
@@ -1596,11 +1647,11 @@ class FactTable(val root: String, spark: SparkSession,
     * EMPTY bloom, which correctly proves every token absent; a MISSING
     * sidecar stays reserved for "legacy part, cannot prune".
     */
-  private def writeTokenBloomSidecars(parts: Seq[String]): Unit = {
-    writeGramBloomSidecars(parts, tokenBloomCols, ".tokbf.",
+  private def writeTokenBloomSidecars(dir: Path, parts: Seq[String]): Unit = {
+    writeGramBloomSidecars(dir, parts, tokenBloomCols, ".tokbf.",
       c => explode(split(coalesce(col(c), lit("")),
         StatsPruning.TokenSplitRe)))
-    writeGramBloomSidecars(parts, ngramBloomCols, ".ngbf.",
+    writeGramBloomSidecars(dir, parts, ngramBloomCols, ".ngbf.",
       c => explode_outer(expr(
         s"""CASE WHEN length(coalesce($c, '')) >= ${StatsPruning.NgramWidth}
               THEN transform(
@@ -1613,14 +1664,29 @@ class FactTable(val root: String, spark: SparkSession,
     * and character-n-gram (ngbf) bloom families; `gram` turns the
     * indexed column into one gram per row.
     */
-  private def writeGramBloomSidecars(parts: Seq[String], cols: Seq[String],
-      suffix: String,
+  private def writeGramBloomSidecars(dir: Path, parts: Seq[String],
+      cols: Seq[String], suffix: String,
       gram: String => org.apache.spark.sql.Column): Unit = {
     if (cols.isEmpty || parts.isEmpty) return
+    val t0 = System.nanoTime()
+    def mark(what: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_FACT_TIMING"))
+        System.err.println(f"[fact]   gram.$what +${(System.nanoTime() - t0) / 1e9}%.3fs")
     // keyed by scheme-stripped ABSOLUTE path: a partitioned write reuses
     // one file name across partition directories, so names collide
     def norm(p: String): String = new Path(p).toUri.getPath
-    val df0 = spark.read.parquet(parts: _*)
+    // Read the staged GENERATION DIRECTORY when it holds nothing but the
+    // freshly written parquet parts: an explicit N-path read pays a
+    // parallel-listing Spark job plus one driver getFileStatus per part
+    // (measured ~1 s at 313 parts). Other sidecar families write
+    // non-parquet files next to the parts BEFORE this pass runs, so fall
+    // back to the explicit list whenever any is configured.
+    val df0 =
+      if (bloomCols.isEmpty && setIndexCols.isEmpty &&
+          arrayBloomCols.isEmpty && projections.isEmpty)
+        spark.read.parquet(dir.toString)
+      else spark.read.parquet(parts: _*)
+    mark("read")
     cols.foreach { c =>
       val have = df0.columns.contains(c)
       val built: Map[String, Array[Byte]] = if (!have) Map.empty else {
@@ -1632,12 +1698,18 @@ class FactTable(val root: String, spark: SparkSession,
           .collect()
           .map(r => norm(r.getString(0)) -> r.getAs[Array[Byte]](1)).toMap
       }
-      if (have) parts.foreach { part =>
+      mark(s"agg.$c")
+      // sidecar creates are independent I/O round-trips — a commit
+      // staging hundreds of parts would otherwise serialize hundreds of
+      // small writes on the driver (measured ~1 s of the dx32 commit at
+      // 313 parts); same bounded-pool discipline as entriesFor's footers
+      if (have) onIoPool(parts) { part =>
         val bytes = built.getOrElse(norm(part),
           FactTable.TokenBloom.toBytes(FactTable.TokenBloom.emptyBits))
         val out = fs.create(new Path(part + suffix + c), true)
         try out.write(bytes) finally out.close()
       }
+      mark(s"write.$c")
     }
   }
 
@@ -1699,16 +1771,22 @@ class FactTable(val root: String, spark: SparkSession,
     * how an operator notices the fixed 8 KiB sidecar needs re-sizing
     * for a fatter per-part vocabulary.
     */
-  def tokenBloomFpp(c: String): Seq[(String, Double)] =
-    snapshot().dataFiles.flatMap(f =>
+  def tokenBloomFpp(c: String): Seq[(String, Double)] = {
+    val files = snapshot().dataFiles
+    prefetchGramBlooms(files)
+    files.flatMap(f =>
       tokenBloomOf(f.path, c).map(bits =>
         f.path -> FactTable.TokenBloom.expectedFpp(bits)))
+  }
 
   /** [[tokenBloomFpp]] for the n-gram (ngbf) sidecar family. */
-  def ngramBloomFpp(c: String): Seq[(String, Double)] =
-    snapshot().dataFiles.flatMap(f =>
+  def ngramBloomFpp(c: String): Seq[(String, Double)] = {
+    val files = snapshot().dataFiles
+    prefetchGramBlooms(files)
+    files.flatMap(f =>
       tokenBloomOf(f.path, c, ".ngbf.").map(bits =>
         f.path -> FactTable.TokenBloom.expectedFpp(bits)))
+  }
 
   // ---------------------------------------------------- projections
 
