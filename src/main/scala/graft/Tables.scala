@@ -66,4 +66,23 @@ object Tables {
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Round-robin spread for NARROW scans feeding an expensive per-row
+    * expression lane (guide §2.5 input skew): a sub-split-size file scans
+    * as ONE task, serializing md5/fold/decode passes however many cores
+    * the cluster has — measured as the dominant term of several text and
+    * multimodal operators at bench SFs, and the reason they ran faster
+    * at 8 cores than 32. Conditional on the frame's planned scan
+    * parallelism, so at production scale (scans already >= cluster
+    * parallelism) it is a NO-OP — never a gratuitous full-corpus text
+    * shuffle. The round-robin exchange carries only the projected
+    * columns and never changes row content; downstream results are
+    * partitioning-independent.
+    */
+  def spread[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val par = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions >= math.min(par, 16)) ds
+    else ds.repartition(par)
+  }
 }

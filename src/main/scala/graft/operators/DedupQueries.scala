@@ -3617,10 +3617,9 @@ object DedupQueries {
         // so the repartitioned (doc_id, text) slice is PINNED (bounded:
         // ~1/7 of docs), which both spreads the chunk pass and stops
         // the inferred filter from crossing the exchange.
-        val src = graft.Tables.load(s, dir, "documents")
+        val src = graft.Tables.spread(graft.Tables.load(s, dir, "documents")
           .filter($"doc_id" % 7 === 3 && $"n_chars" >= 200)
-          .select($"doc_id", $"text")
-          .repartition(s.sparkContext.defaultParallelism)
+          .select($"doc_id", $"text"))
           .localCheckpoint()
         def chunked(batch: Long, rev: Boolean) = {
           val base = if (rev)

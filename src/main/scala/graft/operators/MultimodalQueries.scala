@@ -1926,15 +1926,14 @@ object MultimodalQueries {
         // the doc subset is a sub-split-size scan (ONE task), so the
         // tokenize+md5 pass ran serial (measured 1.8 s); likewise AQE
         // coalesces tvec to one partition, serializing the 1-per-doc
-        // PNG render + ImageIO decode (measured 1.5 s). Round-robin
-        // shuffles of ~1250 tiny rows buy full parallelism for both.
-        val par = s.sparkContext.defaultParallelism
-        val docs = graft.Tables.load(s, dir, "documents")
-          .filter($"doc_id" % 4 === 1).repartition(par)
+        // PNG render + ImageIO decode (measured 1.5 s). Conditional
+        // round-robin spreads (no-ops at scale) buy full parallelism.
+        val docs = graft.Tables.spread(graft.Tables
+          .load(s, dir, "documents").filter($"doc_id" % 4 === 1))
         val tvec = TextQueries.hashVec16(docs, "doc_id", "text")
           .localCheckpoint()
-        val rows = tvec.select($"doc_id", $"comps").as[(Long, Seq[Long])]
-          .repartition(par)
+        val rows = graft.Tables.spread(
+          tvec.select($"doc_id", $"comps").as[(Long, Seq[Long])])
         // render the paired strip image from the text vector, decode
         // it back through the REAL ImageIO lane — once, pinned
         val grid = rows.mapPartitions(_.map { case (id, comps) =>

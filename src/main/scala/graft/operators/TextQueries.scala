@@ -1853,7 +1853,10 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val K = 12
-        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        // spread the per-word expression lane off the one-task
+        // sub-split-size doc scan (guide §2.5; no-op at scale)
+        val docs = Tables.spread(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"))
         val merges: Seq[(String, String)] = docs
           .select(explode(tokens($"text")).as("w")).filter(length($"w") >= 2)
           .select(explode(expr(
@@ -2704,7 +2707,10 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val L = 3; val K = 40
-        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        // spread the per-word expression lane off the one-task
+        // sub-split-size doc scan (guide §2.5; no-op at scale)
+        val docs = Tables.spread(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"))
         val sub = docs
           .select(explode(filter(tokens($"text"), w => length(w) >= 1)).as("w"))
           .select(explode(expr(
@@ -2928,7 +2934,10 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val L = 3; val K = 60
-        val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        // spread the per-word expression lane off the one-task
+        // sub-split-size doc scan (guide §2.5; no-op at scale)
+        val docs = Tables.spread(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"))
         val sub = docs
           .select(explode(filter(tokens($"text"), w => length(w) >= 1)).as("w"))
           .select(explode(expr(
@@ -3156,10 +3165,12 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val K = 12
-        val docs = Tables.load(s, dir, "documents")
+        // spread the per-word K-replace fold off the one-task scan
+        // (guide §2.5; no-op at scale)
+        val docs = Tables.spread(Tables.load(s, dir, "documents")
           .select($"doc_id",
             concat($"text", lit(" café touché naïve €5"))
-              .as("text2"))
+              .as("text2")))
         val merges: Seq[(String, String)] = docs
           .select(explode(tokens($"text2")).as("w"))
           .filter(octet_length($"w") >= 2)

@@ -1417,7 +1417,7 @@ object DocsisQueries {
         t.append(docs.repartition(nParts, $"doc_id"), 0)
         // the rarest-token pass explodes every doc's tokens: spread it —
         // documents is a sub-split-size scan (ONE task, guide §2.5)
-        val tok = docs.repartition(s.sparkContext.defaultParallelism)
+        val tok = graft.Tables.spread(docs)
           .select($"doc_id", explode(split($"text",
             graft.storage.StatsPruning.TokenSplitRe)).as("tok"))
           .filter($"tok" =!= "")
@@ -1487,7 +1487,7 @@ object DocsisQueries {
         val nParts = math.max(1, math.ceil(docs.count() / 16.0).toInt)
         t.append(docs.repartition(nParts, $"doc_id"), 0)
         // spread the bigram-phrase pass off the one-task doc scan (§2.5)
-        val phrase = docs.repartition(s.sparkContext.defaultParallelism)
+        val phrase = graft.Tables.spread(docs)
           .select($"doc_id", split(lower(trim($"text")), "\\s+").as("toks"))
           .select($"doc_id", explode(expr(
             """transform(sequence(1, size(toks) - 1),
