@@ -572,15 +572,50 @@ object TextFunctions {
     val n = feats.count()
     require(n > 0, "empty training set")
     val w = Array.fill(nFeats)(0L)
-    val fRefs = (0 until nFeats).map(j => s"f$j")
-    for (_ <- 1 to epochs) {
-      val p = fastSigmoidSql(zMicroSql(w.map(_.toString).toSeq, fRefs))
-      val aggs = (0 until nFeats).map(j =>
-        sum(expr(gradTermSql(p, s"f$j"))).as(s"g$j"))
-      val row = feats.agg(aggs.head, aggs.drop(1): _*).head()
-      for (j <- 0 until nFeats) w(j) -= (lrNum * row.getLong(j)) / n
-    }
-    w
+    // Same single-job epoch shape as [[linearTrainMicroK]] (see the
+    // rationale there): each epoch is one treeAggregate over a pinned
+    // primitive matrix running the IDENTICAL IEEE-754 op sequence the
+    // SQL epoch stated —
+    //   z = (Σ_j CAST(w_j AS DOUBLE)·f_j) / 1e6        (left-assoc, j asc)
+    //   p = 0.5 + z / (2.0 · (1.0 + abs(z)))           (fastSigmoidSql)
+    //   G_j = Σ_rows floor(((p − y)·f_j)·1e6)          (toward-zero Long)
+    // — bit-identical gradients and weights vs the oracle's epochSqlCtes
+    // replay, without the per-epoch Catalyst plan/codegen/AQE job waves.
+    val cols = (0 until nFeats).map(j => col(s"f$j").cast("double")) :+
+      col("y").cast("double")
+    val data = feats.select(cols: _*).rdd.map { r =>
+      val a = new Array[Double](nFeats + 1)
+      var i = 0
+      while (i < a.length) { a(i) = r.getDouble(i); i += 1 }
+      a
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to epochs) {
+        val wCur = w.clone()
+        val g = data.treeAggregate(new Array[Long](nFeats))(
+          seqOp = (acc, row) => {
+            var z = 0.0
+            var j = 0
+            while (j < nFeats) { z += wCur(j).toDouble * row(j); j += 1 }
+            z /= 1000000.0
+            val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+            val d = p - row(nFeats)
+            j = 0
+            while (j < nFeats) {
+              acc(j) += math.floor(d * row(j) * 1000000.0).toLong
+              j += 1
+            }
+            acc
+          },
+          combOp = (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+        for (j <- 0 until nFeats) w(j) -= (lrNum * g(j)) / n
+      }
+      w
+    } finally data.unpersist(blocking = false)
   }
 
   /** Multi-output LINEAR projector training (m27) — the

@@ -22,10 +22,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupQueries {
 
-  /** Derived corpus with guaranteed exact and near duplicates. */
+  /** Derived corpus with guaranteed exact and near duplicates. The doc
+    * frame is spread (guide §2.5, no-op at scale): every downstream
+    * tokenize/shingle/md5 lane otherwise runs inside the one-task
+    * sub-split-size scan at bench SFs, serializing the kernel that
+    * dominates most d-family queries.
+    */
   def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val docs = Tables.spread(
+      Tables.load(s, dir, "documents").select($"doc_id", $"text"))
     val exact = docs.filter($"doc_id" % 10 === 0)
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
     val near = docs.filter($"doc_id" % 10 === 1)

@@ -3995,7 +3995,10 @@ object SimilarityQueries {
       qids: Seq[Long], k: Int): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.tokens
-    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    // spread the tokenize+explode pass off the one-task sub-split-size
+    // doc scan (guide §2.5; Tables.spread is a no-op at scale)
+    val docs = Tables.spread(
+      Tables.load(s, dir, "documents").select($"doc_id", $"text"))
     val toks = docs
       .select($"doc_id", explode_outer(tokens($"text")).as("token"))
       .filter($"token" =!= "")
