@@ -22,16 +22,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupQueries {
 
-  /** Derived corpus with guaranteed exact and near duplicates. The doc
-    * frame is spread (guide §2.5, no-op at scale): every downstream
-    * tokenize/shingle/md5 lane otherwise runs inside the one-task
-    * sub-split-size scan at bench SFs, serializing the kernel that
-    * dominates most d-family queries.
+  /** Derived corpus with guaranteed exact and near duplicates. NOT
+    * spread here: most consumers' kernels are cheaper than the spread
+    * exchange at bench SFs (measured: a corpus-level spread regressed
+    * d01/d02/d04/d17/d20/d21 by the exchange cost while only d05's
+    * heavy shingle kernel won) — the few heavy consumers spread at
+    * their own site instead.
     */
   def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.spread(
-      Tables.load(s, dir, "documents").select($"doc_id", $"text"))
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
     val exact = docs.filter($"doc_id" % 10 === 0)
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
     val near = docs.filter($"doc_id" % 10 === 1)
@@ -166,7 +166,11 @@ object DedupQueries {
   private def sharedShinglePairs(s: SparkSession, dir: String,
       metric: String): DataFrame = {
     import s.implicits._
-    val sh = corpus(s, dir)
+    // the shingle+md5 explode is the heavy corpus kernel worth a spread
+    // (guide §2.5; measured: d05 4.3 -> 3.0 s, while cheaper corpus
+    // consumers lose the exchange cost — so the spread lives here, not
+    // in corpus())
+    val sh = Tables.spread(corpus(s, dir))
       .withColumn("toks", tokens($"text"))
       .withColumn("sh_set", array_distinct(
         transform(shingles("toks"), x => substring(md5(x), 1, 16))))
